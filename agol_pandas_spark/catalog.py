@@ -1,0 +1,156 @@
+"""Directory-backed table catalog.
+
+The reference addresses tables by AGOL item id or title search
+(``src/agol_pandas.py:237-243, 592-596``) and creates them by publishing a
+staged CSV (``:515-523``). Here a *catalog* is a directory of Parquet
+tables: ``<root>/<name>.parquet``. Reads are lazy ``spark.read.parquet``
+scans — Catalyst pushes predicates and prunes columns into the scan, which
+is the distributed replacement for the reference's
+``return_all_records=True`` full fetch (``:246``).
+
+Writes go through a two-phase commit: stage to ``<name>.parquet.__tmp_*``,
+then atomically rename over the target. That reproduces the transactional
+intent of the reference's per-chunk ``rollback=True`` append (``:453``)
+without a server: a failed job never leaves a half-written table visible.
+
+At 100 TB a "table" is a multi-file Parquet dataset (possibly
+hive-partitioned); everything here treats the path as a dataset directory,
+never a single file, so the same code addresses both.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from agol_pandas_spark.errors import TableExistsError, TableNotFoundError
+from agol_pandas_spark.functions.names import normalize_service_name
+
+TEST_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+class Catalog:
+    """A named-table namespace over a directory of Parquet datasets."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self._ns_cols: dict[str, list[str]] = {}
+        # engine invariants, enforced even on externally-built sessions
+        # (the driver hands us its own SparkSession): UTC timestamps
+        # (reference semantics, src/agol_pandas.py:86-119) and ns-parquet
+        # readability (Spark has no ns timestamp type).
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    # -- resolution ---------------------------------------------------------
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.root, f"{normalize_service_name(name)}.parquet")
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(self.path(name))
+
+    def list_tables(self) -> list[str]:
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(
+            f[: -len(".parquet")]
+            for f in os.listdir(self.root)
+            if f.endswith(".parquet")
+        )
+
+    # -- read ---------------------------------------------------------------
+
+    def _nanos_columns(self, path: str) -> list[str]:
+        """Columns stored as parquet TIMESTAMP(NANOS), from the footer
+        (driver-side metadata read, cached per path)."""
+        if path not in self._ns_cols:
+            import pyarrow.dataset as ds
+            import pyarrow as pa
+
+            schema = ds.dataset(path, format="parquet").schema
+            self._ns_cols[path] = [
+                f.name
+                for f in schema
+                if isinstance(f.type, pa.TimestampType) and f.type.unit == "ns"
+            ]
+        return self._ns_cols[path]
+
+    def table(self, name: str) -> DataFrame:
+        """Lazy scan of a catalog table (replaces the reference's eager
+        full-table fetch, ``src/agol_pandas.py:218-251``).
+
+        Parquet TIMESTAMP(NANOS) columns (which Spark reads as long-nanos
+        under ``nanosAsLong``) are converted to µs TimestampType —
+        truncation, matching what DuckDB's parquet reader does natively.
+        """
+        p = self.path(name)
+        if not os.path.exists(p):
+            raise TableNotFoundError(f"no table {name!r} under {self.root}")
+        df = self.spark.read.parquet(p)
+        for c in self._nanos_columns(p):
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        return df
+
+    def register_views(self, names: tuple[str, ...] = TEST_TABLES) -> None:
+        """Expose catalog tables as SQL temp views for ``spark.sql``."""
+        for n in names:
+            if self.exists(n):
+                self.table(n).createOrReplaceTempView(n)
+
+    # -- write (atomic) -----------------------------------------------------
+
+    def write(self, df: DataFrame, name: str, mode: str = "error") -> str:
+        """Atomically materialize ``df`` as catalog table ``name``.
+
+        ``mode``: ``error`` (create, fail if exists — reference
+        ``create_table``, ``src/agol_pandas.py:477-544``) or ``overwrite``
+        (truncate-and-load — reference ``:396``). Append/merge semantics
+        live in ``operators.merge`` because they need the existing table.
+        """
+        target = self.path(name)
+        if mode == "error" and os.path.exists(target):
+            raise TableExistsError(f"table {name!r} already exists")
+        os.makedirs(self.root, exist_ok=True)
+        staged = f"{target}.__tmp_{uuid.uuid4().hex}"
+        df.write.mode("overwrite").parquet(staged)
+        backup = None
+        if os.path.exists(target):
+            backup = f"{target}.__old_{uuid.uuid4().hex}"
+            os.rename(target, backup)
+        try:
+            os.rename(staged, target)
+        except OSError:
+            if backup:
+                os.rename(backup, target)  # roll back the swap
+            raise
+        finally:
+            if backup and os.path.exists(backup):
+                shutil.rmtree(backup, ignore_errors=True)
+        return target
+
+    def drop(self, name: str) -> None:
+        p = self.path(name)
+        if os.path.exists(p):
+            shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+
+
+def test_catalog(spark: SparkSession, sf_dir: str) -> Catalog:
+    """Catalog over a driver-generated testdata directory."""
+    return Catalog(spark, sf_dir)

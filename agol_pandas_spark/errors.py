@@ -1,0 +1,44 @@
+"""Engine exceptions.
+
+The reference swallows every exception into a ``(str(e), False)`` tuple
+(``src/agol_pandas.py:82-84`` and 7 sibling sites), which makes failure
+payloads indistinguishable from data. This engine raises typed exceptions
+instead; callers that want per-partition status get it from the lineage
+DataFrame returned by the write path (see ``operators/chunking.py``).
+"""
+
+from __future__ import annotations
+
+
+class EngineError(Exception):
+    """Base class for all engine errors."""
+
+
+class EmptyInputError(EngineError):
+    """Raised where the reference raises on empty input
+    (``src/agol_pandas.py:182-184, 366-373, 497-505, 571-579``)."""
+
+
+class UnknownModeError(EngineError):
+    """Write mode not one of append/overwrite/upsert/update/insert
+    (reference validation at ``src/agol_pandas.py:360-363``)."""
+
+
+class DuplicateKeyError(EngineError):
+    """Merge source (or target) violates the unique-key contract the
+    reference enforces via a server-side unique index
+    (``src/agol_pandas.py:253-312``)."""
+
+
+class MissingKeyError(EngineError):
+    """A merge mode that requires a key was invoked without one
+    (``src/agol_pandas.py:398-401``)."""
+
+
+class TableNotFoundError(EngineError):
+    """Catalog lookup failed (reference: ``gis.content.get`` returning
+    nothing, ``src/agol_pandas.py:237-243``)."""
+
+
+class TableExistsError(EngineError):
+    """Create-mode write against an existing table."""

@@ -1,0 +1,67 @@
+"""Text primitives: tokenization, shingling, portable hashing.
+
+Design constraint: every primitive must be reproducible in ANSI-ish SQL so
+the DuckDB oracle can verify it value-for-value. That rules out engine
+hashes (Spark murmur3 ``F.hash`` / xxhash64 vs DuckDB's hash) for checked
+paths — instead :func:`portable_hash60` derives a 60-bit integer from md5
+hex (both engines implement md5 identically). Spark's native ``xxhash64``
+remains the right choice for non-checked internal paths (it's cheaper);
+the operators take the hash as a pluggable expression.
+
+Everything is array-valued per row (``split`` / ``transform`` /
+``aggregate`` higher-order fns): tokenize→shingle→hash runs inside
+whole-stage codegen with zero shuffles and zero Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens, empties dropped (mirrors SQL
+    ``list_filter(string_split_regex(text,'\\s+'), x -> x <> '')``)."""
+    return F.filter(F.split(_c(col), r"\s+"), lambda x: x != "")
+
+
+def distinct_tokens(col: Column | str) -> Column:
+    return F.array_distinct(tokens(col))
+
+
+def word_shingles(toks: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles from a token array.
+
+    ``transform(sequence(1, size-n+1), i -> concat_ws(' ', slice(toks,i,n)))``
+    — empty array when the doc has fewer than ``n`` tokens.
+    """
+    t = _c(toks)
+    count = F.greatest(F.size(t) - F.lit(n - 1), F.lit(0))
+    return F.when(count == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        )
+    )
+
+
+def portable_hash60(col: Column) -> Column:
+    """60-bit integer hash = first 15 hex chars of md5, engine-portable.
+
+    DuckDB twin: ``CAST(('0x' || substring(md5(x),1,15)) AS BIGINT)``.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def sql_portable_hash60(expr: str) -> str:
+    return f"CAST(('0x' || substring(md5({expr}),1,15)) AS BIGINT)"
+
+
+def count_tokens_in(toks: Column | str, vocab: tuple[str, ...]) -> Column:
+    """How many tokens fall in a fixed vocabulary (stopword-hit counter)."""
+    arr = F.array(*[F.lit(v) for v in vocab])
+    return F.size(F.filter(_c(toks), lambda x: F.array_contains(arr, x)))

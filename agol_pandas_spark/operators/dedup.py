@@ -1,0 +1,294 @@
+"""Deduplication operators: exact, latest-wins, MinHash-LSH, SimHash,
+n-gram Jaccard (north-star ops, SURVEY §2b ★ rows).
+
+Scale design:
+
+- *Exact / latest-wins*: one hash shuffle on the dedup key. Deterministic
+  survivor selection via window ``row_number`` (``dropDuplicates`` keeps an
+  arbitrary row — unacceptable for reproducible pipelines).
+- *MinHash signatures*: computed **per row with array higher-order
+  functions** (tokenize → shingle → hash → ``array_min``), so signature
+  computation is embarrassingly parallel inside codegen — no explode, no
+  shuffle, no Python. 100 TB of documents stream through a single map
+  stage.
+- *LSH banding*: signatures explode to ``bands`` rows per doc, shuffle on
+  the band key, and self-join per bucket — the only shuffle in the
+  pipeline, and it moves ``O(docs × bands)`` small rows, not text.
+  Candidate pairs then get their exact signature agreement checked.
+- *SimHash*: per-row bit-vote over token hashes (again pure array ops),
+  near-dup candidates = equal 16-bit fingerprint.
+- *n-gram Jaccard*: exact set similarity within user-supplied blocking
+  columns (at scale: block or pre-LSH first; an unblocked exact Jaccard is
+  a cross join and is intentionally not offered).
+
+Hashes are engine-portable (md5-derived, ``functions/text.py``) so every
+step here is DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from agol_pandas_spark.functions.text import (
+    portable_hash60,
+    tokens,
+    word_shingles,
+)
+
+# MinHash parameters: h_i(x) = (A_i * (x mod P) + B_i) mod P with P prime
+# > 2^32 and A_i < 10^4 so A*(x%P)+B stays < 2^63 (no BIGINT overflow in
+# either engine). Fixed seeds → reproducible signatures.
+MINHASH_P = 4_294_967_311
+MINHASH_PARAMS: tuple[tuple[int, int], ...] = (
+    (3449, 2017),
+    (4987, 911),
+    (1231, 3301),
+    (8123, 5501),
+    (2357, 7919),
+    (6661, 101),
+    (9973, 4241),
+    (7103, 6089),
+)
+SIMHASH_BITS = 16
+
+
+def exact_dedup(
+    df: DataFrame,
+    keys: Sequence[str],
+    tie_breakers: Sequence[Column] | None = None,
+) -> DataFrame:
+    """Keep one deterministic survivor per key group.
+
+    ``tie_breakers`` order survivors (first row wins); defaults to all
+    non-key columns ascending so the result is stable regardless of
+    partitioning.
+    """
+    order = list(tie_breakers) if tie_breakers else [
+        F.col(c) for c in df.columns if c not in keys
+    ]
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def latest_wins_dedup(
+    df: DataFrame, keys: Sequence[str], ts_col: str, tie_breakers: Sequence[Column] = ()
+) -> DataFrame:
+    """Latest record per key (CDC compaction): highest ``ts_col`` wins."""
+    order = [F.col(ts_col).desc(), *tie_breakers]
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _minhash_col(shingles: Column, a: int, b: int) -> Column:
+    hashed = F.transform(
+        shingles,
+        lambda s: (F.lit(a) * (portable_hash60(s) % MINHASH_P) + F.lit(b))
+        % MINHASH_P,
+    )
+    # empty shingle set → sentinel P (never collides with a real hash)
+    return F.coalesce(F.array_min(hashed), F.lit(MINHASH_P))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 3,
+    num_hashes: int = len(MINHASH_PARAMS),
+) -> DataFrame:
+    """Per-document MinHash signature columns ``mh_0..mh_{k-1}``.
+
+    Pure map stage: no shuffle, no UDF. Output carries only id + signature
+    (text is dropped as early as possible — at 100 TB the signature table
+    is ~1/1000th the corpus size and everything downstream touches only it).
+    """
+    params = MINHASH_PARAMS[:num_hashes]
+    sh = word_shingles(tokens(F.col(text_col)), shingle_size)
+    out = df.select(F.col(id_col), sh.alias("__shingles"))
+    for i, (a, b) in enumerate(params):
+        out = out.withColumn(f"mh_{i}", _minhash_col(F.col("__shingles"), a, b))
+    return out.drop("__shingles")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    num_hashes: int = len(MINHASH_PARAMS),
+    band_size: int = 2,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of their signature become a
+    candidate pair ``(id_a < id_b)`` with ``n_matching_hashes`` agreement.
+
+    Shuffle profile: explode to ``bands`` rows/doc → hash-shuffle on the
+    band key → per-bucket self-join. Bucket skew (a degenerate band value
+    shared by millions of docs) is the classic failure mode; AQE skew-join
+    handles moderate skew, and the band key includes the band index so
+    buckets never merge across bands.
+    """
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    "_",
+                    *[F.col(f"mh_{b * band_size + j}") for j in range(band_size)],
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = signatures.select(
+        F.col(id_col), *[F.col(f"mh_{i}") for i in range(num_hashes)],
+        F.explode(bands).alias("band"),
+    ).select(
+        F.col(id_col),
+        *[F.col(f"mh_{i}") for i in range(num_hashes)],
+        F.col("band.band_id").alias("band_id"),
+        F.col("band.band_key").alias("band_key"),
+    )
+    left = exploded.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"mh_{i}").alias(f"a_mh_{i}") for i in range(num_hashes)],
+        "band_id",
+        "band_key",
+    )
+    right = exploded.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"mh_{i}").alias(f"b_mh_{i}") for i in range(num_hashes)],
+        "band_id",
+        "band_key",
+    )
+    agreement = sum(
+        F.when(F.col(f"a_mh_{i}") == F.col(f"b_mh_{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return (
+        left.join(right, on=["band_id", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", agreement.alias("n_matching_hashes"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_agreement: int = 4,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup candidates above an agreement bar."""
+    sig = minhash_signatures(df, id_col, text_col, shingle_size)
+    pairs = lsh_candidate_pairs(sig, id_col)
+    return pairs.filter(F.col("n_matching_hashes") >= min_agreement)
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-document SimHash fingerprint over distinct tokens.
+
+    For each bit b: vote = Σ_tokens (bit_b(h(tok)) ? +1 : -1); fingerprint
+    sets bit b iff vote > 0. All per-row array math — a pure map stage.
+    """
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    hashed = F.transform(toks, lambda t: portable_hash60(t))
+
+    def _vote(bit_pos: int):
+        return F.aggregate(
+            hashed,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + (F.shiftright(h, bit_pos).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+
+    fingerprint = None
+    for b in range(bits):
+        bit = (
+            F.when(_vote(b) > 0, F.lit(2**b).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        fingerprint = bit if fingerprint is None else fingerprint + bit
+    return df.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Docs sharing an identical SimHash fingerprint (near-dup buckets)."""
+    s = simhash(df, id_col, text_col)
+    return (
+        s.groupBy("simhash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("representative"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: Sequence[str],
+    shingle_size: int = 3,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for doc pairs within blocks.
+
+    Jaccard = |A∩B| / |A∪B| over distinct word shingles. The intersection
+    is computed by exploding shingles and self-joining on (block, shingle) —
+    the join key includes the block so the shuffle stays partitioned.
+    ``min_jaccard`` prunes output; pairs sharing zero shingles never appear
+    (they'd be a cross join's worth of zeros).
+    """
+    sh = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        F.array_distinct(word_shingles(tokens(F.col(text_col)), shingle_size)).alias(
+            "__sh"
+        ),
+    )
+    sizes = sh.select(F.col(id_col), F.size("__sh").alias("__n"))
+    expl = sh.select(
+        F.col(id_col), *[F.col(c) for c in block_cols], F.explode("__sh").alias("__s")
+    )
+    a = expl.select(
+        F.col(id_col).alias("id_a"), *[F.col(c) for c in block_cols], F.col("__s")
+    )
+    b = expl.select(
+        F.col(id_col).alias("id_b"), *[F.col(c) for c in block_cols], F.col("__s")
+    )
+    inter = (
+        a.join(b, on=[*block_cols, "__s"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("n_b"))
+    out = (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= min_jaccard)

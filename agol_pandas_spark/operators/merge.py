@@ -1,0 +1,191 @@
+"""Key-equi merge plans — the reference's five write modes as Spark joins.
+
+The reference's entire "join" surface is the server-side upsert of
+``df_to_agol_hosted_table`` (``src/agol_pandas.py:314-475``): mode
+validation at ``:360-363``, flag wiring at ``:388-413``, column alignment
+by name at ``:452``, per-chunk rollback at ``:453``. Here each mode is a
+*join rewrite* producing the new table contents lazily — Catalyst picks
+broadcast vs sort-merge, AQE handles skew, and nothing touches the driver:
+
+=========  ==============================================================
+append     UNION ALL by name (no matching)
+overwrite  source replaces target (truncate-and-load, reference ``:396``)
+upsert     update matches + insert non-matches
+update     only rows whose key exists in target are applied
+insert     only rows whose key is absent from target are added
+=========  ==============================================================
+
+Column-collision semantics (decision recorded per SURVEY §7): alignment is
+by name, matching the reference (``:452``). On upsert/update the source
+value wins for every column the source carries; columns the source lacks
+keep the target value; columns the target lacks appear with NULL for
+pre-existing rows.
+
+Scale notes: ``upsert``/``insert`` need the *whole* target rewritten (no
+in-place update on Parquet); the plan is a single shuffle on the key —
+broadcastable when the source is small (the common CDC shape), sort-merge
+otherwise. ``update`` uses a left-join of target onto source so unmatched
+target rows stream through the join untouched; nothing is collected.
+"""
+
+from __future__ import annotations
+
+from enum import Enum
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from agol_pandas_spark.errors import (
+    DuplicateKeyError,
+    EmptyInputError,
+    MissingKeyError,
+    UnknownModeError,
+)
+
+
+class WriteMode(str, Enum):
+    """Reference mode vocabulary, ``src/agol_pandas.py:361``."""
+
+    APPEND = "append"
+    OVERWRITE = "overwrite"
+    UPSERT = "upsert"
+    UPDATE = "update"
+    INSERT = "insert"
+
+    @classmethod
+    def parse(cls, mode: str) -> "WriteMode":
+        try:
+            return cls(mode.lower())
+        except ValueError:
+            raise UnknownModeError(
+                f"mode {mode!r} not in {[m.value for m in cls]}"
+            ) from None
+
+
+#: modes that match rows on a unique key (reference ``update_modes``, :394)
+KEYED_MODES = frozenset({WriteMode.UPSERT, WriteMode.UPDATE, WriteMode.INSERT})
+
+
+def validate_unique_key(df: DataFrame, key: str, side: str = "source") -> None:
+    """Reject duplicate keys before merging.
+
+    Replaces the reference's server-side unique index
+    (``set_unique_key_constraint``, ``src/agol_pandas.py:253-312``) — and
+    fixes the bug at ``:410-412``/``:527-529`` where constraint failures
+    were silently ignored. One hash aggregation; short-circuits via
+    ``isEmpty`` on the duplicate stream (no full count of the table).
+    """
+    dupes = df.groupBy(key).count().filter(F.col("count") > 1)
+    if not dupes.isEmpty():
+        sample = [r[key] for r in dupes.select(key).limit(5).collect()]
+        raise DuplicateKeyError(
+            f"{side} has duplicate values for key {key!r}: sample {sample}"
+        )
+
+
+def _align_by_name(src: DataFrame, tgt: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """By-name column alignment (reference ``append_fields``, ``:452``):
+    both sides widened to the union of columns, missing columns NULL of
+    the other side's type."""
+    tgt_types = {f.name: f.dataType for f in tgt.schema.fields}
+    src_types = {f.name: f.dataType for f in src.schema.fields}
+    for name, dt in tgt_types.items():
+        if name not in src_types:
+            src = src.withColumn(name, F.lit(None).cast(dt))
+    for name, dt in src_types.items():
+        if name not in tgt_types:
+            tgt = tgt.withColumn(name, F.lit(None).cast(dt))
+    return src.select(*[f.name for f in tgt.schema.fields]), tgt
+
+
+def merge(
+    target: DataFrame,
+    source: DataFrame,
+    mode: str | WriteMode = WriteMode.APPEND,
+    key: str | None = None,
+    validate_keys: bool = True,
+) -> DataFrame:
+    """Return the post-merge contents of ``target`` (lazy plan).
+
+    Mirrors ``df_to_agol_hosted_table`` (``src/agol_pandas.py:314-475``)
+    semantics; raises instead of returning ``(str(e), False)``.
+    """
+    m = WriteMode.parse(mode) if isinstance(mode, str) else mode
+    if source.isEmpty():
+        # reference raises on empty input at every entry point (:366-373)
+        raise EmptyInputError("source DataFrame is empty")
+
+    if m is WriteMode.OVERWRITE:
+        return source
+
+    src, tgt = _align_by_name(source, target)
+
+    if m is WriteMode.APPEND:
+        # plain UNION ALL by name; works with or without a key — fixing the
+        # reference bug at :416-419 (NameError on keyless chunked append)
+        return tgt.unionByName(src)
+
+    if key is None:
+        raise MissingKeyError(f"mode {m.value!r} requires a key column (:398-401)")
+    if validate_keys:
+        validate_unique_key(src, key, "source")
+
+    if m is WriteMode.INSERT:
+        # skip_updates=True (:404-405): keep target intact, add only new keys
+        new_rows = src.join(tgt.select(key), on=key, how="left_anti")
+        return tgt.unionByName(new_rows.select(*tgt.columns))
+
+    # upsert / update share one shape: target left-joined to source on key,
+    # source column wins where matched. Unmatched-target rows pass through.
+    src_pref = src.select(
+        F.col(key).alias(f"__src_{key}"),
+        F.lit(True).alias("__matched"),
+        *[F.col(c).alias(f"__src_{c}") for c in src.columns if c != key],
+    )
+    joined = tgt.join(src_pref, on=tgt[key] == src_pref[f"__src_{key}"], how="left")
+    updated = joined.select(
+        *[
+            (
+                F.when(F.col("__matched"), F.col(f"__src_{c}"))
+                .otherwise(F.col(c))
+                .alias(c)
+                if c != key
+                else F.col(c)
+            )
+            for c in tgt.columns
+        ]
+    )
+    if m is WriteMode.UPDATE:
+        # skip_inserts=True (:402-403): unmatched source rows are dropped
+        return updated
+    # UPSERT: matched rows updated above + unmatched source rows appended
+    inserts = src.join(tgt.select(key), on=key, how="left_anti")
+    return updated.unionByName(inserts.select(*tgt.columns))
+
+
+def write_table(
+    catalog,
+    source: DataFrame,
+    name: str,
+    mode: str | WriteMode = WriteMode.APPEND,
+    key: str | None = None,
+) -> str:
+    """Materialize a merge into a catalog table, create-if-absent.
+
+    Distributed replacement for ``create_hosted_table_from_dataframe``
+    (``src/agol_pandas.py:546-680``): create on first write (``:637-654``),
+    merge afterwards (``:655-671``), atomic swap standing in for per-chunk
+    ``rollback=True`` (``:453``). Fixes the reference's ``:581`` validation
+    bug (it raised whenever an id *was* supplied).
+    """
+    m = WriteMode.parse(mode) if isinstance(mode, str) else mode
+    if not catalog.exists(name):
+        if source.isEmpty():
+            raise EmptyInputError("source DataFrame is empty")
+        if key is not None and m in KEYED_MODES:
+            validate_unique_key(source, key, "source")
+        return catalog.write(source, name, mode="error")
+    result = merge(catalog.table(name), source, m, key)
+    # self-referential overwrite: the plan reads the files it will replace,
+    # so stage to a new directory first (catalog.write is atomic).
+    return catalog.write(result, name, mode="overwrite")

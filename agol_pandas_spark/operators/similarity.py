@@ -1,0 +1,209 @@
+"""Similarity search over embedding columns (north-star ops, SURVEY §2b ★).
+
+Two tiers:
+
+- :func:`brute_force_topk` — exact cosine top-k of a (small) query set
+  against the full corpus. The query side is broadcast, so the corpus
+  streams through one map stage + per-query top-k (``row_number`` window
+  partitioned by query id). Exact baseline; cost O(|Q|·|corpus|).
+- :func:`ivf_topk` — the scale path: corpus is assigned once to its
+  nearest pivot (inverted-file cell); a query probes only its own cell.
+  Recall < 1 by construction (tested against the brute-force baseline in
+  ``tests/``); cost O(|Q|·|corpus|/cells·probes).
+
+Determinism: per-element products quantize to integers of 10^-9 units
+(``round(x·y·10^9)`` — identical IEEE doubles and identical ties-away
+rounding in both engines) and accumulate exactly as BIGINT; norms go
+through IEEE-exact ``sqrt``; the final divisions are single IEEE ops.
+That makes cosine scores bit-identical between Spark and the DuckDB
+oracle, so even top-k *scores* are value-checked, not just ids. (Plain
+double accumulation is NOT portable: summation order varies, and
+double→decimal casts disagree across engines within one ulp of rounding
+boundaries.) Swap ``exact=False`` for raw-double cosine when chasing
+throughput over checkability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from agol_pandas_spark.functions.vectors import cosine_similarity
+
+VSCALE = 1_000_000_000  # 10^-9 quantization of per-element products
+
+
+def _dot_scaled(a: Column, b: Column) -> Column:
+    """Order-independent dot product in 10^-9 integer units (BIGINT)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: F.round(x.cast("double") * y.cast("double") * VSCALE).cast(
+                "long"
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm_exact(a: Column) -> Column:
+    sq = F.aggregate(
+        a,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.round(x.cast("double") * x.cast("double") * VSCALE).cast("long"),
+    )
+    return F.sqrt(sq.cast("double") / F.lit(float(VSCALE)))
+
+
+def cosine_exact(a: Column, b: Column) -> Column:
+    return (
+        (_dot_scaled(a, b).cast("double") / F.lit(float(VSCALE)))
+        / (_norm_exact(a) * _norm_exact(b))
+    ).alias("cosine")
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    k: int = 10,
+    exact: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k per query: broadcast queries × corpus scan.
+
+    Output: (query_id, corpus_id, cosine, rnk) with rnk 1..k, ties broken
+    by corpus id for determinism.
+    """
+    q = queries.select(
+        F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qvec")
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("__cid"), F.col(corpus_vec).alias("__cvec")
+    )
+    cos = (
+        cosine_exact(F.col("__qvec"), F.col("__cvec"))
+        if exact
+        else cosine_similarity(F.col("__qvec"), F.col("__cvec"))
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias(corpus_id),
+            cos.alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(corpus_id)
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def assign_to_pivots(
+    corpus: DataFrame,
+    pivots: DataFrame,
+    corpus_id: str,
+    pivot_id: str,
+    corpus_vec: str = "embedding",
+    pivot_vec: str = "embedding",
+) -> DataFrame:
+    """IVF build: each corpus vector joins its nearest pivot (max cosine,
+    ties → smallest pivot id). Pivots are broadcast; one pass over the
+    corpus. Returns (corpus columns…, cell)."""
+    p = pivots.select(
+        F.col(pivot_id).alias("__pid"), F.col(pivot_vec).alias("__pvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(p)).withColumn(
+        "__pcos", cosine_exact(F.col(corpus_vec), F.col("__pvec"))
+    )
+    w = Window.partitionBy(corpus_id).orderBy(
+        F.col("__pcos").desc(), F.col("__pid")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__pvec", "__pcos")
+        .withColumnRenamed("__pid", "cell")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    pivots: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    pivot_id: str,
+    vec: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """ANN top-k: probe only the query's own IVF cell.
+
+    At scale the assigned corpus is written bucketed by ``cell`` so the
+    probe join is shuffle-free on the corpus side; queries (small) shuffle
+    to their cells.
+    """
+    cells = assign_to_pivots(corpus, pivots, corpus_id, pivot_id, vec, vec)
+    q_cells = assign_to_pivots(queries, pivots, query_id, pivot_id, vec, vec)
+    q = q_cells.select(
+        F.col(query_id).alias("__qid"),
+        F.col(vec).alias("__qvec"),
+        F.col("cell"),
+    )
+    scored = q.join(cells, on="cell").select(
+        F.col("__qid").alias(query_id),
+        F.col(corpus_id),
+        cosine_exact(F.col("__qvec"), F.col(vec)).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(corpus_id)
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    corpus_id: str,
+    vec: str = "embedding",
+    block_col: str | None = None,
+    threshold: float = 0.95,
+    probe_filter: Column | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above ``threshold``.
+
+    Blocked self-join (same ``block_col`` value), ``id_a < id_b``.
+    ``probe_filter`` optionally restricts the left side (sampled probing).
+    An unblocked call is a full cross join — allowed only for small frames.
+    """
+    a = corpus.select(
+        F.col(corpus_id).alias("id_a"),
+        F.col(vec).alias("__va"),
+        *( [F.col(block_col).alias("__blk")] if block_col else [] ),
+    )
+    if probe_filter is not None:
+        a = a.filter(probe_filter)
+    b = corpus.select(
+        F.col(corpus_id).alias("id_b"),
+        F.col(vec).alias("__vb"),
+        *( [F.col(block_col).alias("__blk")] if block_col else [] ),
+    )
+    joined = a.join(b, on="__blk") if block_col else a.crossJoin(b)
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine_exact(F.col("__va"), F.col("__vb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

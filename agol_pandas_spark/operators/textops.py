@@ -1,0 +1,140 @@
+"""Text-analysis operators: doc stats, quality scoring, language ID,
+token counting, TF-IDF, fingerprinting (north-star ops, SURVEY §2b ★).
+
+All per-document computation is array higher-order functions (a single
+codegen map stage over the corpus); only corpus-level statistics (token
+frequencies, document frequency for TF-IDF) shuffle, and those shuffles
+carry (token, count) pairs — tiny next to the text itself.
+
+Determinism contract: token rules, hash (md5-portable), and score
+arithmetic (per-row doubles, integer-scaled idf) are reproducible in the
+DuckDB oracle — see ``workload/text_queries.py`` for the SQL twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from agol_pandas_spark.functions.text import (
+    count_tokens_in,
+    portable_hash60,
+    tokens,
+)
+
+# tiny built-in stopword profiles for the language-ID heuristic
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "und", "das", "ein"),
+    "fr": ("le", "la", "et", "les", "un"),
+    "es": ("el", "la", "y", "los", "una"),
+}
+
+
+def doc_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document surface statistics (one map stage)."""
+    toks = tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).alias("text_len"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ).alias("total_token_chars"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic quality score in [0,1]: length, lexical diversity,
+    alpha-character ratio. Weights are fixed; per-row double arithmetic
+    only (deterministic across engines)."""
+    toks = tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    uniq_ratio = F.when(n_tokens > 0, F.size(F.array_distinct(toks)) / n_tokens).otherwise(
+        F.lit(0.0)
+    )
+    len_score = F.least(F.length(text_col) / F.lit(500.0), F.lit(1.0))
+    alpha_ratio = F.when(
+        F.length(text_col) > 0,
+        F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", "")) / F.length(text_col),
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        (
+            F.lit(0.4) * uniq_ratio + F.lit(0.3) * len_score + F.lit(0.3) * alpha_ratio
+        ).alias("quality"),
+    )
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-profile language ID: argmax of per-language stopword hits
+    (ties → lexicographically smallest language, 'und' = undetermined when
+    zero hits). A real system plugs in character-n-gram profiles; the
+    operator shape (per-row array scoring, no shuffle) is identical."""
+    toks = tokens(F.lower(F.col(text_col)))
+    hit_cols = {
+        lang: count_tokens_in(toks, vocab) for lang, vocab in sorted(LANG_PROFILES.items())
+    }
+    out = df.select(F.col(id_col), *[c.alias(f"hits_{lang}") for lang, c in hit_cols.items()])
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in hit_cols])
+    pred = F.lit("und")
+    for lang in sorted(hit_cols, reverse=True):
+        pred = F.when(
+            (best > 0) & (F.col(f"hits_{lang}") == best), F.lit(lang)
+        ).otherwise(pred)
+    return out.withColumn("lang_pred", pred)
+
+
+def token_frequencies(df: DataFrame, text_col: str) -> DataFrame:
+    """Corpus token frequencies: explode → hash agg (map-side partial
+    aggregation keeps the shuffle at vocabulary size, not corpus size)."""
+    return (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def tfidf(
+    df: DataFrame, id_col: str, text_col: str, idf_scale: int = 1_000_000
+) -> DataFrame:
+    """TF-IDF with integer-scaled idf: score = tf × (N·scale ÷ df) using
+    integer division — engine-portable exact arithmetic (float log-idf
+    differs in final ulps across libm implementations; a scaled-rational
+    idf ranks identically for fixed N).
+
+    Two shuffles total: doc-term tf aggregation and term df aggregation;
+    the df side is vocabulary-sized and broadcast back.
+    """
+    n_docs = df.count()  # scalar; pipelines at scale pass a cached count
+    terms = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
+    )
+    tf = terms.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .select(
+            F.col(id_col),
+            "token",
+            "tf",
+            "df",
+            (F.col("tf") * F.floor(F.lit(n_docs) * F.lit(idf_scale) / F.col("df")).cast("long")).alias(
+                "score_scaled"
+            ),
+        )
+    )
+
+
+def doc_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Content fingerprint: 60-bit md5-derived hash of the normalized text
+    (lowercase, whitespace collapsed). Equal fingerprints ⇒ exact dup
+    candidates under normalization; used as a cheap pre-filter before
+    byte-exact comparison at scale."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.select(
+        F.col(id_col),
+        portable_hash60(normalized).alias("fingerprint"),
+    )

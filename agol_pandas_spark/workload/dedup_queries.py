@@ -1,0 +1,195 @@
+"""Oracle-checked queries for dedup operators (``operators/dedup.py``).
+
+The MinHash/SimHash oracles reproduce the engine's md5-portable hashing
+and fixed seed parameters in DuckDB SQL, so signatures, LSH candidate
+pairs, and fingerprints are verified value-for-value — not just row
+counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from agol_pandas_spark.catalog import Catalog
+from agol_pandas_spark.operators import dedup
+from agol_pandas_spark.operators.dedup import MINHASH_P, MINHASH_PARAMS
+from agol_pandas_spark.workload import register
+from agol_pandas_spark.workload.text_queries import SQL_HASH60, SQL_TOKS
+
+# word-3-gram shingles of a token list, DuckDB dialect (mirrors
+# functions.text.word_shingles)
+SQL_SHINGLES = (
+    "CASE WHEN len({toks}) < 3 THEN [] "
+    "ELSE list_transform(range(1, len({toks}) - 1), "
+    "i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2]) END"
+)
+
+
+def _sql_minhash(i: int) -> str:
+    a, b = MINHASH_PARAMS[i]
+    h = SQL_HASH60.format(expr="s")
+    return (
+        f"coalesce(list_min(list_transform(sh, s -> "
+        f"({a} * ({h} % {MINHASH_P}) + {b}) % {MINHASH_P})), {MINHASH_P}) AS mh_{i}"
+    )
+
+
+_SQL_SIGNATURES = f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKS.format(src='text')} AS t FROM documents),
+    sh AS (
+      SELECT doc_id, {SQL_SHINGLES.format(toks='t')} AS sh FROM toks),
+    sig AS (
+      SELECT doc_id, {', '.join(_sql_minhash(i) for i in range(len(MINHASH_PARAMS)))}
+      FROM sh)
+"""
+
+
+@register(
+    "dedup_exact_normalized",
+    tags=("dedup",),
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, lang, source, n_chars,
+             substring(lower(text), 1, 30) AS k,
+             ROW_NUMBER() OVER (PARTITION BY substring(lower(text), 1, 30)
+                                ORDER BY doc_id) AS rn
+      FROM documents)
+    SELECT doc_id, lang, source, n_chars FROM keyed WHERE rn = 1
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a normalized content key (prefix-30 of lowered text),
+    deterministic survivor = smallest doc_id."""
+    docs = (
+        Catalog(spark, sf_dir)
+        .table("documents")
+        .withColumn("k", F.substring(F.lower("text"), 1, 30))
+    )
+    out = dedup.exact_dedup(docs, keys=["k"], tie_breakers=[F.col("doc_id")])
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+@register(
+    "dedup_latest_event_per_user",
+    tags=("dedup",),
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM (
+      SELECT event_id, user_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def dedup_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins compaction (CDC shape): newest event per user."""
+    ev = Catalog(spark, sf_dir).table("events")
+    out = dedup.latest_wins_dedup(
+        ev, keys=["user_id"], ts_col="ts", tie_breakers=[F.col("event_id").desc()]
+    )
+    return out.select("event_id", "user_id", "event_type", "value")
+
+
+@register(
+    "dedup_minhash_signatures",
+    tags=("dedup", "minhash"),
+    oracle=_SQL_SIGNATURES + "SELECT * FROM sig",
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    return dedup.minhash_signatures(docs, "doc_id", "text")
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    tags=("dedup", "minhash", "lsh"),
+    oracle=_SQL_SIGNATURES
+    + """
+    , bands AS (
+      SELECT doc_id, b AS band_id,
+             CASE b
+               WHEN 0 THEN mh_0 || '_' || mh_1
+               WHEN 1 THEN mh_2 || '_' || mh_3
+               WHEN 2 THEN mh_4 || '_' || mh_5
+               ELSE mh_6 || '_' || mh_7 END AS band_key,
+             mh_0, mh_1, mh_2, mh_3, mh_4, mh_5, mh_6, mh_7
+      FROM sig, unnest([0,1,2,3]) AS u(b))
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           (CASE WHEN a.mh_0=b.mh_0 THEN 1 ELSE 0 END +
+            CASE WHEN a.mh_1=b.mh_1 THEN 1 ELSE 0 END +
+            CASE WHEN a.mh_2=b.mh_2 THEN 1 ELSE 0 END +
+            CASE WHEN a.mh_3=b.mh_3 THEN 1 ELSE 0 END +
+            CASE WHEN a.mh_4=b.mh_4 THEN 1 ELSE 0 END +
+            CASE WHEN a.mh_5=b.mh_5 THEN 1 ELSE 0 END +
+            CASE WHEN a.mh_6=b.mh_6 THEN 1 ELSE 0 END +
+            CASE WHEN a.mh_7=b.mh_7 THEN 1 ELSE 0 END) AS n_matching_hashes
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    sig = dedup.minhash_signatures(docs, "doc_id", "text")
+    return dedup.lsh_candidate_pairs(sig, "doc_id")
+
+
+@register(
+    "dedup_simhash",
+    tags=("dedup", "simhash"),
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct({SQL_TOKS.format(src='text')}) AS t
+      FROM documents),
+    hashed AS (
+      SELECT doc_id,
+             list_transform(t, s -> {SQL_HASH60.format(expr='s')}) AS hs
+      FROM toks)
+    SELECT doc_id,
+           CAST({' + '.join(
+               f"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> {b}) & 1) * 2 - 1)) > 0 "
+               f"THEN {2**b} ELSE 0 END)"
+               for b in range(dedup.SIMHASH_BITS)
+           )} AS BIGINT) AS simhash
+    FROM hashed
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    return dedup.simhash(docs, "doc_id", "text")
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    tags=("dedup", "jaccard"),
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, lang, {SQL_TOKS.format(src='text')} AS t FROM documents),
+    sh AS (
+      SELECT doc_id, source, lang,
+             list_distinct({SQL_SHINGLES.format(toks='t')}) AS sh
+      FROM toks),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
+    expl AS (SELECT doc_id, source, lang, unnest(sh) AS s FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM expl a JOIN expl b
+        ON a.source = b.source AND a.lang = b.lang AND a.s = b.s
+       AND a.doc_id < b.doc_id
+      GROUP BY id_a, id_b)
+    SELECT id_a, id_b, n_inter,
+           CAST(sa.n AS INTEGER) AS n_a,
+           CAST(sb.n AS INTEGER) AS n_b,
+           CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    """,
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    return dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", block_cols=("source", "lang"), shingle_size=3
+    )

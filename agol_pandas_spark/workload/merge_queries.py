@@ -1,0 +1,152 @@
+"""Merge-mode queries — the reference's five write modes, oracle-checked.
+
+Each query derives a deterministic delta from ``customer`` itself (per
+FIXTURES.md §B ``customer_delta``): rows with ``c_custkey % 3 == 0`` are
+the "update half" (acctbal bumped, segment rewritten), plus an "insert
+half" of fresh keys (``c_custkey + 1_000_000``). The query applies the
+engine's join-rewrite merge (``operators/merge.py``) and returns the full
+post-merge table; the oracle reproduces the reference semantics
+(``src/agol_pandas.py:388-413``) in pure SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from agol_pandas_spark.catalog import Catalog
+from agol_pandas_spark.operators.merge import merge
+from agol_pandas_spark.workload import register
+
+# Delta definition, shared by Spark and SQL sides.
+_DELTA_SQL = """
+      SELECT c_custkey, c_name, c_nationkey,
+             c_acctbal + 1000.0 AS c_acctbal,
+             'UPDATED' AS c_mktsegment
+      FROM customer WHERE c_custkey % 3 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000 AS c_custkey,
+             'new_' || c_name AS c_name,
+             c_nationkey,
+             c_acctbal * 0.5 AS c_acctbal,
+             'INSERTED' AS c_mktsegment
+      FROM customer WHERE c_custkey % 3 = 1
+"""
+
+
+def _delta(cust: DataFrame) -> DataFrame:
+    updates = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + 1000.0).alias("c_acctbal"),
+        F.lit("UPDATED").alias("c_mktsegment"),
+    )
+    inserts = cust.filter(F.col("c_custkey") % 3 == 1).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("new_"), F.col("c_name")).alias("c_name"),
+        "c_nationkey",
+        (F.col("c_acctbal") * 0.5).alias("c_acctbal"),
+        F.lit("INSERTED").alias("c_mktsegment"),
+    )
+    return updates.unionByName(inserts)
+
+
+def _merged(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
+    cust = Catalog(spark, sf_dir).table("customer")
+    return merge(cust, _delta(cust), mode=mode, key="c_custkey")
+
+
+@register(
+    "merge_append",
+    tags=("merge",),
+    oracle=f"""
+    SELECT * FROM customer
+    UNION ALL
+    SELECT * FROM ({_DELTA_SQL})
+    """,
+)
+def merge_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _merged(spark, sf_dir, "append")
+
+
+@register(
+    "merge_overwrite",
+    tags=("merge",),
+    oracle=f"SELECT * FROM ({_DELTA_SQL})",
+)
+def merge_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _merged(spark, sf_dir, "overwrite")
+
+
+@register(
+    "merge_upsert",
+    tags=("merge",),
+    oracle=f"""
+    WITH delta AS ({_DELTA_SQL})
+    SELECT COALESCE(d.c_custkey, c.c_custkey) AS c_custkey,
+           CASE WHEN d.c_custkey IS NOT NULL THEN d.c_name ELSE c.c_name END AS c_name,
+           CASE WHEN d.c_custkey IS NOT NULL THEN d.c_nationkey ELSE c.c_nationkey END AS c_nationkey,
+           CASE WHEN d.c_custkey IS NOT NULL THEN d.c_acctbal ELSE c.c_acctbal END AS c_acctbal,
+           CASE WHEN d.c_custkey IS NOT NULL THEN d.c_mktsegment ELSE c.c_mktsegment END AS c_mktsegment
+    FROM customer c FULL OUTER JOIN delta d ON c.c_custkey = d.c_custkey
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _merged(spark, sf_dir, "upsert")
+
+
+@register(
+    "merge_update",
+    tags=("merge",),
+    oracle=f"""
+    WITH delta AS ({_DELTA_SQL})
+    SELECT c.c_custkey,
+           CASE WHEN d.c_custkey IS NOT NULL THEN d.c_name ELSE c.c_name END AS c_name,
+           CASE WHEN d.c_custkey IS NOT NULL THEN d.c_nationkey ELSE c.c_nationkey END AS c_nationkey,
+           CASE WHEN d.c_custkey IS NOT NULL THEN d.c_acctbal ELSE c.c_acctbal END AS c_acctbal,
+           CASE WHEN d.c_custkey IS NOT NULL THEN d.c_mktsegment ELSE c.c_mktsegment END AS c_mktsegment
+    FROM customer c LEFT JOIN delta d ON c.c_custkey = d.c_custkey
+    """,
+)
+def merge_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _merged(spark, sf_dir, "update")
+
+
+@register(
+    "merge_insert",
+    tags=("merge",),
+    oracle=f"""
+    WITH delta AS ({_DELTA_SQL})
+    SELECT * FROM customer
+    UNION ALL
+    SELECT d.* FROM delta d ANTI JOIN customer c ON d.c_custkey = c.c_custkey
+    """,
+)
+def merge_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _merged(spark, sf_dir, "insert")
+
+
+@register(
+    "merge_chunk_lineage",
+    tags=("merge", "chunking"),
+    oracle="""
+    WITH numbered AS (
+      SELECT c_custkey,
+             ROW_NUMBER() OVER (ORDER BY c_custkey) AS rn
+      FROM customer)
+    SELECT CAST(FLOOR((rn - 1) / 40) AS INTEGER) AS chunk_id,
+           COUNT(*) AS n_rows,
+           MIN(c_custkey) AS key_min,
+           MAX(c_custkey) AS key_max
+    FROM numbered GROUP BY chunk_id ORDER BY chunk_id
+    """,
+)
+def merge_chunk_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact sorted chunking + per-chunk lineage (reference
+    ``df_to_pandas_chunks`` ``:159-216`` + lineage dicts ``:621-634``)."""
+    from agol_pandas_spark.operators.chunking import partition_lineage, with_chunk_id
+
+    cust = Catalog(spark, sf_dir).table("customer")
+    chunked = with_chunk_id(cust, chunk_size=40, keys=("c_custkey",))
+    return partition_lineage(chunked, key="c_custkey")

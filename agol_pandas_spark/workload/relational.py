@@ -1,0 +1,586 @@
+"""Relational query surface: scans, filters, joins, aggregations, set ops,
+scalar functions (SURVEY §2b rows: scans, projection, filter, joins,
+aggregations, sorts/limits, set ops, string/date/math/JSON fns).
+
+Everything is plain ``pyspark.sql`` — Catalyst provides pushdown, pruning,
+join selection (broadcast for the dimension tables here), partial
+aggregation and whole-stage codegen without custom machinery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from agol_pandas_spark.catalog import Catalog
+from agol_pandas_spark.workload import register
+
+# Deterministic aggregation of doubles. Double summation order varies with
+# partitioning, and even double→decimal casts disagree across engines near
+# rounding boundaries (Spark rounds the exact binary expansion; DuckDB
+# multiplies by 10^s then rounds — different answers within one ulp of a
+# tie). The portable scheme: quantize per-row to an *integer* of scaled
+# units via round(x·10^4) — both engines evaluate the identical double
+# product and both round ties away from zero, so the integers match
+# bit-for-bit — then sum exactly as BIGINT and divide once at the end.
+# Headroom: |sum·10^4| < 2^63 holds up to ~9×10^14 totals.
+SCALE = 10_000  # 4 decimal places of quantization
+
+
+def dsum(expr: Column, alias: str) -> Column:
+    """Deterministic double sum via scaled-integer quantization."""
+    return (
+        (F.sum(F.round(expr * SCALE).cast("long")).cast("double") / F.lit(float(SCALE)))
+        .alias(alias)
+    )
+
+
+def davg(expr: Column, alias: str) -> Column:
+    return (
+        (
+            F.sum(F.round(expr * SCALE).cast("long")).cast("double")
+            / F.lit(float(SCALE))
+            / F.count(expr)
+        ).alias(alias)
+    )
+
+
+# SQL-side twins of dsum/davg (kept textual so oracles stay copy-readable)
+def SQL_DSUM(expr: str, alias: str) -> str:
+    return (
+        f"CAST(SUM(CAST(round(({expr}) * {SCALE}) AS BIGINT)) AS DOUBLE)"
+        f" / {SCALE}.0 AS {alias}"
+    )
+
+
+def SQL_DAVG(expr: str, alias: str) -> str:
+    return (
+        f"CAST(SUM(CAST(round(({expr}) * {SCALE}) AS BIGINT)) AS DOUBLE)"
+        f" / {SCALE}.0 / COUNT({expr}) AS {alias}"
+    )
+
+
+REVENUE = "l_extendedprice * (1 - l_discount)"
+
+
+def _rev() -> Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# --------------------------------------------------------------------------
+# Flagship: revenue by region — scan, filter, 4-way equi-join chain over the
+# star schema (dims broadcast), hash agg, sort. The reference's read surface
+# was an unfiltered full fetch (src/agol_pandas.py:246); this is the same
+# data access expressed so Catalyst pushes the l_shipdate predicate into the
+# Parquet scan and prunes to 4 of 11 lineitem columns.
+# --------------------------------------------------------------------------
+@register(
+    "flagship_region_revenue",
+    headline=True,
+    tags=("join", "agg", "filter"),
+    oracle=f"""
+    SELECT r.r_name,
+           {SQL_DSUM(REVENUE, 'revenue')},
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN nation n    ON c.c_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+    GROUP BY r.r_name
+    ORDER BY revenue DESC
+    """,
+)
+def flagship_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    lineitem = cat.table("lineitem").filter(F.col("l_shipdate") >= "1995-01-01")
+    joined = (
+        lineitem.join(cat.table("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cat.table("customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cat.table("nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(cat.table("region")), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.groupBy("r_name")
+        .agg(dsum(_rev(), "revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+# --------------------------------------------------------------------------
+# Pricing summary (TPC-H Q1 shape): wide aggregate over the fact table —
+# partial+final hash agg, no join, no shuffle beyond the final agg exchange.
+# --------------------------------------------------------------------------
+@register(
+    "pricing_summary",
+    headline=True,
+    tags=("agg",),
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {SQL_DSUM('l_quantity', 'sum_qty')},
+           {SQL_DSUM('l_extendedprice', 'sum_base_price')},
+           {SQL_DSUM(REVENUE, 'sum_disc_price')},
+           {SQL_DSUM(REVENUE + ' * (1 + l_tax)', 'sum_charge')},
+           {SQL_DAVG('l_quantity', 'avg_qty')},
+           {SQL_DAVG('l_discount', 'avg_disc')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), "sum_qty"),
+            dsum(F.col("l_extendedprice"), "sum_base_price"),
+            dsum(_rev(), "sum_disc_price"),
+            dsum(_rev() * (1 + F.col("l_tax")), "sum_charge"),
+            davg(F.col("l_quantity"), "avg_qty"),
+            davg(F.col("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Top-k with deterministic tie-break: TakeOrderedAndProject physical op —
+# per-partition top-k then driver merge of k·parts rows, not a global sort.
+# --------------------------------------------------------------------------
+@register(
+    "top_revenue_orders",
+    headline=True,
+    tags=("join", "agg", "topk"),
+    oracle=f"""
+    SELECT o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           o.o_orderpriority,
+           {SQL_DSUM(REVENUE, 'revenue')}
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, order_date, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.table("customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .join(cat.table("orders"), F.col("c_custkey") == F.col("o_custkey"))
+        .join(cat.table("lineitem"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(dsum(_rev(), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Filter + projection pushdown: the anti-reference. The reference reads all
+# rows/columns always (src/agol_pandas.py:246); here the predicate and the
+# 3-column projection reach the Parquet scan (PushedFilters / ReadSchema).
+# --------------------------------------------------------------------------
+@register(
+    "filter_project_pushdown",
+    tags=("scan", "filter"),
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_quantity > 45 AND l_returnflag = 'R'
+    """,
+)
+def filter_project_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return li.filter((F.col("l_quantity") > 45) & (F.col("l_returnflag") == "R")).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+# --------------------------------------------------------------------------
+# Join-type coverage: inner / left / full / semi / anti.
+# --------------------------------------------------------------------------
+@register(
+    "join_inner_supplier_nation",
+    tags=("join",),
+    oracle="""
+    SELECT n.n_name, COUNT(*) AS n_suppliers,
+           CAST(SUM(CAST(round((s.s_acctbal) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS total_bal
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name ORDER BY n.n_name
+    """,
+)
+def join_inner_supplier_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.table("supplier")
+        .join(F.broadcast(cat.table("nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            dsum(F.col("s_acctbal"), "total_bal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "join_left_customer_orders",
+    tags=("join",),
+    oracle="""
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def join_left_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.table("customer")
+        .join(cat.table("orders"), F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "join_full_nation_balances",
+    tags=("join",),
+    oracle="""
+    WITH cust AS (
+      SELECT c_nationkey,
+             CAST(SUM(CAST(round((c_acctbal) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS cust_bal
+      FROM customer GROUP BY c_nationkey),
+    supp AS (
+      SELECT s_nationkey,
+             CAST(SUM(CAST(round((s_acctbal) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS supp_bal
+      FROM supplier GROUP BY s_nationkey)
+    SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+           c.cust_bal, s.supp_bal
+    FROM cust c FULL OUTER JOIN supp s ON c.c_nationkey = s.s_nationkey
+    """,
+)
+def join_full_nation_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    cust = (
+        cat.table("customer").groupBy("c_nationkey").agg(dsum(F.col("c_acctbal"), "cust_bal"))
+    )
+    supp = (
+        cat.table("supplier").groupBy("s_nationkey").agg(dsum(F.col("s_acctbal"), "supp_bal"))
+    )
+    j = cust.join(supp, cust["c_nationkey"] == supp["s_nationkey"], "full_outer")
+    return j.select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        "cust_bal",
+        "supp_bal",
+    )
+
+
+@register(
+    "join_semi_customers_with_orders",
+    tags=("join",),
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.table("customer")
+        .join(cat.table("orders"), F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "join_anti_customers_without_orders",
+    tags=("join",),
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.table("customer")
+        .join(cat.table("orders"), F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregations: distinct, rollup, cube.
+# --------------------------------------------------------------------------
+@register(
+    "agg_distinct_custkeys",
+    tags=("agg",),
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(DISTINCT c_nationkey) AS n_nations,
+           COUNT(*) AS n_customers
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def agg_distinct_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        Catalog(spark, sf_dir)
+        .table("customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "rollup_region_nation_revenue",
+    tags=("agg", "rollup"),
+    oracle=f"""
+    SELECT r.r_name, n.n_name, {SQL_DSUM('c.c_acctbal', 'total_bal')}
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def rollup_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    j = (
+        cat.table("customer")
+        .join(F.broadcast(cat.table("nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(cat.table("region")), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return j.rollup("r_name", "n_name").agg(dsum(F.col("c_acctbal"), "total_bal"))
+
+
+@register(
+    "cube_flag_status_counts",
+    tags=("agg", "cube"),
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_flag_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        Catalog(spark, sf_dir)
+        .table("lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# approx_count_distinct: HLL sketches differ across engines by design →
+# rows-only contract (no oracle); accuracy asserted in tests/ instead.
+@register("agg_approx_distinct_parts", tags=("agg", "approx"))
+def agg_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        Catalog(spark, sf_dir)
+        .table("lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Sort / limit / offset.
+# --------------------------------------------------------------------------
+@register(
+    "sort_limit_offset",
+    tags=("sort", "limit"),
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 10
+    """,
+)
+def sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        Catalog(spark, sf_dir)
+        .table("orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .offset(10)
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations.
+# --------------------------------------------------------------------------
+@register(
+    "setops_segment_keys",
+    tags=("setop",),
+    oracle="""
+    WITH hi AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+         bld AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    SELECT 'union' AS op, c_custkey FROM (SELECT * FROM hi UNION SELECT * FROM bld)
+    UNION ALL
+    SELECT 'intersect' AS op, c_custkey FROM (SELECT * FROM hi INTERSECT SELECT * FROM bld)
+    UNION ALL
+    SELECT 'except' AS op, c_custkey FROM (SELECT * FROM hi EXCEPT SELECT * FROM bld)
+    """,
+)
+def setops_segment_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = Catalog(spark, sf_dir).table("customer")
+    hi = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    bld = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    u = hi.union(bld).distinct().select(F.lit("union").alias("op"), "c_custkey")
+    i = hi.intersect(bld).select(F.lit("intersect").alias("op"), "c_custkey")
+    e = hi.subtract(bld).select(F.lit("except").alias("op"), "c_custkey")
+    return u.unionByName(i).unionByName(e)
+
+
+# --------------------------------------------------------------------------
+# Scalar functions: string / date / math / JSON.
+# --------------------------------------------------------------------------
+@register(
+    "string_normalize_names",
+    tags=("string",),
+    oracle="""
+    SELECT c_custkey,
+           substring(
+             lower(regexp_replace(regexp_replace(
+               CASE WHEN regexp_matches(trim(c_name), '^[0-9]')
+                    THEN '_' || trim(c_name) ELSE trim(c_name) END,
+               '[^a-zA-Z0-9_]', '_', 'g'), '_+', '_', 'g')),
+             1, 128) AS norm_name,
+           length(c_name) AS name_len
+    FROM customer
+    """,
+)
+def string_normalize_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agol_pandas_spark.functions.names import normalize_service_name_col
+
+    return (
+        Catalog(spark, sf_dir)
+        .table("customer")
+        .select(
+            "c_custkey",
+            normalize_service_name_col("c_name").alias("norm_name"),
+            F.length("c_name").alias("name_len"),
+        )
+    )
+
+
+@register(
+    "date_monthly_revenue",
+    tags=("date", "agg"),
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(round((o_totalprice) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS total
+    FROM orders GROUP BY order_month ORDER BY order_month
+    """,
+)
+def date_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        Catalog(spark, sf_dir)
+        .table("orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "total"),
+        )
+        .orderBy("order_month")
+    )
+
+
+@register(
+    "math_price_buckets",
+    tags=("math",),
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+           CAST(SUM(CAST(round((sqrt(o_totalprice)) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_sqrt
+    FROM orders GROUP BY bucket ORDER BY bucket
+    """,
+)
+def math_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        Catalog(spark, sf_dir)
+        .table("orders")
+        .groupBy(
+            F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            dsum(F.sqrt("o_totalprice"), "sum_sqrt"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "json_extract_props",
+    tags=("json",),
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round((value) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS total_value
+    FROM events GROUP BY k_bucket ORDER BY k_bucket
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        Catalog(spark, sf_dir)
+        .table("events")
+        .groupBy(
+            (F.get_json_object("props", "$.k").cast("long") % 10).alias("k_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value"), "total_value"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+@register(
+    "case_when_order_class",
+    tags=("math", "conditional"),
+    oracle="""
+    SELECT CASE WHEN o_totalprice >= 200000 THEN 'large'
+                WHEN o_totalprice >= 100000 THEN 'medium'
+                ELSE 'small' END AS size_class,
+           o_orderstatus,
+           COUNT(*) AS n
+    FROM orders GROUP BY size_class, o_orderstatus
+    ORDER BY size_class, o_orderstatus
+    """,
+)
+def case_when_order_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    size_class = (
+        F.when(F.col("o_totalprice") >= 200000, "large")
+        .when(F.col("o_totalprice") >= 100000, "medium")
+        .otherwise("small")
+        .alias("size_class")
+    )
+    return (
+        Catalog(spark, sf_dir)
+        .table("orders")
+        .groupBy(size_class, "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("size_class", "o_orderstatus")
+    )

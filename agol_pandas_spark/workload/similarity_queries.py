@@ -1,0 +1,172 @@
+"""Oracle-checked queries for similarity search (``operators/similarity.py``)
+over the ``embeddings`` table.
+
+Cosine determinism: per-element products quantize to integers of 10^-9
+units (identical IEEE doubles → identical ties-away rounding in both
+engines), sum exactly as BIGINT, and divide back once — so Spark and
+DuckDB produce bit-identical cosine scores and the oracles check *scores
+and ranks*, not just row counts (see ``operators/similarity.py``). The
+DuckDB side zips parallel ``unnest`` columns positionally (its documented
+behavior) to reproduce ``zip_with``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from agol_pandas_spark.catalog import Catalog
+from agol_pandas_spark.operators import similarity
+from agol_pandas_spark.workload import register
+
+# DuckDB exact-cosine building blocks (scaled-integer accumulation)
+_SQL_NORMS = """
+    norms AS (
+      SELECT vec_id,
+             sqrt(CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                      * 1000000000) AS BIGINT)) AS DOUBLE)
+                  / 1000000000.0) AS nrm
+      FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+      GROUP BY vec_id)
+"""
+
+
+def _sql_pair_cosine(pairs_cte: str) -> str:
+    """SQL: exact cosine for (qid, cid) pairs produced by ``pairs_cte``."""
+    return f"""
+    WITH {pairs_cte},
+    {_SQL_NORMS},
+    dots AS (
+      SELECT p.qid, p.cid,
+             SUM(CAST(round(CAST(qx AS DOUBLE) * CAST(cx AS DOUBLE)
+                            * 1000000000) AS BIGINT)) AS dot_scaled
+      FROM (SELECT qid, cid, unnest(qv) AS qx, unnest(cv) AS cx FROM pairs) p
+      GROUP BY p.qid, p.cid),
+    cosines AS (
+      SELECT d.qid, d.cid,
+             (CAST(d.dot_scaled AS DOUBLE) / 1000000000.0)
+               / (nq.nrm * nc.nrm) AS cosine
+      FROM dots d
+      JOIN norms nq ON nq.vec_id = d.qid
+      JOIN norms nc ON nc.vec_id = d.cid)
+    """
+
+
+@register(
+    "sim_brute_force_topk",
+    headline=True,
+    tags=("similarity", "topk"),
+    oracle=_sql_pair_cosine(
+        """
+    pairs AS (
+      SELECT q.vec_id AS qid, q.embedding AS qv, c.vec_id AS cid, c.embedding AS cv
+      FROM embeddings q CROSS JOIN embeddings c
+      WHERE q.vec_id < 5)
+    """
+    )
+    + """
+    SELECT qid AS query_id, cid AS vec_id, cosine, rnk FROM (
+      SELECT qid, cid, cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rnk
+      FROM cosines)
+    WHERE rnk <= 10
+    """,
+)
+def sim_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 5 probe vectors against the full corpus."""
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.brute_force_topk(
+        queries, emb, query_id="query_id", corpus_id="vec_id", k=10
+    )
+
+
+@register(
+    "sim_neardup_pairs",
+    tags=("similarity", "dedup"),
+    oracle=_sql_pair_cosine(
+        """
+    pairs AS (
+      SELECT a.vec_id AS qid, a.embedding AS qv, b.vec_id AS cid, b.embedding AS cv
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE a.vec_id % 20 = 0)
+    """
+    )
+    + """
+    SELECT qid AS id_a, cid AS id_b, cosine
+    FROM cosines WHERE cosine >= 0.80
+    """,
+)
+def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by ground-truth label,
+    probing from every 20th vector."""
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    return similarity.embedding_neardup_pairs(
+        emb,
+        corpus_id="vec_id",
+        block_col="label",
+        threshold=0.80,
+        probe_filter=(F.col("id_a") % 20 == 0),
+    )
+
+
+@register(
+    "sim_ivf_cell_sizes",
+    tags=("similarity", "ann"),
+    oracle=_sql_pair_cosine(
+        """
+    pairs AS (
+      SELECT c.vec_id AS qid, c.embedding AS qv, p.vec_id AS cid, p.embedding AS cv
+      FROM embeddings c JOIN embeddings p ON p.vec_id % 50 = 0)
+    """
+    )
+    + """
+    , assigned AS (
+      SELECT qid AS vec_id, cid AS cell,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rn
+      FROM cosines)
+    SELECT cell, COUNT(*) AS n_vectors
+    FROM assigned WHERE rn = 1 GROUP BY cell ORDER BY cell
+    """,
+)
+def sim_ivf_cell_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF build step verification: nearest-pivot assignment (pivots =
+    every 50th vector), checked via per-cell population counts."""
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    pivots = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("pivot_id"), "embedding"
+    )
+    assigned = similarity.assign_to_pivots(
+        emb, pivots, corpus_id="vec_id", pivot_id="pivot_id"
+    )
+    return (
+        assigned.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("cell")
+    )
+
+
+# ANN probe: recall-vs-exact is data-dependent, so the result is checked
+# rows-only by the driver; tests/test_similarity.py asserts recall ≥ 0.6
+# against the brute-force baseline.
+@register("sim_ivf_topk_ann", tags=("similarity", "ann"))
+def sim_ivf_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    pivots = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("pivot_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(
+        queries,
+        emb,
+        pivots,
+        query_id="query_id",
+        corpus_id="vec_id",
+        pivot_id="pivot_id",
+        k=10,
+    )

@@ -1,0 +1,149 @@
+"""Oracle-checked queries for the text-analysis operators
+(``operators/textops.py``) over the ``documents`` table.
+
+Each SQL oracle reproduces the operator's exact token/hash/score rules in
+DuckDB dialect (list lambdas mirror Spark higher-order functions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from agol_pandas_spark.catalog import Catalog
+from agol_pandas_spark.operators import textops
+from agol_pandas_spark.workload import register
+
+# SQL fragments shared by the oracles
+SQL_TOKS = "list_filter(string_split_regex({src}, '\\s+'), x -> x <> '')"
+SQL_HASH60 = "CAST(('0x' || substring(md5({expr}),1,15)) AS BIGINT)"
+
+
+@register(
+    "text_doc_stats",
+    tags=("text",),
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {SQL_TOKS.format(src='text')} AS toks FROM documents)
+    SELECT doc_id,
+           length(text) AS text_len,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_tokens,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS total_token_chars
+    FROM t
+    """,
+)
+def text_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    return textops.doc_stats(docs, "doc_id", "text")
+
+
+@register(
+    "text_quality_score",
+    tags=("text",),
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {SQL_TOKS.format(src='text')} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           0.4 * (CASE WHEN len(toks) > 0
+                       THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                       ELSE 0.0 END)
+         + 0.3 * least(length(text) / 500.0, 1.0)
+         + 0.3 * (CASE WHEN length(text) > 0
+                       THEN CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                            / length(text)
+                       ELSE 0.0 END) AS quality
+    FROM t
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    return textops.quality_score(docs, "doc_id", "text")
+
+
+_SQL_HITS = (
+    "CAST(len(list_filter({toks}, x -> list_contains({vocab}, x))) AS INTEGER)"
+)
+
+
+@register(
+    "text_language_id",
+    tags=("text",),
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKS.format(src='lower(text)')} AS toks FROM documents),
+    hits AS (
+      SELECT doc_id,
+             {_SQL_HITS.format(toks='toks', vocab="['der','die','und','das','ein']")} AS hits_de,
+             {_SQL_HITS.format(toks='toks', vocab="['the','a','of','and','to']")} AS hits_en,
+             {_SQL_HITS.format(toks='toks', vocab="['el','la','y','los','una']")} AS hits_es,
+             {_SQL_HITS.format(toks='toks', vocab="['le','la','et','les','un']")} AS hits_fr
+      FROM t)
+    SELECT doc_id, hits_de, hits_en, hits_es, hits_fr,
+           CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+                WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+                WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+                WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM hits
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    return textops.language_id(docs, "doc_id", "text")
+
+
+@register(
+    "text_token_frequencies",
+    tags=("text",),
+    oracle=f"""
+    SELECT tok AS token, COUNT(*) AS freq
+    FROM (SELECT unnest({SQL_TOKS.format(src='lower(text)')}) AS tok FROM documents)
+    GROUP BY tok
+    """,
+)
+def text_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    return textops.token_frequencies(docs, "text")
+
+
+@register(
+    "text_tfidf_top_terms",
+    tags=("text",),
+    oracle=f"""
+    WITH terms AS (
+      SELECT doc_id, unnest({SQL_TOKS.format(src='lower(text)')}) AS token FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM terms GROUP BY doc_id, token),
+    dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+           tf.tf * CAST(floor(n.n_docs * 1000000 / dfreq.df) AS BIGINT) AS score_scaled
+    FROM tf, dfreq, n
+    WHERE tf.token = dfreq.token
+    ORDER BY score_scaled DESC, tf.doc_id, tf.token
+    LIMIT 100
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    return (
+        textops.tfidf(docs, "doc_id", "text")
+        .orderBy(F.col("score_scaled").desc(), "doc_id", "token")
+        .limit(100)
+    )
+
+
+_NORMALIZED_TEXT = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+_FP_EXPR = SQL_HASH60.format(expr=_NORMALIZED_TEXT)
+
+
+@register(
+    "text_doc_fingerprint",
+    tags=("text", "dedup"),
+    oracle=f"""
+    SELECT doc_id,
+           {_FP_EXPR} AS fingerprint
+    FROM documents
+    """,
+)
+def text_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    return textops.doc_fingerprint(docs, "doc_id", "text")

@@ -1,0 +1,202 @@
+"""Window-function surface + batch event-time windowing (SURVEY §2b).
+
+The reference has no window functions; they're required anyway for exact
+chunking (SURVEY S1/S2) and top-k-per-group. Event-time tumbling windows
+process the ``events`` table in batch — the same ``F.window`` expression
+works under Structured Streaming (see ``streaming/``).
+
+Window orderings always carry a unique tie-break column so results are
+deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from agol_pandas_spark.catalog import Catalog
+from agol_pandas_spark.workload import register
+from agol_pandas_spark.workload.relational import dsum
+
+
+@register(
+    "window_topk_orders_per_segment",
+    tags=("window", "topk"),
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, o_totalprice, rnk FROM (
+      SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                                ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rnk
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+    WHERE rnk <= 3
+    """,
+)
+def window_topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        cat.table("orders")
+        .join(cat.table("customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+@register(
+    "window_rank_dense_rank",
+    tags=("window",),
+    oracle="""
+    SELECT s_suppkey, s_nationkey, s_acctbal,
+           RANK() OVER (ORDER BY s_nationkey) AS rnk,
+           DENSE_RANK() OVER (ORDER BY s_nationkey) AS drnk
+    FROM supplier
+    """,
+)
+def window_rank_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.orderBy("s_nationkey")
+    return (
+        Catalog(spark, sf_dir)
+        .table("supplier")
+        .select(
+            "s_suppkey",
+            "s_nationkey",
+            "s_acctbal",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+    )
+
+
+@register(
+    "window_lag_lead_events",
+    tags=("window",),
+    oracle="""
+    SELECT event_id, user_id, value,
+           LAG(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+           LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
+    FROM events
+    """,
+)
+def window_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        Catalog(spark, sf_dir)
+        .table("events")
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.lag("value").over(w).alias("prev_value"),
+            F.lead("value").over(w).alias("next_value"),
+        )
+    )
+
+
+@register(
+    "window_running_sum",
+    tags=("window",),
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(round(value * 10000) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / 10000.0 AS running_value
+    FROM events
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        Catalog(spark, sf_dir)
+        .table("events")
+        .select(
+            "event_id",
+            "user_id",
+            (
+                F.sum(F.round(F.col("value") * 10000).cast("long"))
+                .over(w)
+                .cast("double")
+                / 10000.0
+            ).alias("running_value"),
+        )
+    )
+
+
+@register(
+    "events_tumbling_window",
+    headline=True,
+    tags=("window", "events", "streaming-compatible"),
+    oracle="""
+    SELECT (epoch_ms(ts) // 3600000) * 3600 AS window_start_s,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round((value) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS total_value
+    FROM events
+    GROUP BY window_start_s, event_type
+    ORDER BY window_start_s, event_type
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling event-time windows, batch mode. ``F.window`` is the
+    streaming-native construct; the window start is exposed as epoch
+    seconds so the oracle can recompute it TZ-independently."""
+    return (
+        Catalog(spark, sf_dir)
+        .table("events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start_s", "event_type")
+    )
+
+
+@register(
+    "events_session_gaps",
+    tags=("window", "events"),
+    oracle="""
+    WITH deltas AS (
+      SELECT user_id, ts,
+             (epoch_ms(ts) // 1000)
+               - (epoch_ms(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) // 1000)
+               AS gap_s
+      FROM events)
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(MAX(gap_s) AS DOUBLE) AS max_gap_s,
+           COUNT(CASE WHEN gap_s > 3600 THEN 1 END) AS n_session_breaks
+    FROM deltas GROUP BY user_id
+    """,
+)
+def events_session_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization primitive: inter-event gaps per user (lag + epoch)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        Catalog(spark, sf_dir)
+        .table("events")
+        .select(
+            "user_id",
+            (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+            ).alias("gap_s"),
+        )
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("gap_s").cast("double").alias("max_gap_s"),
+        F.count(F.when(F.col("gap_s") > 3600, 1)).alias("n_session_breaks"),
+    )

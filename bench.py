@@ -1,0 +1,57 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed twice: a warm-up plan+run is NOT counted (JVM/JIT
+and file-listing noise), the second run is. The action is a count()-style
+full materialization (write to noop would also work; collect is avoided
+for the large-output queries).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from agol_pandas_spark.session import get_spark
+from agol_pandas_spark.workload import load_all
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    registry = load_all()
+    headline = {n: q for n, q in sorted(registry.items()) if q.headline}
+
+    spark = get_spark(app_name="agol_pandas_spark-bench")
+    # warm the JVM + file listings once
+    next(iter(headline.values())).fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name, q in headline.items():
+        df = q.fn(spark, sf_dir)
+        df.count()  # warm run (plan + shuffle files)
+        t0 = time.perf_counter()
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
