@@ -26,6 +26,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from agol_pandas_spark.errors import TableExistsError, TableNotFoundError
 from agol_pandas_spark.functions.names import normalize_service_name
@@ -57,6 +58,10 @@ class Catalog:
         # readability (Spark has no ns timestamp type).
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # write µs (not INT96): pyarrow reads INT96 as ns, which would
+        # confuse ns-detection on engine-written tables — and µs is the
+        # portable modern parquet timestamp encoding anyway
+        spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
 
     # -- resolution ---------------------------------------------------------
 
@@ -105,7 +110,12 @@ class Catalog:
             raise TableNotFoundError(f"no table {name!r} under {self.root}")
         df = self.spark.read.parquet(p)
         for c in self._nanos_columns(p):
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+            # guard on the type Spark actually produced: INT96 columns also
+            # look like ns to pyarrow but arrive as TimestampType already
+            if isinstance(df.schema[c].dataType, T.LongType):
+                df = df.withColumn(
+                    c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+                )
         return df
 
     def register_views(self, names: tuple[str, ...] = TEST_TABLES) -> None:

@@ -118,6 +118,10 @@ def merge(
     if m is WriteMode.OVERWRITE:
         return source
 
+    # columns the source actually carries: only these may overwrite target
+    # values on a match (missing source columns keep the target value —
+    # the SURVEY §7 column-collision decision)
+    real_src_cols = set(source.columns)
     src, tgt = _align_by_name(source, target)
 
     if m is WriteMode.APPEND:
@@ -149,7 +153,7 @@ def merge(
                 F.when(F.col("__matched"), F.col(f"__src_{c}"))
                 .otherwise(F.col(c))
                 .alias(c)
-                if c != key
+                if c != key and c in real_src_cols
                 else F.col(c)
             )
             for c in tgt.columns

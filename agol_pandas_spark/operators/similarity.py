@@ -116,10 +116,13 @@ def assign_to_pivots(
     pivot_id: str,
     corpus_vec: str = "embedding",
     pivot_vec: str = "embedding",
+    n_cells: int = 1,
 ) -> DataFrame:
-    """IVF build: each corpus vector joins its nearest pivot (max cosine,
-    ties → smallest pivot id). Pivots are broadcast; one pass over the
-    corpus. Returns (corpus columns…, cell)."""
+    """IVF assignment: each vector joins its ``n_cells`` nearest pivots
+    (max cosine, ties → smallest pivot id). Pivots are broadcast; one
+    pass over the corpus. Returns (corpus columns…, cell) — one row per
+    (vector, cell); ``n_cells=1`` is the build-side assignment,
+    ``n_cells=nprobe`` is the query-side multi-probe expansion."""
     p = pivots.select(
         F.col(pivot_id).alias("__pid"), F.col(pivot_vec).alias("__pvec")
     )
@@ -131,7 +134,7 @@ def assign_to_pivots(
     )
     return (
         scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        .filter(F.col("__rn") <= n_cells)
         .drop("__rn", "__pvec", "__pcos")
         .withColumnRenamed("__pid", "cell")
     )
@@ -146,15 +149,19 @@ def ivf_topk(
     pivot_id: str,
     vec: str = "embedding",
     k: int = 10,
+    nprobe: int = 3,
 ) -> DataFrame:
-    """ANN top-k: probe only the query's own IVF cell.
+    """ANN top-k: each query probes its ``nprobe`` nearest IVF cells.
 
-    At scale the assigned corpus is written bucketed by ``cell`` so the
-    probe join is shuffle-free on the corpus side; queries (small) shuffle
-    to their cells.
+    Recall/cost dial: cost ≈ nprobe/cells of brute force. At scale the
+    assigned corpus is written bucketed by ``cell`` so the probe join is
+    shuffle-free on the corpus side; queries (small) shuffle to their
+    cells.
     """
     cells = assign_to_pivots(corpus, pivots, corpus_id, pivot_id, vec, vec)
-    q_cells = assign_to_pivots(queries, pivots, query_id, pivot_id, vec, vec)
+    q_cells = assign_to_pivots(
+        queries, pivots, query_id, pivot_id, vec, vec, n_cells=nprobe
+    )
     q = q_cells.select(
         F.col(query_id).alias("__qid"),
         F.col(vec).alias("__qvec"),

@@ -1,0 +1,57 @@
+"""Format readers.
+
+The reference reads one way: full-table REST fetch into pandas
+(``src/agol_pandas.py:218-251``) plus server-side CSV schema inference on
+write (``:441-443``). Here each format is a lazy scan; CSV inference
+happens **once** at ingest (vs the reference re-inferring per uploaded
+chunk) and the resulting schema is fixed thereafter (SURVEY §1.3).
+
+Scale: all three readers accept files, directories, or globs; Spark
+parallelizes by file/rowgroup. ``spark.sql.files.maxPartitionBytes``
+governs split size — at 100 TB leave it at 128 MB and let AQE coalesce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_parquet(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
+    """Parquet scan; pass ``columns`` to prune eagerly (Catalyst also
+    prunes from downstream selects — this is for API explicitness)."""
+    df = spark.read.parquet(path)
+    return df.select(*columns) if columns else df
+
+
+def read_csv_inferred(
+    spark: SparkSession,
+    path: str,
+    header: bool = True,
+    schema: T.StructType | None = None,
+    timestamp_format: str | None = None,
+) -> DataFrame:
+    """CSV with one-shot schema inference (reference behavior
+    ``src/agol_pandas.py:441-443``, done client-side and exactly once).
+
+    Inference costs an extra pass over the data — at scale, capture the
+    inferred schema from a sample once and pass ``schema`` explicitly.
+    """
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    if timestamp_format:
+        reader = reader.option("timestampFormat", timestamp_format)
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """JSON-lines scan; explicit schema skips the inference pass."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

@@ -1,0 +1,97 @@
+"""Catalog atomicity, writer modes, readers, and scale-posture plan
+assertions (pushdown / pruning / broadcast actually present)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from agol_pandas_spark.catalog import Catalog
+from agol_pandas_spark.errors import TableExistsError, TableNotFoundError
+from agol_pandas_spark.operators.merge import write_table
+from agol_pandas_spark.plans import (
+    pushed_filters,
+    read_schema_columns,
+    uses_broadcast_join,
+)
+from agol_pandas_spark.sources.readers import read_csv_inferred
+from agol_pandas_spark.sources.writers import save_dataframe
+
+
+@pytest.fixture()
+def out_cat(spark, tmp_path):
+    return Catalog(spark, str(tmp_path / "cat"))
+
+
+def test_create_and_read_roundtrip(spark, out_cat):
+    df = spark.range(0, 10).withColumn("v", F.col("id") * 2)
+    out_cat.write(df, "t1")
+    assert out_cat.table("t1").count() == 10
+    assert out_cat.list_tables() == ["t1"]
+
+
+def test_create_refuses_overwrite(spark, out_cat):
+    df = spark.range(0, 3)
+    out_cat.write(df, "t1")
+    with pytest.raises(TableExistsError):
+        out_cat.write(df, "t1")
+
+
+def test_missing_table(out_cat):
+    with pytest.raises(TableNotFoundError):
+        out_cat.table("ghost")
+
+
+def test_name_normalization_in_catalog(spark, out_cat):
+    df = spark.range(0, 3)
+    out_cat.write(df, "  9My Table!! ")
+    assert out_cat.list_tables() == ["_9my_table_"]
+
+
+def test_write_table_create_then_merge(spark, out_cat):
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    write_table(out_cat, base, "t", mode="append", key="id")
+    delta = spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string")
+    write_table(out_cat, delta, "t", mode="upsert", key="id")
+    got = {r["id"]: r["v"] for r in out_cat.table("t").collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+
+
+def test_save_dataframe_status(spark, out_cat):
+    df = spark.range(0, 100).withColumn("k", F.col("id"))
+    status = save_dataframe(out_cat, df, "s", mode="append", key="k")
+    assert status.agg(F.sum("n_rows")).first()[0] == 100
+    assert {"partition_id", "n_rows", "key_min", "key_max"} <= set(status.columns)
+
+
+def test_csv_roundtrip_infers_schema(spark, tmp_path):
+    p = str(tmp_path / "c.csv")
+    spark.range(0, 5).withColumn("name", F.concat(F.lit("n"), F.col("id"))).write.option(
+        "header", True
+    ).csv(p)
+    back = read_csv_inferred(spark, p)
+    assert dict(back.dtypes) == {"id": "int", "name": "string"}
+    assert back.count() == 5
+
+
+# ---- scale-posture assertions -------------------------------------------
+
+def test_filter_and_projection_reach_scan(spark, sf_dir):
+    cat = Catalog(spark, sf_dir)
+    q = (
+        cat.table("lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_quantity")
+    )
+    assert any("l_quantity" in f for f in pushed_filters(q))
+    schemas = read_schema_columns(q)
+    assert schemas and set(schemas[0]) <= {"l_orderkey", "l_quantity"}
+
+
+def test_dimension_join_is_broadcast(spark, sf_dir):
+    from agol_pandas_spark.workload import load_all
+
+    q = load_all()["flagship_region_revenue"].fn(spark, sf_dir)
+    assert uses_broadcast_join(q)

@@ -1,0 +1,84 @@
+"""Chunking edge cases (FIXTURES.md §B edge list) and the reference-bug
+regressions for the chunker (``src/agol_pandas.py:159-216, 416-419``)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from agol_pandas_spark.operators.chunking import (
+    iter_pandas_chunks,
+    partition_lineage,
+    repartition_by_sorted_range,
+    with_chunk_id,
+)
+
+
+@pytest.fixture(scope="module")
+def nums(spark):
+    return spark.range(0, 100).withColumn("k", F.col("id"))
+
+
+@pytest.mark.parametrize("n,size,expected_sizes", [
+    (100, 40, [40, 40, 20]),
+    (100, 100, [100]),       # exactly chunk_size
+    (100, 101, [100]),       # chunk_size + 1
+    (100, 99, [99, 1]),      # chunk_size - 1
+    (100, 50, [50, 50]),     # 2 × chunk_size
+])
+def test_with_chunk_id_exact_sizes(spark, n, size, expected_sizes):
+    df = spark.range(0, n).withColumn("k", F.col("id"))
+    chunked = with_chunk_id(df, chunk_size=size, keys=("k",))
+    sizes = [
+        r["n_rows"]
+        for r in partition_lineage(chunked, key="k").orderBy("chunk_id").collect()
+    ]
+    assert sizes == expected_sizes
+
+
+def test_with_chunk_id_keyless_works(nums):
+    # reference bug :416-419 — keyless chunked append raised NameError
+    chunked = with_chunk_id(nums, chunk_size=30)
+    sizes = sorted(
+        r["n_rows"] for r in partition_lineage(chunked).collect()
+    )
+    assert sizes == [10, 30, 30, 30]
+
+
+def test_chunk_ranges_are_disjoint_and_ordered(nums):
+    chunked = with_chunk_id(nums, chunk_size=25, keys=("k",))
+    lin = partition_lineage(chunked, key="k").orderBy("chunk_id").collect()
+    for prev, cur in zip(lin, lin[1:]):
+        assert prev["key_max"] < cur["key_min"]
+
+
+def test_partition_lineage_without_key_has_no_minmax(nums):
+    cols = partition_lineage(with_chunk_id(nums, chunk_size=50)).columns
+    assert cols == ["chunk_id", "n_rows"]
+
+
+def test_repartition_by_sorted_range(nums):
+    parts = repartition_by_sorted_range(nums, 4, ("k",))
+    assert parts.rdd.getNumPartitions() == 4
+    # each partition internally sorted and ranges disjoint
+    rows = parts.withColumn("pid", F.spark_partition_id()).collect()
+    by_pid: dict[int, list[int]] = {}
+    for r in rows:
+        by_pid.setdefault(r["pid"], []).append(r["k"])
+    bounds = sorted((min(v), max(v)) for v in by_pid.values())
+    for v in by_pid.values():
+        assert v == sorted(v)
+    for (lo1, hi1), (lo2, hi2) in zip(bounds, bounds[1:]):
+        assert hi1 < lo2
+
+
+def test_iter_pandas_chunks_order_and_sizes(nums):
+    chunks = list(iter_pandas_chunks(nums, chunk_size=33, keys=("k",)))
+    assert [len(c) for c in chunks] == [33, 33, 33, 1]
+    flat = [k for c in chunks for k in c["k"].tolist()]
+    assert flat == sorted(flat)
+
+
+def test_iter_pandas_chunks_empty(spark):
+    df = spark.range(0, 0).withColumn("k", F.col("id"))
+    assert list(iter_pandas_chunks(df, chunk_size=10, keys=("k",))) == []

@@ -1,0 +1,83 @@
+"""Dedup operators against planted ground truth (FIXTURES.md docs_dupes
+strategy: exact copies, near-copies, uniques — built inline)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from agol_pandas_spark.operators.dedup import (
+    exact_dedup,
+    latest_wins_dedup,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+NEAR = BASE.replace("warm", "cold")  # one-token edit → high jaccard
+FAR = (
+    "completely different content about spark distributed query engines "
+    "processing parquet tables with columnar execution and shuffles"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE, "g1"),
+        (2, BASE, "g1"),        # exact dup of 1
+        (3, NEAR, "g1"),        # near dup of 1
+        (4, FAR, None),
+        (5, "tiny", None),      # < shingle size
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, dup_group string")
+
+
+def test_exact_dedup_collapses_exact_groups(docs):
+    out = exact_dedup(docs, keys=["text"], tie_breakers=[F.col("doc_id")])
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 3, 4, 5]  # survivor = min doc_id per text
+
+
+def test_latest_wins(spark):
+    rows = [(1, 10, "old"), (1, 20, "new"), (2, 5, "only")]
+    df = spark.createDataFrame(rows, "k long, ts long, v string")
+    out = latest_wins_dedup(df, keys=["k"], ts_col="ts")
+    got = {r["k"]: r["v"] for r in out.collect()}
+    assert got == {1: "new", 2: "only"}
+
+
+def test_minhash_identical_docs_have_identical_signatures(docs):
+    sig = minhash_signatures(docs, "doc_id", "text").collect()
+    by_id = {r["doc_id"]: tuple(r[f"mh_{i}"] for i in range(8)) for r in sig}
+    assert by_id[1] == by_id[2]
+    assert by_id[1] != by_id[4]
+
+
+def test_minhash_lsh_finds_planted_pairs(docs):
+    pairs = minhash_dedup_pairs(docs, "doc_id", "text", min_agreement=8)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got  # exact dup always caught
+    far_pairs = {p for p in got if 4 in p or 5 in p}
+    assert not far_pairs  # unrelated docs not paired at full agreement
+
+
+def test_simhash_exact_dups_equal_far_differs(docs):
+    s = {r["doc_id"]: r["simhash"] for r in simhash(docs, "doc_id", "text").collect()}
+    assert s[1] == s[2]
+    assert s[1] != s[4]
+    assert bin(s[1] ^ s[3]).count("1") <= 4  # near dup within small hamming dist
+
+
+def test_ngram_jaccard_ground_truth(docs):
+    blocked = docs.withColumn("blk", F.lit(1))
+    pairs = ngram_jaccard_pairs(blocked, "doc_id", "text", block_cols=("blk",))
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0
+    assert 0.5 < got[(1, 3)] < 1.0
+    assert (1, 4) not in got  # zero shared shingles → absent

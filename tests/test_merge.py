@@ -1,0 +1,94 @@
+"""Merge-mode semantics (reference ``src/agol_pandas.py:388-413``) and
+reference-bug regressions (SURVEY §2a bug list)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from agol_pandas_spark.errors import (
+    DuplicateKeyError,
+    EmptyInputError,
+    MissingKeyError,
+    UnknownModeError,
+)
+from agol_pandas_spark.operators.merge import merge, validate_unique_key
+
+
+@pytest.fixture()
+def tgt(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id long, name string, v double"
+    )
+
+
+@pytest.fixture()
+def src(spark):
+    # id 2,3 update; id 9 insert
+    return spark.createDataFrame(
+        [(2, "B", 200.0), (3, "C", 300.0), (9, "z", 90.0)],
+        "id long, name string, v double",
+    )
+
+
+def _as_map(df):
+    return {r["id"]: (r["name"], r["v"]) for r in df.collect()}
+
+
+def test_append(tgt, src):
+    out = merge(tgt, src, "append")
+    assert out.count() == 6
+
+
+def test_overwrite(tgt, src):
+    assert _as_map(merge(tgt, src, "overwrite")) == _as_map(src)
+
+
+def test_upsert(tgt, src):
+    got = _as_map(merge(tgt, src, "upsert", key="id"))
+    assert got == {1: ("a", 10.0), 2: ("B", 200.0), 3: ("C", 300.0), 9: ("z", 90.0)}
+
+
+def test_update_skips_inserts(tgt, src):
+    got = _as_map(merge(tgt, src, "update", key="id"))
+    assert got == {1: ("a", 10.0), 2: ("B", 200.0), 3: ("C", 300.0)}
+
+
+def test_insert_skips_updates(tgt, src):
+    got = _as_map(merge(tgt, src, "insert", key="id"))
+    assert got == {1: ("a", 10.0), 2: ("b", 20.0), 3: ("c", 30.0), 9: ("z", 90.0)}
+
+
+def test_unknown_mode_rejected(tgt, src):
+    with pytest.raises(UnknownModeError):
+        merge(tgt, src, "replace")
+
+
+def test_empty_source_rejected(tgt, src):
+    with pytest.raises(EmptyInputError):
+        merge(tgt, src.limit(0), "append")
+
+
+def test_keyed_mode_requires_key(tgt, src):
+    with pytest.raises(MissingKeyError):
+        merge(tgt, src, "upsert")
+
+
+def test_duplicate_source_keys_rejected(tgt, src, spark):
+    dup = src.unionByName(src.limit(1))
+    with pytest.raises(DuplicateKeyError):
+        merge(tgt, dup, "upsert", key="id")
+
+
+def test_validate_unique_key_passes(tgt):
+    validate_unique_key(tgt, "id")  # no raise
+
+
+def test_upsert_preserves_missing_source_columns(spark, tgt):
+    src2 = spark.createDataFrame([(2, "B", 99)], "id long, name string, w long")
+    out = merge(tgt, src2, "upsert", key="id")
+    rows = {r["id"]: r for r in out.collect()}
+    # v must keep the target's 20.0 because the source has no v column
+    assert rows[2]["v"] == 20.0
+    assert rows[2]["w"] == 99
+    assert rows[1]["w"] is None

@@ -1,0 +1,89 @@
+"""Multimodal plumbing (Arrow-batched decode over binary payloads) and
+Structured Streaming (watermarked windows == batch result)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from agol_pandas_spark.operators import multimodal
+from agol_pandas_spark.streaming import (
+    stream_from_directory,
+    windowed_counts,
+    write_stream_to_memory,
+)
+
+
+@pytest.fixture(scope="module")
+def payloads(spark, sf_dir):
+    from agol_pandas_spark.catalog import Catalog
+
+    docs = Catalog(spark, sf_dir).table("documents").limit(50)
+    return multimodal.text_as_payload(docs, "text")
+
+
+def test_metadata_is_jvm_side_and_correct(payloads):
+    out = multimodal.attach_payload_metadata(payloads, "payload", mime="text/plain")
+    r = out.select("doc_id", "n_chars", "payload_meta.*").first()
+    assert r["mime"] == "text/plain"
+    assert r["n_bytes"] == r["n_chars"]  # ascii text: bytes == chars
+    assert len(r["sha256"]) == 64
+
+
+def test_decode_features_fake_codec(payloads):
+    feats = multimodal.decode_features(
+        payloads, "doc_id", codec=multimodal.fake_codec
+    )
+    rows = feats.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r["width"] >= 1 and r["height"] >= 1
+        assert 0 <= r["mean_intensity"] <= 255
+
+
+def test_decode_stub_raises_cleanly(payloads):
+    feats = multimodal.decode_features(payloads, "doc_id")  # default stub codec
+    with pytest.raises(Exception, match="NotImplementedError|media codecs"):
+        feats.collect()
+
+
+def test_sample_frames_shapes(payloads):
+    frames = multimodal.sample_frames(
+        payloads, "doc_id", frame_size=16, stride=64, max_frames=3
+    )
+    rows = frames.collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["frame_idx"] <= 2
+        assert 1 <= len(r["frame_bytes"]) <= 16
+
+
+def test_streaming_matches_batch(spark, sf_dir, tmp_path):
+    from agol_pandas_spark.catalog import Catalog
+
+    events = Catalog(spark, sf_dir).table("events")
+    # land the events as files → stream them back with availableNow
+    land = str(tmp_path / "landing")
+    events.repartition(4).write.parquet(land)
+    landed_schema = spark.read.parquet(land).schema
+    stream = stream_from_directory(spark, land, landed_schema, max_files_per_trigger=2)
+    agg = windowed_counts(stream, window_len="1 hour", watermark="0 seconds")
+    q = write_stream_to_memory(agg, "win_counts", output_mode="append")
+    q.awaitTermination(120)
+
+    got = spark.table("win_counts")
+    batch = windowed_counts(events, window_len="1 hour", watermark="0 seconds")
+    g = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in got.collect()
+    }
+    b = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in batch.collect()
+    }
+    # append-mode emits only watermark-closed windows; every emitted window
+    # must match batch exactly, and coverage must be non-trivial
+    assert g
+    for k, v in g.items():
+        assert b[k] == v
+    assert len(g) >= len(b) - 5  # at most the tail windows unemitted

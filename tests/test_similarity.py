@@ -1,0 +1,99 @@
+"""Similarity search: brute-force correctness vs numpy, IVF recall vs the
+brute-force baseline."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from agol_pandas_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_neardup_pairs,
+    ivf_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    from agol_pandas_spark.catalog import Catalog
+
+    return Catalog(spark, sf_dir).table("embeddings")
+
+
+def _numpy_topk(emb_rows, qid, k=10):
+    import numpy as np
+
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in emb_rows}
+    q = vecs[qid]
+    scored = sorted(
+        (
+            (-(q @ v) / (math.sqrt(q @ q) * math.sqrt(v @ v)), vid)
+            for vid, v in vecs.items()
+        ),
+    )[:k]
+    return [vid for _, vid in scored]
+
+
+def test_brute_force_matches_numpy(emb):
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = brute_force_topk(queries, emb, "query_id", "vec_id", k=10).collect()
+    rows = emb.collect()
+    for qid in range(3):
+        engine_ids = [r["vec_id"] for r in sorted(
+            (r for r in got if r["query_id"] == qid), key=lambda r: r["rnk"]
+        )]
+        # numpy ranks with raw doubles; quantized scores can swap *adjacent*
+        # near-ties, so compare as sets plus the top hit
+        assert engine_ids[0] == qid  # self-similarity = 1.0 always first
+        assert set(engine_ids) == set(_numpy_topk(rows, qid, 10))
+
+
+def test_cosine_bounds_and_self_similarity(emb):
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = brute_force_topk(queries, emb, "query_id", "vec_id", k=5).collect()
+    for r in got:
+        assert -1.0001 <= r["cosine"] <= 1.0001
+        if r["query_id"] == r["vec_id"]:
+            assert r["cosine"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_ivf_recall_against_brute_force(emb):
+    pivots = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("pivot_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(queries, emb, "query_id", "vec_id", k=10).collect()
+    approx = ivf_topk(
+        queries, emb, pivots, "query_id", "vec_id", "pivot_id", k=10
+    ).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5  # single-probe IVF floor
+
+
+def test_neardup_pairs_blocked_by_label(emb):
+    pairs = embedding_neardup_pairs(
+        emb, "vec_id", block_col="label", threshold=0.8,
+        probe_filter=F.col("id_a") % 20 == 0,
+    ).collect()
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    for r in pairs:
+        assert labels[r["id_a"]] == labels[r["id_b"]]
+        assert r["cosine"] >= 0.8
+        assert r["id_a"] < r["id_b"]
