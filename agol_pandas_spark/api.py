@@ -1,0 +1,159 @@
+"""Reference-compatible API facade.
+
+One function here per public entry point of ``GeoCodable/agol_pandas``
+(``src/agol_pandas.py``), so a user of the reference can switch by
+renaming imports. Differences, by design (SURVEY §2a):
+
+- a :class:`~agol_pandas_spark.catalog.Catalog` replaces the ``gis``
+  connection object (tables live in a Parquet namespace, not AGOL);
+- errors raise typed exceptions instead of returning ``(str(e), False)``
+  (the reference swallowed failures into the payload slot);
+- nothing collects to the driver unless the caller explicitly asks for
+  pandas (the reference collected the full frame once per chunk,
+  ``src/agol_pandas.py:204``).
+
+Each wrapper returns ``(payload, ok)`` tuples to match the reference's
+calling convention (``:82-84`` et al.) — the payload is real data, and
+``ok=False`` carries the stringified error exactly as the reference did,
+for drop-in compatibility. New code should use the underlying operators
+directly.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from agol_pandas_spark.catalog import Catalog
+from agol_pandas_spark.functions.names import normalize_service_name as _normalize
+from agol_pandas_spark.functions.timestamps import timestamps_to_utc
+from agol_pandas_spark.operators.chunking import iter_pandas_chunks
+from agol_pandas_spark.operators.merge import (
+    WriteMode,
+    validate_unique_key,
+    write_table,
+)
+from agol_pandas_spark.sources.writers import write_status
+
+
+def hosted_table_to_df(catalog: Catalog, name: str) -> tuple[DataFrame | str, bool]:
+    """Reference ``agol_hosted_item_to_sdf`` (``src/agol_pandas.py:218-251``):
+    read a named table. Returns a *lazy* DataFrame — the full-scan-into-
+    pandas behavior of the reference is available via ``.toPandas()``."""
+    try:
+        return catalog.table(name), True
+    except Exception as e:  # reference convention: stringified error payload
+        return str(e), False
+
+
+def df_to_hosted_table(
+    catalog: Catalog,
+    df: DataFrame,
+    name: str,
+    mode: str = "append",
+    upsert_column: str | None = None,
+    chunk_size: int = 100_000,
+    **_compat: Any,
+) -> tuple[list[dict] | str, bool]:
+    """Reference ``df_to_agol_hosted_table`` (``src/agol_pandas.py:314-475``):
+    multi-mode write into an existing table.
+
+    ``chunk_size`` is accepted for signature compatibility but ignored:
+    chunking was an HTTP-payload workaround (``:315``); here the write is
+    one distributed job. The returned payload matches the reference's
+    per-chunk result dicts (``:459-461``) with partitions as "chunks".
+    """
+    try:
+        if not catalog.exists(name):
+            raise KeyError(f"table {name!r} does not exist (use create_* API)")
+        write_table(catalog, df, name, mode=mode, key=upsert_column)
+        status = write_status(catalog.table(name), upsert_column)
+        return [r.asDict() for r in status.collect()], True
+    except Exception as e:
+        return str(e), False
+
+
+def create_table(
+    catalog: Catalog,
+    table_name: str,
+    df: DataFrame,
+    key_field_name: str | None = None,
+    **_compat: Any,
+) -> tuple[str, bool]:
+    """Reference ``create_table`` (``src/agol_pandas.py:477-544``): create
+    a new named table from a DataFrame (errors if it exists), enforcing
+    key uniqueness when a key is given (fixing ``:527-529`` where the
+    constraint result was ignored)."""
+    try:
+        if key_field_name is not None:
+            validate_unique_key(df, key_field_name, "source")
+        path = catalog.write(df, table_name, mode="error")
+        return path, True
+    except Exception as e:
+        return str(e), False
+
+
+def create_hosted_table_from_dataframe(
+    catalog: Catalog,
+    df: DataFrame,
+    service_name: str | None = None,
+    table_name: str | None = None,
+    key_field_name: str | None = None,
+    **_compat: Any,
+) -> tuple[list[dict] | str, bool]:
+    """Reference ``create_hosted_table_from_dataframe``
+    (``src/agol_pandas.py:546-680``): create-or-merge by name. Mode
+    selection mirrors ``:600-604``: upsert when a key is given, append
+    otherwise. Fixes the ``:581`` validation bug (reference raised when
+    an id WAS supplied)."""
+    try:
+        name = service_name or table_name
+        if not name:
+            raise ValueError("either service_name or table_name is required")
+        mode = WriteMode.UPSERT if key_field_name else WriteMode.APPEND
+        write_table(catalog, df, name, mode=mode, key=key_field_name)
+        status = write_status(catalog.table(name), key_field_name)
+        return [r.asDict() for r in status.collect()], True
+    except Exception as e:
+        return str(e), False
+
+
+def convert_dts_utc(df: DataFrame) -> tuple[DataFrame, bool]:
+    """Reference ``convert_dts_utc`` (``src/agol_pandas.py:86-119``)."""
+    try:
+        return timestamps_to_utc(df), True
+    except Exception as e:
+        return str(e), False
+
+
+def normalize_service_name(service_name: str) -> tuple[str, bool]:
+    """Reference ``normalize_service_name`` (``src/agol_pandas.py:121-157``)."""
+    try:
+        return _normalize(service_name), True
+    except Exception as e:
+        return str(e), False
+
+
+def df_to_pandas_chunks(
+    df: DataFrame, chunk_size: int = 100_000, keys: list[str] | None = None
+):
+    """Reference ``df_to_pandas_chunks`` (``src/agol_pandas.py:159-216``):
+    ordered pandas chunks on the driver — collected once (the reference
+    re-collected the whole frame per chunk, ``:204``) and working for
+    keyless input (reference NameError, ``:212-213``)."""
+    yield from iter_pandas_chunks(df, chunk_size=chunk_size, keys=keys or ())
+
+
+def set_unique_key_constraint(
+    catalog: Catalog, table_name: str, key_field_name: str
+) -> tuple[bool, bool]:
+    """Reference ``set_unique_key_constraint`` (``src/agol_pandas.py:253-312``).
+    Spark has no index DDL; the engine's contract is validate-on-write, so
+    this checks the existing table and records nothing."""
+    try:
+        validate_unique_key(catalog.table(table_name), key_field_name, "target")
+        return True, True
+    except Exception as e:
+        return str(e), False  # type: ignore[return-value]

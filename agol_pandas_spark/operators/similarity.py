@@ -80,17 +80,26 @@ def brute_force_topk(
     Output: (query_id, corpus_id, cosine, rnk) with rnk 1..k, ties broken
     by corpus id for determinism.
     """
+    # norms are per-vector, so hoist them out of the pair stage: without
+    # this every joined pair recomputes both norms (|Q|·|C| extra array
+    # passes — the dominant cost at any scale)
     q = queries.select(
-        F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qvec")
+        F.col(query_id).alias("__qid"),
+        F.col(query_vec).alias("__qvec"),
+        _norm_exact(F.col(query_vec)).alias("__qnorm"),
     )
     c = corpus.select(
-        F.col(corpus_id).alias("__cid"), F.col(corpus_vec).alias("__cvec")
+        F.col(corpus_id).alias("__cid"),
+        F.col(corpus_vec).alias("__cvec"),
+        _norm_exact(F.col(corpus_vec)).alias("__cnorm"),
     )
-    cos = (
-        cosine_exact(F.col("__qvec"), F.col("__cvec"))
-        if exact
-        else cosine_similarity(F.col("__qvec"), F.col("__cvec"))
-    )
+    if exact:
+        cos = (
+            _dot_scaled(F.col("__qvec"), F.col("__cvec")).cast("double")
+            / F.lit(float(VSCALE))
+        ) / (F.col("__qnorm") * F.col("__cnorm"))
+    else:
+        cos = cosine_similarity(F.col("__qvec"), F.col("__cvec"))
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -124,10 +133,21 @@ def assign_to_pivots(
     (vector, cell); ``n_cells=1`` is the build-side assignment,
     ``n_cells=nprobe`` is the query-side multi-probe expansion."""
     p = pivots.select(
-        F.col(pivot_id).alias("__pid"), F.col(pivot_vec).alias("__pvec")
+        F.col(pivot_id).alias("__pid"),
+        F.col(pivot_vec).alias("__pvec"),
+        _norm_exact(F.col(pivot_vec)).alias("__pnorm"),
     )
-    scored = corpus.crossJoin(F.broadcast(p)).withColumn(
-        "__pcos", cosine_exact(F.col(corpus_vec), F.col("__pvec"))
+    scored = (
+        corpus.withColumn("__vnorm", _norm_exact(F.col(corpus_vec)))
+        .crossJoin(F.broadcast(p))
+        .withColumn(
+            "__pcos",
+            (
+                _dot_scaled(F.col(corpus_vec), F.col("__pvec")).cast("double")
+                / F.lit(float(VSCALE))
+            )
+            / (F.col("__vnorm") * F.col("__pnorm")),
+        )
     )
     w = Window.partitionBy(corpus_id).orderBy(
         F.col("__pcos").desc(), F.col("__pid")
@@ -135,7 +155,7 @@ def assign_to_pivots(
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= n_cells)
-        .drop("__rn", "__pvec", "__pcos")
+        .drop("__rn", "__pvec", "__pcos", "__pnorm", "__vnorm")
         .withColumnRenamed("__pid", "cell")
     )
 
@@ -195,6 +215,7 @@ def embedding_neardup_pairs(
     a = corpus.select(
         F.col(corpus_id).alias("id_a"),
         F.col(vec).alias("__va"),
+        _norm_exact(F.col(vec)).alias("__na"),
         *( [F.col(block_col).alias("__blk")] if block_col else [] ),
     )
     if probe_filter is not None:
@@ -202,15 +223,16 @@ def embedding_neardup_pairs(
     b = corpus.select(
         F.col(corpus_id).alias("id_b"),
         F.col(vec).alias("__vb"),
+        _norm_exact(F.col(vec)).alias("__nb"),
         *( [F.col(block_col).alias("__blk")] if block_col else [] ),
     )
     joined = a.join(b, on="__blk") if block_col else a.crossJoin(b)
+    cos = (
+        _dot_scaled(F.col("__va"), F.col("__vb")).cast("double")
+        / F.lit(float(VSCALE))
+    ) / (F.col("__na") * F.col("__nb"))
     return (
         joined.filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            cosine_exact(F.col("__va"), F.col("__vb")).alias("cosine"),
-        )
+        .select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

@@ -103,6 +103,7 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash_lsh_pairs",
+    headline=True,
     tags=("dedup", "minhash", "lsh"),
     oracle=_SQL_SIGNATURES
     + """

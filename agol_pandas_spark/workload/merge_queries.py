@@ -81,6 +81,7 @@ def merge_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "merge_upsert",
+    headline=True,
     tags=("merge",),
     oracle=f"""
     WITH delta AS ({_DELTA_SQL})

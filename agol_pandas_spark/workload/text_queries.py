@@ -107,6 +107,7 @@ def text_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_tfidf_top_terms",
+    headline=True,
     tags=("text",),
     oracle=f"""
     WITH terms AS (

@@ -21,6 +21,7 @@ from agol_pandas_spark.workload.relational import dsum
 
 @register(
     "window_topk_orders_per_segment",
+    headline=True,
     tags=("window", "topk"),
     oracle="""
     SELECT c_mktsegment, o_orderkey, o_totalprice, rnk FROM (
