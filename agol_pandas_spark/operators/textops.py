@@ -121,9 +121,14 @@ def tfidf(
             "token",
             "tf",
             "df",
-            (F.col("tf") * F.floor(F.lit(n_docs) * F.lit(idf_scale) / F.col("df")).cast("long")).alias(
-                "score_scaled"
-            ),
+            (
+                F.col("tf")
+                # N·scale precomputed as a 64-bit literal: two int32
+                # literals would overflow under ANSI mode at corpus scale
+                * F.floor(
+                    F.lit(int(n_docs) * idf_scale).cast("long") / F.col("df")
+                ).cast("long")
+            ).alias("score_scaled"),
         )
     )
 
