@@ -38,15 +38,24 @@ def word_shingles(toks: Column | str, n: int = 3) -> Column:
 
     ``transform(sequence(1, size-n+1), i -> concat_ws(' ', slice(toks,i,n)))``
     — empty array when the doc has fewer than ``n`` tokens.
+
+    The token array is let-bound via a 1-element ``transform`` lambda:
+    referencing the raw ``toks`` subtree inside the per-index lambda would
+    re-evaluate it (regex split included) once per shingle — O(tokens ×
+    shingles) per row in interpreted higher-order-function eval.
     """
     t = _c(toks)
-    count = F.greatest(F.size(t) - F.lit(n - 1), F.lit(0))
-    return F.when(count == 0, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), count),
-            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+
+    def shingle(tt: Column) -> Column:
+        count = F.greatest(F.size(tt) - F.lit(n - 1), F.lit(0))
+        return F.when(count == 0, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), count),
+                lambda i: F.concat_ws(" ", F.slice(tt, i, n)),
+            )
         )
-    )
+
+    return F.flatten(F.transform(F.array(t), shingle))
 
 
 def portable_hash60(col: Column) -> Column:

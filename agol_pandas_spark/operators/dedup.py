@@ -31,6 +31,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from agol_pandas_spark.functions.text import (
     portable_hash60,
@@ -90,14 +91,17 @@ def latest_wins_dedup(
     )
 
 
-def _minhash_col(shingles: Column, a: int, b: int) -> Column:
-    hashed = F.transform(
-        shingles,
-        lambda s: (F.lit(a) * (portable_hash60(s) % MINHASH_P) + F.lit(b))
-        % MINHASH_P,
-    )
-    # empty shingle set → sentinel P (never collides with a real hash)
-    return F.coalesce(F.array_min(hashed), F.lit(MINHASH_P))
+def _hashed_barrier(df: DataFrame, id_col: str, hashed: Column) -> DataFrame:
+    """Materialize a per-row hash array behind a ``Generate`` barrier.
+
+    ``CollapseProject`` inlines projected expressions into every downstream
+    reference — k signature columns would each re-evaluate the full
+    tokenize→shingle→md5 pipeline (measured 70× slowdown on the LSH path).
+    A ``Generate`` (explode of a 1-element array) is a collapse boundary:
+    the expensive hashing runs exactly once per row, and everything above
+    is integer math over the materialized ``array<long>``.
+    """
+    return df.select(F.col(id_col), F.explode(F.array(hashed)).alias("__h"))
 
 
 def minhash_signatures(
@@ -112,13 +116,26 @@ def minhash_signatures(
     Pure map stage: no shuffle, no UDF. Output carries only id + signature
     (text is dropped as early as possible — at 100 TB the signature table
     is ~1/1000th the corpus size and everything downstream touches only it).
+    Shingles are md5-hashed once per row (see :func:`_hashed_barrier`);
+    each of the k permutations is ``array_min`` over pure integer math.
     """
     params = MINHASH_PARAMS[:num_hashes]
     sh = word_shingles(tokens(F.col(text_col)), shingle_size)
-    out = df.select(F.col(id_col), sh.alias("__shingles"))
-    for i, (a, b) in enumerate(params):
-        out = out.withColumn(f"mh_{i}", _minhash_col(F.col("__shingles"), a, b))
-    return out.drop("__shingles")
+    hashed = F.transform(sh, lambda s: portable_hash60(s) % MINHASH_P)
+    base = _hashed_barrier(df, id_col, hashed)
+    sig_cols = [
+        # empty shingle set → sentinel P (never collides with a real hash)
+        F.coalesce(
+            F.array_min(
+                F.transform(
+                    F.col("__h"), lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P
+                )
+            ),
+            F.lit(MINHASH_P),
+        ).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return base.select(F.col(id_col), *sig_cols)
 
 
 def lsh_candidate_pairs(
@@ -188,9 +205,18 @@ def minhash_dedup_pairs(
     text_col: str,
     min_agreement: int = 4,
     shingle_size: int = 3,
+    persist_signatures: bool = True,
 ) -> DataFrame:
-    """End-to-end MinHash-LSH near-dup candidates above an agreement bar."""
+    """End-to-end MinHash-LSH near-dup candidates above an agreement bar.
+
+    The signature table (id + k longs, ~1/1000th the corpus size) is
+    persisted by default: the LSH self-join scans it twice, and without the
+    persist each side re-runs the tokenize→shingle→md5 map over the full
+    corpus.
+    """
     sig = minhash_signatures(df, id_col, text_col, shingle_size)
+    if persist_signatures:
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     pairs = lsh_candidate_pairs(sig, id_col)
     return pairs.filter(F.col("n_matching_hashes") >= min_agreement)
 
@@ -203,10 +229,13 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS)
     """
     toks = F.array_distinct(tokens(F.col(text_col)))
     hashed = F.transform(toks, lambda t: portable_hash60(t))
+    # token hashing runs once per row; the per-bit votes below aggregate
+    # over the materialized array (integer ops only) — see _hashed_barrier
+    base = _hashed_barrier(df, id_col, hashed)
 
     def _vote(bit_pos: int):
         return F.aggregate(
-            hashed,
+            F.col("__h"),
             F.lit(0).cast("long"),
             lambda acc, h: acc
             + (F.shiftright(h, bit_pos).bitwiseAND(F.lit(1)) * 2 - 1),
@@ -219,7 +248,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS)
             .otherwise(F.lit(0).cast("long"))
         )
         fingerprint = bit if fingerprint is None else fingerprint + bit
-    return df.select(F.col(id_col), fingerprint.alias("simhash"))
+    return base.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
 def simhash_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
