@@ -1,0 +1,120 @@
+"""Time-series joins Spark lacks as built-ins: as-of join and range join.
+
+The reference has no join surface at all beyond key-equi merge modes
+(``src/agol_pandas.py:388-413``); these operators are north-star additions
+for event/feature pipelines (nearest-prior-observation lookup, band/bin
+classification).
+
+Scale design:
+
+- *As-of join* is implemented as **union + ordered window**, not a
+  join-then-filter: both inputs shuffle ONCE on the key, sort within
+  partitions on (ts, side), and a cumulative ``max`` over the right-side
+  payload struct finds the nearest match. This is a single sort-merge
+  pass — no candidate explosion, no per-key skew amplification beyond the
+  window itself (salt hot keys upstream if one key owns a partition's
+  worth of rows).
+- *Range join* against a small band dimension broadcasts the dimension and
+  lets Spark pick BroadcastNestedLoopJoin — the right physical plan when
+  the dim is tiny. For a large dimension, pre-bin both sides to an
+  equi-join key (bin = value div width) instead; this operator
+  intentionally targets the broadcast case.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    direction: str = "backward",
+    matched_ts_alias: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the nearest right row at-or-before
+    (``backward``) / at-or-after (``forward``) its timestamp, per key.
+
+    ``right_cols`` are carried into the output under their own names
+    (pre-alias them on ``right`` to avoid collisions with left columns).
+    Ties on ``right_ts`` within a key resolve to the row with the largest
+    (backward) / smallest (forward) ``(ts, *right_cols)`` tuple — include a
+    unique column first in ``right_cols`` for full determinism.
+
+    Left rows with no match keep NULLs (left-join semantics).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    keys = list(on)
+    lcols = list(left.columns)
+    matched_ts = matched_ts_alias or f"asof_{right_ts}"
+
+    payload = F.struct(
+        F.col(right_ts).alias("__rts"), *[F.col(c) for c in right_cols]
+    )
+    rpay_type = right.select(payload.alias("p")).schema["p"].dataType
+    lrow = F.struct(*[F.col(c) for c in lcols])
+    lrow_type = left.select(lrow.alias("l")).schema["l"].dataType
+
+    l2 = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        lrow.alias("__lrow"),
+        F.lit(None).cast(rpay_type).alias("__rpay"),
+    )
+    r2 = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(lrow_type).alias("__lrow"),
+        payload.alias("__rpay"),
+    )
+    # right rows sort before left at equal ts (__side 0 < 1), so "at" is
+    # inclusive in both directions
+    if direction == "backward":
+        order = [F.col("__ts").asc(), F.col("__side").asc()]
+        pick = F.max
+    else:
+        order = [F.col("__ts").desc(), F.col("__side").asc()]
+        pick = F.min
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = pick("__rpay").over(w)
+    return (
+        l2.unionByName(r2)
+        .withColumn("__match", matched)
+        .filter(F.col("__side") == 1)
+        .select(
+            *[F.col(f"__lrow.{c}").alias(c) for c in lcols],
+            F.col("__match.__rts").alias(matched_ts),
+            *[F.col(f"__match.{c}").alias(c) for c in right_cols],
+        )
+    )
+
+
+def range_join(
+    fact: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    how: str = "inner",
+    broadcast_bands: bool = True,
+) -> DataFrame:
+    """Join fact rows to the band whose ``[lo, hi)`` interval contains
+    ``value_col``. Broadcasts the band table (non-equi conditions otherwise
+    force a cartesian shuffle)."""
+    cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    b = F.broadcast(bands) if broadcast_bands else bands
+    return fact.join(b, cond, how)

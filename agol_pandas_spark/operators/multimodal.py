@@ -131,14 +131,17 @@ def sample_frames(
     at a stride (stand-in for video frame extraction). Pure JVM byte ops
     (``substring`` on binary), exploded to one row per frame — no Python.
     """
+    last = F.least(
+        F.lit(max_frames - 1),
+        F.floor((F.length(payload_col) - 1) / stride).cast("int"),
+    )
+    idx = F.when(last < 0, F.array().cast("array<int>")).otherwise(
+        # guard: sequence(0, -1) auto-steps DOWN to [0, -1] in Spark, so an
+        # empty payload would otherwise emit two bogus frames
+        F.sequence(F.lit(0), last)
+    )
     frames = F.transform(
-        F.sequence(
-            F.lit(0),
-            F.least(
-                F.lit(max_frames - 1),
-                F.floor((F.length(payload_col) - 1) / stride).cast("int"),
-            ),
-        ),
+        idx,
         lambda i: F.struct(
             i.alias("frame_idx"),
             F.substring(F.col(payload_col), i * stride + 1, frame_size).alias(

@@ -1,0 +1,115 @@
+"""Oracle-checked queries for the time-series joins (``operators/joins.py``):
+as-of join and range join — join surfaces the reference lacks entirely
+(its only "joins" are server-side key-equi merge modes,
+``src/agol_pandas.py:388-413``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from agol_pandas_spark.catalog import Catalog
+from agol_pandas_spark.operators.joins import asof_join, range_join
+from agol_pandas_spark.workload import register
+from agol_pandas_spark.workload.relational import SQL_DSUM, dsum
+
+
+@register(
+    "join_asof_click_purchase",
+    tags=("join", "asof", "events"),
+    oracle="""
+    WITH s AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS side,
+             CASE WHEN event_type = 'purchase' THEN ts END AS p_ts,
+             CASE WHEN event_type = 'purchase' THEN event_id END AS p_eid,
+             CASE WHEN event_type = 'purchase' THEN value END AS p_val
+      FROM events WHERE event_type IN ('click', 'purchase')
+    )
+    SELECT event_id, user_id, ts AS click_ts,
+           last_value(p_ts IGNORE NULLS) OVER w AS last_purchase_ts,
+           last_value(p_eid IGNORE NULLS) OVER w AS purchase_event_id,
+           last_value(p_val IGNORE NULLS) OVER w AS purchase_value
+    FROM s
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    QUALIFY side = 1
+    """,
+)
+def join_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each click event gets the user's most recent
+    purchase at-or-before it (event_id first in the payload makes the
+    equal-timestamp tie-break fully deterministic)."""
+    ev = Catalog(spark, sf_dir).table("events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["purchase_event_id", "purchase_value"],
+        matched_ts_alias="last_purchase_ts",
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        "last_purchase_ts",
+        "purchase_event_id",
+        "purchase_value",
+    )
+
+
+_BANDS = [
+    ("b0_budget", 0.0, 20_000.0),
+    ("b1_mid", 20_000.0, 40_000.0),
+    ("b2_upper", 40_000.0, 60_000.0),
+    ("b3_premium", 60_000.0, 120_000.0),
+]
+_SQL_BANDS = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _BANDS)
+
+
+@register(
+    "join_range_price_bands",
+    tags=("join", "range"),
+    oracle=f"""
+    WITH bands(band, lo, hi) AS (VALUES {_SQL_BANDS})
+    SELECT band, COUNT(*) AS n_items,
+           {SQL_DSUM("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM lineitem JOIN bands
+      ON l_extendedprice >= lo AND l_extendedprice < hi
+    GROUP BY band
+    """,
+)
+def join_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: classify lineitems into broadcast price bands via
+    a non-equi interval condition, then aggregate per band."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    bands = spark.createDataFrame(
+        _BANDS,
+        T.StructType(
+            [
+                T.StructField("band", T.StringType()),
+                T.StructField("lo", T.DoubleType()),
+                T.StructField("hi", T.DoubleType()),
+            ]
+        ),
+    )
+    return (
+        range_join(li, bands, "l_extendedprice", "lo", "hi")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        )
+    )

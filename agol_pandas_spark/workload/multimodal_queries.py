@@ -1,0 +1,120 @@
+"""Oracle-checked queries for the multimodal column surface
+(``operators/multimodal.py``): payload metadata, frame sampling, and the
+Arrow-batched decode stage.
+
+Fixture note: the test corpus carries no real media, so ``documents.text``
+is UTF-8-encoded into the binary ``payload`` column (the corpus is pure
+ASCII, so DuckDB's VARCHAR-only hash/substring functions are byte-identical
+to Spark's binary ones). The decode stage runs the deterministic
+``fake_codec`` — the real-codec slot is a clearly-marked stub
+(``decode_payload_stub``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from agol_pandas_spark.catalog import Catalog
+from agol_pandas_spark.operators.multimodal import (
+    attach_payload_metadata,
+    decode_features,
+    fake_codec,
+    sample_frames,
+    text_as_payload,
+)
+from agol_pandas_spark.workload import register
+
+_FRAME_SIZE = 64
+_STRIDE = 128
+_MAX_FRAMES = 4
+
+
+def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    return text_as_payload(docs, "text")
+
+
+@register(
+    "mm_payload_metadata",
+    tags=("multimodal", "metadata"),
+    oracle="""
+    SELECT doc_id,
+           'application/octet-stream' AS mime,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+)
+def mm_payload_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata struct derived JVM-side from a binary payload column —
+    metadata-only queries never touch payload bytes (column pruning)."""
+    with_meta = attach_payload_metadata(_payloads(spark, sf_dir), "payload")
+    return with_meta.select(
+        "doc_id",
+        F.col("payload_meta.mime").alias("mime"),
+        F.col("payload_meta.n_bytes").alias("n_bytes"),
+        F.col("payload_meta.sha256").alias("sha256"),
+    )
+
+
+@register(
+    "mm_frame_sample",
+    tags=("multimodal", "frames"),
+    oracle=f"""
+    SELECT d.doc_id,
+           gs.i AS frame_idx,
+           CAST(length(substring(d.text, gs.i * {_STRIDE} + 1, {_FRAME_SIZE}))
+                AS BIGINT) AS frame_len,
+           md5(substring(d.text, gs.i * {_STRIDE} + 1, {_FRAME_SIZE})) AS frame_md5
+    FROM documents d, generate_series(0, {_MAX_FRAMES - 1}) gs(i)
+    WHERE gs.i <= floor((length(d.text) - 1) / {_STRIDE}.0)
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: fixed-size byte frames at a stride, one row
+    per frame, pure JVM byte ops (stand-in for video frame extraction)."""
+    frames = sample_frames(
+        _payloads(spark, sf_dir),
+        "doc_id",
+        frame_size=_FRAME_SIZE,
+        stride=_STRIDE,
+        max_frames=_MAX_FRAMES,
+    )
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.length("frame_bytes").cast("long").alias("frame_len"),
+        F.md5("frame_bytes").alias("frame_md5"),
+    )
+
+
+@register(
+    "mm_decode_features",
+    tags=("multimodal", "decode", "mapInPandas"),
+    oracle="""
+    SELECT doc_id,
+           CAST(floor(sqrt(octet_length(encode(text)))) AS INTEGER) AS width,
+           CAST(octet_length(encode(text)) //
+                greatest(1, CAST(floor(sqrt(octet_length(encode(text)))) AS BIGINT))
+                AS INTEGER) AS height,
+           CAST(floor(list_avg(list_transform(string_split(text, ''),
+                                              c -> ascii(c))))
+                AS BIGINT) AS intensity_scaled
+    FROM documents
+    """,
+)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched ``mapInPandas`` decode stage with the deterministic
+    fake codec. The mean-intensity oracle relies on the ASCII fixture
+    (byte value == code point); it is floor-quantized to dodge float
+    division-order differences."""
+    feats = decode_features(
+        _payloads(spark, sf_dir), "doc_id", codec=fake_codec
+    )
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.floor(F.col("mean_intensity")).cast("long").alias("intensity_scaled"),
+    )

@@ -584,3 +584,94 @@ def case_when_order_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("size_class", "o_orderstatus")
     )
+
+
+_GSETS_SQL = f"""
+    SELECT r_name, n_name,
+           {SQL_DSUM(REVENUE, "revenue")},
+           CAST(GROUPING(r_name) AS BIGINT) AS g_region,
+           CAST(GROUPING(n_name) AS BIGINT) AS g_nation
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+"""
+
+
+@register(
+    "grouping_sets_revenue",
+    tags=("agg", "grouping-sets"),
+    oracle=_GSETS_SQL,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS over the supplier rollup path — finer control than
+    rollup/cube (identical SQL runs on both engines; GROUPING() columns
+    disambiguate aggregate NULLs from data NULLs)."""
+    cat = Catalog(spark, sf_dir)
+    cat.register_views(("lineitem", "supplier", "nation", "region"))
+    return spark.sql(_GSETS_SQL)
+
+
+@register(
+    "agg_exact_percentiles",
+    tags=("agg", "percentile"),
+    oracle="""
+    SELECT l_returnflag,
+           CAST(round(quantile_cont(l_quantity, 0.25) * 100) AS BIGINT) AS p25_scaled,
+           CAST(round(quantile_cont(l_quantity, 0.50) * 100) AS BIGINT) AS p50_scaled,
+           CAST(round(quantile_cont(l_quantity, 0.75) * 100) AS BIGINT) AS p75_scaled,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles (both engines use the same
+    (n-1)p interpolation; results quantized to scaled longs). At 100 TB
+    swap in approx_percentile — exact percentile needs per-group sorted
+    values; the API shape is identical."""
+
+    def p(q: float, alias: str):
+        return (
+            F.round(F.percentile("l_quantity", F.lit(q)) * 100)
+            .cast("long")
+            .alias(alias)
+        )
+
+    return (
+        Catalog(spark, sf_dir)
+        .table("lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            p(0.25, "p25_scaled"),
+            p(0.50, "p50_scaled"),
+            p(0.75, "p75_scaled"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+_SUBQ_SQL = """
+    SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+    FROM customer c
+    WHERE CAST(round(c.c_acctbal * 100) AS BIGINT)
+          * (SELECT COUNT(*) FROM customer c2
+             WHERE c2.c_nationkey = c.c_nationkey)
+          > (SELECT SUM(CAST(round(c3.c_acctbal * 100) AS BIGINT))
+             FROM customer c3 WHERE c3.c_nationkey = c.c_nationkey)
+"""
+
+
+@register(
+    "subquery_above_avg_balance",
+    tags=("subquery", "correlated"),
+    oracle=_SUBQ_SQL,
+)
+def subquery_above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries (Catalyst decorrelates both into
+    aggregate+join). The above-average test is integer-exact: balance·count
+    > sum(balances), all in scaled longs — no float summation order in the
+    comparison."""
+    cat = Catalog(spark, sf_dir)
+    cat.register_views(("customer",))
+    return spark.sql(_SUBQ_SQL)

@@ -1,0 +1,76 @@
+"""Structured Streaming query surface (``streaming/windows.py``), run in
+batch-equivalent mode: file-source stream → watermarked event-time window
+agg → memory sink, drained with an ``availableNow`` trigger so the result
+is deterministic and the batch SQL oracle applies.
+
+The reference is batch-only (SURVEY §2b); this is north-star scope. The
+same ``windowed_counts`` expression runs unchanged against a live
+file-landing stream — ``availableNow`` is the standard backfill trigger.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from agol_pandas_spark.catalog import Catalog
+from agol_pandas_spark.streaming.windows import (
+    stream_from_directory,
+    windowed_counts,
+    write_stream_to_memory,
+)
+from agol_pandas_spark.workload import register
+
+
+@register(
+    "stream_tumbling_counts",
+    tags=("streaming", "window", "events"),
+    oracle="""
+    SELECT (epoch_ms(ts) // 3600000) * 3600 AS window_start_s,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round((value) * 10000) AS BIGINT)) AS DOUBLE)
+               / 10000.0 AS total_value
+    FROM events
+    GROUP BY window_start_s, event_type
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 1-hour tumbling windows over the events table consumed
+    as a file stream. Complete output mode + availableNow: every window is
+    emitted once the source drains, so the batch oracle matches exactly.
+
+    Scale shape: the streaming agg shuffles on (window, event_type) exactly
+    like the batch agg; the 2-hour watermark bounds state in a live run.
+    """
+    cat = Catalog(spark, sf_dir)  # sets nanosAsLong/UTC session confs
+    path = cat.path("events")
+    schema = spark.read.parquet(path).schema
+    # the file stream source consumes a landing DIRECTORY; the test corpus
+    # is a single parquet file, so stage a symlink landing zone
+    landing = os.path.join(
+        tempfile.gettempdir(), f"stream_landing_{uuid.uuid4().hex[:8]}"
+    )
+    os.makedirs(landing)
+    os.symlink(os.path.abspath(path), os.path.join(landing, "events.parquet"))
+    ev = stream_from_directory(spark, landing, schema)
+    if isinstance(schema["ts"].dataType, T.LongType):
+        # parquet TIMESTAMP(NANOS) arrives as long ns under nanosAsLong;
+        # truncate to µs exactly like Catalog.table does for batch
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    wc = windowed_counts(ev, window_len="1 hour", watermark="2 hours")
+    out = wc.select(
+        F.unix_timestamp("window_start").alias("window_start_s"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+    name = f"stream_wc_{uuid.uuid4().hex[:8]}"
+    q = write_stream_to_memory(out, name, output_mode="complete")
+    q.awaitTermination()
+    return spark.table(name)

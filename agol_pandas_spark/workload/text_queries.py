@@ -148,3 +148,39 @@ _FP_EXPR = SQL_HASH60.format(expr=_NORMALIZED_TEXT)
 def text_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir).table("documents")
     return textops.doc_fingerprint(docs, "doc_id", "text")
+
+
+# GPT-2-ish pretokenizer, restricted to constructs with identical semantics
+# in Java regex (Spark) and RE2 (DuckDB): disjoint greedy alternatives, no
+# lookaround. Letter runs (with an optional 'suffix), digit runs,
+# punctuation runs.
+_BPE_PATTERN = r"[A-Za-z]+(?:'[A-Za-z]+)?|[0-9]+|[^A-Za-z0-9\s]+"
+_BPE_PATTERN_SQL = _BPE_PATTERN.replace("'", "''")
+
+
+@register(
+    "text_token_count_bpe",
+    tags=("text", "tokens"),
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_PATTERN_SQL}')) AS BIGINT)
+               AS n_bpe_tokens,
+           CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                x -> x <> '')) AS BIGINT) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    pretokenization (the standard pre-merge step of GPT-style tokenizers).
+    Pure JVM regex — no Python in the loop."""
+    from agol_pandas_spark.functions.text import tokens
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.size(tokens("text")).cast("long").alias("n_ws_tokens"),
+    )

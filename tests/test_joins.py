@@ -1,0 +1,96 @@
+"""Unit tests for operators/joins.py (as-of + range join) and the
+multimodal frame guard — semantics the parity suite can't isolate
+(forward direction, no-match rows, empty payloads, physical plan shape).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from agol_pandas_spark.operators.joins import asof_join, range_join
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def quotes_trades(spark):
+    trades = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01T10:00:05"), 1),
+            ("A", _ts("2024-01-01T10:00:30"), 2),
+            ("B", _ts("2024-01-01T10:00:10"), 3),
+            ("C", _ts("2024-01-01T10:00:10"), 4),  # key with no quotes
+        ],
+        "sym string, t_ts timestamp, trade_id int",
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01T10:00:00"), 100.0),
+            ("A", _ts("2024-01-01T10:00:10"), 101.0),
+            ("A", _ts("2024-01-01T10:00:30"), 102.0),  # exact match for trade 2
+            ("B", _ts("2024-01-01T10:00:20"), 200.0),  # only AFTER B's trade
+        ],
+        "sym string, q_ts timestamp, px double",
+    )
+    return quotes, trades
+
+
+def test_asof_backward(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    out = asof_join(
+        trades, quotes, on=["sym"], left_ts="t_ts", right_ts="q_ts",
+        right_cols=["px"],
+    )
+    got = {r.trade_id: r.px for r in out.collect()}
+    # trade 1: last quote at/before 10:00:05 → 100; trade 2: exact-ts quote
+    # matches (inclusive) → 102; trade 3: no prior quote → None; trade 4: no
+    # quotes for key → None
+    assert got == {1: 100.0, 2: 102.0, 3: None, 4: None}
+    assert out.count() == trades.count()  # left-join semantics
+
+
+def test_asof_forward(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    out = asof_join(
+        trades, quotes, on=["sym"], left_ts="t_ts", right_ts="q_ts",
+        right_cols=["px"], direction="forward",
+    )
+    got = {r.trade_id: r.px for r in out.collect()}
+    # nearest at-or-after: trade 1 → 10:00:10 quote; trade 2 → exact 10:00:30;
+    # trade 3 → B's later quote; trade 4 → none
+    assert got == {1: 101.0, 2: 102.0, 3: 200.0, 4: None}
+
+
+def test_asof_bad_direction(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    with pytest.raises(ValueError):
+        asof_join(trades, quotes, ["sym"], "t_ts", "q_ts", ["px"], "sideways")
+
+
+def test_range_join_broadcasts(spark):
+    fact = spark.range(100).select(F.col("id"), (F.col("id") * 10).alias("v"))
+    bands = spark.createDataFrame(
+        [("lo", 0, 500), ("hi", 500, 2000)], "band string, lo long, hi long"
+    )
+    out = range_join(fact, bands, "v", "lo", "hi")
+    assert out.count() == 100
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_sample_frames_empty_payload(spark):
+    from agol_pandas_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [(1, b""), (2, b"x" * 300)], "id long, payload binary"
+    )
+    out = sample_frames(df, "id", frame_size=64, stride=128, max_frames=4)
+    rows = {(r.id, r.frame_idx) for r in out.collect()}
+    # empty payload → zero frames (not the sequence(0,-1) descending bug);
+    # 300 bytes at stride 128 → frames 0,1,2
+    assert rows == {(2, 0), (2, 1), (2, 2)}
