@@ -1,0 +1,92 @@
+"""Physical-plan regression tests: the 100 TB posture depends on pushdown,
+pruning, broadcast choices, and top-k pushdown actually landing in the
+executed plan — assert on plan text so a refactor can't silently regress
+them (results would still be correct, just catastrophically slower at
+scale).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from agol_pandas_spark.plans.explain import (
+    formatted_plan,
+    pushed_filters,
+    read_schema_columns,
+    uses_broadcast_join,
+)
+from agol_pandas_spark.workload import load_all
+
+REGISTRY = load_all()
+
+
+@pytest.fixture(scope="module")
+def q(spark, sf_dir):
+    def build(name):
+        return REGISTRY[name].fn(spark, sf_dir)
+
+    return build
+
+
+def test_flagship_pushdown_pruning_broadcast(q):
+    df = q("flagship_region_revenue")
+    # shipdate predicate must reach the parquet scan
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+    # lineitem scan must read only the 4 needed of 11 columns
+    li = next(s for s in read_schema_columns(df) if "l_orderkey" in s)
+    assert set(li) == {"l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"}
+    # every dim joins as broadcast — no shuffle joins in the star chain
+    # (formatted plans print each node twice: tree + details section)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_uses_take_ordered(q):
+    assert "TakeOrderedAndProject" in formatted_plan(q("top_revenue_orders"))
+
+
+def test_brute_force_topk_shape(q):
+    plan = formatted_plan(q("sim_brute_force_topk"))
+    # probe side broadcast (tiny), corpus never shuffled before scoring
+    assert "BroadcastNestedLoopJoin" in plan
+    # per-partition top-k pushed below the shuffle (rank <= k group limit)
+    assert "WindowGroupLimit" in plan
+
+
+def test_filter_project_pushdown_query(q):
+    df = q("filter_project_pushdown")
+    assert pushed_filters(df), "no filters reached the scan"
+    for cols in read_schema_columns(df):
+        assert len(cols) <= 6, f"scan reads too many columns: {cols}"
+
+
+def test_merge_upsert_no_cartesian(q):
+    plan = formatted_plan(q("merge_upsert"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_band_join_broadcasts(q):
+    # non-equi band join must broadcast the band table, not shuffle the fact
+    plan = formatted_plan(q("join_range_price_bands"))
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_asof_single_shuffle(q):
+    # union+window as-of: exactly one exchange on the key (plus AQE reads);
+    # a join-based rewrite would add a second shuffle or an explosion
+    plan = formatted_plan(q("join_asof_click_purchase"))
+    n_exchanges = plan.count("+- Exchange") + plan.count(":- Exchange")
+    assert n_exchanges <= 1, f"as-of join shuffles {n_exchanges}x"
+
+
+def test_minhash_signatures_no_shuffle(q):
+    # signature computation is a pure map stage — any exchange means a
+    # regression in the barrier/window structure
+    plan = formatted_plan(q("dedup_minhash_signatures"))
+    assert "Exchange" not in plan
+
+
+def test_broadcast_helper(q):
+    assert uses_broadcast_join(q("flagship_region_revenue"))
