@@ -74,3 +74,85 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = write_stream_to_memory(out, name, output_mode="complete")
     q.awaitTermination()
     return spark.table(name)
+
+
+_SESSION_ORACLE = """
+    WITH t AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM t
+    )
+    SELECT user_id,
+           epoch_us(MIN(ts)) AS session_start_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sess_id
+"""
+
+
+@register(
+    "events_session_window_agg",
+    tags=("streaming-compatible", "session-window", "events"),
+    oracle=_SESSION_ORACLE,
+)
+def events_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (30-minute gap) in batch mode — the same
+    ``F.session_window`` expression runs under Structured Streaming with a
+    watermark. Session boundary: an event at exactly last_ts + gap starts
+    a new session (windows are [start, last+gap))."""
+    ev = Catalog(spark, sf_dir).table("events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "stream_sessionize_stateful",
+    tags=("streaming", "stateful", "applyInPandasWithState"),
+    oracle=_SESSION_ORACLE,
+)
+def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``) consuming the
+    events file stream: gap sessionization with one open-session state row
+    per user. Draining the finite corpus with availableNow yields exactly
+    the batch sessionization, so the SQL oracle applies (closed flag is
+    dropped: the final open session of each user is still a session)."""
+    from agol_pandas_spark.streaming.stateful import sessionize_stateful
+
+    cat = Catalog(spark, sf_dir)
+    path = cat.path("events")
+    schema = spark.read.parquet(path).schema
+    landing = os.path.join(
+        tempfile.gettempdir(), f"stream_sess_{uuid.uuid4().hex[:8]}"
+    )
+    os.makedirs(landing)
+    os.symlink(os.path.abspath(path), os.path.join(landing, "events.parquet"))
+    ev = stream_from_directory(spark, landing, schema)
+    if isinstance(schema["ts"].dataType, T.LongType):
+        ts_us = F.expr("ts div 1000")
+    else:
+        ts_us = F.unix_micros("ts")
+    stream = ev.select("user_id", ts_us.alias("ts_us"))
+    sessions = sessionize_stateful(stream.groupBy("user_id"))
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    q = write_stream_to_memory(sessions, name, output_mode="update")
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        F.col("session_start_us"),
+        "n_events",
+    )

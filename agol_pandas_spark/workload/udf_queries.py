@@ -1,0 +1,131 @@
+"""Oracle-checked queries for the sanctioned Python-UDF surface
+(``exchange.py``): scalar ``pandas_udf``, grouped-agg ``pandas_udf``, and
+``applyInPandas`` grouped transform.
+
+This replaces the reference's driver-side pandas loop
+(``src/agol_pandas.py:159-216``) with executor-side Arrow batches. Float
+discipline is stricter than the JVM queries': pandas/numpy summation order
+differs from DuckDB's, so every aggregate here is computed in **exact
+int64 space** (values are 2-decimal fixed-point in the corpus) and only
+divided once, if at all. ``sqrt`` is IEEE-exact in both engines, so it is
+the one transcendental allowed.
+
+Scale note: grouped-agg pandas UDFs have NO partial aggregation — all rows
+shuffle to their group. Use built-in aggregates when expressible; these
+queries exist to keep the escape hatch tested for logic that genuinely
+needs numpy/pandas.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from agol_pandas_spark.catalog import Catalog
+from agol_pandas_spark.exchange import grouped_apply
+from agol_pandas_spark.workload import register
+
+
+@register(
+    "udf_scalar_sqrt_bucket",
+    tags=("udf", "pandas-udf", "scalar"),
+    oracle="""
+    SELECT o_orderkey,
+           CAST(floor(sqrt(o_totalprice)) AS BIGINT) AS price_sqrt_bucket
+    FROM orders
+    """,
+)
+def udf_scalar_sqrt_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar pandas_udf (Arrow batches, numpy kernel)."""
+
+    @F.pandas_udf("long")
+    def sqrt_bucket(x: pd.Series) -> pd.Series:
+        return pd.Series(np.floor(np.sqrt(x.to_numpy())).astype("int64"))
+
+    return (
+        Catalog(spark, sf_dir)
+        .table("orders")
+        .select("o_orderkey", sqrt_bucket("o_totalprice").alias("price_sqrt_bucket"))
+    )
+
+
+@register(
+    "udf_grouped_weighted_avg",
+    tags=("udf", "pandas-udf", "grouped-agg"),
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * CAST(round(l_quantity) AS BIGINT)) AS num_scaled,
+           SUM(CAST(round(l_quantity) AS BIGINT)) AS den,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)
+               / SUM(CAST(round(l_quantity) AS BIGINT)) / 100.0 AS weighted_avg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udf_grouped_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas_udf: quantity-weighted mean price per return
+    flag, accumulated in exact int64 (price is 2-decimal fixed-point)."""
+
+    @F.pandas_udf("long")
+    def wsum(p: pd.Series, q: pd.Series) -> int:
+        pi = np.rint(p.to_numpy() * 100).astype("int64")
+        qi = np.rint(q.to_numpy()).astype("int64")
+        return int((pi * qi).sum())
+
+    @F.pandas_udf("long")
+    def qsum(q: pd.Series) -> int:
+        return int(np.rint(q.to_numpy()).astype("int64").sum())
+
+    return (
+        Catalog(spark, sf_dir)
+        .table("lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            wsum("l_extendedprice", "l_quantity").alias("num_scaled"),
+            qsum("l_quantity").alias("den"),
+        )
+        .withColumn(
+            "weighted_avg_price",
+            F.col("num_scaled").cast("double") / F.col("den") / 100.0,
+        )
+    )
+
+
+@register(
+    "udf_grouped_median_center",
+    tags=("udf", "applyInPandas", "grouped-map"),
+    oracle="""
+    SELECT event_id, event_type,
+           2 * CAST(round(value * 100) AS BIGINT)
+           - CAST(round(2 * median(CAST(round(value * 100) AS BIGINT))
+                        OVER (PARTITION BY event_type)) AS BIGINT)
+               AS centered2_scaled
+    FROM events
+    """,
+)
+def udf_grouped_median_center(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped transform: median-center each event's value
+    within its type. Doubled scaled-int output keeps the half-step median
+    exact (a group median of ints is x.0 or x.5)."""
+
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        sv = np.rint(pdf["value"].to_numpy() * 100).astype("int64")
+        med2 = int(round(2 * float(np.median(sv))))
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "centered2_scaled": 2 * sv - med2,
+            }
+        )
+
+    ev = Catalog(spark, sf_dir).table("events").select("event_id", "event_type", "value")
+    return grouped_apply(
+        ev,
+        ["event_type"],
+        center,
+        "event_id long, event_type string, centered2_scaled long",
+    )
