@@ -56,6 +56,7 @@ def load_all() -> dict[str, Query]:
         multimodal_queries,
         relational,
         similarity_queries,
+        source_queries,
         streaming_queries,
         text_queries,
         udf_queries,
