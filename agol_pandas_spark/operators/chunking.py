@@ -114,3 +114,21 @@ def iter_pandas_chunks(
         return
     for start in range(0, table.num_rows, chunk_size):
         yield table.slice(start, chunk_size).to_pandas()
+
+
+def spread_small_scan(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition a narrow scan when it has fewer partitions
+    than the cluster has cores.
+
+    A small parquet dataset (one file, one row group) plans as one task, so
+    an expensive downstream map stage (hashing, scoring) runs on one core.
+    The shuffle moves only the scan's projected columns and is a no-op
+    decision at real scale, where inputs already split into >= parallelism
+    partitions. Keep heavy per-row pipelines behind this; leave cheap scans
+    alone.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

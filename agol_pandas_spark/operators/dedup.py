@@ -214,7 +214,9 @@ def minhash_dedup_pairs(
     persist each side re-runs the tokenize→shingle→md5 map over the full
     corpus.
     """
-    sig = minhash_signatures(df, id_col, text_col, shingle_size)
+    from agol_pandas_spark.operators.chunking import spread_small_scan
+
+    sig = minhash_signatures(spread_small_scan(df), id_col, text_col, shingle_size)
     if persist_signatures:
         sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     pairs = lsh_candidate_pairs(sig, id_col)

@@ -88,7 +88,9 @@ def brute_force_topk(
         F.col(query_vec).alias("__qvec"),
         _norm_exact(F.col(query_vec)).alias("__qnorm"),
     )
-    c = corpus.select(
+    from agol_pandas_spark.operators.chunking import spread_small_scan
+
+    c = spread_small_scan(corpus).select(
         F.col(corpus_id).alias("__cid"),
         F.col(corpus_vec).alias("__cvec"),
         _norm_exact(F.col(corpus_vec)).alias("__cnorm"),

@@ -108,6 +108,9 @@ def tfidf(
     Two shuffles total: doc-term tf aggregation and term df aggregation;
     the df side is vocabulary-sized and broadcast back.
     """
+    # no spread_small_scan here: the explode+groupBy below already
+    # redistributes, so pre-shuffling the raw text costs more than the
+    # single-task tokenize it would save (measured)
     n_docs = df.count()  # scalar; pipelines at scale pass a cached count
     terms = df.select(
         F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("token")

@@ -132,8 +132,10 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir).table("documents")
-    sig = dedup.minhash_signatures(docs, "doc_id", "text")
-    return dedup.lsh_candidate_pairs(sig, "doc_id")
+    # min_agreement=0 keeps every candidate (the oracle has no bar) while
+    # going through the persisted-signature path: the LSH self-join scans
+    # the signature table twice, hashing the corpus once instead of twice
+    return dedup.minhash_dedup_pairs(docs, "doc_id", "text", min_agreement=0)
 
 
 @register(
