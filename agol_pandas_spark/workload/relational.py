@@ -675,3 +675,64 @@ def subquery_above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     cat.register_views(("customer",))
     return spark.sql(_SUBQ_SQL)
+
+
+@register(
+    "pivot_orderstatus_by_segment",
+    tags=("agg", "pivot"),
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def pivot_orderstatus_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): order counts per status column. The pivot value
+    list is explicit — an implicit pivot adds a distinct-values job before
+    planning can start, a needless extra pass at scale."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.table("orders")
+        .join(cat.table("customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+
+
+@register(
+    "unpivot_lineitem_metrics",
+    tags=("unpivot", "agg"),
+    oracle="""
+    SELECT metric, COUNT(*) AS n,
+           SUM(CAST(round(value * 10000) AS BIGINT)) AS value_scaled
+    FROM (
+      SELECT 'l_extendedprice' AS metric, l_extendedprice AS value FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT 'l_tax', l_tax FROM lineitem
+    ) GROUP BY metric
+    """,
+)
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long, melt) + aggregate — one scan, no union of three
+    scans (what the SQL oracle spells out)."""
+    return (
+        Catalog(spark, sf_dir)
+        .table("lineitem")
+        .unpivot(
+            [],
+            ["l_extendedprice", "l_discount", "l_tax"],
+            "metric",
+            "value",
+        )
+        .groupBy("metric")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 10000).cast("long")).alias("value_scaled"),
+        )
+    )
