@@ -311,14 +311,20 @@ def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFra
     tags=("join",),
     oracle="""
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
     """,
 )
 def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join with a filtered right side (customers lacking any large
+    order) — every customer has *some* order in the corpus, so the
+    unfiltered variant would vacuously return zero rows."""
     cat = Catalog(spark, sf_dir)
+    big_orders = cat.table("orders").filter(F.col("o_totalprice") > 300000)
     return (
         cat.table("customer")
-        .join(cat.table("orders"), F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(big_orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
     )
 

@@ -97,18 +97,19 @@ def sim_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     + """
     SELECT qid AS id_a, cid AS id_b, cosine
-    FROM cosines WHERE cosine >= 0.80
+    FROM cosines WHERE cosine >= 0.30
     """,
 )
 def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by ground-truth label,
-    probing from every 20th vector."""
+    probing from every 20th vector. Threshold 0.30 sits below the corpus's
+    max within-label cosine (~0.41) so the check exercises real pairs."""
     emb = Catalog(spark, sf_dir).table("embeddings")
     return similarity.embedding_neardup_pairs(
         emb,
         corpus_id="vec_id",
         block_col="label",
-        threshold=0.80,
+        threshold=0.30,
         probe_filter=(F.col("id_a") % 20 == 0),
     )
 
