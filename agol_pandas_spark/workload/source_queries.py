@@ -103,3 +103,35 @@ def join_salted_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("o_orderkey").alias("orderkey_checksum"),
     )
+
+
+@register(
+    "source_partitioned_pruning",
+    tags=("source", "partitioning", "pruning"),
+    oracle="""
+    SELECT user_id, COUNT(*) AS n,
+           SUM(CAST(round(value * 10000) AS BIGINT)) AS value_scaled
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """,
+)
+def source_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned write + partition-pruned read: events land
+    partitioned by event_type; the filter prunes to one partition
+    directory, so the scan never opens the other 4/5 of the data — the
+    100 TB pattern for any high-selectivity categorical predicate
+    (PartitionFilters asserted in tests/test_plans.py)."""
+    ev = Catalog(spark, sf_dir).table("events").select(
+        "user_id", "event_type", "value"
+    )
+    path = _stage("part")
+    ev.write.partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 10000).cast("long")).alias("value_scaled"),
+        )
+    )

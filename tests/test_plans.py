@@ -90,3 +90,10 @@ def test_minhash_signatures_no_shuffle(q):
 
 def test_broadcast_helper(q):
     assert uses_broadcast_join(q("flagship_region_revenue"))
+
+
+def test_partitioned_scan_prunes(q):
+    plan = formatted_plan(q("source_partitioned_pruning"))
+    assert "PartitionFilters" in plan and "event_type" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
