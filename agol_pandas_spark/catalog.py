@@ -155,6 +155,29 @@ class Catalog:
                 shutil.rmtree(backup, ignore_errors=True)
         return target
 
+    def compact(self, name: str, target_file_bytes: int = 128 * 1024 * 1024) -> str:
+        """Rewrite a table into ~``target_file_bytes`` files (small-files
+        compaction).
+
+        Chunked/streaming appends accumulate many small files; at scale the
+        file-listing and per-file open costs dominate reads long before the
+        data does. Row-identical rewrite via the same atomic two-phase
+        commit as :meth:`write`; file count = ceil(bytes/target), coalesced
+        without a shuffle.
+        """
+        p = self.path(name)
+        if not os.path.exists(p):
+            raise TableNotFoundError(f"no table {name!r} under {self.root}")
+        n_bytes = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(p)
+            for f in fs
+            if not f.startswith(("_", "."))
+        ) if os.path.isdir(p) else os.path.getsize(p)
+        n_files = max(1, -(-n_bytes // target_file_bytes))
+        df = self.spark.read.parquet(p).coalesce(int(n_files))
+        return self.write(df, name, mode="overwrite")
+
     def drop(self, name: str) -> None:
         p = self.path(name)
         if os.path.exists(p):

@@ -27,6 +27,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -38,6 +39,7 @@ def asof_join(
     right_cols: Sequence[str],
     direction: str = "backward",
     matched_ts_alias: str | None = None,
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """For each left row, attach the nearest right row at-or-before
     (``backward``) / at-or-after (``forward``) its timestamp, per key.
@@ -47,6 +49,10 @@ def asof_join(
     Ties on ``right_ts`` within a key resolve to the row with the largest
     (backward) / smallest (forward) ``(ts, *right_cols)`` tuple — include a
     unique column first in ``right_cols`` for full determinism.
+
+    ``tolerance_seconds`` (pandas ``merge_asof`` parity) voids matches
+    farther than the tolerance from the left timestamp — the match columns
+    come back NULL, the left row stays.
 
     Left rows with no match keep NULLs (left-join semantics).
     """
@@ -91,15 +97,28 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = pick("__rpay").over(w)
-    return (
+    out = (
         l2.unionByName(r2)
         .withColumn("__match", matched)
         .filter(F.col("__side") == 1)
-        .select(
-            *[F.col(f"__lrow.{c}").alias(c) for c in lcols],
-            F.col("__match.__rts").alias(matched_ts),
-            *[F.col(f"__match.{c}").alias(c) for c in right_cols],
+    )
+    if tolerance_seconds is not None:
+        lts, rts = F.col("__ts"), F.col("__match.__rts")
+        ts_type = left.schema[left_ts].dataType
+        if isinstance(ts_type, T.TimestampType):
+            gap_ok = (
+                F.abs(F.unix_micros(lts) - F.unix_micros(rts))
+                <= F.lit(int(tolerance_seconds * 1_000_000))
+            )
+        else:
+            gap_ok = F.abs(lts - rts) <= F.lit(tolerance_seconds)
+        out = out.withColumn(
+            "__match", F.when(gap_ok, F.col("__match"))
         )
+    return out.select(
+        *[F.col(f"__lrow.{c}").alias(c) for c in lcols],
+        F.col("__match.__rts").alias(matched_ts),
+        *[F.col(f"__match.{c}").alias(c) for c in right_cols],
     )
 
 

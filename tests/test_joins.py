@@ -94,3 +94,32 @@ def test_sample_frames_empty_payload(spark):
     # empty payload → zero frames (not the sequence(0,-1) descending bug);
     # 300 bytes at stride 128 → frames 0,1,2
     assert rows == {(2, 0), (2, 1), (2, 2)}
+
+
+def test_asof_tolerance(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    out = asof_join(
+        trades, quotes, on=["sym"], left_ts="t_ts", right_ts="q_ts",
+        right_cols=["px"], tolerance_seconds=3.0,
+    )
+    got = {r.trade_id: r.px for r in out.collect()}
+    # trade 1's nearest prior quote is 5s back -> voided by 3s tolerance;
+    # trade 2's exact-ts match survives; all 4 left rows still present
+    assert got == {1: None, 2: 102.0, 3: None, 4: None}
+
+
+def test_catalog_compact_row_identical(spark, tmp_path):
+    import os
+    from agol_pandas_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    df = spark.range(10_000).withColumn("v", (spark.range(1).limit(1).count() * F.col("id")))
+    cat.write(df.repartition(16), "t", mode="error")
+    files_before = len([f for f in os.listdir(cat.path("t")) if f.endswith(".parquet")])
+    before = sorted(r.id for r in spark.read.parquet(cat.path("t")).collect())
+    cat.compact("t")
+    files_after = len([f for f in os.listdir(cat.path("t")) if f.endswith(".parquet")])
+    after = sorted(r.id for r in spark.read.parquet(cat.path("t")).collect())
+    assert before == after
+    assert files_after < files_before
+    assert files_after == 1  # 10k tiny rows fit one 128MB target file
