@@ -238,3 +238,70 @@ def embedding_neardup_pairs(
         .select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def rp_signature_col(vec: Column, planes) -> Column:
+    """Signed-random-projection LSH bucket id: bit k = [dot(v, h_k) > 0].
+
+    ``planes`` is a list of integer hyperplanes (generated deterministically
+    driver-side so the DuckDB oracle can embed identical constants). Each
+    dot product accumulates in scaled int64 — bucket assignment is exact,
+    so unlike IVF this ANN variant is fully value-checkable.
+    """
+    bucket = F.lit(0).cast("long")
+    for k, row in enumerate(planes):
+        arr = F.array(*[F.lit(int(p)) for p in row])
+        dot = F.aggregate(
+            F.zip_with(
+                vec,
+                arr,
+                lambda x, p: F.round(
+                    (x.cast("double") * p.cast("double")) * F.lit(float(VSCALE))
+                ).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + (
+            F.when(dot > 0, F.lit(2**k).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return bucket
+
+
+def rp_lsh_topk(
+    corpus: DataFrame,
+    planes,
+    corpus_id: str,
+    vec: str = "embedding",
+    probe_filter: Column | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """LSH-bucketed ANN: probes score only vectors sharing their bucket.
+
+    Cost ≈ 1/2^planes of brute force per probe (expected); recall depends
+    on cluster separation. At scale the bucketed corpus is written
+    partitioned by bucket, making the probe join shuffle-free on the
+    corpus side — the same layout trick as IVF cells.
+    """
+    sig = corpus.select(
+        F.col(corpus_id),
+        F.col(vec),
+        rp_signature_col(F.col(vec), planes).alias("bucket"),
+    )
+    probes = sig.filter(probe_filter) if probe_filter is not None else sig
+    q = probes.select(
+        F.col(corpus_id).alias("query_id"),
+        F.col(vec).alias("__qvec"),
+        "bucket",
+    )
+    scored = (
+        q.join(sig, on="bucket")
+        .filter(F.col("query_id") != F.col(corpus_id))
+        .select(
+            "query_id",
+            F.col(corpus_id),
+            cosine_exact(F.col("__qvec"), F.col(vec)).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(corpus_id))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)

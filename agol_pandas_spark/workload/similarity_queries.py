@@ -171,3 +171,104 @@ def sim_ivf_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         pivot_id="pivot_id",
         k=10,
     )
+
+
+# -- signed-random-projection LSH: deterministic integer hyperplanes shared
+# verbatim between the Spark builder and the SQL oracle ---------------------
+RP_DIM = 64
+RP_N_PLANES = 6  # 64 buckets: ~8 vecs/bucket at sf0.01, ~78 at sf0.1
+
+
+def _plane_val(k: int, i: int) -> int:
+    import hashlib
+
+    h = int(hashlib.md5(f"rp_{k}_{i}".encode()).hexdigest()[:8], 16)
+    return (h % 7) - 3
+
+
+RP_PLANES = [[_plane_val(k, i) for i in range(RP_DIM)] for k in range(RP_N_PLANES)]
+
+_SQL_PLANE_ROWS = ", ".join(
+    f"({k}, {i + 1}, {p})"
+    for k, row in enumerate(RP_PLANES)
+    for i, p in enumerate(row)
+    if p != 0  # zero components contribute round(x*0*scale) = 0 exactly
+)
+_SQL_BIT_ROWS = ", ".join(f"({k}, {2**k})" for k in range(RP_N_PLANES))
+
+_SQL_RP_SIG = f"""
+    planes(k, i, p) AS (VALUES {_SQL_PLANE_ROWS}),
+    comp AS (
+      SELECT vec_id, t.i, CAST(embedding[t.i] AS DOUBLE) AS x
+      FROM embeddings, range(1, {RP_DIM + 1}) t(i)),
+    pdots AS (
+      SELECT vec_id, k,
+             SUM(CAST(round((x * p) * 1000000000.0) AS BIGINT)) AS d
+      FROM comp JOIN planes USING (i) GROUP BY vec_id, k),
+    sig AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN d > 0 THEN pw ELSE 0 END) AS BIGINT) AS bucket
+      FROM pdots JOIN (VALUES {_SQL_BIT_ROWS}) b(k, pw) USING (k)
+      GROUP BY vec_id)
+"""
+
+
+@register(
+    "sim_rp_lsh_buckets",
+    tags=("similarity", "lsh", "ann"),
+    oracle=f"""
+    WITH {_SQL_RP_SIG}
+    SELECT bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS representative
+    FROM sig GROUP BY bucket
+    """,
+)
+def sim_rp_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RP-LSH build step: bucket populations. Bucket assignment is exact
+    (scaled-int dot signs), so the oracle value-checks the whole index."""
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    sig = emb.select(
+        "vec_id",
+        similarity.rp_signature_col(F.col("embedding"), RP_PLANES).alias("bucket"),
+    )
+    return sig.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("vec_id").alias("representative"),
+    )
+
+
+@register(
+    "sim_rp_lsh_topk_ann",
+    tags=("similarity", "lsh", "ann", "topk"),
+    oracle=_sql_pair_cosine(
+        _SQL_RP_SIG
+        + """,
+    pairs AS (
+      SELECT a.vec_id AS qid, ea.embedding AS qv,
+             b.vec_id AS cid, eb.embedding AS cv
+      FROM sig a
+      JOIN sig b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      WHERE a.vec_id % 50 = 0)
+    """
+    )
+    + """
+    SELECT qid AS query_id, cid AS vec_id, cosine, rnk FROM (
+      SELECT qid, cid, cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rnk
+      FROM cosines)
+    WHERE rnk <= 5
+    """,
+)
+def sim_rp_lsh_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-5 (probes = every 50th vector): unlike IVF,
+    bucket membership is exact, so even this *approximate* search is fully
+    value-hash-checked — approximation lives in recall, not in values."""
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    return similarity.rp_lsh_topk(
+        emb,
+        RP_PLANES,
+        corpus_id="vec_id",
+        probe_filter=(F.col("vec_id") % 50 == 0),
+        k=5,
+    )
