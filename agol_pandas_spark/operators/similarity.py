@@ -283,11 +283,17 @@ def rp_lsh_topk(
     partitioned by bucket, making the probe join shuffle-free on the
     corpus side — the same layout trick as IVF cells.
     """
-    sig = corpus.select(
+    from pyspark.storagelevel import StorageLevel
+
+    from agol_pandas_spark.operators.chunking import spread_small_scan
+
+    # persist: the bucket self-join scans signatures twice, and without it
+    # each side re-hashes the corpus (same reasoning as minhash_dedup_pairs)
+    sig = spread_small_scan(corpus).select(
         F.col(corpus_id),
         F.col(vec),
         rp_signature_col(F.col(vec), planes).alias("bucket"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     probes = sig.filter(probe_filter) if probe_filter is not None else sig
     q = probes.select(
         F.col(corpus_id).alias("query_id"),

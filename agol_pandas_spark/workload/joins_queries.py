@@ -18,6 +18,7 @@ from agol_pandas_spark.workload.relational import SQL_DSUM, dsum
 
 @register(
     "join_asof_click_purchase",
+    headline=True,
     tags=("join", "asof", "events"),
     oracle="""
     WITH s AS (

@@ -238,6 +238,7 @@ def sim_rp_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_rp_lsh_topk_ann",
+    headline=True,
     tags=("similarity", "lsh", "ann", "topk"),
     oracle=_sql_pair_cosine(
         _SQL_RP_SIG

@@ -100,6 +100,7 @@ _SESSION_ORACLE = """
 
 @register(
     "events_session_window_agg",
+    headline=True,
     tags=("streaming-compatible", "session-window", "events"),
     oracle=_SESSION_ORACLE,
 )
