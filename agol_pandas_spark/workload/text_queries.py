@@ -184,3 +184,49 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_bpe_tokens"),
         F.size(tokens("text")).cast("long").alias("n_ws_tokens"),
     )
+
+
+@register(
+    "pipeline_corpus_curation",
+    tags=("text", "pipeline", "dedup", "quality"),
+    oracle=f"""
+    WITH fp AS (SELECT doc_id, {_FP_EXPR} AS fingerprint FROM documents),
+    keep AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY fingerprint),
+    t AS (SELECT doc_id, text, {SQL_TOKS.format(src='text')} AS toks FROM documents),
+    q AS (
+      SELECT doc_id,
+             CAST(len(toks) AS INTEGER) AS n_tokens,
+             0.4 * (CASE WHEN len(toks) > 0
+                         THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                         ELSE 0.0 END)
+           + 0.3 * least(length(text) / 500.0, 1.0)
+           + 0.3 * (CASE WHEN length(text) > 0
+                         THEN CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                              / length(text)
+                         ELSE 0.0 END) AS quality
+      FROM t)
+    SELECT d.doc_id, d.lang, q.n_tokens, q.quality
+    FROM documents d
+    JOIN keep USING (doc_id)
+    JOIN q USING (doc_id)
+    WHERE q.quality >= 0.62 AND d.lang IN ('en', 'de')
+    """,
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation pipeline — the LLM-training-data shape in one
+    plan: fingerprint dedup (keep lowest doc_id per normalized-content
+    hash) → quality gate → language allowlist. Three operators fuse into
+    one job: two vocabulary-sized shuffles (fingerprint groupBy + join),
+    everything else map-side. The 0.62 bar is safe cross-engine because
+    per-row double arithmetic is bit-identical (only aggregates need
+    scaled-int quantization)."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    fp = textops.doc_fingerprint(docs, "doc_id", "text")
+    keep = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    quality = textops.quality_score(docs, "doc_id", "text")
+    return (
+        docs.join(keep.select("doc_id"), "doc_id")
+        .join(quality, "doc_id")
+        .filter((F.col("quality") >= 0.62) & F.col("lang").isin("en", "de"))
+        .select("doc_id", "lang", "n_tokens", "quality")
+    )
