@@ -742,3 +742,24 @@ def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("value") * 10000).cast("long")).alias("value_scaled"),
         )
     )
+
+
+@register(
+    "map_explode_event_values",
+    tags=("map", "explode"),
+    oracle="""
+    SELECT event_id, 'value' AS metric, value AS v FROM events
+    UNION ALL
+    SELECT event_id, 'value_half', value / 2 FROM events
+    """,
+)
+def map_explode_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType construction + explode to rows (compared post-explode —
+    map literal representations aren't cross-engine comparable, rows are).
+    value/2 is a single IEEE division, bit-identical in both engines."""
+    ev = Catalog(spark, sf_dir).table("events")
+    m = F.create_map(
+        F.lit("value"), F.col("value"),
+        F.lit("value_half"), F.col("value") / 2,
+    )
+    return ev.select("event_id", F.explode(m).alias("metric", "v"))
