@@ -1,0 +1,85 @@
+"""Cross-batch state continuation for the applyInPandasWithState
+sessionizer: two micro-batches (two files, maxFilesPerTrigger=1) must
+produce the same sessions as single-batch processing — sessions spanning
+the batch boundary continue from state instead of restarting.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from agol_pandas_spark.streaming.stateful import sessionize_stateful
+from agol_pandas_spark.streaming.windows import (
+    stream_from_directory,
+    write_stream_to_memory,
+)
+
+
+def _final_sessions(spark, name: str):
+    """Update-mode memory sinks append every emission; the latest update
+    for a (user, session_start) supersedes earlier opens."""
+    return {
+        (r.user_id, r.session_start_us): r.n
+        for r in spark.table(name)
+        .groupBy("user_id", "session_start_us")
+        .agg(F.max("n_events").alias("n"))
+        .collect()
+    }
+
+
+def test_sessions_continue_across_batches(spark, sf_dir, tmp_path):
+    ev = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .select("user_id", F.expr("ts div 1000").alias("ts_us"))
+    )
+    mid = ev.approxQuantile("ts_us", [0.5], 0.0)[0]
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    # flat single files (a nested dataset directory per file confuses the
+    # file stream source's listing); mod times force batch1 to process
+    # first so event time is monotone across micro-batches
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for fname, pdf, mtime in [
+        ("batch1.parquet", ev.filter(F.col("ts_us") <= mid).toPandas(), 1_000_000),
+        ("batch2.parquet", ev.filter(F.col("ts_us") > mid).toPandas(), 2_000_000),
+    ]:
+        path = str(landing / fname)
+        pq.write_table(pa.Table.from_pandas(pdf), path)
+        os.utime(path, (mtime, mtime))
+
+    schema = "user_id long, ts_us long"
+    stream = stream_from_directory(spark, str(landing), schema, max_files_per_trigger=1)
+    sessions = sessionize_stateful(stream.groupBy("user_id"))
+    q = write_stream_to_memory(sessions, "two_batch_sessions", output_mode="update")
+    q.awaitTermination()
+    assert q.lastProgress is not None
+
+    # batch-mode oracle: gap sessionization over the whole table at once
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    gap_us = 30 * 60 * 1_000_000
+    batch = (
+        ev.withColumn("__prev", F.lag("ts_us").over(w))
+        .withColumn(
+            "__new",
+            (F.col("__prev").isNull() | (F.col("ts_us") - F.col("__prev") >= gap_us))
+            .cast("int"),
+        )
+        .withColumn(
+            "__sess",
+            F.sum("__new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "__sess")
+        .agg(F.min("ts_us").alias("session_start_us"), F.count(F.lit(1)).alias("n"))
+    )
+    want = {(r.user_id, r.session_start_us): r.n for r in batch.collect()}
+    got = _final_sessions(spark, "two_batch_sessions")
+    assert got == want
