@@ -323,3 +323,56 @@ def ngram_jaccard_pairs(
         )
     )
     return out.filter(F.col("jaccard") >= min_jaccard)
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected edge list → ``(node,
+    component)`` with component = min node id in the component — the
+    canonical-representative step that turns near-dup *pairs* into dedup
+    *clusters*.
+
+    Min-label propagation: each iteration joins labels across edges and
+    keeps the minimum; converges in graph-diameter iterations (near-dup
+    clusters are tiny, so 2-4 in practice). Lineage is cut per iteration
+    with localCheckpoint — without it the plan doubles every pass. At
+    larger diameters swap in large-star/small-star (Kiveris et al.) — same
+    join primitives, fewer rounds.
+    """
+    sym = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    labels = nodes.withColumn("label", F.col("node")).localCheckpoint(eager=True)
+
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(labels, sym["a"] == labels["node"])
+            .groupBy(sym["b"].alias("node2"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("component"))

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from agol_pandas_spark.catalog import Catalog
 from agol_pandas_spark.operators import dedup
 from agol_pandas_spark.operators.dedup import MINHASH_P, MINHASH_PARAMS
-from agol_pandas_spark.workload import register
+from agol_pandas_spark.workload import REGISTRY, register
 from agol_pandas_spark.workload.text_queries import SQL_HASH60, SQL_TOKS
 
 # word-3-gram shingles of a token list, DuckDB dialect (mirrors
@@ -196,3 +196,31 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(
         docs, "doc_id", "text", block_cols=("source", "lang"), shingle_size=3
     )
+
+
+@register(
+    "dedup_connected_components",
+    tags=("dedup", "clustering", "iterative"),
+    oracle=f"""
+    WITH lsh AS ({REGISTRY["dedup_minhash_lsh_pairs"].oracle}),
+    pairs AS (SELECT id_a, id_b FROM lsh WHERE n_matching_hashes >= 4),
+    edges2 AS (SELECT id_a AS a, id_b AS b FROM pairs
+               UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS node FROM edges2)
+    , reach AS (
+      WITH RECURSIVE r(node, label) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.b, r.label FROM r JOIN edges2 e ON e.a = r.node
+      ) SELECT * FROM r)
+    SELECT node, MIN(label) AS component FROM reach GROUP BY node
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → dedup clusters: connected components with the min
+    doc_id as canonical representative. Iterative min-label propagation in
+    Spark; the oracle reaches the same fixpoint with a recursive CTE (the
+    component minimum is algorithm-independent)."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    pairs = dedup.minhash_dedup_pairs(docs, "doc_id", "text", min_agreement=4)
+    return dedup.connected_components(pairs, "id_a", "id_b")
