@@ -92,3 +92,13 @@ def test_upsert_preserves_missing_source_columns(spark, tgt):
     assert rows[2]["v"] == 20.0
     assert rows[2]["w"] == 99
     assert rows[1]["w"] is None
+
+
+def test_upsert_source_null_overwrites_carried_column(spark, tgt):
+    # a column the source CARRIES overwrites on match even with NULL —
+    # distinct from a column the source lacks (which keeps target values)
+    src2 = spark.createDataFrame([(2, None, None)], "id long, name string, v double")
+    out = merge(tgt, src2, "upsert", key="id")
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[2]["name"] is None and rows[2]["v"] is None
+    assert rows[1]["name"] is not None  # unmatched rows untouched
