@@ -1,0 +1,43 @@
+"""Partition-count invariance: the engine's determinism contract says the
+answer must not depend on physical parallelism (scaled-int aggregation,
+deterministic tie-breaks). Re-run representative queries under a very
+different shuffle-partition count and require byte-identical rowsets —
+this is the local stand-in for "same answer on a 1000-executor cluster".
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from agol_pandas_spark.workload import load_all
+
+REGISTRY = load_all()
+
+# one query per risk family: float agg, window tie-break, LSH self-join,
+# iterative fixpoint, as-of ordering
+QUERIES = [
+    "pricing_summary",
+    "window_topk_orders_per_segment",
+    "dedup_minhash_lsh_pairs",
+    "dedup_connected_components",
+    "join_asof_click_purchase",
+]
+
+
+def _rowset(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(repr(r[c]) for c in cols) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_result_invariant_to_shuffle_partitions(spark, sf_dir, name):
+    fn = REGISTRY[name].fn
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        low = _rowset(fn(spark, sf_dir))
+        spark.conf.set("spark.sql.shuffle.partitions", "64")
+        high = _rowset(fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert low == high, f"{name} changed results with partition count"
