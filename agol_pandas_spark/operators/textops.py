@@ -13,6 +13,8 @@ DuckDB oracle — see ``workload/text_queries.py`` for the SQL twins.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -146,3 +148,28 @@ def doc_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col),
         portable_hash60(normalized).alias("fingerprint"),
     )
+
+
+def hash_sample(
+    df: DataFrame,
+    id_col: str,
+    percent: int,
+    strata_cols: Sequence[str] = (),
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic hash-gated sample: keep a row iff
+    ``portable_hash60(salt || id) % 100 < percent``.
+
+    The reproducible-sampling pattern for corpus curation: unlike
+    ``df.sample(fraction, seed)`` — whose output depends on physical
+    partitioning — the gate is a pure function of the row, so the sample
+    is stable across cluster sizes, re-runs, and engines (the DuckDB
+    oracle reproduces it exactly). ``strata_cols`` are carried through for
+    per-stratum accounting; the rate applies uniformly within every
+    stratum because the hash is independent of them.
+    """
+    gate = (
+        F.pmod(portable_hash60(F.concat(F.lit(salt), F.col(id_col).cast("string"))), F.lit(100))
+        < percent
+    )
+    return df.select(id_col, *strata_cols).filter(gate)

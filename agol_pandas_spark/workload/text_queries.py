@@ -230,3 +230,27 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("quality") >= 0.62) & F.col("lang").isin("en", "de"))
         .select("doc_id", "lang", "n_tokens", "quality")
     )
+
+
+@register(
+    "sample_hash_stratified",
+    tags=("sampling", "text"),
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang FROM documents
+      WHERE {SQL_HASH60.format(expr="'sample' || CAST(doc_id AS VARCHAR)")} % 100 < 20)
+    SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM s GROUP BY lang
+    """,
+)
+def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% hash-gated sample with per-language accounting —
+    reproducible across cluster sizes and engines, unlike seeded
+    df.sample whose output depends on physical partitioning."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    s = textops.hash_sample(docs, "doc_id", percent=20, strata_cols=("lang",))
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
