@@ -46,6 +46,8 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # push MIN/MAX/COUNT of unfiltered scans to parquet footer stats
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         # parquet TIMESTAMP(NANOS) is read as long-nanos and converted to
         # µs timestamps by the catalog (Spark has no ns timestamp type)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
