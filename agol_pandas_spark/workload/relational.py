@@ -763,3 +763,31 @@ def map_explode_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("value_half"), F.col("value") / 2,
     )
     return ev.select("event_id", F.explode(m).alias("metric", "v"))
+
+
+@register(
+    "string_levenshtein_nations",
+    tags=("string", "fuzzy"),
+    oracle="""
+    SELECT a.n_name AS name_a, b.n_name AS name_b,
+           levenshtein(a.n_name, b.n_name) AS dist
+    FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+    WHERE levenshtein(a.n_name, b.n_name) <= 6
+    """,
+)
+def string_levenshtein_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching (the classic small-dim variant; at
+    corpus scale block first — n-gram or LSH — exactly as the dedup
+    operators do)."""
+    nat = Catalog(spark, sf_dir).table("nation")
+    a = nat.select(F.col("n_nationkey").alias("ka"), F.col("n_name").alias("name_a"))
+    b = nat.select(F.col("n_nationkey").alias("kb"), F.col("n_name").alias("name_b"))
+    return (
+        a.join(b, F.col("ka") < F.col("kb"))
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").alias("dist"),
+        )
+        .filter(F.col("dist") <= 6)
+    )

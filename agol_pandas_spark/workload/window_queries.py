@@ -201,3 +201,58 @@ def events_session_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gap_s").cast("double").alias("max_gap_s"),
         F.count(F.when(F.col("gap_s") > 3600, 1)).alias("n_session_breaks"),
     )
+
+
+@register(
+    "events_resample_hourly_gapfill",
+    tags=("window", "events", "resample"),
+    oracle="""
+    WITH bounds AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, MIN(ts)) AS lo,
+             time_bucket(INTERVAL 1 HOUR, MAX(ts)) AS hi
+      FROM events),
+    hours AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+      FROM bounds),
+    grid AS (
+      SELECT h.bucket, et.event_type
+      FROM hours h CROSS JOIN (SELECT DISTINCT event_type FROM events) et),
+    agg AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket, event_type,
+             COUNT(*) AS n
+      FROM events GROUP BY bucket, event_type)
+    SELECT epoch_us(g.bucket) AS bucket_us, g.event_type,
+           COALESCE(a.n, 0) AS n_events
+    FROM grid g LEFT JOIN agg a
+      ON a.bucket = g.bucket AND a.event_type = g.event_type
+    """,
+)
+def events_resample_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample to an hourly grid with zero-filled gaps: a generated
+    time×key grid (sequence + explode — no driver loop) left-joined to the
+    hourly aggregate. The grid is dimension-sized, broadcastable; the only
+    corpus-sized operation is the aggregation itself."""
+    ev = Catalog(spark, sf_dir).table("events")
+    bounds = ev.select(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = (
+        bounds.select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("bucket")
+        )
+        .crossJoin(ev.select("event_type").distinct())
+    )
+    agg = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        grid.join(agg, ["bucket", "event_type"], "left")
+        .select(
+            F.unix_micros("bucket").alias("bucket_us"),
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        )
+    )
