@@ -256,3 +256,67 @@ def events_resample_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFram
             F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
         )
     )
+
+
+@register(
+    "window_rolling_1h_user_sum",
+    tags=("window", "range-frame", "events"),
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(round(value * 10000) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / 10000.0 AS rolling_1h_value
+    FROM events
+    """,
+)
+def window_rolling_1h_user_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: trailing-hour rolling sum per user, ordered
+    by epoch-µs with a (3.6e9 - 1) µs lookback. Range frames bound state by
+    *time* — the batch twin of a sliding stream window. Sum is scaled-int
+    for cross-engine determinism; events sharing a timestamp share the
+    frame (RANGE, not ROWS), so ties are well-defined without a tie-break."""
+    ev = Catalog(spark, sf_dir).table("events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_599_999_999, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(F.round(F.col("value") * 10000).cast("long")).over(w).cast("double")
+            / 10000.0
+        ).alias("rolling_1h_value"),
+    )
+
+
+@register(
+    "window_ntile_price_quartiles",
+    tags=("window", "ntile"),
+    oracle="""
+    SELECT q, COUNT(*) AS n,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_scaled
+    FROM (
+      SELECT o_totalprice,
+             NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS q
+      FROM orders)
+    GROUP BY q
+    """,
+)
+def window_ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing into price quartiles (deterministic via the
+    o_orderkey tie-break), aggregated per bucket."""
+    ev = Catalog(spark, sf_dir).table("orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        ev.select("o_totalprice", F.ntile(4).over(w).alias("q"))
+        .groupBy("q")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "total_scaled"
+            ),
+        )
+    )
