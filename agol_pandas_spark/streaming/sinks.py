@@ -1,0 +1,51 @@
+"""Streaming sinks: merge-into-catalog via ``foreachBatch``.
+
+The production shape for "stream upserts into a table": each micro-batch
+runs the same join-rewrite merge the batch engine uses
+(``operators/merge.py``), committed atomically through the catalog's
+two-phase write. This is the streaming continuation of the reference's
+create-or-load loop (``src/agol_pandas.py:546-680``) — chunks become
+micro-batches, the sequential driver loop becomes a trigger schedule.
+
+Semantics per batch: ``upsert`` (default) keys must be unique *within a
+batch* (validated — duplicate keys in one batch are a data error the
+reference silently let the server resolve); across batches, later batches
+win. ``append`` needs no key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from agol_pandas_spark.operators.merge import WriteMode, write_table
+
+
+def stream_merge_into_catalog(
+    stream: DataFrame,
+    catalog,
+    name: str,
+    key: str | None = None,
+    mode: str | WriteMode = WriteMode.UPSERT,
+    query_name: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Continuously merge a stream into catalog table ``name``.
+
+    Returns the started ``StreamingQuery``. With ``trigger_available_now``
+    the query drains what exists and stops — the backfill/test shape; flip
+    it off for a long-running ingestion. Checkpointing is the memory-less
+    default here (local engine); point ``checkpointLocation`` at durable
+    storage in a real deployment for exactly-once batches.
+    """
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_table(catalog, batch_df, name, mode=mode, key=key)
+
+    writer = stream.writeStream.foreachBatch(merge_batch)
+    if query_name:
+        writer = writer.queryName(query_name)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

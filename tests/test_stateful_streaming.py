@@ -83,3 +83,47 @@ def test_sessions_continue_across_batches(spark, sf_dir, tmp_path):
     want = {(r.user_id, r.session_start_us): r.n for r in batch.collect()}
     got = _final_sessions(spark, "two_batch_sessions")
     assert got == want
+
+
+def test_stream_merge_into_catalog_upsert(spark, sf_dir, tmp_path):
+    """Two micro-batches of latest-event-per-user upserts must land the
+    same table as a single batch merge of batch2 over batch1."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from agol_pandas_spark.catalog import Catalog
+    from agol_pandas_spark.streaming.sinks import stream_merge_into_catalog
+
+    ev = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .select("user_id", F.expr("ts div 1000").alias("ts_us"), "value")
+    )
+    mid = ev.approxQuantile("ts_us", [0.5], 0.0)[0]
+
+    def latest_per_user(df):
+        from agol_pandas_spark.operators.dedup import latest_wins_dedup
+
+        return latest_wins_dedup(df, ["user_id"], "ts_us")
+
+    b1 = latest_per_user(ev.filter(F.col("ts_us") <= mid)).toPandas()
+    b2 = latest_per_user(ev.filter(F.col("ts_us") > mid)).toPandas()
+
+    landing = tmp_path / "merge_landing"
+    landing.mkdir()
+    for fname, pdf, mtime in [("b1.parquet", b1, 1_000_000), ("b2.parquet", b2, 2_000_000)]:
+        path = str(landing / fname)
+        pq.write_table(pa.Table.from_pandas(pdf), path)
+        os.utime(path, (mtime, mtime))
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    stream = stream_from_directory(
+        spark, str(landing), "user_id long, ts_us long, value double"
+    )
+    q = stream_merge_into_catalog(stream, cat, "user_latest", key="user_id")
+    q.awaitTermination()
+
+    got = {
+        (r.user_id): (r.ts_us, r.value) for r in cat.table("user_latest").collect()
+    }
+    want = {r.user_id: (r.ts_us, r.value) for r in latest_per_user(ev).collect()}
+    assert got == want
