@@ -311,3 +311,98 @@ def rp_lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(corpus_id))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def kmeans_lite(
+    corpus: DataFrame,
+    id_col: str,
+    vec: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+) -> tuple[list[list[float]], DataFrame]:
+    """Deterministic Lloyd's k-means for IVF pivot selection.
+
+    Returns ``(centroids, assignments)`` where assignments carries
+    ``(id_col, cluster, sq_dist_scaled)``. Engineering choices for scale
+    and reproducibility:
+
+    - centroids are MODEL STATE: k×dim doubles, collected to the driver
+      each iteration and re-broadcast as literals — the idiomatic Spark
+      shape for iterative ML (the data never moves; the tiny model does).
+    - per-dimension sums accumulate as scaled int64 (partition-invariant;
+      plain double sums would make clustering depend on partitioning).
+    - init = the k vectors with smallest ``md5(id)`` (deterministic
+      pseudo-random seeding); assignment ties break to the lowest cluster.
+    """
+    from agol_pandas_spark.functions.text import portable_hash60
+    from agol_pandas_spark.operators.chunking import spread_small_scan
+
+    dim = len(
+        corpus.select(F.col(vec)).filter(F.col(vec).isNotNull()).first()[0]
+    )
+    seeds = (
+        corpus.select(
+            F.col(vec), portable_hash60(F.col(id_col).cast("string")).alias("__h")
+        )
+        .orderBy("__h")
+        .limit(k)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[vec]] for r in seeds]
+
+    data = spread_small_scan(corpus.select(F.col(id_col), F.col(vec))).persist()
+    data.count()
+    assignments = None
+    for _ in range(iters):
+        # squared L2 to each centroid, scaled-int accumulated per element
+        dists = [
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec),
+                    F.array(*[F.lit(c) for c in cent]),
+                    lambda x, cx: F.round(
+                        (x.cast("double") - cx) * (x.cast("double") - cx)
+                        * F.lit(float(VSCALE))
+                    ).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            for cent in centroids
+        ]
+        cluster = F.lit(0)
+        best = dists[0]
+        for ci in range(1, k):
+            cond = dists[ci] < best
+            cluster = F.when(cond, F.lit(ci)).otherwise(cluster)
+            best = F.when(cond, dists[ci]).otherwise(best)
+        assignments = data.select(
+            F.col(id_col),
+            F.col(vec),
+            cluster.alias("cluster"),
+            best.alias("sq_dist_scaled"),
+        )
+        sums = (
+            assignments.select(
+                "cluster", F.posexplode(F.col(vec)).alias("pos", "x")
+            )
+            .groupBy("cluster", "pos")
+            .agg(
+                F.sum(F.round(F.col("x").cast("double") * VSCALE).cast("long")).alias(
+                    "s"
+                ),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        new_centroids = [list(c) for c in centroids]  # empty clusters keep seed
+        by_cluster: dict[int, list[tuple[int, int, int]]] = {}
+        for r in sums:
+            by_cluster.setdefault(r["cluster"], []).append((r["pos"], r["s"], r["n"]))
+        for ci, entries in by_cluster.items():
+            vec_out = [0.0] * dim
+            for pos, s, n in entries:
+                vec_out[pos] = (s / float(VSCALE)) / n
+            new_centroids[ci] = vec_out
+        centroids = new_centroids
+    return centroids, assignments.drop(vec)

@@ -273,3 +273,18 @@ def sim_rp_lsh_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe_filter=(F.col("vec_id") % 50 == 0),
         k=5,
     )
+
+
+@register("sim_kmeans_ivf_cells", tags=("similarity", "kmeans", "iterative"))
+def sim_kmeans_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell build via deterministic k-means (Lloyd, 2 iterations,
+    scaled-int centroid accumulation — partition-invariant). Iterative
+    driver-coordinated model state is not SQL-expressible, so this entry
+    is rows-only-checked by design; determinism is pinned by
+    tests/test_similarity.py."""
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    _, assign = similarity.kmeans_lite(emb, "vec_id", k=8, iters=2)
+    return (
+        assign.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("representative"))
+    )

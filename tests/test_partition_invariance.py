@@ -41,3 +41,22 @@ def test_result_invariant_to_shuffle_partitions(spark, sf_dir, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
     assert low == high, f"{name} changed results with partition count"
+
+
+def test_join_strategy_invariance(spark, sf_dir):
+    """flagship joins broadcast locally (dims under the threshold) but
+    become sort-merge at cluster scale — results must be identical, and
+    the plan must actually flip so we know both paths are exercised."""
+    from agol_pandas_spark.plans.explain import formatted_plan
+
+    fn = REGISTRY["flagship_region_revenue"].fn
+    orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        bcast = _rowset(fn(spark, sf_dir))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = fn(spark, sf_dir)
+        assert "SortMergeJoin" in formatted_plan(df)
+        smj = _rowset(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
+    assert bcast == smj

@@ -97,3 +97,29 @@ def test_neardup_pairs_blocked_by_label(emb):
         assert labels[r["id_a"]] == labels[r["id_b"]]
         assert r["cosine"] >= 0.8
         assert r["id_a"] < r["id_b"]
+
+
+def test_kmeans_lite_deterministic_and_converging(spark, sf_dir, emb):
+    from agol_pandas_spark.operators.similarity import kmeans_lite
+    from pyspark.sql import functions as F
+
+    def run(parts):
+        orig = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        try:
+            cents, assign = kmeans_lite(emb, "vec_id", k=4, iters=2)
+            rows = sorted((r.vec_id, r.cluster) for r in assign.collect())
+            inertia = assign.agg(F.sum("sq_dist_scaled")).collect()[0][0]
+            return cents, rows, inertia
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+    c3, r3, i3 = run(3)
+    c64, r64, i64 = run(64)
+    assert r3 == r64 and c3 == c64 and i3 == i64  # partition-invariant
+
+    # more iterations must not increase inertia (Lloyd monotonicity,
+    # measured on the final assignment's own distances)
+    _, assign1 = kmeans_lite(emb, "vec_id", k=4, iters=1)
+    i1 = assign1.agg(F.sum("sq_dist_scaled")).collect()[0][0]
+    assert i3 <= i1
