@@ -135,3 +135,77 @@ def source_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("value") * 10000).cast("long")).alias("value_scaled"),
         )
     )
+
+
+@register(
+    "audit_foreign_key_orphans",
+    tags=("quality", "audit", "join"),
+    oracle="""
+    SELECT 'orders.o_custkey->customer' AS fk,
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS n_orphans,
+           (SELECT COUNT(*) FROM orders) AS n_rows
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders',
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)),
+           (SELECT COUNT(*) FROM lineitem)
+    UNION ALL
+    SELECT 'supplier.s_nationkey->nation',
+           (SELECT COUNT(*) FROM supplier s
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = s.s_nationkey)),
+           (SELECT COUNT(*) FROM supplier)
+    """,
+)
+def audit_foreign_key_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for three FK edges via
+    anti joins — the standard pre-pipeline data-quality gate. Each edge is
+    one anti-join aggregate; parents broadcast when dimension-sized."""
+    cat = Catalog(spark, sf_dir)
+
+    def orphans(fk, child, ckey, parent, pkey):
+        c, p = cat.table(child), cat.table(parent).select(pkey)
+        return (
+            c.join(p, c[ckey] == p[pkey], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(
+                F.lit(fk).alias("fk"),
+                "n_orphans",
+                F.lit(cat.table(child).count()).alias("n_rows"),
+            )
+        )
+
+    return (
+        orphans("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey")
+        .unionByName(orphans("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"))
+        .unionByName(orphans("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+    )
+
+
+_STATS_TABLES = ("region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem", "events", "documents", "embeddings")
+
+
+@register(
+    "catalog_table_stats",
+    tags=("catalog", "audit"),
+    oracle=" UNION ALL ".join(
+        f"SELECT '{t}' AS table_name, COUNT(*) AS n_rows FROM {t}"
+        for t in _STATS_TABLES
+    ),
+)
+def catalog_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog enumeration + per-table row counts (the engine's DESCRIBE
+    surface; counts answer from parquet footer metadata under aggregate
+    pushdown — no data scan)."""
+    cat = Catalog(spark, sf_dir)
+    out = None
+    for t in _STATS_TABLES:
+        one = cat.table(t).agg(F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit(t).alias("table_name"), "n_rows"
+        )
+        out = one if out is None else out.unionByName(one)
+    return out
