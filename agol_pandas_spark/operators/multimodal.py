@@ -157,3 +157,43 @@ def sample_frames(
             F.col("f.frame_bytes").alias("frame_bytes"),
         )
     )
+
+
+def resize_payload(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    factor: int = 4,
+) -> DataFrame:
+    """Resize stage plumbing: downsample each payload by keeping every
+    ``factor``-th byte (the deterministic stand-in for an image resize —
+    swap the kernel body for PIL/opencv in a real deployment).
+
+    Arrow-batched ``mapInPandas``, same scale shape as :func:`decode_features`:
+    payloads stay on executors, output schema declared up front. Emits the
+    resized payload plus before/after sizes so downstream planning and
+    accounting never re-touch the bytes.
+    """
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("resized_payload", T.BinaryType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("resized_n_bytes", T.LongType()),
+        ]
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            resized = [bytes(p[::factor]) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "resized_payload": resized,
+                    "n_bytes": [len(p) for p in payloads],
+                    "resized_n_bytes": [len(r) for r in resized],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(process, schema=out_schema)

@@ -118,3 +118,24 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         F.floor(F.col("mean_intensity")).cast("long").alias("intensity_scaled"),
     )
+
+
+@register(
+    "mm_resize_payload",
+    tags=("multimodal", "resize", "mapInPandas"),
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST((octet_length(encode(text)) + 3) // 4 AS BIGINT)
+               AS resized_n_bytes
+    FROM documents
+    """,
+)
+def mm_resize_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage (every-4th-byte downsample as the deterministic fake
+    kernel): the oracle checks the size contract ceil(n/4); byte-level
+    content is pinned against a pure-Python reference in tests."""
+    from agol_pandas_spark.operators.multimodal import resize_payload
+
+    resized = resize_payload(_payloads(spark, sf_dir), "doc_id", factor=4)
+    return resized.select("doc_id", "n_bytes", "resized_n_bytes")

@@ -87,3 +87,15 @@ def test_streaming_matches_batch(spark, sf_dir, tmp_path):
     for k, v in g.items():
         assert b[k] == v
     assert len(g) >= len(b) - 5  # at most the tail windows unemitted
+
+
+def test_resize_payload_bytes_match_python_reference(payloads):
+    from agol_pandas_spark.operators.multimodal import resize_payload
+
+    out = resize_payload(payloads, "doc_id", factor=4).limit(50).collect()
+    src = {r.doc_id: r.text for r in payloads.select("doc_id", "text").collect()}
+    assert out
+    for r in out:
+        want = src[r.doc_id].encode("utf-8")[::4]
+        assert bytes(r.resized_payload) == want
+        assert r.resized_n_bytes == len(want)
