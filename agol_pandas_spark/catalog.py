@@ -97,18 +97,27 @@ class Catalog:
             ]
         return self._ns_cols[path]
 
-    def table(self, name: str) -> DataFrame:
+    def table(self, name: str, merge_schema: bool = False) -> DataFrame:
         """Lazy scan of a catalog table (replaces the reference's eager
         full-table fetch, ``src/agol_pandas.py:218-251``).
 
         Parquet TIMESTAMP(NANOS) columns (which Spark reads as long-nanos
         under ``nanosAsLong``) are converted to µs TimestampType —
         truncation, matching what DuckDB's parquet reader does natively.
+
+        ``merge_schema=True`` resolves an evolved multi-file dataset to the
+        union schema (files written before a column existed read it as
+        NULL) — the schema-evolution contract chunked appends need. Off by
+        default: footer merging reads every file's metadata up front, a
+        real cost at 100k-file scale.
         """
         p = self.path(name)
         if not os.path.exists(p):
             raise TableNotFoundError(f"no table {name!r} under {self.root}")
-        df = self.spark.read.parquet(p)
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(p)
         for c in self._nanos_columns(p):
             # guard on the type Spark actually produced: INT96 columns also
             # look like ns to pyarrow but arrive as TimestampType already

@@ -95,3 +95,25 @@ def test_dimension_join_is_broadcast(spark, sf_dir):
 
     q = load_all()["flagship_region_revenue"].fn(spark, sf_dir)
     assert uses_broadcast_join(q)
+
+
+def test_table_merge_schema_reads_evolved_dataset(spark, tmp_path):
+    """Files appended after a column was added must resolve to the union
+    schema under merge_schema=True, with NULLs for pre-evolution rows."""
+    import os
+
+    from agol_pandas_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    cat.write(spark.createDataFrame([(1, "x")], "id long, a string"), "t", mode="error")
+    # simulate an evolved append: drop a new-schema file into the dataset
+    extra = spark.createDataFrame([(2, "y", 9.5)], "id long, a string, b double")
+    staged = str(tmp_path / "staged")
+    extra.coalesce(1).write.parquet(staged)
+    part = next(f for f in os.listdir(staged) if f.endswith(".parquet"))
+    os.rename(os.path.join(staged, part), os.path.join(cat.path("t"), "evolved.parquet"))
+
+    merged = cat.table("t", merge_schema=True)
+    assert set(merged.columns) == {"id", "a", "b"}
+    rows = {r.id: (r.a, r.b) for r in merged.collect()}
+    assert rows == {1: ("x", None), 2: ("y", 9.5)}
