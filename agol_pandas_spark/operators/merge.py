@@ -193,3 +193,38 @@ def write_table(
     # self-referential overwrite: the plan reads the files it will replace,
     # so stage to a new directory first (catalog.write is atomic).
     return catalog.write(result, name, mode="overwrite")
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Classify every key across two table snapshots: ``inserted`` (new
+    only), ``deleted`` (old only), ``updated`` (both, any compared column
+    differs, null-safe), ``unchanged``.
+
+    The reconciliation/CDC-extraction twin of the merge modes: where merge
+    APPLIES a delta, diff RECOVERS one from two snapshots. Single full
+    outer join on the key; comparison is a null-safe struct equality, so
+    NULL→value and value→NULL transitions count as updates.
+    """
+    cols = compare_cols or [c for c in old.columns if c != key and c in new.columns]
+    o = old.select(
+        F.col(key).alias("__ok"), F.struct(*[F.col(c) for c in cols]).alias("__ov")
+    )
+    n = new.select(
+        F.col(key).alias("__nk"), F.struct(*[F.col(c) for c in cols]).alias("__nv")
+    )
+    joined = o.join(n, o["__ok"] == n["__nk"], "full_outer")
+    change = (
+        F.when(F.col("__ok").isNull(), F.lit("inserted"))
+        .when(F.col("__nk").isNull(), F.lit("deleted"))
+        .when(~F.col("__ov").eqNullSafe(F.col("__nv")), F.lit("updated"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(
+        F.coalesce(F.col("__ok"), F.col("__nk")).alias(key),
+        change.alias("change_type"),
+    )

@@ -151,3 +151,71 @@ def merge_chunk_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = Catalog(spark, sf_dir).table("customer")
     chunked = with_chunk_id(cust, chunk_size=40, keys=("c_custkey",))
     return partition_lineage(chunked, key="c_custkey")
+
+
+@register(
+    "merge_snapshot_diff",
+    tags=("merge", "cdc", "diff"),
+    oracle="""
+    WITH delta AS (
+      SELECT c_custkey, c_name,
+             CAST(round(c_acctbal * 100 + 1000000) AS BIGINT) / 100.0 AS c_acctbal
+      FROM customer WHERE c_custkey % 3 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 'new_customer_' || CAST(c_custkey AS VARCHAR),
+             c_acctbal
+      FROM customer WHERE c_custkey % 7 = 0
+    ),
+    oldt AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+    newt AS (
+      SELECT c_custkey,
+             COALESCE(d.c_name, o.c_name) AS c_name,
+             COALESCE(d.c_acctbal, o.c_acctbal) AS c_acctbal
+      FROM oldt o FULL OUTER JOIN delta d USING (c_custkey)
+    )
+    SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+           CASE WHEN o.c_custkey IS NULL THEN 'inserted'
+                WHEN n.c_custkey IS NULL THEN 'deleted'
+                WHEN o.c_name IS DISTINCT FROM n.c_name
+                  OR o.c_acctbal IS DISTINCT FROM n.c_acctbal THEN 'updated'
+                ELSE 'unchanged' END AS change_type
+    FROM oldt o FULL OUTER JOIN newt n ON o.c_custkey = n.c_custkey
+    """,
+)
+def merge_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recover a delta from two snapshots (the inverse of applying one):
+    upsert a synthetic delta onto customer, then diff old vs new — every
+    delta row must classify as updated/inserted, everything else
+    unchanged."""
+    from agol_pandas_spark.operators.merge import merge, snapshot_diff
+
+    cust = Catalog(spark, sf_dir).table("customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    delta = _diff_delta(cust)
+    new = merge(cust, delta, "upsert", key="c_custkey")
+    return snapshot_diff(cust, new, key="c_custkey")
+
+
+def _diff_delta(cust: DataFrame) -> DataFrame:
+    bumped = (
+        cust.filter(F.col("c_custkey") % 3 == 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            (
+                F.round(F.col("c_acctbal") * 100 + 1000000).cast("long") / 100.0
+            ).alias("c_acctbal"),
+        )
+    )
+    fresh = (
+        cust.filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            F.concat(F.lit("new_customer_"), F.col("c_custkey").cast("string")).alias(
+                "c_name"
+            ),
+            "c_acctbal",
+        )
+    )
+    return bumped.unionByName(fresh)
