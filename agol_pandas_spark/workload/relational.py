@@ -791,3 +791,56 @@ def string_levenshtein_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dist") <= 6)
     )
+
+
+@register(
+    "stats_price_quantity_corr",
+    tags=("agg", "statistics"),
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sx,
+             SUM(CAST(round(l_quantity) AS BIGINT)) AS sy,
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(round(l_quantity) AS BIGINT)) AS sxy,
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxx,
+             SUM(CAST(round(l_quantity) AS BIGINT)
+                 * CAST(round(l_quantity) AS BIGINT)) AS syy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+              * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+               AS price_qty_corr
+    FROM m
+    """,
+)
+def stats_price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from exact integer moments: the five sums
+    accumulate as BIGINT (price is 2-decimal fixed-point), so the final
+    double formula is identical cross-engine — F.corr's streaming float
+    accumulation would not be. The same one-pass moment shape is how corr
+    distributes at 100 TB."""
+    sx = F.round(F.col("l_extendedprice") * 100).cast("long")
+    sy = F.round(F.col("l_quantity")).cast("long")
+    m = (
+        Catalog(spark, sf_dir)
+        .table("lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(sx).alias("sx"),
+            F.sum(sy).alias("sy"),
+            F.sum(sx * sy).alias("sxy"),
+            F.sum(sx * sx).alias("sxx"),
+            F.sum(sy * sy).alias("syy"),
+        )
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(n * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")) * F.sqrt(
+        n * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    )
+    return m.select("l_returnflag", "n", (num / den).alias("price_qty_corr"))
