@@ -3,9 +3,10 @@ sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is executed twice: a warm-up plan+run is NOT counted (JVM/JIT
-and file-listing noise), the second run is. The action is a count()-style
-full materialization (write to noop would also work; collect is avoided
-for the large-output queries).
+and file-listing noise), the second run is. The action is a noop-sink
+write — full materialization of every output column. (count() is NOT a
+valid action here: Catalyst prunes aggregate expressions a count doesn't
+need, undercounting e.g. the wide pricing summary by 3x.)
 """
 
 from __future__ import annotations
@@ -27,15 +28,19 @@ def main() -> None:
     headline = {n: q for n, q in sorted(registry.items()) if q.headline}
 
     spark = get_spark(app_name="agol_pandas_spark-bench")
+
+    def materialize(df):
+        df.write.format("noop").mode("overwrite").save()
+
     # warm the JVM + file listings once
-    next(iter(headline.values())).fn(spark, sf_dir).count()
+    materialize(next(iter(headline.values())).fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name, q in headline.items():
         df = q.fn(spark, sf_dir)
-        df.count()  # warm run (plan + shuffle files)
+        materialize(df)  # warm run (plan + shuffle files)
         t0 = time.perf_counter()
-        df.count()
+        materialize(df)
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
