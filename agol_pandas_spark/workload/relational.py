@@ -844,3 +844,34 @@ def stats_price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         n * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
     )
     return m.select("l_returnflag", "n", (num / den).alias("price_qty_corr"))
+
+
+_Q17_SQL = """
+    SELECT l.l_partkey,
+           COUNT(*) AS n_small,
+           SUM(CAST(round(l.l_extendedprice * 100) AS BIGint)) AS revenue_scaled
+    FROM lineitem l
+    WHERE l.l_partkey < 2000
+      AND CAST(round(l.l_quantity) AS BIGINT)
+          * 5 * (SELECT COUNT(*) FROM lineitem l2
+                 WHERE l2.l_partkey = l.l_partkey)
+          < (SELECT SUM(CAST(round(l2.l_quantity) AS BIGINT))
+             FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    GROUP BY l.l_partkey
+"""
+
+
+@register(
+    "subquery_q17_small_quantity_parts",
+    tags=("subquery", "correlated", "agg"),
+    oracle=_Q17_SQL,
+)
+def subquery_q17_small_quantity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: lineitems under 20% of their part's average
+    quantity — a correlated aggregate subquery over the fact table itself
+    (Catalyst decorrelates to an aggregate + self-join; a different path
+    than the dimension-correlated subquery query). The 20%-of-average test
+    is integer-exact: qty*5*count < sum(qty), all scaled longs."""
+    cat = Catalog(spark, sf_dir)
+    cat.register_views(("lineitem",))
+    return spark.sql(_Q17_SQL)
