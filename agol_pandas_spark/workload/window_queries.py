@@ -320,3 +320,31 @@ def window_ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "window_percent_rank_cume_dist",
+    tags=("window",),
+    oracle="""
+    SELECT s_suppkey, s_acctbal,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM supplier
+    WINDOW w AS (ORDER BY s_acctbal, s_suppkey)
+    """,
+)
+def window_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank window functions (both are exact rational ratios of
+    row positions — (rank-1)/(n-1) and rank/n — so doubles compare
+    bit-for-bit cross-engine)."""
+    w = Window.orderBy("s_acctbal", "s_suppkey")
+    return (
+        Catalog(spark, sf_dir)
+        .table("supplier")
+        .select(
+            "s_suppkey",
+            "s_acctbal",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+    )
