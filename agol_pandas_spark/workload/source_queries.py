@@ -209,3 +209,48 @@ def catalog_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = one if out is None else out.unionByName(one)
     return out
+
+
+@register(
+    "source_dynamic_partition_pruning",
+    tags=("source", "partitioning", "dpp", "join"),
+    oracle="""
+    WITH type_dim(event_type, channel) AS (
+      VALUES ('click', 'web'), ('view', 'web'),
+             ('purchase', 'checkout'), ('signup', 'onboarding'),
+             ('error', 'ops')
+    )
+    SELECT d.channel, COUNT(*) AS n_events,
+           SUM(CAST(round(e.value * 10000) AS BIGINT)) AS value_scaled
+    FROM events e JOIN type_dim d ON e.event_type = d.event_type
+    WHERE d.channel = 'web'
+    GROUP BY d.channel
+    """,
+)
+def source_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is partitioned on
+    event_type, the predicate lives on the DIM side (channel='web'), and
+    Spark builds a runtime subquery that prunes fact partitions to the
+    event types surviving the dim filter — the scan never reads the other
+    channels' partitions. The defining scan optimization for star joins on
+    partitioned 100 TB facts (plan asserted in tests/test_plans.py)."""
+    ev = Catalog(spark, sf_dir).table("events").select(
+        "event_type", "value"
+    )
+    path = _stage("dpp")
+    ev.write.partitionBy("event_type").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("click", "web"), ("view", "web"), ("purchase", "checkout"),
+         ("signup", "onboarding"), ("error", "ops")],
+        "event_type string, channel string",
+    )
+    return (
+        fact.join(dim, "event_type")
+        .filter(F.col("channel") == "web")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 10000).cast("long")).alias("value_scaled"),
+        )
+    )

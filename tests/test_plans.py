@@ -97,3 +97,8 @@ def test_partitioned_scan_prunes(q):
     assert "PartitionFilters" in plan and "event_type" in plan.split(
         "PartitionFilters"
     )[1].split("]")[0]
+
+
+def test_dynamic_partition_pruning(q):
+    plan = formatted_plan(q("source_dynamic_partition_pruning"))
+    assert "dynamicpruning" in plan.lower(), "no DPP subquery in the fact scan"
