@@ -78,3 +78,18 @@ def write_stream_to_memory(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming deduplication: drop repeats of ``keys`` arriving within
+    the watermark window (``dropDuplicatesWithinWatermark``). State holds
+    one entry per key seen inside the watermark horizon and is evicted as
+    event time advances — the bounded-state streaming twin of
+    ``operators.dedup.exact_dedup`` for at-least-once sources that can
+    replay recent records."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)

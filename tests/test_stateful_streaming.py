@@ -127,3 +127,50 @@ def test_stream_merge_into_catalog_upsert(spark, sf_dir, tmp_path):
     }
     want = {r.user_id: (r.ts_us, r.value) for r in latest_per_user(ev).collect()}
     assert got == want
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Replayed records inside the watermark dedupe across micro-batches;
+    the first occurrence survives."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from agol_pandas_spark.streaming.windows import (
+        stream_dedup_within_watermark,
+        write_stream_to_memory,
+    )
+    import pandas as pd
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def pdf(rows):
+        return pd.DataFrame(rows, columns=["k", "ts"])
+
+    landing = tmp_path / "dedup_landing"
+    landing.mkdir()
+    batches = [
+        pdf([("a", t0), ("b", t0 + dt.timedelta(minutes=1))]),
+        # replay of 'a' within watermark + a fresh key
+        pdf([("a", t0 + dt.timedelta(minutes=2)), ("c", t0 + dt.timedelta(minutes=3))]),
+    ]
+    # µs timestamps: pandas→arrow default is ns, which Spark (under the
+    # engine's nanosAsLong conf) reads as INT64, clashing with the declared
+    # timestamp schema
+    schema = pa.schema([("k", pa.string()), ("ts", pa.timestamp("us"))])
+    for i, b in enumerate(batches):
+        path = str(landing / f"b{i}.parquet")
+        pq.write_table(pa.Table.from_pandas(b, schema=schema), path)
+        os.utime(path, (1_000_000 * (i + 1), 1_000_000 * (i + 1)))
+
+    stream = stream_from_directory(spark, str(landing), "k string, ts timestamp")
+    deduped = stream_dedup_within_watermark(stream, ["k"], watermark="1 hour")
+    q = write_stream_to_memory(deduped, "dedup_stream", output_mode="append")
+    q.awaitTermination()
+    rows = {(r.k, r.ts) for r in spark.table("dedup_stream").collect()}
+    assert rows == {
+        ("a", t0),
+        ("b", t0 + dt.timedelta(minutes=1)),
+        ("c", t0 + dt.timedelta(minutes=3)),
+    }
