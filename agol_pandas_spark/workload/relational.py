@@ -875,3 +875,52 @@ def subquery_q17_small_quantity_parts(spark: SparkSession, sf_dir: str) -> DataF
     cat = Catalog(spark, sf_dir)
     cat.register_views(("lineitem",))
     return spark.sql(_Q17_SQL)
+
+
+@register("agg_hll_sketch_union", tags=("agg", "sketch", "approx"))
+def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches via Spark built-ins):
+    per-segment customer sketches built in one pass, then UNIONED into a
+    global estimate — the sketch algebra that lets 1000 executors count
+    distincts without re-scanning (re-aggregatable, unlike
+    approx_count_distinct's one-shot HLL++). Sketch binaries aren't
+    SQL-portable → rows-only check."""
+    cust = Catalog(spark, sf_dir).table("customer")
+    per_seg = cust.groupBy("c_mktsegment").agg(
+        F.hll_sketch_agg("c_custkey").alias("sk"),
+        F.count(F.lit(1)).alias("n_exact"),
+    )
+    segs = per_seg.select(
+        "c_mktsegment",
+        F.hll_sketch_estimate("sk").alias("n_distinct_est"),
+        "n_exact",
+    )
+    total = per_seg.agg(
+        F.lit("_ALL_").alias("c_mktsegment"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_distinct_est"),
+        F.sum("n_exact").alias("n_exact"),
+    )
+    return segs.unionByName(total)
+
+
+@register(
+    "math_try_divide_safe",
+    tags=("math", "null-safety"),
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice / NULLIF(l_quantity - 1, 0) AS price_per_extra_unit
+    FROM lineitem WHERE l_orderkey < 100
+    """,
+)
+def math_try_divide_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe division: try_divide yields NULL on division by zero
+    instead of failing the job (ANSI mode) or emitting Inf (legacy) —
+    per-row IEEE division otherwise, bit-identical cross-engine."""
+    li = Catalog(spark, sf_dir).table("lineitem").filter(F.col("l_orderkey") < 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(
+            F.col("l_extendedprice"), F.col("l_quantity") - 1
+        ).alias("price_per_extra_unit"),
+    )
