@@ -924,3 +924,28 @@ def math_try_divide_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice"), F.col("l_quantity") - 1
         ).alias("price_per_extra_unit"),
     )
+
+
+@register(
+    "agg_collect_sorted_set",
+    tags=("agg", "array"),
+    oracle="""
+    SELECT l_returnflag,
+           list_sort(list(DISTINCT l_linestatus)) AS statuses,
+           COUNT(DISTINCT l_linestatus) AS n_statuses
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_collect_sorted_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped array collection: collect_set is orderless, so results are
+    array_sort-ed before leaving the engine — the determinism rule for any
+    collected array at any scale."""
+    return (
+        Catalog(spark, sf_dir)
+        .table("lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.array_sort(F.collect_set("l_linestatus")).alias("statuses"),
+            F.countDistinct("l_linestatus").alias("n_statuses"),
+        )
+    )
