@@ -254,3 +254,33 @@ def source_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFr
             F.sum(F.round(F.col("value") * 10000).cast("long")).alias("value_scaled"),
         )
     )
+
+
+@register(
+    "source_orc_roundtrip_agg",
+    tags=("source", "orc"),
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS n,
+           SUM(CAST(round(s_acctbal * 100) AS BIGINT)) AS balance_scaled
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_regionkey
+    """,
+)
+def source_orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC staging roundtrip: the second columnar format the engine speaks
+    natively (same pushdown/pruning machinery as parquet). Supplier goes
+    through ORC; the join+agg must match the original tables."""
+    cat = Catalog(spark, sf_dir)
+    path = _stage("orc")
+    cat.table("supplier").select("s_suppkey", "s_nationkey", "s_acctbal").write.orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.join(cat.table("nation"), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("s_acctbal") * 100).cast("long")).alias(
+                "balance_scaled"
+            ),
+        )
+    )
