@@ -53,3 +53,16 @@ def map_batches(
     per-group memory requirement; the go-to for per-row Python logic
     (tokenizers, codecs — see ``operators/multimodal.py``)."""
     return df.mapInPandas(fn, schema=schema)
+
+
+def map_arrow_batches(
+    df: DataFrame,
+    fn,
+    schema: T.StructType | str,
+) -> DataFrame:
+    """Arrow-RecordBatch transform (``mapInArrow``): like
+    :func:`map_batches` but hands the Python worker raw
+    ``pyarrow.RecordBatch`` objects — no pandas conversion, so columnar
+    kernels (pyarrow.compute, numpy-on-buffers) run zero-copy. Prefer this
+    over pandas batches when the kernel is itself Arrow-native."""
+    return df.mapInArrow(fn, schema=schema)
