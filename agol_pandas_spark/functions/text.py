@@ -66,10 +66,6 @@ def portable_hash60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def sql_portable_hash60(expr: str) -> str:
-    return f"CAST(('0x' || substring(md5({expr}),1,15)) AS BIGINT)"
-
-
 def count_tokens_in(toks: Column | str, vocab: tuple[str, ...]) -> Column:
     """How many tokens fall in a fixed vocabulary (stopword-hit counter)."""
     arr = F.array(*[F.lit(v) for v in vocab])

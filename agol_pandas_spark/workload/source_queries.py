@@ -168,14 +168,15 @@ def audit_foreign_key_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def orphans(fk, child, ckey, parent, pkey):
         c, p = cat.table(child), cat.table(parent).select(pkey)
-        return (
+        orphan_count = (
             c.join(p, c[ckey] == p[pkey], "left_anti")
             .agg(F.count(F.lit(1)).alias("n_orphans"))
-            .select(
-                F.lit(fk).alias("fk"),
-                "n_orphans",
-                F.lit(cat.table(child).count()).alias("n_rows"),
-            )
+        )
+        # total row count stays a lazy aggregate (no driver-side .count()
+        # at plan-build time) — the cross join is 1×1
+        total = c.agg(F.count(F.lit(1)).alias("n_rows"))
+        return orphan_count.crossJoin(total).select(
+            F.lit(fk).alias("fk"), "n_orphans", "n_rows"
         )
 
     return (
