@@ -20,9 +20,23 @@ Nothing here is a port: every operator is declared through the DataFrame
 API so Catalyst/Tungsten pick the physical strategy.
 """
 
-from agol_pandas_spark.session import get_spark
 from agol_pandas_spark.catalog import Catalog
+from agol_pandas_spark.operators.merge import WriteMode, merge, snapshot_diff, write_table
+from agol_pandas_spark.session import get_spark
+
+# reference-compatible facade (1:1 names with src/agol_pandas.py's public
+# surface) lives in agol_pandas_spark.api
+from agol_pandas_spark import api  # noqa: E402  (import order: facade needs core)
 
 __version__ = "0.1.0"
 
-__all__ = ["get_spark", "Catalog", "__version__"]
+__all__ = [
+    "Catalog",
+    "WriteMode",
+    "api",
+    "get_spark",
+    "merge",
+    "snapshot_diff",
+    "write_table",
+    "__version__",
+]
