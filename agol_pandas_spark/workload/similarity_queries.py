@@ -288,3 +288,26 @@ def sim_kmeans_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign.groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("representative"))
     )
+
+
+@register(
+    "array_predicates_embeddings",
+    tags=("array", "higher-order"),
+    oracle="""
+    SELECT vec_id,
+           list_bool_or(list_transform(embedding,  x -> x > 0.3))  AS any_large,
+           list_bool_and(list_transform(embedding, x -> abs(x) < 1.0)) AS all_unit,
+           CAST(len(list_filter(embedding, x -> x < 0)) AS INTEGER) AS n_negative
+    FROM embeddings
+    """,
+)
+def array_predicates_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array predicates (exists / forall / filter) — per-row
+    float comparisons are exact, so the booleans and counts value-match."""
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    return emb.select(
+        "vec_id",
+        F.exists("embedding", lambda x: x > 0.3).alias("any_large"),
+        F.forall("embedding", lambda x: F.abs(x) < 1.0).alias("all_unit"),
+        F.size(F.filter("embedding", lambda x: x < 0)).alias("n_negative"),
+    )
