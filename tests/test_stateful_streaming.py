@@ -174,3 +174,61 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
         ("b", t0 + dt.timedelta(minutes=1)),
         ("c", t0 + dt.timedelta(minutes=3)),
     }
+
+
+def test_late_data_beyond_watermark_dropped(spark, tmp_path):
+    """A record arriving after its window was finalized (watermark passed
+    the window end in an earlier batch) is dropped; it neither reopens the
+    window nor emits a duplicate row in append mode."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from agol_pandas_spark.streaming.windows import (
+        windowed_counts,
+        write_stream_to_memory,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    h = dt.timedelta(hours=1)
+    schema = pa.schema(
+        [("ts", pa.timestamp("us")), ("event_type", pa.string()),
+         ("value", pa.float64())]
+    )
+    landing = tmp_path / "late_landing"
+    landing.mkdir()
+    cols = ["ts", "event_type", "value"]
+    batches = [
+        # b0: watermark advances to 12:50 for the next batch
+        pd.DataFrame([(t0, "click", 1.0), (t0 + 3 * h, "click", 1.0)], columns=cols),
+        # b1: processed under wm=12:50 -> the 10:00 window (end 11:00)
+        # finalizes and emits n=1
+        pd.DataFrame([(t0 + 3.5 * h, "click", 1.0)], columns=cols),
+        # b2: a record for the CLOSED 10:00 window + an on-time event
+        pd.DataFrame([(t0 + dt.timedelta(minutes=5), "click", 100.0),
+                      (t0 + 5 * h, "click", 1.0)], columns=cols),
+    ]
+    for i, b in enumerate(batches):
+        path = str(landing / f"b{i}.parquet")
+        pq.write_table(pa.Table.from_pandas(b, schema=schema), path)
+        os.utime(path, (1_000_000 * (i + 1), 1_000_000 * (i + 1)))
+
+    stream = stream_from_directory(
+        spark, str(landing), "ts timestamp, event_type string, value double"
+    )
+    wc = windowed_counts(stream, watermark="10 minutes")
+    q = write_stream_to_memory(wc, "late_probe", output_mode="append")
+    q.awaitTermination()
+    got = {
+        (r.window_start, r.n_events, r.total_value)
+        for r in spark.table("late_probe").collect()
+    }
+    # 10:00 window emitted exactly once with only the on-time event (the
+    # late 100.0 neither merged nor re-emitted); 13:00 window has both its
+    # events; the 15:00 window never finalizes (wm stops at 14:50)
+    assert got == {
+        (t0, 1, 1.0),
+        (t0 + 3 * h, 2, 2.0),
+    }
