@@ -30,6 +30,7 @@ target rows stream through the join untouched; nothing is collected.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
 from enum import Enum
 
 from pyspark.sql import DataFrame
@@ -66,7 +67,14 @@ class WriteMode(str, Enum):
 KEYED_MODES = frozenset({WriteMode.UPSERT, WriteMode.UPDATE, WriteMode.INSERT})
 
 
-def validate_unique_key(df: DataFrame, key: str, side: str = "source") -> None:
+def _keys(key) -> list[str]:
+    """Normalize the merge key: single column name or a sequence of them
+    (composite keys — beyond the reference's single ``upsert_column``,
+    ``src/agol_pandas.py:332-334``, but a natural generalization)."""
+    return [key] if isinstance(key, str) else list(key)
+
+
+def validate_unique_key(df: DataFrame, key, side: str = "source") -> None:
     """Reject duplicate keys before merging.
 
     Replaces the reference's server-side unique index
@@ -75,11 +83,12 @@ def validate_unique_key(df: DataFrame, key: str, side: str = "source") -> None:
     were silently ignored. One hash aggregation; short-circuits via
     ``isEmpty`` on the duplicate stream (no full count of the table).
     """
-    dupes = df.groupBy(key).count().filter(F.col("count") > 1)
+    ks = _keys(key)
+    dupes = df.groupBy(*ks).count().filter(F.col("count") > 1)
     if not dupes.isEmpty():
-        sample = [r[key] for r in dupes.select(key).limit(5).collect()]
+        sample = [tuple(r[k] for k in ks) for r in dupes.select(*ks).limit(5).collect()]
         raise DuplicateKeyError(
-            f"{side} has duplicate values for key {key!r}: sample {sample}"
+            f"{side} has duplicate values for key {ks}: sample {sample}"
         )
 
 
@@ -102,7 +111,7 @@ def merge(
     target: DataFrame,
     source: DataFrame,
     mode: str | WriteMode = WriteMode.APPEND,
-    key: str | None = None,
+    key: str | Sequence[str] | None = None,
     validate_keys: bool = True,
 ) -> DataFrame:
     """Return the post-merge contents of ``target`` (lazy plan).
@@ -131,29 +140,34 @@ def merge(
 
     if key is None:
         raise MissingKeyError(f"mode {m.value!r} requires a key column (:398-401)")
+    ks = _keys(key)
     if validate_keys:
-        validate_unique_key(src, key, "source")
+        validate_unique_key(src, ks, "source")
 
     if m is WriteMode.INSERT:
         # skip_updates=True (:404-405): keep target intact, add only new keys
-        new_rows = src.join(tgt.select(key), on=key, how="left_anti")
+        new_rows = src.join(tgt.select(*ks), on=ks, how="left_anti")
         return tgt.unionByName(new_rows.select(*tgt.columns))
 
     # upsert / update share one shape: target left-joined to source on key,
     # source column wins where matched. Unmatched-target rows pass through.
     src_pref = src.select(
-        F.col(key).alias(f"__src_{key}"),
+        *[F.col(k).alias(f"__src_{k}") for k in ks],
         F.lit(True).alias("__matched"),
-        *[F.col(c).alias(f"__src_{c}") for c in src.columns if c != key],
+        *[F.col(c).alias(f"__src_{c}") for c in src.columns if c not in ks],
     )
-    joined = tgt.join(src_pref, on=tgt[key] == src_pref[f"__src_{key}"], how="left")
+    cond = None
+    for k in ks:
+        c = tgt[k] == src_pref[f"__src_{k}"]
+        cond = c if cond is None else (cond & c)
+    joined = tgt.join(src_pref, on=cond, how="left")
     updated = joined.select(
         *[
             (
                 F.when(F.col("__matched"), F.col(f"__src_{c}"))
                 .otherwise(F.col(c))
                 .alias(c)
-                if c != key and c in real_src_cols
+                if c not in ks and c in real_src_cols
                 else F.col(c)
             )
             for c in tgt.columns
@@ -163,7 +177,7 @@ def merge(
         # skip_inserts=True (:402-403): unmatched source rows are dropped
         return updated
     # UPSERT: matched rows updated above + unmatched source rows appended
-    inserts = src.join(tgt.select(key), on=key, how="left_anti")
+    inserts = src.join(tgt.select(*ks), on=ks, how="left_anti")
     return updated.unionByName(inserts.select(*tgt.columns))
 
 
@@ -172,7 +186,7 @@ def write_table(
     source: DataFrame,
     name: str,
     mode: str | WriteMode = WriteMode.APPEND,
-    key: str | None = None,
+    key: str | Sequence[str] | None = None,
 ) -> str:
     """Materialize a merge into a catalog table, create-if-absent.
 

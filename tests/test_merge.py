@@ -102,3 +102,25 @@ def test_upsert_source_null_overwrites_carried_column(spark, tgt):
     rows = {r["id"]: r for r in out.collect()}
     assert rows[2]["name"] is None and rows[2]["v"] is None
     assert rows[1]["name"] is not None  # unmatched rows untouched
+
+
+def test_upsert_composite_key(spark):
+    tgt2 = spark.createDataFrame(
+        [(1, "a", 10.0), (1, "b", 11.0), (2, "a", 20.0)],
+        "k1 long, k2 string, v double",
+    )
+    src2 = spark.createDataFrame(
+        [(1, "b", 99.0), (3, "c", 30.0)], "k1 long, k2 string, v double"
+    )
+    out = merge(tgt2, src2, "upsert", key=["k1", "k2"])
+    rows = {(r.k1, r.k2): r.v for r in out.collect()}
+    assert rows == {(1, "a"): 10.0, (1, "b"): 99.0, (2, "a"): 20.0, (3, "c"): 30.0}
+
+
+def test_composite_key_duplicate_detection(spark):
+    tgt2 = spark.createDataFrame([(1, "a", 1.0)], "k1 long, k2 string, v double")
+    dup = spark.createDataFrame(
+        [(1, "a", 1.0), (1, "a", 2.0)], "k1 long, k2 string, v double"
+    )
+    with pytest.raises(DuplicateKeyError):
+        merge(tgt2, dup, "upsert", key=["k1", "k2"])
