@@ -212,7 +212,7 @@ def write_table(
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,
-    key: str,
+    key: str | Sequence[str],
     compare_cols: list[str] | None = None,
 ) -> DataFrame:
     """Classify every key across two table snapshots: ``inserted`` (new
@@ -224,12 +224,17 @@ def snapshot_diff(
     outer join on the key; comparison is a null-safe struct equality, so
     NULL→value and value→NULL transitions count as updates.
     """
-    cols = compare_cols or [c for c in old.columns if c != key and c in new.columns]
+    ks = _keys(key)
+    cols = compare_cols or [
+        c for c in old.columns if c not in ks and c in new.columns
+    ]
     o = old.select(
-        F.col(key).alias("__ok"), F.struct(*[F.col(c) for c in cols]).alias("__ov")
+        F.struct(*[F.col(k) for k in ks]).alias("__ok"),
+        F.struct(*[F.col(c) for c in cols]).alias("__ov"),
     )
     n = new.select(
-        F.col(key).alias("__nk"), F.struct(*[F.col(c) for c in cols]).alias("__nv")
+        F.struct(*[F.col(k) for k in ks]).alias("__nk"),
+        F.struct(*[F.col(c) for c in cols]).alias("__nv"),
     )
     joined = o.join(n, o["__ok"] == n["__nk"], "full_outer")
     change = (
@@ -238,7 +243,8 @@ def snapshot_diff(
         .when(~F.col("__ov").eqNullSafe(F.col("__nv")), F.lit("updated"))
         .otherwise(F.lit("unchanged"))
     )
+    merged_key = F.coalesce(F.col("__ok"), F.col("__nk"))
     return joined.select(
-        F.coalesce(F.col("__ok"), F.col("__nk")).alias(key),
+        *[merged_key.getField(k).alias(k) for k in ks],
         change.alias("change_type"),
     )

@@ -124,3 +124,21 @@ def test_composite_key_duplicate_detection(spark):
     )
     with pytest.raises(DuplicateKeyError):
         merge(tgt2, dup, "upsert", key=["k1", "k2"])
+
+
+def test_snapshot_diff_composite_key(spark):
+    from agol_pandas_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (1, "b", 2.0), (2, "a", 3.0)], "k1 long, k2 string, v double"
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (1, "b", 9.0), (3, "c", 4.0)], "k1 long, k2 string, v double"
+    )
+    got = {(r.k1, r.k2): r.change_type for r in snapshot_diff(old, new, ["k1", "k2"]).collect()}
+    assert got == {
+        (1, "a"): "unchanged",
+        (1, "b"): "updated",
+        (2, "a"): "deleted",
+        (3, "c"): "inserted",
+    }
