@@ -157,3 +157,26 @@ def set_unique_key_constraint(
         return True, True
     except Exception as e:
         return str(e), False  # type: ignore[return-value]
+
+
+# -- exact-name aliases for drop-in migration --------------------------------
+# the reference's function names verbatim (src/agol_pandas.py public
+# surface), so existing call sites work unchanged after swapping the
+# `gis` handle for a Catalog
+agol_hosted_item_to_sdf = hosted_table_to_df
+df_to_agol_hosted_table = df_to_hosted_table
+
+
+def get_temp_file(suffix: str = ".csv") -> tuple[str, bool]:
+    """Reference ``get_temp_file`` (``src/agol_pandas.py:70-84``): a temp
+    path factory. The engine never stages through temp CSVs (parquet +
+    atomic commit), but the utility stays for callers that used it
+    directly."""
+    import tempfile
+
+    try:
+        f = tempfile.NamedTemporaryFile(suffix=suffix, delete=False)
+        f.close()
+        return f.name, True
+    except Exception as e:
+        return str(e), False

@@ -86,3 +86,16 @@ def test_set_unique_key_constraint(cat, cust):
     api.create_table(cat, "dup", dup)
     payload, ok = api.set_unique_key_constraint(cat, "dup", "c_custkey")
     assert ok is False and "duplicate" in str(payload)
+
+
+def test_reference_exact_names_available(catalog):
+    from agol_pandas_spark import api
+
+    df, ok = api.agol_hosted_item_to_sdf(catalog, "nation")
+    assert ok and df.count() == 25
+    assert api.df_to_agol_hosted_table is api.df_to_hosted_table
+    path, ok = api.get_temp_file(".csv")
+    assert ok and path.endswith(".csv")
+    import os
+
+    os.unlink(path)
