@@ -180,3 +180,51 @@ def get_temp_file(suffix: str = ".csv") -> tuple[str, bool]:
         return f.name, True
     except Exception as e:
         return str(e), False
+
+
+class LoggingObject:
+    """Reference ``LoggingObject`` (``src/agol_pandas.py:8-41``): driver-side
+    run/failure bookkeeping with a randomized, ratcheting backoff window.
+
+    The engine itself needs no inter-chunk throttling (local parquet, no
+    REST quota), but the object is part of the reference's public surface
+    and the policy transfers directly to a future REST DataSource V2
+    connector. Faithful semantics, minus the reference's dead
+    ``max_reattempts`` (declared but never consumed, ``:11``).
+    """
+
+    def __init__(
+        self,
+        max_backoff: float = 30.0,
+        min_backoff: float = 0.0,
+        backoff_interval: float = 0.1,
+    ):
+        self.max_backoff = max_backoff
+        self.min_backoff = min_backoff
+        self.backoff_interval = backoff_interval
+        self.backoff = 0.0
+        self.failures = 0
+        self.logging_info: list[dict] = []
+        self.fail_log: list[dict] = []
+
+    def set_backoff(self) -> None:
+        """Ratchet the lower bound up by ``backoff_interval`` per failure
+        and draw uniformly from [min, max] (reference ``:20-32``)."""
+        import random
+
+        self.min_backoff = min(
+            self.max_backoff, self.min_backoff + self.backoff_interval * self.failures
+        )
+        self.backoff = random.uniform(self.min_backoff, self.max_backoff)
+
+    def record_logging(self, info: dict) -> None:
+        self.logging_info.append(info)
+
+    def record_failure(self, info: dict) -> None:
+        self.fail_log.append(info)
+        self.failures += 1
+        self.set_backoff()
+
+
+#: module singleton, reference ``AP_LOG`` (``src/agol_pandas.py:43``)
+AP_LOG = LoggingObject()

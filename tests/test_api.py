@@ -99,3 +99,17 @@ def test_reference_exact_names_available(catalog):
     import os
 
     os.unlink(path)
+
+
+def test_logging_object_backoff_ratchets():
+    from agol_pandas_spark.api import LoggingObject
+
+    log = LoggingObject(max_backoff=5.0, backoff_interval=1.0)
+    log.record_logging({"chunk": 0, "ok": True})
+    assert log.failures == 0 and log.backoff == 0.0
+    for i in range(3):
+        log.record_failure({"chunk": i, "ok": False})
+    assert log.failures == 3
+    assert 0 < log.min_backoff <= 5.0
+    assert log.min_backoff <= log.backoff <= 5.0
+    assert len(log.fail_log) == 3 and len(log.logging_info) == 1
