@@ -61,3 +61,55 @@ def test_merge_modes_match_reference_semantics(spark, tgt, src, mode):
     got_rows = sorted((r.k, r.v) for r in got.collect())
     want = sorted(reference_merge(tgt, src, mode))
     assert got_rows == want, f"mode={mode}"
+
+
+# -- as-of join vs pandas merge_asof (the reference implementation) ----------
+
+ASOF_KEYS = st.integers(min_value=0, max_value=3)
+ASOF_TS = st.integers(min_value=0, max_value=30)
+
+
+@given(
+    left=st.lists(st.tuples(ASOF_KEYS, ASOF_TS), min_size=1, max_size=10),
+    right=st.lists(
+        st.tuples(ASOF_KEYS, ASOF_TS), min_size=1, max_size=10,
+        unique_by=lambda t: t,  # unique (key, ts): merge_asof tie rule differs
+    ),
+    direction=st.sampled_from(["backward", "forward"]),
+    tolerance=st.sampled_from([None, 3]),
+)
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right, direction, tolerance):
+    from agol_pandas_spark.operators.joins import asof_join
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k long, ts long, lid long"
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, float(100 * k + t)) for k, t in right], "k long, ts long, px double"
+    )
+    got = asof_join(
+        ldf, rdf, on=["k"], left_ts="ts", right_ts="ts", right_cols=["px"],
+        direction=direction,
+        tolerance_seconds=float(tolerance) if tolerance is not None else None,
+    )
+    got_map = {r.lid: r.px for r in got.collect()}
+
+    lpd = pd.DataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], columns=["k", "ts", "lid"]
+    ).sort_values("ts", kind="stable")
+    rpd = pd.DataFrame(
+        [(k, t, float(100 * k + t)) for k, t in right], columns=["k", "ts", "px"]
+    ).sort_values("ts", kind="stable")
+    want_pd = pd.merge_asof(
+        lpd, rpd, on="ts", by="k", direction=direction, tolerance=tolerance
+    )
+    want = {
+        int(r.lid): (None if pd.isna(r.px) else float(r.px))
+        for r in want_pd.itertuples()
+    }
+    assert got_map == want, f"direction={direction} tolerance={tolerance}"
