@@ -113,3 +113,63 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right, direction, tole
         for r in want_pd.itertuples()
     }
     assert got_map == want, f"direction={direction} tolerance={tolerance}"
+
+
+# -- connected components vs union-find (pure-Python reference) --------------
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    return {n: find(n) for n in parent}
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ).filter(lambda t: t[0] != t[1]),
+        min_size=1,
+        max_size=15,
+    )
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_connected_components_match_union_find(spark, edges):
+    from agol_pandas_spark.operators.dedup import connected_components
+
+    edf = spark.createDataFrame(edges, "a long, b long")
+    got = {r.node: r.component for r in connected_components(edf, "a", "b").collect()}
+    want = _union_find_components(edges)
+    # union-find roots aren't guaranteed minimal with path compression;
+    # normalize both sides to min-node-per-component
+    def normalize(m):
+        groups = {}
+        for node, root in m.items():
+            groups.setdefault(root, set()).add(node)
+        out = {}
+        for members in groups.values():
+            lo = min(members)
+            for n in members:
+                out[n] = lo
+        return out
+
+    assert normalize(got) == normalize(want)
