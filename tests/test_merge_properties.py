@@ -173,3 +173,26 @@ def test_connected_components_match_union_find(spark, edges):
         return out
 
     assert normalize(got) == normalize(want)
+
+
+# -- exact chunking vs direct slicing ----------------------------------------
+
+
+@given(
+    vals=st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=40),
+    chunk_size=st.integers(min_value=1, max_value=7),
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_with_chunk_id_matches_slicing(spark, vals, chunk_size):
+    from agol_pandas_spark.operators.chunking import with_chunk_id
+
+    df = spark.createDataFrame([(v, i) for i, v in enumerate(vals)], "v long, uid long")
+    out = with_chunk_id(df, chunk_size=chunk_size, keys=("v", "uid"))
+    got = {r.uid: r.chunk_id for r in out.collect()}
+    ordered = sorted(range(len(vals)), key=lambda i: (vals[i], i))
+    want = {uid: pos // chunk_size for pos, uid in enumerate(ordered)}
+    assert got == want
