@@ -51,6 +51,21 @@ def normalize_vector(a: Column | str) -> Column:
     Pre-normalizing once at ingest and storing the unit vector turns every
     subsequent similarity computation into a dot product — at scale this
     halves the arithmetic in the pairwise stage.
+
+    The norm is let-bound via a 1-element ``transform`` lambda: referencing
+    the ``l2_norm`` subtree inside the per-element lambda would re-evaluate
+    it once per component — O(d^2) per row in interpreted
+    higher-order-function eval (same pitfall as ``word_shingles``).
     """
-    n = l2_norm(a)
-    return F.transform(_c(a), lambda x: (x.cast("double") / n))
+    arr = _c(a)
+
+    def scale(pair: Column) -> Column:
+        return F.transform(
+            pair.getField("v"), lambda x: x.cast("double") / pair.getField("n")
+        )
+
+    return F.flatten(
+        F.transform(
+            F.array(F.struct(arr.alias("v"), l2_norm(arr).alias("n"))), scale
+        )
+    )
