@@ -39,9 +39,12 @@ def main() -> None:
     for name, q in headline.items():
         df = q.fn(spark, sf_dir)
         materialize(df)  # warm run (plan + shuffle files)
-        t0 = time.perf_counter()
-        materialize(df)
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(2):  # min-of-2: excludes GC/scheduler hiccups
+            t0 = time.perf_counter()
+            materialize(df)
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
