@@ -123,3 +123,37 @@ def test_kmeans_lite_deterministic_and_converging(spark, sf_dir, emb):
     _, assign1 = kmeans_lite(emb, "vec_id", k=4, iters=1)
     i1 = assign1.agg(F.sum("sq_dist_scaled")).collect()[0][0]
     assert i3 <= i1
+
+
+def test_rp_lsh_buckets_concentrate_similarity(emb, spark):
+    """The signed-random-projection contract: P(same bucket) grows with
+    cosine similarity, so same-bucket pairs must be measurably more
+    similar than random pairs. (Top-k recall is corpus-dependent — with
+    this corpus's max within-label cosine ~0.4, a 6-bit exact-bucket match
+    is a coarse ~6% filter by design; the kmeans/IVF path is the
+    higher-recall option.)"""
+    import itertools
+
+    import numpy as np
+
+    from agol_pandas_spark.operators.similarity import rp_signature_col
+    from agol_pandas_spark.workload.similarity_queries import RP_PLANES
+
+    rows = emb.select(
+        "vec_id", "embedding", rp_signature_col(F.col("embedding"), RP_PLANES).alias("b")
+    ).collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    bucket = {r.vec_id: r.b for r in rows}
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    ids = sorted(vecs)
+    same, diff = [], []
+    for x, y in itertools.combinations(ids, 2):
+        (same if bucket[x] == bucket[y] else diff).append(cos(vecs[x], vecs[y]))
+    assert same, "no same-bucket pairs at all — hashing degenerated"
+    assert np.mean(same) > np.mean(diff) + 0.05, (
+        f"same-bucket mean {np.mean(same):.3f} not above "
+        f"random mean {np.mean(diff):.3f}"
+    )
