@@ -275,18 +275,25 @@ def rp_lsh_topk(
     vec: str = "embedding",
     probe_filter: Column | None = None,
     k: int = 5,
+    multiprobe_bits: int = 0,
 ) -> DataFrame:
     """LSH-bucketed ANN: probes score only vectors sharing their bucket.
 
     Cost ≈ 1/2^planes of brute force per probe (expected); recall depends
-    on cluster separation. At scale the bucketed corpus is written
-    partitioned by bucket, making the probe join shuffle-free on the
-    corpus side — the same layout trick as IVF cells.
+    on cluster separation. ``multiprobe_bits=1`` additionally probes every
+    bucket at Hamming distance 1 (standard multi-probe LSH: a near
+    neighbor differing on one borderline hyperplane lands one bit away) —
+    probe cost × (1 + n_planes), recall typically several-fold. At scale
+    the bucketed corpus is written partitioned by bucket, making the probe
+    join shuffle-free on the corpus side — the same layout trick as IVF
+    cells.
     """
     from pyspark.storagelevel import StorageLevel
 
     from agol_pandas_spark.operators.chunking import spread_small_scan
 
+    if multiprobe_bits not in (0, 1):
+        raise ValueError("multiprobe_bits must be 0 or 1 (cost explodes beyond)")
     # persist: the bucket self-join scans signatures twice, and without it
     # each side re-hashes the corpus (same reasoning as minhash_dedup_pairs)
     sig = spread_small_scan(corpus).select(
@@ -295,6 +302,12 @@ def rp_lsh_topk(
         rp_signature_col(F.col(vec), planes).alias("bucket"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     probes = sig.filter(probe_filter) if probe_filter is not None else sig
+    if multiprobe_bits == 1:
+        flips = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(2**b)) for b in range(len(planes))],
+        )
+        probes = probes.withColumn("bucket", F.explode(flips))
     q = probes.select(
         F.col(corpus_id).alias("query_id"),
         F.col(vec).alias("__qvec"),

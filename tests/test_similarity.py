@@ -157,3 +157,32 @@ def test_rp_lsh_buckets_concentrate_similarity(emb, spark):
         f"same-bucket mean {np.mean(same):.3f} not above "
         f"random mean {np.mean(diff):.3f}"
     )
+
+
+def test_rp_lsh_multiprobe_improves_recall(emb):
+    """Hamming-1 multi-probe must strictly widen candidate sets and find
+    more of the brute-force top-k than exact-bucket probing."""
+    from agol_pandas_spark.operators.similarity import rp_lsh_topk
+    from agol_pandas_spark.workload.similarity_queries import RP_PLANES
+
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(queries, emb, "query_id", "vec_id", k=5).collect()
+    truth = {}
+    for r in exact:
+        if r["query_id"] != r["vec_id"]:
+            truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def hits(bits):
+        res = rp_lsh_topk(
+            emb, RP_PLANES, corpus_id="vec_id",
+            probe_filter=(F.col("vec_id") < 20), k=5, multiprobe_bits=bits,
+        ).collect()
+        found = {}
+        for r in res:
+            found.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return sum(len(truth[q] & found.get(q, set())) for q in truth)
+
+    single, multi = hits(0), hits(1)
+    assert multi > single, f"multiprobe found {multi} <= single-bucket {single}"
