@@ -393,15 +393,39 @@ def cube_flag_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# approx_count_distinct: HLL sketches differ across engines by design →
-# rows-only contract (no oracle); accuracy asserted in tests/ instead.
-@register("agg_approx_distinct_parts", tags=("agg", "approx"))
+# approx_count_distinct: HLL estimates differ across engines by design, so
+# the CHECKED surface is (exact count, estimate-within-5%-of-exact boolean)
+# — deterministic on both engines — while the estimate itself stays internal.
+@register(
+    "agg_approx_distinct_parts",
+    tags=("agg", "approx"),
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+           TRUE AS within_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    """approx_count_distinct (HLL++, rsd=0.01) bounded against the exact
+    count: the query emits a within-5%% boolean the oracle can hash-check,
+    converting an engine-specific estimate into a deterministic contract."""
+    agg = (
         Catalog(spark, sf_dir)
         .table("lineitem")
         .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"))
+        .agg(
+            F.countDistinct("l_partkey").alias("n_exact"),
+            F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        )
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_exact",
+        (
+            F.abs(F.col("approx_parts") - F.col("n_exact"))
+            <= F.col("n_exact") * 0.05
+        ).alias("within_tol"),
     )
 
 
@@ -877,14 +901,30 @@ def subquery_q17_small_quantity_parts(spark: SparkSession, sf_dir: str) -> DataF
     return spark.sql(_Q17_SQL)
 
 
-@register("agg_hll_sketch_union", tags=("agg", "sketch", "approx"))
+@register(
+    "agg_hll_sketch_union",
+    tags=("agg", "sketch", "approx"),
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           TRUE AS within_tol
+    FROM customer GROUP BY c_mktsegment
+    UNION ALL
+    SELECT '_ALL_' AS c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           TRUE AS within_tol
+    FROM customer
+    """,
+)
 def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketches (Apache DataSketches via Spark built-ins):
     per-segment customer sketches built in one pass, then UNIONED into a
     global estimate — the sketch algebra that lets 1000 executors count
     distincts without re-scanning (re-aggregatable, unlike
     approx_count_distinct's one-shot HLL++). Sketch binaries aren't
-    SQL-portable → rows-only check."""
+    SQL-portable, so the CHECKED surface is the exact count plus an
+    estimate-within-5%%-of-exact boolean (c_custkey is unique per row, so
+    COUNT(*) == COUNT(DISTINCT))."""
     cust = Catalog(spark, sf_dir).table("customer")
     per_seg = cust.groupBy("c_mktsegment").agg(
         F.hll_sketch_agg("c_custkey").alias("sk"),
@@ -900,7 +940,14 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_distinct_est"),
         F.sum("n_exact").alias("n_exact"),
     )
-    return segs.unionByName(total)
+    return segs.unionByName(total).select(
+        "c_mktsegment",
+        "n_exact",
+        (
+            F.abs(F.col("n_distinct_est") - F.col("n_exact"))
+            <= F.col("n_exact") * 0.05
+        ).alias("within_tol"),
+    )
 
 
 @register(
@@ -931,21 +978,24 @@ def math_try_divide_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "array"),
     oracle="""
     SELECT l_returnflag,
-           list_sort(list(DISTINCT l_linestatus)) AS statuses,
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
            COUNT(DISTINCT l_linestatus) AS n_statuses
     FROM lineitem GROUP BY l_returnflag
     """,
 )
 def agg_collect_sorted_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped array collection: collect_set is orderless, so results are
-    array_sort-ed before leaving the engine — the determinism rule for any
-    collected array at any scale."""
+    array_sort-ed — the determinism rule for any collected array at any
+    scale — then array_join-ed to a scalar so the checked surface is
+    hashable (driver canonicalizers cannot sort list cells)."""
     return (
         Catalog(spark, sf_dir)
         .table("lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.array_sort(F.collect_set("l_linestatus")).alias("statuses"),
+            F.array_join(
+                F.array_sort(F.collect_set("l_linestatus")), ","
+            ).alias("statuses"),
             F.countDistinct("l_linestatus").alias("n_statuses"),
         )
     )

@@ -80,7 +80,7 @@ def source_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "skew", "salted"),
     oracle="""
     SELECT c_mktsegment, COUNT(*) AS n_orders,
-           SUM(o_orderkey) AS orderkey_checksum
+           CAST(SUM(o_orderkey) AS BIGINT) AS orderkey_checksum
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
     """,
