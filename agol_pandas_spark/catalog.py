@@ -162,6 +162,9 @@ class Catalog:
         finally:
             if backup and os.path.exists(backup):
                 shutil.rmtree(backup, ignore_errors=True)
+        # a rewrite can change the schema (e.g. drop or add a ns-timestamp
+        # column); the footer cache must not outlive the file it described
+        self._ns_cols.pop(target, None)
         return target
 
     def compact(self, name: str, target_file_bytes: int = 128 * 1024 * 1024) -> str:
@@ -191,6 +194,7 @@ class Catalog:
         p = self.path(name)
         if os.path.exists(p):
             shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+        self._ns_cols.pop(p, None)
 
 
 def test_catalog(spark: SparkSession, sf_dir: str) -> Catalog:

@@ -21,6 +21,13 @@ double accumulation is NOT portable: summation order varies, and
 double→decimal casts disagree across engines within one ulp of rounding
 boundaries.) Swap ``exact=False`` for raw-double cosine when chasing
 throughput over checkability.
+
+Cache lifecycle: :func:`rp_lsh_topk` persists its signature table (the
+bucket self-join scans it twice) and the returned plan references it
+lazily, so the function cannot unpersist before the caller materializes.
+CALLERS OWN THE CACHE: call ``spark.catalog.clearCache()`` (or unpersist
+the plan's cached leaf) after consuming the result when invoking these
+repeatedly in one session — ``bench.py`` does exactly that between runs.
 """
 
 from __future__ import annotations
@@ -418,4 +425,8 @@ def kmeans_lite(
                 vec_out[pos] = (s / float(VSCALE)) / n
             new_centroids[ci] = vec_out
         centroids = new_centroids
+    # every iteration's sums have been collected; releasing the cache here
+    # costs the caller at most one re-scan when materializing assignments,
+    # instead of leaking a cache entry per kmeans_lite call
+    data.unpersist(blocking=False)
     return centroids, assignments.drop(vec)

@@ -39,7 +39,20 @@ def salted_join(
     deterministic, unlike ``F.rand``); defaults to a hash of the join keys
     plus all fact columns, which is uniform even when the key itself is
     constant.
+
+    ``how`` is restricted to fact-side-preserving joins: with the dim side
+    exploded across every salt, a right/full outer join would emit each
+    unmatched dim row once per salt replica — not row-identical to the
+    unsalted join. Those modes raise rather than silently duplicate.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports fact-preserving joins only "
+            f"({sorted(allowed)}); got {how!r} — the replicated dim side "
+            f"would duplicate unmatched dim rows across salt buckets"
+        )
     seed = (
         F.col(scatter_col)
         if isinstance(scatter_col, str)

@@ -2,11 +2,15 @@
 sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is executed twice: a warm-up plan+run is NOT counted (JVM/JIT
-and file-listing noise), the second run is. The action is a noop-sink
-write — full materialization of every output column. (count() is NOT a
-valid action here: Catalyst prunes aggregate expressions a count doesn't
-need, undercounting e.g. the wide pricing summary by 3x.)
+Each query is executed three times: a warm-up plan+run is NOT counted
+(JVM/JIT and file-listing noise), then min-of-2 timed runs. Every timed
+run REBUILDS the DataFrame via the query function and clears the Spark
+cache first, so queries that persist intermediates (minhash / RP-LSH
+signature tables) pay their full hashing cost in the measurement — the
+timings are cold end-to-end, not steady-state-cached. The action is a
+noop-sink write — full materialization of every output column. (count()
+is NOT a valid action here: Catalyst prunes aggregate expressions a count
+doesn't need, undercounting e.g. the wide pricing summary by 3x.)
 """
 
 from __future__ import annotations
@@ -37,14 +41,15 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, q in headline.items():
-        df = q.fn(spark, sf_dir)
-        materialize(df)  # warm run (plan + shuffle files)
+        materialize(q.fn(spark, sf_dir))  # warm run (plan + shuffle files)
         best = float("inf")
         for _ in range(2):  # min-of-2: excludes GC/scheduler hiccups
+            spark.catalog.clearCache()  # drop persisted intermediates
             t0 = time.perf_counter()
-            materialize(df)
+            materialize(q.fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -117,3 +117,35 @@ def test_table_merge_schema_reads_evolved_dataset(spark, tmp_path):
     assert set(merged.columns) == {"id", "a", "b"}
     rows = {r.id: (r.a, r.b) for r in merged.collect()}
     assert rows == {1: ("x", None), 2: ("y", 9.5)}
+
+
+def test_ns_cols_cache_invalidated_on_rewrite(spark, tmp_path):
+    """Overwriting a table with a different schema must not leave a stale
+    footer-cache entry: a ns-timestamp column added by the rewrite still
+    gets the long-nanos -> timestamp conversion (ADVICE r1)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from agol_pandas_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    plain = spark.range(3).withColumnRenamed("id", "k")
+    cat.write(plain, "t")
+    assert [f.name for f in cat.table("t").schema] == ["k"]
+
+    # swap in a file with a TIMESTAMP(NANOS) column via the same path
+    tbl = pa.table(
+        {
+            "k": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array([1, 2, 3], pa.timestamp("ns")),
+        }
+    )
+    cat.drop("t")
+    pq.write_table(tbl, cat.path("t"))
+    df = cat.table("t")
+    # without invalidation the cached [] skips conversion and ts stays long
+    assert df.schema["ts"].dataType.typeName() == "timestamp"
+
+    # and the reverse: rewrite without the ns column must not KeyError
+    cat.write(plain, "t", mode="overwrite")
+    assert [f.name for f in cat.table("t").schema] == ["k"]

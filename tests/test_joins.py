@@ -123,3 +123,31 @@ def test_catalog_compact_row_identical(spark, tmp_path):
     assert before == after
     assert files_after < files_before
     assert files_after == 1  # 10k tiny rows fit one 128MB target file
+
+
+def test_salted_join_rejects_dim_preserving_outer(spark):
+    """Right/full outer would emit each unmatched dim row once per salt
+    replica (the dim side is exploded across all buckets) — must raise."""
+    from agol_pandas_spark.operators.skew import salted_join
+
+    fact = spark.range(10).withColumnRenamed("id", "k")
+    dim = spark.range(5).withColumnRenamed("id", "k")
+    for bad in ("right", "full", "outer", "right_outer", "full_outer"):
+        with pytest.raises(ValueError, match="fact-preserving"):
+            salted_join(fact, dim, on=["k"], how=bad)
+
+
+def test_salted_join_left_and_anti_row_identical(spark):
+    from agol_pandas_spark.operators.skew import salted_join
+
+    fact = spark.range(20).withColumnRenamed("id", "k")
+    dim = (
+        spark.range(8)
+        .withColumnRenamed("id", "k")
+        .withColumn("v", F.col("k") * 10)
+    )
+    left = salted_join(fact, dim, on=["k"], salt_buckets=4, how="left")
+    plain = fact.join(dim, on=["k"], how="left")
+    assert sorted(map(tuple, left.collect())) == sorted(map(tuple, plain.collect()))
+    anti = salted_join(fact, dim, on=["k"], salt_buckets=4, how="left_anti")
+    assert sorted(r["k"] for r in anti.collect()) == list(range(8, 20))
