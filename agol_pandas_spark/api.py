@@ -140,9 +140,9 @@ def df_to_pandas_chunks(
     df: DataFrame, chunk_size: int = 100_000, keys: list[str] | None = None
 ):
     """Reference ``df_to_pandas_chunks`` (``src/agol_pandas.py:159-216``):
-    ordered pandas chunks on the driver — collected once (the reference
-    re-collected the whole frame per chunk, ``:204``) and working for
-    keyless input (reference NameError, ``:212-213``)."""
+    ordered pandas chunks on the driver — streamed one partition at a
+    time (the reference re-collected the whole frame per chunk, ``:204``)
+    and working for keyless input (reference NameError, ``:212-213``)."""
     yield from iter_pandas_chunks(df, chunk_size=chunk_size, keys=keys or ())
 
 

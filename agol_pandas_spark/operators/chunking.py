@@ -10,17 +10,19 @@ branch (``:204``, O(rows × chunks)) and NameError-ing in the pandas branch
   approximately-equal partitions, each internally sorted; no global
   bottleneck. Use when exact chunk sizes don't matter (they almost never
   do — the reference's 100k default was an HTTP-payload limit, ``:315``).
-- :func:`with_chunk_id` — the exact-semantics path: global ``row_number``
-  over the sort key, bucketed by ``floor(rn/chunk_size)``. A global window
-  funnels through one partition for the numbering, so this is for
-  moderate data or tests, and documented as such.
+- :func:`with_chunk_id` — the exact-semantics path: chunk i = sorted rows
+  ``[i*size, (i+1)*size)``. Implemented WITHOUT a global window: range
+  shuffle, per-partition counts (one small agg), driver-side cumulative
+  offsets (P integers), then a zero-shuffle Arrow pass that numbers rows
+  per partition. The sorted layout is persisted between the count job and
+  the numbering job so partition assignment can't drift between the two.
 - :func:`partition_lineage` — per-chunk row counts and key min/max, the
   distributed replacement for the reference's driver-side lineage dicts
   (``:621-634``); one hash aggregation instead of a sequential loop.
-- :func:`iter_pandas_chunks` — Arrow-batched driver iteration
-  (``toLocalIterator`` over range-partitioned data) for callers that truly
-  need pandas chunks on the driver; ships each partition once, fixing the
-  reference's re-collect-per-chunk bug (``:204``).
+- :func:`iter_pandas_chunks` — driver iteration with O(partition) driver
+  memory: ``toLocalIterator`` over the range-sorted result ships one
+  partition at a time, fixing both the reference's re-collect-per-chunk
+  bug (``:204``) and round-1's full ``toArrow()`` collect.
 """
 
 from __future__ import annotations
@@ -28,7 +30,7 @@ from __future__ import annotations
 from collections.abc import Iterator, Sequence
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_CHUNK_SIZE = 100_000  # reference default, src/agol_pandas.py:159,:315
@@ -43,21 +45,67 @@ def with_chunk_id(
     """Exact sorted chunking: chunk i = sorted rows [i*size, (i+1)*size).
 
     Matches the reference's slice semantics (``:199-214``) including the
-    keyless case (sort order = input order surrogate via monotonic id),
-    which the reference breaks (``:416-419``).
+    keyless case (sort order = input order surrogate), which the reference
+    breaks (``:416-419``).
+
+    Scale shape: no global ``Window.orderBy`` (round 1's version funneled
+    every row through ONE task for the numbering — a stall at 100×).
+    Instead: (1) range-partition + sort within partitions (one shuffle,
+    all partitions work); (2) count rows per partition — a tiny agg whose
+    result is P integers on the driver; (3) add a per-partition row index
+    in a single Arrow pass-through batch stage and offset it by the
+    partition's cumulative start. The sorted layout is persisted
+    (MEMORY_AND_DISK) so steps 2 and 3 see identical partition
+    assignments — range boundaries are sampled per job and MUST NOT be
+    recomputed between the counting and numbering passes. The cache entry
+    lives until the caller materializes and clears it (bench.py
+    clearCaches between runs).
     """
     if chunk_size <= 0:
         raise ValueError("chunk_size must be positive")
+    import numpy as np
+    import pyarrow as pa
+    from pyspark import TaskContext
+    from pyspark.sql import types as T
+    from pyspark.storagelevel import StorageLevel
+
+    spark = df.sparkSession
     if keys:
-        w = Window.orderBy(*[F.col(k) for k in keys])
+        p = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        parts = repartition_by_sorted_range(df, p, keys)
     else:
-        df = df.withColumn("__row_ord", F.monotonically_increasing_id())
-        w = Window.orderBy("__row_ord")
-    out = df.withColumn(
-        col_name,
-        F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(chunk_size)).cast("int"),
+        parts = df  # input order surrogate: existing partition layout
+    parts = parts.persist(StorageLevel.MEMORY_AND_DISK)
+
+    counts = {
+        r["__pid"]: r["n"]
+        for r in parts.groupBy(F.spark_partition_id().alias("__pid"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):  # range partitions are ordered by id
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    out_schema = T.StructType(
+        list(parts.schema.fields) + [T.StructField("__global_rn", T.LongType())]
     )
-    return out.drop("__row_ord") if not keys else out
+
+    def number_rows(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        pid = TaskContext.get().partitionId()
+        seen = 0
+        for b in batches:
+            start = offsets[pid] + seen
+            idx = pa.array(np.arange(start, start + b.num_rows, dtype=np.int64))
+            seen += b.num_rows
+            yield b.append_column("__global_rn", idx)
+
+    numbered = parts.mapInArrow(number_rows, out_schema)
+    return numbered.withColumn(
+        col_name, F.floor(F.col("__global_rn") / F.lit(chunk_size)).cast("int")
+    ).drop("__global_rn")
 
 
 def repartition_by_sorted_range(
@@ -98,22 +146,37 @@ def iter_pandas_chunks(
     chunk_size: int = DEFAULT_CHUNK_SIZE,
     keys: Sequence[str] = (),
 ) -> Iterator[pd.DataFrame]:
-    """Driver-side ordered pandas chunks, each partition shipped once.
+    """Driver-side ordered pandas chunks, O(one partition) driver memory.
 
     The API the reference exposes (``df_to_pandas_chunks``) for callers
-    that feed a non-distributed sink. Rows arrive in key order because
-    range partitions are ordered and internally sorted; Arrow-encoded via
-    ``toLocalIterator``. Chunks are re-cut to exactly ``chunk_size`` rows.
+    that feed a non-distributed sink. ``orderBy`` range-partitions and
+    sorts the result, and ``toLocalIterator(prefetchPartitions=False)``
+    then ships ONE partition at a time in partition (= global key) order —
+    the driver never holds the whole result (round 1 collected it all in
+    one ``toArrow()``; the reference re-collected it per chunk, ``:204``).
+    Rows are re-batched into exact ``chunk_size`` pandas frames through
+    the DataFrame's Arrow schema, so dtypes match the old Arrow-collect
+    path. Partition size (the driver's memory high-water mark) is governed
+    by ``spark.sql.shuffle.partitions``, which the session sizes for the
+    target scale.
     """
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
     ordered = df.orderBy(*[F.col(k) for k in keys]) if keys else df
-    # One Arrow collect (vs the reference's one full collect PER chunk,
-    # :204); zero-copy slicing after that. Driver memory is O(result) —
-    # acceptable by construction: the caller asked for driver-side pandas.
-    table = ordered.toArrow()
-    if table.num_rows == 0:
-        return
-    for start in range(0, table.num_rows, chunk_size):
-        yield table.slice(start, chunk_size).to_pandas()
+    schema = to_arrow_schema(ordered.schema)
+
+    def flush(buf: list[dict]) -> pd.DataFrame:
+        return pa.Table.from_pylist(buf, schema=schema).to_pandas()
+
+    buf: list[dict] = []
+    for row in ordered.toLocalIterator(prefetchPartitions=False):
+        buf.append(row.asDict(recursive=True))
+        if len(buf) == chunk_size:
+            yield flush(buf)
+            buf = []
+    if buf:
+        yield flush(buf)
 
 
 def spread_small_scan(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

@@ -82,3 +82,28 @@ def test_iter_pandas_chunks_order_and_sizes(nums):
 def test_iter_pandas_chunks_empty(spark):
     df = spark.range(0, 0).withColumn("k", F.col("id"))
     assert list(iter_pandas_chunks(df, chunk_size=10, keys=("k",))) == []
+
+
+def test_iter_pandas_chunks_streams_partitionwise(spark):
+    """Driver memory contract: pulling the first chunk must not compute
+    every input partition (round 1 collected the whole result via
+    toArrow). Instrumented with an accumulator bumped once per computed
+    partition; prefetchPartitions=False ships partitions one job at a
+    time in the keyless (no-shuffle) path."""
+    acc = spark.sparkContext.accumulator(0)
+
+    def track(batches):
+        acc.add(1)
+        for b in batches:
+            yield b
+
+    base = spark.range(0, 1000, 1, 8)
+    inst = base.mapInArrow(track, base.schema)
+    it = iter_pandas_chunks(inst, chunk_size=50)
+    first = next(it)
+    assert len(first) == 50
+    assert acc.value < 8, f"all partitions computed for first chunk ({acc.value})"
+    rest = list(it)
+    assert sum(len(c) for c in [first, *rest]) == 1000
+    flat = [v for c in [first, *rest] for v in c["id"].tolist()]
+    assert flat == sorted(flat)

@@ -102,3 +102,11 @@ def test_partitioned_scan_prunes(q):
 def test_dynamic_partition_pruning(q):
     plan = formatted_plan(q("source_dynamic_partition_pruning"))
     assert "dynamicpruning" in plan.lower(), "no DPP subquery in the fact scan"
+
+
+def test_chunk_lineage_has_no_global_window(q):
+    """Round 1 numbered rows through a single-partition Window.orderBy —
+    a one-task funnel at scale. The rewrite must keep Window out of the
+    plan entirely (range shuffle + Arrow per-partition numbering)."""
+    plan = formatted_plan(q("merge_chunk_lineage"))
+    assert "Window" not in plan
