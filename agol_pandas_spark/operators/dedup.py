@@ -53,7 +53,9 @@ MINHASH_PARAMS: tuple[tuple[int, int], ...] = (
     (9973, 4241),
     (7103, 6089),
 )
-SIMHASH_BITS = 16
+SIMHASH_BITS = 60  # full width of portable_hash60; bits above 59 carry no signal
+SIMHASH_BANDS = 4  # 4 x 15-bit band keys: any pair at Hamming <= SIMHASH_BANDS-1
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # shares at least one band (pigeonhole)
 
 
 def exact_dedup(
@@ -254,7 +256,13 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS)
 
 
 def simhash_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Docs sharing an identical SimHash fingerprint (near-dup buckets)."""
+    """Docs sharing an identical SimHash fingerprint (near-dup buckets).
+
+    With 60-bit fingerprints equal-hash collisions mean genuinely
+    near-identical token sets (round 1's 16-bit space collided massively
+    at corpus scale); for near-dups at small Hamming distance use
+    :func:`simhash_band_pairs`, which buckets instead of requiring
+    equality."""
     s = simhash(df, id_col, text_col)
     return (
         s.groupBy("simhash")
@@ -264,6 +272,74 @@ def simhash_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+def simhash_bands(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per (doc, band): 4 x 15-bit slices of the 60-bit SimHash.
+
+    The banding contract: two fingerprints at Hamming distance d differ in
+    at most d bands, so for d <= SIMHASH_BANDS - 1 (= 3) at least one band
+    key is EQUAL — candidate recall at Hamming <= 3 is exactly 1.0, no
+    probabilistic caveat. Each doc emits SIMHASH_BANDS small integer rows;
+    the candidate join below shuffles those, never the text.
+    """
+    s = simhash(df, id_col, text_col)
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col("simhash"), i * SIMHASH_BAND_BITS)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_key"),
+            )
+            for i in range(SIMHASH_BANDS)
+        ]
+    )
+    return s.select(
+        F.col(id_col), F.col("simhash"), F.explode(bands).alias("b")
+    ).select(id_col, "simhash", F.col("b.band").alias("band"), F.col("b.band_key").alias("band_key"))
+
+
+def simhash_band_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by banded SimHash: bucket-join, then exact verify.
+
+    Candidates = pairs sharing any (band, band_key) bucket — an equi-join
+    on small integers, the same bucketed discipline as MinHash-LSH (no
+    all-pairs comparison anywhere). Verification is one XOR + bit_count
+    per candidate. Recall at Hamming <= SIMHASH_BANDS-1 is 1.0 by
+    pigeonhole; raising ``max_hamming`` beyond that degrades recall (a
+    pair may differ in every band) — raise SIMHASH_BANDS instead.
+    """
+    sigs = simhash_bands(df, id_col, text_col).persist()
+    a = sigs.select(
+        F.col(id_col).alias("id_a"),
+        F.col("simhash").alias("__sig_a"),
+        "band",
+        "band_key",
+    )
+    b = sigs.select(
+        F.col(id_col).alias("id_b"),
+        F.col("simhash").alias("__sig_b"),
+        "band",
+        "band_key",
+    )
+    pairs = (
+        a.join(b, on=["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__sig_a", "__sig_b")
+        .distinct()
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("__sig_a").bitwiseXOR(F.col("__sig_b"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
 
 
 def ngram_jaccard_pairs(

@@ -164,6 +164,41 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(docs, "doc_id", "text")
 
 
+# the engine finds candidates via 4x15-bit band buckets (no all-pairs
+# join); the oracle may brute-force all pairs because banding recall at
+# Hamming <= SIMHASH_BANDS-1 is exactly 1.0 (pigeonhole) — the two
+# computations provably produce the same row set.
+@register(
+    "dedup_simhash_band_pairs",
+    tags=("dedup", "simhash", "banding"),
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct({SQL_TOKS.format(src='text')}) AS t
+      FROM documents),
+    hashed AS (
+      SELECT doc_id,
+             list_transform(t, s -> {SQL_HASH60.format(expr='s')}) AS hs
+      FROM toks),
+    s AS (
+      SELECT doc_id,
+             CAST({' + '.join(
+                 f"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> {b}) & 1) * 2 - 1)) > 0 "
+                 f"THEN {2**b} ELSE 0 END)"
+                 for b in range(dedup.SIMHASH_BITS)
+             )} AS BIGINT) AS simhash
+      FROM hashed)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def dedup_simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    return dedup.simhash_band_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
 @register(
     "dedup_ngram_jaccard_pairs",
     tags=("dedup", "jaccard"),

@@ -81,3 +81,45 @@ def test_ngram_jaccard_ground_truth(docs):
     assert got[(1, 2)] == 1.0
     assert 0.5 < got[(1, 3)] < 1.0
     assert (1, 4) not in got  # zero shared shingles → absent
+
+
+def test_simhash_band_pairs_recall_contract(spark):
+    """Pigeonhole guarantee: EVERY pair at Hamming <= SIMHASH_BANDS-1 must
+    appear (banding recall 1.0), and emitted distances must equal the
+    brute-force XOR popcount. Fixture plants 6 copies of one doc with
+    0..2 token flips plus far docs."""
+    from agol_pandas_spark.operators.dedup import (
+        SIMHASH_BANDS,
+        simhash,
+        simhash_band_pairs,
+    )
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    )
+    rows = [
+        (1, base),
+        (2, base),                                # hamming 0
+        (3, base.replace("echo", "zulu")),        # small flip
+        (4, base.replace("kilo", "xray").replace("papa", "yankee")),
+        (5, "unrelated text about distributed columnar query planning"),
+        (6, "another unrelated document mentioning adaptive execution"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs, "doc_id", "text").collect()}
+    max_h = SIMHASH_BANDS - 1
+    expected = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for a in sigs
+        for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= max_h
+    }
+    assert (1, 2) in expected  # the planted exact dup is in range
+
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_band_pairs(docs, "doc_id", "text", max_hamming=max_h).collect()
+    }
+    assert got == expected
