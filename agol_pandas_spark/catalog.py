@@ -71,6 +71,18 @@ class Catalog:
     def exists(self, name: str) -> bool:
         return os.path.exists(self.path(name))
 
+    def row_count(self, name: str) -> int:
+        """Exact row count from parquet footer metadata — a driver-side
+        O(files) read, no corpus scan. The cheap source for pipeline
+        scalars like TF-IDF's N at 100 TB (a ``df.count()`` there is a
+        full extra pass)."""
+        p = self.path(name)
+        if not os.path.exists(p):
+            raise TableNotFoundError(f"no table {name!r} under {self.root}")
+        import pyarrow.dataset as ds
+
+        return ds.dataset(p, format="parquet").count_rows()
+
     def list_tables(self) -> list[str]:
         if not os.path.isdir(self.root):
             return []

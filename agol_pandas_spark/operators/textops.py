@@ -100,7 +100,11 @@ def token_frequencies(df: DataFrame, text_col: str) -> DataFrame:
 
 
 def tfidf(
-    df: DataFrame, id_col: str, text_col: str, idf_scale: int = 1_000_000
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    idf_scale: int = 1_000_000,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """TF-IDF with integer-scaled idf: score = tf × (N·scale ÷ df) using
     integer division — engine-portable exact arithmetic (float log-idf
@@ -113,7 +117,10 @@ def tfidf(
     # no spread_small_scan here: the explode+groupBy below already
     # redistributes, so pre-shuffling the raw text costs more than the
     # single-task tokenize it would save (measured)
-    n_docs = df.count()  # scalar; pipelines at scale pass a cached count
+    if n_docs is None:
+        n_docs = df.count()  # fallback: one extra corpus pass; callers
+        # reading catalog tables should pass Catalog.row_count(...) —
+        # a parquet-footer metadata read, no scan
     terms = df.select(
         F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
     )

@@ -124,9 +124,11 @@ def text_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = Catalog(spark, sf_dir).table("documents")
+    cat = Catalog(spark, sf_dir)
+    docs = cat.table("documents")
     return (
-        textops.tfidf(docs, "doc_id", "text")
+        # N from parquet footer metadata: drops tfidf's extra corpus pass
+        textops.tfidf(docs, "doc_id", "text", n_docs=cat.row_count("documents"))
         .orderBy(F.col("score_scaled").desc(), "doc_id", "token")
         .limit(100)
     )

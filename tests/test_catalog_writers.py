@@ -149,3 +149,12 @@ def test_ns_cols_cache_invalidated_on_rewrite(spark, tmp_path):
     # and the reverse: rewrite without the ns column must not KeyError
     cat.write(plain, "t", mode="overwrite")
     assert [f.name for f in cat.table("t").schema] == ["k"]
+
+
+def test_row_count_metadata_only(spark, sf_dir):
+    from agol_pandas_spark.catalog import Catalog
+
+    cat = Catalog(spark, sf_dir)
+    assert cat.row_count("documents") == cat.table("documents").count()
+    with pytest.raises(TableNotFoundError):
+        cat.row_count("nope")
