@@ -1,0 +1,223 @@
+"""Paged-source connector: the reference's remote read path, Spark-native.
+
+The reference reads a hosted table with ONE unbounded request on the
+driver (``table.query(return_all_records=True)``, ``src/agol_pandas.py:246``)
+and uploads with a sequential chunk loop (``:426, :614``) — no read or
+write parallelism at all. This module is the DataSource-V2-style skeleton
+a real REST backend slots into:
+
+- :class:`PagedClient` — the transport contract (schema, total count,
+  fetch one page). A real ArcGIS-style backend implements exactly this
+  with ``resultOffset``/``resultRecordCount`` HTTP parameters; tests use
+  in-memory and parquet-backed mocks. Clients must be picklable: they are
+  shipped to executors.
+- :class:`PagedDataSource` — a PySpark Python DataSource
+  (``pyspark.sql.datasource``): one :class:`InputPartition` per page, so
+  a 10M-row remote table with 100k-row pages becomes 100 concurrent
+  fetch tasks instead of the reference's single blocking call. When the
+  backend can't report a total count, a single partition pages until an
+  empty response (the sequential fallback, explicitly the degraded mode).
+- :class:`RetryPolicy` — per-task retry with the reference's ratcheting
+  backoff semantics (``LoggingObject.set_backoff``, ``src/agol_pandas.py:
+  15-32``): the lower bound of the uniform backoff window rises by
+  ``backoff_interval`` per failure, capped at ``max_backoff``. Runs
+  executor-side around each page fetch, where the reference slept on the
+  driver between chunks.
+
+Scale posture: page fetches are embarrassingly parallel and the schema is
+declared up front, so Catalyst sees a bounded scan with a known schema;
+column pruning/pushdown stop at the connector boundary (remote service
+semantics), which is the correct contract for an opaque REST source.
+"""
+
+from __future__ import annotations
+
+import abc
+import base64
+import pickle
+import random
+import time
+from collections.abc import Iterator, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+DEFAULT_PAGE_SIZE = 100_000  # reference chunk default, src/agol_pandas.py:159
+
+
+@dataclass
+class RetryPolicy:
+    """Reference backoff semantics (``LoggingObject``), bounded attempts.
+
+    The reference declared ``max_reattempts = 5`` but never consumed it
+    (``src/agol_pandas.py:11``); here the bound is real.
+    """
+
+    max_attempts: int = 5
+    max_backoff: float = 30.0
+    min_backoff: float = 0.0
+    backoff_interval: float = 0.1
+
+    def run(self, fn, *args):
+        min_backoff = self.min_backoff
+        failures = 0
+        while True:
+            try:
+                return fn(*args)
+            except Exception:
+                failures += 1
+                if failures >= self.max_attempts:
+                    raise
+                # ratchet: lower bound rises per failure (reference :20-32)
+                min_backoff = min(
+                    self.max_backoff, min_backoff + self.backoff_interval * failures
+                )
+                time.sleep(random.uniform(min_backoff, self.max_backoff))
+
+
+class PagedClient(abc.ABC):
+    """Transport contract for an offset-paged tabular service."""
+
+    @abc.abstractmethod
+    def schema(self) -> StructType:
+        """Declared result schema (the service's field types)."""
+
+    @abc.abstractmethod
+    def total_count(self) -> int | None:
+        """Total row count if the service can report it cheaply (ArcGIS:
+        ``returnCountOnly=true``); ``None`` degrades to sequential paging."""
+
+    @abc.abstractmethod
+    def fetch_page(self, offset: int, limit: int) -> Sequence[tuple]:
+        """Rows ``[offset, offset+limit)`` as tuples in schema order.
+        Short/empty reads signal the end of the table."""
+
+
+class _PagePartition(InputPartition):
+    def __init__(self, offset: int, limit: int):
+        self.offset = offset
+        self.limit = limit
+
+
+class _PagedReader(DataSourceReader):
+    def __init__(self, client: PagedClient, page_size: int, policy: RetryPolicy):
+        self._client = client
+        self._page_size = page_size
+        self._policy = policy
+
+    def partitions(self) -> Sequence[InputPartition]:
+        total = self._client.total_count()
+        if total is None:
+            # degraded mode: one task pages until an empty response
+            return [_PagePartition(0, -1)]
+        return [
+            _PagePartition(off, self._page_size)
+            for off in range(0, max(total, 1), self._page_size)
+        ]
+
+    def read(self, partition: _PagePartition) -> Iterator[tuple]:
+        if partition.limit >= 0:
+            yield from self._policy.run(
+                self._client.fetch_page, partition.offset, partition.limit
+            )
+            return
+        offset = 0
+        while True:
+            rows = self._policy.run(self._client.fetch_page, offset, self._page_size)
+            yield from rows
+            if len(rows) < self._page_size:
+                return
+            offset += len(rows)
+
+
+class PagedDataSource(DataSource):
+    """``spark.read.format("agol_paged")`` — options:
+
+    - ``client_pkl``: base64-pickled :class:`PagedClient` (options are
+      strings by API contract; :func:`read_paged` handles the encoding)
+    - ``page_size``, ``max_attempts``, ``max_backoff``, ``min_backoff``,
+      ``backoff_interval``
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "agol_paged"
+
+    def _client(self) -> PagedClient:
+        return pickle.loads(base64.b64decode(self.options["client_pkl"]))
+
+    def schema(self) -> StructType:
+        return self._client().schema()
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        o = self.options
+        policy = RetryPolicy(
+            max_attempts=int(o.get("max_attempts", 5)),
+            max_backoff=float(o.get("max_backoff", 30.0)),
+            min_backoff=float(o.get("min_backoff", 0.0)),
+            backoff_interval=float(o.get("backoff_interval", 0.1)),
+        )
+        return _PagedReader(
+            self._client(), int(o.get("page_size", DEFAULT_PAGE_SIZE)), policy
+        )
+
+
+def read_paged(
+    spark: SparkSession,
+    client: PagedClient,
+    page_size: int = DEFAULT_PAGE_SIZE,
+    policy: RetryPolicy | None = None,
+) -> DataFrame:
+    """Register the datasource (idempotent) and build the paged scan."""
+    spark.dataSource.register(PagedDataSource)
+    policy = policy or RetryPolicy()
+    return (
+        spark.read.format("agol_paged")
+        .option("client_pkl", base64.b64encode(pickle.dumps(client)).decode())
+        .option("page_size", str(page_size))
+        .option("max_attempts", str(policy.max_attempts))
+        .option("max_backoff", str(policy.max_backoff))
+        .option("min_backoff", str(policy.min_backoff))
+        .option("backoff_interval", str(policy.backoff_interval))
+        .load()
+    )
+
+
+class ParquetPagedClient(PagedClient):
+    """A :class:`PagedClient` over a local parquet file — the test/demo
+    backend standing in for a remote service: same offset/limit contract,
+    deterministic pages, no network. The file is opened lazily per
+    process (the client pickles as just the path + projection)."""
+
+    def __init__(self, path: str, columns: Sequence[str] | None = None):
+        self.path = path
+        self.columns = list(columns) if columns else None
+
+    def _table(self):
+        import pyarrow.parquet as pq
+
+        return pq.read_table(self.path, columns=self.columns)
+
+    def schema(self) -> StructType:
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(self.path)
+        if self.columns:
+            import pyarrow as pa
+
+            schema = pa.schema([schema.field(c) for c in self.columns])
+        return from_arrow_schema(schema)
+
+    def total_count(self) -> int | None:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(self.path).metadata.num_rows
+
+    def fetch_page(self, offset: int, limit: int) -> Sequence[tuple]:
+        page = self._table().slice(offset, limit)
+        cols = [c.to_pylist() for c in page.columns]
+        return list(zip(*cols)) if cols else []

@@ -1,0 +1,46 @@
+"""Local mock service for the paged connector — deterministic pages, no
+network, optional transient-failure injection. Lives in the package (not
+tests/) because clients are pickled to the datasource's Python worker,
+which imports by module path; it doubles as the reference implementation
+of the :class:`~agol_pandas_spark.sources.paged.PagedClient` contract.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql.types import StructType
+
+from agol_pandas_spark.sources.paged import PagedClient
+
+
+class MemoryClient(PagedClient):
+    """In-memory mock: rows held as tuples; optionally fails the first
+    ``flaky_failures`` fetch attempts of every page (transient-error
+    injection for retry-policy tests)."""
+
+    def __init__(
+        self,
+        rows: Sequence[tuple],
+        schema: StructType,
+        known_total: bool = True,
+        flaky_failures: int = 0,
+    ):
+        self.rows = list(rows)
+        self._schema = schema
+        self.known_total = known_total
+        self.flaky_failures = flaky_failures
+        self._attempts: dict[int, int] = {}
+
+    def schema(self) -> StructType:
+        return self._schema
+
+    def total_count(self) -> int | None:
+        return len(self.rows) if self.known_total else None
+
+    def fetch_page(self, offset: int, limit: int) -> Sequence[tuple]:
+        seen = self._attempts.get(offset, 0)
+        self._attempts[offset] = seen + 1
+        if seen < self.flaky_failures:
+            raise ConnectionError(f"injected transient failure at offset {offset}")
+        return self.rows[offset : offset + limit]

@@ -76,6 +76,43 @@ def source_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_paged_connector",
+    tags=("source", "paged", "connector"),
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents GROUP BY lang
+    """,
+)
+def source_paged_connector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-paged connector (the reference's remote read path,
+    ``src/agol_pandas.py:218-251``, re-expressed as a Python DataSource):
+    one InputPartition per page fetched in parallel with per-task retry,
+    vs the reference's single unbounded driver request. The parquet-backed
+    client stands in for the remote service; the oracle checks the paged
+    scan reassembles the table exactly."""
+    from agol_pandas_spark.sources.paged import (
+        ParquetPagedClient,
+        RetryPolicy,
+        read_paged,
+    )
+
+    client = ParquetPagedClient(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    paged = read_paged(
+        spark, client, page_size=100, policy=RetryPolicy(max_attempts=3, max_backoff=0.01)
+    )
+    return paged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars_total"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+@register(
     "join_salted_orders_customer",
     tags=("join", "skew", "salted"),
     oracle="""
