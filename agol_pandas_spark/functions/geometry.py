@@ -1,0 +1,96 @@
+"""Geometry column convention + spatial predicates (pure built-ins).
+
+The reference is an ArcGIS tool: it probes spatially-enabled DataFrames
+(``hasattr(df, 'st')``, ``src/agol_pandas.py:198-200``) and ships
+geometry on append (``update_geometry=False``, ``:451``). This engine's
+convention, with no geo library in the runtime:
+
+- **WKT** (``POINT (x y)``) is the interchange format: a plain string
+  column named ``geometry`` by convention, built/parsed with JVM-side
+  ``format_string``/``regexp_extract`` — codegen-friendly, no UDF.
+- **WKB** stays an opaque ``binary`` column with typed metadata next to
+  it (same posture as multimodal payloads, ``operators/multimodal.py``):
+  Spark has no IEEE-754-from-bytes builtin, so decode belongs to a
+  Pandas-UDF codec stage, not the relational layer.
+- Coordinates compute as ``(x, y)`` double columns; every predicate here
+  is comparison/arithmetic only (one IEEE division at synthesis, ``sqrt``
+  for distance — both bit-exact across engines), so spatial queries are
+  value-hash-checkable against DuckDB without a spatial extension.
+
+Scale posture: bbox predicates are plain ``AND`` range comparisons on
+double columns — they push down to parquet scans (min/max row-group
+pruning) like any numeric filter; :func:`grid_cell` gives the integer
+partitioning key for spatial co-location (write partitioned/bucketed by
+cell, and cell-joins stay shuffle-local) — the same layout discipline as
+the IVF/LSH bucketed designs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: conventional column names
+GEOMETRY_COL = "geometry"
+
+_POINT_RE = r"^POINT \((-?\d+(?:\.\d+)?) (-?\d+(?:\.\d+)?)\)$"
+
+
+def point_wkt(x: Column, y: Column, decimals: int = 6) -> Column:
+    """``POINT (x y)`` text from coordinate columns. ``decimals`` must
+    cover the data's precision for a lossless parse roundtrip (6 ≈ 11 cm
+    on Earth's surface)."""
+    fmt = f"POINT (%.{decimals}f %.{decimals}f)"
+    return F.format_string(fmt, x, y)
+
+
+def parse_point_wkt(wkt: Column) -> Column:
+    """``struct(x, y)`` doubles from ``POINT (x y)`` text; malformed
+    input yields nulls (no-match '' → NULL before the cast, so ANSI mode
+    cannot throw; matched groups are numeric by construction)."""
+
+    def _coord(group: int) -> Column:
+        return F.nullif(F.regexp_extract(wkt, _POINT_RE, group), F.lit("")).cast(
+            "double"
+        )
+
+    return F.struct(_coord(1).alias("x"), _coord(2).alias("y"))
+
+
+def in_bbox(
+    x: Column, y: Column, xmin: float, ymin: float, xmax: float, ymax: float
+) -> Column:
+    """Point-in-envelope predicate (borders inclusive) — four range
+    comparisons, pushdown-eligible on plain coordinate columns."""
+    return (x >= xmin) & (x <= xmax) & (y >= ymin) & (y <= ymax)
+
+
+def bbox_agg(x: Column, y: Column) -> list[Column]:
+    """Group envelope: aggregate expressions for the bounding box of a
+    point set (the ``st.bbox`` equivalent)."""
+    return [
+        F.min(x).alias("xmin"),
+        F.min(y).alias("ymin"),
+        F.max(x).alias("xmax"),
+        F.max(y).alias("ymax"),
+    ]
+
+
+def planar_distance(x1: Column, y1: Column, x2: Column, y2: Column) -> Column:
+    """Euclidean distance: two multiplies, one add, one ``sqrt`` — every
+    step correctly-rounded IEEE, so distances hash-match cross-engine
+    (haversine would not: ``sin``/``cos`` differ across libm builds)."""
+    dx = x1 - x2
+    dy = y1 - y2
+    return F.sqrt(dx * dx + dy * dy)
+
+
+def grid_cell(x: Column, y: Column, cell_deg: float) -> Column:
+    """Integer grid cell ``struct(cx, cy)`` — the spatial partitioning /
+    blocking key (floor division, exact integer output). Neighbor search
+    = equi-join on own + 8 adjacent cells; at scale, write partitioned by
+    cell so those joins never shuffle the big side."""
+    return F.struct(
+        F.floor(x / F.lit(cell_deg)).cast("long").alias("cx"),
+        F.floor(y / F.lit(cell_deg)).cast("long").alias("cy"),
+    )

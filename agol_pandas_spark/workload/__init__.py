@@ -51,6 +51,7 @@ def load_all() -> dict[str, Query]:
     """Import every workload module (they self-register) and return the registry."""
     from agol_pandas_spark.workload import (  # noqa: F401
         dedup_queries,
+        geo_queries,
         joins_queries,
         merge_queries,
         multimodal_queries,

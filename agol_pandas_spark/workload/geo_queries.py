@@ -1,0 +1,133 @@
+"""Oracle-checked spatial queries (``functions/geometry.py``).
+
+No geometry table exists in the testdata, so points are SYNTHESIZED
+deterministically from integer keys: centi-degree integers via modular
+arithmetic, then ONE IEEE division by 100 — the identical expression in
+both engines, so coordinates are bit-equal and every spatial result is
+value-hash-checkable without a spatial extension on either side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from agol_pandas_spark.catalog import Catalog
+from agol_pandas_spark.functions.geometry import (
+    bbox_agg,
+    grid_cell,
+    in_bbox,
+    parse_point_wkt,
+    planar_distance,
+    point_wkt,
+)
+from agol_pandas_spark.workload import register
+
+# centi-degree synthesis: x in [-180, 180), y in [-90, 90), exact 2-decimal
+_SQL_XY = """
+    SELECT c_custkey, c_mktsegment,
+           CAST(((c_custkey * 13) % 36000) - 18000 AS DOUBLE) / 100 AS x,
+           CAST(((c_custkey * 7) % 18000) - 9000 AS DOUBLE) / 100 AS y
+    FROM customer
+"""
+
+
+def _customer_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = Catalog(spark, sf_dir).table("customer").select("c_custkey", "c_mktsegment")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        (((F.col("c_custkey") * 13) % 36000 - 18000).cast("double") / 100).alias("x"),
+        (((F.col("c_custkey") * 7) % 18000 - 9000).cast("double") / 100).alias("y"),
+    )
+
+
+@register(
+    "geo_bbox_envelope_per_segment",
+    tags=("geo", "bbox", "wkt"),
+    oracle=f"""
+    WITH pts AS ({_SQL_XY}),
+    inside AS (
+      SELECT * FROM pts
+      WHERE x >= -60.0 AND x <= 60.0 AND y >= -45.0 AND y <= 45.0)
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_inside,
+           MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key,
+           MIN(x) AS xmin, MIN(y) AS ymin, MAX(x) AS xmax, MAX(y) AS ymax
+    FROM inside GROUP BY c_mktsegment
+    """,
+)
+def geo_bbox_envelope_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WKT roundtrip + bbox filter + group envelope: points serialize to
+    ``POINT (x y)`` text and parse back before filtering, so the checked
+    values prove the WKT build/parse is lossless (2-decimal coordinates
+    survive %.6f exactly), the envelope predicate, and ``bbox_agg``."""
+    pts = _customer_points(spark, sf_dir)
+    wkt = pts.select("c_custkey", "c_mktsegment", point_wkt(F.col("x"), F.col("y")).alias("geometry"))
+    parsed = wkt.select(
+        "c_custkey", "c_mktsegment", parse_point_wkt(F.col("geometry")).alias("p")
+    ).select("c_custkey", "c_mktsegment", F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    inside = parsed.filter(in_bbox(F.col("x"), F.col("y"), -60.0, -45.0, 60.0, 45.0))
+    return inside.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_inside"),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+        *bbox_agg(F.col("x"), F.col("y")),
+    )
+
+
+@register(
+    "geo_nearest_to_origin",
+    tags=("geo", "distance", "topk"),
+    oracle=f"""
+    WITH pts AS ({_SQL_XY})
+    SELECT c_custkey, sqrt((x - 10.0) * (x - 10.0) + (y + 5.0) * (y + 5.0)) AS dist
+    FROM pts
+    ORDER BY dist, c_custkey
+    LIMIT 20
+    """,
+)
+def geo_nearest_to_origin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k nearest points to a probe location, distances value-checked:
+    planar distance is mul/add/sqrt only — correctly-rounded IEEE on both
+    engines — so even the double distances hash-match. Plans as
+    TakeOrderedAndProject (scale-safe top-k, no global sort)."""
+    pts = _customer_points(spark, sf_dir)
+    return (
+        pts.select(
+            "c_custkey",
+            planar_distance(F.col("x"), F.col("y"), F.lit(10.0), F.lit(-5.0)).alias(
+                "dist"
+            ),
+        )
+        .orderBy("dist", "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "geo_grid_density",
+    tags=("geo", "grid", "partitioning"),
+    oracle=f"""
+    WITH pts AS ({_SQL_XY}),
+    cells AS (
+      SELECT CAST(floor(x / 30.0) AS BIGINT) AS cx,
+             CAST(floor(y / 30.0) AS BIGINT) AS cy,
+             c_custkey
+      FROM pts)
+    SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS n_points,
+           MIN(c_custkey) AS min_key
+    FROM cells GROUP BY cx, cy
+    """,
+)
+def geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial binning on the integer grid key — the partitioning/blocking
+    primitive for co-located spatial joins at scale (write partitioned by
+    cell; neighbor joins hit own + 8 adjacent cells only)."""
+    pts = _customer_points(spark, sf_dir)
+    cells = pts.select(
+        grid_cell(F.col("x"), F.col("y"), 30.0).alias("c"), "c_custkey"
+    ).select(F.col("c.cx").alias("cx"), F.col("c.cy").alias("cy"), "c_custkey")
+    return cells.groupBy("cx", "cy").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("c_custkey").alias("min_key"),
+    )
