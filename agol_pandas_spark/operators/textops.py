@@ -22,6 +22,7 @@ from agol_pandas_spark.functions.text import (
     count_tokens_in,
     portable_hash60,
     tokens,
+    word_shingles,
 )
 
 # tiny built-in stopword profiles for the language-ID heuristic
@@ -180,3 +181,107 @@ def hash_sample(
         < percent
     )
     return df.select(id_col, *strata_cols).filter(gate)
+
+
+def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher/C4-style repetition signals per document:
+
+    - ``dup_token_frac``  — 1 − distinct/total tokens
+    - ``adj_dup_pairs``   — adjacent equal-token pairs ("batch batch batch")
+    - ``top_bigram_n`` / ``top_bigram_frac`` — most frequent word bigram
+      and its share of all bigrams (the classic boilerplate detector)
+
+    Per-doc scalars are one codegen map stage (token array materialized
+    once behind a Generate barrier — HOF re-eval pitfall); only the
+    bigram mode shuffles, carrying (doc, bigram-hash-sized) pairs. Ratios
+    are single IEEE divisions → value-hash-portable; docs with < 2 tokens
+    emit NULL ratios rather than dividing by zero.
+    """
+    base = df.select(
+        F.col(id_col), F.explode(F.array(tokens(F.col(text_col)))).alias("__t")
+    )
+    n = F.size("__t")
+    stats = base.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.size(F.array_distinct("__t")).alias("n_distinct"),
+        F.when(n < 2, F.lit(0))
+        .otherwise(
+            F.size(
+                F.filter(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.element_at("__t", i) == F.element_at("__t", i + 1),
+                )
+            )
+        )
+        .alias("adj_dup_pairs"),
+    )
+    bigrams = base.select(
+        F.col(id_col), F.explode(word_shingles(F.col("__t"), 2)).alias("__bg")
+    )
+    top = (
+        bigrams.groupBy(id_col, "__bg")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(id_col)
+        .agg(F.max("__c").alias("top_bigram_n"))
+    )
+    return (
+        stats.join(top, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "n_distinct",
+            "adj_dup_pairs",
+            F.coalesce(F.col("top_bigram_n"), F.lit(0)).alias("top_bigram_n"),
+            F.when(
+                F.col("n_tokens") >= 1,
+                (F.col("n_tokens") - F.col("n_distinct")).cast("double")
+                / F.col("n_tokens"),
+            ).alias("dup_token_frac"),
+            F.when(
+                F.col("n_tokens") >= 2,
+                F.coalesce(F.col("top_bigram_n"), F.lit(0)).cast("double")
+                / (F.col("n_tokens") - 1),
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+def benchmark_contamination(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 8,
+) -> DataFrame:
+    """Benchmark-contamination scan: documents sharing any word ``ngram``
+    with a held-out benchmark set (the eval-leak gate every training
+    pipeline needs).
+
+    Both sides reduce to DISTINCT shingle hashes (60-bit md5-portable
+    ints), so the join shuffles 8-byte keys, never text; the benchmark
+    side is tiny by construction and broadcasts. Returns one row per
+    contaminated doc: shared-shingle count and how many benchmark docs
+    it hits. Hash collisions are deterministic and mirrored by the
+    oracle (it joins on the same hash).
+    """
+
+    def shingle_hashes(d: DataFrame, out_id: str) -> DataFrame:
+        sh = d.select(
+            F.col(id_col).alias(out_id),
+            F.explode(
+                F.array_distinct(word_shingles(tokens(F.col(text_col)), ngram))
+            ).alias("__s"),
+        )
+        return sh.select(out_id, portable_hash60(F.col("__s")).alias("__h"))
+
+    doc_sh = shingle_hashes(df, id_col)
+    bench_sh = shingle_hashes(benchmark, "__bench_id")
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "__h")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("__h").alias("n_shared_ngrams"),
+            F.countDistinct("__bench_id").alias("n_bench_docs"),
+        )
+    )

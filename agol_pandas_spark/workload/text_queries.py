@@ -256,3 +256,85 @@ def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+# 4-gram SQL shingles (the synthetic corpus repeats at short range, so the
+# query uses n=4; the operator default for real corpora is 8)
+_SQL_G4 = (
+    "CASE WHEN len({t}) < 4 THEN [] "
+    "ELSE list_transform(range(1, len({t}) - 2), "
+    "i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2] || ' ' || {t}[i+3]) END"
+)
+
+
+@register(
+    "text_repetition_metrics",
+    tags=("text", "quality", "repetition"),
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS.format(src='text')} AS t FROM documents),
+    base AS (
+      SELECT doc_id, len(t) AS n, len(list_distinct(t)) AS nd,
+             len(list_filter(range(1, len(t)), i -> t[i] = t[i+1])) AS adj, t
+      FROM toks),
+    bg AS (
+      SELECT doc_id, unnest(CASE WHEN len(t) < 2 THEN []
+             ELSE list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) END) AS g
+      FROM toks),
+    bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
+    top AS (SELECT doc_id, MAX(c) AS topn FROM bgc GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(nd AS BIGINT) AS n_distinct,
+           CAST(adj AS BIGINT) AS adj_dup_pairs,
+           CAST(coalesce(topn, 0) AS BIGINT) AS top_bigram_n,
+           CASE WHEN n >= 1 THEN CAST(n - nd AS DOUBLE) / n END AS dup_token_frac,
+           CASE WHEN n >= 2 THEN CAST(coalesce(topn, 0) AS DOUBLE) / (n - 1) END
+               AS top_bigram_frac
+    FROM base b LEFT JOIN top USING (doc_id)
+    """,
+)
+def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition filters (duplicate-token fraction,
+    adjacent-run pairs, top-bigram share) — the boilerplate/degenerate-text
+    gate of a training-data pipeline, value-checked to the double."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    out = textops.repetition_metrics(docs, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long"),
+        F.col("n_distinct").cast("long"),
+        F.col("adj_dup_pairs").cast("long"),
+        F.col("top_bigram_n").cast("long"),
+        "dup_token_frac",
+        "top_bigram_frac",
+    )
+
+
+@register(
+    "text_benchmark_contamination",
+    tags=("text", "contamination", "dedup"),
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS.format(src='text')} AS t FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct({_SQL_G4.format(t='t')})) AS s FROM toks),
+    h AS (SELECT doc_id, {SQL_HASH60.format(expr='s')} AS hh FROM sh),
+    bench AS (SELECT doc_id AS bid, hh FROM h WHERE doc_id % 97 = 0),
+    docs AS (SELECT doc_id, hh FROM h WHERE doc_id % 97 <> 0)
+    SELECT d.doc_id,
+           CAST(COUNT(DISTINCT d.hh) AS BIGINT) AS n_shared_ngrams,
+           CAST(COUNT(DISTINCT b.bid) AS BIGINT) AS n_bench_docs
+    FROM docs d JOIN bench b USING (hh)
+    GROUP BY d.doc_id
+    """,
+)
+def text_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-leak gate: training docs sharing any word 4-gram with a
+    held-out benchmark slice (doc_id % 97 == 0 stands in for the eval
+    set). Both sides reduce to distinct 60-bit shingle hashes before the
+    join — 8-byte keys shuffle, text never does; the benchmark side
+    broadcasts."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return textops.benchmark_contamination(
+        corpus, bench, "doc_id", "text", ngram=4
+    )

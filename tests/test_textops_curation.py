@@ -1,0 +1,59 @@
+"""Planted-fixture tests for the curation-gate operators added in round 2:
+repetition metrics (Gopher/C4-style) and benchmark contamination."""
+
+from __future__ import annotations
+
+from agol_pandas_spark.operators.textops import (
+    benchmark_contamination,
+    repetition_metrics,
+)
+
+
+def test_repetition_metrics_ground_truth(spark):
+    rows = [
+        (1, "a b c d e"),                  # clean: no repeats
+        (2, "spam spam spam spam"),        # degenerate: one token
+        (3, "x y x y x y x y"),            # bigram boilerplate
+        (4, "solo"),                       # single token: NULL bigram frac
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_metrics(df, "doc_id", "text").collect()}
+
+    assert got[1]["dup_token_frac"] == 0.0
+    assert got[1]["adj_dup_pairs"] == 0 and got[1]["top_bigram_n"] == 1
+
+    assert got[2]["n_tokens"] == 4 and got[2]["n_distinct"] == 1
+    assert got[2]["adj_dup_pairs"] == 3
+    assert got[2]["dup_token_frac"] == 0.75
+    assert got[2]["top_bigram_frac"] == 1.0  # "spam spam" x3 of 3 bigrams
+
+    # "x y" appears 4 times of 7 bigrams
+    assert got[3]["top_bigram_n"] == 4
+    assert got[3]["top_bigram_frac"] == 4 / 7
+
+    assert got[4]["n_tokens"] == 1
+    assert got[4]["top_bigram_n"] == 0
+    assert got[4]["dup_token_frac"] == 0.0
+    assert got[4]["top_bigram_frac"] is None  # no bigrams to take a share of
+
+
+def test_benchmark_contamination_ground_truth(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix alpha beta gamma delta suffix"),   # shares 1 4-gram
+            (2, "alpha beta gamma delta epsilon more"),    # shares 2 4-grams
+            (3, "completely unrelated text with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_shared_ngrams"], r["n_bench_docs"])
+        for r in benchmark_contamination(
+            corpus, bench, "doc_id", "text", ngram=4
+        ).collect()
+    }
+    assert got == {1: (1, 1), 2: (2, 1)}  # doc 3 absent: clean
