@@ -195,10 +195,6 @@ class ParquetPagedClient(PagedClient):
         self.path = path
         self.columns = list(columns) if columns else None
 
-    def _table(self):
-        import pyarrow.parquet as pq
-
-        return pq.read_table(self.path, columns=self.columns)
 
     def schema(self) -> StructType:
         from pyspark.sql.pandas.types import from_arrow_schema
@@ -218,6 +214,30 @@ class ParquetPagedClient(PagedClient):
         return pq.ParquetFile(self.path).metadata.num_rows
 
     def fetch_page(self, offset: int, limit: int) -> Sequence[tuple]:
-        page = self._table().slice(offset, limit)
+        """Row-group-aware page read: only the row groups overlapping
+        ``[offset, offset+limit)`` are decoded (footer metadata locates
+        them), so per-page I/O is O(page), not O(file) — the same
+        contract a real service honors server-side with resultOffset."""
+        import pyarrow.parquet as pq
+
+        f = pq.ParquetFile(self.path)
+        md = f.metadata
+        end = offset + limit
+        acc = 0
+        groups: list[int] = []
+        first_group_start = 0
+        for i in range(md.num_row_groups):
+            n = md.row_group(i).num_rows
+            if acc + n > offset and acc < end:
+                if not groups:
+                    first_group_start = acc
+                groups.append(i)
+            acc += n
+            if acc >= end:
+                break
+        if not groups:
+            return []
+        tbl = f.read_row_groups(groups, columns=self.columns)
+        page = tbl.slice(offset - first_group_start, limit)
         cols = [c.to_pylist() for c in page.columns]
         return list(zip(*cols)) if cols else []

@@ -123,3 +123,25 @@ def test_parquet_backed_client_roundtrip(spark, sf_dir):
         for r in direct.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert {r["lang"]: r["n"] for r in agg.collect()} == direct_agg
+
+
+def test_parquet_client_row_group_boundaries(spark, tmp_path):
+    """Pages spanning row-group boundaries must reassemble exactly (the
+    client decodes only overlapping row groups)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "rg.parquet")
+    tbl = pa.table({"k": list(range(137)), "v": [i * 2 for i in range(137)]})
+    pq.write_table(tbl, path, row_group_size=10)  # 14 row groups
+
+    client = ParquetPagedClient(path)
+    assert pq.ParquetFile(path).metadata.num_row_groups > 1
+    # page entirely inside one group, spanning several, overhanging the end
+    assert [r[0] for r in client.fetch_page(3, 4)] == [3, 4, 5, 6]
+    assert [r[0] for r in client.fetch_page(8, 25)] == list(range(8, 33))
+    assert [r[0] for r in client.fetch_page(130, 50)] == list(range(130, 137))
+    assert client.fetch_page(137, 10) == []
+
+    df = read_paged(spark, client, page_size=25, policy=FAST_RETRY)
+    assert sorted(r["k"] for r in df.collect()) == list(range(137))
