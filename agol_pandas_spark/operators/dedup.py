@@ -145,6 +145,7 @@ def lsh_candidate_pairs(
     id_col: str,
     num_hashes: int = len(MINHASH_PARAMS),
     band_size: int = 2,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of their signature become a
     candidate pair ``(id_a < id_b)`` with ``n_matching_hashes`` agreement.
@@ -154,6 +155,16 @@ def lsh_candidate_pairs(
     shared by millions of docs) is the classic failure mode; AQE skew-join
     handles moderate skew, and the band key includes the band index so
     buckets never merge across bands.
+
+    ``max_bucket_size`` is the hot-bucket guard for corpus scale: a bucket
+    of B docs emits B² candidate pairs, so one boilerplate band value
+    shared by 10⁶ docs means 10¹² pairs out of a single bucket. Buckets
+    larger than the cap are DROPPED before the self-join (one windowed
+    count over the band shuffle, no extra scan of the corpus). Recall
+    note: a pair lost here is near-certainly caught in another band —
+    oversized buckets are boilerplate, not signal — the standard
+    trade in production LSH dedup. ``None`` (default) keeps exact
+    semantics; checked queries use ``None`` so the oracle stays exact.
     """
     n_bands = num_hashes // band_size
     bands = F.array(
@@ -189,6 +200,18 @@ def lsh_candidate_pairs(
         "band_id",
         "band_key",
     )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band_id", "band_key")
+        left = (
+            left.withColumn("__bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
+        right = (
+            right.withColumn("__bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
     agreement = sum(
         F.when(F.col(f"a_mh_{i}") == F.col(f"b_mh_{i}"), 1).otherwise(0)
         for i in range(num_hashes)

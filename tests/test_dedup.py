@@ -123,3 +123,26 @@ def test_simhash_band_pairs_recall_contract(spark):
         for r in simhash_band_pairs(docs, "doc_id", "text", max_hamming=max_h).collect()
     }
     assert got == expected
+
+
+def test_lsh_hot_bucket_cap(spark):
+    """max_bucket_size drops oversized buckets before the self-join: 20
+    identical docs form one 20-doc bucket per band (190 pairs); capped at
+    10, those buckets vanish while a small distinct pair survives."""
+    from agol_pandas_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    rows = [(i, "common boilerplate text repeated across the whole corpus here") for i in range(20)]
+    rows += [(100, "rare unique pair document alpha beta gamma delta epsilon"),
+             (101, "rare unique pair document alpha beta gamma delta epsilon")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = minhash_signatures(docs, "doc_id", "text")
+
+    uncapped = lsh_candidate_pairs(sig, "doc_id")
+    assert uncapped.filter(F.col("id_a") < 100).count() == 190
+
+    capped = lsh_candidate_pairs(sig, "doc_id", max_bucket_size=10)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert got == {(100, 101)}  # boilerplate buckets dropped, signal kept
