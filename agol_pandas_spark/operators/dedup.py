@@ -252,30 +252,41 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS)
     """Per-document SimHash fingerprint over distinct tokens.
 
     For each bit b: vote = Σ_tokens (bit_b(h(tok)) ? +1 : -1); fingerprint
-    sets bit b iff vote > 0. All per-row array math — a pure map stage.
+    sets bit b iff vote > 0 — equivalently iff 2·ones_b > n_tokens.
+
+    Shape: explode distinct tokens → hash once per token (codegen
+    projection) → ONE hash aggregation computing all ``bits`` ones-counts
+    as plain ``sum(shiftright & 1)`` expressions. Everything stays inside
+    whole-stage codegen; the earlier higher-order-function formulation
+    (one interpreted ``aggregate`` lambda per bit) evaluated 60
+    interpreted lambdas × tokens per row and measured ~6× slower at 60
+    bits. The shuffle carries ``bits`` partial sums per doc (map-side
+    combine), ~8·bits bytes/doc — negligible next to the text. Docs with
+    zero tokens keep fingerprint 0 via the left join back to the id set.
     """
-    toks = F.array_distinct(tokens(F.col(text_col)))
-    hashed = F.transform(toks, lambda t: portable_hash60(t))
-    # token hashing runs once per row; the per-bit votes below aggregate
-    # over the materialized array (integer ops only) — see _hashed_barrier
-    base = _hashed_barrier(df, id_col, hashed)
-
-    def _vote(bit_pos: int):
-        return F.aggregate(
-            F.col("__h"),
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + (F.shiftright(h, bit_pos).bitwiseAND(F.lit(1)) * 2 - 1),
-        )
-
+    base = df.select(F.col(id_col))
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("__tok"),
+    ).select(F.col(id_col), portable_hash60(F.col("__tok")).alias("__h"))
+    ones = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1))).alias(f"__o{b}")
+            for b in range(bits)
+        ],
+    )
     fingerprint = None
     for b in range(bits):
         bit = (
-            F.when(_vote(b) > 0, F.lit(2**b).cast("long"))
+            F.when(F.col(f"__o{b}") * 2 > F.col("__n"), F.lit(2**b).cast("long"))
             .otherwise(F.lit(0).cast("long"))
         )
         fingerprint = bit if fingerprint is None else fingerprint + bit
-    return base.select(F.col(id_col), fingerprint.alias("simhash"))
+    fp = ones.select(F.col(id_col), fingerprint.alias("simhash"))
+    return base.join(fp, id_col, "left").select(
+        F.col(id_col), F.coalesce(F.col("simhash"), F.lit(0)).alias("simhash")
+    )
 
 
 def simhash_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -352,17 +363,22 @@ def simhash_band_pairs(
         "band",
         "band_key",
     )
-    pairs = (
+    # verify BEFORE dedup: the Hamming filter is a map-side expression and
+    # most candidates fail it, so the distinct (a shuffle) sees the small
+    # verified set instead of every bucket-pair duplicated across bands
+    return (
         a.join(b, on=["band", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__sig_a", "__sig_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("__sig_a").bitwiseXOR(F.col("__sig_b"))).alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return pairs.select(
-        "id_a",
-        "id_b",
-        F.bit_count(F.col("__sig_a").bitwiseXOR(F.col("__sig_b"))).alias("hamming"),
-    ).filter(F.col("hamming") <= max_hamming)
 
 
 def ngram_jaccard_pairs(

@@ -170,6 +170,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # computations provably produce the same row set.
 @register(
     "dedup_simhash_band_pairs",
+    headline=True,
     tags=("dedup", "simhash", "banding"),
     oracle=f"""
     WITH toks AS (

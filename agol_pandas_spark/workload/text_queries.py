@@ -312,6 +312,7 @@ def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_benchmark_contamination",
+    headline=True,
     tags=("text", "contamination", "dedup"),
     oracle=f"""
     WITH toks AS (SELECT doc_id, {SQL_TOKS.format(src='text')} AS t FROM documents),

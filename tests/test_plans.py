@@ -110,3 +110,14 @@ def test_chunk_lineage_has_no_global_window(q):
     plan entirely (range shuffle + Arrow per-partition numbering)."""
     plan = formatted_plan(q("merge_chunk_lineage"))
     assert "Window" not in plan
+
+
+def test_contamination_benchmark_side_broadcasts(q):
+    """The eval-set side is tiny by construction — the shingle-hash join
+    must broadcast it, never shuffle the corpus side."""
+    plan = formatted_plan(q("text_benchmark_contamination"))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_geo_topk_uses_take_ordered(q):
+    assert "TakeOrderedAndProject" in formatted_plan(q("geo_nearest_to_origin"))
