@@ -41,7 +41,13 @@ from collections.abc import Iterator, Sequence
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import StructType
 
 DEFAULT_PAGE_SIZE = 100_000  # reference chunk default, src/agol_pandas.py:159
@@ -151,16 +157,27 @@ class PagedDataSource(DataSource):
     def schema(self) -> StructType:
         return self._client().schema()
 
-    def reader(self, schema: StructType) -> DataSourceReader:
+    def _policy(self) -> RetryPolicy:
         o = self.options
-        policy = RetryPolicy(
+        return RetryPolicy(
             max_attempts=int(o.get("max_attempts", 5)),
             max_backoff=float(o.get("max_backoff", 30.0)),
             min_backoff=float(o.get("min_backoff", 0.0)),
             backoff_interval=float(o.get("backoff_interval", 0.1)),
         )
+
+    def reader(self, schema: StructType) -> DataSourceReader:
         return _PagedReader(
-            self._client(), int(o.get("page_size", DEFAULT_PAGE_SIZE)), policy
+            self._client(),
+            int(self.options.get("page_size", DEFAULT_PAGE_SIZE)),
+            self._policy(),
+        )
+
+    def writer(self, schema: StructType, overwrite: bool) -> "_PagedWriter":
+        return _PagedWriter(
+            pickle.loads(base64.b64decode(self.options["sink_pkl"])),
+            int(self.options.get("page_size", DEFAULT_PAGE_SIZE)),
+            self._policy(),
         )
 
 
@@ -241,3 +258,82 @@ class ParquetPagedClient(PagedClient):
         page = tbl.slice(offset - first_group_start, limit)
         cols = [c.to_pylist() for c in page.columns]
         return list(zip(*cols)) if cols else []
+
+
+class PagedSink(abc.ABC):
+    """Write-side transport contract: the reference's chunked upload loop
+    (``src/agol_pandas.py:426, :614`` — sequential, driver-side, one temp
+    CSV per chunk) becomes per-executor batched uploads with retry.
+    Implementations must be picklable and idempotent per (task, batch):
+    Spark retries failed write tasks, so a real service sink needs an
+    upsert key or a staging+commit protocol (the reference used
+    ``rollback=True`` on append for the same reason)."""
+
+    @abc.abstractmethod
+    def upload_batch(self, rows: Sequence[tuple]) -> None:
+        """Persist one batch of rows (tuples in schema order)."""
+
+
+@dataclass
+class _PagedCommit(WriterCommitMessage):
+    n_rows: int = 0
+    n_batches: int = 0
+
+
+class _PagedWriter(DataSourceWriter):
+    """One concurrent upload stream per partition, ``page_size`` rows per
+    batch, each batch retried under the reference's backoff policy —
+    the distributed replacement for the reference's sequential chunk
+    loop. ``commit``/``abort`` receive per-task row counts; a real
+    service backend finalizes or rolls back its staging there."""
+
+    def __init__(self, sink: PagedSink, page_size: int, policy: RetryPolicy):
+        self._sink = sink
+        self._page_size = page_size
+        self._policy = policy
+
+    def write(self, iterator) -> _PagedCommit:
+        buf: list[tuple] = []
+        n_rows = 0
+        n_batches = 0
+        for row in iterator:
+            buf.append(tuple(row))
+            if len(buf) == self._page_size:
+                self._policy.run(self._sink.upload_batch, buf)
+                n_rows += len(buf)
+                n_batches += 1
+                buf = []
+        if buf:
+            self._policy.run(self._sink.upload_batch, buf)
+            n_rows += len(buf)
+            n_batches += 1
+        return _PagedCommit(n_rows=n_rows, n_batches=n_batches)
+
+    def commit(self, messages) -> None:  # pragma: no cover - trivial
+        pass
+
+    def abort(self, messages) -> None:  # pragma: no cover - trivial
+        pass
+
+
+def write_paged(
+    df: DataFrame,
+    sink: PagedSink,
+    page_size: int = DEFAULT_PAGE_SIZE,
+    policy: RetryPolicy | None = None,
+) -> None:
+    """Upload ``df`` through a :class:`PagedSink`: partitions stream in
+    parallel, batches of ``page_size`` rows, executor-side retry."""
+    df.sparkSession.dataSource.register(PagedDataSource)
+    policy = policy or RetryPolicy()
+    (
+        df.write.format("agol_paged")
+        .option("sink_pkl", base64.b64encode(pickle.dumps(sink)).decode())
+        .option("page_size", str(page_size))
+        .option("max_attempts", str(policy.max_attempts))
+        .option("max_backoff", str(policy.max_backoff))
+        .option("min_backoff", str(policy.min_backoff))
+        .option("backoff_interval", str(policy.backoff_interval))
+        .mode("append")
+        .save()
+    )

@@ -11,7 +11,7 @@ from collections.abc import Sequence
 
 from pyspark.sql.types import StructType
 
-from agol_pandas_spark.sources.paged import PagedClient
+from agol_pandas_spark.sources.paged import PagedClient, PagedSink
 
 
 class MemoryClient(PagedClient):
@@ -44,3 +44,30 @@ class MemoryClient(PagedClient):
         if seen < self.flaky_failures:
             raise ConnectionError(f"injected transient failure at offset {offset}")
         return self.rows[offset : offset + limit]
+
+
+class DirectoryJsonSink(PagedSink):
+    """Mock :class:`~agol_pandas_spark.sources.paged.PagedSink`: each batch
+    lands as one JSON-lines file in ``root`` (uuid-named — concurrent
+    executor tasks never collide). ``flaky_failures`` makes the first
+    attempts of every batch raise BEFORE writing, so retries stay
+    idempotent."""
+
+    def __init__(self, root: str, flaky_failures: int = 0):
+        self.root = root
+        self.flaky_failures = flaky_failures
+        self._attempts = 0
+
+    def upload_batch(self, rows):
+        import json
+        import os
+        import uuid
+
+        if self._attempts < self.flaky_failures:
+            self._attempts += 1
+            raise ConnectionError("injected transient upload failure")
+        self._attempts = 0  # next batch fails again (per-batch injection)
+        path = os.path.join(self.root, f"batch_{uuid.uuid4().hex}.jsonl")
+        with open(path, "w") as f:
+            for r in rows:
+                f.write(json.dumps(list(r)) + "\n")

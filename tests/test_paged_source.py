@@ -145,3 +145,39 @@ def test_parquet_client_row_group_boundaries(spark, tmp_path):
 
     df = read_paged(spark, client, page_size=25, policy=FAST_RETRY)
     assert sorted(r["k"] for r in df.collect()) == list(range(137))
+
+
+def _read_sink(root):
+    import json
+    import os
+
+    batches = []
+    for fn in os.listdir(root):
+        with open(os.path.join(root, fn)) as f:
+            batches.append([tuple(json.loads(line)) for line in f])
+    return batches
+
+
+def test_write_paged_batches_and_parallelism(spark, tmp_path):
+    from agol_pandas_spark.sources.paged_mock import DirectoryJsonSink
+    from agol_pandas_spark.sources.paged import write_paged
+
+    df = spark.range(0, 50, 1, 3).withColumn("v", F.col("id") * 10)
+    write_paged(df, DirectoryJsonSink(str(tmp_path)), page_size=8, policy=FAST_RETRY)
+    batches = _read_sink(tmp_path)
+    rows = sorted(r for b in batches for r in b)
+    assert rows == [(i, i * 10) for i in range(50)]  # exactly-once content
+    assert all(len(b) <= 8 for b in batches)
+    # 3 partitions of 16/17 rows -> ceil(17/8)=3 or ceil(16/8)=2 batches each
+    assert len(batches) == 8
+
+
+def test_write_paged_retry_absorbs_upload_failures(spark, tmp_path):
+    from agol_pandas_spark.sources.paged_mock import DirectoryJsonSink
+    from agol_pandas_spark.sources.paged import write_paged
+
+    df = spark.range(0, 20, 1, 2)
+    sink = DirectoryJsonSink(str(tmp_path), flaky_failures=1)
+    write_paged(df, sink, page_size=6, policy=FAST_RETRY)
+    rows = sorted(r[0] for b in _read_sink(tmp_path) for r in b)
+    assert rows == list(range(20))
