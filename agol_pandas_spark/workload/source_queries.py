@@ -175,6 +175,59 @@ def source_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_bucketed_colocated_join",
+    tags=("source", "bucketing", "join", "shuffle-elimination"),
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS orderkey_checksum
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def source_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via bucketing — the 100 TB discipline for repeated
+    big joins on a stable key: both tables are written bucketBy(8, key) +
+    sortBy, so the sort-merge join reads pre-hashed, pre-sorted buckets
+    and needs NO Exchange on either input (plan-pinned in
+    tests/test_plans.py; the only shuffle left is the final groupBy).
+    The reference has no layout control at all (single-request fetch,
+    src/agol_pandas.py:246); bucketing is what replaces its server-side
+    indexes (:253-312) for join locality."""
+    cat = Catalog(spark, sf_dir)
+    stamp = uuid.uuid4().hex[:8]
+    warehouse = os.path.join(tempfile.gettempdir(), f"bucketed_{stamp}")
+    t_orders, t_cust = f"b_orders_{stamp}", f"b_cust_{stamp}"
+    (
+        cat.table("orders")
+        .select("o_orderkey", "o_custkey")
+        .write.bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .option("path", os.path.join(warehouse, t_orders))
+        .format("parquet")
+        .saveAsTable(t_orders)
+    )
+    (
+        cat.table("customer")
+        .select("c_custkey", "c_mktsegment")
+        .write.bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .option("path", os.path.join(warehouse, t_cust))
+        .format("parquet")
+        .saveAsTable(t_cust)
+    )
+    orders, cust = spark.table(t_orders), spark.table(t_cust)
+    # merge hint: the dims are small enough to broadcast at test scale,
+    # which would hide exactly the property under test (bucket reuse)
+    joined = orders.join(
+        cust.hint("merge"), orders.o_custkey == cust.c_custkey
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_orderkey").alias("orderkey_checksum"),
+    )
+
+
+@register(
     "audit_foreign_key_orphans",
     tags=("quality", "audit", "join"),
     oracle="""

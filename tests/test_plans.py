@@ -121,3 +121,14 @@ def test_contamination_benchmark_side_broadcasts(q):
 
 def test_geo_topk_uses_take_ordered(q):
     assert "TakeOrderedAndProject" in formatted_plan(q("geo_nearest_to_origin"))
+
+
+def test_bucketed_join_eliminates_input_shuffles(q):
+    """bucketBy(8, key) + sortBy on both sides: the sort-merge join must
+    consume buckets directly — at most one Exchange in the whole plan
+    (the final groupBy), none feeding the join."""
+    import re
+
+    plan = formatted_plan(q("source_bucketed_colocated_join"))
+    assert "SortMergeJoin" in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 1
