@@ -157,3 +157,68 @@ def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_start_us"),
         "n_events",
     )
+
+
+@register(
+    "stream_interval_join_click_purchase",
+    tags=("streaming", "stream-stream-join", "events"),
+    oracle="""
+    SELECT c.user_id,
+           epoch_us(c.ts) AS click_us,
+           c.event_id AS click_id,
+           epoch_us(p.ts) AS purchase_us,
+           p.event_id AS purchase_id
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def stream_interval_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner interval join: purchases within 30 minutes of a
+    click by the same user, both sides consumed as watermarked streams.
+    The event-time range bound in the join condition is what bounds the
+    buffered state (see ``streaming/joins.py``); draining the finite
+    corpus with availableNow yields exactly the batch interval join, so
+    the SQL oracle applies."""
+    from agol_pandas_spark.streaming.joins import stream_interval_join
+
+    cat = Catalog(spark, sf_dir)
+    path = cat.path("events")
+    schema = spark.read.parquet(path).schema
+    landing = os.path.join(
+        tempfile.gettempdir(), f"stream_ssj_{uuid.uuid4().hex[:8]}"
+    )
+    os.makedirs(landing)
+    os.symlink(os.path.abspath(path), os.path.join(landing, "events.parquet"))
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        ev = stream_from_directory(spark, landing, schema)
+        if isinstance(schema["ts"].dataType, T.LongType):
+            ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return ev.filter(F.col("event_type") == event_type).select(
+            F.col("user_id").alias(f"{prefix}_user"),
+            F.col("ts").alias(f"{prefix}_ts"),
+            F.col("event_id").alias(f"{prefix}_id"),
+        )
+
+    joined = stream_interval_join(
+        side("click", "c"),
+        side("purchase", "p"),
+        equi_keys=F.col("c_user") == F.col("p_user"),
+        left_ts="c_ts",
+        right_ts="p_ts",
+        interval="30 MINUTE",
+        watermark="2 hours",
+    )
+    out = joined.select(
+        F.col("c_user").alias("user_id"),
+        F.unix_micros("c_ts").alias("click_us"),
+        F.col("c_id").alias("click_id"),
+        F.unix_micros("p_ts").alias("purchase_us"),
+        F.col("p_id").alias("purchase_id"),
+    )
+    name = f"stream_ssj_{uuid.uuid4().hex[:8]}"
+    q = write_stream_to_memory(out, name, output_mode="append")
+    q.awaitTermination()
+    return spark.table(name)
