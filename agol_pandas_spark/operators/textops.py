@@ -275,7 +275,12 @@ def benchmark_contamination(
         )
         return sh.select(out_id, portable_hash60(F.col("__s")).alias("__h"))
 
-    doc_sh = shingle_hashes(df, id_col)
+    from agol_pandas_spark.operators.chunking import spread_small_scan
+
+    # the corpus-side shingle map runs BEFORE any exchange (the join below
+    # broadcasts), so a one-file scan would pin it to one task — spread it;
+    # the benchmark side is tiny and stays put
+    doc_sh = shingle_hashes(spread_small_scan(df), id_col)
     bench_sh = shingle_hashes(benchmark, "__bench_id")
     return (
         doc_sh.join(F.broadcast(bench_sh), "__h")
