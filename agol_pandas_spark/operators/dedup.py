@@ -518,3 +518,98 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    normalize: bool = True,
+) -> DataFrame:
+    """C4-style line-level exact dedup: keep each (normalized) line's
+    globally-first occurrence, drop every other copy, reassemble documents
+    from their surviving lines in original order.
+
+    "First occurrence" is deterministic: smallest ``(id, line position)``
+    across the corpus, via ``row_number`` over the line-hash partition.
+
+    Output: ``id, n_lines, n_lines_kept, text_kept`` (documents whose
+    every line was seen earlier elsewhere survive with empty text — the
+    caller decides whether to drop them).
+
+    Scale shape: two keyed shuffles, both unavoidable for the semantics —
+    one on the 8-byte line hash (carries ``pos`` + the line text for
+    reassembly), one back on the doc id. No global window, no driver
+    materialization. At 100 TB the hash shuffle is the corpus itself;
+    partition count must track input size (AQE handles this), and the
+    line-hash keyspace is uniform so no salting is needed.
+    """
+    line_raw = F.col("__line")
+    key = F.lower(F.trim(line_raw)) if normalize else line_raw
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    ).withColumn("__h", portable_hash60(key))
+    w = Window.partitionBy("__h").orderBy(F.col(id_col), F.col("__pos"))
+    kept = (
+        lines.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias("text_kept"),
+    )
+    base = df.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), "\n")).alias("n_lines")
+    )
+    return (
+        base.join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            "n_lines",
+            F.coalesce(F.col("n_lines_kept"), F.lit(0)).alias("n_lines_kept"),
+            F.coalesce(F.col("text_kept"), F.lit("")).alias("text_kept"),
+        )
+    )
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    normalize: bool = True,
+) -> DataFrame:
+    """Incremental ingest dedup: drop batch documents whose (normalized)
+    text already exists in the corpus, then dedup within the batch itself
+    (smallest id survives).
+
+    The corpus side is reduced to its 8-byte hash set before the anti-join
+    — at 100 TB that is the *index*, not the text, and it is the natural
+    thing to persist between ingest batches (a bucketed hash table makes
+    repeat ingests shuffle-free on the corpus side). The anti-join
+    shuffles batch-size + |corpus hashes|; with a stored index only the
+    new batch moves. A Bloom filter over corpus hashes is the documented
+    lossy shortcut when even the index is too large to shuffle.
+    """
+
+    def _key(c: Column) -> Column:
+        return F.lower(F.trim(c)) if normalize else c
+
+    hashed_batch = batch.withColumn("__h", portable_hash60(_key(F.col(text_col))))
+    corpus_idx = corpus.select(
+        portable_hash60(_key(F.col(text_col))).alias("__h")
+    ).distinct()
+    fresh = hashed_batch.join(corpus_idx, "__h", "left_anti")
+    w = Window.partitionBy("__h").orderBy(F.col(id_col))
+    return (
+        fresh.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__h")
+    )

@@ -430,3 +430,50 @@ def kmeans_lite(
     # instead of leaking a cache entry per kmeans_lite call
     data.unpersist(blocking=False)
     return centroids, assignments.drop(vec)
+
+
+def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of a float embedding column:
+    ``scale = max(|v|)/127``, ``q_i = clamp(floor(v_i/scale + 0.5), ±127)``.
+
+    The rounding rule is written as ``floor(x + 0.5)`` explicitly (not
+    ``round``) so the Spark plan and the DuckDB oracle share one exact
+    definition — half-up in both engines regardless of banker's-rounding
+    defaults. All-zero vectors quantize to all zeros with scale 0.
+
+    One codegen map stage, no shuffle, no Python: this is the 4× storage /
+    bandwidth reduction step before a 100 TB ANN index build, and the
+    quantized array stays JVM-side for downstream integer dot products.
+
+    Output keeps the quantized array plus exact integer summaries
+    (``q_sum``, ``q_l1``, ``q_sq``) so correctness is hash-checkable on
+    scalars while the array column feeds downstream operators.
+
+    The scale is let-bound through a 1-element ``transform`` (the
+    ``word_shingles`` trick): referencing the ``array_max`` subtree inside
+    the per-element lambda would re-evaluate it once per element —
+    interpreted HOFs don't CSE across lambda boundaries.
+    """
+    v = F.col(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = amax.cast("double") / F.lit(127.0)
+
+    def qarr(s: Column) -> Column:
+        def quant(x: Column) -> Column:
+            raw = F.floor(x.cast("double") / s + F.lit(0.5))
+            return F.greatest(F.lit(-127), F.least(F.lit(127), raw.cast("int")))
+
+        return F.when(s == 0, F.transform(v, lambda x: F.lit(0))).otherwise(
+            F.transform(v, quant)
+        )
+
+    q = F.flatten(F.transform(F.array(scale), qarr))
+    return df.select(
+        F.col(id_col),
+        F.size(v).alias("n_dims"),
+        scale.alias("scale"),
+        q.alias("q"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + F.abs(x)).alias("q_l1"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x.cast("long") * x).alias("q_sq"),
+    )

@@ -290,3 +290,39 @@ def benchmark_contamination(
             F.countDistinct("__bench_id").alias("n_bench_docs"),
         )
     )
+
+
+# PII patterns chosen to be portable between Java regex (Spark) and RE2
+# (DuckDB oracle): no backreferences, no lookaround. Replacement order is
+# email -> ipv4 -> phone; the patterns are mutually non-overlapping on any
+# input (an email match consumes its digits; a 3-group phone can never
+# parse as a 4-group ipv4), so per-pattern counts on the ORIGINAL text
+# equal the number of replacements performed.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "phone": (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+}
+
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Redact emails / IPv4 addresses / US-style phone numbers and count
+    each category. Pure codegen map stage (regexp_count + chained
+    regexp_replace) — no shuffle, no Python; 100 TB streams through.
+
+    Output: ``id, n_emails, n_ipv4, n_phones, redacted_len, redacted``.
+    """
+    text = F.col(text_col)
+    redacted = text
+    counts = {}
+    for name, (pat, token) in PII_PATTERNS.items():
+        counts[name] = F.regexp_count(text, F.lit(pat))
+        redacted = F.regexp_replace(redacted, pat, token)
+    return df.select(
+        F.col(id_col),
+        counts["email"].alias("n_emails"),
+        counts["ipv4"].alias("n_ipv4"),
+        counts["phone"].alias("n_phones"),
+        F.length(redacted).alias("redacted_len"),
+        redacted.alias("redacted"),
+    )

@@ -260,3 +260,85 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir).table("documents")
     pairs = dedup.minhash_dedup_pairs(docs, "doc_id", "text", min_agreement=4)
     return dedup.connected_components(pairs, "id_a", "id_b")
+
+
+@register(
+    "dedup_line_level",
+    tags=("dedup", "text"),
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_replace(text, ' (table|value) ', chr(10), 'g') AS text2
+      FROM documents),
+    l AS (
+      SELECT doc_id, u.line AS line, u.pos AS pos
+      FROM t, UNNEST(list_transform(string_split(text2, chr(10)),
+                                    (x, i) -> {'line': x, 'pos': i})) AS s(u)),
+    h AS (
+      SELECT doc_id, pos, line,
+             CAST(('0x' || substring(md5(lower(trim(line))), 1, 15)) AS BIGINT) AS hh
+      FROM l),
+    kept AS (
+      SELECT doc_id, pos, line FROM h
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY hh ORDER BY doc_id, pos) = 1),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_lines_kept,
+             string_agg(line, chr(10) ORDER BY pos) AS text_kept
+      FROM kept GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(string_split(t.text2, chr(10))) AS INTEGER) AS n_lines,
+           CAST(COALESCE(a.n_lines_kept, 0) AS BIGINT) AS n_lines_kept,
+           COALESCE(a.text_kept, '') AS text_kept
+    FROM t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def dedup_line_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level exact dedup (``operators/dedup.py:line_dedup``).
+
+    The synthetic corpus has no newlines, so the query deterministically
+    manufactures multi-line documents first (every ``' table '``/
+    ``' value '`` becomes a line break — identical regex in both engines),
+    then keeps each normalized line's globally-first occurrence and
+    reassembles the documents.
+    """
+    docs = Catalog(spark, sf_dir).table("documents")
+    multi = docs.select(
+        "doc_id",
+        F.regexp_replace("text", " (table|value) ", "\n").alias("text2"),
+    )
+    return dedup.line_dedup(multi, "doc_id", "text2")
+
+
+@register(
+    "dedup_incremental_batch",
+    tags=("dedup",),
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lang, source, n_chars,
+             CAST(('0x' || substring(md5(lower(trim(substring(lower(text), 1, 30)))), 1, 15))
+                  AS BIGINT) AS hh
+      FROM documents WHERE source = 'src0'),
+    c AS (
+      SELECT DISTINCT
+             CAST(('0x' || substring(md5(lower(trim(substring(lower(text), 1, 30)))), 1, 15))
+                  AS BIGINT) AS hh
+      FROM documents WHERE source <> 'src0')
+    SELECT doc_id, lang, source, n_chars
+    FROM b WHERE hh NOT IN (SELECT hh FROM c)
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY hh ORDER BY doc_id) = 1
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup (``operators/dedup.py:incremental_dedup``):
+    treat ``source='src0'`` as the newly-arriving batch and every other
+    source as the already-ingested corpus; admit only batch docs whose
+    normalized content key (prefix-30 of lowered text, the same key as
+    ``dedup_exact_normalized``) is unseen, deduping within the batch too.
+    """
+    docs = Catalog(spark, sf_dir).table("documents").withColumn(
+        "k", F.substring(F.lower("text"), 1, 30)
+    )
+    batch = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    out = dedup.incremental_dedup(corpus, batch, "doc_id", "k")
+    return out.select("doc_id", "lang", "source", "n_chars")

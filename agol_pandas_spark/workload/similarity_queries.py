@@ -409,3 +409,39 @@ def array_predicates_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.forall("embedding", lambda x: F.abs(x) < 1.0).alias("all_unit"),
         F.size(F.filter("embedding", lambda x: x < 0)).alias("n_negative"),
     )
+
+
+@register(
+    "sim_quantize_int8",
+    tags=("similarity", "quantize"),
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, embedding, len(embedding) AS n_dims,
+             CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+                 / 127.0 AS scale
+      FROM embeddings),
+    q AS (
+      SELECT vec_id, n_dims, scale,
+             CASE WHEN scale = 0
+                  THEN list_transform(embedding, x -> 0)
+                  ELSE list_transform(embedding, x ->
+                       greatest(-127, least(127,
+                         CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INTEGER))))
+             END AS qv
+      FROM s)
+    SELECT vec_id, CAST(n_dims AS INTEGER) AS n_dims, scale,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+           CAST(list_sum(list_transform(qv, x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS q_sq
+    FROM q
+    """,
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization
+    (``operators/similarity.py:quantize_int8``). The checked surface is
+    the exact integer summaries + the per-vector scale; the quantized
+    array itself is dropped here because the driver canonicalizer hashes
+    scalars (the array column is consumed by downstream operators).
+    """
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    return similarity.quantize_int8(emb, "vec_id", "embedding").drop("q")

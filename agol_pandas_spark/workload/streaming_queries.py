@@ -222,3 +222,57 @@ def stream_interval_join_click_purchase(spark: SparkSession, sf_dir: str) -> Dat
     q = write_stream_to_memory(out, name, output_mode="append")
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "stream_dedup_at_least_once",
+    tags=("streaming", "dedup", "events"),
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round((value) * 10000) AS BIGINT)) AS DOUBLE)
+               / 10000.0 AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup_at_least_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup under at-least-once delivery
+    (``streaming/windows.py:stream_dedup_within_watermark``): the landing
+    directory holds the SAME events file twice (a simulated redelivery),
+    so every record arrives exactly two times; ``dropDuplicatesWithinWatermark``
+    on event_id admits each once, and the per-type totals equal the
+    single-copy batch aggregation.
+
+    State holds one 8-byte key per event inside the watermark horizon and
+    is evicted as event time advances — bounded at any corpus size by the
+    watermark, not the stream length.
+    """
+    cat = Catalog(spark, sf_dir)
+    path = cat.path("events")
+    schema = spark.read.parquet(path).schema
+    landing = os.path.join(
+        tempfile.gettempdir(), f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    )
+    os.makedirs(landing)
+    # two links to one file = every record delivered twice
+    os.symlink(os.path.abspath(path), os.path.join(landing, "events_a.parquet"))
+    os.symlink(os.path.abspath(path), os.path.join(landing, "events_b.parquet"))
+    ev = stream_from_directory(spark, landing, schema)
+    if isinstance(schema["ts"].dataType, T.LongType):
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from agol_pandas_spark.streaming.windows import stream_dedup_within_watermark
+
+    deduped = stream_dedup_within_watermark(
+        ev, keys=["event_id"], ts_col="ts", watermark="2 hours"
+    ).select("event_id", "event_type", "value")
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = write_stream_to_memory(deduped, name, output_mode="append")
+    q.awaitTermination()
+    sunk = spark.table(name)
+    return sunk.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.sum(F.round(F.col("value") * 10000).cast("long")).cast("double")
+            / 10000.0
+        ).alias("total_value"),
+    )

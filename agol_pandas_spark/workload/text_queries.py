@@ -339,3 +339,61 @@ def text_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.benchmark_contamination(
         corpus, bench, "doc_id", "text", ngram=4
     )
+
+
+# DuckDB twins of operators.textops.PII_PATTERNS (RE2 dialect-compatible)
+_SQL_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_SQL_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_SQL_PII_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+_SQL_PII_TEXT = (
+    "'u' || CAST(doc_id AS VARCHAR) || '@ex' || CAST(doc_id % 5 AS VARCHAR)"
+    " || '.com call 555-' || CAST(100 + doc_id % 900 AS VARCHAR)"
+    " || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR)"
+    " || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.' || CAST(doc_id % 100 AS VARCHAR)"
+    " || ' ' || substring(text, 1, 80)"
+)
+
+
+@register(
+    "text_pii_redaction",
+    tags=("text", "pii"),
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_PII_TEXT} AS txt FROM documents),
+    r AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(txt, '{_SQL_PII_EMAIL}')) AS INTEGER) AS n_emails,
+             CAST(len(regexp_extract_all(txt, '{_SQL_PII_IPV4}')) AS INTEGER) AS n_ipv4,
+             CAST(len(regexp_extract_all(txt, '{_SQL_PII_PHONE}')) AS INTEGER) AS n_phones,
+             regexp_replace(regexp_replace(regexp_replace(txt,
+                 '{_SQL_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_SQL_PII_IPV4}', '<IP>', 'g'),
+                 '{_SQL_PII_PHONE}', '<PHONE>', 'g') AS redacted
+      FROM t)
+    SELECT doc_id, n_emails, n_ipv4, n_phones,
+           CAST(length(redacted) AS INTEGER) AS redacted_len, redacted
+    FROM r
+    """,
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (``operators/textops.py:redact_pii``). The synthetic
+    corpus carries no PII, so the query deterministically plants an email,
+    a phone number, and an IPv4 per document (same string construction in
+    both engines) before redacting — the regexes are genuinely exercised.
+    """
+    docs = Catalog(spark, sf_dir).table("documents")
+    d = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "",
+            F.lit("u"), d.cast("string"),
+            F.lit("@ex"), (d % 5).cast("string"),
+            F.lit(".com call 555-"), (d % 900 + 100).cast("string"),
+            F.lit("-"), (d % 9000 + 1000).cast("string"),
+            F.lit(" ip 10.0."), (d % 256).cast("string"),
+            F.lit("."), (d % 100).cast("string"),
+            F.lit(" "), F.substring("text", 1, 80),
+        ).alias("txt"),
+    )
+    return textops.redact_pii(planted, "doc_id", "txt")

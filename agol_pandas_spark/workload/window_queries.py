@@ -348,3 +348,92 @@ def window_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame
             F.cume_dist().over(w).alias("cume"),
         )
     )
+
+
+@register(
+    "events_funnel_stages",
+    tags=("events", "funnel"),
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+        AND e.ts <= v.t1 + INTERVAL 24 HOUR GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        AND e.ts <= c.t2 + INTERVAL 24 HOUR GROUP BY e.user_id),
+    f AS (
+      SELECT v.user_id,
+             CASE WHEN t3 IS NOT NULL THEN 3
+                  WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS stage,
+             CASE WHEN t3 IS NOT NULL THEN epoch_ms(t3)//1000 - epoch_ms(t1)//1000
+                  WHEN t2 IS NOT NULL THEN epoch_ms(t2)//1000 - epoch_ms(t1)//1000
+                  ELSE 0 END AS secs
+      FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id))
+    SELECT stage, COUNT(*) AS n_users, CAST(SUM(secs) AS BIGINT) AS sum_secs
+    FROM f GROUP BY stage
+    """,
+)
+def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: each stage's
+    event must strictly follow the user's previous stage time within a
+    24-hour conversion deadline (first qualifying event wins). Emits
+    per-stage user counts and the exact sum of seconds from first view to
+    the deepest stage reached.
+
+    Scale shape: three passes over events, each with the event_type filter
+    pushed to the parquet scan, aggregating to slim per-user tables; the
+    stage joins are all keyed on user_id so AQE plans them as co-located
+    shuffle joins (the per-user aggregates are orders of magnitude smaller
+    than the raw events).
+    """
+    ev = Catalog(spark, sf_dir).table("events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    f = (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            F.when(F.col("t3").isNotNull(), F.lit(3))
+            .when(F.col("t2").isNotNull(), F.lit(2))
+            .otherwise(F.lit(1)).alias("stage"),
+            F.when(
+                F.col("t3").isNotNull(),
+                F.unix_timestamp("t3") - F.unix_timestamp("t1"),
+            )
+            .when(
+                F.col("t2").isNotNull(),
+                F.unix_timestamp("t2") - F.unix_timestamp("t1"),
+            )
+            .otherwise(F.lit(0).cast("long")).alias("secs"),
+        )
+    )
+    return f.groupBy("stage").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("secs").alias("sum_secs"),
+    )

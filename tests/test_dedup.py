@@ -146,3 +146,46 @@ def test_lsh_hot_bucket_cap(spark):
     capped = lsh_candidate_pairs(sig, "doc_id", max_bucket_size=10)
     got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     assert got == {(100, 101)}  # boilerplate buckets dropped, signal kept
+
+
+def test_line_dedup_keeps_first_occurrence(spark):
+    from agol_pandas_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nshared line\nbeta"),
+            (2, "shared line\ngamma"),       # 'shared line' seen in doc 1 first
+            (3, "Shared Line\ndelta"),       # normalized dup of the same line
+            (4, "shared line"),              # every line already seen -> empty
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs, "doc_id", "text").collect()}
+    assert out[1]["text_kept"] == "alpha\nshared line\nbeta"
+    assert out[2]["text_kept"] == "gamma"
+    assert out[3]["text_kept"] == "delta"
+    assert out[4]["text_kept"] == "" and out[4]["n_lines_kept"] == 0
+    assert out[1]["n_lines"] == 3 and out[1]["n_lines_kept"] == 3
+    assert out[2]["n_lines"] == 2 and out[2]["n_lines_kept"] == 1
+
+
+def test_incremental_dedup_anti_joins_corpus_and_self(spark):
+    from agol_pandas_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "known doc")], "doc_id int, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "Known Doc "),   # normalized dup of corpus -> dropped
+            (11, "fresh doc"),    # new -> kept
+            (12, "fresh doc"),    # dup within batch -> smallest id wins
+            (13, "another"),      # new -> kept
+        ],
+        "doc_id int, text string",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in incremental_dedup(corpus, batch, "doc_id", "text").collect()
+    )
+    assert kept == [11, 13]

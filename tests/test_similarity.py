@@ -186,3 +186,22 @@ def test_rp_lsh_multiprobe_improves_recall(emb):
 
     single, multi = hits(0), hits(1)
     assert multi > single, f"multiprobe found {multi} <= single-bucket {single}"
+
+
+def test_quantize_int8_exact_values_and_zero_vector(spark):
+    from agol_pandas_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -0.5, 0.25, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),
+        ],
+        "vec_id int, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in quantize_int8(df, "vec_id", "embedding").collect()}
+    # scale = 1.0/127; q = floor(v*127 + 0.5) clamped
+    assert out[1]["q"] == [127, -63, 32, 0]
+    assert out[1]["q_sum"] == 127 - 63 + 32
+    assert out[1]["q_l1"] == 127 + 63 + 32
+    assert out[1]["q_sq"] == 127 * 127 + 63 * 63 + 32 * 32
+    assert out[2]["q"] == [0, 0, 0, 0] and out[2]["scale"] == 0.0

@@ -57,3 +57,23 @@ def test_benchmark_contamination_ground_truth(spark):
         ).collect()
     }
     assert got == {1: (1, 1), 2: (2, 1)}  # doc 3 absent: clean
+
+
+def test_redact_pii_counts_and_replacements(spark):
+    from agol_pandas_spark.operators.textops import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b-c@sub.example.org and x@y.io now"),
+            (2, "call 555-123-4567 or 555.987.6543 stop"),
+            (3, "host 192.168.0.1 peer 10.0.255.254"),
+            (4, "clean text only"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(docs, "doc_id", "text").collect()}
+    assert out[1]["n_emails"] == 2 and out[1]["redacted"] == "mail <EMAIL> and <EMAIL> now"
+    assert out[2]["n_phones"] == 2 and out[2]["redacted"] == "call <PHONE> or <PHONE> stop"
+    assert out[3]["n_ipv4"] == 2 and out[3]["redacted"] == "host <IP> peer <IP>"
+    assert out[4]["redacted"] == "clean text only"
+    assert (out[4]["n_emails"], out[4]["n_ipv4"], out[4]["n_phones"]) == (0, 0, 0)
