@@ -270,9 +270,17 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS)
     Deliberately NOT wrapped in ``spread_small_scan``: the wide hash
     aggregation amplifies across input partitions (each partition emits
     its own partial-group buffers into the merge shuffle), and the
-    measured A/B at sf0.1 showed the pre-shuffle costing more than the
-    single-task tokenize it saves. At real scale the scan splits on its
-    own and the partial-agg width (21 longs/doc) is still shuffle-cheap.
+    measured A/B at sf0.1 showed no win over the single-task tokenize it
+    saves. At real scale the scan splits on its own and the partial-agg
+    width (21 longs/doc) is still shuffle-cheap.
+
+    The wide bit expressions are emitted as SQL strings through ONE
+    ``F.expr`` each (not per-bit Column composition): building the
+    60-bit tree one ``F.shiftright``/``F.when`` call at a time costs
+    hundreds of py4j round-trips — measured ~1.4-3.0 s of pure
+    driver-side DataFrame *construction* per call, vs ~0.85 s to actually
+    execute the query at sf0.1. One parsed SQL string is a single
+    round-trip and the identical Catalyst plan.
     """
     lane_bits = 20  # counter width; bound = 2^20-1 distinct tokens/doc
     per_long = 64 // lane_bits  # 3 lanes per aggregate column
@@ -285,31 +293,25 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS)
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("__tok"),
     ).select(F.col(id_col), portable_hash60(F.col("__tok")).alias("__h"))
 
-    def packed_lane_sum(k: int):
-        expr = None
-        for j in range(per_long):
-            b = k * per_long + j
-            if b >= bits:
-                break
-            term = F.shiftleft(
-                F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)), lane_bits * j
-            )
-            expr = term if expr is None else expr + term
-        return F.sum(expr).alias(f"__p{k}")
+    def packed_lane_sum(k: int) -> str:
+        terms = [
+            f"shiftleft(shiftright(__h, {k * per_long + j}) & 1, {lane_bits * j})"
+            for j in range(per_long)
+            if k * per_long + j < bits
+        ]
+        return f"sum({' + '.join(terms)}) AS __p{k}"
 
     ones = toks.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("__n"),
-        *[packed_lane_sum(k) for k in range(n_longs)],
+        *[F.expr(packed_lane_sum(k)) for k in range(n_longs)],
     )
-    fingerprint = None
-    for b in range(bits):
+
+    def bit_term(b: int) -> str:
         k, j = divmod(b, per_long)
-        o = F.shiftright(F.col(f"__p{k}"), lane_bits * j).bitwiseAND(F.lit(lane_mask))
-        bit = (
-            F.when(o * 2 > F.col("__n"), F.lit(2**b).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
-        )
-        fingerprint = bit if fingerprint is None else fingerprint + bit
+        o = f"(shiftright(__p{k}, {lane_bits * j}) & {lane_mask})"
+        return f"(CASE WHEN {o} * 2 > __n THEN CAST({2**b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+
+    fingerprint = F.expr(" + ".join(bit_term(b) for b in range(bits)))
     fp = ones.select(F.col(id_col), fingerprint.alias("simhash"))
     return base.join(fp, id_col, "left").select(
         F.col(id_col), F.coalesce(F.col("simhash"), F.lit(0)).alias("simhash")
