@@ -45,6 +45,16 @@ TEST_TABLES = (
 )
 
 
+# Scan-DataFrame cache shared by all Catalog instances: building a parquet
+# scan costs ~100 ms of driver time per call (file listing + footer schema
+# read over py4j), and workload queries construct a fresh Catalog each
+# invocation. Keyed by (session, path, options, dataset mtime) — an
+# overwrite or drop changes the path's mtime, so staleness is structural
+# rather than relying on explicit invalidation hooks.
+_DF_CACHE: dict[tuple, DataFrame] = {}
+_DF_CACHE_MAX = 256
+
+
 class Catalog:
     """A named-table namespace over a directory of Parquet datasets."""
 
@@ -126,6 +136,10 @@ class Catalog:
         p = self.path(name)
         if not os.path.exists(p):
             raise TableNotFoundError(f"no table {name!r} under {self.root}")
+        key = (id(self.spark), p, merge_schema, os.path.getmtime(p))
+        cached = _DF_CACHE.get(key)
+        if cached is not None:
+            return cached
         reader = self.spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
@@ -137,6 +151,9 @@ class Catalog:
                 df = df.withColumn(
                     c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
                 )
+        if len(_DF_CACHE) >= _DF_CACHE_MAX:
+            _DF_CACHE.clear()
+        _DF_CACHE[key] = df
         return df
 
     def register_views(self, names: tuple[str, ...] = TEST_TABLES) -> None:

@@ -27,6 +27,7 @@ branch (``:204``, O(rows × chunks)) and NameError-ing in the pandas branch
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator, Sequence
 
 import pandas as pd
@@ -189,9 +190,42 @@ def spread_small_scan(df: DataFrame, min_partitions: int | None = None) -> DataF
     decision at real scale, where inputs already split into >= parallelism
     partitions. Keep heavy per-row pipelines behind this; leave cheap scans
     alone.
+
+    The partition count is *estimated* from input-file sizes vs
+    ``spark.sql.files.maxPartitionBytes`` (a driver-side stat over the
+    scan's already-listed files) rather than ``df.rdd.getNumPartitions()``
+    — converting the plan to an RDD costs ~200 ms of driver time per call
+    and is pure overhead for a yes/no decision. Non-file-backed plans fall
+    back to the RDD probe.
     """
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    current = _estimated_scan_partitions(df)
+    if current is None:
+        current = df.rdd.getNumPartitions()
+    if current >= target:
         return df
     return df.repartition(target)
+
+
+def _estimated_scan_partitions(df: DataFrame) -> int | None:
+    """Estimate a file-backed scan's partition count as
+    ceil(total_bytes / maxPartitionBytes); None when the plan exposes no
+    input files (e.g. in-memory or post-shuffle DataFrames)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        local = f.removeprefix("file:")
+        try:
+            total += os.path.getsize(local)
+        except OSError:
+            return None
+    raw = df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    digits = "".join(ch for ch in raw if ch.isdigit()) or "134217728"
+    max_pb = max(1, int(digits))
+    return max(1, -(-total // max_pb))
