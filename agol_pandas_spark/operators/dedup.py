@@ -28,6 +28,7 @@ step here is DuckDB-oracle-checkable.
 from __future__ import annotations
 
 from collections.abc import Sequence
+from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -121,11 +122,33 @@ def minhash_signatures(
     Shingles are md5-hashed once per row (see :func:`_hashed_barrier`);
     each of the k permutations is ``array_min`` over pure integer math.
     """
-    params = MINHASH_PARAMS[:num_hashes]
-    sh = word_shingles(tokens(F.col(text_col)), shingle_size)
-    hashed = F.transform(sh, lambda s: portable_hash60(s) % MINHASH_P)
-    base = _hashed_barrier(df, id_col, hashed)
+    base = _hashed_barrier(df, id_col, _minhash_hashed_expr(text_col, shingle_size))
     sig_cols = [
+        c.alias(f"mh_{i}") for i, c in enumerate(_minhash_sig_exprs(num_hashes))
+    ]
+    return base.select(F.col(id_col), *sig_cols)
+
+
+@lru_cache(maxsize=64)
+def _minhash_hashed_expr(text_col: str, shingle_size: int) -> Column:
+    """Shingle-hash array expression, memoized per parameters.
+
+    Column expressions are immutable and unresolved until analysis, so one
+    instance serves every DataFrame in the process. Building this tree
+    fresh costs real py4j round-trip time per call (measured ~0.1 s for
+    the shingle pipeline and ~0.4 s for the signature columns) — pure
+    driver overhead for repeated operator invocations. Aliases are NOT
+    memoized: an ``Alias`` mints its exprId at construction, and reusing
+    one object across two subplans of a single query would collide.
+    """
+    sh = word_shingles(tokens(F.col(text_col)), shingle_size)
+    return F.transform(sh, lambda s: portable_hash60(s) % MINHASH_P)
+
+
+@lru_cache(maxsize=16)
+def _minhash_sig_exprs(num_hashes: int) -> tuple[Column, ...]:
+    params = MINHASH_PARAMS[:num_hashes]
+    return tuple(
         # empty shingle set → sentinel P (never collides with a real hash)
         F.coalesce(
             F.array_min(
@@ -134,10 +157,9 @@ def minhash_signatures(
                 )
             ),
             F.lit(MINHASH_P),
-        ).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(params)
-    ]
-    return base.select(F.col(id_col), *sig_cols)
+        )
+        for _, (a, b) in enumerate(params)
+    )
 
 
 def lsh_candidate_pairs(
@@ -166,19 +188,7 @@ def lsh_candidate_pairs(
     trade in production LSH dedup. ``None`` (default) keeps exact
     semantics; checked queries use ``None`` so the oracle stays exact.
     """
-    n_bands = num_hashes // band_size
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.concat_ws(
-                    "_",
-                    *[F.col(f"mh_{b * band_size + j}") for j in range(band_size)],
-                ).alias("band_key"),
-            )
-            for b in range(n_bands)
-        ]
-    )
+    bands = _lsh_bands_expr(num_hashes, band_size)
     exploded = signatures.select(
         F.col(id_col), *[F.col(f"mh_{i}") for i in range(num_hashes)],
         F.explode(bands).alias("band"),
@@ -212,15 +222,39 @@ def lsh_candidate_pairs(
             .filter(F.col("__bn") <= max_bucket_size)
             .drop("__bn")
         )
-    agreement = sum(
-        F.when(F.col(f"a_mh_{i}") == F.col(f"b_mh_{i}"), 1).otherwise(0)
-        for i in range(num_hashes)
-    )
+    agreement = _lsh_agreement_expr(num_hashes)
     return (
         left.join(right, on=["band_id", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", agreement.alias("n_matching_hashes"))
         .distinct()
+    )
+
+
+@lru_cache(maxsize=16)
+def _lsh_bands_expr(num_hashes: int, band_size: int) -> Column:
+    """Band-struct array, memoized per parameters (struct-field aliases
+    become literal field names, not attributes, so reuse is safe)."""
+    n_bands = num_hashes // band_size
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    "_",
+                    *[F.col(f"mh_{b * band_size + j}") for j in range(band_size)],
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
+@lru_cache(maxsize=16)
+def _lsh_agreement_expr(num_hashes: int) -> Column:
+    return sum(
+        F.when(F.col(f"a_mh_{i}") == F.col(f"b_mh_{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
     )
 
 

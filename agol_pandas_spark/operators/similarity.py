@@ -247,32 +247,35 @@ def embedding_neardup_pairs(
     )
 
 
-def rp_signature_col(vec: Column, planes) -> Column:
+def rp_signature_col(vec: Column | str, planes) -> Column:
     """Signed-random-projection LSH bucket id: bit k = [dot(v, h_k) > 0].
 
     ``planes`` is a list of integer hyperplanes (generated deterministically
     driver-side so the DuckDB oracle can embed identical constants). Each
     dot product accumulates in scaled int64 — bucket assignment is exact,
     so unlike IVF this ANN variant is fully value-checkable.
+
+    Emitted as one parsed SQL expression: composing ``n_planes × dim``
+    literals through per-call Column operators costs hundreds of py4j
+    round-trips of driver time (the same overhead class as the SimHash
+    bit tree); one ``F.expr`` string parse yields the identical plan.
+    ``vec`` must be a column NAME when using the default path.
     """
-    bucket = F.lit(0).cast("long")
-    for k, row in enumerate(planes):
-        arr = F.array(*[F.lit(int(p)) for p in row])
-        dot = F.aggregate(
-            F.zip_with(
-                vec,
-                arr,
-                lambda x, p: F.round(
-                    (x.cast("double") * p.cast("double")) * F.lit(float(VSCALE))
-                ).cast("long"),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
+    vec_sql = vec if isinstance(vec, str) else vec._jc.toString()
+
+    def dot_sql(row) -> str:
+        arr = f"array({', '.join(str(int(p)) for p in row)})"
+        return (
+            f"aggregate(zip_with(`{vec_sql}`, {arr}, (x, p) -> "
+            f"CAST(round((CAST(x AS DOUBLE) * CAST(p AS DOUBLE)) * {float(VSCALE)}) AS BIGINT)), "
+            f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
         )
-        bucket = bucket + (
-            F.when(dot > 0, F.lit(2**k).cast("long")).otherwise(F.lit(0).cast("long"))
-        )
-    return bucket
+
+    terms = [
+        f"(CASE WHEN {dot_sql(row)} > 0 THEN CAST({2**k} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for k, row in enumerate(planes)
+    ]
+    return F.expr(" + ".join(terms))
 
 
 def rp_lsh_topk(
