@@ -66,3 +66,18 @@ def map_arrow_batches(
     kernels (pyarrow.compute, numpy-on-buffers) run zero-copy. Prefer this
     over pandas batches when the kernel is itself Arrow-native."""
     return df.mapInArrow(fn, schema=schema)
+
+
+def grouped_apply_arrow(
+    df: DataFrame,
+    keys: Sequence[str],
+    fn,
+    schema: T.StructType | str,
+) -> DataFrame:
+    """Per-group Arrow-table transform (``applyInArrow``): the zero-copy
+    sibling of :func:`grouped_apply` — each group arrives as one
+    ``pyarrow.Table`` and the kernel returns one. Same contract (one
+    shuffle on ``keys``, a group must fit in one worker), minus the
+    pandas conversion overhead — prefer it when the per-group kernel is
+    Arrow/numpy-native."""
+    return df.groupBy(*[df[k] for k in keys]).applyInArrow(fn, schema=schema)

@@ -229,3 +229,60 @@ def _estimated_scan_partitions(df: DataFrame) -> int | None:
     digits = "".join(ch for ch in raw if ch.isdigit()) or "134217728"
     max_pb = max(1, int(digits))
     return max(1, -(-total // max_pb))
+
+
+def with_running_total(
+    df: DataFrame,
+    val_col: str,
+    keys: Sequence[str],
+    col_name: str = "running_start",
+) -> DataFrame:
+    """Exclusive global running total of ``val_col`` in ``keys`` order
+    (row's value excluded — i.e. the row's starting offset), without a
+    global window.
+
+    Same two-phase shape as :func:`with_chunk_id`: range-partition + sort
+    (one shuffle, every partition works), per-partition partial sums (a
+    P-integer collect), then one Arrow pass-through stage adds each
+    partition's cumulative offset to its local running sum. The sorted
+    layout is persisted so the counting and numbering passes see identical
+    partition assignments.
+    """
+    import numpy as np
+    import pyarrow as pa
+    from pyspark import TaskContext
+    from pyspark.sql import types as T
+    from pyspark.storagelevel import StorageLevel
+
+    spark = df.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    parts = repartition_by_sorted_range(df, p, keys).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    partials = {
+        r["__pid"]: r["s"]
+        for r in parts.groupBy(F.spark_partition_id().alias("__pid"))
+        .agg(F.sum(F.col(val_col)).alias("s"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(partials):
+        offsets[pid] = acc
+        acc += int(partials[pid] or 0)
+
+    out_schema = T.StructType(
+        list(parts.schema.fields) + [T.StructField(col_name, T.LongType())]
+    )
+    vidx = [f.name for f in parts.schema.fields].index(val_col)
+
+    def add_running(batches):
+        pid = TaskContext.get().partitionId()
+        seen = offsets.get(pid, 0)
+        for b in batches:
+            vals = b.column(vidx).to_numpy(zero_copy_only=False).astype(np.int64)
+            starts = seen + np.concatenate(([0], np.cumsum(vals)[:-1]))
+            seen += int(vals.sum())
+            yield b.append_column(col_name, pa.array(starts))
+
+    return parts.mapInArrow(add_running, out_schema)

@@ -326,3 +326,77 @@ def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.length(redacted).alias("redacted_len"),
         redacted.alias("redacted"),
     )
+
+
+def shard_by_token_budget(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    budget: int,
+) -> DataFrame:
+    """Token-budget sharding for training-batch assembly: documents, taken
+    in ``id_col`` order, are assigned to consecutive shards by their
+    cumulative token *starting offset* — ``shard_id = start // budget``.
+    Shard totals hover around ``budget`` (a document may straddle a
+    boundary and tip its shard over; none is split).
+
+    Scale shape: the exclusive running total comes from
+    ``chunking.with_running_total`` — range shuffle + P-integer partials +
+    one Arrow pass — no global window, no driver materialization. The
+    deterministic order makes shard assignment reproducible across runs
+    and engines (the DuckDB oracle reproduces it with a window cumsum).
+    """
+    from agol_pandas_spark.operators.chunking import with_running_total
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    shards = with_running_total(df, n_tokens_col, [id_col], "__start")
+    return shards.withColumn(
+        "shard_id", F.floor(F.col("__start") / F.lit(budget)).cast("long")
+    ).drop("__start")
+
+
+def greedy_pack_bins(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    budget: int,
+    shard_col: str = "shard_id",
+) -> DataFrame:
+    """True greedy sequence packing *within shards*: walking each shard in
+    ``id_col`` order, a document joins the current bin unless it would
+    push the bin over ``budget`` (documents larger than the budget get a
+    bin of their own). Emits ``bin_id`` (local to the shard) per document.
+
+    Greedy packing is a sequential recurrence — not expressible as a
+    closed-form window function — so it runs as ``applyInPandas`` per
+    shard: the coarse :func:`shard_by_token_budget` pass bounds each
+    shard's size, making per-group state tiny and the stage
+    embarrassingly parallel across shards. This two-level design (shard
+    globally by offset, pack greedily within shards) is the standard
+    scalable shape; only bins at shard boundaries differ from a
+    single-sequential pack.
+    """
+    import pandas as pd
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    out_fields = df.schema.fields
+    schema_ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields)
+    schema_ddl += ", bin_id long"
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        bins = []
+        cur_bin, cur_tok = 0, 0
+        for n in pdf[n_tokens_col]:
+            n = int(n)
+            if cur_tok > 0 and cur_tok + n > budget:
+                cur_bin += 1
+                cur_tok = 0
+            bins.append(cur_bin)
+            cur_tok += n
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        return pdf
+
+    return df.groupBy(shard_col).applyInPandas(pack, schema_ddl)

@@ -397,3 +397,44 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("txt"),
     )
     return textops.redact_pii(planted, "doc_id", "txt")
+
+
+@register(
+    "text_pack_token_shards",
+    tags=("text", "packing"),
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len({SQL_TOKS.format(src='text')}) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+      FROM t)
+    SELECT CAST(FLOOR(start / 4096) AS BIGINT) AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tok_total,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM c GROUP BY shard_id
+    """,
+)
+def text_pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sharding for training-batch assembly
+    (``operators/textops.py:shard_by_token_budget``): documents in doc_id
+    order are split into ~4096-token shards by cumulative starting offset
+    (no global window — two-phase running total). The checked surface is
+    per-shard composition: doc count, token total, id range.
+    """
+    docs = Catalog(spark, sf_dir).table("documents")
+    with_counts = docs.select(
+        "doc_id", F.size(textops.tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    sharded = textops.shard_by_token_budget(with_counts, "doc_id", "n_tokens", 4096)
+    return sharded.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tok_total"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

@@ -129,3 +129,47 @@ def udf_grouped_median_center(spark: SparkSession, sf_dir: str) -> DataFrame:
         center,
         "event_id long, event_type string, centered2_scaled long",
     )
+
+
+@register(
+    "udf_grouped_arrow_minmax_spread",
+    tags=("udf", "applyInArrow", "grouped"),
+    oracle="""
+    SELECT l_linestatus,
+           CAST(MAX(CAST(round(l_extendedprice * 100) AS BIGINT))
+              - MIN(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS price_spread_cents,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def udf_grouped_arrow_minmax_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped ``applyInArrow`` transform (the Arrow-native sibling of
+    applyInPandas, ``exchange.py:grouped_apply_arrow``): per-group kernel
+    computes the price spread with pyarrow.compute on the raw Arrow
+    table — no pandas conversion. Exact int64 cents, so the oracle is
+    bit-exact.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from agol_pandas_spark.exchange import grouped_apply_arrow
+
+    def spread(tbl: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(tbl["l_extendedprice"], 100.0)), pa.int64())
+        mm = pc.min_max(cents)
+        return pa.table(
+            {
+                "l_linestatus": [tbl["l_linestatus"][0].as_py()],
+                "price_spread_cents": [mm["max"].as_py() - mm["min"].as_py()],
+                "n_rows": [tbl.num_rows],
+            }
+        )
+
+    li = Catalog(spark, sf_dir).table("lineitem").select("l_linestatus", "l_extendedprice")
+    return grouped_apply_arrow(
+        li,
+        ["l_linestatus"],
+        spread,
+        "l_linestatus string, price_spread_cents long, n_rows long",
+    )

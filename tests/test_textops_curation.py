@@ -77,3 +77,54 @@ def test_redact_pii_counts_and_replacements(spark):
     assert out[3]["n_ipv4"] == 2 and out[3]["redacted"] == "host <IP> peer <IP>"
     assert out[4]["redacted"] == "clean text only"
     assert (out[4]["n_emails"], out[4]["n_ipv4"], out[4]["n_phones"]) == (0, 0, 0)
+
+
+def test_shard_by_token_budget_matches_sequential_cumsum(spark):
+    from agol_pandas_spark.operators.textops import shard_by_token_budget
+
+    rows = [(i, (i * 37) % 90 + 10) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id int, n_tokens long")
+    out = {
+        r["doc_id"]: r["shard_id"]
+        for r in shard_by_token_budget(df, "doc_id", "n_tokens", 500).collect()
+    }
+    start = 0
+    for i, n in rows:
+        assert out[i] == start // 500, f"doc {i}: {out[i]} != {start // 500}"
+        start += n
+
+
+def test_greedy_pack_bins_respects_budget(spark):
+    from agol_pandas_spark.operators.textops import (
+        greedy_pack_bins,
+        shard_by_token_budget,
+    )
+
+    rows = [(i, (i * 53) % 300 + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id int, n_tokens long")
+    sharded = shard_by_token_budget(df, "doc_id", "n_tokens", 2000)
+    packed = greedy_pack_bins(sharded, "doc_id", "n_tokens", 512).collect()
+
+    # python reference: same greedy walk per shard in doc_id order
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for r in sorted(packed, key=lambda r: r["doc_id"]):
+        by_shard[r["shard_id"]].append(r)
+    for shard, rs in by_shard.items():
+        cur_bin, cur_tok = 0, 0
+        for r in rs:
+            n = r["n_tokens"]
+            if cur_tok > 0 and cur_tok + n > 512:
+                cur_bin += 1
+                cur_tok = 0
+            assert r["bin_id"] == cur_bin, (shard, r["doc_id"])
+            cur_tok += n
+        # every bin holding >1 doc stays within budget
+        tots = defaultdict(int)
+        counts = defaultdict(int)
+        for r in rs:
+            tots[r["bin_id"]] += r["n_tokens"]
+            counts[r["bin_id"]] += 1
+        for b, tot in tots.items():
+            assert counts[b] == 1 or tot <= 512
