@@ -132,3 +132,40 @@ def test_bucketed_join_eliminates_input_shuffles(q):
     plan = formatted_plan(q("source_bucketed_colocated_join"))
     assert "SortMergeJoin" in plan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 1
+
+
+def test_quantize_int8_is_pure_map(q):
+    """int8 quantization is a per-row transform — any Exchange in its plan
+    means someone added an accidental shuffle to a map-only operator."""
+    plan = formatted_plan(q("sim_quantize_int8"))
+    assert "Exchange" not in plan
+
+
+def test_pii_redaction_is_pure_map(q):
+    plan = formatted_plan(q("text_pii_redaction"))
+    assert "Exchange" not in plan
+
+
+def test_line_dedup_has_no_global_window(q):
+    """Line dedup's survivor window partitions by line hash (parallel);
+    a Window with an empty partition spec would funnel the corpus through
+    one task."""
+    plan = formatted_plan(q("dedup_line_level"))
+    assert "Window" in plan  # the hash-partitioned survivor row_number
+    # single-partition global sorts appear as 'Sort [...], true, 0' after
+    # an Exchange SinglePartition — none allowed
+    assert "SinglePartition" not in plan
+
+
+def test_funnel_pushes_stage_filters(q):
+    """Each funnel stage filters event_type at the parquet scan — three
+    slim scans beat one wide scan + three in-memory filters at 100 TB."""
+    df = q("events_funnel_stages")
+    assert any("event_type" in f for f in pushed_filters(df))
+
+
+def test_token_sharding_has_no_global_window(q):
+    """The running total must come from the two-phase partial-sum path,
+    not a global Window.orderBy cumsum."""
+    plan = formatted_plan(q("text_pack_token_shards"))
+    assert "SinglePartition" not in plan
