@@ -94,3 +94,21 @@ def grid_cell(x: Column, y: Column, cell_deg: float) -> Column:
         F.floor(x / F.lit(cell_deg)).cast("long").alias("cx"),
         F.floor(y / F.lit(cell_deg)).cast("long").alias("cy"),
     )
+
+
+def neighbor_cells(x: Column, y: Column, cell_deg: float) -> Column:
+    """The 3x3 block of grid cells around a point — the probe-side
+    expansion for a grid-bucketed distance join. With ``cell_deg >= d``,
+    every pair within distance ``d`` shares one of these 9 cells with the
+    build side's single home cell, so each qualifying pair appears in the
+    join EXACTLY once (the build point lives in exactly one cell) — no
+    distinct pass needed."""
+    cx = F.floor(x / F.lit(cell_deg)).cast("long")
+    cy = F.floor(y / F.lit(cell_deg)).cast("long")
+    return F.array(
+        *[
+            F.struct((cx + dx).alias("cx"), (cy + dy).alias("cy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )

@@ -17,6 +17,7 @@ from agol_pandas_spark.functions.geometry import (
     bbox_agg,
     grid_cell,
     in_bbox,
+    neighbor_cells,
     parse_point_wkt,
     planar_distance,
     point_wkt,
@@ -130,4 +131,64 @@ def geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells.groupBy("cx", "cy").agg(
         F.count(F.lit(1)).alias("n_points"),
         F.min("c_custkey").alias("min_key"),
+    )
+
+
+_SQL_SUPP_XY = """
+    SELECT s_suppkey,
+           CAST(((s_suppkey * 29) % 36000) - 18000 AS DOUBLE) / 100 AS x,
+           CAST(((s_suppkey * 11) % 18000) - 9000 AS DOUBLE) / 100 AS y
+    FROM supplier
+"""
+
+
+@register(
+    "geo_grid_distance_join",
+    tags=("geo", "spatial-join", "grid"),
+    oracle=f"""
+    WITH c AS ({_SQL_XY}), s AS ({_SQL_SUPP_XY})
+    SELECT c.c_custkey, s.s_suppkey,
+           sqrt((c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)) AS dist
+    FROM c, s
+    WHERE sqrt((c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)) <= 5.0
+    """,
+)
+def geo_grid_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed spatial distance join: customer points within 5
+    degrees of a supplier point. The engine probes each customer's 3x3
+    neighbor cells against each supplier's single home cell (equi-join on
+    integer cells, then the exact distance predicate) — the oracle
+    brute-forces the cross join, so a green hash PROVES the grid plan is
+    pair-for-pair equivalent to the exact quadratic join it replaces.
+
+    Scale shape: the cross join never happens — cost is the equi-join's
+    hash shuffle on cell ids (9 small rows per probe point), and at 100 TB
+    the build side is written partitioned by cell so only probes move.
+    """
+    supp = Catalog(spark, sf_dir).table("supplier").select("s_suppkey")
+    spts = supp.select(
+        "s_suppkey",
+        (((F.col("s_suppkey") * 29) % 36000 - 18000).cast("double") / 100).alias("x"),
+        (((F.col("s_suppkey") * 11) % 18000 - 9000).cast("double") / 100).alias("y"),
+    )
+    cpts = _customer_points(spark, sf_dir).drop("c_mktsegment")
+    probes = cpts.select(
+        "c_custkey",
+        F.col("x").alias("cx_pt"),
+        F.col("y").alias("cy_pt"),
+        F.explode(neighbor_cells(F.col("x"), F.col("y"), 5.0)).alias("cell"),
+    )
+    build = spts.select(
+        "s_suppkey",
+        F.col("x").alias("sx_pt"),
+        F.col("y").alias("sy_pt"),
+        grid_cell(F.col("x"), F.col("y"), 5.0).alias("cell"),
+    )
+    dist = planar_distance(
+        F.col("cx_pt"), F.col("cy_pt"), F.col("sx_pt"), F.col("sy_pt")
+    )
+    return (
+        probes.join(build, "cell")
+        .filter(dist <= 5.0)
+        .select("c_custkey", "s_suppkey", dist.alias("dist"))
     )

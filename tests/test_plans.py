@@ -169,3 +169,13 @@ def test_token_sharding_has_no_global_window(q):
     not a global Window.orderBy cumsum."""
     plan = formatted_plan(q("text_pack_token_shards"))
     assert "SinglePartition" not in plan
+
+
+def test_grid_distance_join_is_equi_join(q):
+    """The spatial join must run as a hash equi-join on grid cells — a
+    CartesianProduct or BroadcastNestedLoopJoin means the grid blocking
+    key was lost and the plan degraded to the quadratic join the oracle
+    brute-forces."""
+    plan = formatted_plan(q("geo_grid_distance_join"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
