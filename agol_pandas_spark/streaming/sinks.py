@@ -28,6 +28,7 @@ def stream_merge_into_catalog(
     mode: str | WriteMode = WriteMode.UPSERT,
     query_name: str | None = None,
     trigger_available_now: bool = True,
+    prepare=None,
 ):
     """Continuously merge a stream into catalog table ``name``.
 
@@ -36,11 +37,18 @@ def stream_merge_into_catalog(
     it off for a long-running ingestion. Checkpointing is the memory-less
     default here (local engine); point ``checkpointLocation`` at durable
     storage in a real deployment for exactly-once batches.
+
+    ``prepare`` (optional ``DataFrame -> DataFrame``) runs on each
+    micro-batch before the merge — the hook for per-batch compaction
+    (keyed modes require the key unique within a batch; a latest-wins
+    dedup there is the standard shape for CDC-style streams).
     """
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if prepare is not None:
+            batch_df = prepare(batch_df)
         write_table(catalog, batch_df, name, mode=mode, key=key)
 
     writer = stream.writeStream.foreachBatch(merge_batch)

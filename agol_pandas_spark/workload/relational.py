@@ -999,3 +999,40 @@ def agg_collect_sorted_set(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_linestatus").alias("n_statuses"),
         )
     )
+
+
+@register(
+    "agg_approx_percentile_bounded",
+    tags=("agg", "approx", "percentile"),
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS p50_exact,
+           TRUE AS within_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_approx_percentile_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``approx_percentile`` (sketch-based, accuracy 10000) bounded against
+    the exact continuous median: the query emits a within-1%% boolean the
+    oracle hash-checks — same deterministic-contract pattern as
+    ``agg_approx_distinct_parts``. At 100 TB the sketch is the only
+    option (exact percentiles need a full sort per group); the bound is
+    what makes it trustworthy.
+    """
+    agg = (
+        Catalog(spark, sf_dir)
+        .table("lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50_exact"),
+            F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("p50_approx"),
+        )
+    )
+    return agg.select(
+        "l_returnflag",
+        "p50_exact",
+        (
+            F.abs(F.col("p50_approx") - F.col("p50_exact"))
+            <= F.abs(F.col("p50_exact")) * 0.01
+        ).alias("within_tol"),
+    )

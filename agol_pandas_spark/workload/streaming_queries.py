@@ -276,3 +276,72 @@ def stream_dedup_at_least_once(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("total_value"),
     )
+
+
+@register(
+    "stream_foreachbatch_upsert",
+    tags=("streaming", "sink", "foreachBatch", "events"),
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           epoch_us(ts) AS ts_us
+    FROM (
+      SELECT user_id, event_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming merge sink (``streaming/sinks.py:stream_merge_into_catalog``):
+    the events file stream upserts into a temp catalog table keyed by
+    user_id via ``foreachBatch``, latest event winning *within* each batch
+    before the merge (the upsert key must be unique per batch). Draining
+    with availableNow leaves the table equal to the batch
+    latest-event-per-user compaction, which the oracle computes directly —
+    an end-to-end check of stream -> merge -> atomic table swap.
+
+    Cross-batch caveat: plain upsert is last-WRITE-wins, so with multiple
+    micro-batches an out-of-order source would need a ts-conditional merge
+    to stay latest-EVENT-wins; the single-landing-file drain here is one
+    batch, so the oracle holds exactly.
+    """
+    import shutil
+
+    from agol_pandas_spark.operators.dedup import latest_wins_dedup
+
+    cat = Catalog(spark, sf_dir)
+    path = cat.path("events")
+    schema = spark.read.parquet(path).schema
+    landing = os.path.join(
+        tempfile.gettempdir(), f"stream_fb_{uuid.uuid4().hex[:8]}"
+    )
+    os.makedirs(landing)
+    os.symlink(os.path.abspath(path), os.path.join(landing, "events.parquet"))
+    ev = stream_from_directory(spark, landing, schema)
+    if isinstance(schema["ts"].dataType, T.LongType):
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = ev.select("user_id", "event_id", "event_type", "ts")
+
+    sink_root = tempfile.mkdtemp(prefix="stream_fb_cat_")
+    sink_cat = Catalog(spark, sink_root)
+
+    from agol_pandas_spark.streaming.sinks import stream_merge_into_catalog
+
+    q = stream_merge_into_catalog(
+        ev,
+        sink_cat,
+        "latest_events",
+        key="user_id",
+        prepare=lambda batch: latest_wins_dedup(
+            batch, keys=["user_id"], ts_col="ts",
+            tie_breakers=[F.col("event_id").desc()],
+        ),
+    )
+    q.awaitTermination()
+    out = sink_cat.table("latest_events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    # materialize before the temp catalog disappears
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(sink_root, ignore_errors=True)
+    return out
