@@ -112,3 +112,23 @@ def neighbor_cells(x: Column, y: Column, cell_deg: float) -> Column:
             for dy in (-1, 0, 1)
         ]
     )
+
+
+def z_value(cx: Column, cy: Column, bits: int = 16) -> Column:
+    """Morton / Z-order value: interleaves the low ``bits`` of two
+    non-negative cell coordinates (cx bit b -> z bit 2b, cy bit b -> z bit
+    2b+1). Sorting by z clusters 2-D neighbors into the same file/chunk —
+    the standard multi-dimensional layout optimization (Z-ORDER
+    clustering) — so range predicates on EITHER dimension prune most
+    chunks instead of one dimension only.
+
+    Pure shift/mask integer math emitted as one parsed SQL expression —
+    bit-identical in any engine, so layouts are value-checkable.
+    """
+    cx_sql = cx._jc.toString()
+    cy_sql = cy._jc.toString()
+    terms = []
+    for b in range(bits):
+        terms.append(f"shiftleft(shiftright({cx_sql}, {b}) & 1, {2 * b})")
+        terms.append(f"shiftleft(shiftright({cy_sql}, {b}) & 1, {2 * b + 1})")
+    return F.expr(" + ".join(terms))

@@ -21,6 +21,7 @@ from agol_pandas_spark.functions.geometry import (
     parse_point_wkt,
     planar_distance,
     point_wkt,
+    z_value,
 )
 from agol_pandas_spark.workload import register
 
@@ -191,4 +192,63 @@ def geo_grid_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         probes.join(build, "cell")
         .filter(dist <= 5.0)
         .select("c_custkey", "s_suppkey", dist.alias("dist"))
+    )
+
+
+_SQL_Z8 = " + ".join(
+    f"(((cx >> {b}) & 1) << {2 * b}) + (((cy >> {b}) & 1) << {2 * b + 1})"
+    for b in range(8)
+)
+
+
+@register(
+    "geo_zorder_chunk_locality",
+    tags=("geo", "zorder", "layout"),
+    oracle=f"""
+    WITH pts AS ({_SQL_XY}),
+    cells AS (
+      SELECT c_custkey, x, y,
+             CAST(floor(x / 5.0) AS BIGINT) + 64 AS cx,
+             CAST(floor(y / 5.0) AS BIGINT) + 32 AS cy
+      FROM pts),
+    z AS (SELECT *, {_SQL_Z8} AS zv FROM cells),
+    b AS (SELECT *, ntile(16) OVER (ORDER BY zv, c_custkey) AS bucket FROM z)
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_points,
+           MIN(x) AS xmin, MIN(y) AS ymin, MAX(x) AS xmax, MAX(y) AS ymax
+    FROM b GROUP BY bucket
+    """,
+)
+def geo_zorder_chunk_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout clustering (``functions/geometry.py:z_value``):
+    customer points sort by their Morton value and split into 16 chunks;
+    the checked surface is each chunk's point count and bbox. Because
+    z-order interleaves both dimensions, every chunk's bbox is a compact
+    tile instead of a full-width stripe — the property that lets min/max
+    chunk statistics prune on x AND y at 100 TB (Z-ORDER OPTIMIZE
+    semantics, value-checked cross-engine).
+
+    The exact-ntile bucketing here exists for the deterministic oracle
+    (global window over 1.5k rows); the production layout path is
+    ``df.repartitionByRange(N, zv).sortWithinPartitions(zv)`` — the same
+    z clustering with sampled boundaries and zero driver involvement,
+    exactly like ``chunking.repartition_by_sorted_range``.
+    """
+    pts = _customer_points(spark, sf_dir).drop("c_mktsegment")
+    cells = pts.select(
+        "c_custkey",
+        "x",
+        "y",
+        (F.floor(F.col("x") / 5.0).cast("long") + 64).alias("cx"),
+        (F.floor(F.col("y") / 5.0).cast("long") + 32).alias("cy"),
+    )
+    z = cells.withColumn("zv", z_value(F.col("cx"), F.col("cy"), 8))
+    from pyspark.sql import Window
+
+    b = z.withColumn("bucket", F.ntile(16).over(Window.orderBy("zv", "c_custkey")))
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("x").alias("xmin"),
+        F.min("y").alias("ymin"),
+        F.max("x").alias("xmax"),
+        F.max("y").alias("ymax"),
     )
