@@ -438,3 +438,69 @@ def text_pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@register(
+    "pipeline_pretraining_shards",
+    tags=("text", "pipeline", "dedup", "quality", "packing"),
+    oracle=f"""
+    WITH fp AS (SELECT doc_id, {_FP_EXPR} AS fingerprint FROM documents),
+    keep AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY fingerprint),
+    t AS (SELECT doc_id, text, {SQL_TOKS.format(src='text')} AS toks FROM documents),
+    q AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             0.4 * (CASE WHEN len(toks) > 0
+                         THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                         ELSE 0.0 END)
+           + 0.3 * least(length(text) / 500.0, 1.0)
+           + 0.3 * (CASE WHEN length(text) > 0
+                         THEN CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                              / length(text)
+                         ELSE 0.0 END) AS quality
+      FROM t),
+    curated AS (
+      SELECT d.doc_id, d.lang, q.n_tokens
+      FROM documents d JOIN keep USING (doc_id) JOIN q USING (doc_id)
+      WHERE q.quality >= 0.62 AND d.lang IN ('en', 'de')),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+      FROM curated)
+    SELECT CAST(FLOOR(start / 2048) AS BIGINT) AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tok_total,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM c GROUP BY shard_id
+    """,
+)
+def pipeline_pretraining_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pretraining-data assembly in one lazy plan: fingerprint
+    dedup → quality gate → language allowlist → exact token counts →
+    token-budget shard assignment → per-shard composition stats. Five
+    operators compose without materialization; the only shuffles are the
+    fingerprint groupBy/join, the sharding range exchange, and the final
+    stats aggregation — everything else stays map-side. This is the query
+    a 100 TB corpus run executes per ingest batch, and every stage is the
+    same code path the individual oracle-checked queries pin.
+    """
+    docs = Catalog(spark, sf_dir).table("documents")
+    fp = textops.doc_fingerprint(docs, "doc_id", "text")
+    keep = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    quality = textops.quality_score(docs, "doc_id", "text")
+    curated = (
+        docs.join(keep.select("doc_id"), "doc_id")
+        .join(quality, "doc_id")
+        .filter((F.col("quality") >= 0.62) & F.col("lang").isin("en", "de"))
+        .select("doc_id", "lang", F.col("n_tokens").cast("long").alias("n_tokens"))
+    )
+    sharded = textops.shard_by_token_budget(curated, "doc_id", "n_tokens", 2048)
+    return sharded.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tok_total"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
