@@ -1,0 +1,115 @@
+"""Mergeable frequency sketches in pure DataFrame ops.
+
+A Count-Min Sketch is the scale answer to "how often does each of these
+items occur in 100 TB": a ``depth × width`` grid of counters where every
+occurrence increments one counter per row (bucket = hash_i(item) % width)
+and a point estimate reads the MINIMUM of its ``depth`` counters. The
+sketch is:
+
+- **one hash aggregation** to build (explode items → groupBy (row,
+  bucket) with map-side partial aggregation — the shuffle carries at most
+  ``depth × width`` rows per partition, regardless of corpus size);
+- **mergeable by addition** (union two sketch tables, sum counters) — the
+  property that lets per-batch sketches roll up across ingest days
+  without touching raw data;
+- **never an underestimate** (collisions only add), with overestimate
+  bounded by collision mass ``~N/width`` per row, and the min over
+  ``depth`` independent rows concentrates near the true count.
+
+Hashes are the engine-portable md5 family (``functions/text.py``), so
+build and lookup are reproducible in the DuckDB oracle value-for-value —
+an exactly-checkable approximate structure.
+
+No counterpart in the reference (its service delegates all analytics);
+north-star scope per SURVEY §2b.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from agol_pandas_spark.functions.text import portable_hash60
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _bucket(item: Column, row: int, width: int) -> Column:
+    """Row-``i`` bucket id: md5-derived, non-negative, engine-portable."""
+    h = portable_hash60(F.concat(F.lit(f"cms{row}_"), item))
+    return F.pmod(h, F.lit(width))
+
+
+def cms_build(
+    items: DataFrame,
+    item_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Build a Count-Min Sketch over one item per input row.
+
+    Returns the sketch as a DataFrame ``(row, bucket, cnt)`` — at most
+    ``depth × width`` rows. Each input row contributes to ``depth``
+    counters via a literal-array explode (no join, single aggregation).
+    """
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    _bucket(F.col(item_col), i, width).alias("bucket"),
+                )
+                for i in range(depth)
+            ]
+        )
+    ).alias("rb")
+    return (
+        items.select(rows)
+        .select(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches built with identical (depth, width): counters add."""
+    if not sketches:
+        raise ValueError("nothing to merge")
+    unioned = sketches[0]
+    for s in sketches[1:]:
+        unioned = unioned.unionByName(s)
+    return unioned.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    item_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-estimate each probe item: min of its ``depth`` counters.
+
+    The sketch (≤ depth×width rows) broadcasts; probes explode to their
+    ``depth`` (row, bucket) coordinates and take the group min — missing
+    counters read 0 (the item was never seen).
+    """
+    coords = probes.select(
+        F.col(item_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _bucket(F.col(item_col), i, width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select(item_col, F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    joined = coords.join(F.broadcast(sketch), ["row", "bucket"], "left")
+    return joined.groupBy(item_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est")
+    )

@@ -504,3 +504,65 @@ def pipeline_pretraining_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+def _sql_cms_bucket(row: int, item: str = "token") -> str:
+    h = SQL_HASH60.format(expr=f"'cms{row}_' || {item}")
+    return f"({h} % 1024)"
+
+
+_SQL_CMS_COORDS = " UNION ALL ".join(
+    f"SELECT token, {i} AS row, {_sql_cms_bucket(i)} AS bucket FROM toks"
+    for i in range(4)
+)
+_SQL_CMS_TOP_COORDS = " UNION ALL ".join(
+    f"SELECT token, freq, {i} AS row, {_sql_cms_bucket(i)} AS bucket FROM top"
+    for i in range(4)
+)
+
+
+@register(
+    "sketch_cms_token_counts",
+    tags=("sketch", "text", "approx"),
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({SQL_TOKS.format(src='lower(text)')}) AS token FROM documents),
+    exact AS (SELECT token, COUNT(*) AS freq FROM toks GROUP BY token),
+    top AS (SELECT * FROM exact ORDER BY freq DESC, token LIMIT 20),
+    coords AS ({_SQL_CMS_COORDS}),
+    sketch AS (SELECT row, bucket, COUNT(*) AS cnt FROM coords GROUP BY row, bucket),
+    probe AS ({_SQL_CMS_TOP_COORDS}),
+    est AS (
+      SELECT p.token, p.freq, MIN(COALESCE(s.cnt, 0)) AS cms_est
+      FROM probe p LEFT JOIN sketch s USING (row, bucket)
+      GROUP BY p.token, p.freq)
+    SELECT token, CAST(freq AS BIGINT) AS freq, CAST(cms_est AS BIGINT) AS cms_est,
+           cms_est >= freq AS never_under
+    FROM est
+    """,
+)
+def sketch_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch build + merge-shape + point lookup
+    (``operators/sketches.py``): a 4x1024 counter grid over corpus tokens,
+    estimates read for the 20 most frequent tokens and value-checked
+    against the exact counts — the md5 bucket hashes make the
+    "approximate" structure exactly reproducible in the oracle, including
+    the never-underestimates invariant the last column pins.
+    """
+    from agol_pandas_spark.operators.sketches import cms_build, cms_estimate
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    toks = docs.select(F.explode(textops.tokens(F.lower(F.col("text")))).alias("token"))
+    sketch = cms_build(toks, "token")
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    top = exact.orderBy(F.col("freq").desc(), "token").limit(20)
+    est = cms_estimate(sketch, top.select("token"), "token")
+    return (
+        top.join(est, "token")
+        .select(
+            "token",
+            "freq",
+            "cms_est",
+            (F.col("cms_est") >= F.col("freq")).alias("never_under"),
+        )
+    )

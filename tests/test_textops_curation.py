@@ -128,3 +128,28 @@ def test_greedy_pack_bins_respects_budget(spark):
             counts[r["bin_id"]] += 1
         for b, tot in tots.items():
             assert counts[b] == 1 or tot <= 512
+
+
+def test_cms_merge_equals_whole_and_never_underestimates(spark):
+    from pyspark.sql import functions as F
+
+    from agol_pandas_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    items = [(f"tok{i % 17}",) for i in range(500)]
+    df = spark.createDataFrame(items, "token string")
+    half_a = spark.createDataFrame(items[:250], "token string")
+    half_b = spark.createDataFrame(items[250:], "token string")
+
+    whole = cms_build(df, "token")
+    merged = cms_merge(cms_build(half_a, "token"), cms_build(half_b, "token"))
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+    probes = df.distinct()
+    est = {r["token"]: r["cms_est"] for r in cms_estimate(whole, probes, "token").collect()}
+    exact = {r["token"]: r["cnt"] for r in df.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    for tok, cnt in exact.items():
+        assert est[tok] >= cnt
