@@ -113,3 +113,78 @@ def cms_estimate(
     return joined.groupBy(item_col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est")
     )
+
+
+BLOOM_BITS = 8192  # m: 128 longs
+BLOOM_HASHES = 4  # k
+
+
+def _bit_pos(item: Column, row: int, m: int) -> Column:
+    h = portable_hash60(F.concat(F.lit(f"bloom{row}_"), item))
+    return F.pmod(h, F.lit(m))
+
+
+def bloom_build(
+    items: DataFrame,
+    item_col: str,
+    m: int = BLOOM_BITS,
+    k: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Build a Bloom filter as a DataFrame of 32-bit words
+    ``(word, bits)`` — at most ``m/32`` rows (32-bit words: a shift into
+    a 64-bit sign bit overflows engines with checked shifts, and the
+    word count is a wash), built with ONE ``bit_or``
+    hash aggregation (map-side combine keeps the shuffle at filter size,
+    not corpus size). This is the compact membership pre-filter the
+    incremental-dedup anti-join reaches for when even the corpus hash
+    index is too large to shuffle: broadcast the words, drop every probe
+    the filter rejects (guaranteed true negatives), and anti-join only
+    the survivors.
+
+    Mergeable by ``bit_or`` of word rows, like every OR-of-bits sketch.
+    """
+    pos = F.explode(
+        F.array(*[_bit_pos(F.col(item_col), i, m) for i in range(k)])
+    ).alias("pos")
+    return (
+        items.select(pos)
+        .select(
+            F.floor(F.col("pos") / 32).cast("long").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+
+
+def bloom_might_contain(
+    bloom: DataFrame,
+    probes: DataFrame,
+    item_col: str,
+    m: int = BLOOM_BITS,
+    k: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Per-probe membership verdict: true iff ALL ``k`` bits are set.
+
+    The word table broadcasts; probes explode to their k (word, bit)
+    coordinates, check each against the OR-ed words, and a group-all
+    reduces to the verdict. No false negatives by construction; false
+    positives are the (deterministic, hash-driven) collision cost.
+    """
+    coords = probes.select(
+        F.col(item_col),
+        F.explode(
+            F.array(*[_bit_pos(F.col(item_col), i, m) for i in range(k)])
+        ).alias("pos"),
+    ).select(
+        item_col,
+        F.floor(F.col("pos") / 32).cast("long").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("bit"),
+    )
+    checked = coords.join(F.broadcast(bloom), "word", "left").select(
+        item_col,
+        (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("bit")) != 0).alias("hit"),
+    )
+    return checked.groupBy(item_col).agg(
+        F.min(F.col("hit").cast("int")).cast("boolean").alias("might_contain")
+    )

@@ -566,3 +566,75 @@ def sketch_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_est") >= F.col("freq")).alias("never_under"),
         )
     )
+
+
+def _sql_bloom_coords(src: str, item: str = "k") -> str:
+    parts = []
+    for i in range(4):
+        h = SQL_HASH60.format(expr=f"'bloom{i}_' || {item}")
+        parts.append(
+            f"SELECT {item}, ({h} % 8192) // 32 AS word, "
+            f"(1::BIGINT << (({h} % 8192) % 32)) AS bit FROM {src}"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "sketch_bloom_prefilter",
+    tags=("sketch", "dedup", "approx"),
+    oracle=f"""
+    WITH corpus AS (
+      SELECT DISTINCT substring(lower(text), 1, 30) AS k
+      FROM documents WHERE source <> 'src0'),
+    batch AS (
+      SELECT doc_id, substring(lower(text), 1, 30) AS k
+      FROM documents WHERE source = 'src0'),
+    coords AS ({_sql_bloom_coords('corpus')}),
+    bloom AS (SELECT word, bit_or(bit) AS bits FROM coords GROUP BY word),
+    probe AS ({_sql_bloom_coords('batch')}),
+    verdict AS (
+      SELECT p.k,
+             CAST(MIN(CASE WHEN (COALESCE(b.bits, 0) & p.bit) <> 0
+                           THEN 1 ELSE 0 END) AS BOOLEAN) AS might_contain
+      FROM probe p LEFT JOIN bloom b USING (word) GROUP BY p.k),
+    truth AS (SELECT DISTINCT k FROM corpus)
+    SELECT batch.doc_id, v.might_contain,
+           truth.k IS NOT NULL AS actually_in_corpus
+    FROM batch JOIN verdict v USING (k)
+    LEFT JOIN truth ON truth.k = batch.k
+    """,
+)
+def sketch_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-filter for incremental ingest
+    (``operators/sketches.py:bloom_build/bloom_might_contain``): the
+    corpus content-key set compresses to a 8192-bit word table (one
+    bit_or aggregation), the new batch probes it, and each probe's
+    verdict is value-checked next to ground truth — proving the
+    no-false-negative invariant on real keys (every actually_in_corpus
+    row has might_contain true) plus the exact, hash-deterministic
+    false-positive set.
+    """
+    from agol_pandas_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    docs = Catalog(spark, sf_dir).table("documents").withColumn(
+        "k", F.substring(F.lower("text"), 1, 30)
+    )
+    corpus_keys = docs.filter(F.col("source") != "src0").select("k").distinct()
+    batch = docs.filter(F.col("source") == "src0").select("doc_id", "k")
+    bloom = bloom_build(corpus_keys, "k")
+    verdicts = bloom_might_contain(bloom, batch.select("k").distinct(), "k")
+    truth = corpus_keys.withColumn("actually_in_corpus", F.lit(True))
+    return (
+        batch.join(verdicts, "k")
+        .join(truth, "k", "left")
+        .select(
+            "doc_id",
+            "might_contain",
+            F.coalesce(F.col("actually_in_corpus"), F.lit(False)).alias(
+                "actually_in_corpus"
+            ),
+        )
+    )

@@ -153,3 +153,20 @@ def test_cms_merge_equals_whole_and_never_underestimates(spark):
     exact = {r["token"]: r["cnt"] for r in df.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")).collect()}
     for tok, cnt in exact.items():
         assert est[tok] >= cnt
+
+
+def test_bloom_no_false_negatives(spark):
+    from agol_pandas_spark.operators.sketches import bloom_build, bloom_might_contain
+
+    corpus = spark.createDataFrame([(f"item{i}",) for i in range(200)], "k string")
+    bloom = bloom_build(corpus, "k")
+    # every corpus member must test positive
+    verdicts = {
+        r["k"]: r["might_contain"]
+        for r in bloom_might_contain(bloom, corpus, "k").collect()
+    }
+    assert all(verdicts.values())
+    # a disjoint probe set is mostly rejected (8192 bits, 800 set -> fp rate ~small)
+    novel = spark.createDataFrame([(f"other{i}",) for i in range(200)], "k string")
+    nv = [r["might_contain"] for r in bloom_might_contain(bloom, novel, "k").collect()]
+    assert sum(nv) < 40  # deterministic given fixed hashes; loose bound
