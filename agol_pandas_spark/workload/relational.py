@@ -1036,3 +1036,74 @@ def agg_approx_percentile_bounded(spark: SparkSession, sf_dir: str) -> DataFrame
             <= F.abs(F.col("p50_exact")) * 0.01
         ).alias("within_tol"),
     )
+
+
+@register(
+    "join_lateral_top2_lineitems",
+    tags=("join", "lateral", "topk"),
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, t.l_linenumber, t.l_extendedprice
+    FROM orders o CROSS JOIN LATERAL (
+      SELECT l_linenumber, l_extendedprice FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+      ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) t
+    WHERE o.o_orderkey % 97 = 0
+    """,
+)
+def join_lateral_top2_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join (DataFrame ``lateralJoin``, Spark 4): the
+    two highest-price lineitems per sampled order, the per-outer-row
+    subquery surface that windowed top-k can't express when the inner
+    query is arbitrary. Catalyst decorrelates this into a join +
+    per-group limit — no per-row re-execution.
+    """
+    cat = Catalog(spark, sf_dir)
+    orders = (
+        cat.table("orders")
+        .select("o_orderkey", "o_totalprice")
+        .filter(F.col("o_orderkey") % 97 == 0)
+    )
+    li = cat.table("lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    top2 = (
+        li.where(F.col("l_orderkey") == F.col("o_orderkey").outer())
+        .orderBy(F.col("l_extendedprice").desc(), "l_linenumber")
+        .limit(2)
+    )
+    return orders.lateralJoin(top2).select(
+        "o_orderkey", "o_totalprice", "l_linenumber", "l_extendedprice"
+    )
+
+
+@register(
+    "json_variant_typed_extract",
+    tags=("json", "variant"),
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 AS k_bucket,
+           COUNT(*) AS n,
+           COUNT(json_extract_string(props, '$.missing')) AS n_missing
+    FROM events GROUP BY k_bucket ORDER BY k_bucket
+    """,
+)
+def json_variant_typed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT surface (Spark 4): ``parse_json`` once into
+    the binary variant encoding, then typed path extraction
+    (``try_variant_get``) — the scale answer to repeated string-JSON
+    parsing (parse once, extract many, columnar-shred under the hood).
+    Missing paths return NULL, pinned by the n_missing column.
+    """
+    ev = Catalog(spark, sf_dir).table("events")
+    v = ev.select(F.parse_json("props").alias("v"))
+    extracted = v.select(
+        F.try_variant_get("v", "$.k", "bigint").alias("k"),
+        F.try_variant_get("v", "$.missing", "string").alias("miss"),
+    )
+    return (
+        extracted.groupBy((F.col("k") % 7).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("miss").alias("n_missing"),
+        )
+        .orderBy("k_bucket")
+    )
