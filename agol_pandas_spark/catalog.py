@@ -68,6 +68,11 @@ class Catalog:
         # readability (Spark has no ns timestamp type).
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # tz-less parquet TIMESTAMP(MICROS/MILLIS) must read as TimestampType
+        # (LTZ, session TZ = UTC), not TIMESTAMP_NTZ: the engine normalizes
+        # everything to UTC instants (reference src/agol_pandas.py:86-119),
+        # and NTZ breaks instant functions (unix_micros, to_utc_timestamp).
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # write µs (not INT96): pyarrow reads INT96 as ns, which would
         # confuse ns-detection on engine-written tables — and µs is the
         # portable modern parquet timestamp encoding anyway

@@ -51,6 +51,9 @@ def get_spark(
         # parquet TIMESTAMP(NANOS) is read as long-nanos and converted to
         # µs timestamps by the catalog (Spark has no ns timestamp type)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # tz-less parquet TIMESTAMP(MICROS/MILLIS) reads as TimestampType
+        # (UTC instant), never TIMESTAMP_NTZ — the engine-wide UTC invariant
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -17,6 +17,16 @@ from agol_pandas_spark.streaming.windows import (
 )
 
 
+def _ts_us(df):
+    """Event time as epoch-µs long, whatever the physical encoding of ``ts``
+    (ns-long under nanosAsLong, or µs TimestampType)."""
+    from pyspark.sql import types as T
+
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        return F.expr("ts div 1000")
+    return F.unix_micros(F.col("ts").cast("timestamp"))
+
+
 def _final_sessions(spark, name: str):
     """Update-mode memory sinks append every emission; the latest update
     for a (user, session_start) supersedes earlier opens."""
@@ -32,8 +42,9 @@ def _final_sessions(spark, name: str):
 def test_sessions_continue_across_batches(spark, sf_dir, tmp_path):
     ev = (
         spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        .select("user_id", F.expr("ts div 1000").alias("ts_us"))
+        .select("user_id", "ts")
     )
+    ev = ev.select("user_id", _ts_us(ev).alias("ts_us"))
     mid = ev.approxQuantile("ts_us", [0.5], 0.0)[0]
 
     landing = tmp_path / "landing"
@@ -94,10 +105,8 @@ def test_stream_merge_into_catalog_upsert(spark, sf_dir, tmp_path):
     from agol_pandas_spark.catalog import Catalog
     from agol_pandas_spark.streaming.sinks import stream_merge_into_catalog
 
-    ev = (
-        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        .select("user_id", F.expr("ts div 1000").alias("ts_us"), "value")
-    )
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ev = ev.select("user_id", _ts_us(ev).alias("ts_us"), "value")
     mid = ev.approxQuantile("ts_us", [0.5], 0.0)[0]
 
     def latest_per_user(df):
