@@ -188,16 +188,7 @@ def lsh_candidate_pairs(
     trade in production LSH dedup. ``None`` (default) keeps exact
     semantics; checked queries use ``None`` so the oracle stays exact.
     """
-    bands = _lsh_bands_expr(num_hashes, band_size)
-    exploded = signatures.select(
-        F.col(id_col), *[F.col(f"mh_{i}") for i in range(num_hashes)],
-        F.explode(bands).alias("band"),
-    ).select(
-        F.col(id_col),
-        *[F.col(f"mh_{i}") for i in range(num_hashes)],
-        F.col("band.band_id").alias("band_id"),
-        F.col("band.band_key").alias("band_key"),
-    )
+    exploded = banded_signatures(signatures, id_col, num_hashes, band_size)
     left = exploded.select(
         F.col(id_col).alias("id_a"),
         *[F.col(f"mh_{i}").alias(f"a_mh_{i}") for i in range(num_hashes)],
@@ -228,6 +219,31 @@ def lsh_candidate_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", agreement.alias("n_matching_hashes"))
         .distinct()
+    )
+
+
+def banded_signatures(
+    signatures: DataFrame,
+    id_col: str,
+    num_hashes: int = len(MINHASH_PARAMS),
+    band_size: int = 2,
+) -> DataFrame:
+    """Explode a signature table to one row per (doc, band):
+    ``(id, mh_0..mh_{k-1}, band_id, band_key)``.
+
+    This is both the in-flight shape of :func:`lsh_candidate_pairs` and
+    the PERSISTED shape of :func:`write_lsh_index` — index and self-join
+    paths share one banding definition, so a probe against a stored index
+    finds exactly the pairs the self-join would."""
+    bands = _lsh_bands_expr(num_hashes, band_size)
+    return signatures.select(
+        F.col(id_col), *[F.col(f"mh_{i}") for i in range(num_hashes)],
+        F.explode(bands).alias("band"),
+    ).select(
+        F.col(id_col),
+        *[F.col(f"mh_{i}") for i in range(num_hashes)],
+        F.col("band.band_id").alias("band_id"),
+        F.col("band.band_key").alias("band_key"),
     )
 
 
@@ -280,6 +296,107 @@ def minhash_dedup_pairs(
         sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     pairs = lsh_candidate_pairs(sig, id_col)
     return pairs.filter(F.col("n_matching_hashes") >= min_agreement)
+
+
+def write_lsh_index(
+    catalog,
+    name: str,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 3,
+    num_hashes: int = len(MINHASH_PARAMS),
+    band_size: int = 2,
+) -> str:
+    """Persist the corpus's banded MinHash signatures as a catalog table.
+
+    THE incremental-ingest primitive at corpus scale: hashing 100 TB of
+    text is the expensive stage of MinHash dedup, and without an index
+    every arriving batch would re-tokenize the full corpus to dedup
+    against it. The index stores ``(id, mh_0..mh_{k-1}, band_id,
+    band_key)`` — ~tens of bytes × bands per document, ~1/1000th the
+    corpus — and :func:`probe_lsh_index` joins new batches against it
+    touching only batch text.
+
+    Upgrade path at scale: write bucketed by ``band_key``
+    (``bucketBy(n, 'band_key')``, see ``source_bucketed_colocated_join``)
+    so probes shuffle only the batch side; and append each admitted
+    batch's bands back to the index (plain ``merge_append``) so the index
+    tracks the corpus without rebuilds.
+    """
+    sig = minhash_signatures(corpus, id_col, text_col, shingle_size, num_hashes)
+    banded = banded_signatures(sig, id_col, num_hashes, band_size)
+    return catalog.write(banded, name, mode="overwrite")
+
+
+def probe_lsh_index(
+    catalog,
+    name: str,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 3,
+    num_hashes: int = len(MINHASH_PARAMS),
+    band_size: int = 2,
+) -> DataFrame:
+    """Candidate near-dup pairs between a new batch and an indexed corpus.
+
+    Returns ``(batch_id, corpus_id, n_matching_hashes)`` — one row per
+    (batch doc, corpus doc) sharing at least one LSH band bucket, with
+    exact signature agreement computed from the stored signatures (no
+    corpus text touched). The batch side is hashed fresh; the corpus side
+    is a pruned scan of the index (only id + signature + band columns
+    exist in it). Self-pairs (same id on both sides) are excluded so an
+    index that already contains the batch ignores identity matches.
+    """
+    idx = catalog.table(name)
+    sig = minhash_signatures(batch, id_col, text_col, shingle_size, num_hashes)
+    probe = banded_signatures(sig, id_col, num_hashes, band_size)
+    left = probe.select(
+        F.col(id_col).alias("batch_id"),
+        *[F.col(f"mh_{i}").alias(f"a_mh_{i}") for i in range(num_hashes)],
+        "band_id",
+        "band_key",
+    )
+    right = idx.select(
+        F.col(id_col).alias("corpus_id"),
+        *[F.col(f"mh_{i}").alias(f"b_mh_{i}") for i in range(num_hashes)],
+        "band_id",
+        "band_key",
+    )
+    agreement = _lsh_agreement_expr(num_hashes)
+    return (
+        left.join(right, on=["band_id", "band_key"])
+        .filter(F.col("batch_id") != F.col("corpus_id"))
+        .select("batch_id", "corpus_id", agreement.alias("n_matching_hashes"))
+        .distinct()
+    )
+
+
+def dedup_against_lsh_index(
+    catalog,
+    name: str,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_agreement: int = 4,
+    shingle_size: int = 3,
+    num_hashes: int = len(MINHASH_PARAMS),
+    band_size: int = 2,
+) -> DataFrame:
+    """Admit only batch rows with NO indexed near-duplicate at
+    ``min_agreement`` or more matching MinHash values (left-anti join of
+    the batch against its flagged ids)."""
+    flagged = (
+        probe_lsh_index(
+            catalog, name, batch, id_col, text_col,
+            shingle_size, num_hashes, band_size,
+        )
+        .filter(F.col("n_matching_hashes") >= min_agreement)
+        .select(F.col("batch_id").alias(id_col))
+        .distinct()
+    )
+    return batch.join(flagged, on=id_col, how="left_anti")
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS) -> DataFrame:

@@ -139,6 +139,61 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_lsh_index_probe",
+    tags=("dedup", "minhash", "lsh", "index", "incremental"),
+    oracle=_SQL_SIGNATURES
+    + """
+    , bands AS (
+      SELECT doc_id, b AS band_id,
+             CASE b
+               WHEN 0 THEN mh_0 || '_' || mh_1
+               WHEN 1 THEN mh_2 || '_' || mh_3
+               WHEN 2 THEN mh_4 || '_' || mh_5
+               ELSE mh_6 || '_' || mh_7 END AS band_key,
+             mh_0, mh_1, mh_2, mh_3, mh_4, mh_5, mh_6, mh_7
+      FROM sig, unnest([0,1,2,3]) AS u(b))
+    SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id,
+           (CASE WHEN a.mh_0=b.mh_0 THEN 1 ELSE 0 END +
+            CASE WHEN a.mh_1=b.mh_1 THEN 1 ELSE 0 END +
+            CASE WHEN a.mh_2=b.mh_2 THEN 1 ELSE 0 END +
+            CASE WHEN a.mh_3=b.mh_3 THEN 1 ELSE 0 END +
+            CASE WHEN a.mh_4=b.mh_4 THEN 1 ELSE 0 END +
+            CASE WHEN a.mh_5=b.mh_5 THEN 1 ELSE 0 END +
+            CASE WHEN a.mh_6=b.mh_6 THEN 1 ELSE 0 END +
+            CASE WHEN a.mh_7=b.mh_7 THEN 1 ELSE 0 END) AS n_matching_hashes
+    FROM bands a
+    JOIN documents da ON a.doc_id = da.doc_id AND da.source = 'src0'
+    JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+    JOIN documents db ON b.doc_id = db.doc_id AND db.source <> 'src0'
+    """,
+)
+def dedup_lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup against a PERSISTED LSH index
+    (``operators/dedup.py:write_lsh_index`` / ``probe_lsh_index``): the
+    already-ingested corpus (``source <> 'src0'``) is indexed once as a
+    banded-signature catalog table; the arriving batch (``src0``) is then
+    probed against the index without touching corpus text — the 100 TB
+    ingest shape, where re-hashing the corpus per batch is the cost being
+    avoided. Values checked: every (batch, corpus) candidate pair with
+    its exact signature agreement.
+    """
+    import shutil
+    import tempfile
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    corpus = docs.filter(F.col("source") != "src0")
+    batch = docs.filter(F.col("source") == "src0")
+    idx_root = tempfile.mkdtemp(prefix="lsh_index_")
+    idx_cat = Catalog(spark, idx_root)
+    dedup.write_lsh_index(idx_cat, "corpus_lsh", corpus, "doc_id", "text")
+    out = dedup.probe_lsh_index(idx_cat, "corpus_lsh", batch, "doc_id", "text")
+    # materialize before the temp index directory disappears
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(idx_root, ignore_errors=True)
+    return out
+
+
+@register(
     "dedup_simhash",
     tags=("dedup", "simhash"),
     oracle=f"""

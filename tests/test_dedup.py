@@ -189,3 +189,78 @@ def test_incremental_dedup_anti_joins_corpus_and_self(spark):
         for r in incremental_dedup(corpus, batch, "doc_id", "text").collect()
     )
     assert kept == [11, 13]
+
+
+def test_lsh_index_probe_matches_self_join(docs, spark, tmp_path):
+    """A probe against a persisted index finds exactly the cross-set
+    pairs the in-flight self-join finds, and dedup_against_lsh_index
+    admits only unindexed-novel docs. Appending a batch's bands extends
+    the index without a rebuild."""
+    from agol_pandas_spark.catalog import Catalog
+    from agol_pandas_spark.operators.dedup import (
+        banded_signatures,
+        dedup_against_lsh_index,
+        probe_lsh_index,
+        write_lsh_index,
+    )
+    from agol_pandas_spark.operators.merge import write_table
+
+    corpus = docs.filter(F.col("doc_id").isin(1, 4, 5))
+    batch = docs.filter(F.col("doc_id").isin(2, 3))
+
+    cat = Catalog(spark, str(tmp_path / "idx"))
+    write_lsh_index(cat, "lsh", corpus, "doc_id", "text")
+
+    pairs = {
+        (r.batch_id, r.corpus_id, r.n_matching_hashes)
+        for r in probe_lsh_index(cat, "lsh", batch, "doc_id", "text").collect()
+    }
+    # expected: the self-join over the union, restricted to batch x corpus
+    expected = {
+        (a, b, n)
+        for a, b, n in (
+            (r.id_a, r.id_b, r.n_matching_hashes)
+            for r in minhash_dedup_pairs(
+                docs, "doc_id", "text", min_agreement=0
+            ).collect()
+        )
+        if a in (2, 3) and b in (1, 4, 5)
+    } | {
+        (b, a, n)
+        for a, b, n in (
+            (r.id_a, r.id_b, r.n_matching_hashes)
+            for r in minhash_dedup_pairs(
+                docs, "doc_id", "text", min_agreement=0
+            ).collect()
+        )
+        if b in (2, 3) and a in (1, 4, 5)
+    }
+    assert pairs == expected
+    assert (2, 1, 8) in pairs  # exact dup: all 8 hashes agree
+
+    # doc 2 (exact dup of indexed 1) rejected; near-dup 3 passes at bar 8
+    admitted = sorted(
+        r.doc_id
+        for r in dedup_against_lsh_index(
+            cat, "lsh", batch, "doc_id", "text", min_agreement=8
+        ).collect()
+    )
+    assert admitted == [3]
+
+    # extend the index with the admitted doc's bands (append, no rebuild):
+    # a later arrival with doc 3's exact text must now be caught
+    add = banded_signatures(
+        minhash_signatures(batch.filter(F.col("doc_id") == 3), "doc_id", "text"),
+        "doc_id",
+    )
+    write_table(cat, add, "lsh", mode="append")
+    later = spark.createDataFrame(
+        [(30, docs.filter(F.col("doc_id") == 3).collect()[0].text)],
+        "doc_id long, text string",
+    )
+    re_probe = probe_lsh_index(cat, "lsh", later, "doc_id", "text")
+    hits = {
+        (r.batch_id, r.corpus_id)
+        for r in re_probe.filter(F.col("n_matching_hashes") >= 8).collect()
+    }
+    assert hits == {(30, 3)}
