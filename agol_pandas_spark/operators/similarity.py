@@ -480,3 +480,177 @@ def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + F.abs(x)).alias("q_l1"),
         F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x.cast("long") * x).alias("q_sq"),
     )
+
+
+# -- Product quantization (IVF-PQ's compression half) ------------------------
+
+def pq_codebook_from_seeds(
+    corpus: DataFrame,
+    corpus_id: str,
+    vec: str = "embedding",
+    m_subspaces: int = 4,
+    k_codes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Deterministic PQ codebook: centroid (m, c) = subvector m of the
+    corpus row with id ``c`` (ids ``0..k_codes-1``).
+
+    Seeded (not trained) so the whole PQ pipeline is exactly
+    value-checkable against a SQL oracle; production builds swap this for
+    :func:`kmeans_lite` per subspace over a sample — every downstream op
+    (:func:`pq_encode`, :func:`pq_adc_topk`) takes the codebook as a
+    DataFrame and is agnostic to how it was trained. M*K rows of dim/M
+    floats — broadcast-sized by construction at any corpus scale.
+    """
+    sub = dim // m_subspaces
+    ms = F.explode(F.sequence(F.lit(0), F.lit(m_subspaces - 1))).alias("m")
+    return (
+        corpus.filter(F.col(corpus_id) < k_codes)
+        .select(F.col(corpus_id).cast("int").alias("code"), F.col(vec), ms)
+        .select(
+            "m",
+            "code",
+            F.slice(F.col(vec), F.col("m") * sub + 1, sub).alias("cent"),
+        )
+    )
+
+
+def _l2_scaled(a: Column, b: Column) -> Column:
+    """Order-independent squared L2 distance in 10^-9 integer units."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: F.round(
+                (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double"))
+                * VSCALE
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    corpus_id: str,
+    vec: str = "embedding",
+    m_subspaces: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """PQ-encode each vector to ``m_subspaces`` byte-sized codes:
+    ``codes[m] = argmin_c ||v_m - cent(m,c)||²`` (ties → smallest code).
+
+    Shape: explode to (id, m, subvector) → broadcast-join the M*K-row
+    codebook → ONE hash aggregation with an argmin-struct per subspace
+    (``min(struct(d2, code))``) assembling the code array in subspace
+    order. The corpus streams once; the only shuffle moves (id, m, d2,
+    code) integers, never vectors. Storage: dim floats → M small ints
+    (the 64x compression that makes a 100 TB corpus index RAM-resident).
+    """
+    sub = dim // m_subspaces
+    ms = F.explode(F.sequence(F.lit(0), F.lit(m_subspaces - 1))).alias("m")
+    pieces = corpus.select(F.col(corpus_id), F.col(vec), ms).select(
+        F.col(corpus_id),
+        "m",
+        F.slice(F.col(vec), F.col("m") * sub + 1, sub).alias("__sv"),
+    )
+    scored = pieces.join(F.broadcast(codebook), on="m").select(
+        F.col(corpus_id),
+        "m",
+        F.struct(
+            _l2_scaled(F.col("__sv"), F.col("cent")).alias("d2"),
+            F.col("code").alias("code"),
+        ).alias("__dc"),
+    )
+    best = scored.groupBy(corpus_id).agg(
+        F.array(
+            *[
+                F.min(F.when(F.col("m") == j, F.col("__dc"))).getField("code")
+                for j in range(m_subspaces)
+            ]
+        ).alias("codes")
+    )
+    return best
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    encoded: DataFrame,
+    codebook: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str = "embedding",
+    k: int = 10,
+    m_subspaces: int = 4,
+    k_codes: int = 8,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: approximate ``dot(q, v)`` as
+    ``Σ_m dot(q_m, cent(m, codes_v[m]))`` using only the corpus CODES.
+
+    The query side precomputes its lookup table — dot of each query
+    subvector with every centroid, M*K integers — flattened to one array
+    carried on the (broadcast) query row. Scoring a corpus vector is then
+    M array lookups and adds inside codegen: no vector math, no explode,
+    no shuffle until the per-query top-k window. This is the IVF-PQ scan
+    shape: at 100 TB the corpus side reads only (id, M bytes) columns.
+
+    Output: (query_id, corpus_id, adc_score, rnk), score = scaled
+    approximate dot product (NOT cosine — ranking-equivalent for
+    fixed-norm corpora; exact re-ranking of the top candidates with
+    :func:`brute_force_topk` is the standard refinement).
+    """
+    # LUT rows: (qid, m, code, dot_scaled of query subvector x centroid);
+    # the subvector slice length comes from the centroid's own size, so
+    # the caller never re-states dim here
+    ms = F.explode(F.sequence(F.lit(0), F.lit(m_subspaces - 1))).alias("m")
+    qsub = queries.select(F.col(query_id), F.col(query_vec), ms).select(
+        F.col(query_id),
+        "m",
+        F.col(query_vec).alias("__qv"),
+    )
+    lut_rows = qsub.join(F.broadcast(codebook), on="m").select(
+        F.col(query_id),
+        "m",
+        "code",
+        _dot_scaled(
+            F.slice(F.col("__qv"), F.col("m") * F.size(F.col("cent")) + 1, F.size(F.col("cent"))),
+            F.col("cent"),
+        ).alias("__dot"),
+    )
+    # flatten to lut[m*K + code] (array_sort on (m, code) structs orders
+    # lexicographically by field position — exactly subspace-major order)
+    lut = lut_rows.groupBy(query_id).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("m"), F.col("code"), F.col("__dot")))
+            ),
+            lambda s: s.getField("__dot"),
+        ).alias("__lut")
+    )
+    scored = F.broadcast(lut).crossJoin(encoded).select(
+        F.col(query_id),
+        F.col(corpus_id),
+        F.aggregate(
+            F.zip_with(
+                F.sequence(F.lit(0), F.lit(m_subspaces - 1)),
+                F.col("codes"),
+                lambda m, c: F.element_at(F.col("__lut"), m * k_codes + c + 1),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("__s"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("__s").desc(), F.col(corpus_id))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            query_id,
+            corpus_id,
+            (F.col("__s").cast("double") / F.lit(float(VSCALE))).alias("adc_score"),
+            "rnk",
+        )
+    )

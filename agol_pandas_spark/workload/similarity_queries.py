@@ -445,3 +445,99 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = Catalog(spark, sf_dir).table("embeddings")
     return similarity.quantize_int8(emb, "vec_id", "embedding").drop("q")
+
+
+_SQL_PQ_BASE = """
+    cb AS (
+      SELECT m, CAST(vec_id AS INT) AS code,
+             list_slice(embedding, m * 16 + 1, m * 16 + 16) AS cent
+      FROM embeddings, unnest([0, 1, 2, 3]) AS u(m)
+      WHERE vec_id < 8),
+    sub AS (
+      SELECT vec_id, m, list_slice(embedding, m * 16 + 1, m * 16 + 16) AS sv
+      FROM embeddings, unnest([0, 1, 2, 3]) AS u(m)),
+    dists AS (
+      SELECT s.vec_id, s.m, c.code,
+             list_sum(list_transform(range(1, 17), i ->
+               CAST(round((CAST(sv[i] AS DOUBLE) - CAST(cent[i] AS DOUBLE))
+                          * (CAST(sv[i] AS DOUBLE) - CAST(cent[i] AS DOUBLE))
+                          * 1000000000) AS BIGINT))) AS d2
+      FROM sub s JOIN cb c ON s.m = c.m),
+    codes AS (
+      SELECT vec_id, m, code FROM dists
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                 ORDER BY d2, code) = 1)
+"""
+
+
+@register(
+    "sim_pq_codes",
+    tags=("similarity", "ann", "pq"),
+    oracle="WITH "
+    + _SQL_PQ_BASE
+    + """
+    SELECT vec_id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY m) AS codes_csv
+    FROM codes GROUP BY vec_id
+    """,
+)
+def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (``operators/similarity.py:pq_encode``):
+    every 64-dim vector compressed to 4 subspace codes against a seeded
+    codebook (centroids = subvectors of vec_id 0..7). Codes are exact
+    integer-argmin, so the full code table is value-checked; emitted as a
+    CSV string because the driver canonicalizer can't sort array cells.
+    """
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    cb = similarity.pq_codebook_from_seeds(emb, "vec_id")
+    enc = similarity.pq_encode(emb, cb, "vec_id")
+    return enc.select(
+        "vec_id",
+        F.array_join(F.transform(F.col("codes"), lambda c: c.cast("string")), ",").alias(
+            "codes_csv"
+        ),
+    )
+
+
+@register(
+    "sim_pq_adc_topk",
+    tags=("similarity", "ann", "pq", "topk"),
+    oracle="WITH "
+    + _SQL_PQ_BASE
+    + """
+    , lutd AS (
+      SELECT q.vec_id AS qid, c.m, c.code,
+             list_sum(list_transform(range(1, 17), i ->
+               CAST(round(CAST(list_slice(q.embedding, c.m * 16 + 1, c.m * 16 + 16)[i] AS DOUBLE)
+                          * CAST(cent[i] AS DOUBLE)
+                          * 1000000000) AS BIGINT))) AS dot
+      FROM embeddings q CROSS JOIN cb c
+      WHERE q.vec_id < 5),
+    scores AS (
+      SELECT l.qid, co.vec_id AS cid, SUM(l.dot) AS s
+      FROM codes co JOIN lutd l ON co.m = l.m AND co.code = l.code
+      GROUP BY l.qid, co.vec_id)
+    SELECT qid AS query_id, cid AS vec_id,
+           CAST(s AS DOUBLE) / 1000000000.0 AS adc_score, rnk
+    FROM (SELECT qid, cid, s,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY s DESC, cid) AS rnk
+          FROM scores)
+    WHERE rnk <= 10
+    """,
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-10 for 5 probe vectors
+    (``operators/similarity.py:pq_adc_topk``): corpus scored from its
+    4-byte PQ codes via a per-query flattened lookup table — M array
+    lookups per vector, no vector math on the scan side. Scores are
+    scaled-integer sums, so ranks AND scores are value-checked exactly.
+    """
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    cb = similarity.pq_codebook_from_seeds(emb, "vec_id")
+    enc = similarity.pq_encode(emb, cb, "vec_id")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.pq_adc_topk(
+        queries, enc, cb, query_id="query_id", corpus_id="vec_id", k=10
+    )

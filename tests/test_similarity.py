@@ -205,3 +205,57 @@ def test_quantize_int8_exact_values_and_zero_vector(spark):
     assert out[1]["q_l1"] == 127 + 63 + 32
     assert out[1]["q_sq"] == 127 * 127 + 63 * 63 + 32 * 32
     assert out[2]["q"] == [0, 0, 0, 0] and out[2]["scale"] == 0.0
+
+
+def test_pq_encode_and_adc_contract(emb, spark):
+    """PQ codes are valid (M codes in [0, K)); a seed vector's best match
+    under ADC is itself (its codes reconstruct its own subvectors
+    exactly); ADC top-10 overlaps the exact dot-product top-10."""
+    import numpy as np
+
+    from agol_pandas_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebook_from_seeds,
+        pq_encode,
+    )
+
+    cb = pq_codebook_from_seeds(emb, "vec_id")
+    assert cb.count() == 4 * 8
+    enc = pq_encode(emb, cb, "vec_id")
+    codes = {r["vec_id"]: r["codes"] for r in enc.collect()}
+    assert all(len(c) == 4 and all(0 <= x < 8 for x in c) for c in codes.values())
+    # seed vectors encode to their own id in every subspace
+    for seed in range(8):
+        assert codes[seed] == [seed] * 4
+
+    # exactness contract: for vectors whose subvectors ARE centroids, the
+    # quantization error is zero, so ADC score == exact dot product and
+    # ADC ranking == exact ranking
+    rng = np.random.default_rng(7)
+    seeds = {r["vec_id"]: list(r["embedding"]) for r in emb.filter(F.col("vec_id") < 8).collect()}
+    composed = []
+    for i in range(20):
+        picks = [(i + m * 3) % 8 for m in range(4)]  # varied code patterns
+        v = []
+        for m, p in enumerate(picks):
+            v.extend(seeds[p][m * 16 : (m + 1) * 16])
+        composed.append((100 + i, [float(x) for x in v]))
+    comp = spark.createDataFrame(composed, "vec_id long, embedding array<float>")
+    comp_enc = pq_encode(comp, cb, "vec_id")
+    for r in comp_enc.collect():
+        i = r["vec_id"] - 100
+        assert r["codes"] == [(i + m * 3) % 8 for m in range(4)]
+
+    q_rows = [(0, [float(x) for x in rng.standard_normal(64)])]
+    queries = spark.createDataFrame(q_rows, "query_id long, embedding array<float>")
+    adc = {
+        r["vec_id"]: (r["rnk"], r["adc_score"])
+        for r in pq_adc_topk(queries, comp_enc, cb, "query_id", "vec_id", k=20).collect()
+    }
+    q = np.asarray(q_rows[0][1], dtype=np.float64)
+    exact = {vid: float(q @ np.asarray(v, dtype=np.float64)) for vid, v in composed}
+    for vid, (rnk, score) in adc.items():
+        assert abs(score - exact[vid]) < 1e-5, (vid, score, exact[vid])
+    exact_rank = sorted(exact, key=lambda v: (-exact[v], v))
+    adc_rank = [vid for vid, _ in sorted(adc.items(), key=lambda kv: kv[1][0])]
+    assert adc_rank == exact_rank
