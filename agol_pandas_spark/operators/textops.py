@@ -400,3 +400,58 @@ def greedy_pack_bins(
         return pdf
 
     return df.groupBy(shard_col).applyInPandas(pack, schema_ddl)
+
+
+def domain_mix_sample(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    weights: dict[str, float],
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic downsampling toward a target domain mix — the
+    pretraining-data "source mixing" step (web 60% / code 25% / books 15%
+    …) as a reproducible one-liner.
+
+    Given target weights ``w_d`` and observed counts ``n_d``, the largest
+    achievable mixed corpus without upsampling is ``T = min_d(n_d/w_d)``;
+    each domain keeps ``rate_d = w_d·T/n_d`` of its rows (the limiting
+    domain keeps 100%). Rates quantize to parts-per-million and gate on
+    the portable row hash, so the sample is a pure row function — stable
+    across partitioning, cluster size, re-runs, and engines (the DuckDB
+    oracle reproduces it row-for-row). Domains absent from ``weights``
+    are dropped.
+
+    Plan shape: one tiny per-domain count aggregation → scalar min →
+    ppm-rate table broadcast back onto the corpus scan; the corpus is
+    read twice (count pass + filter pass). At scale, feed ``counts`` from
+    catalog statistics instead to make it one pass.
+    """
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(d, float(w)) for d, w in weights.items()],
+        f"{domain_col} string, __w double",
+    )
+    counts = (
+        df.join(F.broadcast(wdf), domain_col)
+        .groupBy(domain_col, "__w")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    t = counts.agg(F.min(F.col("__n") / F.col("__w")).alias("__t"))
+    rates = counts.crossJoin(F.broadcast(t)).select(
+        F.col(domain_col),
+        F.least(
+            F.lit(1_000_000).cast("long"),
+            F.floor(F.col("__w") * F.col("__t") / F.col("__n") * 1_000_000).cast(
+                "long"
+            ),
+        ).alias("__ppm"),
+    )
+    gate = (
+        F.pmod(
+            portable_hash60(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+            F.lit(1_000_000),
+        )
+        < F.col("__ppm")
+    )
+    return df.join(F.broadcast(rates), domain_col).filter(gate).drop("__ppm")

@@ -375,3 +375,41 @@ def source_orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+@register(
+    "audit_column_profile",
+    tags=("audit", "profile", "quality"),
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS "column", COUNT(*) AS n_rows,
+               COUNT(*) - COUNT({c}) AS n_nulls,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_str,
+               CAST(MAX({c}) AS VARCHAR) AS max_str
+        FROM orders
+        """
+        for c in _PROFILE_COLS
+    ),
+)
+def audit_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profile of ``orders``
+    (``operators/profile.py:profile_columns``): null counts, exact
+    distinct counts, min/max per column, unpivoted to one row per column.
+    Exact mode here so every value hash-checks; the operator's default is
+    the approx (HLL, no-Expand) mode for corpus-scale tables.
+    """
+    from agol_pandas_spark.operators.profile import profile_columns
+
+    orders = Catalog(spark, sf_dir).table("orders")
+    return profile_columns(orders, cols=_PROFILE_COLS, distinct="exact")

@@ -638,3 +638,49 @@ def sketch_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "sample_domain_mix",
+    tags=("sampling", "mixing", "text"),
+    oracle=f"""
+    WITH w("source", w) AS (
+      VALUES ('src0', CAST(0.5 AS DOUBLE)),
+             ('src1', CAST(0.3 AS DOUBLE)),
+             ('src2', CAST(0.2 AS DOUBLE))),
+    c AS (
+      SELECT d.source, w.w, COUNT(*) AS n
+      FROM documents d JOIN w ON d.source = w.source
+      GROUP BY d.source, w.w),
+    t AS (SELECT MIN(n / w) AS t FROM c),
+    r AS (
+      SELECT source,
+             CAST(least(1000000, floor(w * t.t / n * 1000000)) AS BIGINT) AS ppm
+      FROM c, t),
+    s AS (
+      SELECT d.doc_id, d.source
+      FROM documents d JOIN r ON d.source = r.source
+      WHERE {SQL_HASH60.format(expr="'mix' || CAST(doc_id AS VARCHAR)")}
+            % 1000000 < r.ppm)
+    SELECT source, COUNT(*) AS n_sampled,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM s GROUP BY source
+    """,
+)
+def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mix resampling
+    (``operators/textops.py:domain_mix_sample``): downsample sources
+    toward a 50/30/20 target mix (unlisted sources dropped), hash-gated
+    in parts-per-million so the admitted row set is a pure function of
+    the data — the oracle reproduces it row-for-row; per-source
+    accounting is what gets hash-checked.
+    """
+    docs = Catalog(spark, sf_dir).table("documents")
+    s = textops.domain_mix_sample(
+        docs, "doc_id", "source", {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    )
+    return s.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )

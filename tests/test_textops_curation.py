@@ -170,3 +170,35 @@ def test_bloom_no_false_negatives(spark):
     novel = spark.createDataFrame([(f"other{i}",) for i in range(200)], "k string")
     nv = [r["might_contain"] for r in bloom_might_contain(bloom, novel, "k").collect()]
     assert sum(nv) < 40  # deterministic given fixed hashes; loose bound
+
+
+def test_domain_mix_sample_rates_and_determinism(spark):
+    """The limiting domain keeps every row (ppm = 1e6); other domains keep
+    w_d*T/n_d; the admitted set is identical across repartitionings."""
+    from pyspark.sql import functions as F
+
+    from agol_pandas_spark.operators.textops import domain_mix_sample
+
+    rows = [(i, "a" if i < 100 else ("b" if i < 160 else "c")) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # counts: a=100 b=60 c=40; weights .5/.3/.2 → T=min(200,200,200)=200
+    # → rates a: 1.0, b: 1.0, c: 1.0 (perfectly proportioned corpus)
+    out = domain_mix_sample(df, "doc_id", "source", {"a": 0.5, "b": 0.3, "c": 0.2})
+    assert out.count() == 200
+
+    # skew corpus: a=100 b=60 c=10 → T=min(200,200,50)=50 → a:25%, b:25%, c:100%
+    skew = df.filter((F.col("source") != "c") | (F.col("doc_id") < 170))
+    s = domain_mix_sample(skew, "doc_id", "source", {"a": 0.5, "b": 0.3, "c": 0.2})
+    by_src = {r["source"]: r["n"] for r in s.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_src["c"] == 10            # limiting domain fully kept
+    assert 10 <= by_src["a"] <= 40      # ~25% of 100, hash noise allowed
+    assert 5 <= by_src["b"] <= 27       # ~25% of 60
+
+    ids = sorted(r["doc_id"] for r in s.collect())
+    ids2 = sorted(r["doc_id"] for r in domain_mix_sample(
+        skew.repartition(7), "doc_id", "source", {"a": 0.5, "b": 0.3, "c": 0.2}
+    ).collect())
+    assert ids == ids2  # partitioning-independent
+
+    # unlisted domains are dropped
+    assert s.filter(~F.col("source").isin("a", "b", "c")).count() == 0
