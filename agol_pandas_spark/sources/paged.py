@@ -46,6 +46,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -173,12 +174,76 @@ class PagedDataSource(DataSource):
             self._policy(),
         )
 
+    def simpleStreamReader(self, schema: StructType) -> "_PagedStreamReader":
+        return _PagedStreamReader(
+            self._client(),
+            int(self.options.get("page_size", DEFAULT_PAGE_SIZE)),
+            self._policy(),
+        )
+
     def writer(self, schema: StructType, overwrite: bool) -> "_PagedWriter":
         return _PagedWriter(
             pickle.loads(base64.b64decode(self.options["sink_pkl"])),
             int(self.options.get("page_size", DEFAULT_PAGE_SIZE)),
             self._policy(),
         )
+
+
+class _PagedStreamReader(SimpleDataSourceStreamReader):
+    """Tail an append-only paged service as a Structured Streaming source.
+
+    The stream offset IS the service row offset (append-only contract:
+    rows at offsets below the high-water mark never change — the shape of
+    object-id-ordered feature services). Each micro-batch reads at most
+    one ``page_size`` page of new rows; ``readBetweenOffsets`` replays an
+    exact committed range after recovery, which the offset/limit page
+    contract makes deterministic — checkpoint-restart lands on the same
+    rows the failed run saw. An empty page leaves the offset unchanged
+    (stream is caught up; ``availableNow`` drains terminate there).
+    """
+
+    def __init__(self, client: PagedClient, page_size: int, policy: RetryPolicy):
+        self._client = client
+        self._page_size = page_size
+        self._policy = policy
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        off = int(start["offset"])
+        rows = self._policy.run(self._client.fetch_page, off, self._page_size)
+        return iter(rows), {"offset": off + len(rows)}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        lo, hi = int(start["offset"]), int(end["offset"])
+        if hi <= lo:
+            return iter(())
+        return iter(self._policy.run(self._client.fetch_page, lo, hi - lo))
+
+
+def read_paged_stream(
+    spark: SparkSession,
+    client: PagedClient,
+    page_size: int = DEFAULT_PAGE_SIZE,
+    policy: RetryPolicy | None = None,
+) -> DataFrame:
+    """Streaming tail of a paged service:
+    ``spark.readStream.format("agol_paged")``. One page per micro-batch;
+    pair with ``trigger(availableNow=True)`` for a deterministic drain of
+    the current table state."""
+    spark.dataSource.register(PagedDataSource)
+    policy = policy or RetryPolicy()
+    return (
+        spark.readStream.format("agol_paged")
+        .option("client_pkl", base64.b64encode(pickle.dumps(client)).decode())
+        .option("page_size", str(page_size))
+        .option("max_attempts", str(policy.max_attempts))
+        .option("max_backoff", str(policy.max_backoff))
+        .option("min_backoff", str(policy.min_backoff))
+        .option("backoff_interval", str(policy.backoff_interval))
+        .load()
+    )
 
 
 def read_paged(

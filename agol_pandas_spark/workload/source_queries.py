@@ -413,3 +413,69 @@ def audit_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = Catalog(spark, sf_dir).table("orders")
     return profile_columns(orders, cols=_PROFILE_COLS, distinct="exact")
+
+
+@register(
+    "source_paged_stream_tail",
+    tags=("source", "paged", "connector", "streaming"),
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(event_id) AS min_id, MAX(event_id) AS max_id
+    FROM events GROUP BY event_type
+    """,
+)
+def source_paged_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The paged connector as a STRUCTURED STREAMING source
+    (``sources/paged.py:_PagedStreamReader``): the stream offset is the
+    service row offset, one page per micro-batch, exact range replay on
+    recovery — tailing an append-only remote table (object-id-ordered
+    feature services are exactly this shape). The drain is a sequence of
+    checkpointed ``availableNow`` runs, each RESTARTING the query from
+    the committed offset until a run ingests nothing — so the check
+    covers offset commit/recovery across real query restarts, not just
+    one lucky pass; exactly-once lands every row once (the oracle proves
+    it).
+    """
+    import shutil
+    import tempfile
+
+    from agol_pandas_spark.sources.paged import (
+        ParquetPagedClient,
+        RetryPolicy,
+        read_paged_stream,
+    )
+
+    client = ParquetPagedClient(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type"]
+    )
+    ckpt = tempfile.mkdtemp(prefix="paged_tail_ckpt_")
+    out = tempfile.mkdtemp(prefix="paged_tail_out_")
+    # sized so sf0.01 (10k events) drains in 3 restarts + the empty run
+    for _ in range(64):
+        stream = read_paged_stream(
+            spark, client, page_size=3400,
+            policy=RetryPolicy(max_attempts=3, max_backoff=0.01),
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if not q.lastProgress or q.lastProgress["numInputRows"] == 0:
+            break
+    result = (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+        .localCheckpoint(eager=True)  # materialize before temp dirs vanish
+    )
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    return result

@@ -181,3 +181,54 @@ def test_write_paged_retry_absorbs_upload_failures(spark, tmp_path):
     write_paged(df, sink, page_size=6, policy=FAST_RETRY)
     rows = sorted(r[0] for b in _read_sink(tmp_path) for r in b)
     assert rows == list(range(20))
+
+
+def test_paged_stream_tail_exactly_once_across_restarts(spark, sf_dir, tmp_path):
+    """Checkpointed availableNow drains resume from the committed service
+    offset: every row lands exactly once across query restarts, and a
+    fresh tail sees new rows appended after the first drain."""
+    import pyarrow.parquet as pq
+
+    from agol_pandas_spark.sources.paged import (
+        ParquetPagedClient,
+        RetryPolicy,
+        read_paged_stream,
+    )
+
+    src = str(tmp_path / "svc.parquet")
+    table = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id", "event_type"])
+    pq.write_table(table.slice(0, 700), src)
+
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    policy = RetryPolicy(max_attempts=2, max_backoff=0.01)
+
+    def drain():
+        runs = 0
+        while True:
+            stream = read_paged_stream(
+                spark, ParquetPagedClient(src), page_size=300, policy=policy
+            )
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            runs += 1
+            if not q.lastProgress or q.lastProgress["numInputRows"] == 0:
+                return runs
+
+    assert drain() >= 3  # 700 rows / 300-page => multiple restarts
+    got = spark.read.parquet(out)
+    assert got.count() == 700
+    assert got.select("event_id").distinct().count() == 700  # exactly-once
+
+    # service grows (append-only contract); the next drain picks up ONLY
+    # the new rows, from the committed offset
+    pq.write_table(table, src)  # now 1000 rows, first 700 unchanged
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == table.num_rows
+    assert got.select("event_id").distinct().count() == table.num_rows
