@@ -139,3 +139,48 @@ def mm_resize_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     resized = resize_payload(_payloads(spark, sf_dir), "doc_id", factor=4)
     return resized.select("doc_id", "n_bytes", "resized_n_bytes")
+
+
+@register(
+    "mm_binaryfile_ingest",
+    tags=("multimodal", "source", "binaryFile"),
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents WHERE source = 'src0'
+    """,
+)
+def mm_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal file-landing ingest via the ``binaryFile`` source: one
+    opaque payload file per document (staged from src0 docs' UTF-8
+    bytes), read back as (path, length, content BINARY), with the doc id
+    recovered from the file name — the pattern for image/audio corpora,
+    where files land on object storage and the engine joins bytes to a
+    metadata table. Byte counts and payload md5s are value-checked
+    against the source rows; at scale ``binaryFile`` splits file listings
+    across tasks and prunes the ``content`` column when only metadata is
+    selected.
+    """
+    import shutil
+    import tempfile
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    src = docs.filter(F.col("source") == "src0").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="mm_landing_")
+    for r in src.collect():  # test-fixture staging, not the read path
+        with open(f"{root}/{r['doc_id']}.bin", "wb") as f:
+            f.write(r["text"].encode("utf-8"))
+    files = spark.read.format("binaryFile").load(root)
+    out = (
+        files.select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("length").alias("n_bytes"),
+            F.md5(F.col("content")).alias("content_md5"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out

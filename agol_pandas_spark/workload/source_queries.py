@@ -479,3 +479,50 @@ def source_paged_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(ckpt, ignore_errors=True)
     shutil.rmtree(out, ignore_errors=True)
     return result
+
+
+@register(
+    "source_schema_evolution_merge",
+    tags=("source", "schema-evolution", "mergeSchema"),
+    oracle="""
+    WITH ev AS (
+      SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
+      FROM documents WHERE source = 'src0'
+      UNION ALL
+      SELECT doc_id, lang, n_chars FROM documents WHERE source = 'src1')
+    SELECT lang,
+           COUNT(*) AS n_rows,
+           COUNT(n_chars) AS n_with_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_total
+    FROM ev GROUP BY lang
+    """,
+)
+def source_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolved multi-file dataset read (``Catalog.table(
+    merge_schema=True)``): a first batch written BEFORE a column existed
+    plus a second batch carrying it, resolved to the union schema — old
+    files read the new column as NULL, the chunked-append evolution
+    contract. The oracle recomputes the union from the source rows.
+    """
+    import shutil
+    import tempfile
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    root = tempfile.mkdtemp(prefix="schema_evo_")
+    path = f"{root}/evolved.parquet"
+    docs.filter(F.col("source") == "src0").select("doc_id", "lang").write.parquet(path)
+    docs.filter(F.col("source") == "src1").select(
+        "doc_id", "lang", "n_chars"
+    ).write.mode("append").parquet(path)
+    merged = Catalog(spark, root).table("evolved", merge_schema=True)
+    out = (
+        merged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("n_chars").alias("n_with_chars"),
+            F.sum("n_chars").alias("chars_total"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -437,3 +437,42 @@ def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_users"),
         F.sum("secs").alias("sum_secs"),
     )
+
+
+@register(
+    "events_sliding_window",
+    tags=("window", "events", "streaming-compatible"),
+    oracle="""
+    WITH starts AS (
+      SELECT event_type, value,
+             unnest([((epoch_ms(ts) // 1000) // 1800) * 1800 - 1800,
+                     ((epoch_ms(ts) // 1000) // 1800) * 1800]) AS window_start_s
+      FROM events)
+    SELECT window_start_s, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round((value) * 10000) AS BIGINT)) AS DOUBLE)
+               / 10000.0 AS total_value
+    FROM starts GROUP BY window_start_s, event_type
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes (each event counted in two
+    overlapping windows) — ``F.window(ts, len, slide)``, the
+    streaming-native sliding aggregation run in batch. The oracle derives
+    both member window starts per event arithmetically.
+    """
+    return (
+        Catalog(spark, sf_dir)
+        .table("events")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
