@@ -397,3 +397,34 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("source") != "src0")
     out = dedup.incremental_dedup(corpus, batch, "doc_id", "k")
     return out.select("doc_id", "lang", "source", "n_chars")
+
+
+@register(
+    "dedup_components_star_chain",
+    tags=("dedup", "clustering", "iterative", "large-star-small-star"),
+    oracle="""
+    SELECT doc_id AS node,
+           MIN(doc_id) OVER (PARTITION BY lang) AS component
+    FROM documents
+    """,
+)
+def dedup_components_star_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase connected components (large-star/small-star,
+    ``operators/dedup.py:connected_components_star``) on a LONG-CHAIN
+    graph: consecutive doc ids within each language form one path per
+    language — diameter ≈ docs/langs (≈1000 at sf0.1), where min-label
+    propagation would need diameter rounds and this converges in
+    O(log n). Each language's chain is one component with the language's
+    min doc_id as representative, which the oracle states directly (the
+    component of a path is algorithm-independent).
+    """
+    from pyspark.sql import Window
+
+    docs = Catalog(spark, sf_dir).table("documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    edges = (
+        docs.withColumn("prev_id", F.lag("doc_id").over(w))
+        .filter(F.col("prev_id").isNotNull())
+        .select("doc_id", "prev_id")
+    )
+    return dedup.connected_components_star(edges, "doc_id", "prev_id")

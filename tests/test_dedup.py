@@ -264,3 +264,47 @@ def test_lsh_index_probe_matches_self_join(docs, spark, tmp_path):
         for r in re_probe.filter(F.col("n_matching_hashes") >= 8).collect()
     }
     assert hits == {(30, 3)}
+
+
+def test_star_components_match_union_find(spark):
+    """Large-star/small-star CC equals union-find ground truth on
+    adversarial topologies — including a 200-diameter chain, where
+    min-label propagation at any practical iteration cap cannot
+    converge (star contraction is O(log n) rounds)."""
+    import random
+
+    from agol_pandas_spark.operators.dedup import connected_components_star
+
+    def ground_truth(edges_py):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges_py:
+            parent[find(a)] = find(b)
+        comp = {}
+        for n in parent:
+            comp.setdefault(find(n), []).append(n)
+        return {(n, min(ns)) for ns in comp.values() for n in ns}
+
+    rng = random.Random(42)
+    cases = {
+        "chain-200": [(i, i + 1) for i in range(200)],
+        "star-50": [(0, i) for i in range(1, 50)],
+        "random-sparse": [(rng.randrange(300), rng.randrange(300)) for _ in range(250)],
+        "multi-component": [(i, i + 1) for i in range(100)]
+        + [(500 + i, 501 + i) for i in range(80)]
+        + [(1000, 2000)],
+    }
+    for name, edges_py in cases.items():
+        e = spark.createDataFrame(edges_py, "a long, b long")
+        got = {
+            (r.node, r.component)
+            for r in connected_components_star(e, "a", "b").collect()
+        }
+        assert got == ground_truth(edges_py), name
