@@ -33,7 +33,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 from enum import Enum
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from agol_pandas_spark.errors import (
@@ -247,4 +247,58 @@ def snapshot_diff(
     return joined.select(
         *[merged_key.getField(k).alias(k) for k in ks],
         change.alias("change_type"),
+    )
+
+
+def scd2_history(
+    df: DataFrame,
+    key: str | Sequence[str],
+    ts_col: str,
+    tracked: str | Sequence[str],
+    tie_breakers: Sequence[Column] = (),
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2: collapse a change log into
+    versioned dimension rows ``(key…, tracked…, valid_from, valid_to,
+    n_events, is_current)`` — one row per run of equal tracked values,
+    ``valid_to`` = next version's ``valid_from`` (NULL while current).
+
+    The warehouse-standard history shape the reference's upsert modes
+    cannot express (upsert is last-write-wins, ``src/agol_pandas.py:
+    398-407`` — history is destroyed on every update).
+
+    Shape: one shuffle on the key (window lag → change flag → running
+    version id), one hash aggregation per version, one more window for
+    ``valid_to``. Reconstruction is deterministic and idempotent: the
+    same log always yields the same history, so incremental maintenance
+    can replay ``history-as-log ∪ new changes`` through this same
+    function (tested) instead of hand-stitching boundary rows.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    cols = [tracked] if isinstance(tracked, str) else list(tracked)
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col), *tie_breakers)
+    # lag over the struct (not struct-of-lags: that is never NULL) and
+    # null-safe compare, so the first row and NULL tracked values both
+    # open versions correctly
+    prev = F.lag(F.struct(*cols)).over(w)
+    # no pre-projection: tie-breaker expressions may reference columns
+    # outside keys/ts/tracked (Catalyst prunes the rest anyway)
+    flagged = df.withColumn(
+        "__chg",
+        F.when(~prev.eqNullSafe(F.struct(*cols)), 1).otherwise(0),
+    )
+    versioned = flagged.withColumn(
+        "__ver",
+        F.sum("__chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    runs = versioned.groupBy(*keys, "__ver", *cols).agg(
+        F.min(ts_col).alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wv = Window.partitionBy(*keys).orderBy("__ver")
+    return (
+        runs.withColumn("valid_to", F.lead("valid_from").over(wv))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop("__ver")
     )

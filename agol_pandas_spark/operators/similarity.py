@@ -602,9 +602,45 @@ def pq_adc_topk(
     fixed-norm corpora; exact re-ranking of the top candidates with
     :func:`brute_force_topk` is the standard refinement).
     """
-    # LUT rows: (qid, m, code, dot_scaled of query subvector x centroid);
-    # the subvector slice length comes from the centroid's own size, so
-    # the caller never re-states dim here
+    lut = _pq_lut(queries, codebook, query_id, query_vec, m_subspaces)
+    scored = F.broadcast(lut).crossJoin(encoded).select(
+        F.col(query_id),
+        F.col(corpus_id),
+        F.aggregate(
+            F.zip_with(
+                F.sequence(F.lit(0), F.lit(m_subspaces - 1)),
+                F.col("codes"),
+                lambda m, c: F.element_at(F.col("__lut"), m * k_codes + c + 1),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("__s"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("__s").desc(), F.col(corpus_id))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            query_id,
+            corpus_id,
+            (F.col("__s").cast("double") / F.lit(float(VSCALE))).alias("adc_score"),
+            "rnk",
+        )
+    )
+
+
+def _pq_lut(
+    queries: DataFrame,
+    codebook: DataFrame,
+    query_id: str,
+    query_vec: str,
+    m_subspaces: int,
+) -> DataFrame:
+    """Per-query flattened ADC lookup table: ``__lut[m*K + code]`` = scaled
+    dot of query subvector m with centroid (m, code). The subvector slice
+    length comes from the centroid's own size, so callers never re-state
+    dim. ``array_sort`` on (m, code) structs orders lexicographically by
+    field position — exactly subspace-major order."""
     ms = F.explode(F.sequence(F.lit(0), F.lit(m_subspaces - 1))).alias("m")
     qsub = queries.select(F.col(query_id), F.col(query_vec), ms).select(
         F.col(query_id),
@@ -616,13 +652,15 @@ def pq_adc_topk(
         "m",
         "code",
         _dot_scaled(
-            F.slice(F.col("__qv"), F.col("m") * F.size(F.col("cent")) + 1, F.size(F.col("cent"))),
+            F.slice(
+                F.col("__qv"),
+                F.col("m") * F.size(F.col("cent")) + 1,
+                F.size(F.col("cent")),
+            ),
             F.col("cent"),
         ).alias("__dot"),
     )
-    # flatten to lut[m*K + code] (array_sort on (m, code) structs orders
-    # lexicographically by field position — exactly subspace-major order)
-    lut = lut_rows.groupBy(query_id).agg(
+    return lut_rows.groupBy(query_id).agg(
         F.transform(
             F.array_sort(
                 F.collect_list(F.struct(F.col("m"), F.col("code"), F.col("__dot")))
@@ -630,7 +668,48 @@ def pq_adc_topk(
             lambda s: s.getField("__dot"),
         ).alias("__lut")
     )
-    scored = F.broadcast(lut).crossJoin(encoded).select(
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    pivots: DataFrame,
+    codebook: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    pivot_id: str,
+    vec: str = "embedding",
+    k: int = 10,
+    nprobe: int = 3,
+    m_subspaces: int = 4,
+    k_codes: int = 8,
+) -> DataFrame:
+    """Full IVF-PQ: inverted-file cell restriction × product-quantized
+    ADC scoring — the composition that makes billion-vector ANN tractable.
+
+    Corpus vectors are assigned once to their nearest pivot cell and
+    PQ-encoded (dim floats → M codes); a query carries its flattened ADC
+    LUT into only its ``nprobe`` nearest cells. Scan cost per query ≈
+    (nprobe/cells) × corpus × M array lookups, reading (id, cell, codes)
+    — never raw vectors. At 100 TB the coded corpus is written bucketed
+    by ``cell`` so the probe join is shuffle-free on the corpus side.
+
+    Every stage is scaled-integer deterministic, so scores and ranks are
+    exactly oracle-checkable (no recall bound needed — the probed-cell
+    result is well-defined).
+    """
+    cells = assign_to_pivots(
+        corpus.select(F.col(corpus_id), F.col(vec)),
+        pivots, corpus_id, pivot_id, vec, vec,
+    ).select(F.col(corpus_id), "cell")
+    enc = pq_encode(corpus, codebook, corpus_id, vec, m_subspaces)
+    coded = cells.join(enc, corpus_id)
+    q_cells = assign_to_pivots(
+        queries, pivots, query_id, pivot_id, vec, vec, n_cells=nprobe
+    ).select(F.col(query_id), "cell")
+    lut = _pq_lut(queries, codebook, query_id, vec, m_subspaces)
+    probes = q_cells.join(lut, query_id)
+    scored = F.broadcast(probes).join(coded, on="cell").select(
         F.col(query_id),
         F.col(corpus_id),
         F.aggregate(

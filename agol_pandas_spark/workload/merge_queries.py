@@ -219,3 +219,58 @@ def _diff_delta(cust: DataFrame) -> DataFrame:
         )
     )
     return bumped.unionByName(fresh)
+
+
+@register(
+    "merge_scd2_history",
+    tags=("merge", "scd2", "dimension", "history"),
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(event_type) OVER w IS NULL
+                    OR LAG(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    versioned AS (
+      SELECT user_id, ts, event_type,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS ver
+      FROM ordered),
+    runs AS (
+      SELECT user_id, ver, event_type,
+             MIN(ts) AS vf, COUNT(*) AS n_events
+      FROM versioned GROUP BY user_id, ver, event_type)
+    SELECT user_id, event_type,
+           epoch_us(vf) AS valid_from_us,
+           epoch_us(LEAD(vf) OVER (PARTITION BY user_id ORDER BY ver))
+               AS valid_to_us,
+           n_events,
+           LEAD(vf) OVER (PARTITION BY user_id ORDER BY ver) IS NULL
+               AS is_current
+    FROM runs
+    """,
+)
+def merge_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build (``operators/merge.py:scd2_history``):
+    each user's event-type change log collapses to versioned rows with
+    ``[valid_from, valid_to)`` ranges and an ``is_current`` flag — the
+    history the reference's last-write-wins upsert destroys. Versions,
+    ranges, event counts, and currency flags are all value-checked.
+    """
+    from agol_pandas_spark.operators.merge import scd2_history
+
+    ev = Catalog(spark, sf_dir).table("events")
+    hist = scd2_history(
+        ev, key="user_id", ts_col="ts", tracked="event_type",
+        tie_breakers=[F.col("event_id")],
+    )
+    return hist.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        "n_events",
+        "is_current",
+    )

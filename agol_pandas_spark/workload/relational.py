@@ -1107,3 +1107,67 @@ def json_variant_typed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k_bucket")
     )
+
+
+@register(
+    "stats_ols_price_on_quantity",
+    tags=("agg", "statistics", "regression"),
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(round(l_quantity) AS BIGINT)) AS sx,
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+             SUM(CAST(round(l_quantity) AS BIGINT)
+                 * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy,
+             SUM(CAST(round(l_quantity) AS BIGINT)
+                 * CAST(round(l_quantity) AS BIGINT)) AS sxx
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) / 100.0
+               AS slope,
+           (CAST(sy AS DOUBLE)
+            - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+              * CAST(sx AS DOUBLE))
+           / CAST(n AS DOUBLE) / 100.0 AS intercept
+    FROM m
+    """,
+)
+def stats_ols_price_on_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form OLS (price ~ quantity) from exact integer
+    moments — one hash-aggregation pass, the distributed shape for any
+    per-segment linear fit at corpus scale. The four sums accumulate as
+    BIGINT over fixed-point values, so slope and intercept are
+    bit-identical cross-engine (streaming float accumulation would not
+    be); the /100 rescales cents back to natural units.
+    """
+    qx = F.round(F.col("l_quantity")).cast("long")
+    py = F.round(F.col("l_extendedprice") * 100).cast("long")
+    m = (
+        Catalog(spark, sf_dir)
+        .table("lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(qx).alias("sx"),
+            F.sum(py).alias("sy"),
+            F.sum(qx * py).alias("sxy"),
+            F.sum(qx * qx).alias("sxx"),
+        )
+    )
+    n = F.col("n").cast("double")
+    slope_scaled = (n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        (slope_scaled / 100.0).alias("slope"),
+        (
+            (F.col("sy").cast("double") - slope_scaled * F.col("sx").cast("double"))
+            / n
+            / 100.0
+        ).alias("intercept"),
+    )

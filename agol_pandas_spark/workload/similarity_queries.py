@@ -541,3 +541,87 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_adc_topk(
         queries, enc, cb, query_id="query_id", corpus_id="vec_id", k=10
     )
+
+
+@register(
+    "sim_ivfpq_topk",
+    tags=("similarity", "ann", "ivf", "pq"),
+    oracle=_sql_pair_cosine(
+        """
+    pairs AS (
+      SELECT c.vec_id AS qid, c.embedding AS qv, p.vec_id AS cid, p.embedding AS cv
+      FROM embeddings c JOIN embeddings p ON p.vec_id % 50 = 0)
+    """
+    )
+    + """
+    , assigned AS (
+      SELECT qid AS vec_id, cid AS cell,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rn
+      FROM cosines),
+    corpus_cell AS (SELECT vec_id, cell FROM assigned WHERE rn = 1),
+    probe_cells AS (SELECT vec_id AS qid, cell FROM assigned
+                    WHERE rn <= 3 AND vec_id < 5),
+    cb AS (
+      SELECT m, CAST(vec_id AS INT) AS code,
+             list_slice(embedding, m * 16 + 1, m * 16 + 16) AS cent
+      FROM embeddings, unnest([0, 1, 2, 3]) AS u(m)
+      WHERE vec_id < 8),
+    sub AS (
+      SELECT vec_id, m, list_slice(embedding, m * 16 + 1, m * 16 + 16) AS sv
+      FROM embeddings, unnest([0, 1, 2, 3]) AS u(m)),
+    dists AS (
+      SELECT s.vec_id, s.m, c.code,
+             list_sum(list_transform(range(1, 17), i ->
+               CAST(round((CAST(sv[i] AS DOUBLE) - CAST(cent[i] AS DOUBLE))
+                          * (CAST(sv[i] AS DOUBLE) - CAST(cent[i] AS DOUBLE))
+                          * 1000000000) AS BIGINT))) AS d2
+      FROM sub s JOIN cb c ON s.m = c.m),
+    codes AS (
+      SELECT vec_id, m, code FROM dists
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                 ORDER BY d2, code) = 1),
+    lutd AS (
+      SELECT q.vec_id AS qid, c.m, c.code,
+             list_sum(list_transform(range(1, 17), i ->
+               CAST(round(CAST(list_slice(q.embedding, c.m * 16 + 1, c.m * 16 + 16)[i] AS DOUBLE)
+                          * CAST(cent[i] AS DOUBLE)
+                          * 1000000000) AS BIGINT))) AS dot
+      FROM embeddings q CROSS JOIN cb c
+      WHERE q.vec_id < 5),
+    scores AS (
+      SELECT l.qid, co.vec_id AS cid, SUM(l.dot) AS s
+      FROM probe_cells pc
+      JOIN corpus_cell cc ON cc.cell = pc.cell
+      JOIN codes co ON co.vec_id = cc.vec_id
+      JOIN lutd l ON l.qid = pc.qid AND l.m = co.m AND l.code = co.code
+      GROUP BY l.qid, co.vec_id)
+    SELECT qid AS query_id, cid AS vec_id,
+           CAST(s AS DOUBLE) / 1000000000.0 AS adc_score, rnk
+    FROM (SELECT qid, cid, s,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY s DESC, cid) AS rnk
+          FROM scores)
+    WHERE rnk <= 10
+    """,
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF-PQ ANN (``operators/similarity.py:ivf_pq_topk``): queries
+    probe their 3 nearest inverted-file cells and score ONLY those cells'
+    vectors from 4-byte PQ codes via the flattened ADC lookup table —
+    cell restriction × code compression, the billion-vector layout. All
+    stages are scaled-integer deterministic, so the probed-cell top-10
+    (scores AND ranks) is value-checked exactly — no recall bound needed.
+    """
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    pivots = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("pivot_id"), "embedding"
+    )
+    cb = similarity.pq_codebook_from_seeds(emb, "vec_id")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_pq_topk(
+        queries, emb, pivots, cb,
+        query_id="query_id", corpus_id="vec_id", pivot_id="pivot_id",
+        k=10, nprobe=3,
+    )

@@ -142,3 +142,38 @@ def test_snapshot_diff_composite_key(spark):
         (2, "a"): "deleted",
         (3, "c"): "inserted",
     }
+
+
+def test_scd2_history_versions_and_incremental_replay(spark):
+    """Version boundaries, validity ranges, currency flags; and the
+    incremental contract: rebuilding from log-prefix ∪ new changes equals
+    the one-shot build (reconstruction is a pure function of the log)."""
+    from pyspark.sql import functions as F
+
+    from agol_pandas_spark.operators.merge import scd2_history
+
+    rows = [
+        (1, 10, "a"), (1, 20, "a"), (1, 30, "b"), (1, 40, "b"), (1, 50, "a"),
+        (2, 15, "x"),
+        (3, 5, None), (3, 25, "y"),  # NULL opens its own version
+    ]
+    log = spark.createDataFrame(rows, "k long, ts long, v string")
+
+    def build(df):
+        return {
+            (r.k, r.v, r.valid_from, r.valid_to, r.n_events, r.is_current)
+            for r in scd2_history(df, "k", "ts", "v").collect()
+        }
+
+    got = build(log)
+    assert got == {
+        (1, "a", 10, 30, 2, False),
+        (1, "b", 30, 50, 2, False),
+        (1, "a", 50, None, 1, True),   # value recurrence = NEW version
+        (2, "x", 15, None, 1, True),
+        (3, None, 5, 25, 1, False),
+        (3, "y", 25, None, 1, True),
+    }
+    # incremental replay: same history from two batches
+    merged = log.filter(F.col("ts") <= 25).unionByName(log.filter(F.col("ts") > 25))
+    assert build(merged) == got
