@@ -856,3 +856,41 @@ def connected_components_star(
             F.coalesce(F.col("v"), F.col("node")).alias("component"),
         )
     )
+
+
+def triangle_count(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Per-vertex triangle counts over an undirected edge list —
+    the cluster-cohesion metric for near-dup pair graphs (a tight dup
+    group is triangle-dense; a chain of borderline matches has none, so
+    triangle density separates "true cluster" from "transitive drift"
+    before collapsing components).
+
+    Shape: canonicalize a<b, then the standard two-join count — wedges
+    (a<b<c from a's adjacency) ⋈ closing edge (b,c). Both joins shuffle
+    on a vertex key; skew from high-degree vertices is the known cost
+    (the classic mitigation, degree-ordered orientation, is exactly the
+    a<b<c ordering used here). Returns (node, n_triangles) for every
+    vertex in a triangle.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    # wedges a<b<c: (a,b) x (a,c) with b<c, closed by edge (b,c)
+    ab = e.select(F.col("a"), F.col("b"))
+    ac = e.select(F.col("a"), F.col("b").alias("c"))
+    wedges = ab.join(ac, "a").filter(F.col("b") < F.col("c"))
+    closing = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    tri = wedges.join(closing, ["b", "c"])
+    per_vertex = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return per_vertex

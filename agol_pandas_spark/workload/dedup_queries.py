@@ -428,3 +428,60 @@ def dedup_components_star_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "prev_id")
     )
     return dedup.connected_components_star(edges, "doc_id", "prev_id")
+
+
+@register(
+    "dedup_triangle_cohesion",
+    tags=("dedup", "graph", "triangles"),
+    oracle="""
+    WITH nbr AS (
+      SELECT doc_id, lang,
+             LEAD(doc_id, 1) OVER w AS n1,
+             LEAD(doc_id, 2) OVER w AS n2
+      FROM documents
+      WINDOW w AS (PARTITION BY lang ORDER BY doc_id)),
+    edges AS (
+      SELECT doc_id AS a, n1 AS b FROM nbr WHERE n1 IS NOT NULL
+      UNION
+      SELECT doc_id AS a, n2 AS b FROM nbr WHERE n2 IS NOT NULL),
+    ab AS (SELECT a, b FROM edges),
+    tri AS (
+      SELECT x.a, x.b, y.b AS c
+      FROM ab x JOIN ab y ON x.a = y.a AND x.b < y.b
+      JOIN ab z ON z.a = x.b AND z.b = y.b),
+    verts AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri)
+    SELECT node, COUNT(*) AS n_triangles FROM verts GROUP BY node
+    """,
+)
+def dedup_triangle_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts (``operators/dedup.py:triangle_count``) over a
+    deterministic 2-neighbor graph (each doc linked to the next two doc
+    ids in its language): interior vertices close exactly 3 triangles —
+    the cohesion signal that separates dense dup clusters from
+    transitive chains. Per-vertex counts are value-checked against a
+    three-way self-join oracle.
+    """
+    from pyspark.sql import Window
+
+    docs = Catalog(spark, sf_dir).table("documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    nbr = docs.select(
+        "doc_id",
+        F.lead("doc_id", 1).over(w).alias("n1"),
+        F.lead("doc_id", 2).over(w).alias("n2"),
+    )
+    edges = (
+        nbr.filter(F.col("n1").isNotNull()).select(
+            F.col("doc_id").alias("a"), F.col("n1").alias("b")
+        )
+        .unionByName(
+            nbr.filter(F.col("n2").isNotNull()).select(
+                F.col("doc_id").alias("a"), F.col("n2").alias("b")
+            )
+        )
+        .distinct()
+    )
+    return dedup.triangle_count(edges, "a", "b")

@@ -274,3 +274,58 @@ def merge_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "is_current",
     )
+
+
+@register(
+    "merge_compact_roundtrip",
+    tags=("merge", "compaction", "small-files"),
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS price_scaled
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def merge_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction (``Catalog.compact``): a table fragmented
+    into many files by chunked appends is rewritten into size-targeted
+    files through the same atomic two-phase commit as every write; the
+    oracle proves row-identity. At scale the file-listing and per-file
+    open costs dominate fragmented reads long before data volume does —
+    compaction is the maintenance op that keeps scan parallelism matched
+    to bytes, not to historical append patterns.
+    """
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="compact_")
+    cat = Catalog(spark, root)
+    orders = Catalog(spark, sf_dir).table("orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    # fragment: 40 files via repartition, then compact to ~1
+    cat.write(orders.repartition(40), "frag", mode="error")
+    import os
+
+    n_before = sum(
+        1 for f in os.listdir(cat.path("frag")) if f.endswith(".parquet")
+    )
+    cat.compact("frag")
+    n_after = sum(
+        1 for f in os.listdir(cat.path("frag")) if f.endswith(".parquet")
+    )
+    assert n_after < n_before, (n_before, n_after)
+    out = (
+        cat.table("frag")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("key_checksum"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "price_scaled"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out

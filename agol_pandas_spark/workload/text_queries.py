@@ -684,3 +684,38 @@ def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+@register(
+    "sample_topk_per_stratum",
+    tags=("sampling", "stratified"),
+    oracle=f"""
+    SELECT lang, doc_id, n_chars FROM (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY {SQL_HASH60.format(expr="'strat' || CAST(doc_id AS VARCHAR)")},
+                        doc_id) AS rn
+      FROM documents) WHERE rn <= 7
+    """,
+)
+def sample_topk_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample: rank rows within each
+    stratum by their salted portable hash (a reproducible random order —
+    pure row function, stable across engines and partitioning) and keep
+    the first k. The fixed-size counterpart of the rate-based
+    ``hash_sample``; at scale the rank is one window over the stratum
+    shuffle, and skew is bounded by k per stratum on output.
+    """
+    from pyspark.sql import Window
+
+    from agol_pandas_spark.functions.text import portable_hash60
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    h = portable_hash60(F.concat(F.lit("strat"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(h, F.col("doc_id"))
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 7)
+        .select("lang", "doc_id", "n_chars")
+    )

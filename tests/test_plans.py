@@ -179,3 +179,40 @@ def test_grid_distance_join_is_equi_join(q):
     plan = formatted_plan(q("geo_grid_distance_join"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_adc_scan_has_no_sort_merge_join(q):
+    """ADC scoring must stay broadcast-only up to the top-k window: a
+    SortMergeJoin on the corpus side means the LUT/codebook stopped
+    broadcasting and the scan-side shuffle returned."""
+    plan = formatted_plan(q("sim_pq_adc_topk"))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastExchange" in plan
+    assert "WindowGroupLimit" in plan  # top-k pushed below the full sort
+
+
+def test_ivfpq_probe_is_equi_join_on_cell(q):
+    """The IVF-PQ probe joins on the cell key — a nested-loop or
+    cartesian plan means cell restriction was lost and every query scans
+    the whole coded corpus."""
+    plan = formatted_plan(q("sim_ivfpq_topk"))
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_index_probe_prunes_corpus_text(q, spark, sf_dir, tmp_path):
+    """The index probe must hash only BATCH text: exactly one scan reads
+    a ``text`` column (the batch); the corpus contributes only its
+    persisted id+signature+band index table. (Built from the operators
+    directly: the registered query localCheckpoints, which hides the
+    plan.)"""
+    from pyspark.sql import functions as F
+
+    from agol_pandas_spark.catalog import Catalog
+    from agol_pandas_spark.operators.dedup import probe_lsh_index, write_lsh_index
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    cat = Catalog(spark, str(tmp_path / "idx"))
+    write_lsh_index(cat, "lsh", docs.filter(F.col("source") != "src0"), "doc_id", "text")
+    probe = probe_lsh_index(cat, "lsh", docs.filter(F.col("source") == "src0"), "doc_id", "text")
+    text_scans = [s for s in read_schema_columns(probe) if "text" in s]
+    assert len(text_scans) == 1, text_scans
