@@ -140,6 +140,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_lsh_index_probe",
+    headline=True,
     tags=("dedup", "minhash", "lsh", "index", "incremental"),
     oracle=_SQL_SIGNATURES
     + """

@@ -252,3 +252,53 @@ def geo_zorder_chunk_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("x").alias("xmax"),
         F.max("y").alias("ymax"),
     )
+
+
+# convex CCW quadrilateral for the point-in-polygon predicate; literal
+# deltas are precomputed in both engines' expressions identically
+_POLY = [(-50.0, -30.0), (40.0, -40.0), (60.0, 20.0), (-20.0, 45.0)]
+
+
+def _sql_poly_pred() -> str:
+    n = len(_POLY)
+    terms = []
+    for i in range(n):
+        x1, y1 = _POLY[i]
+        x2, y2 = _POLY[(i + 1) % n]
+        terms.append(
+            f"(({x2 - x1!r}) * (y - ({y1!r})) - ({y2 - y1!r}) * (x - ({x1!r}))) >= 0"
+        )
+    return " AND ".join(terms)
+
+
+@register(
+    "geo_point_in_polygon",
+    tags=("geo", "polygon", "predicate"),
+    oracle=f"""
+    WITH pts AS ({_SQL_XY})
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_inside,
+           MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+    FROM pts WHERE {_sql_poly_pred()}
+    GROUP BY c_mktsegment
+    """,
+)
+def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-convex-polygon containment
+    (``functions/geometry.py:in_convex_polygon``): edge cross-product
+    signs fused into one codegen boolean — no spatial extension on
+    either engine, every cross product bit-identical to the SQL oracle.
+    The per-segment counts inside a fixed CCW quadrilateral are
+    value-checked.
+    """
+    from agol_pandas_spark.functions.geometry import in_convex_polygon
+
+    pts = _customer_points(spark, sf_dir)
+    return (
+        pts.filter(in_convex_polygon(F.col("x"), F.col("y"), _POLY))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_inside"),
+            F.min("c_custkey").alias("min_key"),
+            F.max("c_custkey").alias("max_key"),
+        )
+    )

@@ -545,6 +545,7 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_ivfpq_topk",
+    headline=True,
     tags=("similarity", "ann", "ivf", "pq"),
     oracle=_sql_pair_cosine(
         """

@@ -173,3 +173,43 @@ def udf_grouped_arrow_minmax_spread(spark: SparkSession, sf_dir: str) -> DataFra
         spread,
         "l_linestatus string, price_spread_cents long, n_rows long",
     )
+
+
+@register(
+    "udf_udtf_token_positions",
+    tags=("udf", "udtf", "table-function"),
+    oracle="""
+    SELECT doc_id, CAST(u.pos AS INT) AS pos, u.tok AS token
+    FROM (
+      SELECT doc_id,
+             UNNEST(list_transform(string_split_regex(trim(text), '\\s+'),
+                                   (x, i) -> {'pos': i, 'tok': x})) AS u
+      FROM documents WHERE doc_id < 20)
+    """,
+)
+def udf_udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function): one input row → N output rows with
+    per-token positions — the lateral-expansion surface for custom
+    Python tokenizers that genuinely can't be a builtin ``posexplode``
+    (here it deliberately CAN be, so the oracle verifies the UDTF
+    plumbing row-for-row). The UDTF runs per-row in the Python worker;
+    at scale prefer builtin ``posexplode(split(...))`` — this entry
+    pins the escape hatch's correctness, not a recommendation.
+    """
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="pos int, token string")
+    class TokenizeWithPos:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, tok in enumerate(text.strip().split()):
+                yield i + 1, tok  # 1-based, matching the SQL lambda index
+
+    spark.udtf.register("tokenize_with_pos", TokenizeWithPos)
+    docs = Catalog(spark, sf_dir).table("documents").filter(F.col("doc_id") < 20)
+    docs.createOrReplaceTempView("udtf_docs_in")
+    return spark.sql(
+        "SELECT d.doc_id, t.pos, t.token "
+        "FROM udtf_docs_in d, LATERAL tokenize_with_pos(d.text) t"
+    )
