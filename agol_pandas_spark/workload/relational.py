@@ -1171,3 +1171,57 @@ def stats_ols_price_on_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("intercept"),
     )
+
+
+@register(
+    "agg_winsorized_revenue",
+    tags=("agg", "statistics", "outliers"),
+    oracle="""
+    WITH bounds AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.05) AS lo,
+             quantile_cont(l_extendedprice, 0.95) AS hi
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l.l_returnflag,
+           COUNT(*) AS n,
+           SUM(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi
+                    THEN 1 ELSE 0 END) AS n_clipped,
+           SUM(CAST(round(
+                 CASE WHEN l_extendedprice < lo THEN lo
+                      WHEN l_extendedprice > hi THEN hi
+                      ELSE l_extendedprice END * 100) AS BIGINT))
+               AS winsorized_scaled
+    FROM lineitem l JOIN bounds b ON l.l_returnflag = b.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+)
+def agg_winsorized_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (clip to [p5, p95]) — the outlier-robust
+    aggregation pattern: exact interpolated percentiles per group (one
+    agg over the group shuffle, broadcast back — at any scale the bounds
+    side is one row per group), clip in a codegen map, sum fixed-point.
+    Clip counts and winsorized totals are value-checked; Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share the interpolated
+    definition.
+    """
+    li = Catalog(spark, sf_dir).table("lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    bounds = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("lo"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("hi"),
+    )
+    clipped = li.join(F.broadcast(bounds), "l_returnflag").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("p"),
+        F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi")).alias(
+            "w"
+        ),
+        ((F.col("l_extendedprice") < F.col("lo"))
+         | (F.col("l_extendedprice") > F.col("hi"))).cast("long").alias("c"),
+    )
+    return clipped.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("n_clipped"),
+        F.sum(F.round(F.col("w") * 100).cast("long")).alias("winsorized_scaled"),
+    )

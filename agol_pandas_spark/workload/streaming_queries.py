@@ -345,3 +345,52 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     shutil.rmtree(sink_root, ignore_errors=True)
     return out
+
+
+@register(
+    "stream_static_dim_join",
+    tags=("streaming", "stream-static-join", "events"),
+    oracle="""
+    WITH type_dim(event_type, channel) AS (
+      VALUES ('click', 'web'), ('view', 'web'),
+             ('purchase', 'checkout'), ('signup', 'onboarding'),
+             ('error', 'ops')
+    )
+    SELECT d.channel, COUNT(*) AS n_events,
+           SUM(CAST(round(e.value * 10000) AS BIGINT)) AS value_scaled
+    FROM events e JOIN type_dim d ON e.event_type = d.event_type
+    GROUP BY d.channel
+    """,
+)
+def stream_static_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the events file stream joins a
+    static in-memory dimension (broadcast — the static side is planned
+    per micro-batch like any batch join, no streaming state needed),
+    then aggregates per channel in complete mode. Draining with
+    availableNow equals the batch join, which the oracle computes. This
+    is THE standard streaming enrichment shape: dimension tables stay
+    static/slowly-refreshed, only facts stream.
+    """
+    cat = Catalog(spark, sf_dir)
+    path = cat.path("events")
+    schema = spark.read.parquet(path).schema
+    landing = os.path.join(
+        tempfile.gettempdir(), f"stream_dim_{uuid.uuid4().hex[:8]}"
+    )
+    os.makedirs(landing)
+    os.symlink(os.path.abspath(path), os.path.join(landing, "events.parquet"))
+    ev = stream_from_directory(spark, landing, schema)
+    dim = spark.createDataFrame(
+        [("click", "web"), ("view", "web"), ("purchase", "checkout"),
+         ("signup", "onboarding"), ("error", "ops")],
+        "event_type string, channel string",
+    )
+    joined = ev.join(F.broadcast(dim), "event_type")
+    agg = joined.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 10000).cast("long")).alias("value_scaled"),
+    )
+    name = f"stream_dim_{uuid.uuid4().hex[:8]}"
+    q = write_stream_to_memory(agg, name, output_mode="complete")
+    q.awaitTermination()
+    return spark.table(name)
