@@ -551,7 +551,7 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     pairs AS (
       SELECT c.vec_id AS qid, c.embedding AS qv, p.vec_id AS cid, p.embedding AS cv
-      FROM embeddings c JOIN embeddings p ON p.vec_id % 50 = 0)
+      FROM embeddings c JOIN embeddings p ON p.vec_id % 100 = 0)
     """
     )
     + """
@@ -614,7 +614,7 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (scores AND ranks) is value-checked exactly — no recall bound needed.
     """
     emb = Catalog(spark, sf_dir).table("embeddings")
-    pivots = emb.filter(F.col("vec_id") % 50 == 0).select(
+    pivots = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("pivot_id"), "embedding"
     )
     cb = similarity.pq_codebook_from_seeds(emb, "vec_id")
