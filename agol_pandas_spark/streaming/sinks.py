@@ -15,6 +15,8 @@ win. ``append`` needs no key.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 
 from agol_pandas_spark.operators.merge import WriteMode, write_table
@@ -57,3 +59,38 @@ def stream_merge_into_catalog(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_to_paged_sink(
+    stream: DataFrame,
+    sink,
+    page_size: int = 100_000,
+    policy=None,
+    checkpoint_dir: str | None = None,
+):
+    """Stream → remote paged service: each micro-batch uploads through
+    :func:`agol_pandas_spark.sources.paged.write_paged` — per-partition
+    parallel batched uploads with executor-side retry — inside
+    ``foreachBatch``. The streaming replacement for the reference's
+    driver-side sequential chunk loop (``src/agol_pandas.py:426, :614``):
+    micro-batch boundaries give at-least-once upload semantics, so a real
+    service sink needs an upsert key or staging+commit (exactly why the
+    reference set ``rollback=True`` per chunk).
+    """
+    import tempfile
+    import uuid
+
+    from agol_pandas_spark.sources.paged import write_paged
+
+    def upload(batch_df: DataFrame, batch_id: int) -> None:
+        write_paged(batch_df, sink, page_size=page_size, policy=policy)
+
+    ckpt = checkpoint_dir or os.path.join(
+        tempfile.gettempdir(), f"paged_sink_ckpt_{uuid.uuid4().hex[:8]}"
+    )
+    return (
+        stream.writeStream.foreachBatch(upload)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -394,3 +394,60 @@ def stream_static_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = write_stream_to_memory(agg, name, output_mode="complete")
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "stream_paged_sink_upload",
+    tags=("streaming", "sink", "paged", "connector"),
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS id_checksum
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_paged_sink_upload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming upload to a paged service
+    (``streaming/sinks.py:stream_to_paged_sink``): the events file
+    stream lands on a mock offset-paged sink via foreachBatch →
+    ``write_paged`` — per-partition parallel batched uploads with
+    executor-side retry, the streaming replacement for the reference's
+    sequential driver chunk loop. The service's post-drain contents are
+    read back and must reassemble the table exactly.
+    """
+    import glob
+    import json as _json
+    import shutil
+
+    from agol_pandas_spark.sources.paged import RetryPolicy
+    from agol_pandas_spark.sources.paged_mock import DirectoryJsonSink
+    from agol_pandas_spark.streaming.sinks import stream_to_paged_sink
+
+    cat = Catalog(spark, sf_dir)
+    path = cat.path("events")
+    schema = spark.read.parquet(path).schema
+    landing = os.path.join(
+        tempfile.gettempdir(), f"stream_ps_{uuid.uuid4().hex[:8]}"
+    )
+    os.makedirs(landing)
+    os.symlink(os.path.abspath(path), os.path.join(landing, "events.parquet"))
+    ev = stream_from_directory(spark, landing, schema).select(
+        "event_id", "event_type"
+    )
+    svc_root = tempfile.mkdtemp(prefix="paged_svc_")
+    q = stream_to_paged_sink(
+        ev,
+        DirectoryJsonSink(svc_root),
+        page_size=1000,
+        policy=RetryPolicy(max_attempts=3, max_backoff=0.01),
+    )
+    q.awaitTermination()
+    rows = []
+    for f in glob.glob(f"{svc_root}/batch_*.jsonl"):
+        with open(f) as fh:
+            rows.extend(tuple(_json.loads(line)) for line in fh)
+    shutil.rmtree(svc_root, ignore_errors=True)
+    uploaded = spark.createDataFrame(rows, "event_id long, event_type string")
+    return uploaded.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("event_id").alias("id_checksum"),
+    )
