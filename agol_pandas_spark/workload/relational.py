@@ -1225,3 +1225,79 @@ def agg_winsorized_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").alias("n_clipped"),
         F.sum(F.round(F.col("w") * 100).cast("long")).alias("winsorized_scaled"),
     )
+
+
+@register(
+    "clean_impute_group_mean",
+    tags=("cleaning", "imputation"),
+    oracle="""
+    WITH masked AS (
+      SELECT l_returnflag,
+             CASE WHEN CAST(('0x' || substring(md5('null' || CAST(l_orderkey AS VARCHAR)
+                                                || '_' || CAST(l_linenumber AS VARCHAR)),
+                                               1, 15)) AS BIGINT) % 10 = 0
+                  THEN NULL ELSE l_extendedprice END AS p
+      FROM lineitem),
+    means AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(round(p * 100) AS BIGINT)) AS DOUBLE)
+                 / COUNT(p) / 100.0 AS grp_mean
+      FROM masked GROUP BY l_returnflag)
+    SELECT m.l_returnflag,
+           COUNT(*) AS n,
+           SUM(CASE WHEN p IS NULL THEN 1 ELSE 0 END) AS n_imputed,
+           SUM(CAST(round(coalesce(p, grp_mean) * 100) AS BIGINT))
+               AS imputed_total_scaled
+    FROM masked m JOIN means g ON m.l_returnflag = g.l_returnflag
+    GROUP BY m.l_returnflag
+    """,
+)
+def clean_impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-mean imputation — the missing-value cleaning staple: nulls
+    (planted deterministically on ~10% of rows by row hash) are filled
+    with their group's mean computed from the NON-null rows (one tiny
+    group aggregate broadcast back; fixed-point mean so the fill value
+    is bit-identical cross-engine). Imputed counts and post-fill totals
+    are value-checked.
+    """
+    from agol_pandas_spark.functions.text import portable_hash60
+
+    li = Catalog(spark, sf_dir).table("lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    gate = (
+        F.pmod(
+            portable_hash60(
+                F.concat(
+                    F.lit("null"),
+                    F.col("l_orderkey").cast("string"),
+                    F.lit("_"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            ),
+            F.lit(10),
+        )
+        == 0
+    )
+    masked = li.select(
+        "l_returnflag",
+        F.when(gate, F.lit(None)).otherwise(F.col("l_extendedprice")).alias("p"),
+    )
+    means = masked.groupBy("l_returnflag").agg(
+        (
+            F.sum(F.round(F.col("p") * 100).cast("long")).cast("double")
+            / F.count("p")
+            / 100.0
+        ).alias("grp_mean")
+    )
+    return (
+        masked.join(F.broadcast(means), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("p").isNull().cast("long")).alias("n_imputed"),
+            F.sum(
+                F.round(F.coalesce(F.col("p"), F.col("grp_mean")) * 100).cast("long")
+            ).alias("imputed_total_scaled"),
+        )
+    )

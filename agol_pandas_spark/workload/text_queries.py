@@ -719,3 +719,44 @@ def sample_topk_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") <= 7)
         .select("lang", "doc_id", "n_chars")
     )
+
+
+@register(
+    "sample_train_val_test_split",
+    tags=("sampling", "splits"),
+    oracle=f"""
+    WITH assigned AS (
+      SELECT lang,
+             CASE WHEN h < 80 THEN 'train'
+                  WHEN h < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT lang,
+                   {SQL_HASH60.format(expr="'split' || CAST(doc_id AS VARCHAR)")}
+                   % 100 AS h
+            FROM documents))
+    SELECT lang, split, COUNT(*) AS n_docs
+    FROM assigned GROUP BY lang, split
+    """,
+)
+def sample_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by hash range —
+    a pure row function, so membership never shifts when the corpus is
+    repartitioned, re-sharded, or re-read (the leakage-safety property
+    ``df.randomSplit`` does NOT have: its assignment depends on
+    partitioning). Per-(lang, split) counts are value-checked.
+    """
+    docs = Catalog(spark, sf_dir).table("documents")
+    from agol_pandas_spark.functions.text import portable_hash60
+
+    h = F.pmod(
+        portable_hash60(F.concat(F.lit("split"), F.col("doc_id").cast("string"))),
+        F.lit(100),
+    )
+    split = (
+        F.when(h < 80, F.lit("train")).when(h < 90, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
