@@ -259,3 +259,66 @@ def test_pq_encode_and_adc_contract(emb, spark):
     exact_rank = sorted(exact, key=lambda v: (-exact[v], v))
     adc_rank = [vid for vid, _ in sorted(adc.items(), key=lambda kv: kv[1][0])]
     assert adc_rank == exact_rank
+
+
+def test_pq_with_kmeans_trained_codebook(emb, spark):
+    """The production path: per-subspace kmeans_lite codebooks slot into
+    pq_encode/pq_adc_topk unchanged (the operators are codebook-source
+    agnostic), and the trained codebook reconstructs the corpus at least
+    as well as the seeded one (lower total quantization error)."""
+    from pyspark.sql import functions as F
+
+    from agol_pandas_spark.operators.similarity import (
+        _l2_scaled,
+        kmeans_lite,
+        pq_adc_topk,
+        pq_codebook_from_seeds,
+        pq_encode,
+    )
+
+    M, K, sub = 4, 8, 16
+    parts = []
+    for m in range(M):
+        sv = emb.select(
+            F.col("vec_id"),
+            F.slice(F.col("embedding"), m * sub + 1, sub).alias("sv"),
+        )
+        centroids, _ = kmeans_lite(sv, "vec_id", "sv", k=K, iters=2)
+        rows = [(m, c, [float(x) for x in cent]) for c, cent in enumerate(centroids)]
+        parts.append(
+            spark.createDataFrame(rows, "m int, code int, cent array<double>")
+        )
+    trained = parts[0]
+    for p in parts[1:]:
+        trained = trained.unionByName(p)
+
+    enc = pq_encode(emb, trained, "vec_id")
+    codes = {r["vec_id"]: r["codes"] for r in enc.collect()}
+    assert all(len(c) == 4 and all(0 <= x < K for x in c) for c in codes.values())
+
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    adc = pq_adc_topk(queries, enc, trained, "query_id", "vec_id", k=5)
+    got = {r["query_id"] for r in adc.collect()}
+    assert got == {0, 1}
+    assert adc.count() == 10  # 5 per query
+
+    def total_qerror(cb):
+        enc_ = pq_encode(emb, cb, "vec_id")
+        ms = F.explode(F.sequence(F.lit(0), F.lit(M - 1))).alias("m")
+        pieces = emb.select(F.col("vec_id"), F.col("embedding"), ms).select(
+            "vec_id", "m",
+            F.slice(F.col("embedding"), F.col("m") * sub + 1, sub).alias("sv"),
+        )
+        joined = (
+            pieces.join(enc_, "vec_id")
+            .withColumn("code", F.expr("codes[m]"))
+            .join(F.broadcast(cb), ["m", "code"])
+        )
+        return joined.agg(
+            F.sum(_l2_scaled(F.col("sv"), F.col("cent"))).alias("e")
+        ).collect()[0]["e"]
+
+    seeded = pq_codebook_from_seeds(emb, "vec_id")
+    assert total_qerror(trained) <= total_qerror(seeded)
