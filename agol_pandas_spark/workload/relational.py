@@ -1301,3 +1301,47 @@ def clean_impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("imputed_total_scaled"),
         )
     )
+
+
+@register(
+    "events_user_retention_cohorts",
+    tags=("analytics", "cohorts", "events"),
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN((epoch_ms(ts) // 1000 // 86400) // 7) AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             ((epoch_ms(e.ts) // 1000 // 86400) // 7) - f.cohort_week
+                 AS weeks_since
+      FROM events e JOIN firsts f ON e.user_id = f.user_id)
+    SELECT cohort_week, weeks_since,
+           COUNT(*) AS n_active_users
+    FROM activity GROUP BY cohort_week, weeks_since
+    """,
+)
+def events_user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-activity week, counted
+    once per (cohort, weeks-since-cohort) they were active — the classic
+    product-analytics triangle. Two shuffles (first-touch aggregate on
+    user, distinct activity on (user, week)); the cohort dimension joins
+    back broadcast. Week arithmetic is pure integer division on epoch
+    seconds, so every cell is value-checked.
+    """
+    ev = Catalog(spark, sf_dir).table("events").select("user_id", "ts")
+    week = (F.unix_timestamp("ts") / F.lit(86400)).cast("long") / F.lit(7)
+    ev_w = ev.select("user_id", week.cast("long").alias("week"))
+    firsts = ev_w.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    activity = (
+        ev_w.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("weeks_since"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "weeks_since").agg(
+        F.count(F.lit(1)).alias("n_active_users")
+    )

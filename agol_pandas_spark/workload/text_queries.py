@@ -760,3 +760,72 @@ def sample_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "split")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@register(
+    "text_cooccurrence_lift_top",
+    tags=("text", "cooccurrence", "pmi"),
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct({SQL_TOKS.format(src='text')}) AS t
+      FROM documents),
+    n AS (SELECT COUNT(*) AS n_docs FROM toks),
+    tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+    df AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    pairs AS (
+      SELECT a.w AS w1, b.w AS w2, COUNT(*) AS cab
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.w < b.w
+      GROUP BY a.w, b.w),
+    scored AS (
+      SELECT w1, w2, cab,
+             CAST(n.n_docs * cab AS DOUBLE) / (d1.c * d2.c) AS lift
+      FROM pairs, n
+      JOIN df d1 ON d1.w = pairs.w1
+      JOIN df d2 ON d2.w = pairs.w2
+      WHERE cab >= 20)
+    SELECT w1, w2, cab, lift FROM scored
+    QUALIFY ROW_NUMBER() OVER (ORDER BY lift DESC, w1, w2) <= 50
+    """,
+)
+def text_cooccurrence_lift_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top document-level token co-occurrences by LIFT
+    (N·c(a,b)/(c(a)·c(b)) — the PMI argument without the log, so the
+    score is ONE IEEE division of exact integers and ranks identically
+    to PMI while staying bit-portable; log-PMI differs across libm
+    implementations in final ulps). Shuffle shape: distinct-token
+    explode → same-doc pair aggregation (the support filter bounds the
+    pair blowup) → two vocabulary-sized broadcast joins → global top-50
+    via TakeOrderedAndProject.
+    """
+    from agol_pandas_spark.functions.text import tokens
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    toks = docs.select(
+        "doc_id", F.array_distinct(tokens(F.col("text"))).alias("t")
+    )
+    n_docs = Catalog(spark, sf_dir).row_count("documents")
+    tok = toks.select("doc_id", F.explode("t").alias("w"))
+    dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    a = tok.select("doc_id", F.col("w").alias("w1"))
+    b = tok.select("doc_id", F.col("w").alias("w2"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("w1") < F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .filter(F.col("cab") >= 20)
+    )
+    scored = (
+        pairs.join(F.broadcast(dfreq.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1")), "w1")
+        .join(F.broadcast(dfreq.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2")), "w2")
+        .select(
+            "w1",
+            "w2",
+            "cab",
+            (
+                (F.lit(n_docs) * F.col("cab")).cast("double")
+                / (F.col("c1") * F.col("c2"))
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.col("lift").desc(), "w1", "w2").limit(50)
