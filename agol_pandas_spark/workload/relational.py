@@ -643,41 +643,92 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_GSETS_SQL)
 
 
+def _duck_pctl_s4(j: int, alias: str) -> str:
+    """DuckDB fragment: interpolated percentile q=j/4 over the cum
+    histogram, ×4-scaled so the quarter-step interpolation stays in
+    BIGINT (see agg_exact_percentiles docstring)."""
+    return f"""
+             MIN(CASE WHEN cum_cnt >= ((n_total - 1) * {j}) // 4 + 1
+                      THEN qc END) * (4 - ((MAX(n_total) - 1) * {j}) % 4)
+             + CASE WHEN ((MAX(n_total) - 1) * {j}) % 4 = 0 THEN 0
+                    ELSE MIN(CASE WHEN cum_cnt >= ((n_total - 1) * {j}) // 4 + 2
+                             THEN qc END) * (((MAX(n_total) - 1) * {j}) % 4)
+               END AS {alias}"""
+
+
 @register(
     "agg_exact_percentiles",
     tags=("agg", "percentile"),
-    oracle="""
+    oracle=f"""
+    WITH scaled AS (
+      SELECT l_returnflag, CAST(round(l_quantity * 100) AS BIGINT) AS qc
+      FROM lineitem),
+    hist AS (
+      SELECT l_returnflag, qc, COUNT(*) AS cnt
+      FROM scaled GROUP BY l_returnflag, qc),
+    cum AS (
+      SELECT l_returnflag, qc,
+             SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY qc
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum_cnt,
+             SUM(cnt) OVER (PARTITION BY l_returnflag) AS n_total
+      FROM hist)
     SELECT l_returnflag,
-           CAST(round(quantile_cont(l_quantity, 0.25) * 100) AS BIGINT) AS p25_scaled,
-           CAST(round(quantile_cont(l_quantity, 0.50) * 100) AS BIGINT) AS p50_scaled,
-           CAST(round(quantile_cont(l_quantity, 0.75) * 100) AS BIGINT) AS p75_scaled,
-           COUNT(*) AS n
-    FROM lineitem GROUP BY l_returnflag
+           {_duck_pctl_s4(1, "p25_scaled4")},
+           {_duck_pctl_s4(2, "p50_scaled4")},
+           {_duck_pctl_s4(3, "p75_scaled4")},
+           MAX(n_total) AS n
+    FROM cum GROUP BY l_returnflag
     """,
 )
 def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact linear-interpolation percentiles (both engines use the same
-    (n-1)p interpolation; results quantized to scaled longs). At 100 TB
-    swap in approx_percentile — exact percentile needs per-group sorted
-    values; the API shape is identical."""
+    """Exact linear-interpolation percentiles, computed entirely in
+    integer arithmetic. For q = j/4 over n sorted values the (n-1)q
+    interpolation point has a denominator of at most 4, so 4× the
+    percentile of scaled-cent longs is itself an integer:
+    ``4·p = v[k]·(4-r) + v[k+1]·r`` with ``t = (n-1)·j``, ``k = t div 4``
+    (0-based), ``r = t mod 4``. No derived double is ever rounded — the
+    audit-class fix for the round-3 knife edge (rounding an engine's
+    interpolated percentile is one-ulp-fragile by construction). Order
+    statistics come from a distinct-value cumulative histogram (groupBy
+    shrinks the window input to distinct values, the 100 TB shape); at
+    extreme scale swap in approx_percentile — the API shape is identical.
+    """
+    from pyspark.sql.window import Window
 
-    def p(q: float, alias: str):
-        return (
-            F.round(F.percentile("l_quantity", F.lit(q)) * 100)
-            .cast("long")
-            .alias(alias)
-        )
+    li = Catalog(spark, sf_dir).table("lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qc"),
+    )
+    hist = li.groupBy("l_returnflag", "qc").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("qc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "l_returnflag",
+        "qc",
+        F.sum("cnt").over(w_cum).alias("cum_cnt"),
+        F.sum("cnt").over(Window.partitionBy("l_returnflag")).alias("n_total"),
+    )
 
-    return (
-        Catalog(spark, sf_dir)
-        .table("lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            p(0.25, "p25_scaled"),
-            p(0.50, "p50_scaled"),
-            p(0.75, "p75_scaled"),
-            F.count(F.lit(1)).alias("n"),
-        )
+    def p_s4(j: int, alias: str):
+        t = (F.col("n_total") - 1) * j
+        k1 = F.expr(f"((n_total - 1) * {j}) div 4") + 1
+        r = t % 4
+        lo = F.min(F.when(F.col("cum_cnt") >= k1, F.col("qc")))
+        hi = F.min(F.when(F.col("cum_cnt") >= k1 + 1, F.col("qc")))
+        # r is constant per group, so max() just carries it through the agg
+        return (lo * (4 - F.max(r)) + F.when(F.max(r) == 0, 0).otherwise(
+            hi * F.max(r)
+        )).alias(alias)
+
+    return cum.groupBy("l_returnflag").agg(
+        p_s4(1, "p25_scaled4"),
+        p_s4(2, "p50_scaled4"),
+        p_s4(3, "p75_scaled4"),
+        F.max("n_total").alias("n"),
     )
 
 
@@ -1005,35 +1056,87 @@ def agg_collect_sorted_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_approx_percentile_bounded",
     tags=("agg", "approx", "percentile"),
     oracle="""
+    WITH scaled AS (
+      SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+      FROM lineitem),
+    hist AS (
+      SELECT l_returnflag, pc, COUNT(*) AS cnt
+      FROM scaled GROUP BY l_returnflag, pc),
+    cum AS (
+      SELECT l_returnflag, pc,
+             SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY pc
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum_cnt,
+             SUM(cnt) OVER (PARTITION BY l_returnflag) AS n_total
+      FROM hist)
     SELECT l_returnflag,
-           quantile_cont(l_extendedprice, 0.5) AS p50_exact,
+           MIN(CASE WHEN cum_cnt >= (n_total + 1) // 2 THEN pc END)
+           + MIN(CASE WHEN cum_cnt >= n_total // 2 + 1 THEN pc END)
+               AS p50_exact_scaled2,
            TRUE AS within_tol
-    FROM lineitem GROUP BY l_returnflag
+    FROM cum GROUP BY l_returnflag
     """,
 )
 def agg_approx_percentile_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``approx_percentile`` (sketch-based, accuracy 10000) bounded against
-    the exact continuous median: the query emits a within-1%% boolean the
-    oracle hash-checks — same deterministic-contract pattern as
-    ``agg_approx_distinct_parts``. At 100 TB the sketch is the only
-    option (exact percentiles need a full sort per group); the bound is
-    what makes it trustworthy.
+    the exact median: the query emits a within-1%% boolean the oracle
+    hash-checks — same deterministic-contract pattern as
+    ``agg_approx_distinct_parts``. The exact median is reported as 2× the
+    scaled-cent median (lower-mid + upper-mid order statistics summed), so
+    the even-n half-step stays in BIGINT and no interpolated double is
+    ever emitted or rounded (audit-class fix: the old version hash-compared
+    a raw interpolated double bitwise across engines). The tolerance check
+    is pure integer too: Spark's sketch returns an actual data value, so
+    ``|200·approx_cents − p50_scaled2| ≤ p50_scaled2`` is ±0.5%%.
+    At 100 TB the sketch is the only option (exact medians need a
+    per-group sort); the bound is what makes it trustworthy.
     """
-    agg = (
+    from pyspark.sql.window import Window
+
+    li = Catalog(spark, sf_dir).table("lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("pc"),
+    )
+    hist = li.groupBy("l_returnflag", "pc").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("pc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "l_returnflag",
+        "pc",
+        F.sum("cnt").over(w_cum).alias("cum_cnt"),
+        F.sum("cnt").over(Window.partitionBy("l_returnflag")).alias("n_total"),
+    )
+    lo_mid = F.min(
+        F.when(F.col("cum_cnt") >= F.expr("(n_total + 1) div 2"), F.col("pc"))
+    )
+    hi_mid = F.min(
+        F.when(F.col("cum_cnt") >= F.expr("n_total div 2") + 1, F.col("pc"))
+    )
+    exact = cum.groupBy("l_returnflag").agg(
+        (lo_mid + hi_mid).alias("p50_exact_scaled2")
+    )
+    approx = (
         Catalog(spark, sf_dir)
         .table("lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.expr("percentile(l_extendedprice, 0.5)").alias("p50_exact"),
-            F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("p50_approx"),
+            F.round(
+                F.expr("approx_percentile(l_extendedprice, 0.5, 10000)") * 100
+            )
+            .cast("long")
+            .alias("approx_cents")
         )
     )
-    return agg.select(
+    return exact.join(F.broadcast(approx), "l_returnflag").select(
         "l_returnflag",
-        "p50_exact",
+        "p50_exact_scaled2",
         (
-            F.abs(F.col("p50_approx") - F.col("p50_exact"))
-            <= F.abs(F.col("p50_exact")) * 0.01
+            F.abs(F.col("approx_cents") * 2 - F.col("p50_exact_scaled2"))
+            * 100
+            <= F.col("p50_exact_scaled2")
         ).alias("within_tol"),
     )
 
@@ -1177,53 +1280,85 @@ def stats_ols_price_on_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_winsorized_revenue",
     tags=("agg", "statistics", "outliers"),
     oracle="""
-    WITH bounds AS (
+    WITH scaled AS (
+      SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+      FROM lineitem),
+    hist AS (
+      SELECT l_returnflag, pc, COUNT(*) AS cnt
+      FROM scaled GROUP BY l_returnflag, pc),
+    cum AS (
+      SELECT l_returnflag, pc,
+             SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY pc
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum_cnt,
+             SUM(cnt) OVER (PARTITION BY l_returnflag) AS n_total
+      FROM hist),
+    bounds AS (
       SELECT l_returnflag,
-             quantile_cont(l_extendedprice, 0.05) AS lo,
-             quantile_cont(l_extendedprice, 0.95) AS hi
-      FROM lineitem GROUP BY l_returnflag)
-    SELECT l.l_returnflag,
+             MIN(CASE WHEN cum_cnt >= (n_total + 19) // 20 THEN pc END) AS lo,
+             MIN(CASE WHEN cum_cnt >= (19 * n_total + 19) // 20 THEN pc END)
+                 AS hi
+      FROM cum GROUP BY l_returnflag)
+    SELECT s.l_returnflag,
            COUNT(*) AS n,
-           SUM(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi
-                    THEN 1 ELSE 0 END) AS n_clipped,
-           SUM(CAST(round(
-                 CASE WHEN l_extendedprice < lo THEN lo
-                      WHEN l_extendedprice > hi THEN hi
-                      ELSE l_extendedprice END * 100) AS BIGINT))
-               AS winsorized_scaled
-    FROM lineitem l JOIN bounds b ON l.l_returnflag = b.l_returnflag
-    GROUP BY l.l_returnflag
+           SUM(CASE WHEN pc < lo OR pc > hi THEN 1 ELSE 0 END) AS n_clipped,
+           SUM(CASE WHEN pc < lo THEN lo
+                    WHEN pc > hi THEN hi
+                    ELSE pc END) AS winsorized_scaled
+    FROM scaled s JOIN bounds b ON s.l_returnflag = b.l_returnflag
+    GROUP BY s.l_returnflag
     """,
 )
 def agg_winsorized_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group winsorization (clip to [p5, p95]) — the outlier-robust
-    aggregation pattern: exact interpolated percentiles per group (one
-    agg over the group shuffle, broadcast back — at any scale the bounds
-    side is one row per group), clip in a codegen map, sum fixed-point.
-    Clip counts and winsorized totals are value-checked; Spark
-    ``percentile`` and DuckDB ``quantile_cont`` share the interpolated
-    definition.
+    aggregation pattern, computed entirely in integer arithmetic so the
+    result is engine-portable by construction (the round-3 driver red row
+    came from rounding an *interpolated* percentile that landed one ulp
+    from a .5 boundary — no derived double is ever rounded here). Bounds
+    are discrete order statistics (SQL-standard PERCENTILE_DISC: first
+    value whose cumulative count reaches ceil(q·n)) taken over a
+    distinct-value histogram of scaled-cent longs: groupBy (flag, cents)
+    shrinks the window input to distinct values only, so the cumulative
+    window sorts thousands of rows per group, not billions — the shape
+    that survives 100 TB. Bounds broadcast back; clip is a codegen map;
+    totals sum exactly as BIGINT.
     """
+    from pyspark.sql.window import Window
+
     li = Catalog(spark, sf_dir).table("lineitem").select(
-        "l_returnflag", "l_extendedprice"
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("pc"),
     )
-    bounds = li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", F.lit(0.05)).alias("lo"),
-        F.percentile("l_extendedprice", F.lit(0.95)).alias("hi"),
+    hist = li.groupBy("l_returnflag", "pc").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("pc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    cum = hist.select(
+        "l_returnflag",
+        "pc",
+        F.sum("cnt").over(w_cum).alias("cum_cnt"),
+        F.sum("cnt").over(w_all).alias("n_total"),
+    )
+    lo_k = F.expr("(n_total + 19) div 20")
+    hi_k = F.expr("(19 * n_total + 19) div 20")
+    bounds = cum.groupBy("l_returnflag").agg(
+        F.min(F.when(F.col("cum_cnt") >= lo_k, F.col("pc"))).alias("lo"),
+        F.min(F.when(F.col("cum_cnt") >= hi_k, F.col("pc"))).alias("hi"),
     )
     clipped = li.join(F.broadcast(bounds), "l_returnflag").select(
         "l_returnflag",
-        F.col("l_extendedprice").alias("p"),
-        F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi")).alias(
-            "w"
-        ),
-        ((F.col("l_extendedprice") < F.col("lo"))
-         | (F.col("l_extendedprice") > F.col("hi"))).cast("long").alias("c"),
+        F.least(F.greatest(F.col("pc"), F.col("lo")), F.col("hi")).alias("w"),
+        ((F.col("pc") < F.col("lo")) | (F.col("pc") > F.col("hi")))
+        .cast("long")
+        .alias("c"),
     )
     return clipped.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("c").alias("n_clipped"),
-        F.sum(F.round(F.col("w") * 100).cast("long")).alias("winsorized_scaled"),
+        F.sum("w").alias("winsorized_scaled"),
     )
 
 
@@ -1240,13 +1375,13 @@ def agg_winsorized_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem),
     means AS (
       SELECT l_returnflag,
-             CAST(SUM(CAST(round(p * 100) AS BIGINT)) AS DOUBLE)
-                 / COUNT(p) / 100.0 AS grp_mean
+             (2 * SUM(CAST(round(p * 100) AS BIGINT)) + COUNT(p))
+                 // (2 * COUNT(p)) AS fill_scaled
       FROM masked GROUP BY l_returnflag)
     SELECT m.l_returnflag,
            COUNT(*) AS n,
            SUM(CASE WHEN p IS NULL THEN 1 ELSE 0 END) AS n_imputed,
-           SUM(CAST(round(coalesce(p, grp_mean) * 100) AS BIGINT))
+           SUM(coalesce(CAST(round(p * 100) AS BIGINT), fill_scaled))
                AS imputed_total_scaled
     FROM masked m JOIN means g ON m.l_returnflag = g.l_returnflag
     GROUP BY m.l_returnflag
@@ -1256,9 +1391,13 @@ def clean_impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-mean imputation — the missing-value cleaning staple: nulls
     (planted deterministically on ~10% of rows by row hash) are filled
     with their group's mean computed from the NON-null rows (one tiny
-    group aggregate broadcast back; fixed-point mean so the fill value
-    is bit-identical cross-engine). Imputed counts and post-fill totals
-    are value-checked.
+    group aggregate broadcast back). The fill value is kept as an exact
+    rational of scaled longs and rounded in *integer* arithmetic —
+    round(S/c) = floor((2S + c) / (2c)) for the positive sums here — so
+    no derived double is ever rounded (the round-3 driver red row came
+    from ``round(sum/count/100.0)``, which is one-ulp-fragile across
+    engines by construction). Imputed counts and post-fill totals are
+    value-checked.
     """
     from agol_pandas_spark.functions.text import portable_hash60
 
@@ -1281,14 +1420,12 @@ def clean_impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     masked = li.select(
         "l_returnflag",
-        F.when(gate, F.lit(None)).otherwise(F.col("l_extendedprice")).alias("p"),
+        F.when(gate, F.lit(None))
+        .otherwise(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .alias("p"),
     )
     means = masked.groupBy("l_returnflag").agg(
-        (
-            F.sum(F.round(F.col("p") * 100).cast("long")).cast("double")
-            / F.count("p")
-            / 100.0
-        ).alias("grp_mean")
+        F.expr("(2 * sum(p) + count(p)) div (2 * count(p))").alias("fill_scaled")
     )
     return (
         masked.join(F.broadcast(means), "l_returnflag")
@@ -1296,9 +1433,9 @@ def clean_impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("p").isNull().cast("long")).alias("n_imputed"),
-            F.sum(
-                F.round(F.coalesce(F.col("p"), F.col("grp_mean")) * 100).cast("long")
-            ).alias("imputed_total_scaled"),
+            F.sum(F.coalesce(F.col("p"), F.col("fill_scaled"))).alias(
+                "imputed_total_scaled"
+            ),
         )
     )
 
