@@ -25,9 +25,21 @@ a real REST backend slots into:
   driver between chunks.
 
 Scale posture: page fetches are embarrassingly parallel and the schema is
-declared up front, so Catalyst sees a bounded scan with a known schema;
-column pruning/pushdown stop at the connector boundary (remote service
-semantics), which is the correct contract for an opaque REST source.
+declared up front, so Catalyst sees a bounded scan with a known schema.
+**Filter pushdown crosses the connector boundary**: Catalyst hands the
+scan's conjunctive predicates to :meth:`_PagedReader.pushFilters`
+(``pyspark.sql.datasource``, Spark 4.1), which compiles them to the
+engine-neutral :class:`PushedFilter` spec and offers them to the client —
+a real ArcGIS-style backend maps them onto the query endpoint's ``where``
+parameter (the capability the reference never used: it always sent
+``return_all_records=True``, ``src/agol_pandas.py:246``). Filters the
+client declines stay in the Spark plan, so semantics never depend on the
+backend's filter dialect. Column pruning is the read API's ``columns``
+parameter (server-side ``outFields``): the Python DataSource API has no
+required-column hook as of 4.1, so projection is declared at
+:func:`read_paged` time and verified against the pruned schema. At 100 TB
+the difference is a full remote scan per query vs transferring only
+matching rows of requested columns.
 """
 
 from __future__ import annotations
@@ -52,6 +64,76 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 DEFAULT_PAGE_SIZE = 100_000  # reference chunk default, src/agol_pandas.py:159
+
+
+@dataclass(frozen=True)
+class PushedFilter:
+    """Engine-neutral predicate handed to a :class:`PagedClient`.
+
+    ``op`` is one of ``= <> > >= < <= in isnull notnull startswith
+    endswith contains``; conjunction of the accepted specs is the pushed
+    predicate. Values are plain Python scalars (or a tuple for ``in``) —
+    a REST backend compiles these to its ``where`` dialect.
+    """
+
+    column: str
+    op: str
+    value: object = None
+
+
+def _to_spec(f) -> PushedFilter | None:
+    """Translate a Catalyst ``pyspark.sql.datasource.Filter`` into a
+    :class:`PushedFilter`, or ``None`` if it doesn't map (nested column,
+    unsupported shape). Unmapped filters simply stay in the Spark plan."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        IsNotNull,
+        IsNull,
+        LessThan,
+        LessThanOrEqual,
+        Not,
+        StringContains,
+        StringEndsWith,
+        StringStartsWith,
+    )
+
+    def col(flt) -> str | None:
+        return flt.attribute[0] if len(flt.attribute) == 1 else None
+
+    if isinstance(f, Not):
+        inner = f.child
+        if isinstance(inner, EqualTo) and col(inner) is not None:
+            v = tuple(inner.value) if isinstance(inner.value, list) else inner.value
+            return PushedFilter(col(inner), "<>", v)
+        return None
+    binary = {
+        EqualTo: "=",
+        GreaterThan: ">",
+        GreaterThanOrEqual: ">=",
+        LessThan: "<",
+        LessThanOrEqual: "<=",
+        StringStartsWith: "startswith",
+        StringEndsWith: "endswith",
+        StringContains: "contains",
+    }
+    for cls, op in binary.items():
+        if isinstance(f, cls):
+            if col(f) is None:
+                return None
+            v = tuple(f.value) if isinstance(f.value, list) else f.value
+            return PushedFilter(col(f), op, v)
+    if isinstance(f, In):
+        return (
+            PushedFilter(col(f), "in", tuple(f.value)) if col(f) is not None else None
+        )
+    if isinstance(f, IsNull):
+        return PushedFilter(col(f), "isnull") if col(f) is not None else None
+    if isinstance(f, IsNotNull):
+        return PushedFilter(col(f), "notnull") if col(f) is not None else None
+    return None
 
 
 @dataclass
@@ -101,6 +183,27 @@ class PagedClient(abc.ABC):
         """Rows ``[offset, offset+limit)`` as tuples in schema order.
         Short/empty reads signal the end of the table."""
 
+    def pushdown(
+        self, filters: Sequence[PushedFilter]
+    ) -> "tuple[PagedClient, Sequence[PushedFilter]] | None":
+        """Offer conjunctive predicates for server-side evaluation.
+
+        Return ``(filtered_client, applied)`` where ``filtered_client``
+        pages over the filtered view (its ``total_count``/``fetch_page``
+        see only matching rows — ArcGIS ``where`` semantics) and
+        ``applied`` is the subset of ``filters`` it actually evaluates;
+        declined specs stay in the Spark plan. Return ``None`` for no
+        server-side filtering (the default: correctness never depends on
+        a backend implementing this)."""
+        return None
+
+    def project(self, columns: Sequence[str]) -> "PagedClient | None":
+        """Server-side projection (ArcGIS ``outFields``): a client whose
+        ``schema``/``fetch_page`` carry only ``columns``, or ``None`` if
+        the backend can't prune (``read_paged`` then prunes Spark-side —
+        correct, but the full row width crosses the wire)."""
+        return None
+
 
 class _PagePartition(InputPartition):
     def __init__(self, offset: int, limit: int):
@@ -113,6 +216,32 @@ class _PagedReader(DataSourceReader):
         self._client = client
         self._page_size = page_size
         self._policy = policy
+
+    def pushFilters(self, filters):
+        """Catalyst filter pushdown (Spark 4.1 Python DataSource API):
+        compile the scan's conjuncts to :class:`PushedFilter` specs,
+        offer them to the client, keep whatever it declines in the plan.
+        Runs at planning time, before :meth:`partitions` — so a pushed
+        predicate also shrinks the page partition list (fewer fetch
+        tasks, not just fewer rows per fetch)."""
+        convertible: list[tuple[object, PushedFilter]] = []
+        residual = []
+        for f in filters:
+            spec = _to_spec(f)
+            if spec is None:
+                residual.append(f)
+            else:
+                convertible.append((f, spec))
+        if convertible:
+            res = self._client.pushdown([s for _, s in convertible])
+            if res is None:
+                residual.extend(f for f, _ in convertible)
+            else:
+                new_client, applied = res
+                applied_set = set(applied)
+                self._client = new_client
+                residual.extend(f for f, s in convertible if s not in applied_set)
+        yield from residual
 
     def partitions(self) -> Sequence[InputPartition]:
         total = self._client.total_count()
@@ -251,11 +380,30 @@ def read_paged(
     client: PagedClient,
     page_size: int = DEFAULT_PAGE_SIZE,
     policy: RetryPolicy | None = None,
+    columns: Sequence[str] | None = None,
 ) -> DataFrame:
-    """Register the datasource (idempotent) and build the paged scan."""
+    """Register the datasource (idempotent) and build the paged scan.
+
+    ``columns`` is the projection contract (ArcGIS ``outFields``): pushed
+    into the client via :meth:`PagedClient.project` when the backend
+    supports it (only those columns cross the wire), else applied as a
+    Spark-side ``select`` (correct, full width transferred). Catalyst
+    filter pushdown is enabled on the session here — the engine invariant
+    that makes ``df.filter(...)`` reach :meth:`PagedClient.pushdown` even
+    under an externally-built (driver) session."""
     spark.dataSource.register(PagedDataSource)
+    # Python-datasource filter pushdown is off by default in Spark 4.1;
+    # self-configure like Catalog does for TZ/NTZ invariants.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     policy = policy or RetryPolicy()
-    return (
+    select_after: Sequence[str] | None = None
+    if columns is not None:
+        projected = client.project(columns)
+        if projected is not None:
+            client = projected
+        else:
+            select_after = columns
+    df = (
         spark.read.format("agol_paged")
         .option("client_pkl", base64.b64encode(pickle.dumps(client)).decode())
         .option("page_size", str(page_size))
@@ -265,18 +413,110 @@ def read_paged(
         .option("backoff_interval", str(policy.backoff_interval))
         .load()
     )
+    if select_after is not None:
+        df = df.select(*select_after)
+    return df
 
 
 class ParquetPagedClient(PagedClient):
     """A :class:`PagedClient` over a local parquet file — the test/demo
     backend standing in for a remote service: same offset/limit contract,
     deterministic pages, no network. The file is opened lazily per
-    process (the client pickles as just the path + projection)."""
+    process (the client pickles as just the path + projection + pushed
+    filters). Implements the full pushdown surface the way a real service
+    would: ``pushdown`` → ``where``, ``project`` → ``outFields``.
 
-    def __init__(self, path: str, columns: Sequence[str] | None = None):
+    ``log_dir`` (test instrumentation): when set, every ``fetch_page``
+    appends one JSON line ``{"offset","limit","n_rows","n_cols"}`` to a
+    uuid-named file there — executors share the local filesystem in
+    tests, so a test can total exactly how many rows/columns crossed the
+    simulated wire."""
+
+    #: predicate shapes this backend evaluates server-side
+    SUPPORTED_OPS = frozenset({"=", "<>", ">", ">=", "<", "<=", "in",
+                               "isnull", "notnull"})
+
+    def __init__(
+        self,
+        path: str,
+        columns: Sequence[str] | None = None,
+        filters: Sequence[PushedFilter] = (),
+        log_dir: str | None = None,
+    ):
         self.path = path
         self.columns = list(columns) if columns else None
+        self.filters = tuple(filters)
+        self.log_dir = log_dir
+        self._filtered_cache = None  # per-process, never pickled
 
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_filtered_cache"] = None
+        return state
+
+    # -- pushdown surface ---------------------------------------------------
+
+    def pushdown(self, filters):
+        applied = [
+            s
+            for s in filters
+            if s.op in self.SUPPORTED_OPS and s.column in self._field_names()
+        ]
+        if not applied:
+            return None
+        return (
+            ParquetPagedClient(
+                self.path,
+                self.columns,
+                filters=self.filters + tuple(applied),
+                log_dir=self.log_dir,
+            ),
+            applied,
+        )
+
+    def project(self, columns):
+        missing = [c for c in columns if c not in self._field_names()]
+        if missing:
+            raise ValueError(f"unknown columns {missing} in {self.path}")
+        return ParquetPagedClient(
+            self.path, columns, filters=self.filters, log_dir=self.log_dir
+        )
+
+    # -- transport ----------------------------------------------------------
+
+    def _field_names(self) -> list[str]:
+        import pyarrow.parquet as pq
+
+        return pq.read_schema(self.path).names
+
+    def _filter_expr(self):
+        """Pushed specs → one conjunctive pyarrow dataset expression."""
+        import pyarrow.dataset as ds
+
+        expr = None
+        for s in self.filters:
+            f = ds.field(s.column)
+            v = list(s.value) if isinstance(s.value, tuple) else s.value
+            if s.op == "=":
+                e = f == v
+            elif s.op == "<>":
+                e = f != v
+            elif s.op == ">":
+                e = f > v
+            elif s.op == ">=":
+                e = f >= v
+            elif s.op == "<":
+                e = f < v
+            elif s.op == "<=":
+                e = f <= v
+            elif s.op == "in":
+                e = f.isin(v)
+            elif s.op == "isnull":
+                e = f.is_null()
+            else:  # notnull
+                e = f.is_valid()
+            expr = e if expr is None else expr & e
+        return expr
 
     def schema(self) -> StructType:
         from pyspark.sql.pandas.types import from_arrow_schema
@@ -291,15 +531,61 @@ class ParquetPagedClient(PagedClient):
         return from_arrow_schema(schema)
 
     def total_count(self) -> int | None:
+        if self.filters:
+            import pyarrow.dataset as ds
+
+            return ds.dataset(self.path, format="parquet").count_rows(
+                filter=self._filter_expr()
+            )
         import pyarrow.parquet as pq
 
         return pq.ParquetFile(self.path).metadata.num_rows
+
+    def _log(self, offset: int, limit: int, page) -> None:
+        if not self.log_dir:
+            return
+        import json
+        import os
+        import uuid
+
+        with open(
+            os.path.join(self.log_dir, f"fetch_{uuid.uuid4().hex}.json"), "w"
+        ) as f:
+            json.dump(
+                {
+                    "offset": offset,
+                    "limit": limit,
+                    "n_rows": page.num_rows,
+                    "n_cols": page.num_columns,
+                },
+                f,
+            )
+
+    def _filtered_table(self):
+        """The server-side filtered view, materialized once per process
+        (mock stand-in for a service's own filtered result set; row-group
+        and page-level predicate pushdown happen inside the parquet
+        reader)."""
+        if self._filtered_cache is None:
+            import pyarrow.dataset as ds
+
+            self._filtered_cache = ds.dataset(self.path, format="parquet").to_table(
+                columns=self.columns, filter=self._filter_expr()
+            )
+        return self._filtered_cache
 
     def fetch_page(self, offset: int, limit: int) -> Sequence[tuple]:
         """Row-group-aware page read: only the row groups overlapping
         ``[offset, offset+limit)`` are decoded (footer metadata locates
         them), so per-page I/O is O(page), not O(file) — the same
-        contract a real service honors server-side with resultOffset."""
+        contract a real service honors server-side with resultOffset.
+        With pushed filters, pages address the *filtered* row stream
+        (ArcGIS ``where`` + ``resultOffset`` semantics)."""
+        if self.filters:
+            page = self._filtered_table().slice(offset, limit)
+            self._log(offset, limit, page)
+            cols = [c.to_pylist() for c in page.columns]
+            return list(zip(*cols)) if cols else []
         import pyarrow.parquet as pq
 
         f = pq.ParquetFile(self.path)
@@ -318,9 +604,11 @@ class ParquetPagedClient(PagedClient):
             if acc >= end:
                 break
         if not groups:
+            self._log(offset, limit, __import__("pyarrow").table({}))
             return []
         tbl = f.read_row_groups(groups, columns=self.columns)
         page = tbl.slice(offset - first_group_start, limit)
+        self._log(offset, limit, page)
         cols = [c.to_pylist() for c in page.columns]
         return list(zip(*cols)) if cols else []
 
@@ -329,14 +617,18 @@ class PagedSink(abc.ABC):
     """Write-side transport contract: the reference's chunked upload loop
     (``src/agol_pandas.py:426, :614`` — sequential, driver-side, one temp
     CSV per chunk) becomes per-executor batched uploads with retry.
-    Implementations must be picklable and idempotent per (task, batch):
-    Spark retries failed write tasks, so a real service sink needs an
-    upsert key or a staging+commit protocol (the reference used
+    Implementations must be picklable and idempotent per ``batch_id``:
+    delivery is at-least-once (both the in-task :class:`RetryPolicy` and
+    Spark's task re-execution can replay a batch), and ``batch_id`` is
+    the stable dedup key — ``"<partition>-<batch-index>"``, identical
+    across every replay of the same batch. A real service sink keys an
+    upsert on it or stages under it and commits once (the reference used
     ``rollback=True`` on append for the same reason)."""
 
     @abc.abstractmethod
-    def upload_batch(self, rows: Sequence[tuple]) -> None:
-        """Persist one batch of rows (tuples in schema order)."""
+    def upload_batch(self, rows: Sequence[tuple], batch_id: str | None = None) -> None:
+        """Persist one batch of rows (tuples in schema order). Replays of
+        the same logical batch carry the same ``batch_id``."""
 
 
 @dataclass
@@ -358,18 +650,25 @@ class _PagedWriter(DataSourceWriter):
         self._policy = policy
 
     def write(self, iterator) -> _PagedCommit:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
         buf: list[tuple] = []
         n_rows = 0
         n_batches = 0
         for row in iterator:
             buf.append(tuple(row))
             if len(buf) == self._page_size:
-                self._policy.run(self._sink.upload_batch, buf)
+                # batch_id is replay-stable: partition ordering is
+                # deterministic, so task retries re-produce the same
+                # (partition, batch-index) pairs — the sink's dedup key
+                self._policy.run(self._sink.upload_batch, buf, f"{pid}-{n_batches}")
                 n_rows += len(buf)
                 n_batches += 1
                 buf = []
         if buf:
-            self._policy.run(self._sink.upload_batch, buf)
+            self._policy.run(self._sink.upload_batch, buf, f"{pid}-{n_batches}")
             n_rows += len(buf)
             n_batches += 1
         return _PagedCommit(n_rows=n_rows, n_batches=n_batches)

@@ -113,6 +113,58 @@ def source_paged_connector(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_paged_pushdown",
+    tags=("source", "paged", "connector", "pushdown"),
+    headline=True,
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_scaled
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 50000
+    GROUP BY o_orderpriority
+    """,
+)
+def source_paged_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connector-level filter + column pushdown — the capability the
+    reference never used (its query endpoint always got
+    ``return_all_records=True``, ``src/agol_pandas.py:246``). The Catalyst
+    predicates on the paged scan are compiled to the client's server-side
+    ``where`` (PushedFilter specs), and ``columns=`` is the ``outFields``
+    projection: only matching rows of three columns cross the connector
+    boundary, and the page partition list itself shrinks to the filtered
+    count. At 100 TB this is the difference between a full remote table
+    scan per query and a bounded transfer of the answer's inputs.
+    tests/test_paged_source.py::test_filter_pushdown_reduces_transfer
+    pins the transferred-row/column counts against the wire log."""
+    from agol_pandas_spark.sources.paged import (
+        ParquetPagedClient,
+        RetryPolicy,
+        read_paged,
+    )
+
+    client = ParquetPagedClient(f"{sf_dir}/orders.parquet")
+    paged = read_paged(
+        spark,
+        client,
+        page_size=50_000,
+        policy=RetryPolicy(max_attempts=3, max_backoff=0.01),
+        columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+    )
+    return (
+        paged.filter(
+            (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 50000.0)
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "total_scaled"
+            ),
+        )
+    )
+
+
+@register(
     "join_salted_orders_customer",
     tags=("join", "skew", "salted"),
     oracle="""

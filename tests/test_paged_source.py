@@ -25,10 +25,17 @@ from agol_pandas_spark.sources.paged import (
     read_paged,
 )
 from agol_pandas_spark.sources.paged_mock import MemoryClient as _Mem
+from agol_pandas_spark.sources.paged_mock import NoProjectMemoryClient as _NoProj
 
 
-def MemoryClient(rows, known_total=True, flaky_failures=0):
-    return _Mem(rows, SCHEMA, known_total=known_total, flaky_failures=flaky_failures)
+def MemoryClient(rows, known_total=True, flaky_failures=0, supported_ops=None):
+    return _Mem(
+        rows,
+        SCHEMA,
+        known_total=known_total,
+        flaky_failures=flaky_failures,
+        supported_ops=supported_ops,
+    )
 
 SCHEMA = StructType(
     [
@@ -181,6 +188,162 @@ def test_write_paged_retry_absorbs_upload_failures(spark, tmp_path):
     write_paged(df, sink, page_size=6, policy=FAST_RETRY)
     rows = sorted(r[0] for b in _read_sink(tmp_path) for r in b)
     assert rows == list(range(20))
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reduces_transfer(spark, sf_dir, tmp_path):
+    """Catalyst predicates reach the client: only matching rows of the
+    projected columns cross the (simulated) wire, and Spark drops its own
+    Filter node because the client evaluated every conjunct."""
+    import json
+    import os
+
+    log = str(tmp_path / "wire")
+    os.makedirs(log)
+    client = ParquetPagedClient(f"{sf_dir}/orders.parquet", log_dir=log)
+    df = read_paged(
+        spark,
+        client,
+        page_size=200,
+        policy=FAST_RETRY,
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+    flt = df.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 100000.0)
+    )
+    direct = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    expect = direct.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 100000.0)
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    assert sorted(map(tuple, flt.collect())) == sorted(map(tuple, expect.collect()))
+
+    total_rows = direct.count()
+    n_match = expect.count()
+    fetches = [json.load(open(os.path.join(log, f))) for f in os.listdir(log)]
+    transferred = sum(x["n_rows"] for x in fetches)
+    assert transferred == n_match < total_rows  # only matching rows moved
+    assert all(x["n_cols"] == 3 for x in fetches if x["n_rows"])  # outFields
+    # all conjuncts pushed -> no Spark-side Filter node remains
+    assert "Filter (" not in _physical_plan(flt)
+    # and the page-partition list shrank to the filtered row count
+    import math
+
+    assert flt.rdd.getNumPartitions() == max(1, math.ceil(n_match / 200))
+
+
+def test_filter_pushdown_partial_acceptance(spark):
+    """A client that only evaluates some predicate shapes gets those, and
+    the declined conjuncts stay in the Spark plan — results identical."""
+    rows = _rows(200)
+    client = MemoryClient(rows)
+    client.supported_ops = frozenset({">", ">="})
+    df = read_paged(spark, client, page_size=50, policy=FAST_RETRY)
+    flt = df.filter((F.col("id") >= 150) & F.col("name").contains("row-15"))
+    got = sorted(r["id"] for r in flt.collect())
+    # id 154 is NULL-named (every 7th row) -> excluded by contains()
+    assert got == [150, 151, 152, 153, 155, 156, 157, 158, 159]
+    assert "Filter (" in _physical_plan(flt)  # contains() stayed Spark-side
+    # pushed `id >= 150` shrank the page list: 50 remaining rows / 50 = 1
+    assert flt.rdd.getNumPartitions() == 1
+
+
+def test_filter_pushdown_declined_entirely(spark):
+    """supported_ops=frozenset() declines pushdown: full scan, Spark
+    filters — the default-correctness contract for dumb backends."""
+    rows = _rows(100)
+    client = MemoryClient(rows)
+    client.supported_ops = frozenset()
+    df = read_paged(spark, client, page_size=20, policy=FAST_RETRY)
+    flt = df.filter(F.col("id") < 10)
+    assert sorted(r["id"] for r in flt.collect()) == list(range(10))
+    assert "Filter (" in _physical_plan(flt)
+    assert flt.rdd.getNumPartitions() == 5  # all 100 rows still paged
+
+
+def test_filter_pushdown_null_semantics(spark):
+    """Pushed comparisons must drop NULLs exactly like Spark's would
+    (name is NULL every 7th row in the fixture)."""
+    rows = _rows(50)
+    pushed = read_paged(spark, MemoryClient(rows), page_size=25, policy=FAST_RETRY)
+    plain = read_paged(
+        spark,
+        MemoryClient(rows, supported_ops=frozenset()),
+        page_size=25,
+        policy=FAST_RETRY,
+    )
+    for cond in (
+        F.col("name") == "row-8",
+        F.col("name") != "row-8",
+        F.col("name").isNull(),
+        F.col("name").isNotNull(),
+        F.col("rank").isin(0, 2),
+    ):
+        a = sorted(r["id"] for r in pushed.filter(cond).collect())
+        b = sorted(r["id"] for r in plain.filter(cond).collect())
+        assert a == b, str(cond)
+
+
+def test_projection_pushdown_and_fallback(spark):
+    """columns= goes through client.project when supported (schema shrinks
+    at the source); a project-less client falls back to a Spark select."""
+
+    rows = _rows(30)
+    via_client = read_paged(
+        spark, MemoryClient(rows), page_size=10, policy=FAST_RETRY,
+        columns=["id", "rank"],
+    )
+    assert via_client.schema.fieldNames() == ["id", "rank"]
+    fallback = read_paged(
+        spark,
+        _NoProj(rows, SCHEMA),
+        page_size=10,
+        policy=FAST_RETRY,
+        columns=["id", "rank"],
+    )
+    assert fallback.schema.fieldNames() == ["id", "rank"]
+    assert sorted(map(tuple, via_client.collect())) == sorted(
+        map(tuple, fallback.collect())
+    )
+
+
+def test_projection_unknown_column_fails_fast(spark, sf_dir):
+    client = ParquetPagedClient(f"{sf_dir}/orders.parquet")
+    with pytest.raises(ValueError, match="unknown columns"):
+        read_paged(spark, client, columns=["o_orderkey", "nope"])
+
+
+def test_parquet_pushdown_then_project_compose(spark, sf_dir):
+    """pushdown() and project() compose on the parquet client and agree
+    with the direct Spark scan."""
+    client = ParquetPagedClient(f"{sf_dir}/customer.parquet")
+    df = read_paged(
+        spark, client, page_size=300, policy=FAST_RETRY,
+        columns=["c_custkey", "c_mktsegment", "c_acctbal"],
+    )
+    flt = df.filter((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 0.0))
+    direct = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 0.0))
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+    )
+    assert sorted(map(tuple, flt.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_write_paged_post_write_failure_no_duplicates(spark, tmp_path):
+    """Mid-batch ack loss (upload lands, then the call fails): the retry
+    replays the same batch_id, the sink overwrites, content stays
+    exactly-once — the at-least-once + idempotent-batch_id contract."""
+    from agol_pandas_spark.sources.paged_mock import DirectoryJsonSink
+    from agol_pandas_spark.sources.paged import write_paged
+
+    df = spark.range(0, 40, 1, 2).withColumn("v", F.col("id") * 3)
+    sink = DirectoryJsonSink(str(tmp_path), fail_after_write=1)
+    write_paged(df, sink, page_size=7, policy=FAST_RETRY)
+    rows = sorted(r for b in _read_sink(tmp_path) for r in b)
+    assert rows == [(i, i * 3) for i in range(40)]  # no dupes, no drops
 
 
 def test_paged_stream_tail_exactly_once_across_restarts(spark, sf_dir, tmp_path):
