@@ -42,3 +42,18 @@ class TableNotFoundError(EngineError):
 
 class TableExistsError(EngineError):
     """Create-mode write against an existing table."""
+
+
+class LshIndexParamError(EngineError):
+    """A probe against a persisted LSH index used banding parameters
+    (num_hashes/band_size/shingle_size) incompatible with the ones the
+    index was built with. A mismatched probe joins on incompatible
+    band_key layouts and silently misses near-duplicates — fail fast
+    instead."""
+
+
+class ConvergenceError(EngineError):
+    """An iterative fixpoint algorithm (e.g. star-contraction connected
+    components) exhausted its round budget before converging; the partial
+    result could map a node to multiple components, so it is an error,
+    not a best-effort answer."""

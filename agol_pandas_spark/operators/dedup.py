@@ -34,6 +34,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from agol_pandas_spark.errors import ConvergenceError, LshIndexParamError
 from agol_pandas_spark.functions.text import (
     portable_hash60,
     tokens,
@@ -326,7 +327,73 @@ def write_lsh_index(
     """
     sig = minhash_signatures(corpus, id_col, text_col, shingle_size, num_hashes)
     banded = banded_signatures(sig, id_col, num_hashes, band_size)
-    return catalog.write(banded, name, mode="overwrite")
+    path = catalog.write(banded, name, mode="overwrite")
+    # Persist the banding parameters NEXT TO the index: a probe with a
+    # different band layout joins on incompatible band_key values and
+    # silently misses near-duplicates. probe_lsh_index validates against
+    # this one-row table (and infers defaults from it when not given).
+    meta = catalog.spark.createDataFrame(
+        [(shingle_size, num_hashes, band_size)],
+        "shingle_size int, num_hashes int, band_size int",
+    )
+    catalog.write(meta, _lsh_meta_name(name), mode="overwrite")
+    return path
+
+
+def _lsh_meta_name(name: str) -> str:
+    return f"{name}__lsh_meta"
+
+
+def _resolve_lsh_params(
+    catalog,
+    name: str,
+    shingle_size: int | None,
+    num_hashes: int | None,
+    band_size: int | None,
+) -> tuple[int, int, int]:
+    """Resolve (shingle_size, num_hashes, band_size) for a probe against
+    index ``name``: stored parameters win when the caller passed None;
+    explicit values that contradict the stored ones raise
+    :class:`LshIndexParamError`. Indexes written before the meta table
+    existed fall back to the signature-column count in the index schema
+    (num_hashes is recoverable there; shingle_size is not, so explicit/
+    default values are trusted for it)."""
+    stored: dict[str, int] | None = None
+    if catalog.exists(_lsh_meta_name(name)):
+        row = catalog.table(_lsh_meta_name(name)).collect()[0]
+        stored = {
+            "shingle_size": row["shingle_size"],
+            "num_hashes": row["num_hashes"],
+            "band_size": row["band_size"],
+        }
+    else:
+        # legacy index: recover num_hashes from the mh_* columns
+        idx_cols = catalog.table(name).columns
+        inferred = sum(1 for c in idx_cols if c.startswith("mh_"))
+        if inferred:
+            stored = {"num_hashes": inferred}
+    asked = {
+        "shingle_size": shingle_size,
+        "num_hashes": num_hashes,
+        "band_size": band_size,
+    }
+    resolved: dict[str, int] = {}
+    for key, default in (
+        ("shingle_size", 3),
+        ("num_hashes", len(MINHASH_PARAMS)),
+        ("band_size", 2),
+    ):
+        have = stored.get(key) if stored else None
+        want = asked[key]
+        if want is not None and have is not None and want != have:
+            raise LshIndexParamError(
+                f"LSH index {name!r} was built with {key}={have}, but the "
+                f"probe asked for {key}={want}; a mismatched probe would "
+                "silently miss near-duplicates. Re-probe with the stored "
+                "parameters (or rebuild the index)."
+            )
+        resolved[key] = want if want is not None else (have if have is not None else default)
+    return resolved["shingle_size"], resolved["num_hashes"], resolved["band_size"]
 
 
 def probe_lsh_index(
@@ -335,9 +402,9 @@ def probe_lsh_index(
     batch: DataFrame,
     id_col: str,
     text_col: str,
-    shingle_size: int = 3,
-    num_hashes: int = len(MINHASH_PARAMS),
-    band_size: int = 2,
+    shingle_size: int | None = None,
+    num_hashes: int | None = None,
+    band_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs between a new batch and an indexed corpus.
 
@@ -348,7 +415,15 @@ def probe_lsh_index(
     is a pruned scan of the index (only id + signature + band columns
     exist in it). Self-pairs (same id on both sides) are excluded so an
     index that already contains the batch ignores identity matches.
+
+    Banding parameters default to the ones stored alongside the index at
+    :func:`write_lsh_index` time; explicitly passing a conflicting value
+    raises :class:`~agol_pandas_spark.errors.LshIndexParamError` (a
+    mismatched probe would silently miss near-duplicates).
     """
+    shingle_size, num_hashes, band_size = _resolve_lsh_params(
+        catalog, name, shingle_size, num_hashes, band_size
+    )
     idx = catalog.table(name)
     sig = minhash_signatures(batch, id_col, text_col, shingle_size, num_hashes)
     probe = banded_signatures(sig, id_col, num_hashes, band_size)
@@ -380,9 +455,9 @@ def dedup_against_lsh_index(
     id_col: str,
     text_col: str,
     min_agreement: int = 4,
-    shingle_size: int = 3,
-    num_hashes: int = len(MINHASH_PARAMS),
-    band_size: int = 2,
+    shingle_size: int | None = None,
+    num_hashes: int | None = None,
+    band_size: int | None = None,
 ) -> DataFrame:
     """Admit only batch rows with NO indexed near-duplicate at
     ``min_agreement`` or more matching MinHash values (left-anti join of
@@ -818,6 +893,7 @@ def connected_components_star(
         return (row["n"], row["h"])
 
     prev = checksum(e)
+    converged = False
     for _ in range(max_rounds):
         # LARGE-STAR: for each u, m = min(N(u) ∪ {u}); emit (v, m) ∀ v>u
         sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -846,8 +922,20 @@ def connected_components_star(
         )
         cur = checksum(e)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # a non-converged edge set can map a node to MULTIPLE components
+        # (duplicate output rows) — that is a wrong answer, not a partial
+        # one. O(log n) contraction means max_rounds=25 covers any graph
+        # under ~2^25 nodes per component; hitting it signals either a
+        # truly enormous component or a bug, and both deserve a raise.
+        raise ConvergenceError(
+            f"connected_components_star did not reach a fixpoint within "
+            f"{max_rounds} rounds; raise max_rounds (rounds needed grow "
+            "O(log n) in the largest component size)."
+        )
     # fixpoint: e = (child, root); roots + isolated nodes map to themselves
     return (
         all_nodes.join(e, all_nodes["node"] == e["u"], "left")

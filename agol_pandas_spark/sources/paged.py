@@ -315,6 +315,7 @@ class PagedDataSource(DataSource):
             pickle.loads(base64.b64decode(self.options["sink_pkl"])),
             int(self.options.get("page_size", DEFAULT_PAGE_SIZE)),
             self._policy(),
+            self.options.get("batch_id_prefix", ""),
         )
 
 
@@ -644,10 +645,20 @@ class _PagedWriter(DataSourceWriter):
     loop. ``commit``/``abort`` receive per-task row counts; a real
     service backend finalizes or rolls back its staging there."""
 
-    def __init__(self, sink: PagedSink, page_size: int, policy: RetryPolicy):
+    def __init__(
+        self,
+        sink: PagedSink,
+        page_size: int,
+        policy: RetryPolicy,
+        batch_id_prefix: str = "",
+    ):
         self._sink = sink
         self._page_size = page_size
         self._policy = policy
+        # namespaces the replay-stable "<partition>-<index>" keys: a
+        # streaming caller prefixes its micro-batch id so two different
+        # micro-batches can never collide on the sink's dedup key
+        self._batch_id_prefix = batch_id_prefix
 
     def write(self, iterator) -> _PagedCommit:
         from pyspark import TaskContext
@@ -663,12 +674,20 @@ class _PagedWriter(DataSourceWriter):
                 # batch_id is replay-stable: partition ordering is
                 # deterministic, so task retries re-produce the same
                 # (partition, batch-index) pairs — the sink's dedup key
-                self._policy.run(self._sink.upload_batch, buf, f"{pid}-{n_batches}")
+                self._policy.run(
+                    self._sink.upload_batch,
+                    buf,
+                    f"{self._batch_id_prefix}{pid}-{n_batches}",
+                )
                 n_rows += len(buf)
                 n_batches += 1
                 buf = []
         if buf:
-            self._policy.run(self._sink.upload_batch, buf, f"{pid}-{n_batches}")
+            self._policy.run(
+                self._sink.upload_batch,
+                buf,
+                f"{self._batch_id_prefix}{pid}-{n_batches}",
+            )
             n_rows += len(buf)
             n_batches += 1
         return _PagedCommit(n_rows=n_rows, n_batches=n_batches)
@@ -685,15 +704,23 @@ def write_paged(
     sink: PagedSink,
     page_size: int = DEFAULT_PAGE_SIZE,
     policy: RetryPolicy | None = None,
+    batch_id_prefix: str = "",
 ) -> None:
     """Upload ``df`` through a :class:`PagedSink`: partitions stream in
-    parallel, batches of ``page_size`` rows, executor-side retry."""
+    parallel, batches of ``page_size`` rows, executor-side retry.
+
+    ``batch_id_prefix`` namespaces the replay-stable batch ids — a caller
+    uploading several logical datasets (e.g. one per streaming
+    micro-batch) to one sink MUST pass a distinct prefix per dataset, or
+    their "<partition>-<index>" keys collide and an idempotent sink
+    drops data."""
     df.sparkSession.dataSource.register(PagedDataSource)
     policy = policy or RetryPolicy()
     (
         df.write.format("agol_paged")
         .option("sink_pkl", base64.b64encode(pickle.dumps(sink)).decode())
         .option("page_size", str(page_size))
+        .option("batch_id_prefix", batch_id_prefix)
         .option("max_attempts", str(policy.max_attempts))
         .option("max_backoff", str(policy.max_backoff))
         .option("min_backoff", str(policy.min_backoff))

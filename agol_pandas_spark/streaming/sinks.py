@@ -15,8 +15,6 @@ win. ``append`` needs no key.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
 
 from agol_pandas_spark.operators.merge import WriteMode, write_table
@@ -64,33 +62,46 @@ def stream_merge_into_catalog(
 def stream_to_paged_sink(
     stream: DataFrame,
     sink,
+    checkpoint_dir: str,
     page_size: int = 100_000,
     policy=None,
-    checkpoint_dir: str | None = None,
+    trigger: dict | None = None,
 ):
     """Stream → remote paged service: each micro-batch uploads through
     :func:`agol_pandas_spark.sources.paged.write_paged` — per-partition
     parallel batched uploads with executor-side retry — inside
     ``foreachBatch``. The streaming replacement for the reference's
-    driver-side sequential chunk loop (``src/agol_pandas.py:426, :614``):
-    micro-batch boundaries give at-least-once upload semantics, so a real
-    service sink needs an upsert key or staging+commit (exactly why the
-    reference set ``rollback=True`` per chunk).
-    """
-    import tempfile
-    import uuid
+    driver-side sequential chunk loop (``src/agol_pandas.py:426, :614``).
 
+    Delivery contract: at-least-once per page, made effectively-once by
+    the sink's ``batch_id`` dedup key. Every upload carries
+    ``"<micro-batch>-<partition>-<index>"`` — stable across task retries
+    AND across query restarts from ``checkpoint_dir`` — so a replayed
+    micro-batch overwrites its own pages instead of duplicating them
+    (the :class:`~agol_pandas_spark.sources.paged.PagedSink` contract;
+    the reference used ``rollback=True`` per chunk for the same reason).
+
+    ``checkpoint_dir`` is REQUIRED and must be durable + stable per
+    logical pipeline: restart recovery only exists when the restarted
+    query finds the previous run's commits. ``trigger`` is passed to
+    ``writeStream.trigger(**trigger)``; the default ``availableNow=True``
+    drains what exists and stops (the backfill/test shape) — pass e.g.
+    ``{"processingTime": "30 seconds"}`` for continuous ingestion.
+    """
     from agol_pandas_spark.sources.paged import write_paged
 
     def upload(batch_df: DataFrame, batch_id: int) -> None:
-        write_paged(batch_df, sink, page_size=page_size, policy=policy)
+        write_paged(
+            batch_df,
+            sink,
+            page_size=page_size,
+            policy=policy,
+            batch_id_prefix=f"{batch_id}-",
+        )
 
-    ckpt = checkpoint_dir or os.path.join(
-        tempfile.gettempdir(), f"paged_sink_ckpt_{uuid.uuid4().hex[:8]}"
-    )
     return (
         stream.writeStream.foreachBatch(upload)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )

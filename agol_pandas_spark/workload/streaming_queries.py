@@ -434,9 +434,12 @@ def stream_paged_sink_upload(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type"
     )
     svc_root = tempfile.mkdtemp(prefix="paged_svc_")
+    # checkpoint is scoped to this drain-once run (the sink dir is also
+    # temporary); a durable pipeline points both at stable storage
     q = stream_to_paged_sink(
         ev,
         DirectoryJsonSink(svc_root),
+        checkpoint_dir=os.path.join(svc_root, "_ckpt"),
         page_size=1000,
         policy=RetryPolicy(max_attempts=3, max_backoff=0.01),
     )

@@ -308,3 +308,67 @@ def test_star_components_match_union_find(spark):
             for r in connected_components_star(e, "a", "b").collect()
         }
         assert got == ground_truth(edges_py), name
+
+def test_lsh_index_param_validation(docs, spark, tmp_path):
+    """The index persists its banding parameters; a probe with a
+    conflicting layout raises instead of silently missing near-dups, a
+    param-less probe inherits the stored layout, and a legacy index
+    (no meta table) still recovers num_hashes from its mh_* columns."""
+    import pytest as _pytest
+
+    from agol_pandas_spark.catalog import Catalog
+    from agol_pandas_spark.errors import LshIndexParamError
+    from agol_pandas_spark.operators.dedup import (
+        _lsh_meta_name,
+        banded_signatures,
+        minhash_signatures,
+        probe_lsh_index,
+        write_lsh_index,
+    )
+
+    corpus = docs.filter(F.col("doc_id").isin(1, 4, 5))
+    batch = docs.filter(F.col("doc_id").isin(2, 3))
+    cat = Catalog(spark, str(tmp_path / "idx"))
+    write_lsh_index(cat, "lsh", corpus, "doc_id", "text", band_size=4)
+
+    meta = cat.table(_lsh_meta_name("lsh")).collect()[0]
+    assert (meta.shingle_size, meta.num_hashes, meta.band_size) == (3, 8, 4)
+
+    # stored params applied when the caller passes none
+    implicit = probe_lsh_index(cat, "lsh", batch, "doc_id", "text")
+    explicit = probe_lsh_index(
+        cat, "lsh", batch, "doc_id", "text",
+        shingle_size=3, num_hashes=8, band_size=4,
+    )
+    assert sorted(map(tuple, implicit.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
+
+    # conflicting band layout -> typed error, not silent recall loss
+    with _pytest.raises(LshIndexParamError):
+        probe_lsh_index(cat, "lsh", batch, "doc_id", "text", band_size=2)
+    with _pytest.raises(LshIndexParamError):
+        probe_lsh_index(cat, "lsh", batch, "doc_id", "text", shingle_size=5)
+
+    # legacy index without a meta table: num_hashes inferred from schema
+    legacy = banded_signatures(
+        minhash_signatures(corpus, "doc_id", "text"), "doc_id"
+    )
+    cat.write(legacy, "old_lsh", mode="overwrite")
+    got = probe_lsh_index(cat, "old_lsh", batch, "doc_id", "text")
+    assert got.count() > 0
+
+
+def test_star_components_raises_on_round_exhaustion(spark):
+    """Exhausting max_rounds without a fixpoint is a typed error — a
+    non-converged mapping can emit duplicate (node, component) rows."""
+    import pytest as _pytest
+
+    from agol_pandas_spark.errors import ConvergenceError
+    from agol_pandas_spark.operators.dedup import connected_components_star
+
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "a long, b long"
+    )
+    with _pytest.raises(ConvergenceError):
+        connected_components_star(e, "a", "b", max_rounds=1).collect()

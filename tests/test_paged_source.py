@@ -395,3 +395,95 @@ def test_paged_stream_tail_exactly_once_across_restarts(spark, sf_dir, tmp_path)
     got = spark.read.parquet(out)
     assert got.count() == table.num_rows
     assert got.select("event_id").distinct().count() == table.num_rows
+
+def _land_file(spark, rows, landing, name):
+    """Write one flat parquet FILE into the landing dir (the file stream
+    source lists plain files, not nested dataset dirs)."""
+    import glob
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="land_")
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(f"{tmp}/part-*.parquet")[0]
+    shutil.copy(part, f"{landing}/{name}.parquet")
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _drain_to_sink(spark, landing, schema, sink, ckpt):
+    from agol_pandas_spark.streaming.sinks import stream_to_paged_sink
+    from agol_pandas_spark.streaming.windows import stream_from_directory
+
+    q = stream_to_paged_sink(
+        stream_from_directory(spark, landing, schema).select("id", "name"),
+        sink,
+        checkpoint_dir=ckpt,
+        page_size=3,
+        policy=FAST_RETRY,
+    )
+    q.awaitTermination()
+
+
+def _sink_rows(root):
+    import glob
+    import json
+
+    out = {}
+    for f in sorted(glob.glob(f"{root}/batch_*.jsonl")):
+        with open(f) as fh:
+            out[f.rsplit("/", 1)[-1]] = [tuple(json.loads(l)) for l in fh]
+    return out
+
+
+def test_stream_sink_micro_batches_never_collide(spark, tmp_path):
+    """Two micro-batches upload under distinct batch-id namespaces: the
+    second must not overwrite the first's pages in an idempotent sink
+    (regression: pre-namespace ids were '<partition>-<index>' only, so
+    every micro-batch collided with the previous one)."""
+    from agol_pandas_spark.sources.paged_mock import DirectoryJsonSink
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    svc = tmp_path / "svc"
+    svc.mkdir()
+    _land_file(spark, _rows(5), str(landing), "f1")
+    _land_file(spark, _rows(10)[5:], str(landing), "f2")
+    # maxFilesPerTrigger=1 -> two micro-batches through one drain
+    _drain_to_sink(spark, str(landing), SCHEMA, DirectoryJsonSink(str(svc)),
+                   str(tmp_path / "ckpt"))
+    pages = _sink_rows(str(svc))
+    got = sorted(r for rows in pages.values() for r in rows)
+    assert got == sorted((i, None if i % 7 == 0 else f"row-{i}") for i in range(10))
+    # ids are namespaced per micro-batch
+    assert any(name.startswith("batch_0-") for name in pages)
+    assert any(name.startswith("batch_1-") for name in pages)
+
+
+def test_stream_sink_restart_recovery_no_duplicates(spark, tmp_path):
+    """Restarting from the same checkpoint skips committed micro-batches
+    (no re-upload of old pages) and uploads only new arrivals; the
+    combined sink contents reassemble the full input exactly once."""
+    import os
+
+    from agol_pandas_spark.sources.paged_mock import DirectoryJsonSink
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    svc = tmp_path / "svc"
+    svc.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    _land_file(spark, _rows(5), str(landing), "f1")
+    _drain_to_sink(spark, str(landing), SCHEMA, DirectoryJsonSink(str(svc)), ckpt)
+    first = _sink_rows(str(svc))
+    mtimes = {f: os.path.getmtime(str(svc / f)) for f in first}
+
+    # new data arrives; the restarted query reuses the checkpoint
+    _land_file(spark, _rows(10)[5:], str(landing), "f2")
+    _drain_to_sink(spark, str(landing), SCHEMA, DirectoryJsonSink(str(svc)), ckpt)
+    combined = _sink_rows(str(svc))
+    # committed pages were not re-uploaded (same files, untouched)...
+    for f in first:
+        assert os.path.getmtime(str(svc / f)) == mtimes[f], f
+    # ...and the union is the exact input, no duplicates
+    got = sorted(r for rows in combined.values() for r in rows)
+    assert got == sorted((i, None if i % 7 == 0 else f"row-{i}") for i in range(10))
