@@ -32,12 +32,57 @@ repeatedly in one session — ``bench.py`` does exactly that between runs.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from agol_pandas_spark.functions.vectors import cosine_similarity
 
 VSCALE = 1_000_000_000  # 10^-9 quantization of per-element products
+
+
+# -- Arrow/numpy kernels, bit-identical to the scaled-integer HOFs ------------
+#
+# The interpreted HOF lambdas below (`_dot_scaled`, `_l2_scaled`) don't
+# codegen and dominate index-BUILD cost; the hot build stages
+# (:func:`assign_to_pivots` n_cells=1, :func:`pq_encode`) therefore default
+# to an Arrow-batched numpy path computing the SAME scaled-integer
+# arithmetic: elementwise double products (deterministic IEEE), ties-away
+# rounding reproduced exactly (see :func:`_np_round_away`), int64 sums
+# (order-independent by construction — the whole point of the integer
+# fixed-point design), and the same final float divisions. Results are
+# bit-identical to the HOF path and to the DuckDB oracle; the SQL path
+# stays available via ``method="sql"`` for environments without Python
+# workers.
+
+
+def _np_round_away(a: "np.ndarray") -> "np.ndarray":
+    """Elementwise round-half-away-from-zero, bit-identical to Spark's
+    ``ROUND(double)`` and DuckDB's ``round()`` for ``|x| < 2^52``.
+
+    Computed via an EXACT fractional part (``|x| - floor(|x|)`` is exact
+    in IEEE754 — the difference's significand is a sub-range of x's), not
+    ``floor(x + 0.5)``, whose FP addition can cross the boundary near
+    binade edges and diverge from both engines' rounding."""
+    ax = np.abs(a)
+    fl = np.floor(ax)
+    r = fl + (ax - fl >= 0.5)
+    return np.copysign(r, a)
+
+
+def _np_scaled_dots(V: "np.ndarray", P: "np.ndarray") -> "np.ndarray":
+    """(n,dim) × (p,dim) → (n,p) int64 dot products in 10^-9 units —
+    same per-element op order as ``_dot_scaled``: (x*y)*VSCALE."""
+    prods = (V[:, None, :] * P[None, :, :]) * np.float64(VSCALE)
+    return _np_round_away(prods).astype(np.int64).sum(axis=2)
+
+
+def _np_scaled_norms(V: "np.ndarray") -> "np.ndarray":
+    """(n,dim) → (n,) norms: sqrt(int64 Σ round((x*x)*VSCALE) / VSCALE),
+    the exact float op sequence of ``_norm_exact``."""
+    sq = _np_round_away((V * V) * np.float64(VSCALE)).astype(np.int64).sum(axis=1)
+    return np.sqrt(sq.astype(np.float64) / np.float64(VSCALE))
 
 
 def _dot_scaled(a: Column, b: Column) -> Column:
@@ -135,12 +180,28 @@ def assign_to_pivots(
     corpus_vec: str = "embedding",
     pivot_vec: str = "embedding",
     n_cells: int = 1,
+    method: str = "arrow",
 ) -> DataFrame:
     """IVF assignment: each vector joins its ``n_cells`` nearest pivots
     (max cosine, ties → smallest pivot id). Pivots are broadcast; one
     pass over the corpus. Returns (corpus columns…, cell) — one row per
     (vector, cell); ``n_cells=1`` is the build-side assignment,
-    ``n_cells=nprobe`` is the query-side multi-probe expansion."""
+    ``n_cells=nprobe`` is the query-side multi-probe expansion.
+
+    ``method="arrow"`` (default, n_cells=1 only): the build-side argmin
+    runs as one Arrow-batched numpy kernel — no |corpus|×|pivots| row
+    expansion, no shuffle, no interpreted HOF — with bit-identical
+    results (see the kernel notes above). ``method="sql"`` keeps the
+    pure-JVM aggregation path.
+
+    NULL/NaN ordering contract (all paths): a NaN cosine sorts FIRST
+    (wins, as in a descending sort), a NULL cosine — zero-norm vector or
+    pivot, Spark's divide-by-zero — sorts LAST (loses); if every cosine
+    is NULL the smallest pivot id wins."""
+    if n_cells == 1 and method == "arrow":
+        return _assign_cells_arrow(
+            corpus, pivots, corpus_id, pivot_id, corpus_vec, pivot_vec
+        )
     p = pivots.select(
         F.col(pivot_id).alias("__pid"),
         F.col(pivot_vec).alias("__pvec"),
@@ -151,11 +212,14 @@ def assign_to_pivots(
         .crossJoin(F.broadcast(p))
         .withColumn(
             "__pcos",
-            (
+            # try_divide: a zero-norm vector/pivot yields a NULL cosine
+            # (which loses the argmin per the ordering contract) under
+            # ANSI mode too, instead of DIVIDE_BY_ZERO aborting the job
+            F.try_divide(
                 _dot_scaled(F.col(corpus_vec), F.col("__pvec")).cast("double")
-                / F.lit(float(VSCALE))
-            )
-            / (F.col("__vnorm") * F.col("__pnorm")),
+                / F.lit(float(VSCALE)),
+                F.col("__vnorm") * F.col("__pnorm"),
+            ),
         )
     )
     if n_cells == 1:
@@ -163,17 +227,23 @@ def assign_to_pivots(
         # map-side combine — the pre-shuffle |corpus|×|pivots| scored rows
         # collapse to |corpus| per partition before moving, vs the window
         # formulation shuffling every scored row (measured 3.3× on the
-        # IVF-PQ bench path). Struct min orders (−cos, pivot_id, payload)
-        # lexicographically: max cosine wins, ties → smallest pivot id —
-        # identical semantics to the window path below.
+        # IVF-PQ bench path). min_by keyed on (sort key, pivot id) keeps
+        # payload columns OUT of the ordering (a MapType payload stays
+        # legal); the key maps NaN → -inf (wins, like a desc sort) and
+        # NULL → +inf (loses, like desc NULLS LAST) so the semantics
+        # match the window path below exactly.
         payload = [c for c in corpus.columns if c != corpus_id]
+        key = F.struct(
+            _null_last_neg(F.col("__pcos")).alias("__nc"),
+            F.col("__pid").alias("__kpid"),
+        )
         best = scored.groupBy(corpus_id).agg(
-            F.min(
+            F.min_by(
                 F.struct(
-                    (-F.col("__pcos")).alias("__nc"),
-                    F.col("__pid").alias("__bpid"),
                     *[F.col(c).alias(f"__pl_{c}") for c in payload],
-                )
+                    F.col("__pid").alias("__bpid"),
+                ),
+                key,
             ).alias("__best")
         )
         return best.select(
@@ -189,6 +259,79 @@ def assign_to_pivots(
         .filter(F.col("__rn") <= n_cells)
         .drop("__rn", "__pvec", "__pcos", "__pnorm", "__vnorm")
         .withColumnRenamed("__pid", "cell")
+    )
+
+
+def _null_last_neg(cos: Column) -> Column:
+    """Ascending-min sort key equivalent to ``ORDER BY cos DESC`` with
+    Spark's default NULLS LAST: −cos, with NaN → −inf (NaN sorts greatest
+    in Spark, so it wins a desc sort) and NULL → +inf (loses)."""
+    return (
+        F.when(F.isnan(cos), F.lit(float("-inf")))
+        .otherwise(F.coalesce(-cos, F.lit(float("inf"))))
+    )
+
+
+def _assign_cells_arrow(
+    corpus: DataFrame,
+    pivots: DataFrame,
+    corpus_id: str,
+    pivot_id: str,
+    corpus_vec: str,
+    pivot_vec: str,
+) -> DataFrame:
+    """Build-side IVF assignment as one Arrow-batched map stage.
+
+    Pivots are MODEL STATE (broadcast-sized by contract): collected once,
+    shipped to Python workers inside the UDF closure as a (p, dim) float64
+    matrix. Each Arrow batch computes all |batch|×|pivots| scaled-integer
+    dots in vectorized C, bit-identical to ``_dot_scaled`` (see
+    ``_np_round_away``), and emits the winning pivot INDEX; the index maps
+    back to the pivot id JVM-side through an array literal, preserving the
+    pivot id's Spark type. No shuffle, no row expansion: at 100 TB this is
+    a pure map over the corpus scan with k×dim floats on each executor."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    rows = pivots.select(F.col(pivot_id), F.col(pivot_vec)).collect()
+    if not rows:
+        raise ValueError("assign_to_pivots: empty pivot set")
+    rows.sort(key=lambda r: r[0])  # argmin-first == smallest pivot id
+    pids = [r[0] for r in rows]
+    P = np.asarray([np.asarray(r[1], dtype=np.float64) for r in rows])
+    pnorm = _np_scaled_norms(P)
+    dim = P.shape[1]
+
+    @pandas_udf(T.IntegerType())
+    def _best_pivot_idx(vecs: pd.Series) -> pd.Series:
+        out = np.zeros(len(vecs), dtype=np.int32)
+        ok = np.array(
+            [v is not None and len(v) == dim for v in vecs], dtype=bool
+        )
+        if ok.any():
+            V = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in vecs[ok]]
+            )
+            dots = _np_scaled_dots(V, P)
+            vnorm = _np_scaled_norms(V)
+            denom = vnorm[:, None] * pnorm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (dots.astype(np.float64) / np.float64(VSCALE)) / denom
+            key = -cos
+            key[np.isnan(key)] = -np.inf  # NaN cosine wins (desc sort order)
+            key[denom == 0.0] = np.inf  # Spark x/0 → NULL → loses
+            out[ok] = np.argmin(key, axis=1)  # first min → smallest pivot id
+        # null/ragged vectors: every cosine is NULL → smallest pivot id,
+        # which is index 0 of the sorted pivot list (already zeros)
+        return pd.Series(out)
+
+    cell_lookup = F.array(*[F.lit(p) for p in pids])
+    ptype = pivots.schema[pivot_id].dataType
+    return corpus.withColumn(
+        "cell",
+        F.element_at(
+            cell_lookup, _best_pivot_idx(F.col(corpus_vec)) + F.lit(1)
+        ).cast(ptype),
     )
 
 
@@ -555,6 +698,57 @@ def _l2_scaled(a: Column, b: Column) -> Column:
     )
 
 
+def _collect_codebook(
+    codebook: DataFrame, m_subspaces: int
+) -> tuple["np.ndarray", int]:
+    """Collect + validate a PQ codebook into a dense (m, k, sub) float64
+    array. Fails fast on sparse/offset/ragged codebooks: the flattened-LUT
+    indexing in :func:`pq_adc_topk` (``m*k + code``) and the argmin-index
+    mapping here both silently produce garbage on a non-dense layout, so
+    density is a hard precondition, not a convention."""
+    rows = codebook.select("m", "code", "cent").collect()
+    if not rows:
+        raise ValueError("pq codebook is empty")
+    by_m: dict[int, dict[int, list]] = {}
+    for r in rows:
+        by_m.setdefault(r["m"], {})[r["code"]] = r["cent"]
+    if sorted(by_m) != list(range(m_subspaces)):
+        raise ValueError(
+            f"pq codebook subspaces {sorted(by_m)} != 0..{m_subspaces - 1}"
+        )
+    k_codes = len(by_m[0])
+    sub = len(by_m[0][min(by_m[0])])
+    for m, codes in by_m.items():
+        if sorted(codes) != list(range(k_codes)):
+            raise ValueError(
+                f"pq codebook subspace {m} has codes {sorted(codes)}; "
+                f"expected dense 0..{k_codes - 1} (sparse/offset codebooks "
+                "break flattened-LUT indexing)"
+            )
+        if any(len(c) != sub for c in codes.values()):
+            raise ValueError(f"pq codebook subspace {m} has ragged centroids")
+    C = np.asarray(
+        [
+            [np.asarray(by_m[m][c], dtype=np.float64) for c in range(k_codes)]
+            for m in range(m_subspaces)
+        ]
+    )
+    return C, k_codes
+
+
+def validate_codebook(
+    codebook: DataFrame, m_subspaces: int, k_codes: int
+) -> None:
+    """Assert the codebook is dense: every subspace 0..M-1 present with
+    contiguous codes 0..K-1 (see :func:`_collect_codebook`)."""
+    C, k_found = _collect_codebook(codebook, m_subspaces)
+    if k_found != k_codes:
+        raise ValueError(
+            f"pq codebook has {k_found} codes per subspace, caller assumed "
+            f"{k_codes} — the flattened LUT would be mis-indexed"
+        )
+
+
 def pq_encode(
     corpus: DataFrame,
     codebook: DataFrame,
@@ -562,17 +756,27 @@ def pq_encode(
     vec: str = "embedding",
     m_subspaces: int = 4,
     dim: int = 64,
+    method: str = "arrow",
 ) -> DataFrame:
     """PQ-encode each vector to ``m_subspaces`` byte-sized codes:
     ``codes[m] = argmin_c ||v_m - cent(m,c)||²`` (ties → smallest code).
 
-    Shape: explode to (id, m, subvector) → broadcast-join the M*K-row
-    codebook → ONE hash aggregation with an argmin-struct per subspace
+    ``method="arrow"`` (default): the codebook (M*K rows — broadcast-sized
+    by contract) collects once into a (m, k, sub) matrix shipped in the
+    UDF closure; each Arrow batch computes every subspace argmin in
+    vectorized C with the exact scaled-integer arithmetic of
+    ``_l2_scaled`` — no explode, no join, no shuffle, bit-identical
+    codes. The codebook is density-validated on collect (fail-fast on
+    sparse/offset layouts). ``method="sql"`` keeps the pure-JVM shape:
+    explode to (id, m, subvector) → broadcast-join the M*K-row codebook
+    → ONE hash aggregation with an argmin-struct per subspace
     (``min(struct(d2, code))``) assembling the code array in subspace
-    order. The corpus streams once; the only shuffle moves (id, m, d2,
-    code) integers, never vectors. Storage: dim floats → M small ints
-    (the 64x compression that makes a 100 TB corpus index RAM-resident).
+    order; its only shuffle moves (id, m, d2, code) integers, never
+    vectors. Storage either way: dim floats → M small ints (the 64x
+    compression that makes a 100 TB corpus index RAM-resident).
     """
+    if method == "arrow":
+        return _pq_encode_arrow(corpus, codebook, corpus_id, vec, m_subspaces, dim)
     sub = dim // m_subspaces
     ms = F.explode(F.sequence(F.lit(0), F.lit(m_subspaces - 1))).alias("m")
     pieces = corpus.select(F.col(corpus_id), F.col(vec), ms).select(
@@ -597,6 +801,69 @@ def pq_encode(
         ).alias("codes")
     )
     return best
+
+
+def _pq_encode_arrow(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    corpus_id: str,
+    vec: str,
+    m_subspaces: int,
+    dim: int,
+) -> DataFrame:
+    """Arrow-batched PQ encoding: one numpy kernel per batch computes all
+    (row, subspace, code) scaled-integer L2 distances and takes the
+    per-subspace argmin (ties → smallest code, matching the SQL
+    ``min(struct(d2, code))``). Bit-identical to ``_l2_scaled`` — see
+    ``_np_round_away``."""
+    C, _ = _collect_codebook(codebook, m_subspaces)
+    sub = C.shape[2]
+    if sub * m_subspaces != dim:
+        raise ValueError(
+            f"codebook centroids are {sub}-dim; expected {dim}/{m_subspaces}"
+        )
+    return _pq_encode_from_matrix(corpus, C, corpus_id, vec)
+
+
+def _pq_encode_from_matrix(
+    corpus: DataFrame,
+    C: "np.ndarray",
+    corpus_id: str,
+    vec: str,
+    keep_cols: tuple = (),
+) -> DataFrame:
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    m_subspaces, _, sub = C.shape
+    dim = m_subspaces * sub
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def _codes(vecs: pd.Series) -> pd.Series:
+        n = len(vecs)
+        out: list = [None] * n
+        ok = [i for i, v in enumerate(vecs) if v is not None and len(v) == dim]
+        if ok:
+            V = np.asarray(
+                [np.asarray(vecs.iloc[i], dtype=np.float64) for i in ok]
+            ).reshape(len(ok), m_subspaces, sub)
+            # (n, m, k, sub): d = v - c; scaled = round((d*d)*VSCALE)
+            d = V[:, :, None, :] - C[None, :, :, :]
+            d2 = (
+                _np_round_away((d * d) * np.float64(VSCALE))
+                .astype(np.int64)
+                .sum(axis=3)
+            )
+            codes = np.argmin(d2, axis=2).astype(np.int32)  # first min → smallest code
+            for j, i in enumerate(ok):
+                out[i] = codes[j].tolist()
+        return pd.Series(out)
+
+    return corpus.select(
+        F.col(corpus_id),
+        *[F.col(c) for c in keep_cols],
+        _codes(F.col(vec)).alias("codes"),
+    )
 
 
 def pq_adc_topk(
@@ -624,7 +891,13 @@ def pq_adc_topk(
     approximate dot product (NOT cosine — ranking-equivalent for
     fixed-norm corpora; exact re-ranking of the top candidates with
     :func:`brute_force_topk` is the standard refinement).
+
+    The codebook is density-validated up front (one tiny collect): the
+    flattened-LUT lookup ``m*k_codes + code + 1`` assumes dense codes
+    ``0..k_codes-1`` in every subspace, and a sparse/offset codebook
+    would silently score NULLs into garbage ranks.
     """
+    validate_codebook(codebook, m_subspaces, k_codes)
     lut = _pq_lut(queries, codebook, query_id, query_vec, m_subspaces)
     scored = F.broadcast(lut).crossJoin(encoded).select(
         F.col(query_id),
@@ -721,12 +994,24 @@ def ivf_pq_topk(
     exactly oracle-checkable (no recall bound needed — the probed-cell
     result is well-defined).
     """
-    cells = assign_to_pivots(
+    # one collect validates density AND feeds the Arrow encoder (the
+    # m*k_codes+code LUT indexing requires dense contiguous codes)
+    C, k_found = _collect_codebook(codebook, m_subspaces)
+    if k_found != k_codes:
+        raise ValueError(
+            f"pq codebook has {k_found} codes per subspace, caller assumed "
+            f"{k_codes} — the flattened LUT would be mis-indexed"
+        )
+    # assignment + encoding FUSE into one map pass over the corpus scan
+    # (both are Arrow kernels over the same vector column): zero joins,
+    # zero shuffles on the corpus side until the probe equi-join
+    assigned = assign_to_pivots(
         corpus.select(F.col(corpus_id), F.col(vec)),
         pivots, corpus_id, pivot_id, vec, vec,
-    ).select(F.col(corpus_id), "cell")
-    enc = pq_encode(corpus, codebook, corpus_id, vec, m_subspaces)
-    coded = cells.join(enc, corpus_id)
+    )
+    coded = _pq_encode_from_matrix(
+        assigned, C, corpus_id, vec, keep_cols=("cell",)
+    )
     q_cells = assign_to_pivots(
         queries, pivots, query_id, pivot_id, vec, vec, n_cells=nprobe
     ).select(F.col(query_id), "cell")

@@ -322,3 +322,94 @@ def test_pq_with_kmeans_trained_codebook(emb, spark):
 
     seeded = pq_codebook_from_seeds(emb, "vec_id")
     assert total_qerror(trained) <= total_qerror(seeded)
+
+def test_assign_arrow_matches_sql_path(emb, spark):
+    """The Arrow build-side assignment is bit-identical to the pure-SQL
+    aggregation path — same scaled-integer arithmetic, same tie and
+    NULL ordering — including zero-norm (NULL-cosine) corpus vectors."""
+    from agol_pandas_spark.operators.similarity import assign_to_pivots
+
+    pivots = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("pivot_id"), "embedding"
+    )
+    dim = len(emb.first()["embedding"])
+    # add a zero-norm vector: its cosine to EVERY pivot is NULL (x/0),
+    # so it must land in the smallest pivot's cell on both paths
+    zero = spark.createDataFrame(
+        [(99999, [0.0] * dim, 0)], "vec_id long, embedding array<float>, label int"
+    )
+    corpus = emb.unionByName(zero)
+    a = {
+        (r["vec_id"], r["cell"])
+        for r in assign_to_pivots(
+            corpus, pivots, "vec_id", "pivot_id", method="arrow"
+        ).collect()
+    }
+    s = {
+        (r["vec_id"], r["cell"])
+        for r in assign_to_pivots(
+            corpus, pivots, "vec_id", "pivot_id", method="sql"
+        ).collect()
+    }
+    assert a == s
+    assert (99999, 0) in a  # NULL cosines lose; smallest pivot id wins
+
+
+def test_assign_sql_path_allows_map_payload(emb, spark):
+    """min_by keys the argmin on (cosine, pivot id) only, so unorderable
+    payload columns (MapType) pass through the SQL path."""
+    from agol_pandas_spark.operators.similarity import assign_to_pivots
+
+    pivots = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("pivot_id"), "embedding"
+    )
+    corpus = emb.limit(20).withColumn(
+        "meta", F.create_map(F.lit("k"), F.col("vec_id").cast("string"))
+    )
+    got = assign_to_pivots(corpus, pivots, "vec_id", "pivot_id", method="sql")
+    rows = got.collect()
+    assert len(rows) == 20
+    assert all(r["meta"] is not None for r in rows)
+
+
+def test_pq_encode_arrow_matches_sql(emb):
+    from agol_pandas_spark.operators.similarity import (
+        pq_codebook_from_seeds,
+        pq_encode,
+    )
+
+    cb = pq_codebook_from_seeds(emb, "vec_id")
+    a = {(r["vec_id"], tuple(r["codes"]))
+         for r in pq_encode(emb, cb, "vec_id", method="arrow").collect()}
+    s = {(r["vec_id"], tuple(r["codes"]))
+         for r in pq_encode(emb, cb, "vec_id", method="sql").collect()}
+    assert a == s
+
+
+def test_sparse_codebook_fails_fast(emb, spark):
+    """A codebook with non-contiguous codes must raise, not silently
+    mis-index the flattened ADC LUT into NULL scores and garbage ranks."""
+    from agol_pandas_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebook_from_seeds,
+        pq_encode,
+        validate_codebook,
+    )
+
+    cb = pq_codebook_from_seeds(emb, "vec_id")
+    sparse = cb.filter(F.col("code") != 3)  # hole in every subspace
+    offset = cb.withColumn("code", F.col("code") + 1)
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    enc = pq_encode(emb.limit(50), cb, "vec_id")
+    for bad in (sparse, offset):
+        with pytest.raises(ValueError):
+            validate_codebook(bad, 4, 8)
+        with pytest.raises(ValueError):
+            pq_adc_topk(queries, enc, bad, "query_id", "vec_id").collect()
+        with pytest.raises(ValueError):
+            pq_encode(emb.limit(10), bad, "vec_id").collect()
+    # wrong assumed k_codes also fails fast
+    with pytest.raises(ValueError):
+        pq_adc_topk(queries, enc, cb, "query_id", "vec_id", k_codes=16).collect()
