@@ -332,11 +332,32 @@ def write_lsh_index(
     # different band layout joins on incompatible band_key values and
     # silently misses near-duplicates. probe_lsh_index validates against
     # this one-row table (and infers defaults from it when not given).
-    meta = catalog.spark.createDataFrame(
-        [(shingle_size, num_hashes, band_size)],
-        "shingle_size int, num_hashes int, band_size int",
+    # Written driver-side with pyarrow — one row of three ints does not
+    # justify a Spark job — but at the catalog path, so catalog.table()
+    # reads it like any other table.
+    import os
+    import shutil
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    meta_path = catalog.path(_lsh_meta_name(name))
+    os.makedirs(catalog.root, exist_ok=True)
+    tmp = f"{meta_path}.__tmp_{uuid.uuid4().hex}"
+    papq.write_table(
+        pa.table(
+            {
+                "shingle_size": pa.array([shingle_size], pa.int32()),
+                "num_hashes": pa.array([num_hashes], pa.int32()),
+                "band_size": pa.array([band_size], pa.int32()),
+            }
+        ),
+        tmp,
     )
-    catalog.write(meta, _lsh_meta_name(name), mode="overwrite")
+    if os.path.isdir(meta_path):  # replace a directory-shaped predecessor
+        shutil.rmtree(meta_path)
+    os.replace(tmp, meta_path)
     return path
 
 
@@ -360,7 +381,12 @@ def _resolve_lsh_params(
     default values are trusted for it)."""
     stored: dict[str, int] | None = None
     if catalog.exists(_lsh_meta_name(name)):
-        row = catalog.table(_lsh_meta_name(name)).collect()[0]
+        # read driver-side (pyarrow): one row of ints, no Spark job on the
+        # probe path; pyarrow's dataset reader skips _/.-prefixed files,
+        # so both file- and directory-shaped meta tables read fine
+        import pyarrow.parquet as papq
+
+        row = papq.read_table(catalog.path(_lsh_meta_name(name))).to_pylist()[0]
         stored = {
             "shingle_size": row["shingle_size"],
             "num_hashes": row["num_hashes"],

@@ -1041,3 +1041,59 @@ def ivf_pq_topk(
             "rnk",
         )
     )
+
+
+def semantic_dedup_prune(
+    corpus: DataFrame,
+    pivots: DataFrame,
+    corpus_id: str,
+    pivot_id: str,
+    vec: str = "embedding",
+    threshold: float = 0.2,
+) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023 shape): assign
+    every vector to its nearest pivot cell, then within each cell drop any
+    vector that has a LOWER-id neighbor with cosine >= threshold (greedy
+    first-wins — the practical large-scale variant of per-cluster
+    near-dup collapse; exact CC inside a cell is
+    :func:`~agol_pandas_spark.operators.dedup.connected_components_star`
+    over these pairs when group structure is needed).
+
+    Returns (corpus columns…, cell, keep). Scale shape: cell assignment
+    is the Arrow map stage of :func:`assign_to_pivots` (no shuffle), the
+    candidate join is an equi-join on ``cell`` — never all-pairs across
+    cells — and the dropped set is a semi-join. Cosines are the exact
+    scaled-integer kind, so keep/drop decisions are engine-portable and
+    the whole operator is value-checkable.
+    """
+    assigned = assign_to_pivots(corpus, pivots, corpus_id, pivot_id, vec, vec)
+    a = assigned.select(
+        F.col(corpus_id).alias("__ida"),
+        F.col(vec).alias("__va"),
+        _norm_exact(F.col(vec)).alias("__na"),
+        F.col("cell").alias("__cell"),
+    )
+    b = assigned.select(
+        F.col(corpus_id).alias("__idb"),
+        F.col(vec).alias("__vb"),
+        _norm_exact(F.col(vec)).alias("__nb"),
+        F.col("cell").alias("__cell"),
+    )
+    cos = F.try_divide(
+        _dot_scaled(F.col("__va"), F.col("__vb")).cast("double")
+        / F.lit(float(VSCALE)),
+        F.col("__na") * F.col("__nb"),
+    )
+    dropped = (
+        a.join(b, on="__cell")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(cos >= F.lit(threshold))
+        .select(F.col("__idb").alias(corpus_id))
+        .distinct()
+    )
+    return assigned.join(
+        dropped.withColumn("__dropped", F.lit(True)), on=corpus_id, how="left"
+    ).select(
+        *[F.col(c) for c in assigned.columns],
+        F.coalesce(~F.col("__dropped"), F.lit(True)).alias("keep"),
+    )

@@ -455,3 +455,145 @@ def domain_mix_sample(
         < F.col("__ppm")
     )
     return df.join(F.broadcast(rates), domain_col).filter(gate).drop("__ppm")
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+    max_symbol_ratio: float = 0.1,
+    max_dup_2gram_frac: float = 0.5,
+) -> DataFrame:
+    """Gopher-style rule-based document quality filter (Rae et al. 2021,
+    "Scaling Language Models" §A1.1 shape): per-document boolean rule
+    flags + the conjunction, one codegen map stage, no shuffle.
+
+    Every ratio rule is evaluated in INTEGER arithmetic (cross-multiplied:
+    ``5*alpha_words >= 4*n_words`` instead of ``alpha/n >= 0.8``), so the
+    flags are bit-portable across engines — no derived-double knife edges
+    (ratio thresholds must be expressible as small rationals; the
+    defaults are). Rules:
+
+    - word count within [min_words, max_words]
+    - mean word length within [min, max] chars (as chars vs n·bound)
+    - fraction of words containing an alphabetic char >= 0.8
+    - at least ``min_stopword_hits`` English stopword occurrences
+    - '#'/'…' symbols per word <= 0.1
+    - duplicate 2-gram fraction <= 0.5 (the repetition rule)
+    """
+
+    def _ratio_ge(num, den, frac):  # num/den >= p/q as q*num >= p*den
+        from fractions import Fraction
+
+        f = Fraction(frac).limit_denominator(1000)
+        return (num * F.lit(f.denominator) >= den * F.lit(f.numerator))
+
+    def _ratio_le(num, den, frac):
+        from fractions import Fraction
+
+        f = Fraction(frac).limit_denominator(1000)
+        return (num * F.lit(f.denominator) <= den * F.lit(f.numerator))
+
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("__n"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ).alias("__chars"),
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).alias("__alpha"),
+        count_tokens_in(tokens(F.lower(F.col(text_col))), LANG_PROFILES["en"]).alias(
+            "__stop"
+        ),
+        (
+            F.length(text_col)
+            - F.length(F.regexp_replace(F.col(text_col), "[#…]", ""))
+        ).alias("__sym"),
+        F.size(word_shingles(toks, 2)).alias("__n2"),
+        F.size(F.array_distinct(word_shingles(toks, 2))).alias("__d2"),
+    )
+    n, chars = F.col("__n"), F.col("__chars")
+    rules = {
+        "ok_word_count": (n >= min_words) & (n <= max_words),
+        "ok_mean_word_len": (chars >= n * min_mean_word_len)
+        & (chars <= n * max_mean_word_len),
+        "ok_alpha_frac": _ratio_ge(F.col("__alpha"), n, min_alpha_word_frac),
+        "ok_stopwords": F.col("__stop") >= min_stopword_hits,
+        "ok_symbol_ratio": _ratio_le(F.col("__sym"), n, max_symbol_ratio),
+        "ok_repetition": _ratio_le(
+            F.col("__n2") - F.col("__d2"), F.col("__n2"), max_dup_2gram_frac
+        )
+        | (F.col("__n2") == 0),
+    }
+    out = base.select(
+        F.col(id_col),
+        F.col("__n").alias("n_words"),
+        *[c.alias(name) for name, c in rules.items()],
+    )
+    passed = None
+    for name in rules:
+        passed = F.col(name) if passed is None else (passed & F.col(name))
+    return out.withColumn("pass_gopher", passed)
+
+
+def chunk_token_windows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window_tokens: int = 40,
+    stride: int = 20,
+) -> DataFrame:
+    """Split documents into overlapping token windows — the chunking
+    primitive feeding embedding/RAG pipelines (chunk → embed → index).
+
+    One map stage + explode, no shuffle, no Python: chunk starts are
+    ``sequence(1, n_tokens, stride)``; each chunk is ``slice(toks, start,
+    window_tokens)`` (the final chunk may be short). Output one row per
+    chunk: (id, chunk_id 0-based, start_token 1-based, n_tokens,
+    chunk_hash) — the hash (portable 60-bit md5 of the space-joined
+    window) stands in for chunk text so downstream exact-dedup of chunks
+    never re-tokenizes. Empty documents produce no chunks.
+
+    At 100 TB: output is ~(doc_tokens/stride) small rows per doc; the
+    explode multiplies rows before any shuffle, so downstream groupBys
+    see chunk-sized units — exactly what an embedding batch job wants.
+    """
+    toks = tokens(F.col(text_col))
+
+    def chunks(tt):
+        return F.when(F.size(tt) == 0, F.array().cast("array<int>")).otherwise(
+            F.sequence(F.lit(1), F.size(tt), F.lit(stride))
+        )
+
+    # let-bind the token array through a 1-element transform (interpreted
+    # HOFs re-evaluate outer subtrees per element; see word_shingles)
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.array(toks),
+                    lambda tt: F.transform(
+                        chunks(tt),
+                        lambda s: F.struct(
+                            s.alias("start_token"),
+                            F.slice(tt, s, window_tokens).alias("__chunk"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("c"),
+    )
+    return exploded.select(
+        F.col(id_col),
+        ((F.col("c.start_token") - 1) / F.lit(stride)).cast("int").alias("chunk_id"),
+        F.col("c.start_token"),
+        F.size("c.__chunk").alias("n_tokens"),
+        portable_hash60(F.concat_ws(" ", F.col("c.__chunk"))).alias("chunk_hash"),
+    )

@@ -486,3 +486,79 @@ def dedup_triangle_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return dedup.triangle_count(edges, "a", "b")
+
+
+# exact scaled-cosine CTE over (qid, qv, cid, cv) pairs — the embeddings
+# twin of similarity_queries._sql_pair_cosine, inlined here because the
+# semantic-prune oracle composes it twice (assignment, then in-cell pairs)
+_SQL_EMB_NORMS = """
+    norms AS (
+      SELECT vec_id, sqrt(CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                       * 1000000000) AS BIGINT)) AS DOUBLE)
+                   / 1000000000.0) AS nrm
+      FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+      GROUP BY vec_id)
+"""
+
+
+@register(
+    "dedup_semantic_prune",
+    tags=("dedup", "semantic", "similarity", "ann"),
+    oracle=f"""
+    WITH apairs AS (
+      SELECT c.vec_id AS qid, c.embedding AS qv, p.vec_id AS cid, p.embedding AS cv
+      FROM embeddings c JOIN embeddings p ON p.vec_id % 50 = 0),
+    {_SQL_EMB_NORMS},
+    adots AS (
+      SELECT p.qid, p.cid,
+             SUM(CAST(round(CAST(qx AS DOUBLE) * CAST(cx AS DOUBLE)
+                            * 1000000000) AS BIGINT)) AS ds
+      FROM (SELECT qid, cid, unnest(qv) AS qx, unnest(cv) AS cx FROM apairs) p
+      GROUP BY p.qid, p.cid),
+    acos AS (
+      SELECT d.qid, d.cid,
+             (CAST(d.ds AS DOUBLE) / 1000000000.0) / (nq.nrm * nc.nrm) AS cosine
+      FROM adots d JOIN norms nq ON nq.vec_id = d.qid
+                   JOIN norms nc ON nc.vec_id = d.cid),
+    cellmap AS (
+      SELECT qid AS vec_id, cid AS cell FROM (
+        SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rn
+        FROM acos) WHERE rn = 1),
+    cpairs AS (
+      SELECT a.vec_id AS qid, ea.embedding AS qv, b.vec_id AS cid, eb.embedding AS cv
+      FROM cellmap a JOIN cellmap b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id),
+    cdots AS (
+      SELECT p.qid, p.cid,
+             SUM(CAST(round(CAST(qx AS DOUBLE) * CAST(cx AS DOUBLE)
+                            * 1000000000) AS BIGINT)) AS ds
+      FROM (SELECT qid, cid, unnest(qv) AS qx, unnest(cv) AS cx FROM cpairs) p
+      GROUP BY p.qid, p.cid),
+    dropped AS (
+      SELECT DISTINCT d.cid AS vec_id
+      FROM cdots d JOIN norms nq ON nq.vec_id = d.qid
+                   JOIN norms nc ON nc.vec_id = d.cid
+      WHERE (CAST(d.ds AS DOUBLE) / 1000000000.0) / (nq.nrm * nc.nrm) >= 0.25)
+    SELECT m.vec_id, m.cell, (dr.vec_id IS NULL) AS keep
+    FROM cellmap m LEFT JOIN dropped dr ON dr.vec_id = m.vec_id
+    """,
+)
+def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning over the embeddings corpus:
+    nearest-pivot cells (pivots = every 50th vector), then within each
+    cell drop any vector with a lower-id neighbor at cosine >= 0.25
+    (greedy first-wins). Cell assignment is the Arrow map stage, the
+    candidate join is a cell equi-join — never all-pairs across cells —
+    and every keep/drop decision is exact-cosine value-checked."""
+    from agol_pandas_spark.operators import similarity
+
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    pivots = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("pivot_id"), "embedding"
+    )
+    out = similarity.semantic_dedup_prune(
+        emb, pivots, "vec_id", "pivot_id", threshold=0.25
+    )
+    return out.select("vec_id", "cell", "keep")

@@ -829,3 +829,87 @@ def text_cooccurrence_lift_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("lift").desc(), "w1", "w2").limit(50)
+
+
+_SQL_G2 = (
+    "CASE WHEN len({t}) < 2 THEN [] "
+    "ELSE list_transform(range(1, len({t})), i -> {t}[i] || ' ' || {t}[i+1]) END"
+)
+
+
+@register(
+    "text_gopher_rules_filter",
+    tags=("text", "quality", "filter"),
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             {SQL_TOKS.format(src='text')} AS toks,
+             {SQL_TOKS.format(src='lower(text)')} AS ltoks
+      FROM documents),
+    base AS (
+      SELECT doc_id,
+             len(toks) AS n,
+             CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS chars,
+             len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha,
+             len(list_filter(ltoks,
+                 x -> list_contains(['the','a','of','and','to'], x))) AS stop,
+             length(text) - length(regexp_replace(text, '[#…]', '', 'g')) AS sym,
+             len({_SQL_G2.format(t='toks')}) AS n2,
+             len(list_distinct({_SQL_G2.format(t='toks')})) AS d2
+      FROM t)
+    SELECT doc_id,
+           CAST(n AS INTEGER) AS n_words,
+           (n >= 50 AND n <= 100000) AS ok_word_count,
+           (chars >= n * 3 AND chars <= n * 10) AS ok_mean_word_len,
+           (alpha * 5 >= n * 4) AS ok_alpha_frac,
+           (stop >= 2) AS ok_stopwords,
+           (sym * 10 <= n * 1) AS ok_symbol_ratio,
+           ((n2 - d2) * 2 <= n2 * 1 OR n2 = 0) AS ok_repetition,
+           ((n >= 50 AND n <= 100000)
+            AND (chars >= n * 3 AND chars <= n * 10)
+            AND (alpha * 5 >= n * 4)
+            AND (stop >= 2)
+            AND (sym * 10 <= n * 1)
+            AND ((n2 - d2) * 2 <= n2 * 1 OR n2 = 0)) AS pass_gopher
+    FROM base
+    """,
+)
+def text_gopher_rules_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality gate (word-count bounds, mean word
+    length, alpha-word fraction, stopword presence, symbol ratio,
+    duplicate-bigram repetition), every ratio cross-multiplied into
+    integer arithmetic so the booleans are engine-portable by
+    construction — no derived-double knife edges."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    return textops.gopher_quality_flags(docs, "doc_id", "text")
+
+
+@register(
+    "text_chunk_token_windows",
+    tags=("text", "chunking", "rag"),
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKS.format(src='text')} AS toks FROM documents),
+    starts AS (
+      SELECT doc_id, toks,
+             unnest(CASE WHEN len(toks) = 0 THEN []
+                    ELSE range(1, len(toks) + 1, 20) END) AS s
+      FROM t)
+    SELECT doc_id,
+           (s - 1) // 20 AS chunk_id,
+           CAST(s AS INTEGER) AS start_token,
+           CAST(len(list_slice(toks, s, least(s + 39, len(toks)))) AS INTEGER)
+               AS n_tokens,
+           {SQL_HASH60.format(expr="array_to_string(list_slice(toks, s, least(s + 39, len(toks))), ' ')")}
+               AS chunk_hash
+    FROM starts
+    """,
+)
+def text_chunk_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (40-token windows, stride 20) —
+    the chunk → embed → index primitive of a RAG/embedding pipeline. One
+    map + explode, no shuffle; chunk hashes are portable 60-bit md5 so
+    chunk-level exact dedup composes downstream without re-tokenizing."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    return textops.chunk_token_windows(
+        docs, "doc_id", "text", window_tokens=40, stride=20
+    )

@@ -202,3 +202,85 @@ def test_domain_mix_sample_rates_and_determinism(spark):
 
     # unlisted domains are dropped
     assert s.filter(~F.col("source").isin("a", "b", "c")).count() == 0
+
+
+def test_gopher_flags_rules(spark):
+    """Each rule triggers on a targeted violation; integer cross-
+    multiplication means thresholds hit exactly (no float drift)."""
+    from agol_pandas_spark.operators.textops import gopher_quality_flags
+
+    # non-repetitive prose: unique content words + stopwords interleaved
+    good = " ".join(f"the word{i} of thing{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (1, good),                         # passes everything
+            (2, "short text only"),            # word count too low
+            (3, "a " * 200),                   # mean word len < 3, repetition
+            (4, ("#" * 30 + " ") + good),      # symbol ratio (one 30-# token)
+            (5, "verylongwordswithoutanystopwordsatall " * 60),  # stopwords
+            (6, "the fox " * 60),              # duplicate-bigram repetition
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r for r in gopher_quality_flags(docs, "doc_id", "text").collect()}
+    assert got[1]["pass_gopher"]
+    assert not got[2]["ok_word_count"] and not got[2]["pass_gopher"]
+    assert not got[3]["ok_mean_word_len"]
+    assert not got[4]["ok_symbol_ratio"]
+    assert not got[5]["ok_stopwords"]
+    assert not got[6]["ok_repetition"]
+
+
+def test_chunk_token_windows_reconstruct(spark):
+    """Chunks tile the document: starts advance by the stride, each chunk
+    holds window_tokens tokens (final chunk short), ids are dense, and an
+    empty document yields no chunks."""
+    from agol_pandas_spark.operators.textops import chunk_token_windows
+
+    text = " ".join(f"w{i}" for i in range(95))
+    docs = spark.createDataFrame(
+        [(1, text), (2, "only three tokens"), (3, ""), (4, None)],
+        "doc_id int, text string",
+    )
+    rows = sorted(
+        chunk_token_windows(docs, "doc_id", "text", window_tokens=40, stride=20)
+        .collect(),
+        key=lambda r: (r["doc_id"], r["chunk_id"]),
+    )
+    d1 = [r for r in rows if r["doc_id"] == 1]
+    assert [r["chunk_id"] for r in d1] == [0, 1, 2, 3, 4]
+    assert [r["start_token"] for r in d1] == [1, 21, 41, 61, 81]
+    assert [r["n_tokens"] for r in d1] == [40, 40, 40, 35, 15]
+    d2 = [r for r in rows if r["doc_id"] == 2]
+    assert len(d2) == 1 and d2[0]["n_tokens"] == 3
+    assert not [r for r in rows if r["doc_id"] in (3, 4)]
+
+
+def test_semantic_prune_greedy_rule(spark):
+    """Within a cell, a vector is dropped iff a LOWER-id neighbor sits at
+    cosine >= threshold; near-dups of a dropped vector still survive when
+    their only close neighbor is the dropped one (greedy, not CC)."""
+    from agol_pandas_spark.operators.similarity import semantic_dedup_prune
+
+    # 2-d toy: cell pivots on the axes; a/b nearly parallel (dropped b),
+    # c orthogonal-ish to both in the same cell (kept)
+    vecs = [
+        (10, [1.0, 0.0]),
+        (11, [0.999, 0.01]),    # cos(10,11) ~ 1 -> dropped
+        (12, [0.8, 0.6]),       # cos to 10 = 0.8 < 0.95 -> kept
+        (20, [0.0, 1.0]),       # other cell, alone -> kept
+    ]
+    corpus = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    pivots = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "pivot_id long, embedding array<float>"
+    )
+    got = {
+        r["vec_id"]: (r["cell"], r["keep"])
+        for r in semantic_dedup_prune(
+            corpus, pivots, "vec_id", "pivot_id", threshold=0.95
+        ).collect()
+    }
+    assert got[10] == (0, True)
+    assert got[11] == (0, False)
+    assert got[12] == (0, True)
+    assert got[20] == (1, True)
