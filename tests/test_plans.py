@@ -216,3 +216,21 @@ def test_lsh_index_probe_prunes_corpus_text(q, spark, sf_dir, tmp_path):
     probe = probe_lsh_index(cat, "lsh", docs.filter(F.col("source") == "src0"), "doc_id", "text")
     text_scans = [s for s in read_schema_columns(probe) if "text" in s]
     assert len(text_scans) == 1, text_scans
+
+
+def test_chunker_and_gopher_are_pure_map_stages(q):
+    """Chunking and the rule filter are single map stages over the
+    documents scan — any Exchange means a per-row operator regressed
+    into a shuffle (at 100 TB that's the whole job cost)."""
+    for name in ("text_chunk_token_windows", "text_gopher_rules_filter"):
+        plan = formatted_plan(q(name))
+        assert "Exchange" not in plan, name
+
+
+def test_semantic_prune_joins_on_cell_only(q):
+    """SemDeDup candidates come from a cell equi-join — a nested-loop or
+    cartesian plan means the cell restriction was lost and every vector
+    compares against the whole corpus."""
+    plan = formatted_plan(q("dedup_semantic_prune"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
