@@ -502,12 +502,40 @@ def rp_lsh_topk(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
 
+def _kmeans_assign_udf(centroids: list[list[float]]):
+    """Arrow kernel: argmin over k scaled-integer L2 distances, ties →
+    lowest cluster (np.argmin returns the first minimum), bit-identical
+    to the ``dists[ci] < best`` chain of the SQL path."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    dim = C.shape[1]
+
+    @pandas_udf("cluster int, sq_dist_scaled long")
+    def _assign(vecs: pd.Series) -> pd.DataFrame:
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs]).reshape(
+            len(vecs), dim
+        )
+        d = V[:, None, :] - C[None, :, :]
+        d2 = _np_round_away((d * d) * np.float64(VSCALE)).astype(np.int64).sum(axis=2)
+        cl = np.argmin(d2, axis=1)
+        return pd.DataFrame(
+            {
+                "cluster": cl.astype(np.int32),
+                "sq_dist_scaled": d2[np.arange(len(vecs)), cl],
+            }
+        )
+
+    return _assign
+
+
 def kmeans_lite(
     corpus: DataFrame,
     id_col: str,
     vec: str = "embedding",
     k: int = 8,
     iters: int = 3,
+    method: str = "arrow",
 ) -> tuple[list[list[float]], DataFrame]:
     """Deterministic Lloyd's k-means for IVF pivot selection.
 
@@ -543,34 +571,49 @@ def kmeans_lite(
     data.count()
     assignments = None
     for _ in range(iters):
-        # squared L2 to each centroid, scaled-int accumulated per element
-        dists = [
-            F.aggregate(
-                F.zip_with(
-                    F.col(vec),
-                    F.array(*[F.lit(c) for c in cent]),
-                    lambda x, cx: F.round(
-                        (x.cast("double") - cx) * (x.cast("double") - cx)
-                        * F.lit(float(VSCALE))
-                    ).cast("long"),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
+        if method == "arrow":
+            # one Arrow kernel computes all k scaled-int L2 distances and
+            # the argmin per batch — replaces k interpreted HOF exprs AND
+            # the k×dim literal arrays those shipped through the plan
+            assignments = data.select(
+                F.col(id_col),
+                F.col(vec),
+                _kmeans_assign_udf(centroids)(F.col(vec)).alias("__a"),
+            ).select(
+                F.col(id_col),
+                F.col(vec),
+                F.col("__a.cluster").alias("cluster"),
+                F.col("__a.sq_dist_scaled").alias("sq_dist_scaled"),
             )
-            for cent in centroids
-        ]
-        cluster = F.lit(0)
-        best = dists[0]
-        for ci in range(1, k):
-            cond = dists[ci] < best
-            cluster = F.when(cond, F.lit(ci)).otherwise(cluster)
-            best = F.when(cond, dists[ci]).otherwise(best)
-        assignments = data.select(
-            F.col(id_col),
-            F.col(vec),
-            cluster.alias("cluster"),
-            best.alias("sq_dist_scaled"),
-        )
+        else:
+            # squared L2 to each centroid, scaled-int accumulated per element
+            dists = [
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec),
+                        F.array(*[F.lit(c) for c in cent]),
+                        lambda x, cx: F.round(
+                            (x.cast("double") - cx) * (x.cast("double") - cx)
+                            * F.lit(float(VSCALE))
+                        ).cast("long"),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                )
+                for cent in centroids
+            ]
+            cluster = F.lit(0)
+            best = dists[0]
+            for ci in range(1, k):
+                cond = dists[ci] < best
+                cluster = F.when(cond, F.lit(ci)).otherwise(cluster)
+                best = F.when(cond, dists[ci]).otherwise(best)
+            assignments = data.select(
+                F.col(id_col),
+                F.col(vec),
+                cluster.alias("cluster"),
+                best.alias("sq_dist_scaled"),
+            )
         sums = (
             assignments.select(
                 "cluster", F.posexplode(F.col(vec)).alias("pos", "x")

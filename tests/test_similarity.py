@@ -413,3 +413,16 @@ def test_sparse_codebook_fails_fast(emb, spark):
     # wrong assumed k_codes also fails fast
     with pytest.raises(ValueError):
         pq_adc_topk(queries, enc, cb, "query_id", "vec_id", k_codes=16).collect()
+
+
+def test_kmeans_arrow_matches_sql(emb):
+    """Arrow and SQL Lloyd iterations produce identical centroids and
+    assignments (same scaled-int distance arithmetic, same tie rule)."""
+    from agol_pandas_spark.operators.similarity import kmeans_lite
+
+    ca, aa = kmeans_lite(emb, "vec_id", k=4, iters=2, method="arrow")
+    cs, as_ = kmeans_lite(emb, "vec_id", k=4, iters=2, method="sql")
+    assert ca == cs
+    rows_a = {(r["vec_id"], r["cluster"], r["sq_dist_scaled"]) for r in aa.collect()}
+    rows_s = {(r["vec_id"], r["cluster"], r["sq_dist_scaled"]) for r in as_.collect()}
+    assert rows_a == rows_s
