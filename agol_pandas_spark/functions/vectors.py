@@ -41,8 +41,10 @@ def l2_norm(a: Column | str) -> Column:
 
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
-    """Cosine similarity of two array<numeric> columns."""
-    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity of two array<numeric> columns. Zero-norm inputs
+    yield NULL (try_divide) under any ANSI setting instead of aborting
+    the job with DIVIDE_BY_ZERO."""
+    return F.try_divide(dot_product(a, b), l2_norm(a) * l2_norm(b))
 
 
 def normalize_vector(a: Column | str) -> Column:

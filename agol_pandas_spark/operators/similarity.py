@@ -111,9 +111,11 @@ def _norm_exact(a: Column) -> Column:
 
 
 def cosine_exact(a: Column, b: Column) -> Column:
-    return (
-        (_dot_scaled(a, b).cast("double") / F.lit(float(VSCALE)))
-        / (_norm_exact(a) * _norm_exact(b))
+    # try_divide: zero-norm vectors yield NULL cosine under any ANSI
+    # setting (they sort last / fail thresholds) instead of aborting
+    return F.try_divide(
+        _dot_scaled(a, b).cast("double") / F.lit(float(VSCALE)),
+        _norm_exact(a) * _norm_exact(b),
     ).alias("cosine")
 
 
@@ -148,10 +150,11 @@ def brute_force_topk(
         _norm_exact(F.col(corpus_vec)).alias("__cnorm"),
     )
     if exact:
-        cos = (
+        cos = F.try_divide(
             _dot_scaled(F.col("__qvec"), F.col("__cvec")).cast("double")
-            / F.lit(float(VSCALE))
-        ) / (F.col("__qnorm") * F.col("__cnorm"))
+            / F.lit(float(VSCALE)),
+            F.col("__qnorm") * F.col("__cnorm"),
+        )
     else:
         cos = cosine_similarity(F.col("__qvec"), F.col("__cvec"))
     scored = (
@@ -402,10 +405,11 @@ def embedding_neardup_pairs(
         *( [F.col(block_col).alias("__blk")] if block_col else [] ),
     )
     joined = a.join(b, on="__blk") if block_col else a.crossJoin(b)
-    cos = (
+    cos = F.try_divide(
         _dot_scaled(F.col("__va"), F.col("__vb")).cast("double")
-        / F.lit(float(VSCALE))
-    ) / (F.col("__na") * F.col("__nb"))
+        / F.lit(float(VSCALE)),
+        F.col("__na") * F.col("__nb"),
+    )
     return (
         joined.filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cos.alias("cosine"))
