@@ -913,3 +913,88 @@ def text_chunk_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.chunk_token_windows(
         docs, "doc_id", "text", window_tokens=40, stride=20
     )
+
+
+@register(
+    "pipeline_chunk_dedup_stats",
+    tags=("pipeline", "text", "chunking", "dedup"),
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             {SQL_TOKS.format(src='text')} AS toks,
+             {SQL_TOKS.format(src='lower(text)')} AS ltoks
+      FROM documents),
+    base AS (
+      SELECT doc_id, toks,
+             len(toks) AS n,
+             CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS chars,
+             len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha,
+             len(list_filter(ltoks,
+                 x -> list_contains(['the','a','of','and','to'], x))) AS stop,
+             length(text) - length(regexp_replace(text, '[#…]', '', 'g')) AS sym,
+             len({_SQL_G2.format(t='toks')}) AS n2,
+             len(list_distinct({_SQL_G2.format(t='toks')})) AS d2
+      FROM t),
+    kept AS (
+      SELECT doc_id, toks FROM base
+      WHERE (n >= 50 AND n <= 100000)
+        AND (chars >= n * 3 AND chars <= n * 10)
+        AND (alpha * 5 >= n * 4) AND (stop >= 2)
+        AND (sym * 10 <= n * 1)
+        AND ((n2 - d2) * 2 <= n2 * 1 OR n2 = 0)),
+    chunks AS (
+      SELECT doc_id,
+             CAST(s AS INTEGER) AS start_token,
+             CAST(len(list_slice(toks, s, least(s + 39, len(toks)))) AS BIGINT)
+                 AS chunk_tokens,
+             {SQL_HASH60.format(expr="array_to_string(list_slice(toks, s, least(s + 39, len(toks))), ' ')")}
+                 AS chunk_hash
+      FROM (SELECT doc_id, toks,
+                   unnest(CASE WHEN len(toks) = 0 THEN []
+                          ELSE range(1, len(toks) + 1, 20) END) AS s
+            FROM kept)),
+    survivors AS (
+      SELECT chunk_hash, chunk_tokens,
+             ROW_NUMBER() OVER (PARTITION BY chunk_hash
+                                ORDER BY doc_id, start_token) AS rn
+      FROM chunks),
+    u AS (SELECT chunk_hash, chunk_tokens FROM survivors WHERE rn = 1)
+    SELECT (SELECT COUNT(*) FROM kept) AS n_docs_kept,
+           (SELECT COUNT(*) FROM chunks) AS n_chunks,
+           COUNT(*) AS n_unique_chunks,
+           CAST(SUM(chunk_tokens) AS BIGINT) AS unique_chunk_tokens
+    FROM u
+    """,
+)
+def pipeline_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed chunk-level curation — the embedding-corpus prep shape in
+    one plan: Gopher rule gate → overlapping token-window chunking →
+    exact chunk dedup on portable hashes (survivor = lowest (doc_id,
+    start_token)) → corpus accounting. Everything before the dedup
+    groupBy is map-side; the only shuffles key on chunk_hash. All
+    outputs are integers, so the pipeline is knife-edge-free."""
+    from pyspark.sql import Window
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    flags = textops.gopher_quality_flags(docs, "doc_id", "text")
+    kept = docs.join(
+        flags.filter(F.col("pass_gopher")).select("doc_id"), "doc_id"
+    )
+    chunks = textops.chunk_token_windows(
+        kept, "doc_id", "text", window_tokens=40, stride=20
+    )
+    w = Window.partitionBy("chunk_hash").orderBy("doc_id", "start_token")
+    unique = (
+        chunks.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        kept.agg(F.count(F.lit(1)).alias("n_docs_kept"))
+        .crossJoin(chunks.agg(F.count(F.lit(1)).alias("n_chunks")))
+        .crossJoin(
+            unique.agg(
+                F.count(F.lit(1)).alias("n_unique_chunks"),
+                F.sum(F.col("n_tokens").cast("long")).alias("unique_chunk_tokens"),
+            )
+        )
+    )

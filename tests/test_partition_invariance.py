@@ -28,6 +28,12 @@ QUERIES = [
     "agg_hll_sketch_union",
     "sim_ivf_topk_ann",
     "sim_kmeans_ivf_cells",
+    # round-4 training-pipeline ops: per-row map stages must be trivially
+    # invariant; semantic prune's cell equi-join + greedy drop must not
+    # depend on which partition a pair lands in
+    "text_gopher_rules_filter",
+    "text_chunk_token_windows",
+    "dedup_semantic_prune",
 ]
 
 
