@@ -426,3 +426,38 @@ def test_kmeans_arrow_matches_sql(emb):
     rows_a = {(r["vec_id"], r["cluster"], r["sq_dist_scaled"]) for r in aa.collect()}
     rows_s = {(r["vec_id"], r["cluster"], r["sq_dist_scaled"]) for r in as_.collect()}
     assert rows_a == rows_s
+
+
+def test_round_away_kernel_three_way_agreement(spark):
+    """The Arrow kernels' ties-away rounding must agree with BOTH Spark's
+    ROUND(double) and DuckDB's round() on adversarial values: exact
+    half-integers, one-ulp-off halves, binade edges, negatives, random
+    floats — the exactness claim behind the bit-identical build paths."""
+    import math
+
+    import duckdb
+    import numpy as np
+
+    from agol_pandas_spark.operators.similarity import _np_round_away
+
+    vals = [0.0, 0.5, -0.5, 1.5, -1.5, 2.5, 0.49999999999999994,
+            -0.49999999999999994, 1.4999999999999998, 3.4999999999999996,
+            1e9 + 0.5, 123456789.5, -123456789.5, 0.1 * 3, 2**40 + 0.5,
+            math.nextafter(7.5, 0.0), math.nextafter(7.5, 100.0)]
+    # deterministic pseudo-random sample across magnitudes (no global seed)
+    rng = np.random.RandomState(1234)
+    vals += list((rng.rand(500) - 0.5) * np.logspace(-3, 12, 500))
+    arr = np.asarray(vals, dtype=np.float64)
+
+    kernel = _np_round_away(arr).astype(np.int64)
+    duck = duckdb.connect().execute(
+        "SELECT CAST(round(x) AS BIGINT) FROM (SELECT unnest(?) AS x)", [list(map(float, arr))]
+    ).fetchall()
+    duck = np.asarray([r[0] for r in duck], dtype=np.int64)
+    sdf = spark.createDataFrame([(float(v),) for v in arr], "x double")
+    from pyspark.sql import functions as F2
+
+    srows = sdf.select(F2.round("x").cast("long").alias("r")).collect()
+    spark_r = np.asarray([r["r"] for r in srows], dtype=np.int64)
+    assert (kernel == duck).all(), arr[kernel != duck][:5]
+    assert (kernel == spark_r).all(), arr[kernel != spark_r][:5]
