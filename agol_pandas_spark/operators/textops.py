@@ -597,3 +597,33 @@ def chunk_token_windows(
         F.size("c.__chunk").alias("n_tokens"),
         portable_hash60(F.concat_ws(" ", F.col("c.__chunk"))).alias("chunk_hash"),
     )
+
+
+def weighted_row_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Per-row weighted Bernoulli sampling: keep row ``i`` with
+    probability ``w_i`` (clamped to [0, 1]) — the per-ROW generalization
+    of :func:`domain_mix_sample` (per-domain rates), used for
+    quality-weighted corpus downsampling ("keep good documents more
+    often").
+
+    Engine-portable by construction: the gate is
+    ``hash60(salt || id) < floor(w · 2^60)`` — the hash is a pure row
+    function, ``2^60`` is a power of two so ``w · 2^60`` is one exact
+    IEEE multiply, and the comparison is BIGINT vs BIGINT. No RNG state,
+    no partition dependence: the same row with the same weight is kept
+    or dropped identically on any cluster size, any engine, any re-run.
+    (The standard ``-ln(u)/w`` reservoir trick is deliberately avoided:
+    ``ln`` is libm-dependent and NOT bit-portable across engines.)
+    """
+    w = weight_col if not isinstance(weight_col, str) else F.col(weight_col)
+    bound = F.floor(
+        F.greatest(F.lit(0.0), F.least(F.lit(1.0), w.cast("double")))
+        * F.lit(float(2**60))
+    ).cast("long")
+    gate = portable_hash60(F.concat(F.lit(salt), F.col(id_col).cast("string"))) < bound
+    return df.filter(gate)

@@ -998,3 +998,35 @@ def pipeline_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "sample_weighted_quality",
+    tags=("sampling", "text", "quality"),
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             least(1.0, CAST(n_chars AS DOUBLE) / 400.0) AS wt
+      FROM documents),
+    s AS (
+      SELECT doc_id, source FROM w
+      WHERE {SQL_HASH60.format(expr="'wsample' || CAST(doc_id AS VARCHAR)")}
+            < CAST(floor(wt * 1152921504606846976.0) AS BIGINT))
+    SELECT source, COUNT(*) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM s GROUP BY source
+    """,
+)
+def sample_weighted_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted Bernoulli downsampling: each document's keep
+    probability is its length-based weight (min(1, n_chars/400)), gated
+    on the portable row hash — reproducible across engines, re-runs, and
+    cluster sizes, with no RNG state. Verified via per-source counts and
+    id checksums."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    w = F.least(F.lit(1.0), F.col("n_chars").cast("double") / F.lit(400.0))
+    kept = textops.weighted_row_sample(docs, "doc_id", w)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("id_checksum"),
+    )

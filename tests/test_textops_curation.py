@@ -284,3 +284,22 @@ def test_semantic_prune_greedy_rule(spark):
     assert got[11] == (0, False)
     assert got[12] == (0, True)
     assert got[20] == (1, True)
+
+
+def test_weighted_row_sample_properties(spark):
+    """Weight 0 keeps nothing, weight 1 keeps everything, and membership
+    is MONOTONIC in the weight (raising a row's weight can only add it,
+    never drop it) — the property that makes weighted re-runs stable."""
+    from pyspark.sql import functions as F2
+
+    from agol_pandas_spark.operators.textops import weighted_row_sample
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    assert weighted_row_sample(df, "doc_id", F2.lit(0.0)).count() == 0
+    assert weighted_row_sample(df, "doc_id", F2.lit(1.0)).count() == 2000
+    lo = {r["doc_id"] for r in weighted_row_sample(df, "doc_id", F2.lit(0.3)).collect()}
+    hi = {r["doc_id"] for r in weighted_row_sample(df, "doc_id", F2.lit(0.7)).collect()}
+    assert lo < hi  # strict subset at these sizes
+    # rate lands near the weight (hash-uniformity sanity, not a bound)
+    assert 0.25 < len(lo) / 2000 < 0.35
+    assert 0.65 < len(hi) / 2000 < 0.75
