@@ -503,6 +503,7 @@ _SQL_EMB_NORMS = """
 
 @register(
     "dedup_semantic_prune",
+    headline=True,
     tags=("dedup", "semantic", "similarity", "ann"),
     oracle=f"""
     WITH apairs AS (

@@ -917,6 +917,7 @@ def text_chunk_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pipeline_chunk_dedup_stats",
+    headline=True,
     tags=("pipeline", "text", "chunking", "dedup"),
     oracle=f"""
     WITH t AS (
