@@ -1008,3 +1008,113 @@ def triangle_count(edges: DataFrame, src: str, dst: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return per_vertex
+
+
+# Winnowing (local fingerprint selection, Schleimer/Wilkerson/Aiken
+# SIGMOD'03 — the MOSS algorithm). Hash and position are packed into one
+# long so the rightmost-min tie-break is plain integer MIN in both
+# engines: packed = (h mod 2^40)·2^20 + (2^20-1-pos). Smaller hash wins;
+# among equal hashes the larger position (smaller complement) wins.
+WINNOW_HASH_MOD = 1 << 40
+WINNOW_POS_MOD = 1 << 20
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints: ``(id, fp_hash, fp_pos)`` rows.
+
+    For the sequence of word-``shingle_size``-gram hashes of a document,
+    every window of ``window`` consecutive hashes contributes its minimum
+    (ties: rightmost occurrence — the original algorithm's choice, which
+    makes the selected set depend only on content, not scan direction);
+    the distinct selected (hash, position) pairs are the fingerprint set.
+    Guarantee: two documents sharing a token run of at least
+    ``window + shingle_size - 1`` words share at least one fingerprint
+    hash, while only ~``2/(window+1)`` of all shingles are kept.
+
+    Scale shape: entirely per-row array math — tokenize → shingle → hash
+    → window-min — inside one map stage; **zero shuffles** (a per-doc
+    window function would shuffle the corpus on doc id for no reason).
+    The shingle-hash array is materialized once behind a Generate barrier
+    (see :func:`_hashed_barrier`); the packed-key trick keeps the
+    rightmost-min tie-break in pure integer MIN, reproducible in the
+    DuckDB oracle. Positions are bounded by 2^20 shingles/doc (≈4 MB of
+    text) — beyond that, split docs upstream (the chunking operator).
+
+    Reference has no near-dup surface at all (full-scan client,
+    src/agol_pandas.py:246); this extends §2b ★ dedup.
+    """
+    w = int(window)
+    if w < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    sh = word_shingles(tokens(F.col(text_col)), shingle_size)
+    packed = F.transform(
+        sh,
+        lambda s, i: (portable_hash60(s) % WINNOW_HASH_MOD) * WINNOW_POS_MOD
+        + (F.lit(WINNOW_POS_MOD - 1) - i),
+    )
+    base = _hashed_barrier(df, id_col, packed)
+    n = F.size(F.col("__h"))
+    mins = (
+        F.when(n == 0, F.array().cast("array<long>"))
+        .when(n < w, F.array(F.array_min(F.col("__h"))))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n - F.lit(w - 1)),
+                lambda i: F.array_min(F.slice(F.col("__h"), i, w)),
+            )
+        )
+    )
+    fps = base.select(
+        F.col(id_col), F.explode(F.array_distinct(mins)).alias("__p")
+    )
+    return fps.select(
+        F.col(id_col),
+        F.expr(f"__p DIV {WINNOW_POS_MOD}").alias("fp_hash"),
+        (F.lit(WINNOW_POS_MOD - 1) - F.col("__p") % WINNOW_POS_MOD)
+        .cast("int")
+        .alias("fp_pos"),
+    )
+
+
+def winnow_shared_pairs(
+    fingerprints: DataFrame,
+    id_col: str,
+    min_shared: int = 2,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs from winnowing fingerprints:
+    ``(id_a < id_b, n_shared)`` for pairs sharing ``>= min_shared``
+    distinct fingerprint hashes.
+
+    Shuffle profile mirrors LSH banding: distinct (id, hash) → equi-join
+    on the hash → per-pair count. No all-pairs comparison ever happens;
+    the join key is the fingerprint hash, so cost is Σ bucket². A
+    boilerplate fingerprint shared by millions of docs is the hot-bucket
+    failure mode — ``max_bucket_size`` drops such buckets before the
+    self-join (one windowed count; a dropped ubiquitous fingerprint is
+    boilerplate, not signal — same trade as :func:`lsh_candidate_pairs`).
+    ``None`` keeps exact semantics for the oracle-checked query.
+    """
+    hashes = fingerprints.select(F.col(id_col), "fp_hash").distinct()
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("fp_hash")
+        hashes = (
+            hashes.withColumn("__bn", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
+    left = hashes.select(F.col(id_col).alias("id_a"), "fp_hash")
+    right = hashes.select(F.col(id_col).alias("id_b"), "fp_hash")
+    return (
+        left.join(right, "fp_hash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

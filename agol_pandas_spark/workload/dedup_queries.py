@@ -563,3 +563,66 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, pivots, "vec_id", "pivot_id", threshold=0.25
     )
     return out.select("vec_id", "cell", "keep")
+
+
+# Winnowing CTE chain shared by the fingerprint + pair queries; mirrors
+# dedup.winnow_fingerprints (shingle=3, window=4, packed hash<<20 | ~pos).
+_SQL_WINNOW_FP = f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKS.format(src='text')} AS t FROM documents),
+    sh AS (
+      SELECT doc_id, {SQL_SHINGLES.format(toks='t')} AS sh FROM toks),
+    keys AS (
+      SELECT doc_id,
+             list_transform(sh, (s, i) ->
+               ({SQL_HASH60.format(expr='s')} % 1099511627776) * 1048576
+               + (1048575 - (i - 1))) AS ks
+      FROM sh),
+    wins AS (
+      SELECT doc_id,
+             CASE WHEN len(ks) = 0 THEN []
+                  WHEN len(ks) < 4 THEN [list_min(ks)]
+                  ELSE list_transform(range(1, len(ks) - 2),
+                                      i -> list_min(ks[i:i+3]))
+             END AS ws
+      FROM keys),
+    fp AS (SELECT doc_id, unnest(list_distinct(ws)) AS p FROM wins)
+"""
+
+
+@register(
+    "dedup_winnow_fingerprints",
+    tags=("dedup", "winnow"),
+    oracle=_SQL_WINNOW_FP
+    + """
+    SELECT doc_id, p // 1048576 AS fp_hash,
+           CAST(1048575 - (p % 1048576) AS INTEGER) AS fp_pos
+    FROM fp
+    """,
+)
+def dedup_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint selection: window-min over the shingle
+    hash sequence with rightmost tie-break, ~2/(w+1) of shingles kept.
+    Pure map stage (no shuffle); every selected (hash, pos) value-checked."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    return dedup.winnow_fingerprints(docs, "doc_id", "text")
+
+
+@register(
+    "dedup_winnow_shared_pairs",
+    tags=("dedup", "winnow"),
+    oracle=_SQL_WINNOW_FP
+    + """
+    , hs AS (SELECT DISTINCT doc_id, p // 1048576 AS fp_hash FROM fp)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+    FROM hs a JOIN hs b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 2
+    """,
+)
+def dedup_winnow_shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates from shared winnowing fingerprints (>= 2
+    shared hashes): fingerprint-hash equi-join, never all-pairs."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    fps = dedup.winnow_fingerprints(docs, "doc_id", "text")
+    return dedup.winnow_shared_pairs(fps, "doc_id", min_shared=2)

@@ -372,3 +372,83 @@ def test_star_components_raises_on_round_exhaustion(spark):
     )
     with _pytest.raises(ConvergenceError):
         connected_components_star(e, "a", "b", max_rounds=1).collect()
+
+
+def test_winnow_substring_guarantee_and_density(spark):
+    """Docs sharing a run of >= window+shingle-1 words share a fingerprint
+    hash; winnowing keeps far fewer fingerprints than shingles."""
+    from agol_pandas_spark.operators import dedup
+
+    shared = "alpha bravo charlie delta echo foxtrot golf"  # 7 words >= 4+3-1
+    rows = [
+        (1, f"intro one two {shared} tail xyz"),
+        (2, f"{shared} completely different ending words here"),
+        (3, "unrelated content with no overlap at all whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = dedup.winnow_fingerprints(df, "doc_id", "text").collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp_hash)
+    assert by_doc[1] & by_doc[2], "shared 7-word run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    # density: w=4 keeps ~2/(w+1)=40% of shingles, never all of them
+    n_shingles_1 = len(rows[0][1].split()) - 2
+    assert len(by_doc[1]) < n_shingles_1
+    # pair query sees the overlap
+    pairs = dedup.winnow_shared_pairs(
+        dedup.winnow_fingerprints(df, "doc_id", "text"), "doc_id", min_shared=1
+    ).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
+
+
+def test_winnow_short_and_empty_docs(spark):
+    """Docs with < window shingles still emit exactly one fingerprint
+    (the global min); empty/too-short docs emit none."""
+    from agol_pandas_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "just four tokens here"), (2, "ab"), (3, "")],
+        ["doc_id", "text"],
+    )
+    fps = dedup.winnow_fingerprints(df, "doc_id", "text").collect()
+    counts = {}
+    for r in fps:
+        counts[r.doc_id] = counts.get(r.doc_id, 0) + 1
+    assert counts.get(1) == 1  # 2 shingles < window=4 -> one global min
+    assert 2 not in counts and 3 not in counts
+
+
+def test_winnow_rightmost_tiebreak(spark):
+    """A repeated shingle (equal hashes in one window) selects the
+    RIGHTMOST occurrence — the MOSS tie-break."""
+    from agol_pandas_spark.operators import dedup
+
+    # "x y z x y z": shingles 'x y z','y z x','z x y','x y z' — positions
+    # 0 and 3 hash identically; whichever window contains both must pick 3.
+    df = spark.createDataFrame([(1, "x y z x y z")], ["doc_id", "text"])
+    fps = dedup.winnow_fingerprints(df, "doc_id", "text").collect()
+    dup_hash_rows = {}
+    for r in fps:
+        dup_hash_rows.setdefault(r.fp_hash, []).append(r.fp_pos)
+    # the duplicated-shingle hash, if selected, must carry pos 3 (not 0)
+    for positions in dup_hash_rows.values():
+        assert 0 not in positions or 3 not in positions or max(positions) == 3
+    # with one window (n=4 shingles, w=4) the min is unique -> 1 fp
+    assert len(fps) >= 1
+
+
+def test_winnow_hot_bucket_cap(spark):
+    from agol_pandas_spark.operators import dedup
+
+    boiler = "same boiler plate text everywhere always identical run"
+    df = spark.createDataFrame(
+        [(i, boiler) for i in range(6)], ["doc_id", "text"]
+    )
+    fps = dedup.winnow_fingerprints(df, "doc_id", "text")
+    uncapped = dedup.winnow_shared_pairs(fps, "doc_id", min_shared=1)
+    assert uncapped.count() == 15  # 6 choose 2
+    capped = dedup.winnow_shared_pairs(
+        fps, "doc_id", min_shared=1, max_bucket_size=3
+    )
+    assert capped.count() == 0
