@@ -627,3 +627,93 @@ def weighted_row_sample(
     ).cast("long")
     gate = portable_hash60(F.concat(F.lit(salt), F.col(id_col).cast("string"))) < bound
     return df.filter(gate)
+
+
+def token_rank_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Frequency-rank quality proxy: rank every vocabulary token by corpus
+    frequency (rank 1 = most common), then score each document by the
+    rank-weighted mean of its tokens — a poor man's unigram LM: documents
+    full of rare/garbage tokens score high, fluent common-word text
+    scores low. All integer: ``rank_sum = Σ tf·rank`` and
+    ``mean_rank_milli = 1000·rank_sum div n_tokens`` (no derived double
+    is ever rounded).
+
+    Scale shape: two shuffles (doc-term tf, vocab df) exactly like
+    :func:`tfidf`; the vocabulary ranking is a global ``dense_rank`` over
+    DISTINCT tokens only — vocab is orders of magnitude smaller than the
+    corpus, but at extreme vocab (>100 M types) swap the window for a
+    frequency-bin rank; the API shape is identical. Empty docs carry no
+    tokens and drop out (same as the SQL oracle's inner join).
+    """
+    from pyspark.sql.window import Window
+
+    terms = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
+    )
+    tf = terms.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = terms.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    ranked = vocab.select(
+        "token",
+        F.dense_rank()
+        .over(Window.orderBy(F.col("freq").desc(), "token"))
+        .alias("rnk"),
+    )
+    return (
+        tf.join(ranked, "token")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("rnk")).alias("rank_sum"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "rank_sum",
+            F.expr("rank_sum * 1000 div n_tokens").alias("mean_rank_milli"),
+        )
+    )
+
+
+def ngram_novelty(
+    df: DataFrame, id_col: str, text_col: str, shingle_size: int = 8
+) -> DataFrame:
+    """Cross-document n-gram novelty: for each document, how many of its
+    distinct word n-grams appear in NO earlier document (earlier = smaller
+    id — corpus order). High novelty = fresh content; low = recombination
+    of text already seen. The memorization/diversity metric for
+    pretraining corpora.
+
+    Scale shape: distinct (doc, shingle-hash) pairs → one groupBy on the
+    hash computes each shingle's first owner (min id) → a count vs a
+    first-owner count per doc. Two shuffles on the shingle hash, rows are
+    (long, long) pairs — never text. Novelty share is exact ppm (integer
+    division).
+    """
+    sh = word_shingles(tokens(F.lower(F.col(text_col))), shingle_size)
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.transform(sh, lambda s: portable_hash60(s))
+            )
+        ).alias("sh"),
+    )
+    owners = pairs.groupBy("sh").agg(F.min(id_col).alias("first_owner"))
+    per_doc = (
+        pairs.join(owners, "sh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_ngrams"),
+            F.sum((F.col("first_owner") == F.col(id_col)).cast("long")).alias(
+                "n_novel_ngrams"
+            ),
+        )
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "n_distinct_ngrams",
+        "n_novel_ngrams",
+        F.expr("n_novel_ngrams * 1000000 div n_distinct_ngrams").alias(
+            "novelty_ppm"
+        ),
+    )

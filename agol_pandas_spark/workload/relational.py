@@ -1482,3 +1482,177 @@ def events_user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame
     return activity.groupBy("cohort_week", "weeks_since").agg(
         F.count(F.lit(1)).alias("n_active_users")
     )
+
+
+@register(
+    "stats_mad_outliers",
+    tags=("stats", "robust", "outliers"),
+    oracle="""
+    WITH scaled AS (
+      SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+      FROM lineitem),
+    hist AS (
+      SELECT l_returnflag, pc, COUNT(*) AS cnt
+      FROM scaled GROUP BY l_returnflag, pc),
+    cum AS (
+      SELECT l_returnflag, pc,
+             SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY pc
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum_cnt,
+             SUM(cnt) OVER (PARTITION BY l_returnflag) AS n_total
+      FROM hist),
+    med AS (
+      SELECT l_returnflag, MAX(n_total) AS n,
+             MIN(CASE WHEN cum_cnt >= (n_total + 1) // 2 THEN pc END)
+                 AS median_cents
+      FROM cum GROUP BY l_returnflag),
+    devhist AS (
+      SELECT h.l_returnflag, abs(h.pc - m.median_cents) AS dev,
+             SUM(h.cnt) AS cnt
+      FROM hist h JOIN med m ON h.l_returnflag = m.l_returnflag
+      GROUP BY h.l_returnflag, abs(h.pc - m.median_cents)),
+    devcum AS (
+      SELECT l_returnflag, dev,
+             SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY dev
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum_cnt,
+             SUM(cnt) OVER (PARTITION BY l_returnflag) AS n_total
+      FROM devhist),
+    mad AS (
+      SELECT l_returnflag,
+             MIN(CASE WHEN cum_cnt >= (n_total + 1) // 2 THEN dev END)
+                 AS mad_cents
+      FROM devcum GROUP BY l_returnflag)
+    SELECT m.l_returnflag, m.n, m.median_cents, d.mad_cents,
+           (SELECT coalesce(SUM(h.cnt), 0) FROM devhist h
+            WHERE h.l_returnflag = m.l_returnflag
+              AND h.dev > 3 * d.mad_cents) AS n_outliers
+    FROM med m JOIN mad d ON m.l_returnflag = d.l_returnflag
+    """,
+)
+def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per group via MAD (median absolute
+    deviation): rows with ``|x - median| > 3·MAD`` are flagged. Both
+    medians are DISCRETE lower medians (first value whose cumulative
+    count reaches ceil(n/2)) over scaled-cent longs, so every output is
+    an exact integer — no derived double is ever rounded (the audit rule
+    from the round-3 knife edges). Scale shape: the cumulative windows
+    run over the distinct-VALUE histogram (groupBy shrinks billions of
+    rows to thousands of distinct cents per group before any window
+    sort); medians broadcast back; the deviation histogram reuses the
+    first histogram instead of rescanning lineitem. The reference has no
+    statistics surface at all (SURVEY §2b math row).
+    """
+    from pyspark.sql.window import Window
+
+    li = Catalog(spark, sf_dir).table("lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("pc"),
+    )
+    hist = li.groupBy("l_returnflag", "pc").agg(F.count(F.lit(1)).alias("cnt"))
+
+    def lower_median(df, val_col, out_col):
+        w_cum = (
+            Window.partitionBy("l_returnflag")
+            .orderBy(val_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = df.select(
+            "l_returnflag",
+            val_col,
+            F.sum("cnt").over(w_cum).alias("cum_cnt"),
+            F.sum("cnt").over(Window.partitionBy("l_returnflag")).alias(
+                "n_total"
+            ),
+        )
+        return cum.groupBy("l_returnflag").agg(
+            F.max("n_total").alias("n"),
+            F.min(
+                F.when(
+                    F.col("cum_cnt") >= F.expr("(n_total + 1) div 2"),
+                    F.col(val_col),
+                )
+            ).alias(out_col),
+        )
+
+    med = lower_median(hist, "pc", "median_cents")
+    devhist = (
+        hist.join(F.broadcast(med.select("l_returnflag", "median_cents")),
+                  "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.abs(F.col("pc") - F.col("median_cents")).alias("dev"),
+            "cnt",
+        )
+        .groupBy("l_returnflag", "dev")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    mad = lower_median(devhist, "dev", "mad_cents").select(
+        "l_returnflag", "mad_cents"
+    )
+    outliers = (
+        devhist.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("dev") > 3 * F.col("mad_cents"),
+                             F.col("cnt"))),
+                F.lit(0),
+            ).alias("n_outliers")
+        )
+    )
+    return (
+        med.join(mad, "l_returnflag")
+        .join(outliers, "l_returnflag")
+        .select("l_returnflag", "n", "median_cents", "mad_cents", "n_outliers")
+    )
+
+
+@register(
+    "stats_key_skew",
+    tags=("stats", "skew", "profiling"),
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id),
+    tot AS (SELECT SUM(cnt) AS total, COUNT(*) AS n_keys FROM counts),
+    top AS (SELECT user_id, cnt FROM counts
+            ORDER BY cnt DESC, user_id LIMIT 10)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS INTEGER)
+               AS rnk,
+           user_id, cnt,
+           cnt * 1000000 // total AS share_ppm,
+           total, n_keys
+    FROM top, tot
+    """,
+)
+def stats_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile: the top-10 heaviest keys with their traffic
+    share in exact ppm (integer division — no derived double). This is
+    the diagnostic that decides salting/AQE-skew-join strategy before a
+    big join ships: a key carrying >~5% of a 100 TB shuffle is the
+    straggler. Scale shape: one partial-aggregated groupBy on the key,
+    then top-10 via orderBy+limit (TakeOrderedAndProject — never a global
+    window over all keys); the 2-column totals row is a broadcast.
+    """
+    from pyspark.sql.window import Window
+
+    ev = Catalog(spark, sf_dir).table("events").select("user_id")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = counts.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    top = counts.orderBy(F.col("cnt").desc(), "user_id").limit(10)
+    # row_number over the surviving 10 rows only (empty frame = tiny)
+    w = Window.orderBy(F.col("cnt").desc(), "user_id")
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .withColumn("rnk", F.row_number().over(w))
+        .select(
+            "rnk",
+            "user_id",
+            "cnt",
+            F.expr("cnt * 1000000 div total").alias("share_ppm"),
+            "total",
+            "n_keys",
+        )
+    )

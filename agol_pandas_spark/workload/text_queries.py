@@ -1031,3 +1031,70 @@ def sample_weighted_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("doc_id").alias("id_checksum"),
     )
+
+
+@register(
+    "text_token_rank_quality",
+    tags=("text", "quality", "ranking"),
+    oracle=f"""
+    WITH terms AS (
+      SELECT doc_id, unnest({SQL_TOKS.format(src='lower(text)')}) AS token
+      FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS cnt FROM terms
+           GROUP BY doc_id, token),
+    vocab AS (SELECT token, COUNT(*) AS freq FROM terms GROUP BY token),
+    ranked AS (SELECT token,
+                      DENSE_RANK() OVER (ORDER BY freq DESC, token) AS rnk
+               FROM vocab)
+    SELECT tf.doc_id,
+           CAST(SUM(tf.cnt) AS BIGINT) AS n_tokens,
+           CAST(SUM(tf.cnt * r.rnk) AS BIGINT) AS rank_sum,
+           CAST(SUM(tf.cnt * r.rnk) * 1000 // SUM(tf.cnt) AS BIGINT)
+               AS mean_rank_milli
+    FROM tf JOIN ranked r ON tf.token = r.token
+    GROUP BY tf.doc_id
+    """,
+)
+def text_token_rank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-rank quality proxy (poor man's unigram LM): corpus-wide
+    token ranks, rank-weighted mean per doc in exact integer milli-units."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    return textops.token_rank_quality(docs, "doc_id", "text")
+
+
+def _sql_ngrams(toks: str, n: int) -> str:
+    """DuckDB word-n-gram fragment (generalizes dedup_queries.SQL_SHINGLES)."""
+    joined = " || ' ' || ".join(f"{toks}[i+{j}]" if j else f"{toks}[i]"
+                                for j in range(n))
+    return (
+        f"CASE WHEN len({toks}) < {n} THEN [] "
+        f"ELSE list_transform(range(1, len({toks}) - {n - 2}), i -> {joined}) END"
+    )
+
+
+@register(
+    "text_ngram_novelty",
+    tags=("text", "novelty", "dedup"),
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKS.format(src='lower(text)')} AS t FROM documents),
+    sh AS (SELECT doc_id, {_sql_ngrams('t', 8)} AS sh FROM toks),
+    pairs AS (
+      SELECT DISTINCT doc_id, {SQL_HASH60.format(expr='s')} AS h
+      FROM (SELECT doc_id, unnest(sh) AS s FROM sh)),
+    owners AS (SELECT h, MIN(doc_id) AS fo FROM pairs GROUP BY h)
+    SELECT p.doc_id,
+           COUNT(*) AS n_distinct_ngrams,
+           CAST(SUM(CASE WHEN o.fo = p.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel_ngrams,
+           CAST(SUM(CASE WHEN o.fo = p.doc_id THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS novelty_ppm
+    FROM pairs p JOIN owners o ON p.h = o.h
+    GROUP BY p.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document 8-gram novelty: share of a doc's distinct n-grams
+    first seen in this doc (corpus order by id), in exact ppm."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    return textops.ngram_novelty(docs, "doc_id", "text", shingle_size=8)

@@ -303,3 +303,40 @@ def test_weighted_row_sample_properties(spark):
     # rate lands near the weight (hash-uniformity sanity, not a bound)
     assert 0.25 < len(lo) / 2000 < 0.35
     assert 0.65 < len(hi) / 2000 < 0.75
+
+
+def test_token_rank_quality_orders_rare_docs_higher(spark):
+    """A doc of corpus-rare tokens must out-score (higher mean rank) a doc
+    of the corpus's most common tokens; ranks are exact integers."""
+    from agol_pandas_spark.operators import textops
+
+    df = spark.createDataFrame(
+        [
+            (1, "the the the the cat"),
+            (2, "zyzzyva qwop xylyl the"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in
+            textops.token_rank_quality(df, "doc_id", "text").collect()}
+    # 'the' is rank 1 (freq 5); doc 1 = 4x rank1 + cat; doc 2 = 3 rare + the
+    assert rows[1].n_tokens == 5 and rows[2].n_tokens == 4
+    assert rows[2].mean_rank_milli > rows[1].mean_rank_milli
+    assert rows[1].mean_rank_milli == rows[1].rank_sum * 1000 // 5
+
+
+def test_ngram_novelty_repeat_doc_scores_zero(spark):
+    """A verbatim repeat of an earlier doc has zero novel n-grams; the
+    first doc is 100% novel."""
+    from agol_pandas_spark.operators import textops
+
+    base = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, "completely different words " * 3)],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in
+           textops.ngram_novelty(df, "doc_id", "text", shingle_size=8).collect()}
+    assert out[1].novelty_ppm == 1_000_000
+    assert out[2].n_novel_ngrams == 0 and out[2].novelty_ppm == 0
+    assert out[1].n_distinct_ngrams == 3  # 10 tokens -> 3 8-grams
