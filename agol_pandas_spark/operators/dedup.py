@@ -1100,8 +1100,17 @@ def winnow_shared_pairs(
     self-join (one windowed count; a dropped ubiquitous fingerprint is
     boilerplate, not signal — same trade as :func:`lsh_candidate_pairs`).
     ``None`` keeps exact semantics for the oracle-checked query.
+
+    The distinct (id, hash) table is persisted: both join sides read it,
+    and without the cache each side re-runs the upstream winnowing map
+    (tokenize→shingle→md5) over the full corpus. Callers own the cache
+    (see ``similarity.py`` module docstring).
     """
-    hashes = fingerprints.select(F.col(id_col), "fp_hash").distinct()
+    hashes = (
+        fingerprints.select(F.col(id_col), "fp_hash")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     if max_bucket_size is not None:
         wb = Window.partitionBy("fp_hash")
         hashes = (

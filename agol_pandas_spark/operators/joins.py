@@ -137,3 +137,38 @@ def range_join(
     cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
     b = F.broadcast(bands) if broadcast_bands else bands
     return fact.join(b, cond, how)
+
+
+def point_in_time_join(
+    probe: DataFrame,
+    dim: DataFrame,
+    key: str | Sequence[str],
+    probe_ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-time (temporal) dimension lookup: join each probe row to
+    the SCD Type-2 dimension version valid at its timestamp —
+    ``key match AND valid_from <= ts AND (ts < valid_to OR valid_to IS
+    NULL)``. The standard pattern for joining facts to versioned
+    dimensions (the history :func:`~agol_pandas_spark.operators.merge.
+    scd2_history` builds; the reference's last-write-wins upsert,
+    src/agol_pandas.py:398-407, destroys exactly this).
+
+    Scale shape: the key equality makes this a plain equi-join (hash
+    shuffle on the key; broadcast if the dimension is small) with the
+    interval predicate evaluated as a post-join filter on the matched
+    key group — never a cartesian: a fact meets only its own key's
+    versions, and a key's version count is small by construction (one
+    row per change). Non-overlapping ``[valid_from, valid_to)``
+    intervals guarantee at most one match per probe row.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    cond = [probe[k] == dim[k] for k in keys]
+    interval = (probe[probe_ts] >= dim[valid_from]) & (
+        dim[valid_to].isNull() | (probe[probe_ts] < dim[valid_to])
+    )
+    joined = probe.join(dim, cond + [interval], how)
+    # drop the dimension's duplicate key columns: output carries probe keys
+    return joined.drop(*[dim[k] for k in keys])

@@ -1182,3 +1182,44 @@ def semantic_dedup_prune(
         *[F.col(c) for c in assigned.columns],
         F.coalesce(~F.col("__dropped"), F.lit(True)).alias("keep"),
     )
+
+
+def label_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-label embedding centroids in exact fixed point: one row per
+    (label, dim) with the vector count, the scaled component sum, and the
+    truncated mean ``centroid_micro = sum_scaled div n`` (Spark ``div``
+    and DuckDB ``//`` both truncate toward zero, so the quotient is
+    engine-portable — no derived double is rounded). Class prototypes for
+    nearest-centroid classification / domain drift monitoring.
+
+    Scale shape: posexplode to (label, dim, x) then one partially
+    aggregated groupBy — the shuffle carries ``labels × dims`` partial
+    sums per map task, not the corpus. Output is tiny (``labels × dims``
+    rows) and broadcast-joinable downstream.
+    """
+    e = corpus.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "x"),
+    )
+    return (
+        e.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(
+                F.round(F.col("x").cast("double") * scale).cast("long")
+            ).alias("sum_scaled"),
+        )
+        .select(
+            "label",
+            "dim",
+            "n_vectors",
+            "sum_scaled",
+            F.expr("sum_scaled div n_vectors").alias("centroid_micro"),
+        )
+    )

@@ -647,11 +647,20 @@ def token_rank_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
+    from pyspark.storagelevel import StorageLevel
+
     terms = df.select(
         F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
     )
-    tf = terms.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("cnt"))
-    vocab = terms.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    # vocab frequencies derive from tf (freq = Σ tf over docs) so the
+    # corpus is tokenized once; tf feeds both branches through a persist
+    # (callers own the cache — similarity.py module docstring)
+    tf = (
+        terms.groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    vocab = tf.groupBy("token").agg(F.sum("cnt").alias("freq"))
     ranked = vocab.select(
         "token",
         F.dense_rank()
@@ -689,7 +698,12 @@ def ngram_novelty(
     (long, long) pairs — never text. Novelty share is exact ppm (integer
     division).
     """
+    from pyspark.storagelevel import StorageLevel
+
     sh = word_shingles(tokens(F.lower(F.col(text_col))), shingle_size)
+    # persisted: the owner aggregation and the attribution join both read
+    # the pair table; without the cache each re-runs the shingle-hash map
+    # over the corpus (callers own the cache — similarity.py docstring)
     pairs = df.select(
         F.col(id_col),
         F.explode(
@@ -697,7 +711,7 @@ def ngram_novelty(
                 F.transform(sh, lambda s: portable_hash60(s))
             )
         ).alias("sh"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     owners = pairs.groupBy("sh").agg(F.min(id_col).alias("first_owner"))
     per_doc = (
         pairs.join(owners, "sh")

@@ -610,6 +610,7 @@ def dedup_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_winnow_shared_pairs",
+    headline=True,
     tags=("dedup", "winnow"),
     oracle=_SQL_WINNOW_FP
     + """

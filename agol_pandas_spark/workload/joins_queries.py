@@ -114,3 +114,65 @@ def join_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
         )
     )
+
+
+@register(
+    "join_scd2_point_in_time",
+    tags=("join", "scd2", "temporal", "events"),
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(event_type) OVER w IS NULL
+                    OR LAG(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    versioned AS (
+      SELECT user_id, ts, event_type,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS ver
+      FROM ordered),
+    runs AS (
+      SELECT user_id, ver, event_type, MIN(ts) AS vf
+      FROM versioned GROUP BY user_id, ver, event_type),
+    dim AS (
+      SELECT user_id, event_type, vf,
+             LEAD(vf) OVER (PARTITION BY user_id ORDER BY ver) AS vt
+      FROM runs),
+    probe AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id,
+           d.event_type AS version_type,
+           epoch_us(p.ts) AS ts_us,
+           epoch_us(d.vf) AS valid_from_us
+    FROM probe p JOIN dim d
+      ON p.user_id = d.user_id
+     AND p.ts >= d.vf AND (d.vt IS NULL OR p.ts < d.vt)
+    """,
+)
+def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against the SCD Type-2 dimension built by
+    ``scd2_history``: each purchase event joins the user's event-type
+    version valid at its timestamp. Key equi-join + interval filter —
+    never a cartesian; exactly one version matches per probe row."""
+    from agol_pandas_spark.operators.joins import point_in_time_join
+    from agol_pandas_spark.operators.merge import scd2_history
+
+    ev = Catalog(spark, sf_dir).table("events")
+    dim = scd2_history(
+        ev, key="user_id", ts_col="ts", tracked="event_type",
+        tie_breakers=[F.col("event_id")],
+    ).select("user_id", "event_type", "valid_from", "valid_to")
+    probe = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    pit = point_in_time_join(probe, dim, "user_id", "ts")
+    return pit.select(
+        "event_id",
+        "user_id",
+        F.col("event_type").alias("version_type"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("valid_from").alias("valid_from_us"),
+    )

@@ -1545,11 +1545,20 @@ def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
+    from pyspark.storagelevel import StorageLevel
+
     li = Catalog(spark, sf_dir).table("lineitem").select(
         "l_returnflag",
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("pc"),
     )
-    hist = li.groupBy("l_returnflag", "pc").agg(F.count(F.lit(1)).alias("cnt"))
+    # the value histogram feeds four downstream branches (median, deviation
+    # histogram, MAD, outlier count) — persist it so the corpus is scanned
+    # once; the histogram is distinct cents per group, tiny at any scale
+    hist = (
+        li.groupBy("l_returnflag", "pc")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     def lower_median(df, val_col, out_col):
         w_cum = (

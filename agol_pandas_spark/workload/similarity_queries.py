@@ -626,3 +626,29 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_id="query_id", corpus_id="vec_id", pivot_id="pivot_id",
         k=10, nprobe=3,
     )
+
+
+@register(
+    "sim_label_centroids",
+    tags=("similarity", "centroids", "embeddings"),
+    oracle="""
+    WITH e AS (
+      SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+             unnest(embedding) AS x
+      FROM embeddings)
+    SELECT label, CAST(dim AS INTEGER) AS dim,
+           COUNT(*) AS n_vectors,
+           SUM(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+               AS sum_scaled,
+           CAST(SUM(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                // COUNT(*) AS BIGINT) AS centroid_micro
+    FROM e GROUP BY label, dim
+    """,
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid components in exact fixed point (truncated
+    integer mean — identical div semantics in both engines)."""
+    from agol_pandas_spark.operators.similarity import label_centroids
+
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    return label_centroids(emb, "vec_id", "embedding", "label")

@@ -151,3 +151,43 @@ def test_salted_join_left_and_anti_row_identical(spark):
     assert sorted(map(tuple, left.collect())) == sorted(map(tuple, plain.collect()))
     anti = salted_join(fact, dim, on=["k"], salt_buckets=4, how="left_anti")
     assert sorted(r["k"] for r in anti.collect()) == list(range(8, 20))
+
+
+def test_point_in_time_join_picks_valid_version(spark):
+    """Each probe matches exactly the version whose [valid_from, valid_to)
+    interval contains its ts; the open current version catches the tail."""
+    from agol_pandas_spark.operators.joins import point_in_time_join
+
+    dim = spark.createDataFrame(
+        [
+            (1, "bronze", 0, 100),
+            (1, "silver", 100, 200),
+            (1, "gold", 200, None),
+            (2, "bronze", 50, None),
+        ],
+        ["k", "tier", "valid_from", "valid_to"],
+    )
+    probe = spark.createDataFrame(
+        [(10, 1, 5), (11, 1, 100), (12, 1, 999), (13, 2, 49), (14, 3, 5)],
+        ["pid", "k", "ts"],
+    )
+    out = {
+        r.pid: r.tier
+        for r in point_in_time_join(probe, dim, "k", "ts").collect()
+    }
+    # boundary ts=100 belongs to the NEXT version (half-open intervals);
+    # ts before key 2's first version and unknown key 3 drop out (inner)
+    assert out == {10: "bronze", 11: "silver", 12: "gold"}
+
+
+def test_point_in_time_join_left_keeps_unmatched(spark):
+    from agol_pandas_spark.operators.joins import point_in_time_join
+
+    dim = spark.createDataFrame(
+        [(1, "a", 0, None)], "k long, v string, valid_from long, valid_to long"
+    )
+    probe = spark.createDataFrame([(1, 1, 5), (2, 9, 5)], ["pid", "k", "ts"])
+    rows = point_in_time_join(probe, dim, "k", "ts", how="left").collect()
+    assert {r.pid: r.v for r in rows} == {1: "a", 2: None}
+    # no duplicated key columns in the output
+    assert [c for c in rows[0].asDict() if c == "k"] == ["k"]

@@ -234,3 +234,27 @@ def test_semantic_prune_joins_on_cell_only(q):
     plan = formatted_plan(q("dedup_semantic_prune"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_winnow_fingerprints_no_shuffle(q):
+    # winnowing selection is per-document array math — a pure map stage;
+    # any Exchange means the window-min fell back to a per-doc shuffle
+    plan = formatted_plan(q("dedup_winnow_fingerprints"))
+    assert "Exchange" not in plan
+
+
+def test_key_skew_uses_take_ordered(q):
+    # top-10 heavy hitters must be TakeOrderedAndProject over the key agg,
+    # never a global sort or a window over all keys
+    plan = formatted_plan(q("stats_key_skew"))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_mad_outliers_single_corpus_scan(q):
+    # the value histogram feeds four branches through a persisted cache —
+    # every downstream reference must read the cache (InMemoryTableScan),
+    # so lineitem materializes once; scan reads only the two needed columns
+    plan = formatted_plan(q("stats_mad_outliers"))
+    assert "InMemoryTableScan" in plan
+    cols = read_schema_columns(q("stats_mad_outliers"))
+    assert all(set(c) <= {"l_returnflag", "l_extendedprice"} for c in cols)

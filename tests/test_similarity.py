@@ -461,3 +461,24 @@ def test_round_away_kernel_three_way_agreement(spark):
     spark_r = np.asarray([r["r"] for r in srows], dtype=np.int64)
     assert (kernel == duck).all(), arr[kernel != duck][:5]
     assert (kernel == spark_r).all(), arr[kernel != spark_r][:5]
+
+
+def test_label_centroids_exact_values(spark):
+    from agol_pandas_spark.operators.similarity import label_centroids
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -0.5], "a"),
+            (2, [0.0, 0.25], "a"),
+            (3, [2.0, 2.0], "b"),
+        ],
+        ["vec_id", "embedding", "label"],
+    )
+    rows = {(r.label, r.dim): r for r in
+            label_centroids(df, "vec_id", "embedding", "label").collect()}
+    assert rows[("a", 0)].sum_scaled == 1_000_000
+    assert rows[("a", 0)].centroid_micro == 500_000
+    # negative sum: truncation toward zero, matching DuckDB //
+    assert rows[("a", 1)].sum_scaled == -250_000
+    assert rows[("a", 1)].centroid_micro == -125_000
+    assert rows[("b", 0)].n_vectors == 1
