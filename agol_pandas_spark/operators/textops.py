@@ -731,3 +731,74 @@ def ngram_novelty(
             "novelty_ppm"
         ),
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: Sequence[str],
+    n_docs: int | None = None,
+    top_k: int = 50,
+) -> DataFrame:
+    """BM25 retrieval scoring against a fixed query, in exact integer
+    arithmetic (k1 = 3/2, b = 3/4 — the standard constants as rationals).
+
+    The classical formula's only non-rational piece is ``ln`` in the idf;
+    this variant scores with the odds ratio itself,
+    ``idf_ppm = 10⁶·(2(N−df)+1) div (2·df+1)`` — per-term ranking is
+    monotone-identical to the ln form, and the result is engine-portable
+    (no transcendental ever evaluated, so no libm ulp drift). The tf
+    saturation term is cleared of fractions by scaling through ``8A``
+    (A = total corpus tokens):
+    ``tf_norm_ppm = 10⁶·20·A·tf div (8·A·tf + 3·A + 9·dl·N)``.
+    Per-term score = ``tf_norm_ppm · idf_ppm``; doc score = Σ over query
+    terms. Integer bounds: fits 2⁶³ up to ~10¹² corpus tokens at ppm
+    scale; beyond that drop to per-mille.
+
+    Scale shape: document length is ``size(tokens(text))`` — a map, no
+    explode; only QUERY-term postings explode and aggregate (the isin
+    filter prunes inside the same stage), so the tf shuffle carries a few
+    rows per matching doc. df and the (A) total are broadcast; top-k is
+    orderBy+limit = TakeOrderedAndProject.
+    """
+    terms = [t.lower() for t in query_terms]
+    base = df.select(F.col(id_col), F.lower(F.col(text_col)).alias("__t"))
+    dl = base.select(F.col(id_col), F.size(tokens(F.col("__t"))).cast("long").alias("dl"))
+    totals = dl.agg(F.sum("dl").alias("A"))
+    if n_docs is None:
+        n_docs = df.count()
+    tf = (
+        base.select(F.col(id_col), F.explode(tokens(F.col("__t"))).alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    scored = (
+        tf.join(F.broadcast(dft), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(totals))
+        .withColumn("N", F.lit(int(n_docs)).cast("long"))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            F.expr(
+                "1000000 * 20 * A * tf div (8 * A * tf + 3 * A + 9 * dl * N)"
+            ).alias("tf_norm_ppm"),
+            F.expr("1000000 * (2 * (N - df_t) + 1) div (2 * df_t + 1)").alias(
+                "idf_ppm"
+            ),
+        )
+        .withColumn("term_score", F.col("tf_norm_ppm") * F.col("idf_ppm"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            F.sum("term_score").alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(top_k)
+    )

@@ -627,3 +627,41 @@ def dedup_winnow_shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir).table("documents")
     fps = dedup.winnow_fingerprints(docs, "doc_id", "text")
     return dedup.winnow_shared_pairs(fps, "doc_id", min_shared=2)
+
+
+@register(
+    "dedup_jaccard_prefix_pairs",
+    tags=("dedup", "jaccard", "prefix-filter"),
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKS.format(src='text')} AS t FROM documents),
+    sh AS (
+      SELECT doc_id, {SQL_SHINGLES.format(toks='t')} AS sh FROM toks),
+    sets AS (
+      SELECT doc_id,
+             list_distinct(list_transform(sh, s -> {SQL_HASH60.format(expr='s')}))
+                 AS hs
+      FROM sh),
+    ex AS (SELECT doc_id, unnest(hs) AS h FROM sets),
+    sizes AS (SELECT doc_id, len(hs) AS n FROM sets),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b, n_inter,
+           CAST(sa.n AS INTEGER) AS n_a, CAST(sb.n AS INTEGER) AS n_b,
+           CAST(n_inter * 1000000 // (sa.n + sb.n - n_inter) AS BIGINT)
+               AS jaccard_ppm
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE 2 * n_inter >= sa.n + sb.n - n_inter
+    """,
+)
+def dedup_jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unblocked exact Jaccard >= 1/2 similarity join via prefix filtering
+    (PPJoin family): the engine runs the frequency-ordered prefix join;
+    the oracle brute-forces every token-sharing pair. Equal outputs prove
+    the prefix filter is lossless, and every count is integer-exact."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    return dedup.jaccard_prefix_pairs(docs, "doc_id", "text")

@@ -1098,3 +1098,45 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     first seen in this doc (corpus order by id), in exact ppm."""
     docs = Catalog(spark, sf_dir).table("documents")
     return textops.ngram_novelty(docs, "doc_id", "text", shingle_size=8)
+
+
+@register(
+    "text_bm25_topk",
+    tags=("text", "retrieval", "bm25"),
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {SQL_TOKS.format(src='lower(text)')} AS toks
+      FROM documents),
+    dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM base),
+    tot AS (SELECT SUM(dl) AS A, COUNT(*) AS N FROM dl),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM base)
+      WHERE term IN ('hash', 'join', 'strategy')
+      GROUP BY doc_id, term),
+    dft AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(1000000 * 20 * A * tf
+                  // (8 * A * tf + 3 * A + 9 * dl.dl * N) AS BIGINT)
+             * CAST(1000000 * (2 * (N - df_t) + 1) // (2 * df_t + 1) AS BIGINT)
+                 AS term_score
+      FROM tf JOIN dft ON tf.term = dft.term
+              JOIN dl ON tf.doc_id = dl.doc_id, tot)
+    SELECT doc_id, COUNT(*) AS n_terms_hit,
+           CAST(SUM(term_score) AS BIGINT) AS score
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 50
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-50 for the query {hash, join, strategy} — exact integer
+    arithmetic end to end (rational idf surrogate, 8A-cleared saturation;
+    'strategy' is out-of-vocabulary and contributes nothing)."""
+    cat = Catalog(spark, sf_dir)
+    docs = cat.table("documents")
+    return textops.bm25_scores(
+        docs, "doc_id", "text", ("hash", "join", "strategy"),
+        n_docs=cat.row_count("documents"),
+    )

@@ -452,3 +452,45 @@ def test_winnow_hot_bucket_cap(spark):
         fps, "doc_id", min_shared=1, max_bucket_size=3
     )
     assert capped.count() == 0
+
+
+def test_jaccard_prefix_pairs_matches_bruteforce(spark):
+    """The prefix-filtered join must return exactly the brute-force pairs
+    with J >= 1/2 (lossless filter), with exact counts."""
+    from agol_pandas_spark.operators import dedup
+
+    docs = [
+        (1, "alpha bravo charlie delta echo foxtrot"),
+        (2, "alpha bravo charlie delta echo golf"),      # high overlap w/ 1
+        (3, "alpha bravo charlie delta echo foxtrot"),   # identical to 1
+        (4, "completely different words with nothing shared here"),
+        (5, "zulu yankee xray whiskey victor uniform"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    def shingles(text):
+        t = text.split()
+        return {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+
+    want = {}
+    for i, (ia, ta) in enumerate(docs):
+        for ib, tb in docs[i + 1:]:
+            A, B = shingles(ta), shingles(tb)
+            inter = len(A & B)
+            if inter and 2 * inter >= len(A | B):
+                want[(ia, ib)] = (inter, len(A), len(B))
+    got = {
+        (r.id_a, r.id_b): (r.n_inter, r.n_a, r.n_b)
+        for r in dedup.jaccard_prefix_pairs(df, "doc_id", "text").collect()
+    }
+    assert got == want and (1, 3) in got
+
+
+def test_jaccard_prefix_threshold_validation(spark):
+    import pytest as _pytest
+
+    from agol_pandas_spark.operators import dedup
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        dedup.jaccard_prefix_pairs(df, "doc_id", "text", threshold=(3, 2))

@@ -340,3 +340,30 @@ def test_ngram_novelty_repeat_doc_scores_zero(spark):
     assert out[1].novelty_ppm == 1_000_000
     assert out[2].n_novel_ngrams == 0 and out[2].novelty_ppm == 0
     assert out[1].n_distinct_ngrams == 3  # 10 tokens -> 3 8-grams
+
+
+def test_bm25_exact_small_corpus(spark):
+    """BM25 integer formula verified against a hand-computed tiny corpus;
+    OOV query terms contribute nothing."""
+    from agol_pandas_spark.operators import textops
+
+    docs = [
+        (1, "hash hash hash join"),
+        (2, "join scan filter sort"),
+        (3, "scan filter sort merge"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = {r.doc_id: r for r in textops.bm25_scores(
+        df, "doc_id", "text", ("hash", "join", "missingterm"), n_docs=3
+    ).collect()}
+    assert 3 not in rows  # no query term
+    assert rows[1].n_terms_hit == 2 and rows[2].n_terms_hit == 1
+    # hand computation: A=12, N=3; doc1 'hash': tf=3, dl=4, df=1
+    A, N = 12, 3
+    tfn = 1_000_000 * 20 * A * 3 // (8 * A * 3 + 3 * A + 9 * 4 * N)
+    idf = 1_000_000 * (2 * (N - 1) + 1) // (2 * 1 + 1)
+    # doc1 'join': tf=1, df=2
+    tfn_j = 1_000_000 * 20 * A * 1 // (8 * A * 1 + 3 * A + 9 * 4 * N)
+    idf_j = 1_000_000 * (2 * (N - 2) + 1) // (2 * 2 + 1)
+    assert rows[1].score == tfn * idf + tfn_j * idf_j
+    assert rows[1].score > rows[2].score
