@@ -302,3 +302,41 @@ def scd2_history(
         .withColumn("is_current", F.col("valid_to").isNull())
         .drop("__ver")
     )
+
+
+def apply_changes(
+    target: DataFrame,
+    changes: DataFrame,
+    key: str | Sequence[str],
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+    tie_breakers: Sequence[Column] = (),
+) -> DataFrame:
+    """Apply a CDC change log to a table — the APPLY CHANGES / MERGE
+    pattern with DELETE semantics the reference's five write modes lack
+    entirely (``src/agol_pandas.py:361`` has no delete; a tombstone
+    upserted through AGOL stays forever).
+
+    Per key, the change with the highest ``seq_col`` (ties broken by
+    ``tie_breakers``) wins: a ``delete_op`` row removes the key; any
+    other op upserts the row's payload (insert-if-absent and update
+    collapse — last-writer-wins, matching Delta-style APPLY CHANGES
+    semantics). Out-of-order delivery is handled by the sequence column,
+    not arrival order — the property CDC pipelines actually need.
+
+    Shape: one shuffle to pick the latest change per key (window
+    row_number), one left-anti join to drop touched keys from the
+    target, one union. Shuffles carry the change log (small, incremental)
+    and the target's key column; nothing rescans history.
+    """
+    from agol_pandas_spark.operators.dedup import latest_wins_dedup
+
+    keys = [key] if isinstance(key, str) else list(key)
+    latest = latest_wins_dedup(
+        changes, keys=keys, ts_col=seq_col, tie_breakers=list(tie_breakers)
+    )
+    upserts = latest.filter(F.col(op_col) != delete_op).drop(op_col, seq_col)
+    touched = latest.select(*keys)
+    kept = target.join(touched, on=keys, how="left_anti")
+    return kept.unionByName(upserts)

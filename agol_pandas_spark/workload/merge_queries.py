@@ -329,3 +329,51 @@ def merge_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "merge_apply_cdc_log",
+    tags=("merge", "cdc", "delete"),
+    oracle="""
+    WITH tgt AS (
+      SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer),
+    chg AS (
+      SELECT o_custkey AS c_custkey,
+             CASE WHEN o_custkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+             o_orderkey AS seq,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS bal_cents
+      FROM orders),
+    latest AS (
+      SELECT c_custkey, op, bal_cents FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                     ORDER BY seq DESC) AS rn
+        FROM chg) WHERE rn = 1),
+    kept AS (
+      SELECT t.c_custkey, t.bal_cents
+      FROM tgt t LEFT JOIN latest l ON t.c_custkey = l.c_custkey
+      WHERE l.c_custkey IS NULL)
+    SELECT c_custkey, bal_cents FROM kept
+    UNION ALL
+    SELECT c_custkey, bal_cents FROM latest WHERE op <> 'D'
+    """,
+)
+def merge_apply_cdc_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC APPLY CHANGES with deletes: a change log derived from orders
+    (highest order key per customer wins; customers ending in 0 get
+    tombstones) applied to the customer balance table — the delete
+    semantics the reference's five write modes cannot express."""
+    from agol_pandas_spark.operators.merge import apply_changes
+
+    cat = Catalog(spark, sf_dir)
+    tgt = cat.table("customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    chg = cat.table("orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.when(F.col("o_custkey") % 10 == 0, "D").otherwise("U").alias("op"),
+        F.col("o_orderkey").alias("seq"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("bal_cents"),
+    )
+    return apply_changes(tgt, chg, key="c_custkey", seq_col="seq")

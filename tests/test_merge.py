@@ -177,3 +177,26 @@ def test_scd2_history_versions_and_incremental_replay(spark):
     # incremental replay: same history from two batches
     merged = log.filter(F.col("ts") <= 25).unionByName(log.filter(F.col("ts") > 25))
     assert build(merged) == got
+
+
+def test_apply_changes_delete_upsert_insert_out_of_order(spark):
+    """Highest-sequence change wins regardless of arrival order; deletes
+    remove keys; unseen keys insert; untouched target rows survive."""
+    from agol_pandas_spark.operators.merge import apply_changes
+
+    tgt = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], ["k", "v"]
+    )
+    chg = spark.createDataFrame(
+        [
+            (1, "U", 5, 11),   # stale update...
+            (1, "D", 9, 0),    # ...overridden by later delete
+            (2, "U", 3, 21),   # plain update
+            (4, "I", 1, 40),   # insert of a new key
+            (5, "D", 2, 0),    # delete of a key the target never had
+        ],
+        ["k", "op", "seq", "v"],
+    )
+    out = {r.k: r.v for r in
+           apply_changes(tgt, chg, key="k", seq_col="seq").collect()}
+    assert out == {2: 21, 3: 30, 4: 40}
