@@ -665,3 +665,67 @@ def dedup_jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the prefix filter is lossless, and every count is integer-exact."""
     docs = Catalog(spark, sf_dir).table("documents")
     return dedup.jaccard_prefix_pairs(docs, "doc_id", "text")
+
+
+@register(
+    "pipeline_dedup_survivorship",
+    tags=("pipeline", "dedup", "clustering", "survivorship"),
+    oracle=f"""
+    WITH lsh AS ({REGISTRY["dedup_minhash_lsh_pairs"].oracle}),
+    pairs AS (SELECT id_a, id_b FROM lsh WHERE n_matching_hashes >= 4),
+    edges2 AS (SELECT id_a AS a, id_b AS b FROM pairs
+               UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS node FROM edges2)
+    , reach AS (
+      WITH RECURSIVE r(node, label) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.b, r.label FROM r JOIN edges2 e ON e.a = r.node
+      ) SELECT * FROM r),
+    comps AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+    members AS (
+      SELECT c.component, d.doc_id, d.n_chars
+      FROM comps c JOIN documents d ON d.doc_id = c.node),
+    ranked AS (
+      SELECT component, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY component
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY component) AS n_members
+      FROM members)
+    SELECT component, doc_id AS survivor_doc_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           n_chars AS survivor_chars
+    FROM ranked WHERE rn = 1
+    """,
+)
+def pipeline_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity-resolution survivorship over the dedup stack:
+    MinHash-LSH near-dup pairs → connected components → one golden record
+    per cluster (longest document wins, ties to the smallest id). The
+    full pipeline — signature map, banded join, iterative CC, survivor
+    window — value-checked as one composed plan against a recursive-CTE
+    + window oracle."""
+    from pyspark.sql import Window
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    pairs = dedup.minhash_dedup_pairs(docs, "doc_id", "text", min_agreement=4)
+    comps = dedup.connected_components(pairs, "id_a", "id_b")
+    members = comps.join(
+        docs.select("doc_id", "n_chars"),
+        comps["node"] == F.col("doc_id"),
+    ).select("component", "doc_id", "n_chars")
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    wc = Window.partitionBy("component")
+    return (
+        members.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("survivor_doc_id"),
+            "n_members",
+            F.col("n_chars").alias("survivor_chars"),
+        )
+    )

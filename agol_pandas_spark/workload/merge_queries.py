@@ -377,3 +377,47 @@ def merge_apply_cdc_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("long").alias("bal_cents"),
     )
     return apply_changes(tgt, chg, key="c_custkey", seq_col="seq")
+
+
+@register(
+    "merge_incremental_agg",
+    tags=("merge", "incremental", "materialized-view"),
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           COUNT(*) AS n_orders,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+    FROM orders GROUP BY month
+    """,
+)
+def merge_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: the standing
+    monthly-revenue aggregate (built from the 'already ingested' 80% of
+    orders) is updated with a delta batch by MERGING PARTIAL AGGREGATES —
+    sum/count are mergeable, so the refresh never rescans history. The
+    oracle recomputes from scratch over all orders; equality proves
+    incremental == full. At 100 TB this is the difference between a
+    per-batch shuffle over the delta and a daily full-table pass.
+    """
+    cat = Catalog(spark, sf_dir)
+    orders = cat.table("orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+
+    def partial(df):
+        return df.groupBy("month").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("total_cents"),
+        )
+
+    standing = partial(orders.filter(F.col("o_orderkey") % 5 != 0))
+    delta = partial(orders.filter(F.col("o_orderkey") % 5 == 0))
+    return (
+        standing.unionByName(delta)
+        .groupBy("month")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("total_cents").alias("total_cents"),
+        )
+    )
