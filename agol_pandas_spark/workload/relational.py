@@ -1665,3 +1665,52 @@ def stats_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_keys",
         )
     )
+
+
+@register(
+    "events_anomaly_zscore",
+    tags=("events", "anomaly", "stats"),
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, epoch_ms(ts) // 3600000 AS hour, COUNT(*) AS c
+      FROM events GROUP BY event_type, hour),
+    moments AS (
+      SELECT event_type, COUNT(*) AS h,
+             SUM(c) AS s, SUM(c * c) AS s2
+      FROM hourly GROUP BY event_type)
+    SELECT hr.event_type, hr.hour, hr.c,
+           ((hr.c * m.h - m.s) * (hr.c * m.h - m.s)
+              > 9 * (m.h * m.s2 - m.s * m.s)) AS is_anomaly
+    FROM hourly hr JOIN moments m ON hr.event_type = m.event_type
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-sigma anomaly flags on hourly event volumes with ZERO floating
+    point: |c − μ| > 3σ is cross-multiplied into
+    ``(c·H − S)² > 9·(H·Σc² − S²)`` over integer moments — no division,
+    no sqrt, engine-portable by construction. Scale shape: one hourly
+    aggregation (map-side combined), a per-type moment row broadcast
+    back; the anomaly predicate is a codegen map.
+    """
+    ev = Catalog(spark, sf_dir).table("events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr("unix_millis(ts) div 3600000").alias("hour"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    moments = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("h"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    d = F.col("c") * F.col("h") - F.col("s")
+    return hourly.join(F.broadcast(moments), "event_type").select(
+        "event_type",
+        "hour",
+        "c",
+        (d * d > 9 * (F.col("h") * F.col("s2") - F.col("s") * F.col("s")))
+        .alias("is_anomaly"),
+    )

@@ -1140,3 +1140,42 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", ("hash", "join", "strategy"),
         n_docs=cat.row_count("documents"),
     )
+
+
+@register(
+    "sample_kfold_assignment",
+    tags=("sampling", "folds"),
+    oracle=f"""
+    WITH folds AS (
+      SELECT doc_id, n_chars,
+             {SQL_HASH60.format(expr="'fold' || CAST(doc_id AS VARCHAR)")} % 5
+                 AS fold
+      FROM documents)
+    SELECT fold, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+    FROM folds GROUP BY fold
+    """,
+)
+def sample_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: fold = salted
+    row hash mod k — membership is a pure row function (stable across
+    partitionings, re-runs, and engines, unlike randomSplit), and the
+    per-fold accounting is value-checked."""
+    from agol_pandas_spark.functions.text import portable_hash60
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    folds = docs.select(
+        "doc_id",
+        "n_chars",
+        F.pmod(
+            portable_hash60(F.concat(F.lit("fold"), F.col("doc_id").cast("string"))),
+            F.lit(5),
+        ).alias("fold"),
+    )
+    return folds.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
