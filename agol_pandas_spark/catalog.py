@@ -169,13 +169,24 @@ class Catalog:
 
     # -- write (atomic) -----------------------------------------------------
 
-    def write(self, df: DataFrame, name: str, mode: str = "error") -> str:
+    def write(
+        self, df: DataFrame, name: str, mode: str = "error",
+        keep_versions: int = 0,
+    ) -> str:
         """Atomically materialize ``df`` as catalog table ``name``.
 
         ``mode``: ``error`` (create, fail if exists — reference
         ``create_table``, ``src/agol_pandas.py:477-544``) or ``overwrite``
         (truncate-and-load — reference ``:396``). Append/merge semantics
         live in ``operators.merge`` because they need the existing table.
+
+        ``keep_versions > 0`` turns every overwrite into a VERSIONED
+        commit: the replaced snapshot is archived (rename — no data copy)
+        under ``.versions/<name>/``, the newest ``keep_versions`` archives
+        are retained, and :meth:`table_at` / :meth:`restore` give time
+        travel and rollback. The reference's truncate-and-load
+        (``:396``) destroys the previous state irrecoverably — this is
+        the lakehouse-standard fix, built on the same two-phase commit.
         """
         target = self.path(name)
         if mode == "error" and os.path.exists(target):
@@ -193,6 +204,10 @@ class Catalog:
             if backup:
                 os.rename(backup, target)  # roll back the swap
             raise
+        else:
+            if backup and keep_versions > 0:
+                self._archive_version(name, backup, keep_versions)
+                backup = None
         finally:
             if backup and os.path.exists(backup):
                 shutil.rmtree(backup, ignore_errors=True)
@@ -200,6 +215,54 @@ class Catalog:
         # column); the footer cache must not outlive the file it described
         self._ns_cols.pop(target, None)
         return target
+
+    # -- versioning (time travel / rollback) --------------------------------
+
+    def _version_dir(self, name: str) -> str:
+        return os.path.join(self.root, ".versions", normalize_service_name(name))
+
+    def _version_path(self, name: str, version: int) -> str:
+        return os.path.join(self._version_dir(name), f"v{version:06d}.parquet")
+
+    def _archive_version(self, name: str, snapshot: str, keep: int) -> None:
+        vdir = self._version_dir(name)
+        os.makedirs(vdir, exist_ok=True)
+        nxt = max(self.versions(name), default=0) + 1
+        os.rename(snapshot, self._version_path(name, nxt))
+        for v in sorted(self.versions(name), reverse=True)[keep:]:
+            shutil.rmtree(self._version_path(name, v), ignore_errors=True)
+
+    def versions(self, name: str) -> list[int]:
+        """Archived version numbers for ``name``, oldest first (empty when
+        the table was never overwritten with ``keep_versions``)."""
+        vdir = self._version_dir(name)
+        if not os.path.isdir(vdir):
+            return []
+        out = []
+        for f in os.listdir(vdir):
+            if f.startswith("v") and f.endswith(".parquet"):
+                out.append(int(f[1:-len(".parquet")]))
+        return sorted(out)
+
+    def table_at(self, name: str, version: int) -> DataFrame:
+        """Time travel: lazy scan of an archived snapshot of ``name``."""
+        p = self._version_path(name, version)
+        if not os.path.exists(p):
+            raise TableNotFoundError(
+                f"table {name!r} has no archived version {version} "
+                f"(available: {self.versions(name)})"
+            )
+        return self.spark.read.parquet(p)
+
+    def restore(self, name: str, version: int) -> str:
+        """Rollback: make archived ``version`` the current table through
+        the same atomic commit (the displaced current state is archived in
+        turn, so a restore is itself undoable)."""
+        df = self.table_at(name, version)
+        return self.write(
+            df, name, mode="overwrite",
+            keep_versions=len(self.versions(name)) + 1,
+        )
 
     def compact(self, name: str, target_file_bytes: int = 128 * 1024 * 1024) -> str:
         """Rewrite a table into ~``target_file_bytes`` files (small-files
@@ -228,6 +291,7 @@ class Catalog:
         p = self.path(name)
         if os.path.exists(p):
             shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+        shutil.rmtree(self._version_dir(name), ignore_errors=True)
         self._ns_cols.pop(p, None)
 
 

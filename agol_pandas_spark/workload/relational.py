@@ -1714,3 +1714,116 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         (d * d > 9 * (F.col("h") * F.col("s2") - F.col("s") * F.col("s")))
         .alias("is_anomaly"),
     )
+
+
+@register(
+    "events_time_weighted_avg",
+    tags=("events", "timeseries", "twap"),
+    oracle="""
+    WITH seg AS (
+      SELECT user_id,
+             CAST(round(value * 10000) AS BIGINT) AS v,
+             epoch_us(ts) AS t,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS t_next
+      FROM events),
+    w AS (
+      SELECT user_id, v, t_next - t AS dt
+      FROM seg WHERE t_next IS NOT NULL)
+    SELECT user_id,
+           COUNT(*) AS n_segments,
+           CAST(SUM(dt) AS BIGINT) AS total_us,
+           CAST(SUM(v * dt) AS BIGINT) AS weighted_sum,
+           CAST(SUM(v * dt) // SUM(dt) AS BIGINT) AS twap_scaled
+    FROM w GROUP BY user_id
+    """,
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP) of each user's event value: every
+    reading holds until the next one, weighted by its holding interval in
+    exact integer microseconds; values are fixed-point 1e-4 units and the
+    final mean is one integer division (identical truncation semantics in
+    both engines). The IoT/finance staple the plain AVG gets wrong under
+    irregular sampling. One window shuffle on (user, ts); weights never
+    leave integer space.
+    """
+    from pyspark.sql.window import Window
+
+    ev = Catalog(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = ev.select(
+        "user_id",
+        F.round(F.col("value") * 10000).cast("long").alias("v"),
+        F.unix_micros("ts").alias("t"),
+        F.lead(F.unix_micros("ts")).over(w).alias("t_next"),
+    ).filter(F.col("t_next").isNotNull())
+    return (
+        seg.select("user_id", "v", (F.col("t_next") - F.col("t")).alias("dt"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum("dt").alias("total_us"),
+            F.sum(F.col("v") * F.col("dt")).alias("weighted_sum"),
+        )
+        .select(
+            "user_id",
+            "n_segments",
+            "total_us",
+            "weighted_sum",
+            F.expr("weighted_sum div total_us").alias("twap_scaled"),
+        )
+    )
+
+
+@register(
+    "stats_equidepth_histogram",
+    tags=("stats", "histogram", "optimizer"),
+    oracle="""
+    WITH scaled AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders),
+    ranked AS (
+      SELECT pc, ROW_NUMBER() OVER (ORDER BY pc) AS rn, COUNT(*) OVER () AS n
+      FROM scaled),
+    bucketed AS (
+      SELECT pc, ((rn - 1) * 8) // n AS bucket FROM ranked)
+    SELECT bucket, COUNT(*) AS n_rows,
+           MIN(pc) AS lo_cents, MAX(pc) AS hi_cents,
+           CAST(SUM(pc) AS BIGINT) AS sum_cents
+    FROM bucketed GROUP BY bucket
+    """,
+)
+def stats_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-height) histogram of order totals — the
+    optimizer-statistics building block: 8 buckets of (near-)equal row
+    count via integer rank arithmetic ``bucket = (rn−1)·B div n``, with
+    per-bucket bounds and exact sums. Ties land deterministically because
+    equal values share contiguous ranks.
+
+    Scale note: the global row_number here is the *exact* formulation
+    (fine up to ~10⁸ distinct rows); the 100 TB shape swaps the rank for
+    ``approx_percentile`` boundaries or the cumulative distinct-value
+    histogram used by ``agg_exact_percentiles`` — same output contract.
+    """
+    from pyspark.sql.window import Window
+
+    orders = Catalog(spark, sf_dir).table("orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("pc")
+    )
+    w = Window.orderBy("pc")
+    ranked = orders.select(
+        "pc",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return (
+        ranked.select(
+            "pc", F.expr("((rn - 1) * 8) div n").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("pc").alias("lo_cents"),
+            F.max("pc").alias("hi_cents"),
+            F.sum("pc").alias("sum_cents"),
+        )
+    )

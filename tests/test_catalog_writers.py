@@ -158,3 +158,47 @@ def test_row_count_metadata_only(spark, sf_dir):
     assert cat.row_count("documents") == cat.table("documents").count()
     with pytest.raises(TableNotFoundError):
         cat.row_count("nope")
+
+
+def test_versioned_overwrite_time_travel_and_restore(spark, tmp_path):
+    """keep_versions archives replaced snapshots by rename; table_at time
+    travels; restore rolls back atomically and is itself undoable."""
+    from agol_pandas_spark.catalog import Catalog
+    from agol_pandas_spark.errors import TableNotFoundError
+
+    cat = Catalog(spark, str(tmp_path))
+    v1 = spark.createDataFrame([(1, "a")], ["k", "v"])
+    v2 = spark.createDataFrame([(2, "b")], ["k", "v"])
+    v3 = spark.createDataFrame([(3, "c")], ["k", "v"])
+    cat.write(v1, "t", mode="error")
+    assert cat.versions("t") == []
+    cat.write(v2, "t", mode="overwrite", keep_versions=2)
+    cat.write(v3, "t", mode="overwrite", keep_versions=2)
+    assert cat.versions("t") == [1, 2]
+    assert [r.v for r in cat.table_at("t", 1).collect()] == ["a"]
+    assert [r.v for r in cat.table_at("t", 2).collect()] == ["b"]
+    assert [r.v for r in cat.table("t").collect()] == ["c"]
+    # restore v1; the displaced current (v3 content) is archived in turn
+    cat.restore("t", 1)
+    assert [r.v for r in cat.table("t").collect()] == ["a"]
+    assert [r.v for r in cat.table_at("t", 3).collect()] == ["c"]
+    # unknown version raises; drop removes the archive too
+    import pytest as _pytest
+    with _pytest.raises(TableNotFoundError):
+        cat.table_at("t", 99)
+    cat.drop("t")
+    assert cat.versions("t") == []
+
+
+def test_versioned_overwrite_prunes_old_archives(spark, tmp_path):
+    from agol_pandas_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    cat.write(spark.range(1), "t", mode="error")
+    for i in range(4):
+        cat.write(spark.range(i + 2), "t", mode="overwrite", keep_versions=2)
+    # 4 overwrites archived 4 snapshots, pruned to the newest 2
+    assert cat.versions("t") == [3, 4]
+    # default keep_versions=0 keeps legacy destroy-on-overwrite semantics
+    cat.write(spark.range(9), "t", mode="overwrite")
+    assert cat.versions("t") == [3, 4]
