@@ -196,3 +196,40 @@ def test_with_chunk_id_matches_slicing(spark, vals, chunk_size):
     ordered = sorted(range(len(vals)), key=lambda i: (vals[i], i))
     want = {uid: pos // chunk_size for pos, uid in enumerate(ordered)}
     assert got == want
+
+
+# ---- prefix-filtered Jaccard join: engine result == brute force, for ----
+# ---- random corpora (the prefix-filter lemma exercised adversarially) ----
+
+WORDS = ["aa", "bb", "cc", "dd", "ee", "ff"]  # tiny vocab forces overlaps
+DOC = st.lists(st.sampled_from(WORDS), min_size=0, max_size=10).map(" ".join)
+
+
+@given(texts=st.lists(DOC, min_size=1, max_size=6))
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_jaccard_prefix_join_equals_bruteforce(spark, texts):
+    from agol_pandas_spark.operators.dedup import jaccard_prefix_pairs
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def shingles(text):
+        t = [w for w in text.split() if w]
+        return {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+
+    want = {}
+    for i, (ia, ta) in enumerate(docs):
+        for ib, tb in docs[i + 1:]:
+            A, B = shingles(ta), shingles(tb)
+            inter = len(A & B)
+            if inter and 2 * inter >= len(A | B):
+                want[(ia, ib)] = inter
+    got = {
+        (r.id_a, r.id_b): r.n_inter
+        for r in jaccard_prefix_pairs(df, "doc_id", "text").collect()
+    }
+    assert got == want

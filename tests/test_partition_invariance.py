@@ -34,6 +34,13 @@ QUERIES = [
     "text_gopher_rules_filter",
     "text_chunk_token_windows",
     "dedup_semantic_prune",
+    # this session's additions: prefix-filter candidate join (frequency
+    # order must not depend on layout), winnowing window-min, CDC
+    # last-writer-wins, equi-depth global rank buckets
+    "dedup_jaccard_prefix_pairs",
+    "dedup_winnow_shared_pairs",
+    "merge_apply_cdc_log",
+    "stats_equidepth_histogram",
 ]
 
 
