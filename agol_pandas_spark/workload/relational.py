@@ -1827,3 +1827,111 @@ def stats_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("pc").alias("sum_cents"),
         )
     )
+
+
+@register(
+    "string_levenshtein_pairs",
+    tags=("string", "fuzzy", "dedup"),
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_name,
+             string_split(p_name, ' ')[-1] AS noun
+      FROM part),
+    pairs AS (
+      SELECT a.noun, levenshtein(a.p_name, b.p_name) AS edit_dist
+      FROM p a JOIN p b
+        ON a.noun = b.noun AND a.p_partkey < b.p_partkey)
+    SELECT noun,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CASE WHEN edit_dist = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact,
+           CAST(SUM(CASE WHEN edit_dist BETWEEN 1 AND 4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_close,
+           CAST(SUM(edit_dist) AS BIGINT) AS total_dist
+    FROM pairs GROUP BY noun
+    """,
+)
+def string_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching for entity resolution: per-block edit-distance
+    profile of part names, BLOCKED on the head noun so the quadratic
+    Levenshtein never runs across blocks (the unblocked version is a cross
+    join and is intentionally not offered — same contract as the Jaccard
+    operators). Exact-dup / near-dup pair counts and the total distance
+    are value-checked; Levenshtein is exact DP, identical in both
+    engines."""
+    p = Catalog(spark, sf_dir).table("part").select(
+        "p_partkey",
+        "p_name",
+        F.element_at(F.split("p_name", " "), -1).alias("noun"),
+    )
+    a = p.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        "noun",
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        "noun",
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "noun")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("noun", dist.alias("edit_dist"))
+        .groupBy("noun")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum((F.col("edit_dist") == 0).cast("long")).alias("n_exact"),
+            F.sum(
+                ((F.col("edit_dist") >= 1) & (F.col("edit_dist") <= 4)).cast("long")
+            ).alias("n_close"),
+            F.sum("edit_dist").alias("total_dist"),
+        )
+    )
+
+
+@register(
+    "agg_mode_per_group",
+    tags=("agg", "mode"),
+    oracle="""
+    WITH counts AS (
+      SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment, o_orderpriority),
+    ranked AS (
+      SELECT c_mktsegment, o_orderpriority, n,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY n DESC, o_orderpriority) AS rn
+      FROM counts)
+    SELECT c_mktsegment, o_orderpriority AS mode_priority, n AS mode_count
+    FROM ranked WHERE rn = 1
+    """,
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group with a deterministic tie-break (highest
+    count, then lexicographically smallest value) — Spark's ``mode()``
+    aggregate is tie-nondeterministic, so the engine uses the count+window
+    formulation that survives any partitioning."""
+    from pyspark.sql.window import Window
+
+    cat = Catalog(spark, sf_dir)
+    counts = (
+        cat.table("orders")
+        .join(cat.table("customer"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("n").desc(), "o_orderpriority"
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("mode_count"),
+        )
+    )

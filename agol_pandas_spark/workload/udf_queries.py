@@ -213,3 +213,46 @@ def udf_udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, t.pos, t.token "
         "FROM udtf_docs_in d, LATERAL tokenize_with_pos(d.text) t"
     )
+
+
+@register(
+    "udf_iter_batch_cents",
+    tags=("udf", "pandas-udf", "iterator"),
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def udf_iter_batch_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-form scalar pandas UDF (``Iterator[pd.Series] ->
+    Iterator[pd.Series]``) — the variant for per-executor one-time setup
+    (model loads, dictionaries): the generator body runs once per task,
+    each Arrow batch streams through. Here the 'model' is a trivial cents
+    scaler: ``floor(x·100 + 0.5)`` — exactly DuckDB's round() for the
+    positive prices — so the downstream integer totals are value-checked.
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    def _to_cents_gen(batches):
+        scale = np.float64(100.0)  # stands in for per-task setup state
+        for s in batches:
+            yield pd.Series(
+                np.floor(s.to_numpy() * scale + 0.5).astype(np.int64)
+            )
+
+    # module-wide postponed annotations stringify hints, so declare the
+    # iterator signature explicitly with typing objects
+    from collections.abc import Iterator as _It
+    _to_cents_gen.__annotations__ = {
+        "batches": _It[pd.Series], "return": _It[pd.Series]
+    }
+    to_cents = pandas_udf(_to_cents_gen, T.LongType())
+
+    orders = Catalog(spark, sf_dir).table("orders")
+    return (
+        orders.select("o_orderstatus", to_cents("o_totalprice").alias("cents"))
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("total_cents"))
+    )
