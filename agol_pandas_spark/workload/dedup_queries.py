@@ -729,3 +729,66 @@ def pipeline_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").alias("survivor_chars"),
         )
     )
+
+
+@register(
+    "pipeline_incremental_ingest",
+    tags=("pipeline", "dedup", "quality", "merge", "incremental"),
+    oracle=f"""
+    WITH probe AS ({REGISTRY["dedup_lsh_index_probe"].oracle}),
+    dups AS (SELECT DISTINCT batch_id AS doc_id FROM probe
+             WHERE n_matching_hashes >= 4),
+    gate AS (SELECT doc_id FROM ({REGISTRY["text_gopher_rules_filter"].oracle}) g WHERE g.pass_gopher),
+    admitted AS (
+      SELECT d.doc_id, d.source, d.n_chars FROM documents d
+      WHERE d.source = 'src0'
+        AND d.doc_id NOT IN (SELECT doc_id FROM dups)
+        AND d.doc_id IN (SELECT doc_id FROM gate)),
+    final AS (
+      SELECT doc_id, source, n_chars FROM documents WHERE source <> 'src0'
+      UNION ALL SELECT doc_id, source, n_chars FROM admitted)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM final GROUP BY source
+    """,
+)
+def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operational 100 TB ingest loop in one composed run: the
+    standing corpus is indexed once (banded LSH signatures in a catalog
+    table); an arriving batch is probed against the INDEX (no corpus
+    re-hash), near-duplicates at >= 4 matching MinHash values are
+    dropped, survivors pass the Gopher quality gate, and the admitted
+    rows merge into the corpus table through the keyed insert mode. The
+    final per-source corpus accounting is value-checked against an
+    oracle that recomputes probe, gate, and merge from first principles.
+    """
+    import tempfile
+
+    from agol_pandas_spark.operators import textops
+    from agol_pandas_spark.operators.merge import merge
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    cols = ["doc_id", "text", "source", "n_chars"]
+    corpus = docs.filter(F.col("source") != "src0").select(*cols)
+    batch = docs.filter(F.col("source") == "src0").select(*cols)
+
+    state = Catalog(spark, tempfile.mkdtemp(prefix="ingest_state_"))
+    state.write(corpus, "corpus")
+    dedup.write_lsh_index(state, "corpus_lsh", corpus, "doc_id", "text")
+
+    fresh = dedup.dedup_against_lsh_index(
+        state, "corpus_lsh", batch, "doc_id", "text", min_agreement=4
+    )
+    passed = (
+        textops.gopher_quality_flags(fresh, "doc_id", "text")
+        .filter(F.col("pass_gopher"))
+        .select("doc_id")
+    )
+    admitted = fresh.join(passed, "doc_id", "left_semi")
+    merged = merge(
+        state.table("corpus"), admitted, mode="insert", key="doc_id"
+    )
+    return merged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
