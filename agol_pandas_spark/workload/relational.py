@@ -1935,3 +1935,59 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("mode_count"),
         )
     )
+
+
+@register(
+    "sketch_theta_year_overlap",
+    tags=("sketch", "theta", "setops"),
+    oracle="""
+    WITH flags AS (
+      SELECT o_custkey,
+             MAX(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END) AS h95,
+             MAX(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS h96
+      FROM orders GROUP BY o_custkey)
+    SELECT CAST(SUM(h95) AS BIGINT) AS n_1995,
+           CAST(SUM(h96) AS BIGINT) AS n_1996,
+           CAST(SUM(h95 * h96) AS BIGINT) AS n_both_exact,
+           TRUE AS inter_est_ok
+    FROM flags
+    """,
+)
+def sketch_theta_year_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set intersection — the sketch capability HLL lacks
+    (HLL unions only; theta supports ∩ and difference): customers active
+    in BOTH 1995 and 1996, estimated from two mergeable per-year sketches
+    built in one pass each, then checked against the exact intersection
+    (computed via one per-key flag aggregation). The boolean pins the
+    estimate within 5% using integer arithmetic; exact counts anchor the
+    value hash. At 100 TB the sketches are the only state that moves —
+    two KB-sized blobs instead of a distinct-key shuffle.
+    """
+    o = Catalog(spark, sf_dir).table("orders").select(
+        "o_custkey", F.year("o_orderdate").alias("y")
+    )
+    sk = o.agg(
+        F.expr(
+            "theta_sketch_estimate(theta_intersection("
+            "  theta_sketch_agg(CASE WHEN y = 1995 THEN o_custkey END),"
+            "  theta_sketch_agg(CASE WHEN y = 1996 THEN o_custkey END)))"
+        ).alias("est_both")
+    )
+    flags = o.groupBy("o_custkey").agg(
+        F.max((F.col("y") == 1995).cast("long")).alias("h95"),
+        F.max((F.col("y") == 1996).cast("long")).alias("h96"),
+    )
+    exact = flags.agg(
+        F.sum("h95").alias("n_1995"),
+        F.sum("h96").alias("n_1996"),
+        F.sum(F.col("h95") * F.col("h96")).alias("n_both_exact"),
+    )
+    return exact.crossJoin(F.broadcast(sk)).select(
+        "n_1995",
+        "n_1996",
+        "n_both_exact",
+        (
+            20 * F.abs(F.col("est_both") - F.col("n_both_exact"))
+            <= F.col("n_both_exact")
+        ).alias("inter_est_ok"),
+    )
