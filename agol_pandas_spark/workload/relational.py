@@ -1991,3 +1991,36 @@ def sketch_theta_year_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("n_both_exact")
         ).alias("inter_est_ok"),
     )
+
+
+@register(
+    "events_transition_matrix",
+    tags=("events", "sequence", "markov"),
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events)
+    SELECT event_type AS from_type, next_type AS to_type,
+           COUNT(*) AS n_transitions
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition counts between consecutive event types per
+    user (the Markov-chain / next-action mining primitive): one lead
+    window over the (user, time) order, then a tiny (types²) aggregation
+    — the shuffle carries type pairs, not events."""
+    from pyspark.sql.window import Window
+
+    ev = Catalog(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    return seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )

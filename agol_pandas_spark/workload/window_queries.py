@@ -476,3 +476,52 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "window_running_distinct_types",
+    tags=("window", "events", "distinct"),
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS is_first
+      FROM events)
+    SELECT user_id, event_id,
+           CAST(SUM(is_first) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS distinct_types_so_far
+    FROM firsts
+    """,
+)
+def window_running_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over an ordered stream — not directly
+    expressible as a window aggregate in either engine, so it lowers to
+    the first-occurrence-flag + running-sum form: flag each (user, type)'s
+    first event, then cumulative-sum the flags. Two windows over one
+    shuffle on user_id; exact integers throughout."""
+    from pyspark.sql.window import Window
+
+    ev = Catalog(spark, sf_dir).table("events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias(
+            "is_first"
+        ),
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("is_first").over(w_run).alias("distinct_types_so_far"),
+    )
