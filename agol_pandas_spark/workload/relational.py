@@ -2024,3 +2024,44 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seq.groupBy("from_type", "to_type").agg(
         F.count(F.lit(1)).alias("n_transitions")
     )
+
+
+@register(
+    "setops_multiset_all",
+    tags=("setop", "multiset"),
+    oracle="""
+    WITH a AS (SELECT o_orderpriority AS p FROM orders WHERE o_orderstatus = 'O'),
+         b AS (SELECT o_orderpriority AS p FROM orders WHERE o_custkey % 2 = 0)
+    SELECT 'intersect_all' AS op, p, COUNT(*) AS n FROM
+      (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY p
+    UNION ALL
+    SELECT 'except_all' AS op, p, COUNT(*) AS n FROM
+      (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY p
+    """,
+)
+def setops_multiset_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set operations (INTERSECT ALL / EXCEPT ALL) — duplicate
+    counts carry bag semantics: each value survives min(cnt_a, cnt_b)
+    times (intersect) or max(cnt_a − cnt_b, 0) times (except). The
+    overlapping inputs make the multiplicities non-trivial; the grouped
+    counts are value-checked exactly."""
+    orders = Catalog(spark, sf_dir).table("orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderpriority").alias("p")
+    )
+    b = orders.filter(F.col("o_custkey") % 2 == 0).select(
+        F.col("o_orderpriority").alias("p")
+    )
+    i = (
+        a.intersectAll(b)
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "p", "n")
+    )
+    e = (
+        a.exceptAll(b)
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "p", "n")
+    )
+    return i.unionByName(e)
