@@ -1218,3 +1218,47 @@ def jaccard_prefix_pairs(
             ),
         )
     )
+
+
+def pagerank_scaled(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    iterations: int = 2,
+    scale: int = 10**12,
+) -> DataFrame:
+    """PageRank over an undirected graph in exact scaled-integer
+    arithmetic: damping 17/20, ranks carried as ``scale``-scaled longs,
+    every division a truncated integer division — so a fixed iteration
+    count is bit-reproducible across engines (float PageRank never is).
+    On a near-dup pair graph, high-rank nodes are template hubs —
+    boilerplate shared by many documents — which is exactly what a
+    curation pipeline wants surfaced.
+
+    Shape per iteration: one join of the edge list with the rank table
+    (shuffle on the source key) and one aggregation on the destination —
+    the standard Pregel-free formulation. Symmetrized edges mean no
+    dangling nodes; ``iterations`` is a fixed unroll (each iteration is
+    one more join-agg round — at 100 TB you bound rounds, not
+    convergence ulps).
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    base = (3 * scale) // 20
+    ranks = deg.select(F.col("a").alias("node"), F.lit(scale).alias("r"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(deg, "a")
+            .join(ranks, e["a"] == ranks["node"])
+            .select("b", F.expr("r div d").alias("c"))
+        )
+        ranks = (
+            contrib.groupBy("b")
+            .agg(F.expr(f"{base} + (17 * sum(c)) div 20").alias("r"))
+            .select(F.col("b").alias("node"), "r")
+        )
+    return ranks.select("node", F.col("r").alias("rank_scaled"))

@@ -792,3 +792,35 @@ def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@register(
+    "graph_pagerank_neardup",
+    tags=("graph", "pagerank", "dedup"),
+    oracle=f"""
+    WITH lsh AS ({REGISTRY["dedup_minhash_lsh_pairs"].oracle}),
+    pairs AS (SELECT id_a, id_b FROM lsh WHERE n_matching_hashes >= 4),
+    edges2 AS (SELECT id_a AS a, id_b AS b FROM pairs
+               UNION SELECT id_b, id_a FROM pairs),
+    deg AS (SELECT a, COUNT(*) AS d FROM edges2 GROUP BY a),
+    r1 AS (
+      SELECT e.b AS node,
+             150000000000 + (17 * SUM(1000000000000 // dg.d)) // 20 AS r
+      FROM edges2 e JOIN deg dg ON dg.a = e.a GROUP BY e.b),
+    r2 AS (
+      SELECT e.b AS node,
+             150000000000 + (17 * SUM(r1.r // dg.d)) // 20 AS r
+      FROM edges2 e JOIN deg dg ON dg.a = e.a
+                    JOIN r1 ON r1.node = e.a
+      GROUP BY e.b)
+    SELECT node, r AS rank_scaled FROM r2
+    """,
+)
+def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (2 unrolled iterations, damping 17/20) on
+    the MinHash near-dup graph: high-rank nodes are boilerplate template
+    hubs. Every rank is a scaled long — bit-reproducible, value-checked
+    against the SQL unroll."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    pairs = dedup.minhash_dedup_pairs(docs, "doc_id", "text", min_agreement=4)
+    return dedup.pagerank_scaled(pairs, "id_a", "id_b", iterations=2)

@@ -494,3 +494,28 @@ def test_jaccard_prefix_threshold_validation(spark):
     df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
     with _pytest.raises(ValueError):
         dedup.jaccard_prefix_pairs(df, "doc_id", "text", threshold=(3, 2))
+
+
+def test_pagerank_scaled_matches_python_reference(spark):
+    """Integer PageRank equals a direct Python evaluation of the same
+    recurrence on a star + chain graph; the hub outranks every leaf."""
+    from agol_pandas_spark.operators.dedup import pagerank_scaled
+
+    edges = [(0, 1), (0, 2), (0, 3), (3, 4)]
+    df = spark.createDataFrame(edges, ["a", "b"])
+    got = {r.node: r.rank_scaled
+           for r in pagerank_scaled(df, "a", "b", iterations=2).collect()}
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    scale, base = 10**12, (3 * 10**12) // 20
+    r = {n: scale for n in adj}
+    for _ in range(2):
+        r = {
+            n: base + (17 * sum(r[m] // len(adj[m]) for m in adj[n])) // 20
+            for n in adj
+        }
+    assert got == r
+    assert got[0] == max(got.values())
