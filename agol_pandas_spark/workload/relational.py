@@ -2065,3 +2065,51 @@ def setops_multiset_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("except_all").alias("op"), "p", "n")
     )
     return i.unionByName(e)
+
+
+@register(
+    "date_week_over_week_growth",
+    tags=("date", "window", "growth"),
+    oracle="""
+    WITH weekly AS (
+      SELECT (epoch_ms(CAST(o_orderdate AS TIMESTAMP)) // 1000 // 86400) // 7
+                 AS week,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
+      FROM orders GROUP BY week)
+    SELECT week, rev_cents,
+           rev_cents - LAG(rev_cents) OVER (ORDER BY week) AS delta_cents,
+           CASE WHEN LAG(rev_cents) OVER (ORDER BY week) > 0
+                THEN (rev_cents - LAG(rev_cents) OVER (ORDER BY week))
+                     * 1000000 // LAG(rev_cents) OVER (ORDER BY week)
+           END AS growth_ppm
+    FROM weekly
+    """,
+)
+def date_week_over_week_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue growth: epoch-week bucketing, lag window,
+    and growth in exact ppm via integer division (no float ratio). The
+    single global window runs over one row per week — dozens of rows at
+    any corpus scale, after the map-side-combined weekly aggregation."""
+    from pyspark.sql.window import Window
+
+    orders = Catalog(spark, sf_dir).table("orders").select(
+        F.expr(
+            "(unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 1000 div 86400) div 7"
+        ).alias("week"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    weekly = orders.groupBy("week").agg(F.sum("cents").alias("rev_cents"))
+    w = Window.orderBy("week")
+    prev = F.lag("rev_cents").over(w)
+    return weekly.select(
+        "week",
+        "rev_cents",
+        (F.col("rev_cents") - prev).alias("delta_cents"),
+        F.when(
+            prev > 0,
+            F.expr(
+                "(rev_cents - lag(rev_cents) over (order by week)) * 1000000"
+                " div lag(rev_cents) over (order by week)"
+            ),
+        ).alias("growth_ppm"),
+    )
