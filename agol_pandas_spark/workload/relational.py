@@ -2113,3 +2113,55 @@ def date_week_over_week_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("growth_ppm"),
     )
+
+
+@register(
+    "clean_pseudonymize_keys",
+    tags=("cleaning", "privacy", "pseudonymization"),
+    oracle="""
+    WITH cust AS (
+      SELECT CAST(('0x' || substring(md5('pz' || CAST(c_custkey AS VARCHAR)),
+                                     1, 15)) AS BIGINT) AS cust_token,
+             c_mktsegment
+      FROM customer),
+    ords AS (
+      SELECT CAST(('0x' || substring(md5('pz' || CAST(o_custkey AS VARCHAR)),
+                                     1, 15)) AS BIGINT) AS cust_token
+      FROM orders)
+    SELECT c.c_mktsegment,
+           COUNT(DISTINCT c.cust_token) AS n_customers,
+           COUNT(o.cust_token) AS n_orders_joined
+    FROM cust c LEFT JOIN ords o ON c.cust_token = o.cust_token
+    GROUP BY c.c_mktsegment
+    """,
+)
+def clean_pseudonymize_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-preserving pseudonymization (the GDPR de-identification
+    pattern): the customer key is replaced by a salted portable hash on
+    BOTH tables, so referential integrity survives masking — the
+    per-segment join cardinalities over tokens equal the raw-key join's.
+    Salt rotation revokes linkability without touching consumers. A pure
+    map on each side; the join shuffles tokens, never raw identifiers.
+    """
+    from agol_pandas_spark.functions.text import portable_hash60
+
+    def token(col):
+        return portable_hash60(
+            F.concat(F.lit("pz"), F.col(col).cast("string"))
+        ).alias("cust_token")
+
+    cat = Catalog(spark, sf_dir)
+    cust = cat.table("customer").select(token("c_custkey"), "c_mktsegment")
+    # distinct right-side alias: the count must see NULL for unmatched
+    # customers, not the using-join's merged (always non-null) column
+    ords = cat.table("orders").select(
+        token("o_custkey").alias("order_token")
+    )
+    return (
+        cust.join(ords, cust["cust_token"] == ords["order_token"], "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("cust_token").alias("n_customers"),
+            F.count("order_token").alias("n_orders_joined"),
+        )
+    )
