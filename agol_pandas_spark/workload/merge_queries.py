@@ -421,3 +421,51 @@ def merge_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("total_cents").alias("total_cents"),
         )
     )
+
+
+@register(
+    "merge_dynamic_partition_overwrite",
+    tags=("merge", "partitioned", "dynamic-overwrite"),
+    oracle="""
+    WITH base AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders)
+    SELECT month, COUNT(*) AS n_orders,
+           SUM(CASE WHEN month = '1995-03' THEN cents + 1 ELSE cents END)
+               AS total_cents
+    FROM base GROUP BY month
+    """,
+)
+def merge_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — restate ONE partition of a
+    partitioned table without touching the rest: the full corpus lands
+    partitioned by month, then a corrected 1995-03 batch (every price
+    +1 cent) overwrites in ``partitionOverwriteMode=dynamic``, which
+    replaces only the partitions present in the batch. The read-back
+    totals prove 1995-03 changed and every other month survived — the
+    surgical-restatement write a 100 TB table needs (a full-table
+    overwrite for a one-month fix rewrites 100 TB; this rewrites one
+    partition)."""
+    import tempfile
+
+    orders = Catalog(spark, sf_dir).table("orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    path = tempfile.mkdtemp(prefix="dyn_overwrite_") + "/orders_by_month"
+    orders.write.partitionBy("month").mode("overwrite").parquet(path)
+    restated = orders.filter(F.col("month") == "1995-03").withColumn(
+        "cents", F.col("cents") + 1
+    )
+    (
+        restated.write.partitionBy("month")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("total_cents"),
+    )

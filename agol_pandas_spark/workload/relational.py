@@ -2165,3 +2165,69 @@ def clean_pseudonymize_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("order_token").alias("n_orders_joined"),
         )
     )
+
+
+@register(
+    "audit_rule_violations",
+    tags=("audit", "quality", "constraints"),
+    oracle="""
+    SELECT * FROM (
+      SELECT 'qty_positive' AS rule,
+             SUM(CASE WHEN NOT (l_quantity > 0) THEN 1 ELSE 0 END) AS n_violations,
+             COUNT(*) AS n_checked
+      FROM lineitem
+      UNION ALL
+      SELECT 'price_positive',
+             SUM(CASE WHEN NOT (l_extendedprice > 0) THEN 1 ELSE 0 END),
+             COUNT(*)
+      FROM lineitem
+      UNION ALL
+      SELECT 'discount_in_unit_range',
+             SUM(CASE WHEN NOT (l_discount >= 0 AND l_discount <= 1)
+                 THEN 1 ELSE 0 END),
+             COUNT(*)
+      FROM lineitem
+      UNION ALL
+      SELECT 'shipdate_in_range',
+             SUM(CASE WHEN NOT (l_shipdate >= DATE '1992-01-01'
+                                AND l_shipdate < DATE '2000-01-01')
+                 THEN 1 ELSE 0 END),
+             COUNT(*)
+      FROM lineitem
+      UNION ALL
+      SELECT 'returnflag_domain',
+             SUM(CASE WHEN NOT (l_returnflag IN ('A','N','R')) THEN 1 ELSE 0 END),
+             COUNT(*)
+      FROM lineitem)
+    """,
+)
+def audit_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality rule engine: every rule is a predicate
+    column summed in ONE aggregation pass over the table (the oracle's
+    five scans exist only for SQL readability) — at 100 TB the difference
+    between one scan and one per rule is the whole audit budget. NULL
+    predicate results count as violations (NOT NULL-safe negation)."""
+    rules = {
+        "qty_positive": F.col("l_quantity") > 0,
+        "price_positive": F.col("l_extendedprice") > 0,
+        "discount_in_unit_range": (F.col("l_discount") >= 0)
+        & (F.col("l_discount") <= 1),
+        "shipdate_in_range": (F.col("l_shipdate") >= F.lit("1992-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("2000-01-01").cast("date")),
+        "returnflag_domain": F.col("l_returnflag").isin("A", "N", "R"),
+    }
+    li = Catalog(spark, sf_dir).table("lineitem")
+    agg = li.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        *[
+            F.sum(
+                F.when(~F.coalesce(pred, F.lit(False)), 1).otherwise(0)
+            ).alias(f"__v_{name}")
+            for name, pred in rules.items()
+        ],
+    )
+    # unpivot the single result row into (rule, n_violations, n_checked)
+    stack = ", ".join(f"'{n}', __v_{n}" for n in rules)
+    return agg.selectExpr(
+        f"stack({len(rules)}, {stack}) AS (rule, n_violations)", "n_checked"
+    )
