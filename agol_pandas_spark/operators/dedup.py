@@ -1240,7 +1240,9 @@ def pagerank_scaled(
     the standard Pregel-free formulation. Symmetrized edges mean no
     dangling nodes; ``iterations`` is a fixed unroll (each iteration is
     one more join-agg round — at 100 TB you bound rounds, not
-    convergence ulps).
+    convergence ulps). The rank table is ``localCheckpoint``ed per
+    round, same as the connected-components loops: without lineage
+    truncation a deep unroll compounds the plan each iteration.
     """
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -1260,5 +1262,6 @@ def pagerank_scaled(
             contrib.groupBy("b")
             .agg(F.expr(f"{base} + (17 * sum(c)) div 20").alias("r"))
             .select(F.col("b").alias("node"), "r")
+            .localCheckpoint(eager=True)
         )
     return ranks.select("node", F.col("r").alias("rank_scaled"))

@@ -469,3 +469,54 @@ def merge_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataF
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("cents").alias("total_cents"),
     )
+
+
+@register(
+    "merge_time_travel_diff",
+    tags=("merge", "versioning", "time-travel", "cdc"),
+    oracle="""
+    WITH v1 AS (
+      SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+      FROM customer),
+    v2 AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 3 = 0
+                  THEN CAST(round(c_acctbal * 100) AS BIGINT) + 500
+                  ELSE CAST(round(c_acctbal * 100) AS BIGINT) END AS bal
+      FROM customer WHERE c_custkey % 7 <> 0),
+    d AS (
+      SELECT CASE WHEN o.c_custkey IS NULL THEN 'inserted'
+                  WHEN n.c_custkey IS NULL THEN 'deleted'
+                  WHEN o.bal IS DISTINCT FROM n.bal THEN 'updated'
+                  ELSE 'unchanged' END AS change_type
+      FROM v1 o FULL OUTER JOIN v2 n ON o.c_custkey = n.c_custkey)
+    SELECT change_type, COUNT(*) AS n FROM d GROUP BY change_type
+    """,
+)
+def merge_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel feeding CDC extraction: snapshot v1 is archived by a
+    versioned overwrite (``Catalog.write(keep_versions)``), v2 drops every
+    7th customer and bumps every 3rd's balance; ``snapshot_diff`` over
+    ``table_at(v1)`` vs the current table recovers the exact
+    inserted/deleted/updated/unchanged census — the audit a mutable table
+    cannot answer after the fact and a versioned one can."""
+    import tempfile
+
+    from agol_pandas_spark.operators.merge import snapshot_diff
+
+    base = Catalog(spark, sf_dir).table("customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal"),
+    )
+    v2 = base.filter(F.col("c_custkey") % 7 != 0).withColumn(
+        "bal",
+        F.when(F.col("c_custkey") % 3 == 0, F.col("bal") + 500).otherwise(
+            F.col("bal")
+        ),
+    )
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="timetravel_"))
+    cat.write(base, "cust")
+    cat.write(v2, "cust", mode="overwrite", keep_versions=1)
+    v1_archived = cat.table_at("cust", cat.versions("cust")[-1])
+    diff = snapshot_diff(v1_archived, cat.table("cust"), key="c_custkey")
+    return diff.groupBy("change_type").agg(F.count(F.lit(1)).alias("n"))

@@ -200,3 +200,22 @@ def test_apply_changes_delete_upsert_insert_out_of_order(spark):
     out = {r.k: r.v for r in
            apply_changes(tgt, chg, key="k", seq_col="seq").collect()}
     assert out == {2: 21, 3: 30, 4: 40}
+
+
+def test_observe_metrics_ride_the_merge_plan(spark):
+    """df.observe collects pipeline metrics during the SAME action — no
+    second scan. The upsert merge plan carries row-count and balance-sum
+    observations that match a direct computation."""
+    from pyspark.sql import Observation
+
+    from agol_pandas_spark.operators.merge import merge
+
+    tgt = spark.createDataFrame([(1, 10), (2, 20)], ["k", "v"])
+    src = spark.createDataFrame([(2, 99), (3, 30)], ["k", "v"])
+    obs = Observation("merge_metrics")
+    merged = merge(tgt, src, mode="upsert", key="k").observe(
+        obs, F.count(F.lit(1)).alias("rows_out"), F.sum("v").alias("v_total")
+    )
+    result = {r.k: r.v for r in merged.collect()}
+    assert result == {1: 10, 2: 99, 3: 30}
+    assert obs.get == {"rows_out": 3, "v_total": 10 + 99 + 30}
