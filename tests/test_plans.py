@@ -258,3 +258,23 @@ def test_mad_outliers_single_corpus_scan(q):
     assert "InMemoryTableScan" in plan
     cols = read_schema_columns(q("stats_mad_outliers"))
     assert all(set(c) <= {"l_returnflag", "l_extendedprice"} for c in cols)
+
+
+def test_bm25_topk_take_ordered(q):
+    plan = formatted_plan(q("text_bm25_topk"))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_survivorship_and_cdc_no_cartesian(q):
+    for name in ("pipeline_dedup_survivorship", "merge_apply_cdc_log",
+                 "join_scd2_point_in_time"):
+        plan = formatted_plan(q(name))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_label_centroids_partial_aggregation(q):
+    # the groupBy must partial-aggregate map-side: the shuffle carries
+    # (label, dim) partial sums, not the exploded corpus
+    plan = formatted_plan(q("sim_label_centroids"))
+    assert plan.count("HashAggregate") >= 4  # partial + final, tree+details
