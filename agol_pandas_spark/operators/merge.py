@@ -318,12 +318,16 @@ def apply_changes(
     entirely (``src/agol_pandas.py:361`` has no delete; a tombstone
     upserted through AGOL stays forever).
 
-    Per key, the change with the highest ``seq_col`` (ties broken by
-    ``tie_breakers``) wins: a ``delete_op`` row removes the key; any
-    other op upserts the row's payload (insert-if-absent and update
-    collapse — last-writer-wins, matching Delta-style APPLY CHANGES
-    semantics). Out-of-order delivery is handled by the sequence column,
-    not arrival order — the property CDC pipelines actually need.
+    Per key, the change with the highest ``seq_col`` wins: a
+    ``delete_op`` row removes the key; any other op upserts the row's
+    payload (insert-if-absent and update collapse — last-writer-wins,
+    matching Delta-style APPLY CHANGES semantics). Out-of-order delivery
+    is handled by the sequence column, not arrival order — the property
+    CDC pipelines actually need. Ties on ``seq_col`` default to ordering
+    by every remaining column ascending, so equal-sequence changes
+    resolve identically on any partitioning (a tie left to partition
+    order would be silent nondeterminism); pass ``tie_breakers`` to
+    override.
 
     Shape: one shuffle to pick the latest change per key (window
     row_number), one left-anti join to drop touched keys from the
@@ -333,8 +337,13 @@ def apply_changes(
     from agol_pandas_spark.operators.dedup import latest_wins_dedup
 
     keys = [key] if isinstance(key, str) else list(key)
+    order = list(tie_breakers) or [
+        F.col(c)
+        for c in changes.columns
+        if c not in keys and c not in (seq_col,)
+    ]
     latest = latest_wins_dedup(
-        changes, keys=keys, ts_col=seq_col, tie_breakers=list(tie_breakers)
+        changes, keys=keys, ts_col=seq_col, tie_breakers=order
     )
     upserts = latest.filter(F.col(op_col) != delete_op).drop(op_col, seq_col)
     touched = latest.select(*keys)

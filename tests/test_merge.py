@@ -219,3 +219,20 @@ def test_observe_metrics_ride_the_merge_plan(spark):
     result = {r.k: r.v for r in merged.collect()}
     assert result == {1: 10, 2: 99, 3: 30}
     assert obs.get == {"rows_out": 3, "v_total": 10 + 99 + 30}
+
+
+def test_apply_changes_seq_ties_resolve_deterministically(spark):
+    """Equal-sequence changes must resolve the same on any partitioning:
+    the default tie-break orders by the remaining columns (op then v
+    ascending here), so ('U', 5) beats ('Z', 99) regardless of layout."""
+    from agol_pandas_spark.operators.merge import apply_changes
+
+    tgt = spark.createDataFrame([(1, 0)], ["k", "v"])
+    chg = spark.createDataFrame(
+        [(1, "Z", 7, 99), (1, "U", 7, 5)], ["k", "op", "seq", "v"]
+    )
+    for parts in (1, 8):
+        out = apply_changes(
+            tgt, chg.repartition(parts), key="k", seq_col="seq"
+        ).collect()
+        assert [(r.k, r.v) for r in out] == [(1, 5)]
