@@ -233,3 +233,53 @@ def test_jaccard_prefix_join_equals_bruteforce(spark, texts):
         for r in jaccard_prefix_pairs(df, "doc_id", "text").collect()
     }
     assert got == want
+
+
+# ---- CDC apply-changes: random logs vs a dict reference ----
+
+OPS = st.sampled_from(["U", "D", "I"])
+CHG = st.tuples(KEYS, OPS, st.integers(min_value=0, max_value=5), VALS)
+
+
+@given(
+    tgt=rows_strategy(unique_keys=True),
+    chg=st.lists(CHG, min_size=0, max_size=10),
+)
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_apply_changes_equals_dict_reference(spark, tgt, chg):
+    from agol_pandas_spark.operators.merge import apply_changes
+    from agol_pandas_spark.errors import EmptyInputError
+
+    tgt_df = spark.createDataFrame(tgt, "k long, v long") if tgt else \
+        spark.createDataFrame([], "k long, v long")
+    chg_df = spark.createDataFrame(chg, "k long, op string, seq long, v long") \
+        if chg else spark.createDataFrame([], "k long, op string, seq long, v long")
+
+    # reference: per key, winner = max seq; ties -> min (op, v) — the
+    # operator's default remaining-columns-ascending tie-break
+    winners = {}
+    for k, op, seq, v in chg:
+        cur = winners.get(k)
+        cand = (seq, op, v)
+        if cur is None or cand[0] > cur[0] or (
+            cand[0] == cur[0] and (cand[1], cand[2]) < (cur[1], cur[2])
+        ):
+            winners[k] = cand
+    expected = {k: v for k, v in tgt}
+    for k, (seq, op, v) in winners.items():
+        if op == "D":
+            expected.pop(k, None)
+        else:
+            expected[k] = v
+
+    got = {
+        r.k: r.v
+        for r in apply_changes(tgt_df, chg_df, key="k", seq_col="seq")
+        .select("k", "v")
+        .collect()
+    }
+    assert got == expected
