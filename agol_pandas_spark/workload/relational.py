@@ -2231,3 +2231,54 @@ def audit_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.selectExpr(
         f"stack({len(rules)}, {stack}) AS (rule, n_violations)", "n_checked"
     )
+
+
+@register(
+    "array_struct_order_lines",
+    tags=("array", "struct", "nested"),
+    oracle="""
+    WITH lines AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem),
+    packed AS (
+      SELECT l_orderkey,
+             list({'l_linenumber': l_linenumber, 'cents': cents} ORDER BY l_linenumber, cents) AS ls
+      FROM lines GROUP BY l_orderkey)
+    SELECT l_orderkey,
+           CAST(len(ls) AS INTEGER) AS n_lines,
+           ls[1].cents AS first_line_cents,
+           ls[-1].cents AS last_line_cents,
+           CAST(list_sum(list_transform(ls, s -> s.l_linenumber * s.cents))
+                AS BIGINT) AS position_weighted_cents
+    FROM packed
+    """,
+)
+def array_struct_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type round trip: each order's line items collect into a
+    sorted ``array<struct>`` and are consumed by higher-order functions
+    (element_at on struct fields, a position-weighted aggregate) — the
+    construct-nested-then-compute pattern document/feature stores rely
+    on. One shuffle on the order key; the struct sort is array-local.
+    """
+    li = Catalog(spark, sf_dir).table("lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    packed = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(F.struct("l_linenumber", "cents"))
+        ).alias("ls")
+    )
+    return packed.select(
+        "l_orderkey",
+        F.size("ls").alias("n_lines"),
+        F.element_at("ls", 1)["cents"].alias("first_line_cents"),
+        F.element_at("ls", -1)["cents"].alias("last_line_cents"),
+        F.aggregate(
+            F.col("ls"),
+            F.lit(0).cast("long"),
+            lambda acc, s: acc + s["l_linenumber"] * s["cents"],
+        ).alias("position_weighted_cents"),
+    )
