@@ -184,3 +184,59 @@ def mm_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "mm_shard_by_bytes",
+    tags=("multimodal", "sharding", "packing"),
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, source,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents),
+    offs AS (
+      SELECT source, doc_id, n_bytes,
+             COALESCE(SUM(n_bytes) OVER (PARTITION BY source ORDER BY doc_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0) AS start
+      FROM p)
+    SELECT source, start // 50000 AS shard_id,
+           COUNT(*) AS n_payloads,
+           CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes
+    FROM offs GROUP BY source, shard_id
+    """,
+)
+def mm_shard_by_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-budget shard packing per modality (data-loader prep for mixed
+    media): payloads in deterministic id order are assigned to ~50 KB
+    shards by their cumulative starting offset WITHIN their modality
+    group — the per-group window is partitioned (every modality packs in
+    parallel), unlike a global cumsum. Shard sizes hover around the
+    budget; no payload is split."""
+    from pyspark.sql.window import Window
+
+    pay = _payloads(spark, sf_dir).select("doc_id", "payload")
+    docs = Catalog(spark, sf_dir).table("documents").select("doc_id", "source")
+    p = pay.join(docs, "doc_id").select(
+        "doc_id", "source", F.octet_length("payload").cast("long").alias("n_bytes")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = p.withColumn(
+        "start", F.coalesce(F.sum("n_bytes").over(w), F.lit(0))
+    )
+    return (
+        offs.select(
+            "source",
+            F.expr("start div 50000").alias("shard_id"),
+            "n_bytes",
+        )
+        .groupBy("source", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_payloads"),
+            F.sum("n_bytes").alias("shard_bytes"),
+        )
+    )

@@ -202,3 +202,27 @@ def test_versioned_overwrite_prunes_old_archives(spark, tmp_path):
     # default keep_versions=0 keeps legacy destroy-on-overwrite semantics
     cat.write(spark.range(9), "t", mode="overwrite")
     assert cat.versions("t") == [3, 4]
+
+
+def test_write_respects_max_records_per_file(spark, tmp_path):
+    """Small-files control: maxRecordsPerFile bounds file sizes on write —
+    the knob that pairs with Catalog.compact for output-layout hygiene."""
+    import glob
+
+    df = spark.range(1000).coalesce(1)
+    out = str(tmp_path / "capped")
+    df.write.option("maxRecordsPerFile", 100).parquet(out)
+    files = glob.glob(out + "/*.parquet")
+    assert len(files) == 10
+    assert spark.read.parquet(out).count() == 1000
+
+
+def test_write_zstd_codec_roundtrip(spark, tmp_path):
+    import glob
+
+    df = spark.range(500).withColumnRenamed("id", "k")
+    out = str(tmp_path / "zstd")
+    df.write.option("compression", "zstd").parquet(out)
+    assert all(".zstd." in f or f.endswith("_SUCCESS")
+               for f in glob.glob(out + "/*") if not f.endswith(".crc"))
+    assert spark.read.parquet(out).count() == 500
