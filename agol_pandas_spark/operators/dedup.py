@@ -1010,6 +1010,62 @@ def triangle_count(edges: DataFrame, src: str, dst: str) -> DataFrame:
     return per_vertex
 
 
+def common_neighbor_jaccard(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    min_common: int = 1,
+) -> DataFrame:
+    """Neighborhood-overlap similarity for vertex pairs of an undirected
+    graph: exact Jaccard of adjacency sets, ``|N(u) ∩ N(v)| / |N(u) ∪
+    N(v)|``, emitted as an integer ppm (``common·10⁶ div (deg_u + deg_v
+    - common)`` on longs — no derived double, the round-3 audit rule).
+    On a near-dup pair graph this is the link-prediction signal: two
+    documents whose LSH neighbors largely coincide are template siblings
+    even when no direct edge between them survived banding.
+
+    Shape: symmetrize + distinct, then the wedge self-join keyed on the
+    SHARED NEIGHBOR (`w`) — each candidate pair is produced once per
+    common neighbor and partial-aggregated into a count, so the shuffle
+    carries wedges, never all-pairs. Degrees come from one groupBy and
+    join back per endpoint; AQE broadcasts the degree side when small.
+    High-degree hubs dominate wedge fan-out (``Σ d(w)²``) — the standard
+    mitigation at 100 TB is dropping top-degree vertices first, same as
+    triangle counting's orientation trick. Returns ``(id_a, id_b,
+    n_common, deg_a, deg_b, jaccard_ppm)`` with ``id_a < id_b``.
+    """
+    e2 = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = e2.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    left = e2.select(F.col("b").alias("w"), F.col("a").alias("id_a"))
+    right = e2.select(F.col("b").alias("w"), F.col("a").alias("id_b"))
+    common = (
+        left.join(right, "w")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    return (
+        common.join(deg.select(F.col("a").alias("id_a"), F.col("d").alias("deg_a")), "id_a")
+        .join(deg.select(F.col("a").alias("id_b"), F.col("d").alias("deg_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            "deg_a",
+            "deg_b",
+            F.expr(
+                "n_common * 1000000L div (deg_a + deg_b - n_common)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+
+
 # Winnowing (local fingerprint selection, Schleimer/Wilkerson/Aiken
 # SIGMOD'03 — the MOSS algorithm). Hash and position are packed into one
 # long so the rightmost-min tie-break is plain integer MIN in both

@@ -824,3 +824,35 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir).table("documents")
     pairs = dedup.minhash_dedup_pairs(docs, "doc_id", "text", min_agreement=4)
     return dedup.pagerank_scaled(pairs, "id_a", "id_b", iterations=2)
+
+
+@register(
+    "graph_common_neighbor_jaccard",
+    tags=("graph", "similarity", "dedup"),
+    oracle=f"""
+    WITH shp AS ({REGISTRY["dedup_simhash_band_pairs"].oracle}),
+    pairs AS (SELECT id_a, id_b FROM shp),
+    e2 AS (SELECT id_a AS a, id_b AS b FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+    deg AS (SELECT a, COUNT(*) AS d FROM e2 GROUP BY a),
+    common AS (
+      SELECT l.a AS id_a, r.a AS id_b, COUNT(*) AS n_common
+      FROM e2 l JOIN e2 r ON l.b = r.b AND l.a < r.a
+      GROUP BY l.a, r.a
+      HAVING COUNT(*) >= 2)
+    SELECT c.id_a, c.id_b, c.n_common, du.d AS deg_a, dv.d AS deg_b,
+           c.n_common * 1000000 // (du.d + dv.d - c.n_common) AS jaccard_ppm
+    FROM common c
+    JOIN deg du ON du.a = c.id_a
+    JOIN deg dv ON dv.a = c.id_b
+    """,
+)
+def graph_common_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the SimHash near-dup graph: exact integer-ppm
+    Jaccard of adjacency sets for every vertex pair sharing ≥2 near-dup
+    neighbors — template siblings the Hamming-≤3 banding itself never
+    paired directly. Wedge-join on the shared neighbor (never
+    all-pairs); value-checked against the SQL wedge unroll."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    pairs = dedup.simhash_band_pairs(docs, "doc_id", "text", max_hamming=3)
+    return dedup.common_neighbor_jaccard(pairs, "id_a", "id_b", min_common=2)

@@ -519,3 +519,57 @@ def test_pagerank_scaled_matches_python_reference(spark):
         }
     assert got == r
     assert got[0] == max(got.values())
+
+
+def test_common_neighbor_jaccard_matches_set_reference(spark):
+    """Wedge-join Jaccard equals a direct Python set evaluation on a
+    small graph, including symmetrization of reversed/duplicate input
+    edges; pairs with no shared neighbor never appear."""
+    from agol_pandas_spark.operators.dedup import common_neighbor_jaccard
+
+    edges = [(1, 2), (1, 3), (2, 3), (2, 4), (5, 6), (2, 1), (3, 1)]
+    df = spark.createDataFrame(edges, ["a", "b"])
+    got = {
+        (r.id_a, r.id_b): (r.n_common, r.deg_a, r.deg_b, r.jaccard_ppm)
+        for r in common_neighbor_jaccard(df, "a", "b").collect()
+    }
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for u in adj:
+        for v in adj:
+            if u < v:
+                common = len(adj[u] & adj[v])
+                if common >= 1:
+                    want[(u, v)] = (
+                        common,
+                        len(adj[u]),
+                        len(adj[v]),
+                        common * 10**6 // len(adj[u] | adj[v]),
+                    )
+    assert got == want
+    assert (5, 6) not in got  # isolated edge: no shared neighbor
+
+
+def test_common_neighbor_jaccard_min_common_filters(spark):
+    """min_common prunes weak pairs before the degree joins."""
+    from agol_pandas_spark.operators.dedup import common_neighbor_jaccard
+
+    # K4 minus edge (1,4): non-adjacent (1,4) share {2,3}, adjacent (2,3)
+    # share {1,4}; the four remaining pairs share exactly 1 neighbor
+    edges = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]
+    df = spark.createDataFrame(edges, ["a", "b"])
+    rows = common_neighbor_jaccard(df, "a", "b", min_common=2).collect()
+    got = {
+        (r.id_a, r.id_b): (r.n_common, r.deg_a, r.deg_b, r.jaccard_ppm)
+        for r in rows
+    }
+    assert got == {
+        # N(1)={2,3}, N(4)={2,3}: jaccard exactly 1
+        (1, 4): (2, 2, 2, 1000000),
+        # N(2)={1,3,4}, N(3)={1,2,4}: 2 common / 4 in the union
+        (2, 3): (2, 3, 3, 500000),
+    }
