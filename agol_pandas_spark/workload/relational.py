@@ -1730,12 +1730,17 @@ def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (
         Catalog(spark, sf_dir)
         .table("lineitem")
+        # range filter on the raw column (pushable to the parquet scan,
+        # where year(l_shipdate) IN (...) would not be) — same rows
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
         .select(
             F.round(F.col("l_discount") * 100).cast("int").alias("discount_pct"),
             F.round(F.col("l_extendedprice") * 100).cast("long").alias("pc"),
             F.year("l_shipdate").alias("yr"),
         )
-        .filter(F.col("yr").isin(1996, 1997))
     )
     hist = li.groupBy("discount_pct", "pc").agg(
         F.sum(F.when(F.col("yr") == 1996, 1).otherwise(0)).alias("c1"),

@@ -278,3 +278,24 @@ def test_label_centroids_partial_aggregation(q):
     # (label, dim) partial sums, not the exploded corpus
     plan = formatted_plan(q("sim_label_centroids"))
     assert plan.count("HashAggregate") >= 4  # partial + final, tree+details
+
+
+def test_ks_drift_pushdown_and_broadcast_argmax(q):
+    df = q("stats_ks_drift")
+    plan = formatted_plan(df)
+    # the year predicate reaches the parquet scan
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+    # lineitem scan reads only the 3 needed of 11 columns
+    li = next(s for s in read_schema_columns(df) if "l_extendedprice" in s)
+    assert set(li) == {"l_discount", "l_extendedprice", "l_shipdate"}
+    # the 11-row per-group max joins back as a broadcast, never SMJ
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_common_neighbor_jaccard_no_cartesian(q):
+    # wedge join and both degree joins are equi-joins — all-pairs would
+    # show up as a cartesian/nested-loop product
+    plan = formatted_plan(q("graph_common_neighbor_jaccard"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
