@@ -802,3 +802,70 @@ def bm25_scores(
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(top_k)
     )
+
+
+def token_distribution_drift(
+    df: DataFrame, group_col: str, text_col: str
+) -> DataFrame:
+    """Total-variation distance between each group's token distribution
+    and the rest of the corpus — the vocabulary-drift gate for a crawl
+    snapshot or source: TV = ½·Σ_tok |p_grp(tok) − p_rest(tok)|, carried
+    integer-exact as the long numerator ``Σ|c·n_rest − c_rest·n_grp|``
+    over ``2·n_grp·n_rest`` (round-3 audit rule: no derived double is
+    ever rounded; through ~10⁹ tokens per side the products stay under
+    2⁶³ — beyond that carry the numerator as DECIMAL(38,0)).
+
+    Tokens absent from the group still contribute: for tok ∉ grp the
+    term is ``c_rest·n_grp``, and Σ over those closes in O(1) per group
+    as ``(n_rest − Σ_{tok∈grp} c_rest)·n_grp`` — so the join only ever
+    touches (group, token) pairs that EXIST, never the group×vocabulary
+    cross product.
+
+    Shape: one explode → (group, token) hash agg (map-side combined, the
+    shuffle carries the per-group vocabulary, not the corpus); global
+    per-token counts shuffle on token; the per-group totals row set is
+    broadcast. Returns ``(group_col, n_grp, n_rest, tv_num, tv_ppm)``.
+    """
+    tok = df.select(
+        F.col(group_col).alias("__grp"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+    )
+    per = tok.groupBy("__grp", "token").agg(F.count(F.lit(1)).alias("c"))
+    glob = per.groupBy("token").agg(F.sum("c").alias("c_all"))
+    totals = per.groupBy("__grp").agg(F.sum("c").alias("n_grp"))
+    n_all = per.agg(F.sum("c").alias("n_all"))
+    terms = (
+        per.join(glob, "token")
+        .join(F.broadcast(totals), "__grp")
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "__grp",
+            "n_grp",
+            (F.col("n_all") - F.col("n_grp")).alias("n_rest"),
+            (F.col("c_all") - F.col("c")).alias("c_rest"),
+            F.abs(
+                F.col("c") * (F.col("n_all") - F.col("n_grp"))
+                - (F.col("c_all") - F.col("c")) * F.col("n_grp")
+            ).alias("term"),
+        )
+    )
+    return (
+        terms.groupBy("__grp")
+        .agg(
+            F.max("n_grp").alias("n_grp"),
+            F.max("n_rest").alias("n_rest"),
+            (
+                F.sum("term")
+                + (F.max("n_rest") - F.sum("c_rest")) * F.max("n_grp")
+            ).alias("tv_num"),
+        )
+        .select(
+            F.col("__grp").alias(group_col),
+            "n_grp",
+            "n_rest",
+            "tv_num",
+            F.expr("tv_num * 1000000L div (2 * n_grp * n_rest)").alias(
+                "tv_ppm"
+            ),
+        )
+    )

@@ -1179,3 +1179,44 @@ def sample_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+@register(
+    "text_drift_token_tv",
+    tags=("text", "drift", "distribution"),
+    oracle=f"""
+    WITH tok AS (
+      SELECT source AS grp, unnest({SQL_TOKS.format(src='lower(text)')}) AS token
+      FROM documents),
+    per AS (
+      SELECT grp, token, COUNT(*) AS c FROM tok GROUP BY grp, token),
+    gtok AS (SELECT token, SUM(c) AS c_all FROM per GROUP BY token),
+    totals AS (SELECT grp, SUM(c) AS n_grp FROM per GROUP BY grp),
+    alln AS (SELECT SUM(c) AS n_all FROM per),
+    terms AS (
+      SELECT p.grp, t.n_grp, a.n_all - t.n_grp AS n_rest,
+             g.c_all - p.c AS c_rest,
+             abs(p.c * (a.n_all - t.n_grp) - (g.c_all - p.c) * t.n_grp)
+                 AS term
+      FROM per p
+      JOIN gtok g ON g.token = p.token
+      JOIN totals t ON t.grp = p.grp
+      CROSS JOIN alln a),
+    agg AS (
+      SELECT grp, MAX(n_grp) AS n_grp, MAX(n_rest) AS n_rest,
+             SUM(term) + (MAX(n_rest) - SUM(c_rest)) * MAX(n_grp) AS tv_num
+      FROM terms GROUP BY grp)
+    SELECT grp AS source, n_grp, n_rest, tv_num,
+           tv_num * 1000000 // (2 * n_grp * n_rest) AS tv_ppm
+    FROM agg
+    """,
+)
+def text_drift_token_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift per source: exact total-variation distance
+    between each source's token distribution and the rest of the corpus,
+    as an integer-ppm long. The out-of-vocabulary mass closes in O(1)
+    per group (``(n_rest − Σc_rest)·n_grp``), so only existing
+    (source, token) pairs are ever joined — never a group×vocabulary
+    cross product. Value-checked against the SQL twin."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    return textops.token_distribution_drift(docs, "source", "text")

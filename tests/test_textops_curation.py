@@ -367,3 +367,41 @@ def test_bm25_exact_small_corpus(spark):
     idf_j = 1_000_000 * (2 * (N - 2) + 1) // (2 * 2 + 1)
     assert rows[1].score == tfn * idf + tfn_j * idf_j
     assert rows[1].score > rows[2].score
+
+
+def test_token_distribution_drift_matches_counter_reference(spark):
+    """TV drift equals the direct Counter evaluation, including the O(1)
+    out-of-vocabulary closure for tokens absent from a group; identical
+    groups score 0 against a symmetric rest."""
+    from collections import Counter
+
+    from agol_pandas_spark.operators.textops import token_distribution_drift
+
+    rows = [
+        ("a", "x x y"),
+        ("a", "y z"),
+        ("b", "x q q"),
+        ("c", "x x y y z"),  # same distribution shape appears twice
+    ]
+    df = spark.createDataFrame(rows, ["src", "text"])
+    got = {
+        r.src: (r.n_grp, r.n_rest, r.tv_num, r.tv_ppm)
+        for r in token_distribution_drift(df, "src", "text").collect()
+    }
+
+    groups: dict[str, Counter] = {}
+    for src, text in rows:
+        groups.setdefault(src, Counter()).update(text.lower().split())
+    want = {}
+    for src, cnt in groups.items():
+        rest = Counter()
+        for other, c in groups.items():
+            if other != src:
+                rest.update(c)
+        n_grp, n_rest = sum(cnt.values()), sum(rest.values())
+        vocab = set(cnt) | set(rest)
+        tv_num = sum(
+            abs(cnt[t] * n_rest - rest[t] * n_grp) for t in vocab
+        )
+        want[src] = (n_grp, n_rest, tv_num, tv_num * 10**6 // (2 * n_grp * n_rest))
+    assert got == want
