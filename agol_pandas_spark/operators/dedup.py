@@ -1015,6 +1015,7 @@ def common_neighbor_jaccard(
     src: str,
     dst: str,
     min_common: int = 1,
+    max_center_degree: int | None = None,
 ) -> DataFrame:
     """Neighborhood-overlap similarity for vertex pairs of an undirected
     graph: exact Jaccard of adjacency sets, ``|N(u) ∩ N(v)| / |N(u) ∪
@@ -1029,10 +1030,15 @@ def common_neighbor_jaccard(
     common neighbor and partial-aggregated into a count, so the shuffle
     carries wedges, never all-pairs. Degrees come from one groupBy and
     join back per endpoint; AQE broadcasts the degree side when small.
-    High-degree hubs dominate wedge fan-out (``Σ d(w)²``) — the standard
-    mitigation at 100 TB is dropping top-degree vertices first, same as
-    triangle counting's orientation trick. Returns ``(id_a, id_b,
-    n_common, deg_a, deg_b, jaccard_ppm)`` with ``id_a < id_b``.
+    High-degree hubs dominate wedge fan-out (``Σ d(w)²``) — at 100 TB
+    pass ``max_center_degree`` to exclude hub SHARED-NEIGHBORS from
+    wedge enumeration (a vertex adjacent to everything is weak overlap
+    evidence anyway; this is the degree-cap mitigation, same family as
+    triangle counting's orientation trick). With the cap, ``n_common``
+    undercounts pairs whose only shared neighbors are hubs — degrees and
+    denominators stay exact, so reported similarities are lower bounds.
+    Returns ``(id_a, id_b, n_common, deg_a, deg_b, jaccard_ppm)`` with
+    ``id_a < id_b``.
     """
     e2 = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -1041,8 +1047,16 @@ def common_neighbor_jaccard(
         .distinct()
     )
     deg = e2.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
-    left = e2.select(F.col("b").alias("w"), F.col("a").alias("id_a"))
-    right = e2.select(F.col("b").alias("w"), F.col("a").alias("id_b"))
+    wedge_src = e2
+    if max_center_degree is not None:
+        # drop wedges CENTERED on hubs: filter on the center (b side)
+        # degree before the self-join — the d² fan-out never materializes
+        ok = deg.filter(F.col("d") <= int(max_center_degree)).select(
+            F.col("a").alias("b")
+        )
+        wedge_src = e2.join(ok, "b", "left_semi")
+    left = wedge_src.select(F.col("b").alias("w"), F.col("a").alias("id_a"))
+    right = wedge_src.select(F.col("b").alias("w"), F.col("a").alias("id_b"))
     common = (
         left.join(right, "w")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -573,3 +573,32 @@ def test_common_neighbor_jaccard_min_common_filters(spark):
         # N(2)={1,3,4}, N(3)={1,2,4}: 2 common / 4 in the union
         (2, 3): (2, 3, 3, 500000),
     }
+
+
+def test_common_neighbor_jaccard_center_degree_cap(spark):
+    """Hub shared-neighbors are excluded from wedge enumeration by the
+    cap; an ample cap reproduces the exact result."""
+    from agol_pandas_spark.operators.dedup import common_neighbor_jaccard
+
+    # star: hub 0 adjacent to 1..4; plus a private edge (1,2)
+    edges = [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2)]
+    df = spark.createDataFrame(edges, ["a", "b"])
+
+    exact = {
+        (r.id_a, r.id_b): r.n_common
+        for r in common_neighbor_jaccard(df, "a", "b").collect()
+    }
+    ample = {
+        (r.id_a, r.id_b): r.n_common
+        for r in common_neighbor_jaccard(
+            df, "a", "b", max_center_degree=10
+        ).collect()
+    }
+    assert ample == exact
+
+    capped = common_neighbor_jaccard(df, "a", "b", max_center_degree=3).collect()
+    got = {(r.id_a, r.id_b): (r.n_common, r.deg_a, r.deg_b) for r in capped}
+    # hub 0 (degree 4) no longer closes wedges: only wedges through
+    # centers 1 and 2 (degree 2) survive → (0,1),(0,2) via the private
+    # edge's endpoints; degrees stay TRUE degrees
+    assert got == {(0, 1): (1, 4, 2), (0, 2): (1, 4, 2)}
