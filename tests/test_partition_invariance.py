@@ -41,6 +41,11 @@ QUERIES = [
     "dedup_winnow_shared_pairs",
     "merge_apply_cdc_log",
     "stats_equidepth_histogram",
+    # drift family: cumulative-window numerators and the wedge self-join
+    # must not depend on physical layout
+    "stats_ks_drift",
+    "text_drift_token_tv",
+    "graph_common_neighbor_jaccard",
 ]
 
 
