@@ -67,3 +67,79 @@ def profile_columns(
         ]
     )
     return row.select(F.explode(entries).alias("p")).select("p.*")
+
+
+def ks_drift(
+    df: DataFrame, group_col: str, value_col: str, side_col: str
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift per group, integer-exact.
+
+    ``side_col`` labels each row 1 or 2 (the two samples). With
+    empirical CDFs F₁ = cum1/n1 and F₂ = cum2/n2 over the merged value
+    grid, the statistic ``D = max|F₁ − F₂|`` is carried as the
+    cross-multiplied LONG numerator ``max|cum1·n2 − cum2·n1|`` over
+    denominator n1·n2 — no derived double is ever rounded (the round-3
+    audit rule). ``ks_ppm`` is an exact integer division and
+    ``at_value`` the smallest grid value attaining the max. Products
+    stay under 2⁶³ while both samples hold ≤ ~3·10⁶ rows per group with
+    ppm scaling; beyond that carry the numerator as DECIMAL(38,0).
+
+    Groups where either sample is empty are undefined (ANSI division by
+    zero) — filter them out upstream.
+
+    Scale shape: one scan builds a per-(group, value) histogram with
+    both samples as conditional counts (map-side combined — billions of
+    rows shrink to the distinct-value grid); cumulative windows run over
+    that histogram only; the tiny per-group max broadcasts back to
+    locate the argmax. Returns ``(group_col, n1, n2, ks_num, ks_ppm,
+    at_value)``.
+    """
+    from pyspark.sql.window import Window
+
+    hist = df.groupBy(group_col, value_col).agg(
+        F.sum(F.when(F.col(side_col) == 1, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col(side_col) == 2, 1).otherwise(0)).alias("c2"),
+    )
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(group_col)
+    diffs = hist.select(
+        group_col,
+        F.col(value_col).alias("__v"),
+        (
+            F.abs(
+                F.sum("c1").over(w_cum) * F.sum("c2").over(w_all)
+                - F.sum("c2").over(w_cum) * F.sum("c1").over(w_all)
+            )
+        ).alias("dnum"),
+        F.sum("c1").over(w_all).alias("n1"),
+        F.sum("c2").over(w_all).alias("n2"),
+    )
+    mx = diffs.groupBy(group_col).agg(
+        F.max("dnum").alias("ks_num"),
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+    )
+    mxb = F.broadcast(
+        mx.select(F.col(group_col).alias("__g"), F.col("ks_num").alias("__kmax"))
+    )
+    at = (
+        diffs.join(
+            mxb,
+            (F.col(group_col) == F.col("__g"))
+            & (F.col("dnum") == F.col("__kmax")),
+        )
+        .groupBy(group_col)
+        .agg(F.min("__v").alias("at_value"))
+    )
+    return mx.join(at, group_col).select(
+        group_col,
+        "n1",
+        "n2",
+        "ks_num",
+        F.expr("ks_num * 1000000L div (n1 * n2)").alias("ks_ppm"),
+        "at_value",
+    )

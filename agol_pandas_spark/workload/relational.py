@@ -1710,28 +1710,19 @@ def stats_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov drift between the 1996 and 1997
     price distributions, per discount band — the snapshot-drift gate a
-    training-data pipeline runs before admitting a new crawl (has the
-    source's distribution shifted?). Integer-exact by construction: with
-    empirical CDFs F₁ = cum1/n1 and F₂ = cum2/n2, the statistic
-    ``D = max|F₁ − F₂|`` is carried as the cross-multiplied LONG
-    numerator ``max|cum1·n2 − cum2·n1|`` over denominator n1·n2; ks_ppm
-    is an integer division of longs and at_cents the smallest value
-    attaining the max — no derived double anywhere (round-3 audit rule;
-    products stay under 2⁶³ through ~sf1 per group — beyond that, carry
-    the numerator as DECIMAL(38,0)). Scale shape: one scan builds a
-    per-(group, value) histogram with both samples as conditional counts
-    (map-side combined — billions of rows shrink to distinct cents);
-    cumulative windows run over that histogram only; the 3-row max
-    broadcasts back to locate the argmax. The reference has no
+    training-data pipeline runs before admitting a new crawl. Delegates
+    to :func:`operators.profile.ks_drift` (integer-exact: D carried as
+    the cross-multiplied long numerator, no derived double anywhere —
+    round-3 audit rule; fuzz-checked against a pure-Python reference in
+    tests/test_profile.py). The raw l_shipdate range filter is pushable
+    to the parquet scan where year() would not be. The reference has no
     statistics surface at all (SURVEY §2b math row).
     """
-    from pyspark.sql.window import Window
+    from agol_pandas_spark.operators.profile import ks_drift
 
     li = (
         Catalog(spark, sf_dir)
         .table("lineitem")
-        # range filter on the raw column (pushable to the parquet scan,
-        # where year(l_shipdate) IN (...) would not be) — same rows
         .filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01"))
             & (F.col("l_shipdate") < F.lit("1998-01-01"))
@@ -1739,60 +1730,11 @@ def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.round(F.col("l_discount") * 100).cast("int").alias("discount_pct"),
             F.round(F.col("l_extendedprice") * 100).cast("long").alias("pc"),
-            F.year("l_shipdate").alias("yr"),
+            F.when(F.year("l_shipdate") == 1996, 1).otherwise(2).alias("side"),
         )
     )
-    hist = li.groupBy("discount_pct", "pc").agg(
-        F.sum(F.when(F.col("yr") == 1996, 1).otherwise(0)).alias("c1"),
-        F.sum(F.when(F.col("yr") == 1997, 1).otherwise(0)).alias("c2"),
-    )
-    w_cum = (
-        Window.partitionBy("discount_pct")
-        .orderBy("pc")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_all = Window.partitionBy("discount_pct")
-    diffs = hist.select(
-        "discount_pct",
-        "pc",
-        (
-            F.abs(
-                F.sum("c1").over(w_cum) * F.sum("c2").over(w_all)
-                - F.sum("c2").over(w_cum) * F.sum("c1").over(w_all)
-            )
-        ).alias("dnum"),
-        F.sum("c1").over(w_all).alias("n1"),
-        F.sum("c2").over(w_all).alias("n2"),
-    )
-    mx = diffs.groupBy("discount_pct").agg(
-        F.max("dnum").alias("ks_num"),
-        F.max("n1").alias("n1"),
-        F.max("n2").alias("n2"),
-    )
-    mxb = F.broadcast(
-        mx.select(
-            F.col("discount_pct").alias("__g"), F.col("ks_num").alias("__kmax")
-        )
-    )
-    at = (
-        diffs.join(
-            mxb,
-            (F.col("discount_pct") == F.col("__g"))
-            & (F.col("dnum") == F.col("__kmax")),
-        )
-        .groupBy("discount_pct")
-        .agg(F.min("pc").alias("at_cents"))
-    )
-    return (
-        mx.join(at, "discount_pct")
-        .select(
-            "discount_pct",
-            "n1",
-            "n2",
-            "ks_num",
-            F.expr("ks_num * 1000000L div (n1 * n2)").alias("ks_ppm"),
-            "at_cents",
-        )
+    return ks_drift(li, "discount_pct", "pc", "side").withColumnRenamed(
+        "at_value", "at_cents"
     )
 
 

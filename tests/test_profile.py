@@ -43,3 +43,70 @@ def test_profile_approx_mode_has_no_expand(spark):
 def test_profile_none_mode_skips_distinct(spark):
     out = {r["column"]: r for r in profile_columns(_frame(spark), distinct="none").collect()}
     assert all(r["n_distinct"] is None for r in out.values())
+
+
+def _ks_reference(s1: list[int], s2: list[int]):
+    """Direct integer KS: walk the merged value grid in order."""
+    from collections import Counter
+
+    n1, n2 = len(s1), len(s2)
+    cnt1, cnt2 = Counter(s1), Counter(s2)
+    c1 = c2 = 0
+    best, at = -1, None
+    for v in sorted(set(s1) | set(s2)):
+        c1 += cnt1[v]
+        c2 += cnt2[v]
+        d = abs(c1 * n2 - c2 * n1)
+        if d > best:
+            best, at = d, v
+    return n1, n2, best, best * 10**6 // (n1 * n2), at
+
+
+def test_ks_drift_fuzz_against_python_reference(spark):
+    """Integer-KS over random samples equals the direct walk, per group;
+    includes the identical-samples (D=0) and disjoint-support (D=max)
+    edges."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from agol_pandas_spark.operators.profile import ks_drift
+
+    sample = st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=40)
+
+    @given(g1=st.tuples(sample, sample), g2=st.tuples(sample, sample))
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(g1, g2):
+        rows = []
+        for grp, (s1, s2) in (("a", g1), ("b", g2)):
+            rows += [(grp, v, 1) for v in s1] + [(grp, v, 2) for v in s2]
+        df = spark.createDataFrame(rows, "grp string, v long, side int")
+        got = {
+            r.grp: (r.n1, r.n2, r.ks_num, r.ks_ppm, r.at_value)
+            for r in ks_drift(df, "grp", "v", "side").collect()
+        }
+        assert got == {"a": _ks_reference(*g1), "b": _ks_reference(*g2)}
+
+    run()
+
+    # pinned edges: identical samples → D = 0 at the smallest value;
+    # disjoint supports → D = n1·n2 (ppm exactly 10^6)
+    same = [1, 2, 2, 9]
+    df = spark.createDataFrame(
+        [("g", v, 1) for v in same] + [("g", v, 2) for v in same],
+        "grp string, v long, side int",
+    )
+    from agol_pandas_spark.operators.profile import ks_drift as kd
+
+    r = kd(df, "grp", "v", "side").collect()[0]
+    assert (r.ks_num, r.ks_ppm, r.at_value) == (0, 0, 1)
+
+    df2 = spark.createDataFrame(
+        [("g", 1, 1), ("g", 2, 1), ("g", 10, 2)],
+        "grp string, v long, side int",
+    )
+    r2 = kd(df2, "grp", "v", "side").collect()[0]
+    assert (r2.ks_num, r2.ks_ppm) == (2 * 1, 10**6)
