@@ -143,3 +143,51 @@ def ks_drift(
         F.expr("ks_num * 1000000L div (n1 * n2)").alias("ks_ppm"),
         "at_value",
     )
+
+
+def chi2_drift(df: DataFrame, cell_col: str, side_col: str) -> DataFrame:
+    """Two-sample chi-square homogeneity contributions per category,
+    integer-exact — the categorical companion to :func:`ks_drift`
+    (numeric) and ``textops.token_distribution_drift`` (vocabulary).
+
+    For a 2×k contingency table the cell's χ² term algebraically reduces
+    to ``d² / (N1·N2·c)`` with ``d = o1·N2 − o2·N1`` and ``c = o1+o2``
+    (both sides' (O−E)²/E terms combined). Each cell's contribution is
+    emitted as an exact ppm long via STAGED integer division —
+    ``d²·10⁶ div D`` computed as ``q0·10⁶ + q1·10³ + (r1·10³ div D)``
+    where ``q0,r0 = divmod(d², D)``, ``q1,r1 = divmod(r0·10³, D)`` — so
+    the intermediate products stay in range wherever ``d²`` and
+    ``D·10³`` fit in a long (per-side samples up to ~10⁶ rows; beyond
+    that carry DECIMAL(38,0)). Per-cell FLOORS are the deterministic
+    contract; summing them under-counts the global χ² by < k ppm.
+
+    Scale shape: one map-side-combined groupBy on the category; the
+    2-long totals row is broadcast; everything after is a codegen map.
+    Returns ``(cell_col, o1, o2, n1, n2, d_abs, contrib_ppm)``.
+    """
+    cells = df.groupBy(cell_col).agg(
+        F.sum(F.when(F.col(side_col) == 1, 1).otherwise(0)).alias("o1"),
+        F.sum(F.when(F.col(side_col) == 2, 1).otherwise(0)).alias("o2"),
+    )
+    tot = cells.agg(F.sum("o1").alias("n1"), F.sum("o2").alias("n2"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .withColumn("d_abs", F.abs(F.col("o1") * F.col("n2") - F.col("o2") * F.col("n1")))
+        .withColumn("__D", F.col("n1") * F.col("n2") * (F.col("o1") + F.col("o2")))
+        .withColumn("__d2", F.col("d_abs") * F.col("d_abs"))
+        .withColumn("__r0", F.col("__d2") % F.col("__D"))
+        .withColumn("__r1", (F.col("__r0") * 1000) % F.col("__D"))
+        .select(
+            cell_col,
+            "o1",
+            "o2",
+            "n1",
+            "n2",
+            "d_abs",
+            (
+                F.expr("__d2 div __D") * F.lit(1000000).cast("long")
+                + F.expr("(__r0 * 1000L) div __D") * F.lit(1000).cast("long")
+                + F.expr("(__r1 * 1000L) div __D")
+            ).alias("contrib_ppm"),
+        )
+    )

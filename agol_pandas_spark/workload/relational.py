@@ -2353,3 +2353,57 @@ def array_struct_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, s: acc + s["l_linenumber"] * s["cents"],
         ).alias("position_weighted_cents"),
     )
+
+
+@register(
+    "stats_chi2_priority_drift",
+    tags=("stats", "drift", "categorical"),
+    oracle="""
+    WITH base AS (
+      SELECT o_orderpriority,
+             CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END AS is1,
+             CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0 END AS is2
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01'),
+    cells AS (
+      SELECT o_orderpriority, SUM(is1) AS o1, SUM(is2) AS o2
+      FROM base GROUP BY o_orderpriority),
+    tot AS (SELECT SUM(o1) AS n1, SUM(o2) AS n2 FROM cells),
+    terms AS (
+      SELECT c.o_orderpriority, c.o1, c.o2, t.n1, t.n2,
+             abs(c.o1 * t.n2 - c.o2 * t.n1) AS d_abs,
+             t.n1 * t.n2 * (c.o1 + c.o2) AS dd,
+             abs(c.o1 * t.n2 - c.o2 * t.n1)
+               * abs(c.o1 * t.n2 - c.o2 * t.n1) AS d2
+      FROM cells c CROSS JOIN tot t),
+    staged AS (
+      SELECT *, d2 % dd AS r0, (d2 % dd) * 1000 % dd AS r1 FROM terms)
+    SELECT o_orderpriority, o1, o2, n1, n2, d_abs,
+           (d2 // dd) * 1000000 + ((r0 * 1000) // dd) * 1000
+             + (r1 * 1000) // dd AS contrib_ppm
+    FROM staged
+    """,
+)
+def stats_chi2_priority_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift gate: per-priority chi-square homogeneity
+    contributions between the 1996 and 1997 order mixes, integer-exact
+    via staged long division (no derived double — round-3 audit rule;
+    fuzz-checked against a big-int Python reference in
+    tests/test_profile.py). Completes the drift family: KS (numeric),
+    TV (vocabulary), chi-square (categorical)."""
+    from agol_pandas_spark.operators.profile import chi2_drift
+
+    orders = (
+        Catalog(spark, sf_dir)
+        .table("orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01"))
+        )
+        .select(
+            "o_orderpriority",
+            F.when(F.year("o_orderdate") == 1996, 1).otherwise(2).alias("side"),
+        )
+    )
+    return chi2_drift(orders, "o_orderpriority", "side")

@@ -110,3 +110,56 @@ def test_ks_drift_fuzz_against_python_reference(spark):
     )
     r2 = kd(df2, "grp", "v", "side").collect()[0]
     assert (r2.ks_num, r2.ks_ppm) == (2 * 1, 10**6)
+
+
+def _chi2_reference(s1: list[str], s2: list[str]):
+    """Big-int evaluation of the per-cell staged-division contract."""
+    from collections import Counter
+
+    c1, c2 = Counter(s1), Counter(s2)
+    n1, n2 = len(s1), len(s2)
+    out = {}
+    for cell in sorted(set(s1) | set(s2)):
+        o1, o2 = c1[cell], c2[cell]
+        d = abs(o1 * n2 - o2 * n1)
+        big = n1 * n2 * (o1 + o2)
+        out[cell] = (o1, o2, n1, n2, d, d * d * 10**6 // big)
+    return out
+
+
+def test_chi2_drift_fuzz_against_bigint_reference(spark):
+    """Staged long division equals unbounded-precision d^2*1e6 // D for
+    random categorical samples; identical mixes give 0 everywhere."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from agol_pandas_spark.operators.profile import chi2_drift
+
+    cat = st.sampled_from(["p", "q", "r", "s"])
+    sample = st.lists(cat, min_size=1, max_size=60)
+
+    @given(s1=sample, s2=sample)
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(s1, s2):
+        rows = [(v, 1) for v in s1] + [(v, 2) for v in s2]
+        df = spark.createDataFrame(rows, "cell string, side int")
+        got = {
+            r.cell: (r.o1, r.o2, r.n1, r.n2, r.d_abs, r.contrib_ppm)
+            for r in chi2_drift(df, "cell", "side").collect()
+        }
+        assert got == _chi2_reference(s1, s2)
+
+    run()
+
+    same = ["p", "p", "q", "r"]
+    df = spark.createDataFrame(
+        [(v, 1) for v in same] + [(v, 2) for v in same], "cell string, side int"
+    )
+    assert all(
+        r.contrib_ppm == 0 and r.d_abs == 0
+        for r in chi2_drift(df, "cell", "side").collect()
+    )
