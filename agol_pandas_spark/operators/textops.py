@@ -831,6 +831,23 @@ def token_distribution_drift(
         F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
     )
     per = tok.groupBy("__grp", "token").agg(F.count(F.lit(1)).alias("c"))
+    return token_tv_from_counts(per, "__grp").withColumnRenamed(
+        "__grp", group_col
+    )
+
+
+def token_tv_from_counts(per: DataFrame, group_col: str) -> DataFrame:
+    """TV drift from a pre-aggregated ``(group, token, c)`` counts table
+    — the incremental entry point: counts are additive, so a streaming
+    pipeline can append per-micro-batch partial counts into a state
+    table and compute drift from the compacted sums at any point (see
+    ``workload/streaming_queries.py:stream_drift_token_tv``). Same
+    integer-exact contract and scale shape as
+    :func:`token_distribution_drift`, which delegates here.
+    """
+    per = per.select(
+        F.col(group_col).alias("__grp"), "token", F.col("c").cast("long")
+    )
     glob = per.groupBy("token").agg(F.sum("c").alias("c_all"))
     totals = per.groupBy("__grp").agg(F.sum("c").alias("n_grp"))
     n_all = per.agg(F.sum("c").alias("n_all"))

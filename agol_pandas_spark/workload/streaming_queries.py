@@ -454,3 +454,112 @@ def stream_paged_sink_upload(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum("event_id").alias("id_checksum"),
     )
+
+
+@register(
+    "stream_drift_token_tv",
+    tags=("streaming", "drift", "foreachBatch", "documents"),
+    oracle=f"""
+    WITH tok AS (
+      SELECT source AS grp,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS token
+      FROM documents),
+    per AS (
+      SELECT grp, token, COUNT(*) AS c FROM tok GROUP BY grp, token),
+    gtok AS (SELECT token, SUM(c) AS c_all FROM per GROUP BY token),
+    totals AS (SELECT grp, SUM(c) AS n_grp FROM per GROUP BY grp),
+    alln AS (SELECT SUM(c) AS n_all FROM per),
+    terms AS (
+      SELECT p.grp, t.n_grp, a.n_all - t.n_grp AS n_rest,
+             g.c_all - p.c AS c_rest,
+             abs(p.c * (a.n_all - t.n_grp) - (g.c_all - p.c) * t.n_grp)
+                 AS term
+      FROM per p
+      JOIN gtok g ON g.token = p.token
+      JOIN totals t ON t.grp = p.grp
+      CROSS JOIN alln a),
+    agg AS (
+      SELECT grp, MAX(n_grp) AS n_grp, MAX(n_rest) AS n_rest,
+             SUM(term) + (MAX(n_rest) - SUM(c_rest)) * MAX(n_grp) AS tv_num
+      FROM terms GROUP BY grp)
+    SELECT grp AS source, n_grp, n_rest, tv_num,
+           tv_num * 1000000 // (2 * n_grp * n_rest) AS tv_ppm
+    FROM agg
+    """,
+)
+def stream_drift_token_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental vocabulary-drift monitor: the documents corpus lands
+    as THREE files consumed one per micro-batch (maxFilesPerTrigger=1);
+    each batch's (source, token) partial counts APPEND into a state
+    table via foreachBatch — counts are additive, so no read-modify-
+    write — and after the drain the exact TV distance is computed from
+    the compacted sums (``textops.token_tv_from_counts``). Because the
+    final counts equal the batch counts regardless of how rows split
+    into micro-batches, the batch SQL oracle holds exactly; the same
+    topology runs unchanged against a live landing zone, recomputing
+    drift after every batch.
+
+    Scale shape: per-batch partial counts are map-side combined before
+    the append (the state table grows by per-batch vocabulary, not
+    corpus rows); compaction is one groupBy at read time.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F  # noqa: F811 - local clarity
+
+    from agol_pandas_spark.functions.text import tokens as tok_fn
+    from agol_pandas_spark.operators.textops import token_tv_from_counts
+
+    cat = Catalog(spark, sf_dir)
+    docs_path = cat.path("documents")
+    schema = spark.read.parquet(docs_path).schema
+
+    # stage a 3-file landing zone so availableNow drains 3 micro-batches
+    landing = os.path.join(
+        tempfile.gettempdir(), f"stream_tv_{uuid.uuid4().hex[:8]}"
+    )
+    (
+        spark.read.parquet(docs_path)
+        .repartition(3)
+        .write.mode("overwrite")
+        .parquet(landing)
+    )
+    docs = stream_from_directory(spark, landing, schema)
+
+    state_root = tempfile.mkdtemp(prefix="stream_tv_state_")
+
+    def accumulate(batch_df, batch_id):
+        counts = (
+            batch_df.select(
+                F.col("source"),
+                F.explode(tok_fn(F.lower(F.col("text")))).alias("token"),
+            )
+            .groupBy("source", "token")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        counts.write.mode("append").parquet(
+            os.path.join(state_root, "tok_counts")
+        )
+
+    q = (
+        docs.writeStream.foreachBatch(accumulate)
+        .option(
+            "checkpointLocation", os.path.join(state_root, "_checkpoint")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    compacted = (
+        spark.read.parquet(os.path.join(state_root, "tok_counts"))
+        .groupBy("source", "token")
+        .agg(F.sum("c").alias("c"))
+    )
+    out = token_tv_from_counts(compacted, "source").localCheckpoint(
+        eager=True
+    )
+    shutil.rmtree(state_root, ignore_errors=True)
+    shutil.rmtree(landing, ignore_errors=True)
+    return out
