@@ -1335,3 +1335,40 @@ def pagerank_scaled(
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", F.col("r").alias("rank_scaled"))
+
+
+def cross_source_dup_matrix(
+    df: DataFrame, source_col: str, key: Column
+) -> DataFrame:
+    """Pairwise cross-source duplication matrix: for every ordered
+    source pair (a, b), how many of a's documents carry a dedup key that
+    also occurs in b (``n_dup_docs``) and over how many distinct shared
+    keys (``n_shared_keys``). This is the source-precedence diagnostic
+    run before a multi-crawl merge — it tells you which source to keep
+    as the survivor authority and how much of each crawl is recycled
+    from another.
+
+    Shape: one groupBy collapses the corpus to (key, source, n_docs) —
+    at 100 TB that table is the dedup index, orders of magnitude smaller
+    than the text — then a self equi-join ON THE KEY (never source ×
+    source × corpus) and a partial-aggregated groupBy on the source
+    pair. Hot boilerplate keys fan out quadratically in the number of
+    SOURCES sharing them (bounded by the source count, not the corpus);
+    cap or drop top keys first if the source list is huge.
+    """
+    cnt = df.select(
+        key.alias("__k"), F.col(source_col).alias("__src")
+    ).groupBy("__k", "__src").agg(F.count(F.lit(1)).alias("n_docs"))
+    other = cnt.select(
+        F.col("__k"), F.col("__src").alias("other_source")
+    )
+    return (
+        cnt.join(other, "__k")
+        .filter(F.col("__src") != F.col("other_source"))
+        .groupBy("__src", "other_source")
+        .agg(
+            F.sum("n_docs").alias("n_dup_docs"),
+            F.count(F.lit(1)).alias("n_shared_keys"),
+        )
+        .withColumnRenamed("__src", source_col)
+    )

@@ -856,3 +856,29 @@ def graph_common_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     docs = Catalog(spark, sf_dir).table("documents")
     pairs = dedup.simhash_band_pairs(docs, "doc_id", "text", max_hamming=3)
     return dedup.common_neighbor_jaccard(pairs, "id_a", "id_b", min_common=2)
+
+
+@register(
+    "dedup_cross_source_matrix",
+    tags=("dedup", "audit", "sources"),
+    oracle="""
+    WITH k AS (
+      SELECT source, substring(lower(text), 1, 30) AS k FROM documents),
+    cnt AS (
+      SELECT source, k, COUNT(*) AS n_docs FROM k GROUP BY source, k)
+    SELECT a.source, b.source AS other_source,
+           SUM(a.n_docs) AS n_dup_docs,
+           COUNT(*) AS n_shared_keys
+    FROM cnt a JOIN cnt b ON a.k = b.k AND a.source <> b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-precedence diagnostic: pairwise duplication matrix over the
+    same normalized prefix key the exact-dedup query uses — which crawls
+    recycle which. Self equi-join on the collapsed dedup index, never on
+    the corpus."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    return dedup.cross_source_dup_matrix(
+        docs, "source", F.substring(F.lower(F.col("text")), 1, 30)
+    )

@@ -602,3 +602,32 @@ def test_common_neighbor_jaccard_center_degree_cap(spark):
     # centers 1 and 2 (degree 2) survive → (0,1),(0,2) via the private
     # edge's endpoints; degrees stay TRUE degrees
     assert got == {(0, 1): (1, 4, 2), (0, 2): (1, 4, 2)}
+
+
+def test_cross_source_dup_matrix_ground_truth(spark):
+    """Matrix rows match the planted cross-source copies; pairs with no
+    shared key are absent and counts are doc-level, not key-level."""
+    from agol_pandas_spark.operators.dedup import cross_source_dup_matrix
+
+    rows = [
+        ("A", "shared one"),
+        ("A", "shared one"),   # two A docs under the same key
+        ("A", "only in a"),
+        ("B", "shared one"),
+        ("B", "shared two"),
+        ("C", "shared two"),
+        ("C", "nothing else"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        (r.source, r.other_source): (r.n_dup_docs, r.n_shared_keys)
+        for r in cross_source_dup_matrix(
+            df, "source", F.col("text")
+        ).collect()
+    }
+    assert got == {
+        ("A", "B"): (2, 1),  # both A copies of 'shared one' count
+        ("B", "A"): (1, 1),
+        ("B", "C"): (1, 1),
+        ("C", "B"): (1, 1),
+    }
