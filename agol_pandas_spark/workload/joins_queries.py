@@ -176,3 +176,63 @@ def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("ts_us"),
         F.unix_micros("valid_from").alias("valid_from_us"),
     )
+
+
+@register(
+    "join_interval_overlap_windows",
+    tags=("join", "interval", "events"),
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id, epoch_us(ts) AS s,
+             epoch_us(ts) + 14400000000 AS e
+      FROM events WHERE event_type = 'click'),
+    p AS (
+      SELECT user_id, event_id, epoch_us(ts) AS s,
+             epoch_us(ts) + 14400000000 AS e
+      FROM events WHERE event_type = 'purchase')
+    SELECT c.user_id,
+           c.event_id AS event_id_a, p.event_id AS event_id_b,
+           c.s AS s_a, p.s AS s_b,
+           least(c.e, p.e) - greatest(c.s, p.s) AS overlap
+    FROM c JOIN p ON c.user_id = p.user_id
+                 AND c.s < p.e AND p.s < c.e
+    """,
+)
+def join_interval_overlap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join via grid binning
+    (``operators/joins.py:interval_overlap_join``): 4-hour click
+    activity windows × 4-hour purchase windows per user, grid cell =
+    window length so each interval covers ≤ 2 cells. The oracle is the
+    direct non-equi join — the binned equi-join must reproduce it
+    exactly, including the exact integer overlap lengths and the
+    emit-once guarantee (no duplicate pairs from multi-cell
+    collisions)."""
+    from agol_pandas_spark.operators.joins import interval_overlap_join
+
+    WIN_US = 4 * 3600 * 1_000_000
+    ev = Catalog(spark, sf_dir).table("events")
+
+    def windows(event_type: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == event_type).select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("s"),
+            (F.unix_micros("ts") + F.lit(WIN_US)).alias("e"),
+        )
+
+    out = interval_overlap_join(
+        windows("click"),
+        windows("purchase"),
+        "s",
+        "e",
+        grid=WIN_US,
+        keys=("user_id",),
+    )
+    return out.select(
+        "user_id",
+        "event_id_a",
+        "event_id_b",
+        "s_a",
+        "s_b",
+        "overlap",
+    )

@@ -191,3 +191,49 @@ def test_point_in_time_join_left_keeps_unmatched(spark):
     assert {r.pid: r.v for r in rows} == {1: "a", 2: None}
     # no duplicated key columns in the output
     assert [c for c in rows[0].asDict() if c == "k"] == ["k"]
+
+
+def test_interval_overlap_join_fuzz_vs_bruteforce(spark):
+    """Grid-binned overlap join equals the brute-force O(n^2) reference
+    for random intervals — including intervals spanning many grid cells
+    (emit-once must hold) and touching-endpoint non-overlaps."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from agol_pandas_spark.operators.joins import interval_overlap_join
+
+    iv = st.tuples(
+        st.integers(min_value=0, max_value=200),
+        st.integers(min_value=1, max_value=120),  # length: up to 12 cells
+        st.integers(min_value=0, max_value=1),    # key
+    )
+    sample = st.lists(iv, min_size=1, max_size=12)
+
+    @given(ls=sample, rs=sample)
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(ls, rs):
+        lrows = [(i, k, s, s + n) for i, (s, n, k) in enumerate(ls)]
+        rrows = [(i, k, s, s + n) for i, (s, n, k) in enumerate(rs)]
+        schema = "iid long, k long, s long, e long"
+        out = interval_overlap_join(
+            spark.createDataFrame(lrows, schema),
+            spark.createDataFrame(rrows, schema),
+            "s",
+            "e",
+            grid=10,
+            keys=("k",),
+        ).collect()
+        got = sorted((r.iid_a, r.iid_b, r.overlap) for r in out)
+        want = sorted(
+            (la[0], rb[0], min(la[3], rb[3]) - max(la[2], rb[2]))
+            for la in lrows
+            for rb in rrows
+            if la[1] == rb[1] and la[2] < rb[3] and rb[2] < la[3]
+        )
+        assert got == want
+
+    run()
