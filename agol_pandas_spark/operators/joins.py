@@ -203,6 +203,8 @@ def interval_overlap_join(
     ``overlap`` is the exact integer overlap length.
     """
     g = int(grid)
+    if g <= 0:
+        raise ValueError(f"grid must be a positive integer, got {grid}")
 
     def side(df: DataFrame, sfx: str) -> DataFrame:
         renamed = df.select(

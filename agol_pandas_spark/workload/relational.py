@@ -1669,6 +1669,7 @@ def stats_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stats_ks_drift",
+    headline=True,
     tags=("stats", "drift", "distribution"),
     oracle="""
     WITH base AS (
