@@ -1372,3 +1372,65 @@ def cross_source_dup_matrix(
         )
         .withColumnRenamed("__src", source_col)
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: Sequence[str],
+    shingle_size: int = 3,
+    min_containment_ppm: int = 0,
+) -> DataFrame:
+    """Asymmetric containment for doc pairs within blocks: ``C(a ⊂ b) =
+    |A∩B| / |A|`` over distinct word shingles, as an exact integer ppm.
+    Containment catches the duplication Jaccard misses at scale — a
+    short document quoted wholesale inside a long one has near-zero
+    Jaccard (the union is huge) but containment ≈ 1; it is the right
+    signal for quote-expansion, boilerplate-wrapping, and
+    subset-crawl detection.
+
+    Shape: identical shuffle profile to :func:`ngram_jaccard_pairs`
+    (explode → self-join on (block, shingle) → count), but BOTH
+    directions are emitted per unordered pair — ``(a, b)`` with
+    ``containment_ppm = n_inter·10⁶ div n_a`` — because containment is
+    directional. Pairs sharing zero shingles never appear.
+    """
+    sh = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        F.array_distinct(
+            word_shingles(tokens(F.col(text_col)), shingle_size)
+        ).alias("__sh"),
+    )
+    sizes = sh.select(F.col(id_col), F.size("__sh").alias("__n"))
+    expl = sh.select(
+        F.col(id_col), *[F.col(c) for c in block_cols], F.explode("__sh").alias("__s")
+    )
+    a = expl.select(
+        F.col(id_col).alias("id_a"), *[F.col(c) for c in block_cols], F.col("__s")
+    )
+    b = expl.select(
+        F.col(id_col).alias("id_b"), *[F.col(c) for c in block_cols], F.col("__s")
+    )
+    inter = (
+        a.join(b, on=[*block_cols, "__s"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("n_b"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            "n_a",
+            "n_b",
+            F.expr("n_inter * 1000000L div n_a").alias("containment_ppm"),
+        )
+        .filter(F.col("containment_ppm") >= int(min_containment_ppm))
+    )

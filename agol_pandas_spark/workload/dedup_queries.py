@@ -882,3 +882,46 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cross_source_dup_matrix(
         docs, "source", F.substring(F.lower(F.col("text")), 1, 30)
     )
+
+
+@register(
+    "dedup_ngram_containment_pairs",
+    tags=("dedup", "containment"),
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {SQL_TOKS.format(src='text')} AS t FROM documents),
+    sh AS (
+      SELECT doc_id, lang,
+             list_distinct({SQL_SHINGLES.format(toks='t')}) AS sh
+      FROM toks),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
+    expl AS (SELECT doc_id, lang, unnest(sh) AS s FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM expl a JOIN expl b
+        ON a.lang = b.lang AND a.s = b.s
+       AND a.doc_id <> b.doc_id
+      GROUP BY id_a, id_b)
+    SELECT id_a, id_b, n_inter,
+           CAST(sa.n AS INTEGER) AS n_a,
+           CAST(sb.n AS INTEGER) AS n_b,
+           n_inter * 1000000 // sa.n AS containment_ppm
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_inter * 1000000 // sa.n >= 500000
+    """,
+)
+def dedup_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional shingle containment within language blocks:
+    pairs where ≥ half of a's shingles occur in b — cross-source quote-expansion
+    / boilerplate-wrapping signal symmetric Jaccard misses. Exact
+    integer ppm, same blocked shuffle profile as the Jaccard query."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    return dedup.ngram_containment_pairs(
+        docs,
+        "doc_id",
+        "text",
+        block_cols=("lang",),
+        min_containment_ppm=500_000,
+    )

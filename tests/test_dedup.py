@@ -631,3 +631,33 @@ def test_cross_source_dup_matrix_ground_truth(spark):
         ("B", "C"): (1, 1),
         ("C", "B"): (1, 1),
     }
+
+
+def test_ngram_containment_directional(spark):
+    """A short doc quoted wholesale inside a long one: containment is 1.0
+    in the short→long direction, < 1 the other way, and Jaccard would be
+    low — the case this operator exists for."""
+    from agol_pandas_spark.operators.dedup import ngram_containment_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long_ = (
+        "intro words before the quote " + short +
+        " and a very long tail of unrelated filler content follows here "
+        "with many additional tokens to dilute the union considerably"
+    )
+    docs = spark.createDataFrame(
+        [(1, short, "x"), (2, long_, "x"), (3, "totally different text about engines", "x")],
+        "doc_id long, text string, blk string",
+    )
+    got = {
+        (r.id_a, r.id_b): (r.n_inter, r.n_a, r.containment_ppm)
+        for r in ngram_containment_pairs(
+            docs, "doc_id", "text", block_cols=("blk",)
+        ).collect()
+    }
+    # every 3-shingle of the short doc occurs in the long doc
+    n_short = len(short.split()) - 2
+    assert got[(1, 2)] == (n_short, n_short, 1_000_000)
+    # reverse direction is diluted by the long doc's own shingles
+    assert got[(2, 1)][2] < 1_000_000
+    assert (1, 3) not in got and (3, 1) not in got
