@@ -2408,3 +2408,54 @@ def stats_chi2_priority_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return chi2_drift(orders, "o_orderpriority", "side")
+
+
+@register(
+    "events_gap_log2_histogram",
+    tags=("events", "histogram", "latency"),
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events),
+    bucketed AS (
+      SELECT event_type,
+             CASE WHEN gap_us <= 0 THEN -1
+                  ELSE length(bin(gap_us)) - 1 END AS log2_bucket
+      FROM gaps WHERE gap_us IS NOT NULL)
+    SELECT event_type, log2_bucket, COUNT(*) AS n_gaps
+    FROM bucketed GROUP BY event_type, log2_bucket
+    """,
+)
+def events_gap_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HdrHistogram-style inter-event gap distribution: per event type,
+    counts of user inter-arrival gaps in power-of-2 microsecond buckets.
+    ``floor(log2(x))`` is computed EXACTLY as ``length(bin(x)) − 1`` —
+    pure integer/string ops in both engines, where float ``log2`` sits
+    on a knife edge at every power of two (round-3 audit rule). Zero
+    gaps (same-ts events) land in bucket −1. Scale shape: one lag
+    window per user partition, then a map-side-combined groupBy over ~60
+    (type, bucket) cells — the fixed-size histogram shape that survives
+    any corpus size.
+    """
+    from pyspark.sql.window import Window
+
+    ev = Catalog(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    bucketed = gaps.select(
+        "event_type",
+        F.when(F.col("gap_us") <= 0, F.lit(-1))
+        .otherwise(F.length(F.bin(F.col("gap_us"))) - 1)
+        .cast("int")
+        .alias("log2_bucket"),
+    )
+    return bucketed.groupBy("event_type", "log2_bucket").agg(
+        F.count(F.lit(1)).alias("n_gaps")
+    )
