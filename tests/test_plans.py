@@ -299,3 +299,12 @@ def test_common_neighbor_jaccard_no_cartesian(q):
     plan = formatted_plan(q("graph_common_neighbor_jaccard"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_overlap_join_is_equi_join(q):
+    # the whole point of grid binning: the non-equi overlap must execute
+    # as a hash equi-join on (key, cell), never a nested-loop product
+    plan = formatted_plan(q("join_interval_overlap_windows"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
