@@ -2459,3 +2459,63 @@ def events_gap_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucketed.groupBy("event_type", "log2_bucket").agg(
         F.count(F.lit(1)).alias("n_gaps")
     )
+
+
+@register(
+    "agg_weighted_median_price",
+    tags=("agg", "robust", "weighted"),
+    oracle="""
+    WITH hist AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+             SUM(CAST(l_quantity AS BIGINT)) AS w
+      FROM lineitem GROUP BY l_returnflag, pc),
+    cum AS (
+      SELECT l_returnflag, pc,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY pc
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum_w,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS total_w
+      FROM hist)
+    SELECT l_returnflag, MAX(total_w) AS total_weight,
+           MIN(CASE WHEN 2 * cum_w >= total_w THEN pc END)
+               AS weighted_median_cents
+    FROM cum GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted discrete median price per return flag: the
+    first value whose cumulative weight reaches half the total —
+    integer-exact over scaled-cent longs and integer quantities (the
+    2·cum ≥ total comparison avoids dividing the total; round-3 audit
+    rule). Weighted medians are the robust price-level statistic unit
+    tests can't fake with plain medians. Scale shape: the cumulative
+    window runs over the distinct-value histogram (one map-side-combined
+    groupBy collapses the corpus), never the raw rows.
+    """
+    from pyspark.sql.window import Window
+
+    li = Catalog(spark, sf_dir).table("lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("pc"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    hist = li.groupBy("l_returnflag", "pc").agg(F.sum("w").alias("w"))
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("pc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    cum = hist.select(
+        "l_returnflag",
+        "pc",
+        F.sum("w").over(w_cum).alias("cum_w"),
+        F.sum("w").over(w_all).alias("total_w"),
+    )
+    return cum.groupBy("l_returnflag").agg(
+        F.max("total_w").alias("total_weight"),
+        F.min(
+            F.when(2 * F.col("cum_w") >= F.col("total_w"), F.col("pc"))
+        ).alias("weighted_median_cents"),
+    )
