@@ -2519,3 +2519,63 @@ def agg_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(2 * F.col("cum_w") >= F.col("total_w"), F.col("pc"))
         ).alias("weighted_median_cents"),
     )
+
+
+@register(
+    "date_calendar_gaps",
+    tags=("date", "calendar", "audit"),
+    oracle="""
+    WITH span AS (
+      SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+             CAST(max(o_orderdate) AS DATE) AS d1
+      FROM orders),
+    days AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+                 AS day
+      FROM span),
+    daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n
+      FROM orders GROUP BY 1)
+    SELECT d.day,
+           CAST(year(d.day) AS INTEGER) AS yr,
+           CAST(quarter(d.day) AS INTEGER) AS qtr,
+           CAST(month(d.day) AS INTEGER) AS mon,
+           CAST(isodow(d.day) - 1 AS INTEGER) AS dow,
+           coalesce(daily.n, 0) AS n_orders,
+           daily.n IS NULL AS is_gap
+    FROM days d LEFT JOIN daily ON daily.day = d.day
+    """,
+)
+def date_calendar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine generation + freshness-gap audit: materialize
+    every day of the order span (``sequence`` + explode — the warehouse
+    calendar-dim pattern, no external generator), left-join daily order
+    counts, and flag zero-activity days — the data-freshness check a
+    pipeline runs per ingestion source. dow uses ISO weekday−1 so both
+    engines agree (Monday=0). Scale shape: the spine is a few thousand
+    rows from a 1-row aggregate; the daily counts are map-side combined;
+    the join broadcasts the spine.
+    """
+    orders = Catalog(spark, sf_dir).table("orders")
+    span = orders.agg(
+        F.min(F.to_date("o_orderdate")).alias("d0"),
+        F.max(F.to_date("o_orderdate")).alias("d1"),
+    )
+    days = span.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+    )
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        days.join(daily, "day", "left")
+        .select(
+            "day",
+            F.year("day").alias("yr"),
+            F.quarter("day").alias("qtr"),
+            F.month("day").alias("mon"),
+            F.weekday("day").alias("dow"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"),
+            F.col("n").isNull().alias("is_gap"),
+        )
+    )
