@@ -237,3 +237,33 @@ def test_interval_overlap_join_fuzz_vs_bruteforce(spark):
         assert got == want
 
     run()
+
+
+def test_interval_overlap_join_grid_invariance(spark):
+    """The grid is a physical knob: any positive grid must produce the
+    identical logical result (emit-once makes this non-trivial)."""
+    from agol_pandas_spark.operators.joins import interval_overlap_join
+
+    lrows = [(1, 0, 0, 25), (2, 0, 40, 95), (3, 1, 5, 105)]
+    rrows = [(10, 0, 20, 45), (11, 0, 90, 140), (12, 1, 100, 101)]
+    schema = "iid long, k long, s long, e long"
+    ldf = spark.createDataFrame(lrows, schema)
+    rdf = spark.createDataFrame(rrows, schema)
+
+    def result(grid):
+        return sorted(
+            (r.iid_a, r.iid_b, r.overlap)
+            for r in interval_overlap_join(
+                ldf, rdf, "s", "e", grid=grid, keys=("k",)
+            ).collect()
+        )
+
+    base = result(7)
+    assert base  # non-trivial fixture
+    for g in (1, 10, 50, 1000):
+        assert result(g) == base, f"grid={g} changed the result"
+
+    import pytest
+
+    with pytest.raises(ValueError, match="grid must be a positive"):
+        interval_overlap_join(ldf, rdf, "s", "e", grid=0, keys=("k",))

@@ -44,8 +44,10 @@ QUERIES = [
     # drift family: cumulative-window numerators and the wedge self-join
     # must not depend on physical layout
     "stats_ks_drift",
+    "stats_chi2_priority_drift",
     "text_drift_token_tv",
     "graph_common_neighbor_jaccard",
+    "join_interval_overlap_windows",
 ]
 
 
