@@ -308,3 +308,47 @@ def test_interval_overlap_join_is_equi_join(q):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The session's AQE skew-join claim, executed: a planted heavy key
+    (95% of the left side) under a forced sort-merge join must come out
+    the other side as SortMergeJoin(skew=true) with a skewed
+    AQEShuffleRead — the runtime mitigation the salted-join operator
+    exists to complement. Asserted on the FINAL adaptive plan (the
+    pre-execution plan never shows skew handling)."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+
+        left = spark.range(0, 2_000_000).select(
+            F.when(F.col("id") < 1_900_000, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("payload_"), F.col("id")).alias("payload"),
+        )
+        right = spark.range(0, 5_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        j = left.join(right, "k")
+        assert j.rdd.count() == 1_900_000  # heavy key matches k=7 only
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+        assert "skewed" in plan  # AQEShuffleRead ... skewed
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
