@@ -57,3 +57,13 @@ class ConvergenceError(EngineError):
     components) exhausted its round budget before converging; the partial
     result could map a node to multiple components, so it is an error,
     not a best-effort answer."""
+
+
+class SchemaMismatchError(EngineError):
+    """A merge source carries a column whose type conflicts with the
+    target's column of the same name (e.g. string vs bigint). By-name
+    alignment widens MISSING columns with NULLs (the reference's
+    append_fields contract), but a same-name type conflict would
+    otherwise surface as an opaque Catalyst union error — or worse, an
+    implicit lossy coercion. Fail fast, naming the conflicting columns;
+    cast explicitly upstream if the evolution is intended."""

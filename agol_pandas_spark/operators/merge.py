@@ -35,12 +35,14 @@ from enum import Enum
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from agol_pandas_spark.errors import (
     DuplicateKeyError,
     EmptyInputError,
     MissingKeyError,
     UnknownModeError,
+    SchemaMismatchError,
 )
 
 
@@ -92,12 +94,43 @@ def validate_unique_key(df: DataFrame, key, side: str = "source") -> None:
         )
 
 
+def _union_incompatible(a, b) -> bool:
+    """True when a union of these two types would fail or silently lose
+    information: identical types are fine, and both-numeric or
+    both-datetime pairs widen safely under Spark's union coercion —
+    everything else (string vs numeric, array vs scalar, ...) is a
+    conflict."""
+    if a == b:
+        return False
+    numeric = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+               T.FloatType, T.DoubleType, T.DecimalType)
+    temporal = (T.DateType, T.TimestampType, T.TimestampNTZType)
+    if isinstance(a, numeric) and isinstance(b, numeric):
+        return False
+    if isinstance(a, temporal) and isinstance(b, temporal):
+        return False
+    return True
+
+
 def _align_by_name(src: DataFrame, tgt: DataFrame) -> tuple[DataFrame, DataFrame]:
     """By-name column alignment (reference ``append_fields``, ``:452``):
     both sides widened to the union of columns, missing columns NULL of
-    the other side's type."""
+    the other side's type. Same-name columns whose types conflict (and
+    would not union without a lossy/implicit coercion) raise a typed
+    :class:`SchemaMismatchError` instead of an opaque Catalyst error."""
     tgt_types = {f.name: f.dataType for f in tgt.schema.fields}
     src_types = {f.name: f.dataType for f in src.schema.fields}
+    conflicts = sorted(
+        f"{n}: source {src_types[n].simpleString()} vs target "
+        f"{tgt_types[n].simpleString()}"
+        for n in src_types.keys() & tgt_types.keys()
+        if _union_incompatible(src_types[n], tgt_types[n])
+    )
+    if conflicts:
+        raise SchemaMismatchError(
+            "source/target column types conflict — cast explicitly "
+            "upstream if this evolution is intended: " + "; ".join(conflicts)
+        )
     for name, dt in tgt_types.items():
         if name not in src_types:
             src = src.withColumn(name, F.lit(None).cast(dt))

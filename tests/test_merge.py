@@ -236,3 +236,21 @@ def test_apply_changes_seq_ties_resolve_deterministically(spark):
             tgt, chg.repartition(parts), key="k", seq_col="seq"
         ).collect()
         assert [(r.k, r.v) for r in out] == [(1, 5)]
+
+
+def test_merge_type_conflict_raises_schema_mismatch(spark):
+    """Same-name columns with ununionable types fail fast with the typed
+    error; numeric widening (int vs long) stays allowed."""
+    import pytest
+
+    from agol_pandas_spark.errors import SchemaMismatchError
+    from agol_pandas_spark.operators.merge import merge
+
+    tgt = spark.createDataFrame([(1, 10)], "k long, v long")
+    bad = spark.createDataFrame([(2, "oops")], "k long, v string")
+    with pytest.raises(SchemaMismatchError, match="v: source string"):
+        merge(tgt, bad, mode="append", key="k")
+
+    ok = spark.createDataFrame([(2, 20)], "k long, v int")
+    got = sorted((r.k, r.v) for r in merge(tgt, ok, mode="append", key="k").collect())
+    assert got == [(1, 10), (2, 20)]
