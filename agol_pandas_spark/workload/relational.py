@@ -2579,3 +2579,87 @@ def date_calendar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").isNull().alias("is_gap"),
         )
     )
+
+
+@register(
+    "events_peak_concurrency",
+    tags=("events", "interval", "sweep-line"),
+    oracle="""
+    WITH bounds AS (
+      SELECT event_type, epoch_us(ts) AS t, 1 AS delta
+      FROM events
+      UNION ALL
+      SELECT event_type, epoch_us(ts) + 14400000000 AS t, -1 AS delta
+      FROM events),
+    swept AS (
+      SELECT event_type, t, delta,
+             SUM(delta) OVER (PARTITION BY event_type
+                              ORDER BY t, delta
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS conc
+      FROM bounds),
+    peak AS (
+      SELECT event_type, MAX(conc) AS peak_concurrency
+      FROM swept GROUP BY event_type)
+    SELECT p.event_type, p.peak_concurrency,
+           (SELECT MIN(s.t) FROM swept s
+            WHERE s.event_type = p.event_type
+              AND s.conc = p.peak_concurrency) AS at_us
+    FROM peak p
+    """,
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line peak concurrency: how many 4-hour activity windows of
+    each event type overlap at the busiest instant, and when it first
+    happens. Every window [ts, ts+4h) contributes +1/−1 boundary rows;
+    the running sum over the time-ordered boundaries is instantaneous
+    concurrency (ends sort before coincident starts via the delta
+    tie-break — end-exclusive semantics, same contract as the interval
+    join). All integer: counts, microsecond timestamps, argmax by MIN.
+    Scale note: the running sum is one window per event_type partition —
+    the documented sweep-line cost; at corpus scale partition the sweep
+    by (type, day) and prefix-offset the per-day sums (the same
+    two-level trick the chunking operator uses).
+    """
+    from pyspark.sql.window import Window
+
+    ev = Catalog(spark, sf_dir).table("events")
+    WIN_US = 4 * 3600 * 1_000_000
+    starts = ev.select(
+        "event_type", F.unix_micros("ts").alias("t"), F.lit(1).alias("delta")
+    )
+    ends = ev.select(
+        "event_type",
+        (F.unix_micros("ts") + F.lit(WIN_US)).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    bounds = starts.unionByName(ends)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = bounds.select(
+        "event_type", "t", F.sum("delta").over(w).alias("conc")
+    )
+    peak = swept.groupBy("event_type").agg(
+        F.max("conc").alias("peak_concurrency")
+    )
+    peakb = F.broadcast(
+        peak.select(
+            F.col("event_type").alias("__et"),
+            F.col("peak_concurrency").alias("__pk"),
+        )
+    )
+    at = (
+        swept.join(
+            peakb,
+            (F.col("event_type") == F.col("__et"))
+            & (F.col("conc") == F.col("__pk")),
+        )
+        .groupBy("event_type")
+        .agg(F.min("t").alias("at_us"))
+    )
+    return peak.join(at, "event_type").select(
+        "event_type", "peak_concurrency", "at_us"
+    )

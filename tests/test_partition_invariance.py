@@ -48,6 +48,9 @@ QUERIES = [
     "text_drift_token_tv",
     "graph_common_neighbor_jaccard",
     "join_interval_overlap_windows",
+    # sweep-line: prefix sums over tied boundary rows — the peer-order
+    # argument (equal deltas among peers) must make the OUTPUT invariant
+    "events_peak_concurrency",
 ]
 
 
