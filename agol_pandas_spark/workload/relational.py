@@ -2663,3 +2663,41 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return peak.join(at, "event_type").select(
         "event_type", "peak_concurrency", "at_us"
     )
+
+
+@register(
+    "agg_decimal128_exact_sum",
+    tags=("agg", "decimal", "exact"),
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38, 0))
+               * CAST(l_quantity AS DECIMAL(38, 0))
+               * CAST(100000000 AS DECIMAL(38, 0))) AS weighted_scaled,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_decimal128_exact_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence proof for the DECIMAL(38,0) escape every scaled-long
+    docstring points at: cents × quantity × 10⁸ per row is ~5·10¹⁶, and
+    the per-flag sums reach ~10²⁰ at any test scale — far past 2⁶³, where the long fixed-point
+    path would overflow. Both engines aggregate in exact 128-bit decimal
+    and must agree digit-for-digit. Scale shape: plain map-side-combined
+    hash aggregation; decimal sums cost ~2× long sums and stay inside
+    codegen — the documented price of the >2⁶³ envelope.
+    """
+    li = Catalog(spark, sf_dir).table("lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long").cast(
+        "decimal(38,0)"
+    )
+    qty = F.col("l_quantity").cast("decimal(38,0)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(
+                cents * qty * F.lit(100_000_000).cast("decimal(38,0)")
+            ).alias("weighted_scaled"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

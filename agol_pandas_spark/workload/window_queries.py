@@ -525,3 +525,71 @@ def window_running_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame
         "event_id",
         F.sum("is_first").over(w_run).alias("distinct_types_so_far"),
     )
+
+
+@register(
+    "window_gaps_and_islands_streaks",
+    tags=("window", "gaps-islands", "events"),
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    marked AS (
+      SELECT user_id, d,
+             CAST(d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                  AS INTEGER) AS DATE) AS island
+      FROM days),
+    islands AS (
+      SELECT user_id, island, COUNT(*) AS len, MIN(d) AS start_day
+      FROM marked GROUP BY user_id, island),
+    best AS (
+      SELECT user_id, COUNT(*) AS n_streaks, MAX(len) AS longest_days
+      FROM islands GROUP BY user_id)
+    SELECT b.user_id, b.n_streaks, b.longest_days,
+           (SELECT MIN(i.start_day) FROM islands i
+            WHERE i.user_id = b.user_id AND i.len = b.longest_days)
+               AS longest_start
+    FROM best b
+    """,
+)
+def window_gaps_and_islands_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: consecutive-active-day streaks per user via the
+    classic ``day − row_number`` island key (consecutive days share it;
+    any gap starts a new island) — the engagement-streak query every
+    activity warehouse runs. All integer/date arithmetic; the longest
+    streak's start disambiguates by MIN. Scale shape: the distinct
+    (user, day) grid collapses the corpus first; one ranking window per
+    user partition over days, then plain aggregations.
+    """
+    from pyspark.sql.window import Window
+
+    ev = Catalog(spark, sf_dir).table("events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    marked = days.select(
+        "user_id",
+        "d",
+        F.date_sub(F.col("d"), F.row_number().over(w)).alias("island"),
+    )
+    islands = marked.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len"), F.min("d").alias("start_day")
+    )
+    best = islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").alias("longest_days"),
+    )
+    bestb = F.broadcast(
+        best.select(
+            F.col("user_id").alias("__u"), F.col("longest_days").alias("__l")
+        )
+    )
+    at = (
+        islands.join(
+            bestb,
+            (F.col("user_id") == F.col("__u")) & (F.col("len") == F.col("__l")),
+        )
+        .groupBy("user_id")
+        .agg(F.min("start_day").alias("longest_start"))
+    )
+    return best.join(at, "user_id").select(
+        "user_id", "n_streaks", "longest_days", "longest_start"
+    )
