@@ -2701,3 +2701,52 @@ def agg_decimal128_exact_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+@register(
+    "stats_benford_first_digit",
+    tags=("stats", "audit", "benford"),
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substring(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                                 AS VARCHAR), 1, 1) AS INTEGER) AS d
+      FROM lineitem
+      WHERE l_extendedprice > 0),
+    counts AS (
+      SELECT d, COUNT(*) AS n FROM digits GROUP BY d),
+    tot AS (SELECT SUM(n) AS total FROM counts)
+    SELECT c.d AS first_digit, c.n,
+           c.n * 1000000 // t.total AS share_ppm,
+           t.total
+    FROM counts c CROSS JOIN tot t
+    """,
+)
+def stats_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over price cents — the classic
+    fabricated-data screen (organic magnitudes follow log-uniform first
+    digits; synthetic uniform prices will visibly deviate, which is
+    itself the finding on this corpus). First digit extracted by string
+    head over the integer cents — no log10, no float (round-3 audit
+    rule); shares as exact integer ppm. Scale shape: one map +
+    9-cell hash aggregation; the totals row broadcasts.
+    """
+    li = Catalog(spark, sf_dir).table("lineitem").filter(
+        F.col("l_extendedprice") > 0
+    )
+    digits = li.select(
+        F.substring(
+            F.round(F.col("l_extendedprice") * 100).cast("long").cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("d")
+    )
+    counts = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("total"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        F.col("d").alias("first_digit"),
+        "n",
+        F.expr("n * 1000000L div total").alias("share_ppm"),
+        "total",
+    )
