@@ -2750,3 +2750,102 @@ def stats_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("n * 1000000L div total").alias("share_ppm"),
         "total",
     )
+
+
+@register(
+    "subquery_exists_multi_supplier_parts",
+    tags=("subquery", "exists", "correlated"),
+    oracle="""
+    SELECT p.p_partkey, p.p_name, p.p_brand
+    FROM part p
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_partkey = p.p_partkey
+        AND l.l_quantity >= 40)
+      AND NOT EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_partkey = p.p_partkey
+        AND l2.l_discount > 0.08)
+    """,
+)
+def subquery_exists_multi_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS pair, written as the SQL a
+    reference user would: Catalyst decorrelates to a left-semi plus a
+    left-anti join — no per-row subquery execution (the scale contract;
+    the anti side prunes to the correlation key before shuffling).
+    """
+    cat = Catalog(spark, sf_dir)
+    cat.register_views(("part", "lineitem"))
+    return cat.spark.sql("""
+        SELECT p.p_partkey, p.p_name, p.p_brand
+        FROM part p
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_partkey = p.p_partkey
+            AND l.l_quantity >= 40)
+          AND NOT EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_partkey = p.p_partkey
+            AND l2.l_discount > 0.08)
+    """)
+
+
+@register(
+    "date_business_day_latency",
+    tags=("date", "business-days", "latency"),
+    oracle="""
+    WITH base AS (
+      SELECT date_trunc('month', o.o_orderdate) AS mon,
+             datediff('day', DATE '1995-01-02', CAST(o.o_orderdate AS DATE))
+                 AS n0,
+             datediff('day', DATE '1995-01-02', CAST(l.l_shipdate AS DATE))
+                 AS n1
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate >= o.o_orderdate),
+    w AS (
+      SELECT mon,
+             ((n1 // 7) * 5 + least(n1 % 7, 5))
+               - ((n0 // 7) * 5 + least(n0 % 7, 5)) AS bdays
+      FROM base)
+    SELECT CAST(mon AS DATE) AS order_month,
+           COUNT(*) AS n_items,
+           SUM(bdays) AS total_business_days,
+           SUM(bdays) * 1000 // COUNT(*) AS avg_bdays_milli
+    FROM w GROUP BY mon
+    """,
+)
+def date_business_day_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→ship latency in BUSINESS days per order month: weekdays are
+    counted with the closed-form integer formula ``W(d) = (n div 7)·5 +
+    least(n mod 7, 5)`` anchored at a Monday epoch (1995-01-02), so
+    ``W(ship) − W(order)`` needs no calendar table, no loop, no float —
+    identical arithmetic in both engines by construction. The mean
+    latency ships as exact milli-days (integer division). Scale shape:
+    one fact-fact equi-join on the order key and a per-month hash agg;
+    everything else is codegen arithmetic.
+    """
+    cat = Catalog(spark, sf_dir)
+    orders = cat.table("orders").select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-02")).alias("n0"),
+    )
+    li = cat.table("lineitem").select(
+        "l_orderkey",
+        F.datediff(F.to_date("l_shipdate"), F.lit("1995-01-02")).alias("n1"),
+    )
+    joined = orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"]
+    ).filter(F.col("n1") >= F.col("n0"))
+    w = joined.select(
+        "order_month",
+        (
+            F.expr("(n1 div 7) * 5 + least(n1 % 7, 5)")
+            - F.expr("(n0 div 7) * 5 + least(n0 % 7, 5)")
+        ).alias("bdays"),
+    )
+    return w.groupBy("order_month").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("bdays").alias("total_business_days"),
+        F.expr("sum(bdays) * 1000 div count(1)").alias("avg_bdays_milli"),
+    )
