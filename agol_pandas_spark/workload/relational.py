@@ -2849,3 +2849,57 @@ def date_business_day_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bdays").alias("total_business_days"),
         F.expr("sum(bdays) * 1000 div count(1)").alias("avg_bdays_milli"),
     )
+
+
+@register(
+    "events_top_trigram_sequences",
+    tags=("events", "sequence-mining", "window"),
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LEAD(event_type, 1) OVER w AS e2,
+             LEAD(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    tri AS (
+      SELECT event_type || '>' || e2 || '>' || e3 AS seq
+      FROM ordered WHERE e3 IS NOT NULL),
+    counts AS (SELECT seq, COUNT(*) AS n FROM tri GROUP BY seq),
+    tot AS (SELECT SUM(n) AS total FROM counts)
+    SELECT c.seq, c.n, c.n * 1000000 // t.total AS share_ppm
+    FROM counts c CROSS JOIN tot t
+    ORDER BY c.n DESC, c.seq LIMIT 25
+    """,
+)
+def events_top_trigram_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence mining lite: the 25 most common event-type trigrams
+    across user timelines (two LEADs over the per-user window, then a
+    small hash agg) — the navigation-pattern / funnel-discovery query.
+    Shares in exact integer ppm; deterministic tie-break on the
+    sequence string. Scale shape: the window shuffles once per user
+    partition; trigram cardinality is |types|³ so the aggregation and
+    top-k are tiny regardless of corpus size.
+    """
+    from pyspark.sql.window import Window
+
+    ev = Catalog(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        ev.select(
+            "event_type",
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
+        .filter(F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("seq")
+        )
+    )
+    counts = tri.groupBy("seq").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select("seq", "n", F.expr("n * 1000000L div total").alias("share_ppm"))
+        .orderBy(F.col("n").desc(), "seq")
+        .limit(25)
+    )

@@ -22,6 +22,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from agol_pandas_spark.catalog import Catalog
 from agol_pandas_spark.exchange import grouped_apply
@@ -255,4 +256,37 @@ def udf_iter_batch_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select("o_orderstatus", to_cents("o_totalprice").alias("cents"))
         .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("total_cents"))
+    )
+
+
+@register(
+    "udf_arrow_python_scalar",
+    tags=("udf", "arrow-python-udf", "scalar"),
+    oracle="""
+    SELECT o_orderkey,
+           reverse(CAST(o_orderkey AS VARCHAR)) || '#'
+             || CAST(length(CAST(o_orderkey AS VARCHAR)) AS VARCHAR)
+               AS key_tag
+    FROM orders
+    """,
+)
+def udf_arrow_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized row-at-a-time Python UDF (``useArrow=True``,
+    Spark 4): completes the UDF execution matrix alongside pandas_udf
+    (vectorized), applyInPandas, mapInPandas, the iterator form, and the
+    UDTF. Arrow serialization replaces pickle — ~2-5× on transfer — but
+    the Python loop still runs per row, so the engine's guidance stands:
+    this surface is for logic that genuinely needs per-row Python, never
+    the hot path. Deterministic string logic keeps it value-checkable.
+    """
+
+    @F.udf(returnType=T.StringType(), useArrow=True)
+    def key_tag(k) -> str:
+        s = str(k)
+        return f"{s[::-1]}#{len(s)}"
+
+    return (
+        Catalog(spark, sf_dir)
+        .table("orders")
+        .select("o_orderkey", key_tag("o_orderkey").alias("key_tag"))
     )
