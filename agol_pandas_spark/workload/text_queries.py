@@ -1220,3 +1220,73 @@ def text_drift_token_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross product. Value-checked against the SQL twin."""
     docs = Catalog(spark, sf_dir).table("documents")
     return textops.token_distribution_drift(docs, "source", "text")
+
+
+@register(
+    "pipeline_drift_gated_admission",
+    tags=("pipeline", "drift", "composed"),
+    oracle=f"""
+    WITH tok AS (
+      SELECT source AS grp, unnest({SQL_TOKS.format(src='lower(text)')}) AS token
+      FROM documents),
+    per AS (
+      SELECT grp, token, COUNT(*) AS c FROM tok GROUP BY grp, token),
+    gtok AS (SELECT token, SUM(c) AS c_all FROM per GROUP BY token),
+    totals AS (SELECT grp, SUM(c) AS n_grp FROM per GROUP BY grp),
+    alln AS (SELECT SUM(c) AS n_all FROM per),
+    terms AS (
+      SELECT p.grp, t.n_grp, a.n_all - t.n_grp AS n_rest,
+             g.c_all - p.c AS c_rest,
+             abs(p.c * (a.n_all - t.n_grp) - (g.c_all - p.c) * t.n_grp)
+                 AS term
+      FROM per p
+      JOIN gtok g ON g.token = p.token
+      JOIN totals t ON t.grp = p.grp
+      CROSS JOIN alln a),
+    drift AS (
+      SELECT grp AS source,
+             (SUM(term) + (MAX(n_rest) - SUM(c_rest)) * MAX(n_grp))
+               * 1000000 // (2 * MAX(n_grp) * MAX(n_rest)) AS tv_ppm
+      FROM terms GROUP BY grp),
+    docs AS (
+      SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+      FROM documents GROUP BY source)
+    SELECT d.source, d.n_docs, d.total_chars, dr.tv_ppm,
+           dr.tv_ppm <= 65000 AS admitted,
+           CASE WHEN dr.tv_ppm <= 65000 THEN d.n_docs ELSE 0 END
+               AS n_docs_admitted
+    FROM docs d JOIN drift dr ON dr.source = d.source
+    """,
+)
+def pipeline_drift_gated_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift-gated ingest admission — the drift family composed into the
+    pipeline it exists for: each source's vocabulary TV distance against
+    the rest of the corpus decides whether its documents are admitted
+    (tv_ppm ≤ 6.5%), with per-source accounting either way. A real
+    deployment runs this per arriving crawl before the merge step; the
+    gate is pure integer comparison, so the whole decision is
+    value-checked. Scale shape: the drift side is the TV operator's
+    (shuffles bounded by vocabulary); the accounting side is one
+    map-side-combined groupBy; the final join carries one row per
+    source.
+    """
+    from agol_pandas_spark.operators.textops import token_distribution_drift
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    drift = token_distribution_drift(docs, "source", "text").select(
+        "source", "tv_ppm"
+    )
+    acct = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    return acct.join(drift, "source").select(
+        "source",
+        "n_docs",
+        "total_chars",
+        "tv_ppm",
+        (F.col("tv_ppm") <= 65000).alias("admitted"),
+        F.when(F.col("tv_ppm") <= 65000, F.col("n_docs"))
+        .otherwise(F.lit(0))
+        .alias("n_docs_admitted"),
+    )
