@@ -54,6 +54,9 @@ class WriteMode(str, Enum):
     UPSERT = "upsert"
     UPDATE = "update"
     INSERT = "insert"
+    # extension beyond the reference's five: keyed deletion (lakehouse
+    # DELETE WHERE key IN source) — the mode the reference cannot express
+    DELETE = "delete"
 
     @classmethod
     def parse(cls, mode: str) -> "WriteMode":
@@ -66,7 +69,9 @@ class WriteMode(str, Enum):
 
 
 #: modes that match rows on a unique key (reference ``update_modes``, :394)
-KEYED_MODES = frozenset({WriteMode.UPSERT, WriteMode.UPDATE, WriteMode.INSERT})
+KEYED_MODES = frozenset(
+    {WriteMode.UPSERT, WriteMode.UPDATE, WriteMode.INSERT, WriteMode.DELETE}
+)
 
 
 def _keys(key) -> list[str]:
@@ -159,6 +164,20 @@ def merge(
 
     if m is WriteMode.OVERWRITE:
         return source
+
+    if m is WriteMode.DELETE:
+        # lakehouse DELETE: drop target rows whose key appears in the
+        # source — one anti-join BEFORE alignment, so the target schema
+        # passes through untouched and only the source's key columns are
+        # ever read (no union widening, no schema checks needed)
+        if key is None:
+            raise MissingKeyError(
+                "mode 'delete' requires a key column (:398-401)"
+            )
+        ks = _keys(key)
+        if validate_keys:
+            validate_unique_key(source, ks, "source")
+        return target.join(source.select(*ks), on=ks, how="left_anti")
 
     # columns the source actually carries: only these may overwrite target
     # values on a match (missing source columns keep the target value —

@@ -520,3 +520,35 @@ def merge_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1_archived = cat.table_at("cust", cat.versions("cust")[-1])
     diff = snapshot_diff(v1_archived, cat.table("cust"), key="c_custkey")
     return diff.groupBy("change_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "merge_delete_keys",
+    tags=("merge", "delete", "write-mode"),
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal
+    FROM customer
+    WHERE c_custkey NOT IN (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderstatus = 'F')
+    """,
+)
+def merge_delete_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sixth write mode, beyond the reference's five: keyed DELETE
+    (lakehouse ``DELETE WHERE key IN source``) as a single anti-join
+    that reads only the source's key column and passes the target
+    schema through untouched. Deletes every customer with a finalized
+    order; value-checked against NOT IN."""
+    from agol_pandas_spark.operators.merge import merge
+
+    cat = Catalog(spark, sf_dir)
+    customers = cat.table("customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    finalized = (
+        cat.table("orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    return merge(customers, finalized, mode="delete", key="c_custkey")

@@ -254,3 +254,17 @@ def test_merge_type_conflict_raises_schema_mismatch(spark):
     ok = spark.createDataFrame([(2, 20)], "k long, v int")
     got = sorted((r.k, r.v) for r in merge(tgt, ok, mode="append", key="k").collect())
     assert got == [(1, 10), (2, 20)]
+
+
+def test_merge_delete_mode_removes_keyed_rows(spark):
+    """DELETE drops exactly the target rows whose key appears in the
+    source; extra source columns are ignored and unknown keys are
+    no-ops."""
+    from agol_pandas_spark.operators.merge import merge
+
+    tgt = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    src = spark.createDataFrame([(2, 99), (42, 0)], "k long, ignored long")
+    out = merge(tgt, src, mode="delete", key="k")
+    assert out.columns == ["k", "v"]  # target schema untouched
+    got = sorted((r.k, r.v) for r in out.collect())
+    assert got == [(1, "a"), (3, "c")]
