@@ -2903,3 +2903,71 @@ def events_top_trigram_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "seq")
         .limit(25)
     )
+
+
+@register(
+    "events_rfm_segments",
+    tags=("events", "rfm", "segmentation"),
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS mts FROM events),
+    per_user AS (
+      SELECT user_id,
+             CAST(datediff('day', CAST(MAX(ts) AS DATE),
+                           CAST(MAX(m.mts) AS DATE)) AS INTEGER)
+                 AS recency_days,
+             COUNT(*) AS frequency,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS monetary_cents
+      FROM events CROSS JOIN mx m
+      GROUP BY user_id),
+    scored AS (
+      SELECT user_id, recency_days, frequency, monetary_cents,
+             NTILE(5) OVER (ORDER BY recency_days DESC, user_id) AS r,
+             NTILE(5) OVER (ORDER BY frequency, user_id) AS f,
+             NTILE(5) OVER (ORDER BY monetary_cents, user_id) AS m
+      FROM per_user)
+    SELECT user_id, recency_days, frequency, monetary_cents,
+           r * 100 + f * 10 + m AS rfm_score
+    FROM scored
+    """,
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency (days since last event, against the
+    corpus max), frequency (event count), monetary (exact cent sum) per
+    user, each scored into quintiles — NTILE made deterministic by the
+    user_id tie-break (position-based ntile over a non-total order is
+    engine-dependent; round-3 audit discipline applied to ORDERING, not
+    just arithmetic). Higher quintile = better on every axis. Scale
+    note: the three ntiles are one global window sort over USERS (not
+    events) — at corpus scale swap in the equi-depth histogram
+    operator's distributed rank buckets; quintile boundaries differ by
+    at most the tie-run length.
+    """
+    from pyspark.sql.window import Window
+
+    ev = Catalog(spark, sf_dir).table("events")
+    mx = ev.agg(F.max("ts").alias("mts"))
+    per_user = (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.to_date(F.max("mts")), F.to_date(F.max("ts"))
+            ).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "monetary_cents"
+            ),
+        )
+    )
+    r = F.ntile(5).over(
+        Window.orderBy(F.col("recency_days").desc(), "user_id")
+    )
+    f = F.ntile(5).over(Window.orderBy("frequency", "user_id"))
+    m = F.ntile(5).over(Window.orderBy("monetary_cents", "user_id"))
+    return per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        (r * 100 + f * 10 + m).alias("rfm_score"),
+    )
