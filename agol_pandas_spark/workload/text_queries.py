@@ -1290,3 +1290,42 @@ def pipeline_drift_gated_admission(spark: SparkSession, sf_dir: str) -> DataFram
         .otherwise(F.lit(0))
         .alias("n_docs_admitted"),
     )
+
+
+@register(
+    "sample_systematic_every_nth",
+    tags=("sampling", "systematic"),
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM (
+      SELECT event_id, user_id, event_type,
+             ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn
+      FROM events)
+    WHERE (rn - 1) % 25 = 0
+    """,
+)
+def sample_systematic_every_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic (every k-th) sampling over the event timeline — the
+    even-coverage complement to hash sampling: hash samples are uniform
+    but clumpy in time; every-25th over the (ts, event_id) total order
+    guarantees temporal spread, which is what eval-set builders want
+    from a stream. Deterministic by the total order. Scale note: the
+    global row_number is a single-partition sort here; at corpus scale
+    compute per-partition counts first and add prefix offsets (the
+    two-level trick the chunking operator uses) — same output, no
+    global window.
+    """
+    from pyspark.sql.window import Window
+
+    ev = Catalog(spark, sf_dir).table("events")
+    w = Window.orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter((F.col("rn") - 1) % 25 == 0)
+        .drop("rn")
+    )
