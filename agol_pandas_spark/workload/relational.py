@@ -2971,3 +2971,91 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "monetary_cents",
         (r * 100 + f * 10 + m).alias("rfm_score"),
     )
+
+
+@register(
+    "pivot_status_multi_measure",
+    tags=("pivot", "multi-measure"),
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+           SUM(CASE WHEN o_orderstatus = 'F'
+                    THEN CAST(round(o_totalprice * 100) AS BIGINT) END)
+               AS F_cents,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F_n,
+           SUM(CASE WHEN o_orderstatus = 'O'
+                    THEN CAST(round(o_totalprice * 100) AS BIGINT) END)
+               AS O_cents,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O_n,
+           SUM(CASE WHEN o_orderstatus = 'P'
+                    THEN CAST(round(o_totalprice * 100) AS BIGINT) END)
+               AS P_cents,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P_n
+    FROM orders
+    GROUP BY yr
+    """,
+)
+def pivot_status_multi_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-measure pivot: order revenue (exact cents) AND order count
+    per status, one column pair per pivoted value — the explicit-values
+    form (`pivot(col, values)`), which skips the extra distinct-values
+    job Spark otherwise runs and keeps the output schema STATIC, the
+    requirement for any production table contract. Measures are
+    aliased so both engines emit identical `{value}_{measure}` names.
+    """
+    orders = Catalog(spark, sf_dir).table("orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").alias("yr"),
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("yr")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.sum("cents").alias("cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "math_try_overflow_guard",
+    tags=("math", "ansi", "overflow"),
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT)
+                 AS pc
+      FROM lineitem),
+    cubes AS (
+      SELECT l_returnflag, pc * pc * pc AS cube,
+             (pc * pc * pc > 9223372036854775807
+              OR pc * pc * pc < -9223372036854775808) AS overflowed
+      FROM c)
+    SELECT l_returnflag,
+           COUNT(CASE WHEN overflowed THEN 1 END) AS n_overflow,
+           SUM(CASE WHEN NOT overflowed THEN cube END) AS sum_cube
+    FROM cubes GROUP BY l_returnflag
+    """,
+)
+def math_try_overflow_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI overflow-safety surface: ``try_multiply`` yields NULL
+    exactly where the int64 product would overflow (the session runs
+    ANSI mode, so unguarded arithmetic would ERROR mid-job — at 100 TB
+    that's a dead 6-hour run; the try_* family is the per-expression
+    escape). Price cents cubed overflows for pc > ~2.1M and the oracle
+    reproduces the exact overflow boundary in 128-bit arithmetic; the
+    surviving cubes sum in DECIMAL(38,0) on both engines.
+    """
+    li = Catalog(spark, sf_dir).table("lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("pc"),
+    )
+    cubed = li.select(
+        "l_returnflag",
+        F.expr("try_multiply(try_multiply(pc, pc), pc)").alias("cube"),
+    )
+    return cubed.groupBy("l_returnflag").agg(
+        F.count(F.when(F.col("cube").isNull(), 1)).alias("n_overflow"),
+        F.sum(F.col("cube").cast("decimal(38,0)")).alias("sum_cube"),
+    )
