@@ -593,3 +593,47 @@ def window_gaps_and_islands_streaks(spark: SparkSession, sf_dir: str) -> DataFra
     return best.join(at, "user_id").select(
         "user_id", "n_streaks", "longest_days", "longest_start"
     )
+
+
+@register(
+    "window_first_last_nth_event",
+    tags=("window", "first-last-nth", "events"),
+    oracle="""
+    SELECT DISTINCT user_id,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type) OVER w AS last_type,
+           nth_value(event_type, 2) OVER w AS second_type,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_events
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last_nth_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over the FULL frame — the
+    surface where the default frame bites: without ``ROWS BETWEEN
+    UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING``, last_value sees only
+    the running frame and silently returns the CURRENT row (the classic
+    wrong-answer footgun, identical in both engines — pinning the full
+    frame is the portable contract). Total order (ts, event_id) makes
+    every value deterministic. Scale shape: one window per user
+    partition, DISTINCT collapses to one row per user.
+    """
+    from pyspark.sql.window import Window
+
+    ev = Catalog(spark, sf_dir).table("events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        ev.select(
+            "user_id",
+            F.first("event_type").over(w).alias("first_type"),
+            F.last("event_type").over(w).alias("last_type"),
+            F.nth_value("event_type", 2).over(w).alias("second_type"),
+            F.count(F.lit(1)).over(w).alias("n_events"),
+        )
+        .distinct()
+    )
