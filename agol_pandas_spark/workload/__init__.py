@@ -55,6 +55,7 @@ def load_all() -> dict[str, Query]:
         joins_queries,
         merge_queries,
         multimodal_queries,
+        probe_queries,
         relational,
         similarity_queries,
         source_queries,

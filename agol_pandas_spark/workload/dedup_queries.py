@@ -805,11 +805,13 @@ def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg AS (SELECT a, COUNT(*) AS d FROM edges2 GROUP BY a),
     r1 AS (
       SELECT e.b AS node,
-             150000000000 + (17 * SUM(1000000000000 // dg.d)) // 20 AS r
+             CAST(150000000000 + (17 * SUM(1000000000000 // dg.d)) // 20
+                  AS BIGINT) AS r
       FROM edges2 e JOIN deg dg ON dg.a = e.a GROUP BY e.b),
     r2 AS (
       SELECT e.b AS node,
-             150000000000 + (17 * SUM(r1.r // dg.d)) // 20 AS r
+             CAST(150000000000 + (17 * SUM(r1.r // dg.d)) // 20
+                  AS BIGINT) AS r
       FROM edges2 e JOIN deg dg ON dg.a = e.a
                     JOIN r1 ON r1.node = e.a
       GROUP BY e.b)
@@ -867,7 +869,7 @@ def graph_common_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     cnt AS (
       SELECT source, k, COUNT(*) AS n_docs FROM k GROUP BY source, k)
     SELECT a.source, b.source AS other_source,
-           SUM(a.n_docs) AS n_dup_docs,
+           CAST(SUM(a.n_docs) AS BIGINT) AS n_dup_docs,
            COUNT(*) AS n_shared_keys
     FROM cnt a JOIN cnt b ON a.k = b.k AND a.source <> b.source
     GROUP BY a.source, b.source

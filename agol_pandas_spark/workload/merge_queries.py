@@ -282,7 +282,8 @@ def merge_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus, COUNT(*) AS n,
            CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
-           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS price_scaled
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS price_scaled
     FROM orders GROUP BY o_orderstatus
     """,
 )
@@ -385,7 +386,8 @@ def merge_apply_cdc_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT strftime(o_orderdate, '%Y-%m') AS month,
            COUNT(*) AS n_orders,
-           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
     FROM orders GROUP BY month
     """,
 )
@@ -432,8 +434,8 @@ def merge_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(round(o_totalprice * 100) AS BIGINT) AS cents
       FROM orders)
     SELECT month, COUNT(*) AS n_orders,
-           SUM(CASE WHEN month = '1995-03' THEN cents + 1 ELSE cents END)
-               AS total_cents
+           CAST(SUM(CASE WHEN month = '1995-03' THEN cents + 1 ELSE cents END)
+               AS BIGINT) AS total_cents
     FROM base GROUP BY month
     """,
 )

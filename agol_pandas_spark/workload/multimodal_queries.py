@@ -200,7 +200,7 @@ def mm_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          ROWS BETWEEN UNBOUNDED PRECEDING
                                          AND 1 PRECEDING), 0) AS start
       FROM p)
-    SELECT source, start // 50000 AS shard_id,
+    SELECT source, CAST(start // 50000 AS BIGINT) AS shard_id,
            COUNT(*) AS n_payloads,
            CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes
     FROM offs GROUP BY source, shard_id

@@ -638,8 +638,8 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings)
     SELECT label, CAST(dim AS INTEGER) AS dim,
            COUNT(*) AS n_vectors,
-           SUM(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
-               AS sum_scaled,
+           CAST(SUM(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+               AS BIGINT) AS sum_scaled,
            CAST(SUM(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
                 // COUNT(*) AS BIGINT) AS centroid_micro
     FROM e GROUP BY label, dim

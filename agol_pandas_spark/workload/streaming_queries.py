@@ -357,7 +357,8 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
              ('error', 'ops')
     )
     SELECT d.channel, COUNT(*) AS n_events,
-           SUM(CAST(round(e.value * 10000) AS BIGINT)) AS value_scaled
+           CAST(SUM(CAST(round(e.value * 10000) AS BIGINT)) AS BIGINT)
+               AS value_scaled
     FROM events e JOIN type_dim d ON e.event_type = d.event_type
     GROUP BY d.channel
     """,
@@ -467,9 +468,11 @@ def stream_paged_sink_upload(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents),
     per AS (
       SELECT grp, token, COUNT(*) AS c FROM tok GROUP BY grp, token),
-    gtok AS (SELECT token, SUM(c) AS c_all FROM per GROUP BY token),
-    totals AS (SELECT grp, SUM(c) AS n_grp FROM per GROUP BY grp),
-    alln AS (SELECT SUM(c) AS n_all FROM per),
+    gtok AS (SELECT token, CAST(SUM(c) AS BIGINT) AS c_all
+             FROM per GROUP BY token),
+    totals AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS n_grp
+               FROM per GROUP BY grp),
+    alln AS (SELECT CAST(SUM(c) AS BIGINT) AS n_all FROM per),
     terms AS (
       SELECT p.grp, t.n_grp, a.n_all - t.n_grp AS n_rest,
              g.c_all - p.c AS c_rest,
@@ -481,7 +484,8 @@ def stream_paged_sink_upload(spark: SparkSession, sf_dir: str) -> DataFrame:
       CROSS JOIN alln a),
     agg AS (
       SELECT grp, MAX(n_grp) AS n_grp, MAX(n_rest) AS n_rest,
-             SUM(term) + (MAX(n_rest) - SUM(c_rest)) * MAX(n_grp) AS tv_num
+             CAST(SUM(term) + (MAX(n_rest) - SUM(c_rest)) * MAX(n_grp)
+                  AS BIGINT) AS tv_num
       FROM terms GROUP BY grp)
     SELECT grp AS source, n_grp, n_rest, tv_num,
            tv_num * 1000000 // (2 * n_grp * n_rest) AS tv_ppm

@@ -1190,9 +1190,11 @@ def sample_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents),
     per AS (
       SELECT grp, token, COUNT(*) AS c FROM tok GROUP BY grp, token),
-    gtok AS (SELECT token, SUM(c) AS c_all FROM per GROUP BY token),
-    totals AS (SELECT grp, SUM(c) AS n_grp FROM per GROUP BY grp),
-    alln AS (SELECT SUM(c) AS n_all FROM per),
+    gtok AS (SELECT token, CAST(SUM(c) AS BIGINT) AS c_all
+             FROM per GROUP BY token),
+    totals AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS n_grp
+               FROM per GROUP BY grp),
+    alln AS (SELECT CAST(SUM(c) AS BIGINT) AS n_all FROM per),
     terms AS (
       SELECT p.grp, t.n_grp, a.n_all - t.n_grp AS n_rest,
              g.c_all - p.c AS c_rest,
@@ -1204,7 +1206,8 @@ def sample_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
       CROSS JOIN alln a),
     agg AS (
       SELECT grp, MAX(n_grp) AS n_grp, MAX(n_rest) AS n_rest,
-             SUM(term) + (MAX(n_rest) - SUM(c_rest)) * MAX(n_grp) AS tv_num
+             CAST(SUM(term) + (MAX(n_rest) - SUM(c_rest)) * MAX(n_grp)
+                  AS BIGINT) AS tv_num
       FROM terms GROUP BY grp)
     SELECT grp AS source, n_grp, n_rest, tv_num,
            tv_num * 1000000 // (2 * n_grp * n_rest) AS tv_ppm
@@ -1231,9 +1234,11 @@ def text_drift_token_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents),
     per AS (
       SELECT grp, token, COUNT(*) AS c FROM tok GROUP BY grp, token),
-    gtok AS (SELECT token, SUM(c) AS c_all FROM per GROUP BY token),
-    totals AS (SELECT grp, SUM(c) AS n_grp FROM per GROUP BY grp),
-    alln AS (SELECT SUM(c) AS n_all FROM per),
+    gtok AS (SELECT token, CAST(SUM(c) AS BIGINT) AS c_all
+             FROM per GROUP BY token),
+    totals AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS n_grp
+               FROM per GROUP BY grp),
+    alln AS (SELECT CAST(SUM(c) AS BIGINT) AS n_all FROM per),
     terms AS (
       SELECT p.grp, t.n_grp, a.n_all - t.n_grp AS n_rest,
              g.c_all - p.c AS c_rest,
@@ -1245,11 +1250,13 @@ def text_drift_token_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
       CROSS JOIN alln a),
     drift AS (
       SELECT grp AS source,
-             (SUM(term) + (MAX(n_rest) - SUM(c_rest)) * MAX(n_grp))
-               * 1000000 // (2 * MAX(n_grp) * MAX(n_rest)) AS tv_ppm
+             CAST((SUM(term) + (MAX(n_rest) - SUM(c_rest)) * MAX(n_grp))
+               * 1000000 // (2 * MAX(n_grp) * MAX(n_rest)) AS BIGINT)
+               AS tv_ppm
       FROM terms GROUP BY grp),
     docs AS (
-      SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
       FROM documents GROUP BY source)
     SELECT d.source, d.n_docs, d.total_chars, dr.tv_ppm,
            dr.tv_ppm <= 65000 AS admitted,

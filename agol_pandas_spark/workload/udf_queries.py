@@ -57,9 +57,9 @@ def udf_scalar_sqrt_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("udf", "pandas-udf", "grouped-agg"),
     oracle="""
     SELECT l_returnflag,
-           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
-               * CAST(round(l_quantity) AS BIGINT)) AS num_scaled,
-           SUM(CAST(round(l_quantity) AS BIGINT)) AS den,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS num_scaled,
+           CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS den,
            CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
                     * CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)
                / SUM(CAST(round(l_quantity) AS BIGINT)) / 100.0 AS weighted_avg_price
@@ -221,7 +221,8 @@ def udf_udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("udf", "pandas-udf", "iterator"),
     oracle="""
     SELECT o_orderstatus, COUNT(*) AS n,
-           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
     FROM orders GROUP BY o_orderstatus
     """,
 )

@@ -297,7 +297,8 @@ def window_rolling_1h_user_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "ntile"),
     oracle="""
     SELECT q, COUNT(*) AS n,
-           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_scaled
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_scaled
     FROM (
       SELECT o_totalprice,
              NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS q
