@@ -1,0 +1,217 @@
+"""Distributed global ranks — rank / dense_rank / row_number / ntile /
+percent_rank / cume_dist over an UNBOUNDED input with no single-partition
+window anywhere in the plan.
+
+A bare ``Window.orderBy(...)`` funnels every row through ONE task — the
+classic 100-TB stall (the reference's global sort + slice,
+``src/agol_pandas.py:159-216``, has the same shape). The distributed form
+used here is the two-level scheme the chunking operator
+(:mod:`operators.chunking`) already uses for exact row numbering, extended
+with tie-awareness so the *rank family* comes out exactly right:
+
+1. Collapse to the distinct-key histogram ``(keys..., __cnt)`` — a
+   map-side-combined aggregation. Every rank function is a function of
+   the KEY, so all downstream work runs on distinct keys, not rows.
+   (When ``unique=True`` the caller asserts keys are row-unique and the
+   collapse is skipped — the input already is its own histogram.)
+2. Range-partition + sort the histogram on the keys (one range shuffle).
+   Spark's RangePartitioner assigns equal keys to the same partition, so
+   tie groups never straddle a partition boundary — per-partition ranks
+   are exact after offsetting.
+3. One tiny per-partition aggregate (rows, distinct keys) → cumulative
+   offsets on the driver: P integers, the only driver-side state.
+4. Per-partition window (``Window.partitionBy(__pid)`` — every partition
+   works in parallel) + broadcast offset join turns local positions into
+   global ``rank``/``dense_rank``/row numbers; ntile/percent_rank/
+   cume_dist derive from those and the total count by their SQL
+   definitions.
+5. Non-unique inputs join the ranked histogram back on the keys (AQE
+   picks broadcast when the histogram is small).
+
+Determinism: range boundaries come from sampling and may vary between
+runs, but every emitted value is offset-corrected, so results are
+bit-identical regardless of the boundary choice or partition count
+(pinned by tools/partition_invariance.py and tests).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["add_global_ranks", "sql_ntile_from_rn"]
+
+
+def _ordered(keys: Sequence[str], descending: Sequence[bool]) -> list[Column]:
+    return [
+        F.col(k).desc() if d else F.col(k).asc()
+        for k, d in zip(keys, descending)
+    ]
+
+
+def _idiv(a: Column, b: int) -> Column:
+    """Exact integer division of a non-negative long column by a positive
+    literal: ``(a - a mod b) / b`` — the float step divides two exactly
+    representable integers whose quotient is an integer, which IEEE-754
+    rounds to itself, so the result is exact for a < 2^53 (comfortably
+    past any row count)."""
+    lit = F.lit(b)
+    return ((a - F.pmod(a, lit)) / lit).cast("long")
+
+
+def sql_ntile_from_rn(rn: Column, n: int, buckets: int) -> Column:
+    """SQL-standard NTILE(buckets) of 1-based global row number ``rn``
+    over ``n`` total rows: the first ``n mod buckets`` buckets get one
+    extra row. Pure integer arithmetic — identical in every engine."""
+    q, r = divmod(n, buckets)
+    big = r * (q + 1)  # rows covered by the (q+1)-sized buckets
+    return (
+        F.when(rn <= F.lit(big), _idiv(rn - 1, q + 1)).otherwise(
+            # q can only be 0 when n < buckets, and then rn <= big always
+            F.lit(r) + _idiv(rn - 1 - F.lit(big), max(q, 1))
+        )
+        + F.lit(1)
+    ).cast("int")
+
+
+def add_global_ranks(
+    df: DataFrame,
+    keys: Sequence[str],
+    *,
+    descending: Sequence[bool] | None = None,
+    unique: bool = False,
+    weight_col: str | None = None,
+    rank_col: str | None = None,
+    dense_rank_col: str | None = None,
+    row_number_col: str | None = None,
+    ntile: int | None = None,
+    ntile_col: str | None = None,
+    percent_rank_col: str | None = None,
+    cume_dist_col: str | None = None,
+    total_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Annotate ``df`` with globally-correct rank-family columns over the
+    total preorder defined by ``keys`` (± ``descending``), without a
+    single-partition window.
+
+    ``row_number_col``/``ntile_col`` require ``unique=True`` (a total
+    order): with ties they would be nondeterministic in ANY engine.
+
+    ``weight_col``: the input is ALREADY a histogram — one row per
+    distinct key carrying its multiplicity. Rank semantics are over the
+    expanded multiset (``rank_col`` = position of the key's first row);
+    row_number/ntile are undefined for grouped rows and rejected.
+
+    ``total_col``: also attach the total (weighted) row count as a
+    literal column — callers doing rank-interval arithmetic (equi-depth
+    histograms, systematic sampling) need n alongside each rank.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    keys = list(keys)
+    descending = list(descending) if descending is not None else [False] * len(keys)
+    if len(descending) != len(keys):
+        raise ValueError("descending must match keys length")
+    if (row_number_col or ntile_col) and not unique:
+        raise ValueError(
+            "row_number/ntile need a total order: pass unique=True and "
+            "include a tie-break column in keys"
+        )
+    if (ntile is None) != (ntile_col is None):
+        raise ValueError("ntile and ntile_col go together")
+    if weight_col and unique:
+        raise ValueError("weight_col and unique are mutually exclusive")
+
+    spark = df.sparkSession
+    order_cols = _ordered(keys, descending)
+
+    if weight_col:
+        hist = df.withColumn("__cnt", F.col(weight_col).cast("long"))
+    elif unique:
+        hist = df.withColumn("__cnt", F.lit(1).cast("long"))
+    else:
+        extra = [c for c in df.columns if c not in keys]
+        hist = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__cnt"))
+
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    parts = (
+        hist.repartitionByRange(p, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    stats = {
+        r["__pid"]: (r["__rows"], r["__nkeys"])
+        for r in parts.groupBy("__pid")
+        .agg(F.sum("__cnt").alias("__rows"), F.count(F.lit(1)).alias("__nkeys"))
+        .collect()
+    }
+    n_total = sum(v[0] for v in stats.values())
+    rows_before, keys_before, racc, kacc = {}, {}, 0, 0
+    for pid in sorted(stats):
+        rows_before[pid], keys_before[pid] = racc, kacc
+        racc += stats[pid][0]
+        kacc += stats[pid][1]
+
+    offs = F.broadcast(
+        spark.createDataFrame(
+            [(pid, rows_before[pid], keys_before[pid]) for pid in sorted(stats)]
+            or [(0, 0, 0)],
+            "__pid int, __rows_before long, __keys_before long",
+        )
+    )
+
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = (
+        parts.join(offs, "__pid")
+        .withColumn("__cum", F.sum("__cnt").over(wcum))
+        .withColumn("__ldr", F.row_number().over(w))
+    )
+    rank_expr = F.col("__rows_before") + F.col("__cum") - F.col("__cnt") + 1
+    out_cols: list[Column] = []
+    if rank_col:
+        out_cols.append(rank_expr.alias(rank_col))
+    if dense_rank_col:
+        out_cols.append(
+            (F.col("__keys_before") + F.col("__ldr")).alias(dense_rank_col)
+        )
+    if row_number_col:
+        out_cols.append(rank_expr.alias(row_number_col))
+    if ntile_col:
+        out_cols.append(
+            sql_ntile_from_rn(rank_expr, n_total, int(ntile)).alias(ntile_col)
+        )
+    if percent_rank_col:
+        out_cols.append(
+            (
+                (rank_expr - 1).cast("double") / F.lit(float(max(n_total - 1, 1)))
+            ).alias(percent_rank_col)
+        )
+    if cume_dist_col:
+        out_cols.append(
+            (
+                (F.col("__rows_before") + F.col("__cum")).cast("double")
+                / F.lit(float(max(n_total, 1)))
+            ).alias(cume_dist_col)
+        )
+    if total_col:
+        out_cols.append(F.lit(n_total).cast("long").alias(total_col))
+    if not out_cols:
+        raise ValueError("request at least one output column")
+
+    internal = {"__pid", "__cnt", "__rows_before", "__keys_before", "__cum", "__ldr"}
+    if unique or weight_col:
+        keep = [c for c in ranked.columns if c not in internal]
+        return ranked.select(*[F.col(c) for c in keep], *out_cols)
+    ranked_keys = ranked.select(*keys, *out_cols)
+    if not extra:
+        return ranked_keys
+    # non-unique: join the ranked histogram back on the keys (equi-join;
+    # AQE broadcasts when the distinct-key side is small)
+    return df.join(ranked_keys, on=keys, how="inner")

@@ -639,15 +639,17 @@ def token_rank_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     is ever rounded).
 
     Scale shape: two shuffles (doc-term tf, vocab df) exactly like
-    :func:`tfidf`; the vocabulary ranking is a global ``dense_rank`` over
-    DISTINCT tokens only — vocab is orders of magnitude smaller than the
-    corpus, but at extreme vocab (>100 M types) swap the window for a
-    frequency-bin rank; the API shape is identical. Empty docs carry no
-    tokens and drop out (same as the SQL oracle's inner join).
+    :func:`tfidf`; the vocabulary ranking runs through the distributed
+    rank operator (operators/ranks.py: range-partitioned positions +
+    per-partition offsets) — no single-partition window even at >100 M
+    vocabulary types. (freq desc, token) is a total order, so the
+    distributed rank equals the SQL twin's DENSE_RANK exactly. Empty
+    docs carry no tokens and drop out (same as the SQL oracle's inner
+    join).
     """
-    from pyspark.sql.window import Window
-
     from pyspark.storagelevel import StorageLevel
+
+    from agol_pandas_spark.operators.ranks import add_global_ranks
 
     terms = df.select(
         F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
@@ -661,12 +663,13 @@ def token_rank_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     vocab = tf.groupBy("token").agg(F.sum("cnt").alias("freq"))
-    ranked = vocab.select(
-        "token",
-        F.dense_rank()
-        .over(Window.orderBy(F.col("freq").desc(), "token"))
-        .alias("rnk"),
-    )
+    ranked = add_global_ranks(
+        vocab,
+        ["freq", "token"],
+        descending=[True, False],
+        unique=True,
+        rank_col="rnk",
+    ).select("token", "rnk")
     return (
         tf.join(ranked, "token")
         .groupBy(id_col)

@@ -227,12 +227,14 @@ def geo_zorder_chunk_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk statistics prune on x AND y at 100 TB (Z-ORDER OPTIMIZE
     semantics, value-checked cross-engine).
 
-    The exact-ntile bucketing here exists for the deterministic oracle
-    (global window over 1.5k rows); the production layout path is
-    ``df.repartitionByRange(N, zv).sortWithinPartitions(zv)`` — the same
-    z clustering with sampled boundaries and zero driver involvement,
-    exactly like ``chunking.repartition_by_sorted_range``.
+    The exact-ntile bucketing runs through the distributed rank operator
+    (operators/ranks.py: range-partitioned global row number + the SQL
+    NTILE formula — no single-partition window); the production layout
+    path is ``df.repartitionByRange(N, zv).sortWithinPartitions(zv)`` —
+    the same z clustering with sampled boundaries and zero driver
+    involvement, exactly like ``chunking.repartition_by_sorted_range``.
     """
+    from agol_pandas_spark.operators.ranks import add_global_ranks
     pts = _customer_points(spark, sf_dir).drop("c_mktsegment")
     cells = pts.select(
         "c_custkey",
@@ -242,9 +244,9 @@ def geo_zorder_chunk_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("y") / 5.0).cast("long") + 32).alias("cy"),
     )
     z = cells.withColumn("zv", z_value(F.col("cx"), F.col("cy"), 8))
-    from pyspark.sql import Window
-
-    b = z.withColumn("bucket", F.ntile(16).over(Window.orderBy("zv", "c_custkey")))
+    b = add_global_ranks(
+        z, ["zv", "c_custkey"], unique=True, ntile=16, ntile_col="bucket"
+    )
     return b.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_points"),
         F.min("x").alias("xmin"),

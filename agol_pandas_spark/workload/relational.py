@@ -1882,35 +1882,59 @@ def stats_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     optimizer-statistics building block: 8 buckets of (near-)equal row
     count via integer rank arithmetic ``bucket = (rn−1)·B div n``, with
     per-bucket bounds and exact sums. Ties land deterministically because
-    equal values share contiguous ranks.
+    equal values share contiguous ranks (tied rows carry the same value,
+    so however a tie-run straddles a bucket boundary, every per-bucket
+    aggregate is unchanged — the oracle's ROW_NUMBER form is
+    tie-order-invariant for exactly that reason).
 
-    Scale note: the global row_number here is the *exact* formulation
-    (fine up to ~10⁸ distinct rows); the 100 TB shape swaps the rank for
-    ``approx_percentile`` boundaries or the cumulative distinct-value
-    histogram used by ``agg_exact_percentiles`` — same output contract.
+    Scale shape (r5): no per-row row_number at all. The distinct-value
+    histogram gets a distributed weighted rank (operators/ranks.py), so
+    each value v knows its 0-based position interval [p0, p1]; the
+    positions of bucket b are [⌈bn/8⌉, ⌈(b+1)n/8⌉−1], and the per-bucket
+    contribution of v is the integer overlap of the two intervals —
+    ``sequence`` + ``explode`` emits at most min(8, span) rows per value.
+    Everything after the one range shuffle of distinct values is codegen
+    arithmetic; nothing is single-partition.
     """
-    from pyspark.sql.window import Window
+    from agol_pandas_spark.operators.ranks import add_global_ranks
 
     orders = Catalog(spark, sf_dir).table("orders").select(
         F.round(F.col("o_totalprice") * 100).cast("long").alias("pc")
     )
-    w = Window.orderBy("pc")
-    ranked = orders.select(
-        "pc",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    hist = orders.groupBy("pc").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked = add_global_ranks(
+        hist, ["pc"], weight_col="cnt", rank_col="rnk", total_col="n"
     )
-    return (
-        ranked.select(
-            "pc", F.expr("((rn - 1) * 8) div n").alias("bucket")
-        )
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.min("pc").alias("lo_cents"),
-            F.max("pc").alias("hi_cents"),
-            F.sum("pc").alias("sum_cents"),
-        )
+    spans = ranked.select(
+        "pc",
+        "n",
+        (F.col("rnk") - 1).alias("p0"),
+        (F.col("rnk") + F.col("cnt") - 2).alias("p1"),
+    ).select(
+        "pc",
+        "n",
+        "p0",
+        "p1",
+        F.explode(
+            F.sequence(
+                F.expr("(p0 * 8) div n"), F.expr("(p1 * 8) div n")
+            )
+        ).alias("bucket"),
+    )
+    contrib = spans.select(
+        "pc",
+        "bucket",
+        (
+            F.least(F.col("p1"), F.expr("((bucket + 1) * n + 7) div 8 - 1"))
+            - F.greatest(F.col("p0"), F.expr("(bucket * n + 7) div 8"))
+            + 1
+        ).alias("k"),
+    )
+    return contrib.groupBy("bucket").agg(
+        F.sum("k").alias("n_rows"),
+        F.min("pc").alias("lo_cents"),
+        F.max("pc").alias("hi_cents"),
+        F.sum(F.col("pc") * F.col("k")).alias("sum_cents"),
     )
 
 
@@ -2961,12 +2985,13 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id tie-break (position-based ntile over a non-total order is
     engine-dependent; round-3 audit discipline applied to ORDERING, not
     just arithmetic). Higher quintile = better on every axis. Scale
-    note: the three ntiles are one global window sort over USERS (not
-    events) — at corpus scale swap in the equi-depth histogram
-    operator's distributed rank buckets; quintile boundaries differ by
-    at most the tie-run length.
+    shape (r5): the three quintile assignments run through the
+    distributed rank operator (operators/ranks.py — range-partitioned
+    global row number + the SQL NTILE formula), so there is NO
+    single-partition window even though users grow with the corpus;
+    each axis costs one range shuffle of the slim per-user table.
     """
-    from pyspark.sql.window import Window
+    from agol_pandas_spark.operators.ranks import add_global_ranks
 
     ev = Catalog(spark, sf_dir).table("events")
     mx = ev.agg(F.max("ts").alias("mts"))
@@ -2983,17 +3008,36 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    r = F.ntile(5).over(
-        Window.orderBy(F.col("recency_days").desc(), "user_id")
+    scored = add_global_ranks(
+        per_user,
+        ["recency_days", "user_id"],
+        descending=[True, False],
+        unique=True,
+        ntile=5,
+        ntile_col="__r",
     )
-    f = F.ntile(5).over(Window.orderBy("frequency", "user_id"))
-    m = F.ntile(5).over(Window.orderBy("monetary_cents", "user_id"))
-    return per_user.select(
+    scored = add_global_ranks(
+        scored,
+        ["frequency", "user_id"],
+        unique=True,
+        ntile=5,
+        ntile_col="__f",
+    )
+    scored = add_global_ranks(
+        scored,
+        ["monetary_cents", "user_id"],
+        unique=True,
+        ntile=5,
+        ntile_col="__m",
+    )
+    return scored.select(
         "user_id",
         "recency_days",
         "frequency",
         "monetary_cents",
-        (r * 100 + f * 10 + m).alias("rfm_score"),
+        (F.col("__r") * 100 + F.col("__f") * 10 + F.col("__m")).alias(
+            "rfm_score"
+        ),
     )
 
 
@@ -3058,8 +3102,8 @@ def pivot_status_multi_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c)
     SELECT l_returnflag,
            COUNT(CASE WHEN overflowed THEN 1 END) AS n_overflow,
-           CAST(SUM(CASE WHEN NOT overflowed THEN cube END) AS BIGINT)
-               AS sum_cube
+           CAST(CAST(SUM(CASE WHEN NOT overflowed THEN cube END)
+                     AS DECIMAL(38, 0)) AS VARCHAR) AS sum_cube
     FROM cubes GROUP BY l_returnflag
     """,
 )
@@ -3070,7 +3114,9 @@ def math_try_overflow_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     that's a dead 6-hour run; the try_* family is the per-expression
     escape). Price cents cubed overflows for pc > ~2.1M and the oracle
     reproduces the exact overflow boundary in 128-bit arithmetic; the
-    surviving cubes sum in DECIMAL(38,0) on both engines.
+    surviving cubes sum in DECIMAL(38,0) on both engines and ship as a
+    plain-digit VARCHAR (the sum itself exceeds int64; no 128-bit
+    numeric crosses the harness fetch boundary — r4 red-row rule).
     """
     li = Catalog(spark, sf_dir).table("lineitem").select(
         "l_returnflag",
@@ -3082,5 +3128,7 @@ def math_try_overflow_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cubed.groupBy("l_returnflag").agg(
         F.count(F.when(F.col("cube").isNull(), 1)).alias("n_overflow"),
-        F.sum(F.col("cube").cast("decimal(38,0)")).alias("sum_cube"),
+        F.sum(F.col("cube").cast("decimal(38,0)"))
+        .cast("string")
+        .alias("sum_cube"),
     )

@@ -1316,23 +1316,21 @@ def sample_systematic_every_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
     even-coverage complement to hash sampling: hash samples are uniform
     but clumpy in time; every-25th over the (ts, event_id) total order
     guarantees temporal spread, which is what eval-set builders want
-    from a stream. Deterministic by the total order. Scale note: the
-    global row_number is a single-partition sort here; at corpus scale
-    compute per-partition counts first and add prefix offsets (the
-    two-level trick the chunking operator uses) — same output, no
-    global window.
+    from a stream. Deterministic by the total order. Scale shape (r5):
+    the global row number comes from the distributed rank operator
+    (operators/ranks.py — one range shuffle, per-partition numbering,
+    driver holds P offset integers), so nothing is single-partition no
+    matter how many events flow through.
     """
-    from pyspark.sql.window import Window
+    from agol_pandas_spark.operators.ranks import add_global_ranks
 
-    ev = Catalog(spark, sf_dir).table("events")
-    w = Window.orderBy("ts", "event_id")
+    ev = Catalog(spark, sf_dir).table("events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
     return (
-        ev.select(
-            "event_id",
-            "user_id",
-            "event_type",
-            F.row_number().over(w).alias("rn"),
+        add_global_ranks(
+            ev, ["ts", "event_id"], unique=True, row_number_col="rn"
         )
         .filter((F.col("rn") - 1) % 25 == 0)
-        .drop("rn")
+        .drop("rn", "ts")
     )

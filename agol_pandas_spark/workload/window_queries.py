@@ -57,17 +57,18 @@ def window_topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFram
     """,
 )
 def window_rank_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.orderBy("s_nationkey")
-    return (
-        Catalog(spark, sf_dir)
-        .table("supplier")
-        .select(
-            "s_suppkey",
-            "s_nationkey",
-            "s_acctbal",
-            F.rank().over(w).alias("rnk"),
-            F.dense_rank().over(w).alias("drnk"),
-        )
+    """Global rank/dense_rank WITHOUT a single-partition window: the
+    distributed rank operator collapses to the distinct-nationkey
+    histogram, range-partitions it, and offsets per-partition positions
+    (operators/ranks.py) — same values as the SQL window at any scale.
+    """
+    from agol_pandas_spark.operators.ranks import add_global_ranks
+
+    sup = Catalog(spark, sf_dir).table("supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    return add_global_ranks(
+        sup, ["s_nationkey"], rank_col="rnk", dense_rank_col="drnk"
     )
 
 
@@ -308,18 +309,27 @@ def window_rolling_1h_user_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE bucketing into price quartiles (deterministic via the
-    o_orderkey tie-break), aggregated per bucket."""
-    ev = Catalog(spark, sf_dir).table("orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return (
-        ev.select("o_totalprice", F.ntile(4).over(w).alias("q"))
-        .groupBy("q")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
-                "total_scaled"
-            ),
-        )
+    o_orderkey tie-break), aggregated per bucket. The bucket assignment
+    comes from the distributed rank operator (range-partitioned global
+    row number + the SQL NTILE formula) — no single-partition window, so
+    the plan survives orders growing 100× (operators/ranks.py)."""
+    from agol_pandas_spark.operators.ranks import add_global_ranks
+
+    ev = Catalog(spark, sf_dir).table("orders").select(
+        "o_totalprice", "o_orderkey"
+    )
+    bucketed = add_global_ranks(
+        ev,
+        ["o_totalprice", "o_orderkey"],
+        unique=True,
+        ntile=4,
+        ntile_col="q",
+    )
+    return bucketed.groupBy("q").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "total_scaled"
+        ),
     )
 
 
@@ -337,17 +347,19 @@ def window_ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relative-rank window functions (both are exact rational ratios of
     row positions — (rank-1)/(n-1) and rank/n — so doubles compare
-    bit-for-bit cross-engine)."""
-    w = Window.orderBy("s_acctbal", "s_suppkey")
-    return (
-        Catalog(spark, sf_dir)
-        .table("supplier")
-        .select(
-            "s_suppkey",
-            "s_acctbal",
-            F.percent_rank().over(w).alias("pct_rank"),
-            F.cume_dist().over(w).alias("cume"),
-        )
+    bit-for-bit cross-engine). Computed through the distributed rank
+    operator (operators/ranks.py): no single-partition window."""
+    from agol_pandas_spark.operators.ranks import add_global_ranks
+
+    sup = Catalog(spark, sf_dir).table("supplier").select(
+        "s_suppkey", "s_acctbal"
+    )
+    return add_global_ranks(
+        sup,
+        ["s_acctbal", "s_suppkey"],
+        unique=True,
+        percent_rank_col="pct_rank",
+        cume_dist_col="cume",
     )
 
 

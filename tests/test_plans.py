@@ -394,3 +394,64 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+# --- registry-wide single-partition-window ban (VERDICT r4 item 3) -----
+
+# Global (unpartitioned) Windows funnel every row through one task — the
+# canonical 100 TB stall. Every rank/ntile/row_number over an unbounded
+# input now routes through operators/ranks.py (range-partitioned global
+# positions). The ONLY global windows allowed are over inputs bounded by
+# construction, each justified here:
+GLOBAL_WINDOW_BOUNDED_OK = {
+    # lag() over ONE ROW PER CALENDAR WEEK — input is bounded by the
+    # date span (dozens of rows at any corpus size), produced by a
+    # map-side-combined weekly aggregation.
+    "date_week_over_week_growth",
+    # row_number() over the top-10 rows AFTER TakeOrderedAndProject —
+    # input is literally capped at 10 rows by the limit below it.
+    "stats_key_skew",
+}
+
+
+def _global_windows(df):
+    found = []
+
+    def walk(node):
+        if (
+            node.getClass().getSimpleName() == "Window"
+            and node.partitionSpec().isEmpty()
+        ):
+            found.append(node)
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return found
+
+
+@pytest.mark.slow
+def test_no_unbounded_global_windows_in_registry(spark, sf_dir):
+    """Build every registered query and reject any optimized plan with an
+    unpartitioned Window outside the bounded whitelist above."""
+    offenders = {}
+    for name, query in sorted(REGISTRY.items()):
+        if name in GLOBAL_WINDOW_BOUNDED_OK:
+            continue
+        df = query.fn(spark, sf_dir)
+        wins = _global_windows(df)
+        if wins:
+            offenders[name] = len(wins)
+    assert not offenders, (
+        "unpartitioned Window over unbounded input (route through "
+        f"operators/ranks.add_global_ranks): {offenders}"
+    )
+
+
+def test_whitelisted_global_windows_still_exist(spark, sf_dir):
+    """If a whitelisted query stops using a global window, the whitelist
+    entry is stale — fail so it gets pruned."""
+    for name in sorted(GLOBAL_WINDOW_BOUNDED_OK):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        assert _global_windows(df), f"{name} no longer has a global window"
