@@ -1115,6 +1115,11 @@ def winnow_fingerprints(
     rightmost-min tie-break in pure integer MIN, reproducible in the
     DuckDB oracle. Positions are bounded by 2^20 shingles/doc (≈4 MB of
     text) — beyond that, split docs upstream (the chunking operator).
+    The bound is ENFORCED: a document with more than 2^20 shingles makes
+    the packed position complement negative, silently corrupting which
+    shingle wins each window min, so the operator raises at runtime
+    (``raise_error`` in-plan — the failure names the offending doc id)
+    instead of emitting wrong fingerprints.
 
     Reference has no near-dup surface at all (full-scan client,
     src/agol_pandas.py:246); this extends §2b ★ dedup.
@@ -1129,7 +1134,23 @@ def winnow_fingerprints(
         + (F.lit(WINNOW_POS_MOD - 1) - i),
     )
     base = _hashed_barrier(df, id_col, packed)
-    n = F.size(F.col("__h"))
+    n_raw = F.size(F.col("__h"))
+    # runtime guard for the packed-key envelope: > 2^20 shingles would
+    # drive the position complement negative and corrupt every window
+    # min for the doc — fail the job with the doc id instead
+    n = F.when(
+        n_raw > F.lit(WINNOW_POS_MOD),
+        F.raise_error(
+            F.concat(
+                F.lit("winnow_fingerprints: document "),
+                F.col(id_col).cast("string"),
+                F.lit(
+                    f" has more than {WINNOW_POS_MOD} shingles — split it "
+                    "upstream (operators/chunking.py) before fingerprinting"
+                ),
+            )
+        ).cast("int"),
+    ).otherwise(n_raw)
     mins = (
         F.when(n == 0, F.array().cast("array<long>"))
         .when(n < w, F.array(F.array_min(F.col("__h"))))

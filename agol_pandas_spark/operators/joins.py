@@ -199,8 +199,15 @@ def interval_overlap_join(
     Pick ``grid`` ≈ the typical interval length: the explode factor is
     ``len/grid + 1`` per row while cell population stays bounded. A
     degenerate long interval fans out over many cells — cap or split
-    outliers upstream. Non-key columns are suffixed ``_a``/``_b``;
-    ``overlap`` is the exact integer overlap length.
+    outliers upstream. EMPTY intervals (``end <= start``, zero duration)
+    are dropped up front on both sides: a ``[s, s)`` range overlaps
+    nothing under half-open semantics, but it would pass both strict
+    inequalities against an interval containing ``s`` and come back with
+    ``overlap = 0`` (and its descending ``sequence`` spans the wrong
+    cells when it straddles a grid boundary) — contradicting the
+    "every pair truly overlaps" contract. Non-key columns are suffixed
+    ``_a``/``_b``; ``overlap`` is the exact positive integer overlap
+    length.
     """
     g = int(grid)
     if g <= 0:
@@ -216,7 +223,7 @@ def interval_overlap_join(
             ],
         )
         s, e = start_col + sfx, end_col + sfx
-        return renamed.withColumn(
+        return renamed.filter(F.col(e) > F.col(s)).withColumn(
             "__cell", F.explode(F.expr(f"sequence({s} div {g}, ({e} - 1) div {g})"))
         )
     a, b = suffixes

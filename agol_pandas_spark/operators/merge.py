@@ -99,10 +99,28 @@ def validate_unique_key(df: DataFrame, key, side: str = "source") -> None:
         )
 
 
+def _lossy_vs_float(exact, flt) -> bool:
+    """True when Spark's union coercion of ``exact`` (integral/decimal)
+    with the float type ``flt`` can silently round values: doubles carry
+    53 mantissa bits (long and decimal(p>15) overflow them), floats 24
+    (int, long and decimal(p>7) overflow those)."""
+    if isinstance(flt, T.DoubleType):
+        return isinstance(exact, T.LongType) or (
+            isinstance(exact, T.DecimalType) and exact.precision > 15
+        )
+    if isinstance(flt, T.FloatType):
+        return isinstance(exact, (T.IntegerType, T.LongType)) or (
+            isinstance(exact, T.DecimalType) and exact.precision > 7
+        )
+    return False
+
+
 def _union_incompatible(a, b) -> bool:
     """True when a union of these two types would fail or silently lose
-    information: identical types are fine, and both-numeric or
-    both-datetime pairs widen safely under Spark's union coercion —
+    information: identical types are fine; both-numeric pairs widen
+    safely EXCEPT wide-exact vs float (long/decimal(38) coerced to
+    double rounds above 2^53 — exactly the implicit lossy coercion this
+    check exists to catch); both-datetime pairs widen safely —
     everything else (string vs numeric, array vs scalar, ...) is a
     conflict."""
     if a == b:
@@ -111,7 +129,7 @@ def _union_incompatible(a, b) -> bool:
                T.FloatType, T.DoubleType, T.DecimalType)
     temporal = (T.DateType, T.TimestampType, T.TimestampNTZType)
     if isinstance(a, numeric) and isinstance(b, numeric):
-        return False
+        return _lossy_vs_float(a, b) or _lossy_vs_float(b, a)
     if isinstance(a, temporal) and isinstance(b, temporal):
         return False
     return True
@@ -397,7 +415,13 @@ def apply_changes(
     latest = latest_wins_dedup(
         changes, keys=keys, ts_col=seq_col, tie_breakers=order
     )
-    upserts = latest.filter(F.col(op_col) != delete_op).drop(op_col, seq_col)
+    # eqNullSafe: a NULL op is NOT a delete — plain `!=` is NULL for NULL
+    # ops, which would drop the row from the upsert set while its key is
+    # still anti-joined out of the target (silent data loss on a
+    # malformed CDC row). NULL op rows upsert their payload instead.
+    upserts = latest.filter(
+        ~F.col(op_col).eqNullSafe(delete_op)
+    ).drop(op_col, seq_col)
     touched = latest.select(*keys)
     kept = target.join(touched, on=keys, how="left_anti")
     return kept.unionByName(upserts)

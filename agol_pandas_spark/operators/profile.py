@@ -155,10 +155,14 @@ def chi2_drift(df: DataFrame, cell_col: str, side_col: str) -> DataFrame:
     (both sides' (O−E)²/E terms combined). Each cell's contribution is
     emitted as an exact ppm long via STAGED integer division —
     ``d²·10⁶ div D`` computed as ``q0·10⁶ + q1·10³ + (r1·10³ div D)``
-    where ``q0,r0 = divmod(d², D)``, ``q1,r1 = divmod(r0·10³, D)`` — so
-    the intermediate products stay in range wherever ``d²`` and
-    ``D·10³`` fit in a long (per-side samples up to ~10⁶ rows; beyond
-    that carry DECIMAL(38,0)). Per-cell FLOORS are the deterministic
+    where ``q0,r0 = divmod(d², D)``, ``q1,r1 = divmod(r0·10³, D)``. The
+    exact int64 envelope is ``d² < 2⁶³`` (worst case |d| ≤ n1·n2, i.e.
+    n1·n2 ≤ 3·10⁹ — ~55 k rows per side under total skew, far more for
+    balanced tables where |d| stays near √(n1·n2·c)) AND
+    ``D·10³ = n1·n2·(o1+o2)·10³ < 2⁶³`` (n1·n2·c ≤ 9.2·10¹⁵). Beyond
+    either bound ANSI mode fails the job loudly (never a silent wrap);
+    the escape is the same DECIMAL(38,0) swap the other scaled-long
+    operators document. Per-cell FLOORS are the deterministic
     contract; summing them under-counts the global χ² by < k ppm.
 
     Scale shape: one map-side-combined groupBy on the category; the

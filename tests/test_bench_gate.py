@@ -1,0 +1,108 @@
+"""The >20% bench-regression gate as an executable test (VERDICT r4
+item 6) — previously prose in BASELINE.md.
+
+Reads the newest ``BENCH_r{N}.json`` at the repo root, re-times the
+headline queries it shares with the current registry at the SAME scale
+factor the artifact recorded, and fails if the shared-query TOTAL
+regressed more than 20% (plus a small absolute slack for scheduler
+noise — bench.py documents ±0.5 s run-to-run).
+
+Guardrails against false alarms:
+- skips when no BENCH artifact exists (fresh clone)
+- skips when the host is visibly loaded (1-min loadavg > half the CPUs):
+  external load inflates every query 25-60% uniformly (BASELINE.md), so
+  a gate reading would be meaningless
+- compares only queries present in BOTH the artifact and the registry,
+  so renames/additions never trip it — but if fewer than half the
+  artifact's queries survive, the gate fails loudly (a gutted headline
+  set must not pass silently).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import time
+
+import pytest
+
+from agol_pandas_spark.workload import load_all
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REGRESSION_FACTOR = 1.20
+ABS_SLACK_SEC = 1.5
+
+
+def _latest_bench() -> tuple[str, dict] | None:
+    files = sorted(
+        glob.glob(os.path.join(ROOT, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    )
+    if not files:
+        return None
+    raw = json.load(open(files[-1]))
+    # the driver's artifact wraps bench.py's JSON line under "parsed";
+    # accept a raw bench.py line too
+    return files[-1], raw.get("parsed", raw)
+
+
+@pytest.mark.slow
+def test_headline_total_within_regression_gate(spark):
+    prior = _latest_bench()
+    if prior is None:
+        pytest.skip("no BENCH_r*.json artifact to gate against")
+    path, bench = prior
+    if os.getloadavg()[0] > (os.cpu_count() or 8) / 2:
+        pytest.skip("host under external load; bench gate unreliable")
+
+    sf = bench["sf"]
+    sf_dir = f"/root/testdata/sf{sf}"
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"{sf_dir} missing")
+
+    registry = load_all()
+    shared = {
+        n: t for n, t in bench["queries"].items() if n in registry
+    }
+    assert len(shared) * 2 >= len(bench["queries"]), (
+        f"over half of {os.path.basename(path)}'s headline queries left "
+        f"the registry — gate cannot be satisfied by shrinking the set"
+    )
+
+    def materialize(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    # match bench.py's shuffle sizing (the artifact was recorded with
+    # shuffle.partitions = CPUs, the test session runs with 8)
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)),
+    )
+    try:
+        # warm-up: plan + JIT + file listings (bench.py protocol)
+        first = registry[next(iter(shared))].fn(spark, sf_dir)
+        materialize(first)
+
+        total = 0.0
+        for name in shared:
+            materialize(registry[name].fn(spark, sf_dir))  # warm run
+            best = float("inf")
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                materialize(registry[name].fn(spark, sf_dir))
+                best = min(best, time.perf_counter() - t0)
+            total += best
+            spark.catalog.clearCache()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+    prior_total = sum(shared.values())
+    limit = prior_total * REGRESSION_FACTOR + ABS_SLACK_SEC
+    assert total <= limit, (
+        f"headline total {total:.2f}s exceeds gate {limit:.2f}s "
+        f"(prior {prior_total:.2f}s in {os.path.basename(path)})"
+    )

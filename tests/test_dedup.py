@@ -661,3 +661,20 @@ def test_ngram_containment_directional(spark):
     # reverse direction is diluted by the long doc's own shingles
     assert got[(2, 1)][2] < 1_000_000
     assert (1, 3) not in got and (3, 1) not in got
+
+
+def test_winnow_rejects_docs_over_position_envelope(spark, monkeypatch):
+    """> WINNOW_POS_MOD shingles would drive the packed position
+    complement negative and silently corrupt window minima; the operator
+    must fail the job naming the doc instead. The envelope constant is
+    shrunk so the probe document stays tiny."""
+    from py4j.protocol import Py4JJavaError
+
+    from agol_pandas_spark.operators import dedup as ddp
+
+    monkeypatch.setattr(ddp, "WINNOW_POS_MOD", 8)
+    text = " ".join(f"w{i}" for i in range(16))  # 14 trigram shingles > 8
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    with pytest.raises(Exception) as ei:
+        ddp.winnow_fingerprints(df, "doc_id", "text").collect()
+    assert "winnow_fingerprints" in str(ei.value)

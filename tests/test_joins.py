@@ -267,3 +267,20 @@ def test_interval_overlap_join_grid_invariance(spark):
 
     with pytest.raises(ValueError, match="grid must be a positive"):
         interval_overlap_join(ldf, rdf, "s", "e", grid=0, keys=("k",))
+
+
+def test_interval_overlap_drops_empty_intervals(spark):
+    """[s, s) has zero duration: it must not pair with an interval
+    containing s (half-open semantics), and every emitted overlap is
+    strictly positive."""
+    from agol_pandas_spark.operators.joins import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 10), (2, 0, 20)], "id long, s long, e long"
+    )
+    right = spark.createDataFrame([(3, 5, 15)], "id long, s long, e long")
+    out = interval_overlap_join(
+        left, right, "s", "e", grid=8, suffixes=("_a", "_b")
+    ).collect()
+    assert {r["id_a"] for r in out} == {2}
+    assert all(r["overlap"] > 0 for r in out)

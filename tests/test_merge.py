@@ -268,3 +268,36 @@ def test_merge_delete_mode_removes_keyed_rows(spark):
     assert out.columns == ["k", "v"]  # target schema untouched
     got = sorted((r.k, r.v) for r in out.collect())
     assert got == [(1, "a"), (3, "c")]
+
+
+def test_apply_changes_null_op_upserts_instead_of_deleting(spark):
+    """A NULL op is a malformed CDC row, not a delete: plain `!=` would
+    silently drop the key (excluded from upserts AND anti-joined out of
+    the target). The null-safe filter upserts its payload instead."""
+    from agol_pandas_spark.operators.merge import apply_changes
+
+    tgt = spark.createDataFrame([(1, "old"), (2, "keep")], "k long, v string")
+    chg = spark.createDataFrame(
+        [(1, None, 5, "new")], "k long, op string, seq long, v string"
+    ).select("k", "op", "seq", "v")
+    out = {
+        (r["k"], r["v"])
+        for r in apply_changes(tgt, chg, key="k", seq_col="seq").collect()
+    }
+    assert out == {(1, "new"), (2, "keep")}
+
+
+def test_union_rejects_lossy_long_vs_double(spark):
+    """long/decimal(38) vs double union coerces to double and rounds
+    above 2^53 — the implicit lossy coercion SchemaMismatchError exists
+    to catch. int vs double stays allowed (every int32 is double-exact)."""
+    from agol_pandas_spark.errors import SchemaMismatchError
+
+    tgt = spark.createDataFrame([(1, 2**60)], "id long, v long")
+    src = spark.createDataFrame([(2, 1.5)], "id long, v double")
+    with pytest.raises(SchemaMismatchError):
+        merge(tgt, src, key="id", mode="append")
+
+    tgt_i = spark.createDataFrame([(1, 7)], "id long, v int")
+    src_d = spark.createDataFrame([(2, 1.5)], "id long, v double")
+    assert merge(tgt_i, src_d, key="id", mode="append").count() == 2

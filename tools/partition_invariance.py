@@ -1,0 +1,99 @@
+"""Artifact-level partition invariance for the r4 driver-red queries.
+
+VERDICT r4 item 5: run each of the 11 formerly-red queries (plus the two
+r5 harness probes) under local[32] AND ``spark.sql.shuffle.partitions``
+∈ {1, 7, 200}, and assert the driver's canonical value hash is identical
+across all three configurations — partition-count invariance at the
+artifact level, complementing tests/test_partition_invariance.py's
+per-operator checks. The distributed rank rewrites (operators/ranks.py)
+make several of these queries sensitive-by-construction to range
+boundaries, so this is the direct falsifier for any offset bug.
+
+Usage: ``python tools/partition_invariance.py``. Prints one line per
+query with PASS/FAIL; exits nonzero on any FAIL. The result is recorded
+in COVERAGE.md (round-5 section).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+QUERIES = [
+    "agg_decimal128_exact_sum",
+    "agg_exact_percentiles",
+    "agg_probe_hugeint_bare",
+    "agg_probe_hugeint_cast",
+    "agg_weighted_median_price",
+    "agg_winsorized_revenue",
+    "audit_rule_violations",
+    "clean_impute_group_mean",
+    "date_business_day_latency",
+    "date_week_over_week_growth",
+    "dedup_cross_source_matrix",
+    "events_peak_concurrency",
+    "events_rfm_segments",
+    # r5 distributed-rank rewrites outside the r4 red set
+    "window_rank_dense_rank",
+    "window_ntile_price_quartiles",
+    "window_percent_rank_cume_dist",
+    "stats_equidepth_histogram",
+    "text_token_rank_quality",
+    "sample_systematic_every_nth",
+    "geo_zorder_chunk_locality",
+]
+
+PARTITIONS = (1, 7, 200)
+
+
+def canonical_hash(rows, cols) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def cell(v):
+        if v is None:
+            return "<NULL>"
+        if isinstance(v, float):
+            return repr(v)
+        return str(v)
+
+    canon = sorted(tuple(cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for row in canon:
+        h.update("\x1f".join(row).encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF01_DIR", "/root/testdata/sf0.01")
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("partition-invariance")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as entry
+
+    queries = entry.queries()
+    failures = 0
+    for name in QUERIES:
+        hashes = {}
+        for p in PARTITIONS:
+            spark.conf.set("spark.sql.shuffle.partitions", str(p))
+            spark.catalog.clearCache()
+            df = queries[name](spark, sf_dir)
+            hashes[p] = canonical_hash(df.collect(), df.columns)
+        ok = len(set(hashes.values())) == 1
+        failures += not ok
+        print(("PASS" if ok else "FAIL"), name, "" if ok else hashes, flush=True)
+    spark.stop()
+    print(f"{len(QUERIES) - failures}/{len(QUERIES)} partition-invariant")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
