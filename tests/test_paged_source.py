@@ -487,3 +487,157 @@ def test_stream_sink_restart_recovery_no_duplicates(spark, tmp_path):
     # ...and the union is the exact input, no duplicates
     got = sorted(r for rows in combined.values() for r in rows)
     assert got == sorted((i, None if i % 7 == 0 else f"row-{i}") for i in range(10))
+
+
+# --- HTTP transport against an in-process fake service (r5) -----------
+
+
+def _fake_arcgis_server(rows, fields):
+    """Minimal in-process ArcGIS-style /query endpoint: where (numeric
+    SQL-92 conjunctions), returnCountOnly, resultOffset/resultRecordCount,
+    outFields. Records every received query dict for assertions."""
+    import http.server
+    import json as _json
+    import threading
+    import urllib.parse as up
+
+    seen: list[dict] = []
+
+    def matches(row: dict, where: str) -> bool:
+        if where in ("", "1=1"):
+            return True
+        # numeric-conjunction subset, enough for the pushed predicates
+        py = (
+            where.replace(" AND ", " and ")
+            .replace("<>", "!=")
+            .replace(" IS NOT NULL", " is not None")
+            .replace(" IS NULL", " is None")
+        )
+        return bool(eval(py, {"__builtins__": {}}, dict(row)))  # noqa: S307
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            parsed = up.urlparse(self.path)
+            q = {k: v[0] for k, v in up.parse_qs(parsed.query).items()}
+            seen.append(q)
+            where = q.get("where", "1=1")
+            data = [r for r in rows if matches(r, where)]
+            out = q.get("outFields", "*")
+            names = (
+                [f["name"] for f in fields]
+                if out == "*"
+                else out.split(",")
+            )
+            flds = [f for f in fields if f["name"] in names]
+            if q.get("returnCountOnly") == "true":
+                body = {"count": len(data)}
+            else:
+                off = int(q.get("resultOffset", 0))
+                lim = int(q.get("resultRecordCount", len(data)))
+                page = data[off : off + lim]
+                body = {
+                    "fields": flds,
+                    "features": [
+                        {"attributes": {n: r[n] for n in names}} for r in page
+                    ],
+                }
+            payload = _json.dumps(body).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, seen
+
+
+_HTTP_FIELDS = [
+    {"name": "id", "type": "esriFieldTypeOID"},
+    {"name": "val", "type": "esriFieldTypeDouble"},
+    {"name": "label", "type": "esriFieldTypeString"},
+]
+_HTTP_ROWS = [
+    {"id": i, "val": float(i) / 2, "label": f"r{i}"} for i in range(1, 51)
+]
+
+
+def test_http_client_paged_read_roundtrip(spark):
+    from agol_pandas_spark.sources.http_client import HttpPagedClient
+    from agol_pandas_spark.sources.paged import read_paged
+
+    srv, seen = _fake_arcgis_server(_HTTP_ROWS, _HTTP_FIELDS)
+    try:
+        client = HttpPagedClient(f"http://127.0.0.1:{srv.server_address[1]}")
+        df = read_paged(spark, client, page_size=7)
+        got = {(r["id"], r["val"], r["label"]) for r in df.collect()}
+        assert got == {(r["id"], r["val"], r["label"]) for r in _HTTP_ROWS}
+        # 50 rows / 7-row pages = 8 page partitions, each its own request
+        pages = [q for q in seen if "resultOffset" in q]
+        assert len(pages) >= 8
+    finally:
+        srv.shutdown()
+
+
+def test_http_client_pushdown_reaches_the_wire(spark):
+    from agol_pandas_spark.sources.http_client import HttpPagedClient
+    from agol_pandas_spark.sources.paged import read_paged
+
+    srv, seen = _fake_arcgis_server(_HTTP_ROWS, _HTTP_FIELDS)
+    try:
+        client = HttpPagedClient(f"http://127.0.0.1:{srv.server_address[1]}")
+        df = read_paged(spark, client, page_size=100).filter(
+            (F.col("id") > 10) & (F.col("id") <= 40)
+        )
+        assert df.count() == 30
+        # the compiled conjunction was sent as the service's where param
+        wheres = {q.get("where") for q in seen}
+        assert any("id > 10" in w and "id <= 40" in w for w in wheres if w)
+        # count request saw the filtered view -> fewer page partitions
+        counts = [q for q in seen if q.get("returnCountOnly") == "true"]
+        assert any("id > 10" in q.get("where", "") for q in counts)
+    finally:
+        srv.shutdown()
+
+
+def test_http_client_projection_uses_outfields(spark):
+    from agol_pandas_spark.sources.http_client import HttpPagedClient
+    from agol_pandas_spark.sources.paged import read_paged
+
+    srv, seen = _fake_arcgis_server(_HTTP_ROWS, _HTTP_FIELDS)
+    try:
+        client = HttpPagedClient(f"http://127.0.0.1:{srv.server_address[1]}")
+        df = read_paged(spark, client, page_size=25, columns=["id", "label"])
+        assert df.columns == ["id", "label"]
+        assert df.count() == 50
+        page_reqs = [q for q in seen if "resultOffset" in q]
+        assert page_reqs and all(
+            q.get("outFields") == "id,label" for q in page_reqs
+        )
+    finally:
+        srv.shutdown()
+
+
+def test_http_where_compilation_dialect():
+    from agol_pandas_spark.sources.http_client import compile_where
+    from agol_pandas_spark.sources.paged import PushedFilter as PF
+
+    where, applied = compile_where(
+        [
+            PF("a", "=", 5),
+            PF("b", "<>", "x'y"),
+            PF("c", "in", (1, 2)),
+            PF("d", "isnull"),
+            PF("e", "startswith", "ab"),
+            PF("f", "bogus-op", 1),
+        ]
+    )
+    assert where == (
+        "a = 5 AND b <> 'x''y' AND c IN (1, 2) AND d IS NULL "
+        "AND e LIKE 'ab%'"
+    )
+    assert len(applied) == 5  # bogus-op declined, stays in the plan
