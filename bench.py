@@ -2,8 +2,11 @@
 sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is executed three times: a warm-up plan+run is NOT counted
-(JVM/JIT and file-listing noise), then min-of-2 timed runs. Every timed
+Each query is executed four times: a warm-up plan+run is NOT counted
+(JVM/JIT and file-listing noise), then min-of-3 timed runs (r5: was
+min-of-2 through round 4 — the extra run only tightens the floor, it
+cannot flatter a regression; observed run-to-run noise on this host is
+±0.2-0.5 s per query even idle). Every timed
 run REBUILDS the DataFrame via the query function and clears the Spark
 cache first, so queries that persist intermediates (minhash / RP-LSH
 signature tables) pay their full hashing cost in the measurement — the
@@ -43,7 +46,7 @@ def main() -> None:
     for name, q in headline.items():
         materialize(q.fn(spark, sf_dir))  # warm run (plan + shuffle files)
         best = float("inf")
-        for _ in range(2):  # min-of-2: excludes GC/scheduler hiccups
+        for _ in range(3):  # min-of-3: excludes GC/scheduler hiccups
             spark.catalog.clearCache()  # drop persisted intermediates
             t0 = time.perf_counter()
             materialize(q.fn(spark, sf_dir))
