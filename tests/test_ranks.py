@@ -1,0 +1,149 @@
+"""Unit tests for operators/ranks.py — the distributed rank family.
+
+The oracle-parity sweep already checks the eight registry queries built
+on it; these tests pin the operator's own contract: exact agreement with
+Spark's single-partition window functions on randomized data, partition-
+count invariance, tie handling across range boundaries, descending
+orders, the weighted-histogram mode, and argument validation.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from agol_pandas_spark.operators.ranks import add_global_ranks
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, tie long, payload string")
+
+
+def _rows(n, n_distinct):
+    # heavy ties: n rows over n_distinct key values, deterministic
+    return [
+        (i % n_distinct, i, f"p{i}") for i in range(n)
+    ]
+
+
+@pytest.mark.parametrize("parts", [1, 3, 17])
+def test_rank_dense_rank_match_window_exactly(spark, parts):
+    df = _df(spark, _rows(500, 23))
+    w = Window.orderBy("k")
+    expected = {
+        (r["tie"], r["rnk"], r["drnk"])
+        for r in df.select(
+            "tie",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        ).collect()
+    }
+    got = {
+        (r["tie"], r["rnk"], r["drnk"])
+        for r in add_global_ranks(
+            df, ["k"], rank_col="rnk", dense_rank_col="drnk",
+            num_partitions=parts,
+        ).collect()
+    }
+    assert got == expected
+
+
+@pytest.mark.parametrize("parts", [1, 4, 33])
+@pytest.mark.parametrize("buckets", [1, 4, 7, 600])
+def test_ntile_matches_window_on_total_order(spark, parts, buckets):
+    df = _df(spark, _rows(211, 211))  # unique keys
+    w = Window.orderBy("k", "tie")
+    expected = {
+        (r["tie"], r["q"])
+        for r in df.select(
+            "tie", F.ntile(buckets).over(w).alias("q")
+        ).collect()
+    }
+    got = {
+        (r["tie"], r["q"])
+        for r in add_global_ranks(
+            df, ["k", "tie"], unique=True, ntile=buckets, ntile_col="q",
+            num_partitions=parts,
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_percent_rank_cume_dist_and_descending(spark):
+    df = _df(spark, _rows(300, 40))
+    w = Window.orderBy(F.col("k").desc(), "tie")
+    expected = {
+        (r["tie"], r["pr"], r["cd"])
+        for r in df.select(
+            "tie",
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        ).collect()
+    }
+    got = {
+        (r["tie"], r["pr"], r["cd"])
+        for r in add_global_ranks(
+            df,
+            ["k", "tie"],
+            descending=[True, False],
+            unique=True,
+            percent_rank_col="pr",
+            cume_dist_col="cd",
+            num_partitions=5,
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_weight_col_ranks_expanded_multiset(spark):
+    # histogram (value, weight): ranks must equal the expanded multiset's
+    hist = spark.createDataFrame(
+        [(10, 3), (20, 1), (30, 4)], "v long, w long"
+    )
+    out = {
+        r["v"]: (r["rnk"], r["drnk"], r["n"])
+        for r in add_global_ranks(
+            hist,
+            ["v"],
+            weight_col="w",
+            rank_col="rnk",
+            dense_rank_col="drnk",
+            total_col="n",
+            num_partitions=2,
+        ).collect()
+    }
+    # expanded: 10,10,10,20,30,30,30,30 → first positions 1, 4, 5
+    assert out == {10: (1, 1, 8), 20: (4, 2, 8), 30: (5, 3, 8)}
+
+
+def test_row_number_requires_unique_total_order(spark):
+    df = _df(spark, _rows(10, 3))
+    with pytest.raises(ValueError, match="total order"):
+        add_global_ranks(df, ["k"], row_number_col="rn")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        add_global_ranks(
+            df, ["k"], unique=True, weight_col="tie", rank_col="r"
+        )
+    with pytest.raises(ValueError, match="at least one output"):
+        add_global_ranks(df, ["k"])
+
+
+def test_empty_input(spark):
+    df = _df(spark, []).filter("k > 0")
+    out = add_global_ranks(df, ["k"], rank_col="rnk", num_partitions=3)
+    assert out.count() == 0
+    assert "rnk" in out.columns
+
+
+def test_non_unique_join_back_preserves_rows_and_payload(spark):
+    df = _df(spark, _rows(100, 7))
+    out = add_global_ranks(df, ["k"], rank_col="rnk", num_partitions=4)
+    rows = out.collect()
+    assert len(rows) == 100
+    assert {r["payload"] for r in rows} == {f"p{i}" for i in range(100)}
+    # all rows of one key share the rank
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["k"], set()).add(r["rnk"])
+    assert all(len(s) == 1 for s in by_key.values())
