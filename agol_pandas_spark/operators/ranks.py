@@ -42,7 +42,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["add_global_ranks", "sql_ntile_from_rn"]
+__all__ = [
+    "add_global_ranks",
+    "add_partitioned_prefix_sum",
+    "sql_ntile_from_rn",
+]
 
 
 def _ordered(keys: Sequence[str], descending: Sequence[bool]) -> list[Column]:
@@ -215,3 +219,78 @@ def add_global_ranks(
     # non-unique: join the ranked histogram back on the keys (equi-join;
     # AQE broadcasts when the distinct-key side is small)
     return df.join(ranked_keys, on=keys, how="inner")
+
+
+def add_partitioned_prefix_sum(
+    df: DataFrame,
+    part_keys: Sequence[str],
+    order_keys: Sequence[str],
+    weight_col: str,
+    out_col: str,
+    *,
+    exclusive: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group running sum of ``weight_col`` over the ``order_keys``
+    total order WITHIN each ``part_keys`` group, without funneling any
+    group through one task.
+
+    ``Window.partitionBy(low_cardinality_key)`` is the subtle cousin of
+    the global window: with 5 modalities, 5 tasks carry the whole corpus
+    no matter the cluster size. Here the data is range-partitioned on
+    ``part_keys + order_keys`` (group segments stay contiguous, big
+    groups SPAN partitions), each physical partition computes its local
+    running sums in parallel, and each (physical partition, group) slice
+    is offset by the group's carry-in — computed from the per-(partition,
+    group) totals, a DataFrame of at most P + |groups| rows whose own
+    cumulative window is partitioned per group over ≤P rows (bounded by
+    construction, like the rank operator's offsets). No driver-side
+    state at all. ``exclusive=True`` gives the sum of STRICTLY earlier
+    rows (packing offsets); ``False`` includes the current row.
+
+    ``order_keys`` must make (part_keys + order_keys) a total order —
+    ties would make any engine's running sum nondeterministic.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    part_keys, order_keys = list(part_keys), list(order_keys)
+    if not part_keys or not order_keys:
+        raise ValueError("part_keys and order_keys are both required")
+    spark = df.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    all_keys = part_keys + order_keys
+    parts = (
+        df.repartitionByRange(p, *[F.col(k) for k in all_keys])
+        .sortWithinPartitions(*all_keys)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    w_local = (
+        Window.partitionBy("__pid", *part_keys)
+        .orderBy(*order_keys)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = parts.withColumn("__cum", F.sum(weight_col).over(w_local))
+    # carry-in per (pid, group): totals of the group's EARLIER partitions;
+    # input is one row per (pid, group) — ≤ P rows per group
+    totals = parts.groupBy("__pid", *part_keys).agg(
+        F.sum(weight_col).alias("__tot")
+    )
+    w_carry = (
+        Window.partitionBy(*part_keys)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = totals.select(
+        "__pid",
+        *part_keys,
+        F.coalesce(F.sum("__tot").over(w_carry), F.lit(0)).alias("__off"),
+    )
+    base = F.col("__cum") + F.col("__off")
+    if exclusive:
+        base = base - F.col(weight_col)
+    return (
+        local.join(F.broadcast(carry), ["__pid", *part_keys])
+        .withColumn(out_col, base)
+        .drop("__pid", "__cum", "__off")
+    )

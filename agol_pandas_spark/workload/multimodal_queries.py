@@ -210,23 +210,22 @@ def mm_shard_by_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-budget shard packing per modality (data-loader prep for mixed
     media): payloads in deterministic id order are assigned to ~50 KB
     shards by their cumulative starting offset WITHIN their modality
-    group — the per-group window is partitioned (every modality packs in
-    parallel), unlike a global cumsum. Shard sizes hover around the
-    budget; no payload is split."""
-    from pyspark.sql.window import Window
+    group. Scale shape (r5): ``Window.partitionBy(source)`` would push
+    each modality's whole corpus through ONE task (a handful of
+    modalities ⇒ a handful of tasks at any cluster size), so the offsets
+    come from the distributed partitioned prefix sum
+    (operators/ranks.py): range-partitioned segments run in parallel and
+    each segment adds its group's carry-in — identical values, no
+    low-cardinality window anywhere."""
+    from agol_pandas_spark.operators.ranks import add_partitioned_prefix_sum
 
     pay = _payloads(spark, sf_dir).select("doc_id", "payload")
     docs = Catalog(spark, sf_dir).table("documents").select("doc_id", "source")
     p = pay.join(docs, "doc_id").select(
         "doc_id", "source", F.octet_length("payload").cast("long").alias("n_bytes")
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offs = p.withColumn(
-        "start", F.coalesce(F.sum("n_bytes").over(w), F.lit(0))
+    offs = add_partitioned_prefix_sum(
+        p, ["source"], ["doc_id"], "n_bytes", "start", exclusive=True
     )
     return (
         offs.select(

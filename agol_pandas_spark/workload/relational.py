@@ -2657,15 +2657,19 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     concurrency (ends sort before coincident starts via the delta
     tie-break — end-exclusive semantics, same contract as the interval
     join). All integer: counts, microsecond timestamps, argmax by MIN.
-    Scale note: the running sum is one window per event_type partition —
-    the documented sweep-line cost; at corpus scale partition the sweep
-    by (type, day) and prefix-offset the per-day sums (the same
-    two-level trick the chunking operator uses).
+    Scale shape (r5): the sweep is TWO-LEVEL — the running sum runs per
+    (event_type, utc-day) partition (parallelism grows with the time
+    span, never a whole type through one task), and each day's starting
+    concurrency is the prefix sum of the previous days' net deltas — a
+    per-type cumulative over ONE ROW PER DAY (calendar-bounded, the
+    same boundedness class as the week-over-week lag). Identical values
+    to the single-window form; the oracle keeps the direct SQL sweep.
     """
     from pyspark.sql.window import Window
 
     ev = Catalog(spark, sf_dir).table("events")
     WIN_US = 4 * 3600 * 1_000_000
+    DAY_US = 86_400 * 1_000_000
     starts = ev.select(
         "event_type", F.unix_micros("ts").alias("t"), F.lit(1).alias("delta")
     )
@@ -2674,14 +2678,35 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("ts") + F.lit(WIN_US)).alias("t"),
         F.lit(-1).alias("delta"),
     )
-    bounds = starts.unionByName(ends)
-    w = (
-        Window.partitionBy("event_type")
+    bounds = starts.unionByName(ends).withColumn(
+        "__day", F.expr(f"t div {DAY_US}")
+    )
+    # level 1: in-day running sum — partitions = types × days
+    w_day = (
+        Window.partitionBy("event_type", "__day")
         .orderBy("t", "delta")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    swept = bounds.select(
-        "event_type", "t", F.sum("delta").over(w).alias("conc")
+    local = bounds.select(
+        "event_type", "__day", "t", F.sum("delta").over(w_day).alias("__c")
+    )
+    # level 2: carry-in per day = cumulative net delta of PRIOR days —
+    # one row per (type, day), calendar-bounded window input
+    day_net = bounds.groupBy("event_type", "__day").agg(
+        F.sum("delta").alias("__net")
+    )
+    w_carry = (
+        Window.partitionBy("event_type")
+        .orderBy("__day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = day_net.select(
+        "event_type",
+        "__day",
+        F.coalesce(F.sum("__net").over(w_carry), F.lit(0)).alias("__off"),
+    )
+    swept = local.join(carry, ["event_type", "__day"]).select(
+        "event_type", "t", (F.col("__c") + F.col("__off")).alias("conc")
     )
     peak = swept.groupBy("event_type").agg(
         F.max("conc").alias("peak_concurrency")

@@ -147,3 +147,41 @@ def test_non_unique_join_back_preserves_rows_and_payload(spark):
     for r in rows:
         by_key.setdefault(r["k"], set()).add(r["rnk"])
     assert all(len(s) == 1 for s in by_key.values())
+
+
+@pytest.mark.parametrize("parts", [1, 4, 19])
+@pytest.mark.parametrize("exclusive", [True, False])
+def test_partitioned_prefix_sum_matches_window(spark, parts, exclusive):
+    from agol_pandas_spark.operators.ranks import add_partitioned_prefix_sum
+
+    rows = [(i % 3, i, (i * 7) % 11 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "g long, o long, w long")
+    frame = (
+        Window.partitionBy("g")
+        .orderBy("o")
+        .rowsBetween(Window.unboundedPreceding, -1 if exclusive else 0)
+    )
+    expected = {
+        (r["g"], r["o"], r["ps"])
+        for r in df.select(
+            "g", "o", F.coalesce(F.sum("w").over(frame), F.lit(0)).alias("ps")
+        ).collect()
+    }
+    got = {
+        (r["g"], r["o"], r["ps"])
+        for r in add_partitioned_prefix_sum(
+            df, ["g"], ["o"], "w", "ps",
+            exclusive=exclusive, num_partitions=parts,
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_partitioned_prefix_sum_validates_keys(spark):
+    from agol_pandas_spark.operators.ranks import add_partitioned_prefix_sum
+
+    df = spark.createDataFrame([(1, 2, 3)], "g long, o long, w long")
+    with pytest.raises(ValueError, match="required"):
+        add_partitioned_prefix_sum(df, [], ["o"], "w", "ps")
+    with pytest.raises(ValueError, match="required"):
+        add_partitioned_prefix_sum(df, ["g"], [], "w", "ps")
