@@ -418,16 +418,26 @@ def dedup_components_star_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(log n). Each language's chain is one component with the language's
     min doc_id as representative, which the oracle states directly (the
     component of a path is algorithm-independent).
+
+    The chain edges come from the distributed rank operator (global row
+    number over (lang, doc_id)) + a self-equi-join on (lang, rn−1) —
+    a lag() window per lang would push each language's whole corpus
+    through one task (operators/ranks.py module doc).
     """
-    from pyspark.sql import Window
+    from agol_pandas_spark.operators.ranks import add_global_ranks
 
     docs = Catalog(spark, sf_dir).table("documents").select("doc_id", "lang")
-    w = Window.partitionBy("lang").orderBy("doc_id")
-    edges = (
-        docs.withColumn("prev_id", F.lag("doc_id").over(w))
-        .filter(F.col("prev_id").isNotNull())
-        .select("doc_id", "prev_id")
+    ranked = add_global_ranks(
+        docs, ["lang", "doc_id"], unique=True, row_number_col="rn"
     )
+    nxt = ranked.select(
+        F.col("lang").alias("__l"),
+        (F.col("rn") - 1).alias("__rn"),
+        F.col("doc_id").alias("cur_id"),
+    )
+    edges = ranked.join(
+        nxt, (F.col("lang") == F.col("__l")) & (F.col("rn") == F.col("__rn"))
+    ).select(F.col("cur_id").alias("doc_id"), F.col("doc_id").alias("prev_id"))
     return dedup.connected_components_star(edges, "doc_id", "prev_id")
 
 
@@ -464,15 +474,39 @@ def dedup_triangle_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cohesion signal that separates dense dup clusters from
     transitive chains. Per-vertex counts are value-checked against a
     three-way self-join oracle.
+
+    The 2-neighbor edges come from the distributed rank operator +
+    self-equi-joins on (lang, rn+1) and (lang, rn+2) — per-lang lead()
+    windows would single-task each language (operators/ranks.py).
     """
-    from pyspark.sql import Window
+    from agol_pandas_spark.operators.ranks import add_global_ranks
 
     docs = Catalog(spark, sf_dir).table("documents").select("doc_id", "lang")
-    w = Window.partitionBy("lang").orderBy("doc_id")
-    nbr = docs.select(
-        "doc_id",
-        F.lead("doc_id", 1).over(w).alias("n1"),
-        F.lead("doc_id", 2).over(w).alias("n2"),
+    ranked = add_global_ranks(
+        docs, ["lang", "doc_id"], unique=True, row_number_col="rn"
+    )
+
+    def lead_join(k: int):
+        succ = ranked.select(
+            F.col("lang").alias("__l"),
+            (F.col("rn") - k).alias("__rn"),
+            F.col("doc_id").alias(f"n{k}"),
+        )
+        return succ
+
+    nbr = (
+        ranked.join(
+            lead_join(1),
+            (F.col("lang") == F.col("__l")) & (F.col("rn") == F.col("__rn")),
+            "left",
+        )
+        .drop("__l", "__rn")
+        .join(
+            lead_join(2),
+            (F.col("lang") == F.col("__l")) & (F.col("rn") == F.col("__rn")),
+            "left",
+        )
+        .select("doc_id", "n1", "n2")
     )
     edges = (
         nbr.filter(F.col("n1").isNotNull()).select(
