@@ -185,3 +185,66 @@ def test_partitioned_prefix_sum_validates_keys(spark):
         add_partitioned_prefix_sum(df, [], ["o"], "w", "ps")
     with pytest.raises(ValueError, match="required"):
         add_partitioned_prefix_sum(df, ["g"], [], "w", "ps")
+
+
+def test_ranks_fuzz_vs_python_reference(spark):
+    """Property fuzz: for random multisets and partition counts, the
+    distributed rank/dense_rank/prefix-sum equal a trivial sorted-list
+    Python reference."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from agol_pandas_spark.operators.ranks import (
+        add_global_ranks,
+        add_partitioned_prefix_sum,
+    )
+
+    values = st.lists(
+        st.integers(min_value=-5, max_value=5), min_size=1, max_size=40
+    )
+    parts = st.sampled_from([1, 2, 5, 13])
+
+    @given(vals=values, p=parts)
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    def run(vals, p):
+        rows = [(v, i) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "v long, rid long")
+        got = {
+            r["rid"]: (r["rnk"], r["drnk"])
+            for r in add_global_ranks(
+                df, ["v"], rank_col="rnk", dense_rank_col="drnk",
+                num_partitions=p,
+            ).collect()
+        }
+        srt = sorted(vals)
+        distinct = sorted(set(vals))
+        expect = {
+            i: (srt.index(v) + 1, distinct.index(v) + 1)
+            for i, v in enumerate(vals)
+        }
+        assert got == expect
+
+        # prefix sum per parity group, ordered by rid
+        df2 = df.withColumn("g", (df.rid % 2).cast("long")).withColumn(
+            "w", (df.v + 6).cast("long")
+        )
+        got_ps = {
+            r["rid"]: r["ps"]
+            for r in add_partitioned_prefix_sum(
+                df2, ["g"], ["rid"], "w", "ps",
+                exclusive=True, num_partitions=p,
+            ).collect()
+        }
+        acc = {0: 0, 1: 0}
+        expect_ps = {}
+        for i, v in enumerate(vals):
+            g = i % 2
+            expect_ps[i] = acc[g]
+            acc[g] += v + 6
+        assert got_ps == expect_ps
+
+    run()
