@@ -287,6 +287,76 @@ class Catalog:
         df = self.spark.read.parquet(p).coalesce(int(n_files))
         return self.write(df, name, mode="overwrite")
 
+    def optimize_zorder(
+        self,
+        name: str,
+        cols: list[str],
+        bits: int = 12,
+        num_files: int | None = None,
+    ) -> str:
+        """Z-ORDER OPTIMIZE: rewrite the table clustered by the Morton
+        interleave of its ``cols`` (lakehouse `OPTIMIZE ... ZORDER BY`
+        semantics). Each column is min/max-scaled to a ``bits``-bit cell
+        (one small aggregate job), the interleaved z-value range-partitions
+        and sorts the rewrite, and the same atomic two-phase commit as
+        :meth:`write` swaps it in — row-identical contents, different
+        physical order.
+
+        Why it matters at 100 TB: parquet footers carry per-row-group
+        min/max for every column, and the reader skips row groups whose
+        stats exclude a pushed predicate. A single-column sort makes that
+        pruning work for ONE column; the z layout makes a range predicate
+        on ANY of the ``cols`` (or a box over several) exclude most row
+        groups, because each file covers a compact hyper-rectangle instead
+        of a full-width stripe (measured in tests/test_zorder_layout.py).
+        Skew caveat: min/max scaling degrades under heavy value skew —
+        swap in rank buckets (operators/ranks.add_global_ranks ntile) for
+        the cell assignment when a dimension is pathological.
+        """
+        from agol_pandas_spark.functions.geometry import z_value_n
+
+        p = self.path(name)
+        if not os.path.exists(p):
+            raise TableNotFoundError(f"no table {name!r} under {self.root}")
+        df = self.spark.read.parquet(p)
+        k = (1 << bits) - 1
+        mm = df.agg(
+            *[F.min(c).cast("double").alias(f"__lo_{i}") for i, c in enumerate(cols)],
+            *[F.max(c).cast("double").alias(f"__hi_{i}") for i, c in enumerate(cols)],
+        ).collect()[0]
+        cells = []
+        for i, c in enumerate(cols):
+            lo, hi = mm[f"__lo_{i}"], mm[f"__hi_{i}"]
+            if lo is None or hi is None or hi <= lo:
+                cells.append(F.lit(0).cast("long"))
+            else:
+                cells.append(
+                    F.floor(
+                        (F.col(c).cast("double") - F.lit(lo))
+                        * F.lit(float(k) / (hi - lo))
+                    ).cast("long")
+                )
+        if num_files is None:
+            num_files = max(
+                1,
+                self.spark.read.parquet(p).rdd.getNumPartitions(),
+            )
+        # materialize the cells as plain columns first: z_value_n emits a
+        # parsed SQL expression, so its inputs must be simple references
+        staged = df
+        for i, cell in enumerate(cells):
+            staged = staged.withColumn(f"__zc_{i}", cell)
+        z = staged.withColumn(
+            "__z",
+            z_value_n([F.col(f"__zc_{i}") for i in range(len(cells))], bits),
+        )
+        clustered = (
+            z.repartitionByRange(int(num_files), F.col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z", *[f"__zc_{i}" for i in range(len(cells))])
+        )
+        return self.write(clustered, name, mode="overwrite")
+
     def drop(self, name: str) -> None:
         p = self.path(name)
         if os.path.exists(p):

@@ -125,12 +125,27 @@ def z_value(cx: Column, cy: Column, bits: int = 16) -> Column:
     Pure shift/mask integer math emitted as one parsed SQL expression —
     bit-identical in any engine, so layouts are value-checkable.
     """
-    cx_sql = cx._jc.toString()
-    cy_sql = cy._jc.toString()
+    return z_value_n([cx, cy], bits)
+
+
+def z_value_n(cells: list[Column], bits: int = 16) -> Column:
+    """N-dimensional Morton value: bit ``b`` of dimension ``i`` maps to z
+    bit ``b·n + i`` — the general interleave behind Z-ORDER OPTIMIZE
+    layouts (``Catalog.optimize_zorder``). ``n·bits`` must stay ≤ 62 so
+    the value fits a signed long. Same pure shift/mask construction as
+    the 2-D case: one parsed SQL expression, bit-identical anywhere."""
+    n = len(cells)
+    if n < 1:
+        raise ValueError("z_value_n needs at least one column")
+    if n * bits > 62:
+        raise ValueError(f"{n} dims × {bits} bits exceeds a signed long")
+    sqls = [c._jc.toString() for c in cells]
     terms = []
     for b in range(bits):
-        terms.append(f"shiftleft(shiftright({cx_sql}, {b}) & 1, {2 * b})")
-        terms.append(f"shiftleft(shiftright({cy_sql}, {b}) & 1, {2 * b + 1})")
+        for i, c_sql in enumerate(sqls):
+            terms.append(
+                f"shiftleft(shiftright({c_sql}, {b}) & 1, {b * n + i})"
+            )
     return F.expr(" + ".join(terms))
 
 

@@ -554,3 +554,72 @@ def merge_delete_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return merge(customers, finalized, mode="delete", key="c_custkey")
+
+
+@register(
+    "merge_zorder_optimize",
+    tags=("merge", "layout", "zorder", "optimize"),
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS price_scaled
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def merge_zorder_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER OPTIMIZE roundtrip (``Catalog.optimize_zorder``): the
+    orders copy is rewritten clustered by the Morton interleave of
+    (o_custkey, o_totalprice) through the same atomic two-phase commit as
+    every write; the oracle proves row-identity and the in-query
+    assertion proves the layout actually changed (footer min/max spans
+    per file shrink on both dimensions — the property that lets a range
+    predicate on EITHER column skip most row groups at 100 TB;
+    tests/test_zorder_layout.py measures the pruning win directly).
+    """
+    import glob
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    root = tempfile.mkdtemp(prefix="zorder_")
+    cat = Catalog(spark, root)
+    orders = Catalog(spark, sf_dir).table("orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    cat.write(
+        orders.repartitionByRange(16, "o_orderkey")
+        .sortWithinPartitions("o_orderkey"),
+        "z",
+        mode="error",
+    )
+
+    def mean_custkey_span(path: str) -> float:
+        spans = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            meta = pq.ParquetFile(f).metadata
+            idx = {
+                meta.row_group(0).column(i).path_in_schema: i
+                for i in range(meta.num_columns)
+            }
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(idx["o_custkey"]).statistics
+                spans.append(st.max - st.min)
+        return sum(spans) / len(spans)
+
+    before = mean_custkey_span(cat.path("z"))
+    cat.optimize_zorder("z", ["o_custkey", "o_totalprice"], num_files=16)
+    after = mean_custkey_span(cat.path("z"))
+    # orderkey-ordered files stripe the full custkey range; z files tile it
+    assert after * 2 < before, (before, after)
+    return (
+        cat.table("z")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").cast("long").alias("key_checksum"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "price_scaled"
+            ),
+        )
+    )
