@@ -1334,3 +1334,48 @@ def sample_systematic_every_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") - 1) % 25 == 0)
         .drop("rn", "ts")
     )
+
+
+@register(
+    "sample_weighted_bottomk",
+    tags=("sampling", "weighted", "without-replacement"),
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             CAST({SQL_HASH60.format(expr="'wbk' || CAST(doc_id AS VARCHAR)")}
+                  AS DOUBLE) / n_chars AS priority
+      FROM documents WHERE n_chars > 0)
+    SELECT doc_id, lang, n_chars
+    FROM keyed ORDER BY priority, doc_id LIMIT 50
+    """,
+)
+def sample_weighted_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, fixed size k: keep the k
+    rows with the smallest ``hash/weight`` priority (the deterministic
+    fixed-priority variant of Efraimidis–Spirakis bottom-k — inclusion
+    probability grows with weight, here document length). The priority
+    is ONE IEEE division of a portable integer hash by an integer
+    weight, so both engines compute the identical double and the sample
+    is reproducible across engines, re-runs, and cluster sizes — the
+    without-replacement complement of ``sample_weighted_quality``'s
+    Bernoulli gate. Scale shape: pure map + top-k
+    (TakeOrderedAndProject) — each partition keeps k candidates, the
+    driver merges P·k rows; no sort of the corpus, no window.
+    """
+    from agol_pandas_spark.functions.text import portable_hash60
+
+    docs = Catalog(spark, sf_dir).table("documents").filter(
+        F.col("n_chars") > 0
+    )
+    priority = (
+        portable_hash60(
+            F.concat(F.lit("wbk"), F.col("doc_id").cast("string"))
+        ).cast("double")
+        / F.col("n_chars")
+    )
+    return (
+        docs.select("doc_id", "lang", "n_chars", priority.alias("__p"))
+        .orderBy("__p", "doc_id")
+        .limit(50)
+        .drop("__p")
+    )
