@@ -34,6 +34,10 @@ QUERIES = [
     "dedup_cross_source_matrix",
     "events_peak_concurrency",
     "events_rfm_segments",
+    # r5 additions with their own partition-sensitive machinery
+    "merge_zorder_optimize",
+    "mm_shard_by_bytes",
+    "sample_weighted_bottomk",
     # r5 distributed-rank rewrites outside the r4 red set
     "window_rank_dense_rank",
     "window_ntile_price_quartiles",
