@@ -648,6 +648,28 @@ def kmeans_lite(
     return centroids, assignments.drop(vec)
 
 
+def _int8_scale_and_codes(v: Column) -> tuple[Column, Column]:
+    """(scale, int8-code array) for a float vector column — the shared
+    quantization kernel of ``quantize_int8`` and ``int8_rerank_topk``.
+    Half-up rounding spelled as ``floor(x/scale + 0.5)`` so Spark and the
+    DuckDB oracle share one definition; the scale is let-bound through a
+    1-element ``transform`` because interpreted HOFs don't CSE the
+    ``array_max`` subtree across lambda boundaries."""
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = amax.cast("double") / F.lit(127.0)
+
+    def qarr(s: Column) -> Column:
+        def quant(x: Column) -> Column:
+            raw = F.floor(x.cast("double") / s + F.lit(0.5))
+            return F.greatest(F.lit(-127), F.least(F.lit(127), raw.cast("int")))
+
+        return F.when(s == 0, F.transform(v, lambda x: F.lit(0))).otherwise(
+            F.transform(v, quant)
+        )
+
+    return scale, F.flatten(F.transform(F.array(scale), qarr))
+
+
 def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """Symmetric per-vector int8 quantization of a float embedding column:
     ``scale = max(|v|)/127``, ``q_i = clamp(floor(v_i/scale + 0.5), ±127)``.
@@ -671,19 +693,7 @@ def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     interpreted HOFs don't CSE across lambda boundaries.
     """
     v = F.col(vec_col)
-    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    scale = amax.cast("double") / F.lit(127.0)
-
-    def qarr(s: Column) -> Column:
-        def quant(x: Column) -> Column:
-            raw = F.floor(x.cast("double") / s + F.lit(0.5))
-            return F.greatest(F.lit(-127), F.least(F.lit(127), raw.cast("int")))
-
-        return F.when(s == 0, F.transform(v, lambda x: F.lit(0))).otherwise(
-            F.transform(v, quant)
-        )
-
-    q = F.flatten(F.transform(F.array(scale), qarr))
+    scale, q = _int8_scale_and_codes(v)
     return df.select(
         F.col(id_col),
         F.size(v).alias("n_dims"),
@@ -692,6 +702,93 @@ def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
         F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + F.abs(x)).alias("q_l1"),
         F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x.cast("long") * x).alias("q_sq"),
+    )
+
+
+def int8_rerank_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    coarse_c: int = 50,
+    k: int = 10,
+) -> DataFrame:
+    """Two-stage ANN: int8 coarse scan → exact-cosine re-rank (the FAISS
+    ``SQ8 flat + refine`` pattern, Spark-first).
+
+    Stage 1 scores every corpus vector against each broadcast query with a
+    BIGINT dot product over symmetric int8 codes (``_int8_scale_and_codes``)
+    — 4× less scan bandwidth than the float vectors, exact integer
+    arithmetic — then de-quantizes to an approximate cosine
+    ``((dot*sq)*sc)/(nq*nc)`` and keeps the top ``coarse_c`` candidates per
+    query. Stage 2 re-reads ONLY the candidates' float embeddings (a
+    broadcast semi-style join against the corpus — never a corpus shuffle)
+    and re-ranks them with the exact scaled-integer cosine.
+
+    At 100 TB the corpus is touched twice, both times embarrassingly
+    parallel map work: one pruned quantized scan, one pruned 2-column
+    fetch filtered by a broadcast candidate list of |Q|·coarse_c ids. The
+    only windows run over ≤ |corpus| rows per query (stage 1) and
+    |Q|·coarse_c rows (stage 2), both partitioned by query id.
+
+    Float determinism: the approximate score multiplies/divides identical
+    IEEE doubles in one fixed association order, mirrored verbatim in the
+    DuckDB oracle; ties break on corpus id.
+    """
+    qscale, qcodes = _int8_scale_and_codes(F.col(query_vec))
+    qz = queries.select(
+        F.col(query_id).alias("__qid"),
+        F.col(query_vec).alias("__qvec"),
+        qcodes.alias("__qq"),
+        qscale.alias("__sq"),
+        _norm_exact(F.col(query_vec)).alias("__qnorm"),
+    )
+    cscale, ccodes = _int8_scale_and_codes(F.col(corpus_vec))
+    from agol_pandas_spark.operators.chunking import spread_small_scan
+
+    cz = spread_small_scan(corpus).select(
+        F.col(corpus_id).alias("__cid"),
+        ccodes.alias("__cq"),
+        cscale.alias("__sc"),
+        _norm_exact(F.col(corpus_vec)).alias("__cnorm"),
+    )
+    doti = F.aggregate(
+        F.zip_with(F.col("__cq"), F.col("__qq"), lambda x, y: x.cast("long") * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    approx = F.try_divide(
+        (doti.cast("double") * F.col("__sq")) * F.col("__sc"),
+        F.col("__qnorm") * F.col("__cnorm"),
+    )
+    wc = Window.partitionBy("__qid").orderBy(F.col("__approx").desc(), F.col("__cid"))
+    cand = (
+        cz.crossJoin(F.broadcast(qz.drop("__qvec")))
+        .select("__qid", "__cid", approx.alias("__approx"))
+        .withColumn("__crnk", F.row_number().over(wc))
+        .filter(F.col("__crnk") <= coarse_c)
+        .select("__qid", "__cid")
+    )
+    # re-rank: fetch float embeddings for the small candidate set only
+    cvecs = corpus.select(
+        F.col(corpus_id).alias("__cid"), F.col(corpus_vec).alias("__cvec")
+    ).join(F.broadcast(cand), "__cid")
+    rescored = cvecs.join(
+        F.broadcast(qz.select("__qid", "__qvec", "__qnorm")), "__qid"
+    ).select(
+        F.col("__qid").alias(query_id),
+        F.col("__cid").alias(corpus_id),
+        F.try_divide(
+            _dot_scaled(F.col("__qvec"), F.col("__cvec")).cast("double")
+            / F.lit(float(VSCALE)),
+            F.col("__qnorm") * _norm_exact(F.col("__cvec")),
+        ).alias("cosine"),
+    )
+    wk = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id))
+    return rescored.withColumn("rnk", F.row_number().over(wk)).filter(
+        F.col("rnk") <= k
     )
 
 

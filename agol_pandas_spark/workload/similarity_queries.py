@@ -447,6 +447,86 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.quantize_int8(emb, "vec_id", "embedding").drop("q")
 
 
+@register(
+    "sim_int8_rerank_topk",
+    tags=("similarity", "ann", "quantize", "topk"),
+    oracle="""
+    WITH """
+    + _SQL_NORMS
+    + """,
+    s AS (
+      SELECT vec_id, embedding,
+             CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+                 / 127.0 AS scale
+      FROM embeddings),
+    q8 AS (
+      SELECT vec_id, scale,
+             CASE WHEN scale = 0
+                  THEN list_transform(embedding, x -> 0)
+                  ELSE list_transform(embedding, x ->
+                       greatest(-127, least(127,
+                         CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INTEGER))))
+             END AS qv
+      FROM s),
+    qpairs AS (
+      SELECT q.vec_id AS qid, q.qv AS qqv, c.vec_id AS cid, c.qv AS cqv
+      FROM q8 q CROSS JOIN q8 c WHERE q.vec_id < 5),
+    idots AS (
+      SELECT qid, cid, SUM(CAST(qx AS BIGINT) * cx) AS doti
+      FROM (SELECT qid, cid, unnest(qqv) AS qx, unnest(cqv) AS cx FROM qpairs)
+      GROUP BY qid, cid),
+    coarse AS (
+      SELECT i.qid, i.cid
+      FROM idots i
+      JOIN q8 qq ON qq.vec_id = i.qid
+      JOIN q8 cc ON cc.vec_id = i.cid
+      JOIN norms nq ON nq.vec_id = i.qid
+      JOIN norms nc ON nc.vec_id = i.cid
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY i.qid ORDER BY
+        ((CAST(i.doti AS DOUBLE) * qq.scale) * cc.scale)
+          / (nq.nrm * nc.nrm) DESC, i.cid) <= 50),
+    fpairs AS (
+      SELECT co.qid, eq.embedding AS qv, co.cid, ec.embedding AS cv
+      FROM coarse co
+      JOIN embeddings eq ON eq.vec_id = co.qid
+      JOIN embeddings ec ON ec.vec_id = co.cid),
+    fdots AS (
+      SELECT qid, cid,
+             SUM(CAST(round(CAST(qx AS DOUBLE) * CAST(cx AS DOUBLE)
+                            * 1000000000) AS BIGINT)) AS dot_scaled
+      FROM (SELECT qid, cid, unnest(qv) AS qx, unnest(cv) AS cx FROM fpairs)
+      GROUP BY qid, cid),
+    cosines AS (
+      SELECT d.qid, d.cid,
+             (CAST(d.dot_scaled AS DOUBLE) / 1000000000.0)
+               / (nq.nrm * nc.nrm) AS cosine
+      FROM fdots d
+      JOIN norms nq ON nq.vec_id = d.qid
+      JOIN norms nc ON nc.vec_id = d.cid)
+    SELECT qid AS query_id, cid AS vec_id, cosine, rnk FROM (
+      SELECT qid, cid, cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rnk
+      FROM cosines)
+    WHERE rnk <= 10
+    """,
+)
+def sim_int8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN for the 5 probe vectors: int8 coarse scan keeps the
+    top-50 candidates per query by de-quantized approximate cosine, then
+    an exact scaled-integer cosine re-ranks only those candidates to
+    top-10 (``operators/similarity.py:int8_rerank_topk`` — the FAISS
+    SQ8-flat+refine pattern). The oracle replays both stages, so the
+    value check covers the coarse pruning decision, not just the final
+    scores."""
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.int8_rerank_topk(
+        queries, emb, query_id="query_id", corpus_id="vec_id", coarse_c=50, k=10
+    )
+
+
 _SQL_PQ_BASE = """
     cb AS (
       SELECT m, CAST(vec_id AS INT) AS code,

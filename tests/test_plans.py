@@ -199,6 +199,19 @@ def test_ivfpq_probe_is_equi_join_on_cell(q):
     assert "CartesianProduct" not in plan
 
 
+def test_int8_rerank_stays_broadcast(q):
+    """Both stages of the int8-rerank ANN must avoid corpus shuffles: the
+    coarse scan is a broadcast nested-loop of (tiny) quantized queries ×
+    corpus, and the re-rank fetch joins the corpus against a BROADCAST
+    candidate list — a SortMergeJoin means the |Q|·C candidate set (or
+    the query side) started shuffling the corpus."""
+    plan = formatted_plan(q("sim_int8_rerank_topk"))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert "WindowGroupLimit" in plan  # both top-k windows pre-prune
+
+
 def test_lsh_index_probe_prunes_corpus_text(q, spark, sf_dir, tmp_path):
     """The index probe must hash only BATCH text: exactly one scan reads
     a ``text`` column (the batch); the corpus contributes only its
