@@ -71,6 +71,70 @@ def join_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "join_asof_forward_tolerance",
+    tags=("join", "asof", "events"),
+    oracle="""
+    WITH s AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS side,
+             CASE WHEN event_type = 'click' THEN ts END AS c_ts,
+             CASE WHEN event_type = 'click' THEN event_id END AS c_eid
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    m AS (
+      SELECT event_id, user_id, ts AS purchase_ts,
+             last_value(c_ts IGNORE NULLS) OVER w AS nxt_ts,
+             last_value(c_eid IGNORE NULLS) OVER w AS nxt_eid
+      FROM s
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, side, event_id DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      QUALIFY side = 1
+    )
+    SELECT event_id, user_id, purchase_ts,
+           CASE WHEN nxt_ts <= purchase_ts + INTERVAL 1 HOUR
+                THEN nxt_ts END AS next_click_ts,
+           CASE WHEN nxt_ts <= purchase_ts + INTERVAL 1 HOUR
+                THEN nxt_eid END AS click_event_id
+    FROM m
+    """,
+)
+def join_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join WITH tolerance: each purchase gets the user's
+    next click at-or-after it, voided (NULLs, row kept) when that click is
+    more than one hour later — pandas ``merge_asof(direction='forward',
+    tolerance=...)`` parity on the distributed union+window plan. The
+    oracle replays the forward scan as a DESC-ordered running
+    ``last_value IGNORE NULLS`` (the last click seen walking down from
+    +inf is the smallest click-ts at-or-after the purchase; equal-ts
+    clicks are ordered event_id DESC so the survivor is the smallest id,
+    matching the operator's min-tuple pick)."""
+    ev = Catalog(spark, sf_dir).table("events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event_id")
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["click_event_id"],
+        direction="forward",
+        matched_ts_alias="next_click_ts",
+        tolerance_seconds=3600,
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "next_click_ts",
+        "click_event_id",
+    )
+
+
 _BANDS = [
     ("b0_budget", 0.0, 20_000.0),
     ("b1_mid", 20_000.0, 40_000.0),
