@@ -21,16 +21,16 @@ These two probes make the diagnosis falsifiable from the driver's own
 artifact:
 
 - ``agg_probe_hugeint_bare`` — a 1-row constant aggregate whose oracle
-  deliberately leaves ``SUM`` un-cast (HUGEINT). Under the fetch-path
-  theory this row is EXPECTED RED in ``CORRECTNESS_r05.json`` while
-  green under ``fetchall`` locally. It is a diagnostic sentinel, not a
-  regression: its redness confirms the root cause from the driver's
-  side of the fence.
+  deliberately left ``SUM`` un-cast (HUGEINT) in round 5. The theory
+  predicted driver-RED for this row and green for the cast control;
+  ``CORRECTNESS_r05.json`` delivered exactly that readout (bare RED,
+  cast GREEN, all 11 former reds GREEN) — theory CONFIRMED. Per
+  VERDICT r5 item 1 the sentinel is now RETIRED: its oracle is cast to
+  BIGINT too (name unchanged, freeze-compatible, VERDICT-authorized)
+  so the driver artifact reads fully green again. The confirmation
+  write-up lives in COVERAGE.md §probes.
 - ``agg_probe_hugeint_cast`` — the identical aggregate with
-  ``CAST(... AS BIGINT)``; expected green everywhere. Control.
-
-If BOTH rows come back green, the fetch-path theory is falsified and
-the next localization step is documented in COVERAGE.md §probes.
+  ``CAST(... AS BIGINT)``; green everywhere. Former control.
 
 Both probes are constant-input (no table reads) so any divergence is
 attributable to the harness, never to data or plan shape.
@@ -53,15 +53,18 @@ def _three_rows(spark: SparkSession) -> DataFrame:
     "agg_probe_hugeint_bare",
     tags=("probe", "harness"),
     oracle="""
-    SELECT 'k' AS grp, SUM(x) AS s
+    SELECT 'k' AS grp, CAST(SUM(x) AS BIGINT) AS s
     FROM (VALUES (1), (2), (3)) t(x)
     GROUP BY grp
     """,
 )
 def agg_probe_hugeint_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sentinel: oracle's bare SUM(int) is HUGEINT in DuckDB — expected
-    driver-RED iff the driver fetches oracle rows via Arrow/pandas
-    (HUGEINT→float64), green under fetchall. See module docstring."""
+    """Retired sentinel (confirmed r5, retired r6 per VERDICT r5 item
+    1): in round 5 this oracle was deliberately un-cast (HUGEINT) and
+    came back driver-RED while the cast control stayed green — the
+    confirming readout for the Arrow/pandas HUGEINT→float64 fetch-path
+    theory. Now cast to BIGINT like every other oracle; expected green
+    under every fetch path. See module docstring."""
     return _three_rows(spark).groupBy(F.lit("k").alias("grp")).agg(
         F.sum("x").alias("s")
     )

@@ -26,9 +26,10 @@ TABLES = (
     "documents embeddings"
 ).split()
 
-# deliberate sentinel: proves the fetch-path coercion from the driver's
-# side (expected driver-red, locally green) — see probe_queries.py
-ALLOWED_SUSPECT = {"agg_probe_hugeint_bare"}
+# r5 sentinel retired r6 (VERDICT r5 item 1): theory confirmed by
+# CORRECTNESS_r05.json, so the bare probe's oracle is now cast like
+# every other — nothing is exempt from the invariant anymore.
+ALLOWED_SUSPECT: set[str] = set()
 
 BANNED = ("HUGEINT", "UHUGEINT")
 
@@ -64,11 +65,12 @@ def test_no_hugeint_or_decimal_oracle_outputs(con):
     )
 
 
-def test_probe_sentinel_is_hugeint(con):
-    """The bare probe must KEEP its HUGEINT output — that is the point."""
+def test_probe_sentinel_retired_to_bigint(con):
+    """r6: the confirmed sentinel's oracle is cast to BIGINT so the
+    driver artifact reads fully green (VERDICT r5 item 1)."""
     sql = entry.oracle_sql()["agg_probe_hugeint_bare"]
     types = {c: t for c, t, *_ in con.execute("DESCRIBE " + sql).fetchall()}
-    assert types["s"] == "HUGEINT"
+    assert types["s"] == "BIGINT"
 
 
 def test_driver_window_contains_all_r4_reds_and_probes():
