@@ -194,6 +194,12 @@ class Catalog:
         os.makedirs(self.root, exist_ok=True)
         staged = f"{target}.__tmp_{uuid.uuid4().hex}"
         df.write.mode("overwrite").parquet(staged)
+        return self._swap_in(staged, name, keep_versions)
+
+    def _swap_in(self, staged: str, name: str, keep_versions: int) -> str:
+        """Atomic tail of the two-phase commit: rename ``staged`` over the
+        current table, archiving or discarding the displaced snapshot."""
+        target = self.path(name)
         backup = None
         if os.path.exists(target):
             backup = f"{target}.__old_{uuid.uuid4().hex}"
@@ -215,6 +221,94 @@ class Catalog:
         # column); the footer cache must not outlive the file it described
         self._ns_cols.pop(target, None)
         return target
+
+    def data_files(self, name: str) -> list[str]:
+        """Absolute paths of the table's parquet data files (markers like
+        ``_SUCCESS`` excluded). A single-file table returns itself."""
+        p = self.path(name)
+        if not os.path.exists(p):
+            raise TableNotFoundError(f"no table {name!r} under {self.root}")
+        if os.path.isfile(p):
+            return [p]
+        return sorted(
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(p)
+            for f in fs
+            if not f.startswith(("_", "."))
+        )
+
+    def file_key_spans(
+        self, name: str, cols: list[str]
+    ) -> list[dict]:
+        """Per-data-file min/max spans of ``cols`` from parquet footers.
+
+        Driver-side O(files) metadata read — no data scan. Each entry is
+        ``{"path": file, "ok": bool, "min": {col: v}, "max": {col: v}}``;
+        ``ok=False`` means at least one row group lacks statistics for one
+        of the columns, so the file cannot be pruned and a key-pruned
+        rewrite must treat it as dirty (conservative). This is the same
+        footer machinery :meth:`optimize_zorder` exists to sharpen: a
+        z-ordered or range-partitioned layout gives each file a compact
+        span, which is what makes key pruning bite at 100 TB.
+        """
+        import pyarrow.parquet as pq
+
+        out: list[dict] = []
+        for f in self.data_files(name):
+            meta = pq.ParquetFile(f).metadata
+            idx = {
+                meta.schema.column(i).name: i
+                for i in range(meta.num_columns)
+            }
+            entry = {"path": f, "ok": True, "min": {}, "max": {}}
+            for c in cols:
+                if c not in idx or meta.num_row_groups == 0:
+                    entry["ok"] = False
+                    break
+                mins, maxs = [], []
+                for rg in range(meta.num_row_groups):
+                    st = meta.row_group(rg).column(idx[c]).statistics
+                    if st is None or not st.has_min_max:
+                        entry["ok"] = False
+                        break
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                if not entry["ok"]:
+                    break
+                entry["min"][c] = min(mins)
+                entry["max"][c] = max(maxs)
+            out.append(entry)
+        return out
+
+    def write_with_carryover(
+        self,
+        df: DataFrame,
+        name: str,
+        carry_files: list[str],
+        keep_versions: int = 0,
+    ) -> str:
+        """Copy-on-write commit: materialize ``df`` as NEW files and carry
+        ``carry_files`` (paths inside the current snapshot) into the new
+        snapshot **by reference** (hard links — no data copy, no re-read),
+        then atomically swap. The carried bytes are shared with any
+        archived version; deleting either snapshot later just unlinks.
+
+        This is what lets a key-pruned merge touch 0.1% of a 100 TB table
+        without rewriting the other 99.9%: the rewrite job's input and
+        output are both proportional to the dirty file set.
+        """
+        target = self.path(name)
+        if not os.path.exists(target):
+            raise TableNotFoundError(f"no table {name!r} under {self.root}")
+        staged = f"{target}.__tmp_{uuid.uuid4().hex}"
+        df.write.mode("overwrite").parquet(staged)
+        for src in carry_files:
+            dst = os.path.join(staged, os.path.basename(src))
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)  # cross-device fallback
+        return self._swap_in(staged, name, keep_versions)
 
     # -- versioning (time travel / rollback) --------------------------------
 

@@ -257,6 +257,7 @@ def write_table(
     name: str,
     mode: str | WriteMode = WriteMode.APPEND,
     key: str | Sequence[str] | None = None,
+    prune: bool = False,
 ) -> str:
     """Materialize a merge into a catalog table, create-if-absent.
 
@@ -265,6 +266,12 @@ def write_table(
     merge afterwards (``:655-671``), atomic swap standing in for per-chunk
     ``rollback=True`` (``:453``). Fixes the reference's ``:581`` validation
     bug (it raised whenever an id *was* supplied).
+
+    ``prune=True`` routes keyed modes through :func:`merge_pruned` — the
+    copy-on-write path that rewrites only the files whose key span can
+    contain a source key and carries every other file into the new
+    snapshot by reference. Same result, same atomic commit; at 100 TB an
+    upsert touching 0.1% of keys stops paying a full-table rewrite.
     """
     m = WriteMode.parse(mode) if isinstance(mode, str) else mode
     if not catalog.exists(name):
@@ -273,10 +280,169 @@ def write_table(
         if key is not None and m in KEYED_MODES:
             validate_unique_key(source, key, "source")
         return catalog.write(source, name, mode="error")
+    if prune:
+        return merge_pruned(catalog, source, name, m, key)["path"]
     result = merge(catalog.table(name), source, m, key)
     # self-referential overwrite: the plan reads the files it will replace,
     # so stage to a new directory first (catalog.write is atomic).
     return catalog.write(result, name, mode="overwrite")
+
+
+#: key-column Spark types whose parquet footer min/max bounds are safe to
+#: prune on: exact, order-faithful, and round-trippable through pyarrow
+#: statistics. Timestamps are deliberately absent (unit/tz normalization
+#: across writers makes a wrong-exclusion bug possible, and a wrongly
+#: EXCLUDED file is silent data corruption — conservative means full
+#: rewrite, never a skipped match).
+_PRUNE_SAFE_TYPES = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.StringType,
+    T.DateType,
+)
+
+
+def merge_pruned(
+    catalog,
+    source: DataFrame,
+    name: str,
+    mode: str | WriteMode = WriteMode.UPSERT,
+    key: str | Sequence[str] | None = None,
+    keep_versions: int = 0,
+) -> dict:
+    """Key-pruned copy-on-write merge (VERDICT r5 item 2).
+
+    The plain :func:`merge` is a join rewrite of the WHOLE target — at
+    100 TB an upsert touching 0.1% of keys still rewrites every file.
+    This path prunes at the file level using the same parquet-footer
+    min/max machinery ``Catalog.optimize_zorder`` sharpens:
+
+    1. read each target file's key span from its footer (driver-side
+       O(files) metadata, no data scan);
+    2. mark a file DIRTY iff some single source row's key components all
+       fall inside the file's per-column spans — computed distributedly:
+       the span table (O(files) small rows) is broadcast and the source's
+       key columns stream through one join; only the distinct dirty PATH
+       list (bounded by the file count) ever reaches the driver, never
+       the keys. Files lacking footer stats are dirty by fiat;
+    3. run the ordinary :func:`merge` against the dirty slice only —
+       sound because a file whose span excludes every source key cannot
+       contain a matching row, so its rows pass through any keyed mode
+       unchanged;
+    4. commit via ``Catalog.write_with_carryover``: dirty files replaced
+       by the merge output, clean files hard-linked into the new snapshot
+       (carried by reference, zero copy), one atomic swap.
+
+    Falls back to the full rewrite (returning ``pruned=False``) whenever
+    pruning cannot be proven sound: non-keyed modes, key types outside
+    ``_PRUNE_SAFE_TYPES``, schema-widening sources (carried files could
+    not see the new columns without mergeSchema reads), or tables with
+    raw TIMESTAMP(NANOS) columns (the full path normalizes those to µs;
+    carrying files by reference would mix ns and µs physical types).
+
+    Returns ``{"path", "pruned", "files_total", "files_rewritten",
+    "files_carried"}``.
+    """
+    m = WriteMode.parse(mode) if isinstance(mode, str) else mode
+    if source.isEmpty():
+        raise EmptyInputError("source DataFrame is empty")
+
+    def _full() -> dict:
+        result = merge(catalog.table(name), source, m, key)
+        path = catalog.write(
+            result, name, mode="overwrite", keep_versions=keep_versions
+        )
+        return {
+            "path": path,
+            "pruned": False,
+            "files_total": None,
+            "files_rewritten": None,
+            "files_carried": 0,
+        }
+
+    target_df = catalog.table(name)
+    tgt_fields = {f.name: f.dataType for f in target_df.schema.fields}
+    ks = _keys(key) if key is not None else []
+    prunable = (
+        (m in KEYED_MODES or m is WriteMode.APPEND)
+        and (m is WriteMode.APPEND or ks)
+        and all(isinstance(tgt_fields.get(k), _PRUNE_SAFE_TYPES) for k in ks)
+        and not (set(source.columns) - set(tgt_fields))
+        and not catalog._nanos_columns(catalog.path(name))
+    )
+    if not prunable:
+        return _full()
+
+    if m in KEYED_MODES:
+        validate_unique_key(source, ks, "source")
+
+    spark = source.sparkSession
+    if m is WriteMode.APPEND:
+        # append matches nothing: every existing file is clean by
+        # construction and the new rows land as fresh files
+        dirty, clean = [], catalog.data_files(name)
+    else:
+        spans = catalog.file_key_spans(name, ks)
+        forced = [s["path"] for s in spans if not s["ok"]]
+        stat_spans = [s for s in spans if s["ok"]]
+        touched: set[str] = set()
+        if stat_spans:
+            fields = [T.StructField("__path", T.StringType())]
+            for k in ks:
+                fields.append(T.StructField(f"__min_{k}", tgt_fields[k]))
+                fields.append(T.StructField(f"__max_{k}", tgt_fields[k]))
+            rows = [
+                tuple(
+                    [s["path"]]
+                    + [v for k in ks for v in (s["min"][k], s["max"][k])]
+                )
+                for s in stat_spans
+            ]
+            span_df = spark.createDataFrame(rows, T.StructType(fields))
+            cond = None
+            for k in ks:
+                c = (F.col(k) >= F.col(f"__min_{k}")) & (
+                    F.col(k) <= F.col(f"__max_{k}")
+                )
+                cond = c if cond is None else (cond & c)
+            touched = {
+                r["__path"]
+                for r in source.select(*ks)
+                .join(F.broadcast(span_df), on=cond, how="inner")
+                .select("__path")
+                .distinct()
+                .collect()
+            }
+        dirty = sorted(set(forced) | touched)
+        clean = [s["path"] for s in spans if s["path"] not in set(dirty)]
+
+    if m in (WriteMode.UPDATE, WriteMode.DELETE) and not dirty:
+        # no file can contain a matching key: both modes are no-ops
+        return {
+            "path": catalog.path(name),
+            "pruned": True,
+            "files_total": len(clean),
+            "files_rewritten": 0,
+            "files_carried": len(clean),
+        }
+
+    if dirty:
+        dirty_df = spark.read.option("mergeSchema", "true").parquet(*dirty)
+    else:
+        dirty_df = spark.createDataFrame([], target_df.schema)
+    result_dirty = merge(dirty_df, source, m, ks or None, validate_keys=False)
+    path = catalog.write_with_carryover(
+        result_dirty, name, clean, keep_versions=keep_versions
+    )
+    return {
+        "path": path,
+        "pruned": True,
+        "files_total": len(dirty) + len(clean),
+        "files_rewritten": len(dirty),
+        "files_carried": len(clean),
+    }
 
 
 def snapshot_diff(

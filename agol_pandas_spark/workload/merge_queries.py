@@ -315,7 +315,8 @@ def merge_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_after = sum(
         1 for f in os.listdir(cat.path("frag")) if f.endswith(".parquet")
     )
-    assert n_after < n_before, (n_before, n_after)
+    if n_after >= n_before:  # explicit raise: survives python -O
+        raise RuntimeError(f"compaction did not reduce files: {n_before}->{n_after}")
     out = (
         cat.table("frag")
         .groupBy("o_orderstatus")
@@ -578,6 +579,7 @@ def merge_zorder_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_zorder_layout.py measures the pruning win directly).
     """
     import glob
+    import shutil
     import tempfile
 
     import pyarrow.parquet as pq
@@ -610,9 +612,13 @@ def merge_zorder_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     before = mean_custkey_span(cat.path("z"))
     cat.optimize_zorder("z", ["o_custkey", "o_totalprice"], num_files=16)
     after = mean_custkey_span(cat.path("z"))
-    # orderkey-ordered files stripe the full custkey range; z files tile it
-    assert after * 2 < before, (before, after)
-    return (
+    # orderkey-ordered files stripe the full custkey range; z files tile
+    # it (explicit raise: survives python -O, unlike a bare assert)
+    if after * 2 >= before:
+        raise RuntimeError(
+            f"z-order did not tighten custkey spans: {before} -> {after}"
+        )
+    out = (
         cat.table("z")
         .groupBy("o_orderstatus")
         .agg(
@@ -622,4 +628,100 @@ def merge_zorder_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "price_scaled"
             ),
         )
+        .localCheckpoint(eager=True)
     )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@register(
+    "merge_pruned_upsert",
+    tags=("merge", "prune", "copy-on-write"),
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(c_custkey) AS lo,
+             MIN(c_custkey) + (MAX(c_custkey) - MIN(c_custkey)) * 0.05
+                 AS upd_hi,
+             MIN(c_custkey) + (MAX(c_custkey) - MIN(c_custkey)) * 0.025
+                 AS ins_hi
+      FROM customer
+    ),
+    delta AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             c_acctbal + 1000.0 AS c_acctbal,
+             'UPDATED' AS c_mktsegment
+      FROM customer, bounds WHERE c_custkey <= upd_hi
+      UNION ALL
+      SELECT c_custkey + 1000000 AS c_custkey,
+             'new_' || c_name AS c_name,
+             c_nationkey,
+             c_acctbal * 0.5 AS c_acctbal,
+             'INSERTED' AS c_mktsegment
+      FROM customer, bounds WHERE c_custkey <= ins_hi
+    )
+    SELECT COALESCE(d.c_custkey, c.c_custkey) AS c_custkey,
+           CASE WHEN d.c_custkey IS NOT NULL THEN d.c_name ELSE c.c_name END AS c_name,
+           CASE WHEN d.c_custkey IS NOT NULL THEN d.c_nationkey ELSE c.c_nationkey END AS c_nationkey,
+           CASE WHEN d.c_custkey IS NOT NULL THEN d.c_acctbal ELSE c.c_acctbal END AS c_acctbal,
+           CASE WHEN d.c_custkey IS NOT NULL THEN d.c_mktsegment ELSE c.c_mktsegment END AS c_mktsegment
+    FROM customer c FULL OUTER JOIN delta d ON c.c_custkey = d.c_custkey
+    """,
+)
+def merge_pruned_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-pruned copy-on-write upsert (VERDICT r5 item 2,
+    ``operators/merge.merge_pruned``): the customer copy is laid out
+    range-partitioned on the key, a delta confined to low keys is
+    upserted through the pruned path, and the oracle — the SAME full
+    outer join SQL that checks the unpruned ``merge_upsert`` — proves the
+    merged contents are identical. The in-query raise proves the pruning
+    actually happened: most files carried into the new snapshot by
+    reference (hard link, zero copy), only the span-intersecting files
+    rewritten. At 100 TB this is the difference between an upsert
+    costing O(dirty files) and O(table).
+    """
+    import shutil
+    import tempfile
+
+    from agol_pandas_spark.operators.merge import merge_pruned
+
+    root = tempfile.mkdtemp(prefix="pruned_")
+    cat = Catalog(spark, root)
+    cust = Catalog(spark, sf_dir).table("customer")
+    cat.write(
+        cust.repartitionByRange(8, "c_custkey")
+        .sortWithinPartitions("c_custkey"),
+        "c",
+        mode="error",
+    )
+    stats = merge_pruned(cat, _narrow_low_key_delta(cust), "c",
+                         mode="upsert", key="c_custkey")
+    if not (stats["pruned"] and 0 < stats["files_rewritten"] < stats["files_total"]):
+        raise RuntimeError(f"pruning did not engage: {stats}")
+    out = cat.table("c").localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _narrow_low_key_delta(cust: DataFrame) -> DataFrame:
+    """Delta confined to the lowest 5% of the key span (updates) + fresh
+    high keys (inserts) — the CDC shape whose dirty file set is a small
+    fraction of the table at every scale factor. The two threshold
+    scalars are the only driver-side state."""
+    lo, hi = cust.agg(F.min("c_custkey"), F.max("c_custkey")).first()
+    upd_hi = lo + (hi - lo) * 0.05
+    ins_hi = lo + (hi - lo) * 0.025
+    updates = cust.filter(F.col("c_custkey") <= upd_hi).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + 1000.0).alias("c_acctbal"),
+        F.lit("UPDATED").alias("c_mktsegment"),
+    )
+    inserts = cust.filter(F.col("c_custkey") <= ins_hi).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("new_"), F.col("c_name")).alias("c_name"),
+        "c_nationkey",
+        (F.col("c_acctbal") * 0.5).alias("c_acctbal"),
+        F.lit("INSERTED").alias("c_mktsegment"),
+    )
+    return updates.unionByName(inserts)
