@@ -45,8 +45,37 @@ from pyspark.sql.window import Window
 __all__ = [
     "add_global_ranks",
     "add_partitioned_prefix_sum",
+    "release_persisted",
     "sql_ntile_from_rn",
 ]
+
+# Persisted range-partitioned intermediates, bounded (ADVICE r5): each
+# operator call persists its shuffled histogram so the offset-stats job
+# and the caller's main job share one shuffle. The caller's job is lazy,
+# so the operator cannot unpersist eagerly — instead entries join this
+# FIFO and the oldest is unpersisted beyond the cap, keeping a long
+# session's cache bounded (a full-registry sweep routes 8+ queries
+# through here). bench.py / sweep tools clearCache per query anyway;
+# `release_persisted()` drops everything explicitly.
+_PERSISTED: list[DataFrame] = []
+_PERSISTED_MAX = 8
+
+
+def _persist_bounded(df: DataFrame) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(df)
+    while len(_PERSISTED) > _PERSISTED_MAX:
+        _PERSISTED.pop(0).unpersist()
+    return df
+
+
+def release_persisted() -> None:
+    """Unpersist every intermediate this module still holds (a re-run of
+    a released plan recomputes its range shuffle — correct, just cold)."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
 
 
 def _ordered(keys: Sequence[str], descending: Sequence[bool]) -> list[Column]:
@@ -114,8 +143,6 @@ def add_global_ranks(
     literal column — callers doing rank-interval arithmetic (equi-depth
     histograms, systematic sampling) need n alongside each rank.
     """
-    from pyspark.storagelevel import StorageLevel
-
     keys = list(keys)
     descending = list(descending) if descending is not None else [False] * len(keys)
     if len(descending) != len(keys):
@@ -142,11 +169,10 @@ def add_global_ranks(
         hist = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__cnt"))
 
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    parts = (
+    parts = _persist_bounded(
         hist.repartitionByRange(p, *order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("__pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     stats = {
@@ -217,8 +243,21 @@ def add_global_ranks(
     if not extra:
         return ranked_keys
     # non-unique: join the ranked histogram back on the keys (equi-join;
-    # AQE broadcasts when the distinct-key side is small)
-    return df.join(ranked_keys, on=keys, how="inner")
+    # AQE broadcasts when the distinct-key side is small). NULL-SAFE on
+    # every key (ADVICE r5): a window rank ranks NULL keys, and a plain
+    # equi-join would silently drop those rows — contract divergence for
+    # an operator advertised as a drop-in window replacement.
+    rk = ranked_keys.select(
+        *[F.col(k).alias(f"__rk_{k}") for k in keys],
+        *[c for c in ranked_keys.columns if c not in keys],
+    )
+    cond = None
+    for k in keys:
+        c = df[k].eqNullSafe(rk[f"__rk_{k}"])
+        cond = c if cond is None else (cond & c)
+    return df.join(rk, on=cond, how="inner").drop(
+        *[f"__rk_{k}" for k in keys]
+    )
 
 
 def add_partitioned_prefix_sum(
@@ -251,19 +290,16 @@ def add_partitioned_prefix_sum(
     ``order_keys`` must make (part_keys + order_keys) a total order —
     ties would make any engine's running sum nondeterministic.
     """
-    from pyspark.storagelevel import StorageLevel
-
     part_keys, order_keys = list(part_keys), list(order_keys)
     if not part_keys or not order_keys:
         raise ValueError("part_keys and order_keys are both required")
     spark = df.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     all_keys = part_keys + order_keys
-    parts = (
+    parts = _persist_bounded(
         df.repartitionByRange(p, *[F.col(k) for k in all_keys])
         .sortWithinPartitions(*all_keys)
         .withColumn("__pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     w_local = (
         Window.partitionBy("__pid", *part_keys)

@@ -80,12 +80,23 @@ def compile_where(filters: Sequence[PushedFilter]) -> tuple[str, list[PushedFilt
             clauses.append(f"{c} IS NULL")
         elif f.op == "notnull":
             clauses.append(f"{c} IS NOT NULL")
-        elif f.op == "startswith":
-            clauses.append(f"{c} LIKE {_sql_literal(str(f.value) + '%')}")
-        elif f.op == "endswith":
-            clauses.append(f"{c} LIKE {_sql_literal('%' + str(f.value))}")
-        elif f.op == "contains":
-            clauses.append(f"{c} LIKE {_sql_literal('%' + str(f.value) + '%')}")
+        elif f.op in ("startswith", "endswith", "contains"):
+            # a % or _ inside the user value would act as a LIKE wildcard
+            # on the server — and since applied filters are REMOVED from
+            # the Spark plan (no recheck), that would silently return
+            # wrong rows. SQL-92 ESCAPE support varies by service, so
+            # decline the pushdown instead: the filter stays a residual
+            # and Spark evaluates the literal semantics itself.
+            if "%" in str(f.value) or "_" in str(f.value):
+                continue
+            if f.op == "startswith":
+                clauses.append(f"{c} LIKE {_sql_literal(str(f.value) + '%')}")
+            elif f.op == "endswith":
+                clauses.append(f"{c} LIKE {_sql_literal('%' + str(f.value))}")
+            else:
+                clauses.append(
+                    f"{c} LIKE {_sql_literal('%' + str(f.value) + '%')}"
+                )
         else:
             continue
         applied.append(f)

@@ -641,3 +641,22 @@ def test_http_where_compilation_dialect():
         "AND e LIKE 'ab%'"
     )
     assert len(applied) == 5  # bogus-op declined, stays in the plan
+
+
+def test_http_where_declines_like_metacharacters():
+    """A % or _ in a startswith/endswith/contains value would act as a
+    server-side wildcard with no Spark recheck (applied filters leave the
+    plan) — such filters must be DECLINED, not escaped-by-hope."""
+    from agol_pandas_spark.sources.http_client import compile_where
+    from agol_pandas_spark.sources.paged import PushedFilter as PF
+
+    where, applied = compile_where(
+        [
+            PF("a", "startswith", "100%"),
+            PF("b", "endswith", "_tmp"),
+            PF("c", "contains", "a_b"),
+            PF("d", "contains", "clean"),
+        ]
+    )
+    assert where == "d LIKE '%clean%'"
+    assert [f.column for f in applied] == ["d"]

@@ -248,3 +248,37 @@ def test_ranks_fuzz_vs_python_reference(spark):
         assert got_ps == expect_ps
 
     run()
+
+
+def test_null_keys_survive_join_back(spark):
+    """ADVICE r5: the non-unique join-back must be null-safe — a window
+    rank ranks NULL keys, so the distributed operator must keep those
+    rows instead of silently dropping them through an equi-join."""
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame(
+        [(None, "a"), (1, "b"), (1, "c"), (None, "d"), (3, "e")],
+        "k int, payload string",
+    )
+    got = add_global_ranks(
+        df, ["k"], rank_col="rk", dense_rank_col="dk", num_partitions=3
+    )
+    assert got.count() == 5  # no rows lost
+    expect = {
+        (r["payload"]): (r["rk"], r["dk"])
+        for r in df.withColumn(
+            "rk", F.rank().over(Window.orderBy("k"))
+        ).withColumn("dk", F.dense_rank().over(Window.orderBy("k"))).collect()
+    }
+    for r in got.collect():
+        assert (r["rk"], r["dk"]) == expect[r["payload"]], r
+
+
+def test_release_persisted_unpersists(spark):
+    from agol_pandas_spark.operators import ranks
+
+    df = spark.range(100).withColumn("k", F.col("id") % 10)
+    add_global_ranks(df, ["k"], rank_col="rk", num_partitions=2).count()
+    assert len(ranks._PERSISTED) > 0
+    ranks.release_persisted()
+    assert ranks._PERSISTED == []
