@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -42,7 +42,9 @@ def asof_join(
     tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """For each left row, attach the nearest right row at-or-before
-    (``backward``) / at-or-after (``forward``) its timestamp, per key.
+    (``backward``) / at-or-after (``forward``) / on either side with the
+    smallest ``|Δt|`` (``nearest``, tie → the earlier row, pandas
+    ``merge_asof`` parity) its timestamp, per key.
 
     ``right_cols`` are carried into the output under their own names
     (pre-alias them on ``right`` to avoid collisions with left columns).
@@ -52,12 +54,21 @@ def asof_join(
 
     ``tolerance_seconds`` (pandas ``merge_asof`` parity) voids matches
     farther than the tolerance from the left timestamp — the match columns
-    come back NULL, the left row stays.
+    come back NULL, the left row stays. For ``nearest`` the tolerance is
+    applied to each CANDIDATE before choosing, so a too-far backward row
+    never shadows an in-range forward one.
 
     Left rows with no match keep NULLs (left-join semantics).
+
+    Scale shape (all directions): one shuffle on the key; ``nearest``
+    runs the backward cumulative-max and forward cumulative-min as two
+    window passes over that single partitioning (the second pass re-sorts
+    within partitions — no extra exchange).
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     keys = list(on)
     lcols = list(left.columns)
     matched_ts = matched_ts_alias or f"asof_{right_ts}"
@@ -83,6 +94,61 @@ def asof_join(
         F.lit(None).cast(lrow_type).alias("__lrow"),
         payload.alias("__rpay"),
     )
+    ts_type = left.schema[left_ts].dataType
+
+    def _gap(match_col: Column) -> Column:
+        lts, rts = F.col("__ts"), match_col["__rts"]
+        if isinstance(ts_type, T.TimestampType):
+            return F.abs(F.unix_micros(lts) - F.unix_micros(rts))
+        return F.abs(lts - rts)
+
+    if tolerance_seconds is not None and isinstance(ts_type, T.TimestampType):
+        tol = F.lit(int(tolerance_seconds * 1_000_000))
+    else:
+        tol = F.lit(tolerance_seconds)
+
+    if direction == "nearest":
+        # both scans over ONE key shuffle: backward cumulative max with
+        # right-before-left at equal ts (inclusive "at"), forward
+        # cumulative min over the following frame with left-before-right
+        # at equal ts (inclusive "at"); NULL __rpay on left rows is
+        # ignored by max/min
+        w_b = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_f = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__ts").asc(), F.col("__side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        out = (
+            l2.unionByName(r2)
+            .withColumn("__mb", F.max("__rpay").over(w_b))
+            .withColumn("__mf", F.min("__rpay").over(w_f))
+            .filter(F.col("__side") == 1)
+        )
+        if tolerance_seconds is not None:
+            out = out.withColumn(
+                "__mb", F.when(_gap(F.col("__mb")) <= tol, F.col("__mb"))
+            ).withColumn(
+                "__mf", F.when(_gap(F.col("__mf")) <= tol, F.col("__mf"))
+            )
+        out = out.withColumn(
+            "__match",
+            F.when(F.col("__mb").isNull(), F.col("__mf"))
+            .when(F.col("__mf").isNull(), F.col("__mb"))
+            # tie on |Δt| → the earlier (backward) row, merge_asof parity
+            .when(_gap(F.col("__mb")) <= _gap(F.col("__mf")), F.col("__mb"))
+            .otherwise(F.col("__mf")),
+        )
+        return out.select(
+            *[F.col(f"__lrow.{c}").alias(c) for c in lcols],
+            F.col("__match.__rts").alias(matched_ts),
+            *[F.col(f"__match.{c}").alias(c) for c in right_cols],
+        )
+
     # right rows sort before left at equal ts (__side 0 < 1), so "at" is
     # inclusive in both directions
     if direction == "backward":
@@ -103,17 +169,9 @@ def asof_join(
         .filter(F.col("__side") == 1)
     )
     if tolerance_seconds is not None:
-        lts, rts = F.col("__ts"), F.col("__match.__rts")
-        ts_type = left.schema[left_ts].dataType
-        if isinstance(ts_type, T.TimestampType):
-            gap_ok = (
-                F.abs(F.unix_micros(lts) - F.unix_micros(rts))
-                <= F.lit(int(tolerance_seconds * 1_000_000))
-            )
-        else:
-            gap_ok = F.abs(lts - rts) <= F.lit(tolerance_seconds)
         out = out.withColumn(
-            "__match", F.when(gap_ok, F.col("__match"))
+            "__match",
+            F.when(_gap(F.col("__match")) <= tol, F.col("__match")),
         )
     return out.select(
         *[F.col(f"__lrow.{c}").alias(c) for c in lcols],

@@ -300,3 +300,106 @@ def join_interval_overlap_windows(spark: SparkSession, sf_dir: str) -> DataFrame
         "s_b",
         "overlap",
     )
+
+
+@register(
+    "join_asof_nearest_purchase",
+    tags=("join", "asof", "events", "nearest"),
+    oracle="""
+    WITH s AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS side,
+             CASE WHEN event_type = 'purchase' THEN ts END AS p_ts,
+             CASE WHEN event_type = 'purchase' THEN event_id END AS p_eid,
+             CASE WHEN event_type = 'purchase' THEN value END AS p_val
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    m AS (
+      SELECT event_id, user_id, ts,
+             last_value(p_ts IGNORE NULLS) OVER wb AS b_ts,
+             last_value(p_eid IGNORE NULLS) OVER wb AS b_eid,
+             last_value(p_val IGNORE NULLS) OVER wb AS b_val,
+             first_value(p_ts IGNORE NULLS) OVER wf AS f_ts,
+             first_value(p_eid IGNORE NULLS) OVER wf AS f_eid,
+             first_value(p_val IGNORE NULLS) OVER wf AS f_val
+      FROM s
+      WINDOW wb AS (PARTITION BY user_id ORDER BY ts, side, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY ts, side DESC, event_id
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      QUALIFY side = 1
+    ),
+    tol AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN epoch_us(ts) - epoch_us(b_ts) <= 3600000000
+                  THEN b_ts END AS b_ts,
+             CASE WHEN epoch_us(ts) - epoch_us(b_ts) <= 3600000000
+                  THEN b_eid END AS b_eid,
+             CASE WHEN epoch_us(ts) - epoch_us(b_ts) <= 3600000000
+                  THEN b_val END AS b_val,
+             CASE WHEN epoch_us(f_ts) - epoch_us(ts) <= 3600000000
+                  THEN f_ts END AS f_ts,
+             CASE WHEN epoch_us(f_ts) - epoch_us(ts) <= 3600000000
+                  THEN f_eid END AS f_eid,
+             CASE WHEN epoch_us(f_ts) - epoch_us(ts) <= 3600000000
+                  THEN f_val END AS f_val
+      FROM m
+    )
+    SELECT event_id, user_id, ts AS click_ts,
+           CASE WHEN b_ts IS NULL THEN f_ts
+                WHEN f_ts IS NULL THEN b_ts
+                WHEN epoch_us(ts) - epoch_us(b_ts)
+                     <= epoch_us(f_ts) - epoch_us(ts) THEN b_ts
+                ELSE f_ts END AS nearest_purchase_ts,
+           CASE WHEN b_ts IS NULL THEN f_eid
+                WHEN f_ts IS NULL THEN b_eid
+                WHEN epoch_us(ts) - epoch_us(b_ts)
+                     <= epoch_us(f_ts) - epoch_us(ts) THEN b_eid
+                ELSE f_eid END AS purchase_event_id,
+           CASE WHEN b_ts IS NULL THEN f_val
+                WHEN f_ts IS NULL THEN b_val
+                WHEN epoch_us(ts) - epoch_us(b_ts)
+                     <= epoch_us(f_ts) - epoch_us(ts) THEN b_val
+                ELSE f_val END AS purchase_value
+    FROM tol
+    """,
+)
+def join_asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (VERDICT r5 item 7, completing the
+    backward/forward/nearest matrix): each click gets the user's
+    purchase with the smallest |Δt| on either side, tie → the earlier
+    row (pandas ``merge_asof(direction='nearest')`` parity, unit-tested
+    against pandas in tests/test_joins.py), candidates voided per side
+    beyond a 1-hour tolerance BEFORE the choice. The oracle replays both
+    scans as windowed last/first_value IGNORE NULLS over one ordering
+    family (event_id in the sort makes equal-ts ties deterministic,
+    matching the operator's max/min-tuple picks) and re-derives the
+    |Δt| choice in plain CASE arithmetic."""
+    ev = Catalog(spark, sf_dir).table("events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["purchase_event_id", "purchase_value"],
+        direction="nearest",
+        matched_ts_alias="nearest_purchase_ts",
+        tolerance_seconds=3600,
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        "nearest_purchase_ts",
+        "purchase_event_id",
+        "purchase_value",
+    )

@@ -284,3 +284,88 @@ def test_interval_overlap_drops_empty_intervals(spark):
     ).collect()
     assert {r["id_a"] for r in out} == {2}
     assert all(r["overlap"] > 0 for r in out)
+
+
+def test_asof_nearest_matches_pandas(spark):
+    """direction='nearest' (VERDICT r5 item 7): smaller |Δt| wins, tie →
+    the earlier row, tolerance voids per candidate — all three verified
+    against pandas merge_asof on the same frame."""
+    import pandas as pd
+
+    lp = pd.DataFrame(
+        {"k": [1, 1, 1, 1, 2, 2], "ts": [10, 20, 25, 40, 5, 100]}
+    )
+    rp = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 1, 2],
+            "ts": [8, 15, 25, 31, 90],
+            "v": ["a", "t1", "eq", "c", "d"],
+        }
+    )
+    left = spark.createDataFrame(lp)
+    right = spark.createDataFrame(rp)
+    for tol in (None, 5):
+        got = {
+            (r["k"], r["ts"]): r["v"]
+            for r in asof_join(
+                left,
+                right,
+                on=["k"],
+                left_ts="ts",
+                right_ts="ts",
+                right_cols=["v"],
+                direction="nearest",
+                tolerance_seconds=tol,
+            ).collect()
+        }
+        ref = pd.merge_asof(
+            lp.sort_values("ts"),
+            rp.sort_values("ts"),
+            on="ts",
+            by="k",
+            direction="nearest",
+            tolerance=tol,
+        )
+        for _, row in ref.iterrows():
+            want = None if pd.isna(row["v"]) else row["v"]
+            assert got[(row["k"], row["ts"])] == want, (tol, dict(row))
+
+
+def test_asof_nearest_tie_prefers_earlier(spark):
+    left = spark.createDataFrame([(1, 20)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 15, "early"), (1, 25, "late")], "k long, ts long, v string"
+    )
+    [r] = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        right_cols=["v"], direction="nearest",
+    ).collect()
+    assert r["v"] == "early"
+
+
+def test_asof_nearest_tolerance_unshadows_far_backward(spark):
+    """A too-far backward row must not shadow an in-range forward one:
+    tolerance applies per candidate BEFORE the |Δt| choice."""
+    left = spark.createDataFrame([(1, 100)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 97, "near_back"), (1, 104, "far_fwd")],
+        "k long, ts long, v string",
+    )
+    # backward is nearer but outside tol=2; forward at Δ4 is also out →
+    # NULL; with tol=4 forward survives while backward (Δ3) also does —
+    # backward wins on |Δt|
+    [r2] = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        right_cols=["v"], direction="nearest", tolerance_seconds=2,
+    ).collect()
+    assert r2["v"] is None
+    left2 = spark.createDataFrame([(1, 100)], "k long, ts long")
+    right2 = spark.createDataFrame(
+        [(1, 90, "far_back"), (1, 104, "near_fwd")],
+        "k long, ts long, v string",
+    )
+    [r3] = asof_join(
+        left2, right2, on=["k"], left_ts="ts", right_ts="ts",
+        right_cols=["v"], direction="nearest", tolerance_seconds=5,
+    ).collect()
+    assert r3["v"] == "near_fwd"
