@@ -792,6 +792,109 @@ def int8_rerank_topk(
     )
 
 
+def ivf_int8_rerank_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    pivots: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    pivot_id: str,
+    vec: str = "embedding",
+    nprobe: int = 3,
+    coarse_c: int = 50,
+    k: int = 10,
+) -> DataFrame:
+    """IVF-restricted two-stage ANN: int8 coarse scan over the ``nprobe``
+    probed cells only → exact-cosine re-rank (the FAISS ``IVF-SQ8 +
+    refine`` pattern; VERDICT r5 item 5 — :func:`int8_rerank_topk`'s
+    coarse stage was a full |corpus|×|Q| scan by design, this composes
+    it with the IVF cell restriction so the coarse scan reads only the
+    probed cells).
+
+    Stage 0 (build): one Arrow map pass assigns every corpus vector to
+    its nearest pivot cell (:func:`assign_to_pivots` — no shuffle, no
+    row expansion) and a codegen map stage int8-quantizes the assigned
+    rows. Queries expand to their ``nprobe`` nearest cells.
+
+    Stage 1 (coarse): the quantized corpus EQUI-joins the broadcast
+    query-cell table on ``cell`` — never a cartesian — and a BIGINT dot
+    over the int8 codes de-quantizes to the approximate cosine exactly
+    as :func:`int8_rerank_topk` does; top ``coarse_c`` per query
+    survive. (query, corpus) pairs are unique because the build-side
+    assignment is single-cell.
+
+    Stage 2 (refine): only the candidates' float embeddings are
+    re-fetched (broadcast candidate id list) and re-ranked with the
+    exact scaled-integer cosine — bit-identical to the oracle.
+
+    At 100 TB: coarse cost ≈ nprobe/cells of the flat SQ8 scan, refine
+    touches |Q|·coarse_c rows; with the corpus written bucketed by
+    ``cell`` the coarse join is shuffle-free on the corpus side.
+    """
+    cells = assign_to_pivots(corpus, pivots, corpus_id, pivot_id, vec, vec)
+    cscale, ccodes = _int8_scale_and_codes(F.col(vec))
+    cz = cells.select(
+        F.col(corpus_id).alias("__cid"),
+        F.col("cell"),
+        ccodes.alias("__cq"),
+        cscale.alias("__sc"),
+        _norm_exact(F.col(vec)).alias("__cnorm"),
+    )
+    q_cells = assign_to_pivots(
+        queries, pivots, query_id, pivot_id, vec, vec, n_cells=nprobe
+    )
+    qscale, qcodes = _int8_scale_and_codes(F.col(vec))
+    qz = q_cells.select(
+        F.col(query_id).alias("__qid"),
+        F.col("cell"),
+        qcodes.alias("__qq"),
+        qscale.alias("__sq"),
+        _norm_exact(F.col(vec)).alias("__qnorm"),
+    )
+    doti = F.aggregate(
+        F.zip_with(F.col("__cq"), F.col("__qq"), lambda x, y: x.cast("long") * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    approx = F.try_divide(
+        (doti.cast("double") * F.col("__sq")) * F.col("__sc"),
+        F.col("__qnorm") * F.col("__cnorm"),
+    )
+    wc = Window.partitionBy("__qid").orderBy(
+        F.col("__approx").desc(), F.col("__cid")
+    )
+    cand = (
+        cz.join(F.broadcast(qz), "cell")
+        .select("__qid", "__cid", approx.alias("__approx"))
+        .withColumn("__crnk", F.row_number().over(wc))
+        .filter(F.col("__crnk") <= coarse_c)
+        .select("__qid", "__cid")
+    )
+    qv = queries.select(
+        F.col(query_id).alias("__qid"),
+        F.col(vec).alias("__qvec"),
+        _norm_exact(F.col(vec)).alias("__qnorm"),
+    )
+    cvecs = corpus.select(
+        F.col(corpus_id).alias("__cid"), F.col(vec).alias("__cvec")
+    ).join(F.broadcast(cand), "__cid")
+    rescored = cvecs.join(F.broadcast(qv), "__qid").select(
+        F.col("__qid").alias(query_id),
+        F.col("__cid").alias(corpus_id),
+        F.try_divide(
+            _dot_scaled(F.col("__qvec"), F.col("__cvec")).cast("double")
+            / F.lit(float(VSCALE)),
+            F.col("__qnorm") * _norm_exact(F.col("__cvec")),
+        ).alias("cosine"),
+    )
+    wk = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(corpus_id)
+    )
+    return rescored.withColumn("rnk", F.row_number().over(wk)).filter(
+        F.col("rnk") <= k
+    )
+
+
 # -- Product quantization (IVF-PQ's compression half) ------------------------
 
 def pq_codebook_from_seeds(

@@ -732,3 +732,105 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = Catalog(spark, sf_dir).table("embeddings")
     return label_centroids(emb, "vec_id", "embedding", "label")
+
+
+@register(
+    "sim_ivf_int8_rerank_topk",
+    tags=("similarity", "ann", "ivf", "quantize", "topk"),
+    oracle=_sql_pair_cosine(
+        """
+    pairs AS (
+      SELECT c.vec_id AS qid, c.embedding AS qv, p.vec_id AS cid, p.embedding AS cv
+      FROM embeddings c JOIN embeddings p ON p.vec_id % 100 = 0)
+    """
+    )
+    + """
+    , assigned AS (
+      SELECT qid AS vec_id, cid AS cell,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rn
+      FROM cosines),
+    corpus_cell AS (SELECT vec_id, cell FROM assigned WHERE rn = 1),
+    probe_cells AS (SELECT vec_id AS qid, cell FROM assigned
+                    WHERE rn <= 3 AND vec_id < 5),
+    s AS (
+      SELECT vec_id, embedding,
+             CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+                 / 127.0 AS scale
+      FROM embeddings),
+    q8 AS (
+      SELECT vec_id, scale,
+             CASE WHEN scale = 0
+                  THEN list_transform(embedding, x -> 0)
+                  ELSE list_transform(embedding, x ->
+                       greatest(-127, least(127,
+                         CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INTEGER))))
+             END AS qv
+      FROM s),
+    qpairs AS (
+      SELECT pc.qid, qq.qv AS qqv, cc.vec_id AS cid, c8.qv AS cqv
+      FROM probe_cells pc
+      JOIN q8 qq ON qq.vec_id = pc.qid
+      JOIN corpus_cell cc ON cc.cell = pc.cell
+      JOIN q8 c8 ON c8.vec_id = cc.vec_id),
+    idots AS (
+      SELECT qid, cid, SUM(CAST(qx AS BIGINT) * cx) AS doti
+      FROM (SELECT qid, cid, unnest(qqv) AS qx, unnest(cqv) AS cx FROM qpairs)
+      GROUP BY qid, cid),
+    coarse AS (
+      SELECT i.qid, i.cid
+      FROM idots i
+      JOIN q8 qq ON qq.vec_id = i.qid
+      JOIN q8 cc ON cc.vec_id = i.cid
+      JOIN norms nq ON nq.vec_id = i.qid
+      JOIN norms nc ON nc.vec_id = i.cid
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY i.qid ORDER BY
+        ((CAST(i.doti AS DOUBLE) * qq.scale) * cc.scale)
+          / (nq.nrm * nc.nrm) DESC, i.cid) <= 50),
+    fpairs AS (
+      SELECT co.qid, eq.embedding AS fqv, co.cid, ec.embedding AS fcv
+      FROM coarse co
+      JOIN embeddings eq ON eq.vec_id = co.qid
+      JOIN embeddings ec ON ec.vec_id = co.cid),
+    fdots AS (
+      SELECT qid, cid,
+             SUM(CAST(round(CAST(qx AS DOUBLE) * CAST(cx AS DOUBLE)
+                            * 1000000000) AS BIGINT)) AS dot_scaled
+      FROM (SELECT qid, cid, unnest(fqv) AS qx, unnest(fcv) AS cx FROM fpairs)
+      GROUP BY qid, cid),
+    fcos AS (
+      SELECT d.qid, d.cid,
+             (CAST(d.dot_scaled AS DOUBLE) / 1000000000.0)
+               / (nq.nrm * nc.nrm) AS cosine
+      FROM fdots d
+      JOIN norms nq ON nq.vec_id = d.qid
+      JOIN norms nc ON nc.vec_id = d.cid)
+    SELECT qid AS query_id, cid AS vec_id, cosine, rnk FROM (
+      SELECT qid, cid, cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rnk
+      FROM fcos)
+    WHERE rnk <= 10
+    """,
+)
+def sim_ivf_int8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-composed two-stage ANN (VERDICT r5 item 5,
+    ``operators/similarity.py:ivf_int8_rerank_topk`` — the FAISS
+    IVF-SQ8+refine pattern): each of the 5 probe vectors reads only its
+    3 nearest IVF cells, the int8 coarse scan keeps the top-50 in-cell
+    candidates by de-quantized approximate cosine, and the exact
+    scaled-integer cosine re-ranks them to top-10. The oracle replays
+    ALL three stages — pivot assignment, quantized coarse pruning,
+    exact refine — so the value check covers the cell restriction and
+    the pruning decision, not just final scores. Plan-pinned
+    no-cartesian: the coarse stage is a broadcast equi-join on cell."""
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    pivots = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("pivot_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_int8_rerank_topk(
+        queries, emb, pivots,
+        query_id="query_id", corpus_id="vec_id", pivot_id="pivot_id",
+        nprobe=3, coarse_c=50, k=10,
+    )
