@@ -99,3 +99,65 @@ def test_resize_payload_bytes_match_python_reference(payloads):
         want = src[r.doc_id].encode("utf-8")[::4]
         assert bytes(r.resized_payload) == want
         assert r.resized_n_bytes == len(want)
+
+
+def test_bmp_roundtrip_crafted_file():
+    """Real BMP codec (VERDICT r5 item 8): a crafted 3x2 image with known
+    pixels round-trips exactly through encode_bmp -> bmp_codec, including
+    the 4-byte row padding (3*3=9 bytes/row -> 3 pad bytes) that a naive
+    parser would fold into the mean."""
+    from agol_pandas_spark.operators.multimodal import bmp_codec, encode_bmp
+
+    pixels = bytes(range(18))  # 3 wide x 2 high x BGR
+    payload = encode_bmp(3, 2, pixels)
+    # a genuine BMP header: magic, 54-byte offset, 24-bit, BI_RGB
+    assert payload[:2] == b"BM"
+    assert payload[28] == 24
+    # padded stride: 2 rows * (9 + 3 pad) + 54 header bytes
+    assert len(payload) == 54 + 2 * 12
+    got = bmp_codec(payload)
+    assert got["width"] == 3 and got["height"] == 2
+    assert got["mean_intensity"] == sum(range(18)) / 18
+
+
+def test_bmp_codec_rejects_malformed():
+    import pytest as _pytest
+
+    from agol_pandas_spark.operators.multimodal import bmp_codec, encode_bmp
+
+    with _pytest.raises(ValueError):
+        bmp_codec(b"PNG not bmp")
+    good = encode_bmp(3, 2, bytes(18))
+    with _pytest.raises(ValueError):
+        bmp_codec(good[:40])  # truncated header
+    with _pytest.raises(ValueError):
+        bmp_codec(good[:-5])  # truncated pixel data
+    # 8-bit bitcount rejected
+    bad = bytearray(good)
+    bad[28] = 8
+    with _pytest.raises(ValueError):
+        bmp_codec(bytes(bad))
+
+
+def test_bmp_decode_through_map_in_pandas(spark):
+    from agol_pandas_spark.operators.multimodal import (
+        bmp_codec,
+        decode_features,
+        encode_bmp,
+    )
+
+    rows = []
+    for i, (w, h) in enumerate([(4, 3), (5, 2), (8, 1)]):
+        px = bytes((j * 7 + i) % 256 for j in range(w * h * 3))
+        rows.append((i, encode_bmp(w, h, px), w, h, sum(px) / len(px)))
+    df = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows], "doc_id long, payload binary"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in decode_features(df, "doc_id", "payload", codec=bmp_codec).collect()
+    }
+    for i, _, w, h, mean in rows:
+        assert got[i]["width"] == w
+        assert got[i]["height"] == h
+        assert got[i]["mean_intensity"] == mean
