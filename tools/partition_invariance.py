@@ -46,6 +46,13 @@ QUERIES = [
     "text_token_rank_quality",
     "sample_systematic_every_nth",
     "geo_zorder_chunk_locality",
+    # r6 additions: pruned copy-on-write merge (file-count-sensitive by
+    # construction), nearest as-of (dual-window choice), IVF-int8 rerank
+    # (cell equi-join + two windows), real-BMP decode (mapInPandas)
+    "merge_pruned_upsert",
+    "join_asof_nearest_purchase",
+    "sim_ivf_int8_rerank_topk",
+    "mm_decode_real_bmp",
 ]
 
 PARTITIONS = (1, 7, 200)
