@@ -181,6 +181,18 @@ def test_grid_distance_join_is_equi_join(q):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_asof_nearest_single_shuffle(q):
+    """Nearest as-of runs both directional scans over ONE key shuffle:
+    exactly one Exchange in the plan (the union's key partitioning) and
+    two Window operators over it — a second Exchange means the forward
+    pass stopped reusing the backward pass's partitioning."""
+    import re
+
+    plan = formatted_plan(q("join_asof_nearest_purchase"))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2
+
+
 def test_ivf_int8_rerank_no_cartesian(q):
     """The IVF-composed int8 rerank exists precisely to REPLACE the flat
     SQ8 coarse scan's |corpus|×|Q| cross join with a cell EQUI-join
