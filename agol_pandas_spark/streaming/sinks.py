@@ -29,6 +29,7 @@ def stream_merge_into_catalog(
     query_name: str | None = None,
     trigger_available_now: bool = True,
     prepare=None,
+    prune: bool = False,
 ):
     """Continuously merge a stream into catalog table ``name``.
 
@@ -42,6 +43,13 @@ def stream_merge_into_catalog(
     micro-batch before the merge — the hook for per-batch compaction
     (keyed modes require the key unique within a batch; a latest-wins
     dedup there is the standard shape for CDC-style streams).
+
+    ``prune=True`` routes each micro-batch through the key-pruned
+    copy-on-write merge (``operators/merge.merge_pruned``): only target
+    files whose footer key span can contain a batch key are rewritten,
+    the rest carry into the new snapshot by hard link. THE shape for
+    continuous CDC into a big table — a micro-batch touching 0.1% of
+    keys stops paying a full-table rewrite every trigger.
     """
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -49,7 +57,7 @@ def stream_merge_into_catalog(
             return
         if prepare is not None:
             batch_df = prepare(batch_df)
-        write_table(catalog, batch_df, name, mode=mode, key=key)
+        write_table(catalog, batch_df, name, mode=mode, key=key, prune=prune)
 
     writer = stream.writeStream.foreachBatch(merge_batch)
     if query_name:

@@ -567,3 +567,112 @@ def stream_drift_token_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(state_root, ignore_errors=True)
     shutil.rmtree(landing, ignore_errors=True)
     return out
+
+
+@register(
+    "stream_pruned_cdc_upsert",
+    tags=("streaming", "sink", "foreachBatch", "prune", "copy-on-write"),
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(user_id) + (MAX(user_id) - MIN(user_id)) * 0.05 AS thr
+      FROM events
+    ),
+    latest AS (
+      SELECT user_id, event_id, event_type, ts FROM (
+        SELECT user_id, event_id, event_type, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1
+    )
+    SELECT l.user_id, l.event_id,
+           CASE WHEN l.user_id <= b.thr THEN l.event_type
+                ELSE 'SEED' END AS event_type,
+           epoch_us(l.ts) AS ts_us
+    FROM latest l, bounds b
+    """,
+)
+def stream_pruned_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC into a key-pruned copy-on-write table (r6 — the
+    composition of ``stream_merge_into_catalog`` with
+    ``merge_pruned``): a range-partitioned target is seeded with every
+    user's latest event (event_type masked to 'SEED'), then the events
+    stream — filtered to the lowest 5% of the user-key span — drains via
+    foreachBatch with ``prune=True``. Each micro-batch rewrites ONLY the
+    files whose footer key span can contain a batch key; the in-query
+    raise proves untouched files carried into the post-drain snapshot by
+    inode. The oracle computes the post-merge table directly: low-key
+    users show their true latest event_type, everyone else stays SEED.
+    This is the continuous-ingestion shape for a 100 TB table: per
+    trigger, write cost ~ O(dirty files), not O(table)."""
+    import shutil
+
+    from agol_pandas_spark.operators.dedup import latest_wins_dedup
+    from agol_pandas_spark.streaming.sinks import stream_merge_into_catalog
+
+    cat = Catalog(spark, sf_dir)
+    path = cat.path("events")
+    schema = spark.read.parquet(path).schema
+    ev = cat.table("events").select("user_id", "event_id", "event_type", "ts")
+    lo, hi = ev.agg(F.min("user_id"), F.max("user_id")).first()
+    thr = lo + (hi - lo) * 0.05
+
+    latest = latest_wins_dedup(
+        ev, keys=["user_id"], ts_col="ts",
+        tie_breakers=[F.col("event_id").desc()],
+    )
+    seed = latest.withColumn("event_type", F.lit("SEED"))
+
+    sink_root = tempfile.mkdtemp(prefix="stream_cow_cat_")
+    sink_cat = Catalog(spark, sink_root)
+    sink_cat.write(
+        seed.repartitionByRange(8, "user_id").sortWithinPartitions("user_id"),
+        "cdc_target",
+        mode="error",
+    )
+    inodes_before = {
+        os.path.basename(f): os.stat(f).st_ino
+        for f in sink_cat.data_files("cdc_target")
+    }
+
+    landing = os.path.join(
+        tempfile.gettempdir(), f"stream_cow_{uuid.uuid4().hex[:8]}"
+    )
+    os.makedirs(landing)
+    os.symlink(os.path.abspath(path), os.path.join(landing, "events.parquet"))
+    sev = stream_from_directory(spark, landing, schema)
+    if isinstance(schema["ts"].dataType, T.LongType):
+        sev = sev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    sev = sev.select("user_id", "event_id", "event_type", "ts").filter(
+        F.col("user_id") <= F.lit(thr)
+    )
+
+    q = stream_merge_into_catalog(
+        sev,
+        sink_cat,
+        "cdc_target",
+        key="user_id",
+        prepare=lambda batch: latest_wins_dedup(
+            batch, keys=["user_id"], ts_col="ts",
+            tie_breakers=[F.col("event_id").desc()],
+        ),
+        prune=True,
+    )
+    q.awaitTermination()
+
+    inodes_after = {
+        os.path.basename(f): os.stat(f).st_ino
+        for f in sink_cat.data_files("cdc_target")
+    }
+    carried = [
+        b for b, i in inodes_before.items() if inodes_after.get(b) == i
+    ]
+    if not carried:
+        raise RuntimeError(
+            "pruned CDC upsert carried no files by reference — "
+            f"before={len(inodes_before)} after={len(inodes_after)}"
+        )
+    out = sink_cat.table("cdc_target").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(sink_root, ignore_errors=True)
+    return out

@@ -270,3 +270,40 @@ def test_pruned_versioning_shares_bytes(spark, tmp_path):
     assert len(shared) > 0
     # the archive IS the pre-merge snapshot
     assert set(archived) == set(before)
+
+
+def test_zorder_layout_makes_pruning_bite(spark, tmp_path):
+    """The composition the footer machinery exists for: on a HASH layout
+    every file spans the full key range, so a narrow delta dirties every
+    file (pruning engages but saves nothing); after OPTIMIZE ZORDER on
+    the key the same delta touches a small file subset. This is the
+    maintenance-op -> cheap-upsert causality at 100 TB."""
+    cat = Catalog(spark, str(tmp_path))
+    cust = Catalog(spark, SF_DIR).table("customer")
+    # hash layout: every file sees keys from the whole range
+    cat.write(cust.repartition(8), "c", mode="error")
+    delta = _narrow_delta(cust)
+    stats_hash = merge_pruned(cat, delta, "c", "update", "c_custkey")
+    assert stats_hash["pruned"] is True
+    assert stats_hash["files_rewritten"] == stats_hash["files_total"]
+    # restore, z-order on the key, same delta
+    cat.drop("c")
+    cat.write(cust.repartition(8), "c", mode="error")
+    cat.optimize_zorder("c", ["c_custkey"], num_files=8)
+    stats_z = merge_pruned(cat, delta, "c", "update", "c_custkey")
+    assert stats_z["pruned"] is True
+    assert stats_z["files_rewritten"] < stats_z["files_total"]
+    assert stats_z["files_carried"] > 0
+    # and the contents still match the unpruned semantics
+    expected = sorted(
+        map(
+            tuple,
+            merge(
+                Catalog(spark, SF_DIR).table("customer"),
+                delta,
+                "update",
+                "c_custkey",
+            ).collect(),
+        )
+    )
+    assert sorted(map(tuple, cat.table("c").collect())) == expected
