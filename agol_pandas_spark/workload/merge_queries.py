@@ -636,6 +636,7 @@ def merge_zorder_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "merge_pruned_upsert",
+    headline=True,
     tags=("merge", "prune", "copy-on-write"),
     oracle="""
     WITH bounds AS (

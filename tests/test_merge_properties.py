@@ -75,7 +75,7 @@ ASOF_TS = st.integers(min_value=0, max_value=30)
         st.tuples(ASOF_KEYS, ASOF_TS), min_size=1, max_size=10,
         unique_by=lambda t: t,  # unique (key, ts): merge_asof tie rule differs
     ),
-    direction=st.sampled_from(["backward", "forward"]),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
     tolerance=st.sampled_from([None, 3]),
 )
 @settings(
@@ -283,3 +283,56 @@ def test_apply_changes_equals_dict_reference(spark, tgt, chg):
         .collect()
     }
     assert got == expected
+
+
+# -- pruned copy-on-write merge ≡ full merge (random layouts and deltas) -----
+
+PRUNE_KEYS = st.integers(min_value=0, max_value=99)
+
+
+@given(
+    tgt=st.lists(
+        st.tuples(PRUNE_KEYS, VALS), min_size=1, max_size=30,
+        unique_by=lambda t: t[0],
+    ),
+    src=st.lists(
+        st.tuples(PRUNE_KEYS, VALS), min_size=1, max_size=10,
+        unique_by=lambda t: t[0],
+    ),
+    mode=st.sampled_from(["upsert", "update", "insert", "delete"]),
+    n_files=st.sampled_from([1, 3, 5]),
+    range_layout=st.booleans(),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_pruned_merge_equals_full_merge(
+    spark, tmp_path_factory, tgt, src, mode, n_files, range_layout
+):
+    """For ANY layout (range-clustered or hash-scattered), file count,
+    key overlap, and keyed mode, the pruned copy-on-write path must be
+    row-identical to the full join-rewrite merge — pruning is an
+    IO optimization, never a semantics change."""
+    from agol_pandas_spark.catalog import Catalog
+    from agol_pandas_spark.operators.merge import merge_pruned
+
+    root = tmp_path_factory.mktemp("prune_fuzz")
+    cat = Catalog(spark, str(root))
+    schema = "k long, v long"
+    tdf = spark.createDataFrame(pd.DataFrame(tgt, columns=["k", "v"]), schema)
+    layout = (
+        tdf.repartitionByRange(n_files, "k").sortWithinPartitions("k")
+        if range_layout
+        else tdf.repartition(n_files)
+    )
+    cat.write(layout, "t", mode="error")
+    sdf = spark.createDataFrame(pd.DataFrame(src, columns=["k", "v"]), schema)
+    expected = sorted(
+        map(tuple, merge(cat.table("t"), sdf, mode, "k").collect())
+    )
+    stats = merge_pruned(cat, sdf, "t", mode, "k")
+    assert stats["pruned"] is True
+    got = sorted(map(tuple, cat.table("t").collect()))
+    assert got == expected, f"mode={mode} files={n_files} range={range_layout}"
