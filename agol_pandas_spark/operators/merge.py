@@ -304,6 +304,111 @@ _PRUNE_SAFE_TYPES = (
 )
 
 
+#: grid-binning cap: a file whose first-key span covers more than this
+#: many grid cells is treated as dirty outright instead of exploding —
+#: on a clustered layout only a degenerate full-range file hits this,
+#: and such a file would intersect almost any source anyway
+_GRID_CELL_CAP = 64
+
+_INTEGRAL_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def _touched_paths(
+    source: DataFrame,
+    stat_spans: list[dict],
+    ks: list[str],
+    tgt_fields: dict,
+) -> set[str]:
+    """Distributed file touch-test: which files' key spans can contain a
+    source row's key tuple. Only the distinct matching PATH list (bounded
+    by the file count) reaches the driver — never the keys.
+
+    Two physical strategies, chosen by the FIRST key column's type:
+
+    - **Integral first key → grid-binned broadcast HASH join.** Each
+      file's first-key span explodes (driver-side, from footer metadata)
+      into grid cells of width ``g`` = the median span width; a source
+      row probes exactly ONE cell (``key div g``) through a broadcast
+      equi-join, with the exact per-column range condition as the join
+      residual. Cost per source row is O(files in its cell), not
+      O(files): at 100k files × 10⁹ CDC rows this is the difference
+      between a hash probe and 10¹⁴ range comparisons. Files spanning
+      more than ``_GRID_CELL_CAP`` cells are dirty by fiat (degenerate
+      layout outliers).
+    - **String/date first key → broadcast nested-loop range join.** The
+      span table is still broadcast-small; fine up to thousands of
+      files. (Strings don't grid-bin without a collation-faithful
+      keyspace map; dates could but the win is marginal at file counts
+      where this path is chosen.)
+    """
+    spark = source.sparkSession
+    fields = [T.StructField("__path", T.StringType())]
+    for k in ks:
+        fields.append(T.StructField(f"__min_{k}", tgt_fields[k]))
+        fields.append(T.StructField(f"__max_{k}", tgt_fields[k]))
+
+    range_cond = None
+    for k in ks:
+        c = (F.col(k) >= F.col(f"__min_{k}")) & (
+            F.col(k) <= F.col(f"__max_{k}")
+        )
+        range_cond = c if range_cond is None else (range_cond & c)
+
+    k0 = ks[0]
+    if isinstance(tgt_fields[k0], _INTEGRAL_TYPES):
+        widths = sorted(
+            int(s["max"][k0]) - int(s["min"][k0]) + 1 for s in stat_spans
+        )
+        g = max(1, widths[len(widths) // 2])
+        cell_fields = T.StructType(
+            [T.StructField("__cell", T.LongType()), *fields]
+        )
+        rows, forced = [], set()
+        for s in stat_spans:
+            lo_c, hi_c = int(s["min"][k0]) // g, int(s["max"][k0]) // g
+            if hi_c - lo_c + 1 > _GRID_CELL_CAP:
+                forced.add(s["path"])
+                continue
+            base = tuple(
+                [s["path"]]
+                + [v for k in ks for v in (s["min"][k], s["max"][k])]
+            )
+            rows.extend((cell, *base) for cell in range(lo_c, hi_c + 1))
+        touched = set(forced)
+        if rows:
+            cells_df = spark.createDataFrame(rows, cell_fields)
+            probe = source.select(
+                *ks, (F.col(k0).cast("long") - F.pmod(F.col(k0).cast("long"), F.lit(g)))
+                .cast("long").alias("__kc")
+            ).withColumn("__cell", (F.col("__kc") / F.lit(g)).cast("long"))
+            touched |= {
+                r["__path"]
+                for r in probe.join(
+                    F.broadcast(cells_df),
+                    on=[probe["__cell"] == cells_df["__cell"], range_cond],
+                    how="inner",
+                )
+                .select("__path")
+                .distinct()
+                .collect()
+            }
+        return touched
+
+    rows = [
+        tuple([s["path"]] + [v for k in ks for v in (s["min"][k], s["max"][k])])
+        for s in stat_spans
+    ]
+    span_df = spark.createDataFrame(rows, T.StructType(fields))
+    return {
+        r["__path"]
+        for r in source.select(*ks)
+        .join(F.broadcast(span_df), on=range_cond, how="inner")
+        .select("__path")
+        .distinct()
+        .collect()
+    }
+
+
 def merge_pruned(
     catalog,
     source: DataFrame,
@@ -387,34 +492,11 @@ def merge_pruned(
         spans = catalog.file_key_spans(name, ks)
         forced = [s["path"] for s in spans if not s["ok"]]
         stat_spans = [s for s in spans if s["ok"]]
-        touched: set[str] = set()
-        if stat_spans:
-            fields = [T.StructField("__path", T.StringType())]
-            for k in ks:
-                fields.append(T.StructField(f"__min_{k}", tgt_fields[k]))
-                fields.append(T.StructField(f"__max_{k}", tgt_fields[k]))
-            rows = [
-                tuple(
-                    [s["path"]]
-                    + [v for k in ks for v in (s["min"][k], s["max"][k])]
-                )
-                for s in stat_spans
-            ]
-            span_df = spark.createDataFrame(rows, T.StructType(fields))
-            cond = None
-            for k in ks:
-                c = (F.col(k) >= F.col(f"__min_{k}")) & (
-                    F.col(k) <= F.col(f"__max_{k}")
-                )
-                cond = c if cond is None else (cond & c)
-            touched = {
-                r["__path"]
-                for r in source.select(*ks)
-                .join(F.broadcast(span_df), on=cond, how="inner")
-                .select("__path")
-                .distinct()
-                .collect()
-            }
+        touched = (
+            _touched_paths(source, stat_spans, ks, tgt_fields)
+            if stat_spans
+            else set()
+        )
         dirty = sorted(set(forced) | touched)
         clean = [s["path"] for s in spans if s["path"] not in set(dirty)]
 
