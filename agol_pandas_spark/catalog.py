@@ -451,11 +451,172 @@ class Catalog:
         )
         return self.write(clustered, name, mode="overwrite")
 
+    # -- file-skipping index (point-lookup data skipping) -------------------
+
+    def _index_path(self, name: str, col: str) -> str:
+        return os.path.join(
+            self.root, ".indexes", normalize_service_name(name), f"{col}.parquet"
+        )
+
+    def build_skipping_index(
+        self, name: str, col: str, max_distinct_per_file: int = 4096
+    ) -> str:
+        """Build a per-file distinct-hash sidecar index for ``col``.
+
+        Parquet footer min/max (and the z-order layout that sharpens it)
+        skip RANGE predicates; a point lookup on a high-cardinality
+        column scattered across the layout (an id, a name, a URL) gets
+        no help — every file's [min,max] straddles everything. This
+        index stores each file's exact distinct ``xxhash64(col)`` set
+        (capped: a file with more than ``max_distinct_per_file``
+        distinct values is recorded as UNSKIPPABLE with one NULL-hash
+        row — correctness never depends on the cap). One Spark job:
+        distinct (file, hash) pairs, a count guard, no driver-side data
+        beyond the sidecar write. At 100 TB the sidecar is
+        O(files × cap) rows — data-skipping metadata, parquet like
+        everything else.
+
+        The sidecar records the dataset mtime it was built against;
+        :meth:`scan_skipping` refuses a stale index loudly.
+        """
+        p = self.path(name)
+        if not os.path.exists(p):
+            raise TableNotFoundError(f"no table {name!r} under {self.root}")
+        df = self.table(name)
+        pairs = df.select(
+            F.input_file_name().alias("file"),
+            F.xxhash64(F.col(col)).alias("h"),
+        ).distinct()
+        counts = pairs.groupBy("file").agg(F.count(F.lit(1)).alias("__n"))
+        idx = (
+            pairs.join(F.broadcast(counts), "file")
+            .select(
+                "file",
+                F.when(
+                    F.col("__n") <= max_distinct_per_file, F.col("h")
+                ).alias("h"),
+            )
+            .distinct()
+        )
+        out = self._index_path(name, col)
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        staged = f"{out}.__tmp_{uuid.uuid4().hex}"
+        idx.write.mode("overwrite").parquet(staged)
+        # stamp the source dataset's mtime for staleness detection
+        with open(os.path.join(staged, "_built_mtime"), "w") as f:
+            f.write(repr(os.path.getmtime(p)))
+        if os.path.exists(out):
+            shutil.rmtree(out)
+        os.rename(staged, out)
+        return out
+
+    def scan_skipping(
+        self, name: str, col: str, values: list
+    ) -> tuple[DataFrame, dict]:
+        """Point-lookup scan through the skipping index: read ONLY the
+        files whose distinct-hash set can contain one of ``values``
+        (unskippable files always read), with the exact ``IN`` filter
+        applied on top — the index prunes IO, never semantics. Returns
+        ``(DataFrame, {"files_total", "files_read"})``.
+
+        Raises if the index is missing or stale (the dataset changed
+        since the build) — silent stale skipping would drop rows.
+        """
+        p = self.path(name)
+        idx_path = self._index_path(name, col)
+        if not os.path.exists(idx_path):
+            raise TableNotFoundError(
+                f"no skipping index for {name!r}.{col} — run "
+                "build_skipping_index first"
+            )
+        built = open(os.path.join(idx_path, "_built_mtime")).read()
+        if built != repr(os.path.getmtime(p)):
+            raise ValueError(
+                f"skipping index for {name!r}.{col} is stale — the table "
+                "changed since the build; rebuild it"
+            )
+        # hash the probe values with the SAME Spark kernel (tiny job,
+        # |values| rows — model state, not data)
+        field = next(f for f in self.table(name).schema.fields if f.name == col)
+        probe = self.spark.createDataFrame(
+            [(v,) for v in values], T.StructType([field])
+        )
+        want = {
+            r["h"]
+            for r in probe.select(F.xxhash64(F.col(col)).alias("h")).collect()
+        }
+        import pyarrow.dataset as ds
+
+        side = ds.dataset(idx_path, format="parquet").to_table()
+        files_all: set[str] = set()
+        files_read: set[str] = set()
+        for file, h in zip(
+            side.column("file").to_pylist(), side.column("h").to_pylist()
+        ):
+            files_all.add(file)
+            if h is None or h in want:
+                files_read.add(file)
+        stats = {"files_total": len(files_all), "files_read": len(files_read)}
+        if not files_read:
+            out = self.spark.createDataFrame([], self.table(name).schema)
+        else:
+            out = self.spark.read.parquet(*sorted(files_read))
+        return out.filter(F.col(col).isin(values)), stats
+
+    def history(self, name: str) -> list[dict]:
+        """Version history for ``name``: one entry per archived snapshot
+        (oldest first) plus the current table — ``{"version", "path",
+        "n_files", "n_bytes", "modified_unix"}``; the current entry has
+        ``version=None``. Driver-side directory metadata only — no Spark
+        job, no footer reads."""
+        def _stat(p: str, version):
+            files = (
+                [
+                    os.path.join(dp, f)
+                    for dp, _, fs in os.walk(p)
+                    for f in fs
+                    if not f.startswith(("_", "."))
+                ]
+                if os.path.isdir(p)
+                else [p]
+            )
+            return {
+                "version": version,
+                "path": p,
+                "n_files": len(files),
+                "n_bytes": sum(os.path.getsize(f) for f in files),
+                "modified_unix": int(os.path.getmtime(p)),
+            }
+
+        if not self.exists(name):
+            raise TableNotFoundError(f"no table {name!r} under {self.root}")
+        out = [
+            _stat(self._version_path(name, v), v) for v in self.versions(name)
+        ]
+        out.append(_stat(self.path(name), None))
+        return out
+
+    def vacuum(self, name: str, keep_last: int = 0) -> list[int]:
+        """Drop archived versions beyond the newest ``keep_last``
+        (``0`` = drop all archives). Returns the dropped version numbers.
+        Bytes shared with the current snapshot through carried hard links
+        survive — only the archive's exclusive files are reclaimed, so
+        vacuuming after pruned merges is safe by construction."""
+        vs = self.versions(name)
+        drop = vs[: max(0, len(vs) - keep_last)] if keep_last >= 0 else []
+        for v in drop:
+            shutil.rmtree(self._version_path(name, v), ignore_errors=True)
+        return drop
+
     def drop(self, name: str) -> None:
         p = self.path(name)
         if os.path.exists(p):
             shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
         shutil.rmtree(self._version_dir(name), ignore_errors=True)
+        shutil.rmtree(
+            os.path.join(self.root, ".indexes", normalize_service_name(name)),
+            ignore_errors=True,
+        )
         self._ns_cols.pop(p, None)
 
 

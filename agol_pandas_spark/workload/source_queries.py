@@ -588,3 +588,56 @@ def source_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "source_skipping_index_scan",
+    tags=("source", "data-skipping", "index", "point-lookup"),
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal
+    FROM customer
+    WHERE c_name IN ('Customer#000000007', 'Customer#000000041',
+                     'Customer#000000100', 'no#such#customer')
+    """,
+)
+def source_skipping_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-skipping index for point lookups (r6,
+    ``Catalog.build_skipping_index`` / ``scan_skipping``): footer
+    min/max (and z-order) skip RANGE predicates, but a point lookup on
+    a high-cardinality column scattered across a key-clustered layout —
+    a name, an id, a URL — gets no footer help. The index stores each
+    file's exact distinct ``xxhash64`` set as a parquet sidecar (capped
+    per file; over-cap files marked unskippable, so the cap can only
+    COST, never corrupt) and the scan reads only the files whose hash
+    set can contain a probe value. The in-query raise proves real
+    pruning (fewer files read than exist); the residual IN filter makes
+    the index an IO optimization, never a semantics change — which is
+    exactly what the plain-SQL oracle checks.
+    """
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="skipidx_")
+    cat = Catalog(spark, root)
+    cust = Catalog(spark, sf_dir).table("customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    cat.write(
+        cust.repartitionByRange(8, "c_custkey")
+        .sortWithinPartitions("c_custkey"),
+        "c",
+        mode="error",
+    )
+    cat.build_skipping_index("c", "c_name")
+    probe = [
+        "Customer#000000007",
+        "Customer#000000041",
+        "Customer#000000100",
+        "no#such#customer",
+    ]
+    out, stats = cat.scan_skipping("c", "c_name", probe)
+    if not stats["files_read"] < stats["files_total"]:
+        raise RuntimeError(f"index skipped nothing: {stats}")
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out

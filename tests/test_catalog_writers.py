@@ -226,3 +226,104 @@ def test_write_zstd_codec_roundtrip(spark, tmp_path):
     assert all(".zstd." in f or f.endswith("_SUCCESS")
                for f in glob.glob(out + "/*") if not f.endswith(".crc"))
     assert spark.read.parquet(out).count() == 500
+
+
+def test_history_and_vacuum(spark, tmp_path):
+    """history lists archives + current with file/byte stats; vacuum
+    reclaims old archives but bytes shared with the current snapshot via
+    pruned-merge hard links survive."""
+    from pyspark.sql import functions as F
+
+    from agol_pandas_spark.operators.merge import merge_pruned
+
+    cat = Catalog(spark, str(tmp_path))
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    cat.write(
+        df.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        "t", mode="error",
+    )
+    # two versioned pruned merges → two archives sharing carried inodes
+    for bump in (1, 2):
+        delta = spark.range(5).select(
+            F.col("id").alias("k"), (F.col("id") + 1000 * bump).alias("v")
+        )
+        merge_pruned(cat, delta, "t", "upsert", "k", keep_versions=5)
+    hist = cat.history("t")
+    assert [h["version"] for h in hist] == [1, 2, None]
+    assert all(h["n_files"] > 0 and h["n_bytes"] > 0 for h in hist)
+    current = sorted(map(tuple, cat.table("t").collect()))
+    dropped = cat.vacuum("t", keep_last=1)
+    assert dropped == [1]
+    assert cat.versions("t") == [2]
+    # shared-inode data still readable after the archive is gone
+    assert sorted(map(tuple, cat.table("t").collect())) == current
+    assert cat.vacuum("t") == [2]
+    assert cat.versions("t") == []
+    assert sorted(map(tuple, cat.table("t").collect())) == current
+
+
+def test_skipping_index_prunes_files_exactly(spark, tmp_path):
+    """Point-lookup data skipping: a high-cardinality column scattered
+    across a key-clustered layout reads only the files whose distinct-
+    hash set can contain a probe value — and returns exactly the rows a
+    full scan + filter would."""
+    from pyspark.sql import functions as F
+
+    cat = Catalog(spark, str(tmp_path))
+    df = spark.range(400).select(
+        F.col("id").alias("k"),
+        F.format_string("name_%06d", F.col("id")).alias("nm"),
+    )
+    cat.write(
+        df.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        "t", mode="error",
+    )
+    cat.build_skipping_index("t", "nm")
+    probe = ["name_000007", "name_000205", "no_such_name"]
+    out, stats = cat.scan_skipping("t", "nm", probe)
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(
+        map(tuple, cat.table("t").filter(F.col("nm").isin(probe)).collect())
+    )
+    assert got == want and len(got) == 2
+    # two values in two distinct files -> at most 2 of 8 files read
+    assert stats["files_total"] == 8
+    assert 1 <= stats["files_read"] <= 2
+    # miss-everything probe reads nothing
+    out2, stats2 = cat.scan_skipping("t", "nm", ["zzz"])
+    assert out2.count() == 0 and stats2["files_read"] == 0
+
+
+def test_skipping_index_cap_marks_unskippable(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    cat = Catalog(spark, str(tmp_path))
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.format_string("n_%03d", F.col("id")).alias("nm"),
+    )
+    cat.write(df.repartitionByRange(2, "k"), "t", mode="error")
+    cat.build_skipping_index("t", "nm", max_distinct_per_file=3)
+    out, stats = cat.scan_skipping("t", "nm", ["n_001"])
+    # every file over the cap: all read, result still exact
+    assert stats["files_read"] == stats["files_total"]
+    assert out.count() == 1
+
+
+def test_skipping_index_stale_raises(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    cat = Catalog(spark, str(tmp_path))
+    df = spark.range(50).select(
+        F.col("id").alias("k"), F.format_string("n%d", F.col("id")).alias("nm")
+    )
+    cat.write(df, "t", mode="error")
+    cat.build_skipping_index("t", "nm")
+    cat.write(df.limit(10), "t", mode="overwrite")
+    with _pytest.raises(ValueError, match="stale"):
+        cat.scan_skipping("t", "nm", ["n1"])
+    with _pytest.raises(TableNotFoundError):
+        cat.scan_skipping("t", "other_col", ["x"])
