@@ -53,6 +53,10 @@ QUERIES = [
     "join_asof_nearest_purchase",
     "sim_ivf_int8_rerank_topk",
     "mm_decode_real_bmp",
+    # r6 late additions: skipping-index scan (file-layout sensitive),
+    # streaming pruned CDC (single-drain deterministic)
+    "source_skipping_index_scan",
+    "stream_pruned_cdc_upsert",
 ]
 
 PARTITIONS = (1, 7, 200)
