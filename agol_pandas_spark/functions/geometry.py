@@ -170,3 +170,58 @@ def in_convex_polygon(
         )
         cond = cond & (cross >= 0)
     return cond
+
+
+def in_polygon_raycast(
+    x: Column, y: Column, vertices: list[tuple[float, float]]
+) -> Column:
+    """Point-in-GENERAL-polygon predicate (concave allowed) via ray-cast
+    crossing parity: a point is inside iff a horizontal ray to +∞
+    crosses an odd number of edges. The per-edge x-test is
+    cross-multiplied (no division — the straddle test guarantees
+    ``dy != 0``, and the comparison direction is fixed per edge at build
+    time from the literal sign of ``dy``), so the whole predicate is a
+    fused codegen boolean of adds/multiplies/compares on identical IEEE
+    literals — bit-portable to the SQL oracle, like
+    :func:`in_convex_polygon`. Horizontal edges never straddle and are
+    skipped. Boundary points follow the half-open ``<=`` convention
+    consistently in both engines.
+    """
+    crossings: Column | None = None
+    n = len(vertices)
+    for i in range(n):
+        x1, y1 = vertices[i]
+        x2, y2 = vertices[(i + 1) % n]
+        dy = y2 - y1
+        if dy == 0:
+            continue
+        straddles = (F.lit(y1) <= y) != (F.lit(y2) <= y)
+        lhs = (x - F.lit(x1)) * F.lit(dy)
+        rhs = F.lit(x2 - x1) * (y - F.lit(y1))
+        xtest = (lhs < rhs) if dy > 0 else (lhs > rhs)
+        c = F.when(straddles & xtest, F.lit(1)).otherwise(F.lit(0))
+        crossings = c if crossings is None else crossings + c
+    if crossings is None:
+        return F.lit(False)
+    return (crossings % 2) == 1
+
+
+def sql_raycast_pred(vertices: list[tuple[float, float]]) -> str:
+    """The DuckDB twin of :func:`in_polygon_raycast` — the SAME unrolled
+    arithmetic on the SAME literals, emitted as SQL over columns
+    ``x``/``y``."""
+    terms = []
+    n = len(vertices)
+    for i in range(n):
+        x1, y1 = vertices[i]
+        x2, y2 = vertices[(i + 1) % n]
+        dy = y2 - y1
+        if dy == 0:
+            continue
+        op = "<" if dy > 0 else ">"
+        terms.append(
+            f"(CASE WHEN (({y1!r} <= y) != ({y2!r} <= y)) AND "
+            f"((x - ({x1!r})) * ({dy!r}) {op} ({x2 - x1!r}) * (y - ({y1!r})))"
+            " THEN 1 ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ") % 2 = 1"

@@ -889,3 +889,43 @@ def token_tv_from_counts(per: DataFrame, group_col: str) -> DataFrame:
             ),
         )
     )
+
+
+def canonical_url(url) -> "F.Column":
+    """URL canonicalization for crawl dedup (r6): strip the fragment,
+    lowercase scheme and host, drop an explicit ``:443`` default port,
+    drop ``utm_*`` tracking params, and sort the remaining query params
+    — so the same resource fetched under cosmetic variations collapses
+    to one key. Pure codegen string/array expressions (regexp + split +
+    ``filter``/``sort_array``/``array_join``), no UDF; every step has a
+    verbatim DuckDB twin so canonical keys are value-hash-checkable.
+
+    Deliberately conservative: path case, trailing slashes and %-escapes
+    are preserved (case-folding a path changes the resource on
+    case-sensitive servers; escape normalization needs a full RFC 3986
+    codec — both belong to a fetch-layer normalizer, not a dedup key).
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    no_frag = F.regexp_replace(u, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(no_frag, "^([A-Za-z]+)://", 1))
+    rest = F.regexp_replace(no_frag, "^[A-Za-z]+://", "")
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(rest, "^([^/]*)", 1)), ":443$", ""
+    )
+    pathq = F.regexp_replace(rest, "^[^/]*", "")
+    path = F.regexp_extract(pathq, "^([^?]*)", 1)
+    query = F.regexp_extract(pathq, "\\?(.*)$", 1)
+    params = F.sort_array(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.startswith("utm_"),
+        )
+    )
+    qs = F.array_join(params, "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )

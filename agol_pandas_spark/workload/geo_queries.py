@@ -304,3 +304,118 @@ def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c_custkey").alias("max_key"),
         )
     )
+
+
+# concave (arrow-head) polygon: the reflex vertex at (0, 0) makes the
+# convex edge-sign test WRONG here — only crossing parity classifies it
+_CONCAVE_POLY = [
+    (-60.5, -40.5),
+    (60.5, -40.5),
+    (60.5, 40.5),
+    (0.0, 0.0),
+    (-60.5, 40.5),
+]
+
+
+@register(
+    "geo_point_in_concave_polygon",
+    tags=("geo", "polygon", "raycast", "predicate"),
+    oracle=f"""
+    WITH pts AS ({_SQL_XY})
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_inside,
+           MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_checksum
+    FROM pts WHERE {{pred}}
+    GROUP BY c_mktsegment
+    """.format(pred=__import__("agol_pandas_spark.functions.geometry",
+                               fromlist=["sql_raycast_pred"]
+                               ).sql_raycast_pred(_CONCAVE_POLY)),
+)
+def geo_point_in_concave_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-GENERAL-polygon containment (r6,
+    ``functions/geometry.py:in_polygon_raycast``): ray-cast crossing
+    parity handles the concave arrow-head polygon the convex edge-sign
+    test cannot (its reflex vertex makes 'left of every edge' reject
+    genuinely-inside points). Cross-multiplied per-edge tests — no
+    division, comparison direction fixed per edge from the literal dy
+    sign — so the fused codegen boolean is bit-identical to the SQL
+    oracle's unrolled arithmetic. Pure map stage over the point scan."""
+    from agol_pandas_spark.functions.geometry import in_polygon_raycast
+
+    pts = _customer_points(spark, sf_dir)
+    return (
+        pts.filter(in_polygon_raycast(F.col("x"), F.col("y"), _CONCAVE_POLY))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_inside"),
+            F.min("c_custkey").alias("min_key"),
+            F.max("c_custkey").alias("max_key"),
+            F.sum("c_custkey").cast("long").alias("key_checksum"),
+        )
+    )
+
+
+@register(
+    "geo_knn_within_radius",
+    tags=("geo", "knn", "spatial-join", "grid"),
+    oracle=f"""
+    WITH c AS ({_SQL_XY}), s AS ({_SQL_SUPP_XY}),
+    cand AS (
+      SELECT c.c_custkey, s.s_suppkey,
+             sqrt((c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)) AS dist
+      FROM c, s
+      WHERE sqrt((c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)) <= 5.0
+        AND c.c_custkey % 4 = 0)
+    SELECT c_custkey, s_suppkey, dist, rnk FROM (
+      SELECT c_custkey, s_suppkey, dist,
+             ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                ORDER BY dist, s_suppkey) AS rnk
+      FROM cand)
+    WHERE rnk <= 3
+    """,
+)
+def geo_knn_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded spatial kNN join (r6): each probe customer point gets its
+    3 nearest supplier points within a 5-degree radius. Grid blocking
+    makes the candidate set exact — a 3x3 neighbor-cell equi-join at
+    cell size = radius provably contains every point within the radius —
+    then a per-probe window ranks by (distance, id). The oracle
+    brute-forces the quadratic join, so a green hash proves the grid
+    candidates are pair-for-pair complete. Scale shape: equi-join on
+    integer cells + a probe-partitioned window; never all-pairs; build
+    side bucketable by cell for shuffle-free probes."""
+    from pyspark.sql import Window
+
+    supp = Catalog(spark, sf_dir).table("supplier").select("s_suppkey")
+    spts = supp.select(
+        "s_suppkey",
+        (((F.col("s_suppkey") * 29) % 36000 - 18000).cast("double") / 100).alias("x"),
+        (((F.col("s_suppkey") * 11) % 18000 - 9000).cast("double") / 100).alias("y"),
+    )
+    cpts = (
+        _customer_points(spark, sf_dir)
+        .filter(F.col("c_custkey") % 4 == 0)
+        .drop("c_mktsegment")
+    )
+    probes = cpts.select(
+        "c_custkey",
+        F.col("x").alias("cx_pt"),
+        F.col("y").alias("cy_pt"),
+        F.explode(neighbor_cells(F.col("x"), F.col("y"), 5.0)).alias("cell"),
+    )
+    build = spts.select(
+        "s_suppkey",
+        F.col("x").alias("sx_pt"),
+        F.col("y").alias("sy_pt"),
+        grid_cell(F.col("x"), F.col("y"), 5.0).alias("cell"),
+    )
+    dist = planar_distance(
+        F.col("cx_pt"), F.col("cy_pt"), F.col("sx_pt"), F.col("sy_pt")
+    )
+    cand = (
+        probes.join(build, "cell")
+        .filter(dist <= 5.0)
+        .select("c_custkey", "s_suppkey", dist.alias("dist"))
+    )
+    w = Window.partitionBy("c_custkey").orderBy(F.col("dist"), F.col("s_suppkey"))
+    return cand.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 3)

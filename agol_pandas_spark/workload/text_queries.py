@@ -1379,3 +1379,90 @@ def sample_weighted_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .drop("__p")
     )
+
+
+@register(
+    "text_url_canonical_dedup",
+    tags=("text", "url", "dedup", "canonicalization"),
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             CASE doc_id % 3
+               WHEN 0 THEN 'https://SITE' || CAST(doc_id % 10 AS VARCHAR)
+                         || '.example.com/p' || CAST(doc_id % 5 AS VARCHAR)
+                         || '/?b=2&a=1'
+               WHEN 1 THEN 'https://site' || CAST(doc_id % 10 AS VARCHAR)
+                         || '.EXAMPLE.com:443/p' || CAST(doc_id % 5 AS VARCHAR)
+                         || '/?a=1&utm_source=feed&b=2'
+               ELSE 'https://site' || CAST(doc_id % 10 AS VARCHAR)
+                         || '.example.COM/p' || CAST(doc_id % 5 AS VARCHAR)
+                         || '/?b=2&a=1#frag'
+             END AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id,
+        lower(regexp_extract(nf, '^([A-Za-z]+)://', 1)) || '://'
+        || regexp_replace(lower(regexp_extract(rest, '^([^/]*)', 1)), ':443$', '')
+        || regexp_extract(pathq, '^([^?]*)', 1)
+        || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS curl
+      FROM (
+        SELECT doc_id, nf, rest, pathq,
+               array_to_string(
+                 list_sort(list_filter(string_split(
+                   regexp_extract(pathq, '\\?(.*)$', 1), '&'),
+                   p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&') AS qs
+        FROM (
+          SELECT doc_id, nf,
+                 regexp_replace(nf, '^[A-Za-z]+://', '') AS rest,
+                 regexp_replace(regexp_replace(nf, '^[A-Za-z]+://', ''),
+                                '^[^/]*', '') AS pathq
+          FROM (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf FROM raw)
+        )
+      )
+    )
+    SELECT curl AS canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_raw,
+           MIN(doc_id) AS survivor_doc_id
+    FROM canon GROUP BY curl
+    """,
+)
+def text_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup (r6, ``operators/textops.canonical_url``):
+    three cosmetic variants per document — host-case, explicit :443,
+    utm tracking params, param order, fragments — collapse to one
+    canonical key; the group census (variant count + smallest doc id as
+    survivor) is value-checked against a DuckDB twin of every
+    normalization step. This is the crawl-frontier/dedup staple that
+    runs BEFORE content hashing: at 100 TB it is one map stage + one
+    hash shuffle on the canonical key."""
+    from agol_pandas_spark.operators.textops import canonical_url
+
+    docs = Catalog(spark, sf_dir).table("documents").select("doc_id")
+    g = (F.col("doc_id") % 10).cast("string")
+    p = (F.col("doc_id") % 5).cast("string")
+    raw = docs.withColumn(
+        "url",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("https://SITE"), g, F.lit(".example.com/p"), p,
+                     F.lit("/?b=2&a=1")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("https://site"), g, F.lit(".EXAMPLE.com:443/p"), p,
+                     F.lit("/?a=1&utm_source=feed&b=2")),
+        )
+        .otherwise(
+            F.concat(F.lit("https://site"), g, F.lit(".example.COM/p"), p,
+                     F.lit("/?b=2&a=1#frag")),
+        ),
+    )
+    return (
+        raw.withColumn("canonical_url", canonical_url("url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.min("doc_id").alias("survivor_doc_id"),
+        )
+    )

@@ -69,3 +69,54 @@ def test_planar_distance_pythagorean(spark):
         planar_distance(F.col("x"), F.col("y"), F.lit(0.0), F.lit(0.0)).alias("d")
     ).first()["d"]
     assert d == 5.0
+
+
+def test_raycast_polygon_matches_python_reference(spark):
+    """in_polygon_raycast vs a classic Python ray-caster on a concave
+    arrow-head, including points inside the notch — where the convex
+    edge-sign test misclassifies (proving the new predicate is not
+    redundant with in_convex_polygon)."""
+    from pyspark.sql import functions as F
+
+    from agol_pandas_spark.functions.geometry import (
+        in_convex_polygon,
+        in_polygon_raycast,
+    )
+
+    poly = [(-60.5, -40.5), (60.5, -40.5), (60.5, 40.5), (0.0, 0.0),
+            (-60.5, 40.5)]
+
+    def ref_inside(px, py):
+        n, inside = len(poly), False
+        for i in range(n):
+            x1, y1 = poly[i]
+            x2, y2 = poly[(i + 1) % n]
+            if (y1 <= py) != (y2 <= py):
+                xcross = x1 + (x2 - x1) * (py - y1) / (y2 - y1)
+                if px < xcross:
+                    inside = not inside
+        return inside
+
+    pts = [
+        (0.0, 20.0),     # inside the notch: OUTSIDE the polygon
+        (0.0, -20.0),    # deep inside
+        (-40.0, 30.0),   # left wing: inside
+        (40.0, 30.0),    # right wing: inside
+        (-70.0, 0.0),    # left of everything
+        (0.0, 50.0),     # above
+        (59.0, -39.0),   # near corner, inside
+    ]
+    df = spark.createDataFrame(pts, "x double, y double")
+    got = {
+        (r["x"], r["y"]): r["in_poly"]
+        for r in df.select(
+            "x", "y",
+            in_polygon_raycast(F.col("x"), F.col("y"), poly).alias("in_poly"),
+        ).collect()
+    }
+    for px, py in pts:
+        assert got[(px, py)] == ref_inside(px, py), (px, py)
+    # the notch point is the convex test's failure mode: ray-cast says
+    # outside (correct), a naive all-edges-left test cannot represent it
+    assert got[(0.0, 20.0)] is False
+    assert got[(0.0, -20.0)] is True

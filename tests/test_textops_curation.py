@@ -405,3 +405,27 @@ def test_token_distribution_drift_matches_counter_reference(spark):
         )
         want[src] = (n_grp, n_rest, tv_num, tv_num * 10**6 // (2 * n_grp * n_rest))
     assert got == want
+
+
+def test_canonical_url_edge_cases(spark):
+    from pyspark.sql import functions as F
+
+    from agol_pandas_spark.operators.textops import canonical_url
+
+    cases = [
+        # (raw, expected canonical)
+        ("https://A.B.Com:443/Path/?b=2&a=1#x", "https://a.b.com/Path/?a=1&b=2"),
+        ("HTTP://Host.com/p", "http://host.com/p"),
+        ("https://h.com/p?utm_source=x&utm_medium=y", "https://h.com/p"),
+        ("https://h.com/p?", "https://h.com/p"),
+        ("https://h.com:8443/p?z=1", "https://h.com:8443/p?z=1"),  # non-default port kept
+        ("https://h.com/CaseSensitive/Path", "https://h.com/CaseSensitive/Path"),
+        ("https://h.com", "https://h.com"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "url string")
+    got = {
+        r["url"]: r["c"]
+        for r in df.select("url", canonical_url("url").alias("c")).collect()
+    }
+    for raw, want in cases:
+        assert got[raw] == want, (raw, got[raw], want)
