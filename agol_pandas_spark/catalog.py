@@ -387,6 +387,7 @@ class Catalog:
         cols: list[str],
         bits: int = 12,
         num_files: int | None = None,
+        rank_cells: bool = False,
     ) -> str:
         """Z-ORDER OPTIMIZE: rewrite the table clustered by the Morton
         interleave of its ``cols`` (lakehouse `OPTIMIZE ... ZORDER BY`
@@ -403,9 +404,16 @@ class Catalog:
         on ANY of the ``cols`` (or a box over several) exclude most row
         groups, because each file covers a compact hyper-rectangle instead
         of a full-width stripe (measured in tests/test_zorder_layout.py).
-        Skew caveat: min/max scaling degrades under heavy value skew —
-        swap in rank buckets (operators/ranks.add_global_ranks ntile) for
-        the cell assignment when a dimension is pathological.
+        Skew: min/max scaling degrades under heavy value skew (one
+        outlier squashes the real spread into a single cell and the
+        dimension stops contributing to the layout). ``rank_cells=True``
+        assigns cells by EQUI-DEPTH rank buckets instead — each
+        dimension's cell is ``floor((rank-1)·2^bits / n)`` from the
+        distributed rank operator (operators/ranks.add_global_ranks, no
+        single-partition window), so every cell holds ~equal row counts
+        regardless of the value distribution. Costs one extra range
+        shuffle per dimension; use it when a dimension is pathological
+        (measured in tests/test_zorder_layout.py).
         """
         from agol_pandas_spark.functions.geometry import z_value_n
 
@@ -414,22 +422,6 @@ class Catalog:
             raise TableNotFoundError(f"no table {name!r} under {self.root}")
         df = self.spark.read.parquet(p)
         k = (1 << bits) - 1
-        mm = df.agg(
-            *[F.min(c).cast("double").alias(f"__lo_{i}") for i, c in enumerate(cols)],
-            *[F.max(c).cast("double").alias(f"__hi_{i}") for i, c in enumerate(cols)],
-        ).collect()[0]
-        cells = []
-        for i, c in enumerate(cols):
-            lo, hi = mm[f"__lo_{i}"], mm[f"__hi_{i}"]
-            if lo is None or hi is None or hi <= lo:
-                cells.append(F.lit(0).cast("long"))
-            else:
-                cells.append(
-                    F.floor(
-                        (F.col(c).cast("double") - F.lit(lo))
-                        * F.lit(float(k) / (hi - lo))
-                    ).cast("long")
-                )
         if num_files is None:
             num_files = max(
                 1,
@@ -437,17 +429,48 @@ class Catalog:
             )
         # materialize the cells as plain columns first: z_value_n emits a
         # parsed SQL expression, so its inputs must be simple references
-        staged = df
-        for i, cell in enumerate(cells):
-            staged = staged.withColumn(f"__zc_{i}", cell)
+        if rank_cells:
+            from agol_pandas_spark.operators.ranks import add_global_ranks
+
+            staged = df
+            for i, c in enumerate(cols):
+                staged = add_global_ranks(
+                    staged, [c], rank_col=f"__rk_{i}", total_col=f"__n_{i}"
+                )
+                staged = staged.withColumn(
+                    f"__zc_{i}",
+                    F.expr(
+                        f"((`__rk_{i}` - 1) * {k + 1}) div `__n_{i}`"
+                    ).cast("long"),
+                ).drop(f"__rk_{i}", f"__n_{i}")
+        else:
+            mm = df.agg(
+                *[F.min(c).cast("double").alias(f"__lo_{i}") for i, c in enumerate(cols)],
+                *[F.max(c).cast("double").alias(f"__hi_{i}") for i, c in enumerate(cols)],
+            ).collect()[0]
+            cells = []
+            for i, c in enumerate(cols):
+                lo, hi = mm[f"__lo_{i}"], mm[f"__hi_{i}"]
+                if lo is None or hi is None or hi <= lo:
+                    cells.append(F.lit(0).cast("long"))
+                else:
+                    cells.append(
+                        F.floor(
+                            (F.col(c).cast("double") - F.lit(lo))
+                            * F.lit(float(k) / (hi - lo))
+                        ).cast("long")
+                    )
+            staged = df
+            for i, cell in enumerate(cells):
+                staged = staged.withColumn(f"__zc_{i}", cell)
         z = staged.withColumn(
             "__z",
-            z_value_n([F.col(f"__zc_{i}") for i in range(len(cells))], bits),
+            z_value_n([F.col(f"__zc_{i}") for i in range(len(cols))], bits),
         )
         clustered = (
             z.repartitionByRange(int(num_files), F.col("__z"))
             .sortWithinPartitions("__z")
-            .drop("__z", *[f"__zc_{i}" for i in range(len(cells))])
+            .drop("__z", *[f"__zc_{i}" for i in range(len(cols))])
         )
         return self.write(clustered, name, mode="overwrite")
 
@@ -562,6 +585,32 @@ class Catalog:
         else:
             out = self.spark.read.parquet(*sorted(files_read))
         return out.filter(F.col(col).isin(values)), stats
+
+    def clone(self, src: str, dst: str) -> str:
+        """Zero-copy SHALLOW CLONE: ``dst`` becomes a new table whose
+        data files are hard links to ``src``'s current snapshot — no
+        bytes move, no Spark job. The lakehouse dev/test branching
+        primitive: experiment on the clone, mutate it freely (every
+        write path commits NEW files via the two-phase swap, so the
+        source is never touched through a clone), drop it when done.
+        Metadata (versions, indexes) is NOT cloned — the clone starts
+        with a clean history."""
+        sp = self.path(src)
+        if not os.path.exists(sp):
+            raise TableNotFoundError(f"no table {src!r} under {self.root}")
+        dp = self.path(dst)
+        if os.path.exists(dp):
+            raise TableExistsError(f"table {dst!r} already exists")
+        os.makedirs(self.root, exist_ok=True)
+        staged = f"{dp}.__tmp_{uuid.uuid4().hex}"
+        os.makedirs(staged)
+        for f in self.data_files(src):
+            try:
+                os.link(f, os.path.join(staged, os.path.basename(f)))
+            except OSError:
+                shutil.copy2(f, os.path.join(staged, os.path.basename(f)))
+        os.rename(staged, dp)
+        return dp
 
     def history(self, name: str) -> list[dict]:
         """Version history for ``name``: one entry per archived snapshot

@@ -327,3 +327,45 @@ def test_skipping_index_stale_raises(spark, tmp_path):
         cat.scan_skipping("t", "nm", ["n1"])
     with _pytest.raises(TableNotFoundError):
         cat.scan_skipping("t", "other_col", ["x"])
+
+
+def test_shallow_clone_zero_copy_and_isolated(spark, tmp_path):
+    """clone shares inodes with the source (zero copy) but mutating the
+    clone never touches the source — every write path commits NEW files
+    through the two-phase swap."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from agol_pandas_spark.operators.merge import merge_pruned
+
+    cat = Catalog(spark, str(tmp_path))
+    df = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    cat.write(
+        df.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        "src", mode="error",
+    )
+    cat.clone("src", "dev")
+    src_inodes = {
+        _os.path.basename(f): _os.stat(f).st_ino for f in cat.data_files("src")
+    }
+    dev_inodes = {
+        _os.path.basename(f): _os.stat(f).st_ino for f in cat.data_files("dev")
+    }
+    assert src_inodes == dev_inodes  # zero-copy: same inodes
+    before = sorted(map(tuple, cat.table("src").collect()))
+    # mutate the clone (pruned upsert) — source must be untouched
+    delta = spark.range(5).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    merge_pruned(cat, delta, "dev", "upsert", "k")
+    assert sorted(map(tuple, cat.table("src").collect())) == before
+    assert (
+        cat.table("dev").filter(F.col("v") == -1).count() == 5
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(TableExistsError):
+        cat.clone("src", "dev")

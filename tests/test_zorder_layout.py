@@ -110,3 +110,49 @@ def test_zorder_validates_inputs(spark):
         z_value_n([spark.range(1).id] * 4, bits=16)
     with pytest.raises(ValueError, match="at least one"):
         z_value_n([], bits=8)
+
+
+def test_rank_cells_zorder_survives_skew(spark, tmp_path):
+    """A single extreme outlier squashes min/max cell scaling: the
+    skewed dimension stops contributing to the layout and every file
+    covers its full (non-outlier) value range. Equi-depth rank cells
+    keep clustering — mean distinct-B-per-file drops sharply."""
+    from pyspark.sql import functions as F
+
+    from agol_pandas_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    df = spark.range(4000).select(
+        F.col("id").alias("a"),
+        # b: 10 regular values + one 1e9 outlier => min/max cells
+        # collapse all regular rows into cell 0
+        F.when(F.col("id") == 0, F.lit(10**9))
+        .otherwise(F.col("id") % 10)
+        .cast("long")
+        .alias("b"),
+    )
+    def mean_distinct_b_per_file(table):
+        per_file = (
+            spark.read.parquet(cat.path(table))
+            .select(F.input_file_name().alias("f"), "b")
+            .filter(F.col("b") < 10**9)
+            .groupBy("f")
+            .agg(F.countDistinct("b").alias("d"))
+            .collect()
+        )
+        return sum(r["d"] for r in per_file) / len(per_file)
+
+    cat.write(df.repartition(8), "minmax", mode="error")
+    cat.optimize_zorder("minmax", ["a", "b"], num_files=16)
+    cat.write(df.repartition(8), "ranked", mode="error")
+    cat.optimize_zorder("ranked", ["a", "b"], num_files=16, rank_cells=True)
+    mm = mean_distinct_b_per_file("minmax")
+    rk = mean_distinct_b_per_file("ranked")
+    # min/max layout: b contributes nothing -> files see ~all 10 values;
+    # rank layout clusters b -> files see far fewer
+    assert rk * 2 < mm, (mm, rk)
+    # row identity preserved
+    assert (
+        sorted(map(tuple, cat.table("ranked").collect()))
+        == sorted(map(tuple, df.collect()))
+    )
