@@ -57,6 +57,10 @@ QUERIES = [
     # streaming pruned CDC (single-drain deterministic)
     "source_skipping_index_scan",
     "stream_pruned_cdc_upsert",
+    # r6 geo/text additions
+    "geo_knn_within_radius",
+    "geo_point_in_concave_polygon",
+    "text_url_canonical_dedup",
 ]
 
 PARTITIONS = (1, 7, 200)
