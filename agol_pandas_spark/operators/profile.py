@@ -195,3 +195,47 @@ def chi2_drift(df: DataFrame, cell_col: str, side_col: str) -> DataFrame:
             ).alias("contrib_ppm"),
         )
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    k: int = 5,
+    l: int = 2,
+) -> DataFrame:
+    """k-anonymity / l-diversity audit — the privacy gate a dataset
+    passes before release or training use: every combination of
+    quasi-identifiers (the columns an attacker can link externally) must
+    cover at least ``k`` rows, and within each such equivalence class
+    the sensitive attribute must take at least ``l`` distinct values
+    (k-anonymity alone still leaks when a whole class shares one
+    sensitive value).
+
+    One hash aggregation on the quasi columns (map-side combined;
+    ``count`` + ``count_distinct`` share the shuffle) — at 100 TB this
+    is a single groupBy over the release candidate, and the output is
+    one row per equivalence class, orders of magnitude smaller than the
+    data. Rows with NULL quasi values form their own classes (standard
+    grouping semantics; both engines agree).
+
+    Output: quasi columns, ``class_size``, ``l_distinct``,
+    ``k_anonymous``, ``l_diverse`` — the release gate is
+    ``every(k_anonymous AND l_diverse)``; the per-class rows tell you
+    exactly which slices to generalize or suppress.
+    """
+    qs = list(quasi_cols)
+    return (
+        df.groupBy(*qs)
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.countDistinct(sensitive_col).alias("l_distinct"),
+        )
+        .select(
+            *qs,
+            "class_size",
+            "l_distinct",
+            (F.col("class_size") >= F.lit(k)).alias("k_anonymous"),
+            (F.col("l_distinct") >= F.lit(l)).alias("l_diverse"),
+        )
+    )

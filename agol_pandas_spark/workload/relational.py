@@ -3157,3 +3157,37 @@ def math_try_overflow_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .alias("sum_cube"),
     )
+
+
+@register(
+    "privacy_k_anonymity_audit",
+    tags=("privacy", "governance", "k-anonymity", "l-diversity"),
+    oracle="""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS class_size,
+           CAST(COUNT(DISTINCT c_custkey % 7) AS BIGINT) AS l_distinct,
+           COUNT(*) >= 5 AS k_anonymous,
+           COUNT(DISTINCT c_custkey % 7) >= 2 AS l_diverse
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity release gate (r6,
+    ``operators/profile.k_anonymity_audit``): every
+    (nation, market-segment) quasi-identifier class must cover ≥5 rows
+    AND show ≥2 distinct sensitive values (``c_custkey % 7`` stands in
+    for a categorical sensitive attribute — the corpus carries no real
+    one). One map-side-combined aggregation; output is one row per
+    equivalence class naming exactly which slices need generalization
+    or suppression before a release."""
+    from agol_pandas_spark.operators.profile import k_anonymity_audit
+
+    cust = (
+        Catalog(spark, sf_dir)
+        .table("customer")
+        .withColumn("sensitive", F.col("c_custkey") % 7)
+    )
+    return k_anonymity_audit(
+        cust, ["c_nationkey", "c_mktsegment"], "sensitive", k=5, l=2
+    )
