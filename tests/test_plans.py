@@ -181,6 +181,16 @@ def test_grid_distance_join_is_equi_join(q):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_geo_knn_is_equi_join_with_group_limit(q):
+    """The spatial kNN join rides the same grid blocking (equi-join on
+    cells, never all-pairs) and its per-probe top-3 window must pre-prune
+    below the shuffle (WindowGroupLimit)."""
+    plan = formatted_plan(q("geo_knn_within_radius"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "WindowGroupLimit" in plan
+
+
 def test_asof_nearest_single_shuffle(q):
     """Nearest as-of runs both directional scans over ONE key shuffle:
     exactly one Exchange in the plan (the union's key partitioning) and
