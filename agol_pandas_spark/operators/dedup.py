@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from agol_pandas_spark.errors import ConvergenceError, LshIndexParamError
+from agol_pandas_spark.operators.ranks import _persist_bounded
 from agol_pandas_spark.functions.text import (
     portable_hash60,
     tokens,
@@ -1481,4 +1482,115 @@ def ngram_containment_pairs(
             F.expr("n_inter * 1000000L div n_a").alias("containment_ppm"),
         )
         .filter(F.col("containment_ppm") >= int(min_containment_ppm))
+    )
+
+
+def substring_dup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring spans at word granularity — the
+    ExactSubstr dedup core of "Deduplicating Training Data Makes Language
+    Models Better" (Lee et al. 2022), re-expressed relationally.
+
+    A word ``k``-gram whose portable hash occurs ``>= min_count`` times in
+    the whole corpus marks its ``k`` token positions as duplicated. Per
+    document, duplicated gram start positions merge into maximal
+    contiguous spans (gaps-and-islands over a per-document window), and
+    the result reports one row per document:
+
+    ``(id, n_tokens, n_dup_grams, dup_spans, dup_tokens, dup_ppm)``
+
+    where ``dup_tokens`` is the union length of all duplicated spans and
+    ``dup_ppm = dup_tokens * 1e6 div n_tokens`` (0 for empty docs).
+    Documents with no duplicated grams appear with zeros, so the output is
+    a total per-document census, joinable as a quality signal.
+
+    Scale shape (the paper's suffix array does not distribute; this does):
+
+    1. ONE map stage builds ``(doc, pos, gram_hash)`` via tokenize →
+       shingle → md5 inside codegen (``posexplode`` is the Generate
+       barrier, so hashing runs once per row).
+    2. ONE shuffle on ``gram_hash`` counts corpus-wide occurrences;
+       map-side partial aggregation collapses each partition's repeats
+       before the exchange. Grams kept only when ``count >= min_count`` —
+       the dup set is tiny relative to the corpus.
+    3. The dup set equi-joins back on the hash — never all-pairs.
+    4. Span merging is a window partitioned BY DOCUMENT over duplicated
+       grams only (bounded per-group state; no global window).
+
+    Reference parity: the reference (src/agol_pandas.py:246) has no dedup
+    surface at all; this extends SURVEY §2b ★ dedup.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    toks = tokens(F.col(text_col))
+    grams = F.transform(word_shingles(toks, k), portable_hash60)
+    # posexplode_outer keeps zero-gram docs alive so the census is total;
+    # the Generate is also the CollapseProject barrier for the hash array.
+    occ = df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.posexplode_outer(grams).alias("__p0", "__h"),
+    ).select(
+        F.col(id_col),
+        "n_tokens",
+        (F.col("__p0") + F.lit(1)).alias("pos"),  # 1-based like the oracle
+        "__h",
+    )
+    # three downstream jobs read occ (dup-hash count, join-back, per-doc
+    # census); without the cache each re-runs tokenize→shingle→md5 over the
+    # full corpus. Bounded FIFO persist (ranks.py, ADVICE r5) — the caller's
+    # job is lazy so an eager unpersist here would drop the cache before it
+    # is ever hit.
+    occ = _persist_bounded(occ)
+    dup_hashes = (
+        occ.filter(F.col("__h").isNotNull())
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__n_occ"))
+        .filter(F.col("__n_occ") >= int(min_count))
+        .select("__h")
+    )
+    dup_occ = occ.join(dup_hashes, "__h").select(id_col, "pos")
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = (
+        F.max("pos").over(wd.rowsBetween(Window.unboundedPreceding, -1))
+        + F.lit(k - 1)
+    )
+    islands = dup_occ.withColumn(
+        "__new",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1).otherwise(0),
+    ).withColumn("__isl", F.sum("__new").over(wd))
+    per_doc = (
+        islands.groupBy(id_col, "__isl")
+        .agg(
+            F.count(F.lit(1)).alias("__grams"),
+            (F.max("pos") + F.lit(k - 1) - F.min("pos") + F.lit(1)).alias("__span"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("__grams").cast("int").alias("n_dup_grams"),
+            F.count(F.lit(1)).cast("int").alias("dup_spans"),
+            F.sum("__span").cast("int").alias("dup_tokens"),
+        )
+    )
+    base = occ.groupBy(id_col).agg(F.first("n_tokens").alias("n_tokens"))
+    return base.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.coalesce("n_dup_grams", F.lit(0)).cast("int").alias("n_dup_grams"),
+        F.coalesce("dup_spans", F.lit(0)).cast("int").alias("dup_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("int").alias("dup_tokens"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr("coalesce(dup_tokens, 0) * 1000000L div n_tokens"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("dup_ppm"),
     )

@@ -929,3 +929,121 @@ def canonical_url(url) -> "F.Column":
         path,
         F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
     )
+
+
+BPE_SEP = "\x1f"  # unit separator: joins symbols inside a word
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 2,
+) -> DataFrame:
+    """One iteration of byte-pair-encoding tokenizer training, distributed:
+    adjacent-symbol pair counts before a merge, the best pair chosen and
+    applied, and the pair counts after — ``(stage, sym_a, sym_b, cnt)``
+    rows with ``stage ∈ {'pre', 'post'}``.
+
+    Semantics (classic BPE, Sennrich et al. 2016, word-internal):
+
+    - vocabulary = lowercased whitespace words with corpus frequencies;
+    - iteration-1 symbols are single characters;
+    - best pair = highest total count, ties broken (sym_a, sym_b)
+      lexicographically — fully deterministic;
+    - the merge replaces left-to-right non-overlapping occurrences inside
+      every word (``'aaaa'`` with best pair ``(a,a)`` becomes
+      ``[aa, aa]``), exactly what ``replace()`` does over the
+      separator-joined symbol string in both engines;
+    - pairs with total count < ``min_count`` are dropped from the output
+      (they could never be merge candidates).
+
+    Scale shape — the classic reason BPE training distributes well:
+
+    1. ONE corpus-scale shuffle builds the word histogram (map-side
+       combine collapses repeats before the exchange); everything after
+       runs on the VOCABULARY (distinct words × weights), which is orders
+       of magnitude smaller than the corpus.
+    2. Pair counting explodes each distinct word into len-1 weighted
+       pairs and shuffles (pair → Σ weight) — bounded by |alphabet|²
+       distinct keys.
+    3. The best pair is a 1-row sort-limit broadcast back onto the
+       vocabulary; the merge itself is a pure map (string replace).
+
+    Caveat: a token containing the ``\\x1f`` unit separator would alias a
+    symbol boundary; such tokens are filtered out (vanishingly rare in
+    text, and dropping them keeps the merge semantics exact).
+    """
+    words = (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("word"))
+        .filter(~F.col("word").contains(BPE_SEP))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wf"))
+    )
+    # iteration-1 symbols are single characters; adjacent pairs by index
+    pre_pairs = (
+        words.select(
+            "wf",
+            # NB sequence(1, 0) is DESCENDING [1, 0] in Spark — a bare
+            # sequence over len-1 corrupts 1-char words, hence the guard
+            F.explode(
+                F.expr(
+                    "CASE WHEN length(word) >= 2 THEN "
+                    "transform(sequence(1, length(word) - 1), "
+                    "i -> struct(substring(word, i, 1) AS a, "
+                    "substring(word, i + 1, 1) AS b)) "
+                    "ELSE cast(array() AS array<struct<a:string,b:string>>) END"
+                )
+            ).alias("p"),
+        )
+        .groupBy(F.col("p.a").alias("sym_a"), F.col("p.b").alias("sym_b"))
+        .agg(F.sum("wf").alias("cnt"))
+        .filter(F.col("cnt") >= int(min_count))
+    )
+    best = (
+        pre_pairs.orderBy(F.col("cnt").desc(), "sym_a", "sym_b")
+        .limit(1)
+        .select(F.col("sym_a").alias("__ba"), F.col("sym_b").alias("__bb"))
+    )
+    sep = F.lit(BPE_SEP)
+    merged = (
+        words.crossJoin(F.broadcast(best))
+        .withColumn(
+            "__joined",
+            F.expr(
+                "array_join(transform(sequence(1, length(word)), "
+                "i -> substring(word, i, 1)), '\x1f')"
+            ),
+        )
+        .withColumn(
+            "__merged",
+            F.replace(
+                F.col("__joined"),
+                F.concat(F.col("__ba"), sep, F.col("__bb")),
+                F.concat(F.col("__ba"), F.col("__bb")),
+            ),
+        )
+        .withColumn("syms", F.split(F.col("__merged"), BPE_SEP))
+    )
+    post_pairs = (
+        merged.select(
+            "wf",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(syms) >= 2 THEN "
+                    "transform(sequence(1, size(syms) - 1), "
+                    "i -> struct(syms[i - 1] AS a, syms[i] AS b)) "
+                    "ELSE cast(array() AS array<struct<a:string,b:string>>) END"
+                )
+            ).alias("p"),
+        )
+        .groupBy(F.col("p.a").alias("sym_a"), F.col("p.b").alias("sym_b"))
+        .agg(F.sum("wf").alias("cnt"))
+        .filter(F.col("cnt") >= int(min_count))
+    )
+    return pre_pairs.select(
+        F.lit("pre").alias("stage"), "sym_a", "sym_b", F.col("cnt").cast("long")
+    ).unionByName(
+        post_pairs.select(
+            F.lit("post").alias("stage"), "sym_a", "sym_b", F.col("cnt").cast("long")
+        )
+    )

@@ -961,3 +961,61 @@ def dedup_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
         block_cols=("lang",),
         min_containment_ppm=500_000,
     )
+
+
+# word-5-gram shingles (the ExactSubstr span query uses k=5)
+_SQL_GRAMS5 = (
+    "CASE WHEN len({toks}) < 5 THEN CAST([] AS VARCHAR[]) "
+    "ELSE list_transform(range(1, len({toks}) - 3), "
+    "i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2] || ' ' "
+    "|| {toks}[i+3] || ' ' || {toks}[i+4]) END"
+)
+
+
+@register(
+    "text_substring_dup_spans",
+    tags=("dedup", "text", "substring"),
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKS.format(src='text')} AS t FROM documents),
+    g AS (SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens,
+                 {_SQL_GRAMS5.format(toks='t')} AS gs
+          FROM t),
+    occ AS (SELECT doc_id, unnest(list_transform(gs, (s, i) ->
+              struct_pack(pos := i, h := {SQL_HASH60.format(expr='s')}))) AS u
+            FROM g),
+    o AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM occ),
+    dup AS (SELECT h FROM o GROUP BY h HAVING COUNT(*) >= 2),
+    d AS (SELECT o.doc_id, o.pos FROM o JOIN dup ON o.h = dup.h),
+    isl AS (SELECT doc_id, pos,
+              CASE WHEN max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 5 >= pos
+                   THEN 0 ELSE 1 END AS new_isl
+            FROM d),
+    isl2 AS (SELECT doc_id, pos,
+               SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+             FROM isl),
+    spans AS (SELECT doc_id, island, COUNT(*) AS grams,
+                MAX(pos) + 4 - MIN(pos) + 1 AS span
+              FROM isl2 GROUP BY doc_id, island),
+    per AS (SELECT doc_id, CAST(SUM(grams) AS INTEGER) AS n_dup_grams,
+              CAST(COUNT(*) AS INTEGER) AS dup_spans,
+              CAST(SUM(span) AS INTEGER) AS dup_tokens
+            FROM spans GROUP BY doc_id)
+    SELECT g.doc_id, g.n_tokens,
+           COALESCE(per.n_dup_grams, 0) AS n_dup_grams,
+           COALESCE(per.dup_spans, 0) AS dup_spans,
+           COALESCE(per.dup_tokens, 0) AS dup_tokens,
+           CAST(CASE WHEN g.n_tokens > 0
+                THEN CAST(COALESCE(per.dup_tokens, 0) AS BIGINT) * 1000000
+                     // g.n_tokens
+                ELSE 0 END AS BIGINT) AS dup_ppm
+    FROM g LEFT JOIN per ON g.doc_id = per.doc_id
+    """,
+)
+def text_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup census (Lee et al. 2022) at word granularity:
+    corpus-wide duplicated 5-gram spans merged per document into maximal
+    runs — the suffix array replaced by one gram-hash shuffle + a
+    per-document gaps-and-islands window; never all-pairs, never global."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    return dedup.substring_dup_spans(docs, "doc_id", "text", k=5, min_count=2)

@@ -1466,3 +1466,53 @@ def text_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("survivor_doc_id"),
         )
     )
+
+
+@register(
+    "text_bpe_pair_merge",
+    tags=("text", "tokenizer", "bpe"),
+    oracle=f"""
+    WITH w AS (
+      SELECT tok AS word, COUNT(*) AS wf
+      FROM (SELECT unnest({SQL_TOKS.format(src='lower(text)')}) AS tok
+            FROM documents)
+      WHERE NOT contains(tok, chr(31))
+      GROUP BY tok),
+    prs AS (
+      SELECT wf, unnest(list_transform(range(1, greatest(length(word), 1)),
+               i -> struct_pack(a := word[i], b := word[i+1]))) AS u
+      FROM w),
+    pre AS (
+      SELECT u.a AS sym_a, u.b AS sym_b, CAST(SUM(wf) AS BIGINT) AS cnt
+      FROM prs GROUP BY 1, 2 HAVING SUM(wf) >= 2),
+    best AS (
+      SELECT sym_a AS ba, sym_b AS bb FROM pre
+      ORDER BY cnt DESC, sym_a, sym_b LIMIT 1),
+    m AS (
+      SELECT wf, string_split(
+               replace(
+                 array_to_string(list_transform(range(1, length(word) + 1),
+                                                i -> word[i]), chr(31)),
+                 (SELECT ba FROM best) || chr(31) || (SELECT bb FROM best),
+                 (SELECT ba FROM best) || (SELECT bb FROM best)),
+               chr(31)) AS syms
+      FROM w),
+    pos0 AS (
+      SELECT wf, unnest(list_transform(range(1, greatest(len(syms), 1)),
+               i -> struct_pack(a := syms[i], b := syms[i+1]))) AS u
+      FROM m),
+    post AS (
+      SELECT u.a AS sym_a, u.b AS sym_b, CAST(SUM(wf) AS BIGINT) AS cnt
+      FROM pos0 GROUP BY 1, 2 HAVING SUM(wf) >= 2)
+    SELECT 'pre' AS stage, sym_a, sym_b, cnt FROM pre
+    UNION ALL
+    SELECT 'post' AS stage, sym_a, sym_b, cnt FROM post
+    """,
+)
+def text_bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed BPE tokenizer-training iteration: word histogram
+    (the only corpus-scale shuffle), vocabulary-side adjacent-pair counts,
+    deterministic best-pair choice, left-to-right merge, post-merge
+    recount — pre and post pair tables value-checked."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    return textops.bpe_pair_counts(docs, "text", min_count=2)

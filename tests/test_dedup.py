@@ -730,3 +730,74 @@ def test_star_components_reliable_checkpoint_identical(spark, tmp_path):
         )
     )
     assert pr_l == pr_r
+
+
+class TestSubstringDupSpans:
+    """ExactSubstr span census (dedup.substring_dup_spans) on crafted docs
+    with hand-computed expectations."""
+
+    @pytest.fixture(scope="class")
+    def census(self, spark):
+        from agol_pandas_spark.operators.dedup import substring_dup_spans
+
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            # doc 2 embeds doc 1's full 10-token run between unique words
+            (2, "intro words the quick brown fox jumps over the lazy dog "
+                "today end"),
+            (3, "completely different content with no overlap at all here"),
+            (4, "x y x y x y x y x y x y"),  # within-doc repeats
+            (5, ""),  # empty doc
+            # doc 6: TWO separate shared runs with doc 7, split by a gap
+            (6, "alpha beta gamma delta epsilon GAP1 GAP2 zeta eta theta "
+                "iota kappa"),
+            (7, "alpha beta gamma delta epsilon OTHER WORDS zeta eta theta "
+                "iota kappa"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = substring_dup_spans(df, "doc_id", "text", k=5, min_count=2)
+        return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+    def test_total_census(self, census):
+        assert sorted(census) == [1, 2, 3, 4, 5, 6, 7]
+
+    def test_shared_run_marks_both_docs(self, census):
+        # doc 1: all 6 grams duplicated -> one span covering all 10 tokens
+        assert census[1] == {
+            "doc_id": 1, "n_tokens": 10, "n_dup_grams": 6,
+            "dup_spans": 1, "dup_tokens": 10, "dup_ppm": 1_000_000,
+        }
+        # doc 2: same 6 grams, 10 of 13 tokens covered
+        assert census[2]["dup_tokens"] == 10
+        assert census[2]["dup_spans"] == 1
+        assert census[2]["dup_ppm"] == 10 * 1_000_000 // 13
+
+    def test_unique_and_empty_docs_zero(self, census):
+        for d in (3, 5):
+            assert census[d]["n_dup_grams"] == 0
+            assert census[d]["dup_spans"] == 0
+            assert census[d]["dup_tokens"] == 0
+            assert census[d]["dup_ppm"] == 0
+
+    def test_within_doc_repeats_count(self, census):
+        # doc 4: "x y"*6 -> every 5-gram repeats within the doc itself
+        assert census[4]["n_dup_grams"] == 8
+        assert census[4]["dup_spans"] == 1
+        assert census[4]["dup_ppm"] == 1_000_000
+
+    def test_gap_splits_spans(self, census):
+        # docs 6/7 share two 5-token runs separated by non-shared words:
+        # two maximal spans of 5 tokens each
+        for d in (6, 7):
+            assert census[d]["dup_spans"] == 2
+            assert census[d]["dup_tokens"] == 10
+            assert census[d]["n_dup_grams"] == 2
+
+    def test_param_validation(self, spark):
+        from agol_pandas_spark.operators.dedup import substring_dup_spans
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            substring_dup_spans(df, "doc_id", "text", k=0)
+        with pytest.raises(ValueError):
+            substring_dup_spans(df, "doc_id", "text", min_count=1)

@@ -3,6 +3,8 @@ repetition metrics (Gopher/C4-style) and benchmark contamination."""
 
 from __future__ import annotations
 
+import pytest
+
 from agol_pandas_spark.operators.textops import (
     benchmark_contamination,
     repetition_metrics,
@@ -429,3 +431,47 @@ def test_canonical_url_edge_cases(spark):
     }
     for raw, want in cases:
         assert got[raw] == want, (raw, got[raw], want)
+
+
+class TestBpePairCounts:
+    """One BPE training iteration (textops.bpe_pair_counts) against a
+    hand-computed vocabulary."""
+
+    @pytest.fixture(scope="class")
+    def stages(self, spark):
+        from agol_pandas_spark.operators.textops import bpe_pair_counts
+
+        df = spark.createDataFrame(
+            # vocab: aaaa x2, abab x1, low x3, lower, lowest, single chars
+            [(1, "aaaa abab low low lower a b"), (2, "low lowest aaaa i")],
+            ["id", "text"],
+        )
+        out = bpe_pair_counts(df, "text", min_count=2)
+        rows = out.collect()
+        return {
+            (r["stage"], r["sym_a"], r["sym_b"]): r["cnt"] for r in rows
+        }
+
+    def test_pre_counts_exact(self, stages):
+        pre = {k[1:]: v for k, v in stages.items() if k[0] == "pre"}
+        assert pre == {
+            ("a", "a"): 6,   # aaaa has 3 adjacent pairs, x2 occurrences
+            ("a", "b"): 2,   # abab
+            ("l", "o"): 5,   # low x3 + lower + lowest
+            ("o", "w"): 5,
+            ("w", "e"): 2,   # lower + lowest
+        }
+
+    def test_merge_applied_left_to_right(self, stages):
+        # best pair (a,a) cnt=6; 'aaaa' -> [aa, aa] (NOT [aa, a, a])
+        assert stages[("post", "aa", "aa")] == 2
+        assert ("post", "a", "a") not in stages
+
+    def test_single_char_words_contribute_no_pairs(self, stages):
+        # 'a', 'b', 'i' are 1-char words: no pair may involve the empty
+        # string (the descending-sequence(1,0) trap)
+        assert not any("" in (a, b) for (_, a, b) in stages)
+
+    def test_unmerged_words_unchanged(self, stages):
+        assert stages[("post", "l", "o")] == 5
+        assert stages[("post", "a", "b")] == 2
