@@ -3191,3 +3191,56 @@ def privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity_audit(
         cust, ["c_nationkey", "c_mktsegment"], "sensitive", k=5, l=2
     )
+
+
+@register(
+    "stats_skyline_suppliers",
+    tags=("stats", "skyline", "pareto"),
+    oracle="""
+    WITH m AS (
+      SELECT l_suppkey AS s_suppkey,
+             SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT)) AS revenue_cents,
+             COUNT(*) AS n_items,
+             SUM(CAST(round(l_discount * 10000) AS BIGINT)) // COUNT(*)
+                 AS avg_discount_bp
+      FROM lineitem GROUP BY 1)
+    SELECT s_suppkey, revenue_cents,
+           CAST(n_items AS BIGINT) AS n_items,
+           CAST(avg_discount_bp AS BIGINT) AS avg_discount_bp
+    FROM m a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM m b
+      WHERE b.revenue_cents >= a.revenue_cents
+        AND b.n_items >= a.n_items
+        AND b.avg_discount_bp <= a.avg_discount_bp
+        AND (b.revenue_cents > a.revenue_cents
+             OR b.n_items > a.n_items
+             OR b.avg_discount_bp < a.avg_discount_bp))
+    """,
+)
+def stats_skyline_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier (operators/skyline.py): suppliers not
+    dominated on (revenue DESC, volume DESC, avg discount ASC) — the
+    preference query relational engines lack natively. Two-phase exact
+    algorithm: per-partition numpy frontier (lossless, shuffle-free) then
+    a dominance anti-join over the tiny candidate set; the corpus never
+    sees a cross join. All metrics exact integers (cents / bp)."""
+    from agol_pandas_spark.operators.skyline import skyline
+
+    li = Catalog(spark, sf_dir).table("lineitem")
+    per_supplier = li.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("long")
+        ).alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_items"),
+        F.expr(
+            "sum(cast(round(l_discount * 10000) AS bigint)) div count(*)"
+        ).alias("avg_discount_bp"),
+    )
+    return skyline(
+        per_supplier,
+        minimize=["avg_discount_bp"],
+        maximize=["revenue_cents", "n_items"],
+    )
