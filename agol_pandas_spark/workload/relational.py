@@ -3244,3 +3244,52 @@ def stats_skyline_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         minimize=["avg_discount_bp"],
         maximize=["revenue_cents", "n_items"],
     )
+
+
+@register(
+    "feature_target_encoding",
+    tags=("feature", "ml", "encoding"),
+    oracle="""
+    WITH base AS (
+      SELECT o_orderpriority AS cat,
+             CAST(('0x' || substring(md5('fold' || CAST(o_orderkey AS VARCHAR)),
+                                     1, 15)) AS BIGINT) % 5 AS fold,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    cf AS (SELECT cat, fold, COUNT(*) AS n, SUM(cents) AS s
+           FROM base GROUP BY 1, 2),
+    ct AS (SELECT cat, SUM(n) AS n_tot, SUM(s) AS s_tot FROM cf GROUP BY 1),
+    gf AS (SELECT fold, SUM(n) AS n_f_all, SUM(s) AS s_f_all
+           FROM cf GROUP BY 1),
+    g AS (SELECT SUM(n) AS n_all, SUM(s) AS s_all FROM cf)
+    SELECT cf.cat AS o_orderpriority, CAST(cf.fold AS BIGINT) AS fold,
+           CAST(cf.n AS BIGINT) AS n_rows,
+           CAST(((ct.s_tot - cf.s) * 1000
+                 + 10 * ((g.s_all - gf.s_f_all) * 1000
+                         // (g.n_all - gf.n_f_all)))
+                // ((ct.n_tot - cf.n) + 10) AS BIGINT) AS enc_milli
+    FROM cf JOIN ct USING (cat) JOIN gf USING (fold) CROSS JOIN g
+    """,
+)
+def feature_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free out-of-fold target encoding (operators/features.py):
+    each (priority, fold) cell encoded from every OTHER fold's exact-cent
+    order totals, m-estimate-smoothed (m=10) toward the global out-of-fold
+    mean. One slim (cat x fold) shuffle; the encoding table is always
+    broadcastable back onto rows. Integer milli-unit arithmetic end to
+    end — truncated division only at the final step."""
+    from agol_pandas_spark.operators.features import target_encode_oof
+
+    orders = Catalog(spark, sf_dir).table("orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return target_encode_oof(
+        orders,
+        cat_col="o_orderpriority",
+        target_cents_col="cents",
+        key_col="o_orderkey",
+        folds=5,
+        smoothing=10,
+    )

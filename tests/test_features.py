@@ -1,0 +1,110 @@
+"""Out-of-fold target encoding (operators/features.py): leakage property,
+m-estimate smoothing, prior fallback — against a Python reference using
+the same md5-portable fold hash."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import defaultdict
+
+import pytest
+
+from agol_pandas_spark.operators.features import fold_of, target_encode_oof
+
+
+def py_fold(key, folds, salt="fold"):
+    return int(hashlib.md5(f"{salt}{key}".encode()).hexdigest()[:15], 16) % folds
+
+
+def py_encode(rows, folds, m):
+    """rows: (cat, key, cents). Returns {(cat, fold): (n_rows, enc_milli)}."""
+    cf_n, cf_s = defaultdict(int), defaultdict(int)
+    for cat, key, cents in rows:
+        f = py_fold(key, folds)
+        cf_n[(cat, f)] += 1
+        cf_s[(cat, f)] += cents
+    ct_n, ct_s = defaultdict(int), defaultdict(int)
+    gf_n, gf_s = defaultdict(int), defaultdict(int)
+    n_all = s_all = 0
+    for (cat, f), n in cf_n.items():
+        ct_n[cat] += n
+        ct_s[cat] += cf_s[(cat, f)]
+        gf_n[f] += n
+        gf_s[f] += cf_s[(cat, f)]
+        n_all += n
+        s_all += cf_s[(cat, f)]
+    out = {}
+    for (cat, f), n in cf_n.items():
+        prior = None
+        if n_all - gf_n[f] > 0:
+            prior = (s_all - gf_s[f]) * 1000 // (n_all - gf_n[f])
+        n_excl = ct_n[cat] - n
+        s_excl = ct_s[cat] - cf_s[(cat, f)]
+        if m > 0:
+            enc = (s_excl * 1000 + m * prior) // (n_excl + m)
+        elif n_excl > 0:
+            enc = s_excl * 1000 // n_excl
+        else:
+            enc = prior
+        out[(cat, f)] = (n, enc)
+    return out
+
+
+def run(spark, rows, folds=3, m=0):
+    df = spark.createDataFrame(rows, "cat string, key long, cents long")
+    out = target_encode_oof(
+        df, cat_col="cat", target_cents_col="cents", key_col="key",
+        folds=folds, smoothing=m,
+    )
+    return {(r["cat"], r["fold"]): (r["n_rows"], r["enc_milli"]) for r in out.collect()}
+
+
+class TestTargetEncodeOof:
+    def test_matches_python_reference_unsmoothed(self, spark):
+        rows = [("a", k, 100 * (k + 1)) for k in range(30)] + [
+            ("b", k, 50 * k) for k in range(30, 60)
+        ]
+        assert run(spark, rows, folds=3, m=0) == py_encode(rows, 3, 0)
+
+    def test_matches_python_reference_smoothed(self, spark):
+        rows = [("a", k, 100 * (k + 1)) for k in range(30)] + [
+            ("b", k, 50 * k) for k in range(30, 60)
+        ]
+        assert run(spark, rows, folds=3, m=10) == py_encode(rows, 3, 10)
+
+    def test_leakage_free(self, spark):
+        """Changing targets INSIDE fold f must not change fold f's encoding."""
+        rows = [("a", k, 100) for k in range(40)]
+        f0_keys = [k for k in range(40) if py_fold(k, 3) == 0]
+        assert f0_keys, "seedless fixture must hit fold 0"
+        poisoned = [
+            ("a", k, 10_000_000 if k in f0_keys else 100) for k in range(40)
+        ]
+        base = run(spark, rows, folds=3, m=0)
+        pois = run(spark, poisoned, folds=3, m=0)
+        assert pois[("a", 0)][1] == base[("a", 0)][1]  # unchanged
+        assert pois[("a", 1)][1] != base[("a", 1)][1]  # others see the poison
+
+    def test_single_fold_category_falls_back_to_prior(self, spark):
+        rows = [("common", k, 200) for k in range(40)]
+        rare_key = 1000
+        rows.append(("rare", rare_key, 999_999))
+        got = run(spark, rows, folds=3, m=0)
+        rare_fold = py_fold(rare_key, 3)
+        ref = py_encode(rows, 3, 0)
+        assert got[("rare", rare_fold)] == ref[("rare", rare_fold)]
+        # the prior excludes the rare row's own fold entirely
+        assert got[("rare", rare_fold)][1] == 200 * 1000
+
+    def test_fold_of_is_stable_and_bounded(self, spark):
+        df = spark.createDataFrame([(k,) for k in range(100)], "key long")
+        vals = [r[0] for r in df.select(fold_of("key", 7)).collect()]
+        assert set(vals) <= set(range(7))
+        assert vals == [py_fold(k, 7) for k in range(100)]
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([("a", 1, 1)], "cat string, key long, cents long")
+        with pytest.raises(ValueError, match="folds"):
+            target_encode_oof(df, "cat", "cents", "key", folds=1)
+        with pytest.raises(ValueError, match="smoothing"):
+            target_encode_oof(df, "cat", "cents", "key", smoothing=-1)
