@@ -1423,3 +1423,83 @@ def label_centroids(
             F.expr("sum_scaled div n_vectors").alias("centroid_micro"),
         )
     )
+
+
+def matryoshka_rerank_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    prefix_dim: int = 16,
+    coarse_c: int = 50,
+    k: int = 10,
+) -> DataFrame:
+    """Two-stage ANN via Matryoshka prefix dimensions (Kusupati et al.
+    2022): coarse-score every corpus vector on the FIRST ``prefix_dim``
+    components only, keep ``coarse_c`` candidates per query, then re-rank
+    the candidates with the exact full-dimension cosine.
+
+    MRL-trained embeddings concentrate information in the prefix, so the
+    truncated scan preserves recall while reading ``prefix_dim/dim`` of
+    the vector bytes — the dimension-truncation sibling of the int8 path
+    (:func:`int8_rerank_topk` cuts bytes per element; this cuts elements).
+    With a column-pruned scan the coarse stage reads a prefix column
+    materialized at write time; here the slice is per-row array math.
+
+    Both stages use the exact scaled-integer cosine (`_dot_scaled`), so
+    every score is bit-reproducible in the DuckDB oracle — no recall
+    bound needed; candidates and final ranks are value-checked. Shuffle
+    profile mirrors the int8 path: broadcast queries over a map-only
+    corpus scan, per-query windows only.
+    """
+    if prefix_dim < 1:
+        raise ValueError(f"prefix_dim must be >= 1, got {prefix_dim}")
+    qpre = F.slice(F.col(query_vec), 1, prefix_dim)
+    qz = queries.select(
+        F.col(query_id).alias("__qid"),
+        F.col(query_vec).alias("__qvec"),
+        qpre.alias("__qpre"),
+        _norm_exact(qpre).alias("__qpnorm"),
+        _norm_exact(F.col(query_vec)).alias("__qnorm"),
+    )
+    from agol_pandas_spark.operators.chunking import spread_small_scan
+
+    cpre = F.slice(F.col(corpus_vec), 1, prefix_dim)
+    cz = spread_small_scan(corpus).select(
+        F.col(corpus_id).alias("__cid"),
+        cpre.alias("__cpre"),
+        _norm_exact(cpre).alias("__cpnorm"),
+    )
+    approx = F.try_divide(
+        _dot_scaled(F.col("__qpre"), F.col("__cpre")).cast("double")
+        / F.lit(float(VSCALE)),
+        F.col("__qpnorm") * F.col("__cpnorm"),
+    )
+    wc = Window.partitionBy("__qid").orderBy(F.col("__approx").desc(), F.col("__cid"))
+    cand = (
+        cz.crossJoin(F.broadcast(qz.select("__qid", "__qpre", "__qpnorm")))
+        .select("__qid", "__cid", approx.alias("__approx"))
+        .withColumn("__crnk", F.row_number().over(wc))
+        .filter(F.col("__crnk") <= coarse_c)
+        .select("__qid", "__cid")
+    )
+    cvecs = corpus.select(
+        F.col(corpus_id).alias("__cid"), F.col(corpus_vec).alias("__cvec")
+    ).join(F.broadcast(cand), "__cid")
+    rescored = cvecs.join(
+        F.broadcast(qz.select("__qid", "__qvec", "__qnorm")), "__qid"
+    ).select(
+        F.col("__qid").alias(query_id),
+        F.col("__cid").alias(corpus_id),
+        F.try_divide(
+            _dot_scaled(F.col("__qvec"), F.col("__cvec")).cast("double")
+            / F.lit(float(VSCALE)),
+            F.col("__qnorm") * _norm_exact(F.col("__cvec")),
+        ).alias("cosine"),
+    )
+    wk = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id))
+    return rescored.withColumn("rnk", F.row_number().over(wk)).filter(
+        F.col("rnk") <= k
+    )

@@ -834,3 +834,80 @@ def sim_ivf_int8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_id="query_id", corpus_id="vec_id", pivot_id="pivot_id",
         nprobe=3, coarse_c=50, k=10,
     )
+
+
+@register(
+    "sim_matryoshka_rerank_topk",
+    tags=("similarity", "ann", "matryoshka", "topk"),
+    oracle="""
+    WITH """
+    + _SQL_NORMS
+    + """,
+    pnorms AS (
+      SELECT vec_id,
+             sqrt(CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                      * 1000000000) AS BIGINT)) AS DOUBLE)
+                  / 1000000000.0) AS pnrm
+      FROM (SELECT vec_id, unnest(embedding[1:16]) AS x FROM embeddings)
+      GROUP BY vec_id),
+    ppairs AS (
+      SELECT q.vec_id AS qid, q.embedding[1:16] AS qp,
+             c.vec_id AS cid, c.embedding[1:16] AS cp
+      FROM embeddings q CROSS JOIN embeddings c WHERE q.vec_id < 5),
+    pdots AS (
+      SELECT qid, cid,
+             SUM(CAST(round(CAST(qx AS DOUBLE) * CAST(cx AS DOUBLE)
+                            * 1000000000) AS BIGINT)) AS dot_scaled
+      FROM (SELECT qid, cid, unnest(qp) AS qx, unnest(cp) AS cx FROM ppairs)
+      GROUP BY qid, cid),
+    coarse AS (
+      SELECT d.qid, d.cid
+      FROM pdots d
+      JOIN pnorms nq ON nq.vec_id = d.qid
+      JOIN pnorms nc ON nc.vec_id = d.cid
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY d.qid ORDER BY
+        (CAST(d.dot_scaled AS DOUBLE) / 1000000000.0)
+          / (nq.pnrm * nc.pnrm) DESC, d.cid) <= 50),
+    fpairs AS (
+      SELECT co.qid, eq.embedding AS qv, co.cid, ec.embedding AS cv
+      FROM coarse co
+      JOIN embeddings eq ON eq.vec_id = co.qid
+      JOIN embeddings ec ON ec.vec_id = co.cid),
+    fdots AS (
+      SELECT qid, cid,
+             SUM(CAST(round(CAST(qx AS DOUBLE) * CAST(cx AS DOUBLE)
+                            * 1000000000) AS BIGINT)) AS dot_scaled
+      FROM (SELECT qid, cid, unnest(qv) AS qx, unnest(cv) AS cx FROM fpairs)
+      GROUP BY qid, cid),
+    cosines AS (
+      SELECT d.qid, d.cid,
+             (CAST(d.dot_scaled AS DOUBLE) / 1000000000.0)
+               / (nq.nrm * nc.nrm) AS cosine
+      FROM fdots d
+      JOIN norms nq ON nq.vec_id = d.qid
+      JOIN norms nc ON nc.vec_id = d.cid)
+    SELECT qid AS query_id, cid AS vec_id, cosine, rnk FROM (
+      SELECT qid, cid, cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rnk
+      FROM cosines)
+    WHERE rnk <= 10
+    """,
+)
+def sim_matryoshka_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka two-stage retrieval: coarse scan on the first 16 of 64
+    dimensions (exact scaled-integer cosine over the prefix), exact
+    full-dimension re-rank of 50 candidates — the dimension-truncation
+    sibling of sim_int8_rerank_topk; both stages value-checked."""
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.matryoshka_rerank_topk(
+        queries,
+        emb,
+        query_id="query_id",
+        corpus_id="vec_id",
+        prefix_dim=16,
+        coarse_c=50,
+        k=10,
+    )

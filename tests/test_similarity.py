@@ -482,3 +482,52 @@ def test_label_centroids_exact_values(spark):
     assert rows[("a", 1)].sum_scaled == -250_000
     assert rows[("a", 1)].centroid_micro == -125_000
     assert rows[("b", 0)].n_vectors == 1
+
+
+class TestMatryoshkaRerank:
+    def test_full_prefix_equals_brute_force(self, spark, emb):
+        """prefix_dim = full dim makes the coarse stage exact, so with
+        coarse_c >= k the result must equal brute-force top-k exactly."""
+        from agol_pandas_spark.operators.similarity import (
+            brute_force_topk,
+            matryoshka_rerank_topk,
+        )
+
+        dim = len(emb.first()["embedding"])
+        queries = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        got = matryoshka_rerank_topk(
+            queries, emb, "query_id", "vec_id",
+            prefix_dim=dim, coarse_c=20, k=5,
+        )
+        want = brute_force_topk(queries, emb, "query_id", "vec_id", k=5)
+        g = {(r["query_id"], r["rnk"]): (r["vec_id"], r["cosine"]) for r in got.collect()}
+        w = {(r["query_id"], r["rnk"]): (r["vec_id"], r["cosine"]) for r in want.collect()}
+        assert g == w
+
+    def test_prefix_recall_reasonable(self, spark, emb):
+        """16/64-dim coarse stage with a generous candidate budget should
+        recover most of the exact top-10 on the synthetic embeddings."""
+        from agol_pandas_spark.operators.similarity import (
+            brute_force_topk,
+            matryoshka_rerank_topk,
+        )
+
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        got = matryoshka_rerank_topk(
+            queries, emb, "query_id", "vec_id",
+            prefix_dim=16, coarse_c=50, k=10,
+        )
+        want = brute_force_topk(queries, emb, "query_id", "vec_id", k=10)
+        g = {(r["query_id"], r["vec_id"]) for r in got.collect()}
+        w = {(r["query_id"], r["vec_id"]) for r in want.collect()}
+        assert len(g & w) / len(w) >= 0.5
+
+    def test_validation(self, spark, emb):
+        from agol_pandas_spark.operators.similarity import matryoshka_rerank_topk
+
+        with pytest.raises(ValueError, match="prefix_dim"):
+            matryoshka_rerank_topk(emb, emb, "vec_id", "vec_id", prefix_dim=0)
