@@ -55,3 +55,40 @@ def read_json(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_csv_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = False,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """PERMISSIVE CSV scan that routes malformed rows to a quarantine
+    column instead of aborting the job (FAILFAST) or silently dropping
+    them (DROPMALFORMED) — at 100 TB a single bad row must neither kill a
+    multi-hour ingest nor vanish unaccounted.
+
+    Returns the data columns plus ``corrupt_col``: NULL for clean rows,
+    the raw line for malformed ones (unparsable field → the typed column
+    is NULL and the raw line is preserved for a dead-letter table).
+
+    Spark quirk handled here: queries touching ONLY the corrupt column
+    are disallowed on raw CSV scans, so downstream quarantine splits must
+    keep at least one data column in the projection (the canonical
+    pattern: aggregate good rows and count bad ones in one pass).
+
+    The reference's staging pipeline (src/agol_pandas.py:429-443)
+    re-inferred schemas server-side and failed the whole upload on any
+    bad row; this is the lakehouse-grade replacement.
+    """
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType(), True)]
+    )
+    return (
+        spark.read.schema(full)
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .csv(path)
+    )

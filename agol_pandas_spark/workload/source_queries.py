@@ -641,3 +641,69 @@ def source_skipping_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "source_csv_malformed_quarantine",
+    tags=("source", "csv", "quality"),
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+    FROM orders WHERE o_orderkey % 7 <> 0 GROUP BY 1
+    UNION ALL
+    SELECT '__quarantined__' AS o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS cents
+    FROM orders WHERE o_orderkey % 7 = 0
+    """,
+)
+def source_csv_malformed_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-row quarantine ingestion: a CSV landing built from orders
+    with every 7th row's price corrupted is read PERMISSIVE with a corrupt-
+    record column (sources/readers.read_csv_quarantine) — good rows
+    aggregate per priority, bad rows are counted into a quarantine row, in
+    ONE scan; nothing aborts, nothing silently disappears. The oracle
+    recomputes both partitions from the original parquet."""
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from agol_pandas_spark.sources.readers import read_csv_quarantine
+
+    path = _stage("quarantine")
+    orders = Catalog(spark, sf_dir).table("orders")
+    staged = orders.select(
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderpriority"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("N/A"))
+        .otherwise(F.col("o_totalprice").cast("string"))
+        .alias("o_totalprice"),
+    )
+    staged.write.mode("overwrite").csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderpriority", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    raw = read_csv_quarantine(spark, path, schema)
+    # one scan: the quarantine split is a grouping key, not a second pass
+    # (also satisfies Spark's corrupt-column-only query restriction)
+    bucket = F.when(
+        F.col("_corrupt_record").isNull(), F.col("o_orderpriority")
+    ).otherwise(F.lit("__quarantined__"))
+    out = (
+        raw.groupBy(bucket.alias("o_orderpriority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(
+                    F.col("_corrupt_record").isNull(),
+                    F.round(F.col("o_totalprice") * 100).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("cents"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    return out

@@ -660,3 +660,56 @@ def test_http_where_declines_like_metacharacters():
     )
     assert where == "d LIKE '%clean%'"
     assert [f.column for f in applied] == ["d"]
+
+
+class TestCsvQuarantine:
+    """PERMISSIVE quarantine reader (sources/readers.read_csv_quarantine)."""
+
+    def test_malformed_rows_quarantined_not_dropped(self, spark, tmp_path):
+        from pyspark.sql import types as T
+
+        from agol_pandas_spark.sources.readers import read_csv_quarantine
+
+        p = tmp_path / "landing"
+        p.mkdir()
+        (p / "part.csv").write_text(
+            "1,alpha,10.5\n"
+            "2,beta,N/A\n"          # unparsable double
+            "3,gamma,7.25\n"
+            "4,delta,1.0,EXTRA\n"   # too many fields -> malformed
+        )
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("name", T.StringType()),
+                T.StructField("price", T.DoubleType()),
+            ]
+        )
+        raw = read_csv_quarantine(spark, str(p), schema).cache()
+        rows = {r["id"]: r for r in raw.collect()}
+        assert len(rows) == 4  # nothing dropped
+        assert rows[1]["_corrupt_record"] is None
+        assert rows[3]["_corrupt_record"] is None
+        assert rows[2]["_corrupt_record"] == "2,beta,N/A"
+        assert rows[2]["price"] is None  # typed column NULLed, raw kept
+        assert rows[4]["_corrupt_record"] == "4,delta,1.0,EXTRA"
+        raw.unpersist()
+
+    def test_clean_file_all_null_corrupt(self, spark, tmp_path):
+        from pyspark.sql import types as T
+
+        from agol_pandas_spark.sources.readers import read_csv_quarantine
+
+        p = tmp_path / "clean"
+        p.mkdir()
+        (p / "part.csv").write_text("1,a,1.0\n2,b,2.0\n")
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("name", T.StringType()),
+                T.StructField("price", T.DoubleType()),
+            ]
+        )
+        raw = read_csv_quarantine(spark, str(p), schema).cache()
+        assert raw.filter(F.col("_corrupt_record").isNotNull()).count() == 0
+        raw.unpersist()
