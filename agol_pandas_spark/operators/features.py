@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from agol_pandas_spark.functions.text import portable_hash60
 
-__all__ = ["fold_of", "target_encode_oof"]
+__all__ = ["fold_of", "quantile_normalize", "target_encode_oof"]
 
 
 def fold_of(key_col: str, folds: int, salt: str = "fold") -> F.Column:
@@ -118,4 +118,96 @@ def target_encode_oof(
         F.col("fold").cast("long").alias("fold"),
         F.col("__n").cast("long").alias("n_rows"),
         enc_milli.cast("long").alias("enc_milli"),
+    )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Cross-group quantile normalization (the batch-effect remedy from
+    expression-array statistics, unequal group sizes variant): each row's
+    value is replaced by the POOLED distribution's value at the row's
+    within-group quantile, so every group leaves with the same value
+    distribution while preserving within-group order.
+
+    Per row: within-group rank r (total order ``value, id``), quantile
+    ``q = (r-1)/(n_g-1)`` (``q=0`` when the group is a singleton), target
+    position ``p = max(1, ceil(q·N))`` over the pooled count N, and the
+    normalized value is the pooled PERCENTILE_DISC at p — the smallest
+    value whose pooled cumulative count reaches p. All arithmetic is
+    exact integers (the quantile never materializes as a float).
+
+    Scale shape:
+
+    - within-group ranks via :func:`~agol_pandas_spark.operators.ranks.
+      add_partitioned_prefix_sum` — groups SPAN partitions (a
+      ``Window.partitionBy(source)`` would funnel the corpus through
+      |groups| tasks);
+    - the pooled distribution is a DISTINCT-VALUE histogram with global
+      cumulative counts from :func:`~agol_pandas_spark.operators.ranks.
+      add_global_ranks` (weighted-histogram mode) — never an expanded
+      multiset;
+    - the position→value lookup is a broadcast interval join against the
+      histogram (bounded by distinct values, not rows). For a histogram
+      too large to broadcast, grid-bin the intervals first exactly as
+      ``join_interval_overlap_windows`` does.
+
+    Output: ``(id_col, group_col, value_col, norm_value)``.
+    """
+    from agol_pandas_spark.operators.ranks import (
+        add_global_ranks,
+        add_partitioned_prefix_sum,
+    )
+
+    ranked = add_partitioned_prefix_sum(
+        df.select(id_col, group_col, value_col).withColumn("__one", F.lit(1)),
+        part_keys=[group_col],
+        order_keys=[value_col, id_col],
+        weight_col="__one",
+        out_col="__r0",  # exclusive: rank - 1
+        exclusive=True,
+    ).drop("__one")
+    sizes = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__ng"))
+    rows = ranked.join(F.broadcast(sizes), group_col)
+
+    counts = df.groupBy(F.col(value_col).alias("__v")).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    hist = add_global_ranks(
+        counts,
+        keys=["__v"],
+        weight_col="__cnt",
+        rank_col="__rk",
+        total_col="__N",
+    ).join(counts, "__v").select(
+        "__v",
+        (F.col("__rk") - 1).alias("__lo"),  # positions covered: (lo, hi]
+        (F.col("__rk") - 1 + F.col("__cnt")).alias("__hi"),
+        "__N",
+    )
+
+    # p = max(1, ceil((r-1)·N / (ng-1))); singleton groups pin q to 0
+    pos = F.when(
+        F.col("__ng") > 1,
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr("(__r0 * __N + (__ng - 1) - 1) div (__ng - 1)"),
+        ),
+    ).otherwise(F.lit(1).cast("long"))
+
+    # the join condition needs pos, which references __N — attach N first
+    n_total = hist.select(F.first("__N").alias("__N"))
+    rows_n = rows.crossJoin(F.broadcast(n_total)).withColumn("__p", pos)
+    out = rows_n.join(
+        F.broadcast(hist.drop("__N")),
+        (F.col("__p") > F.col("__lo")) & (F.col("__p") <= F.col("__hi")),
+    )
+    return out.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(value_col),
+        F.col("__v").alias("norm_value"),
     )

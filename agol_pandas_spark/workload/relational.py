@@ -3293,3 +3293,58 @@ def feature_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         folds=5,
         smoothing=10,
     )
+
+
+@register(
+    "stats_quantile_normalize",
+    tags=("stats", "normalization", "ranks"),
+    oracle="""
+    WITH base AS (SELECT doc_id, source, n_chars FROM documents),
+    ranked AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) - 1 AS r0,
+             COUNT(*) OVER (PARTITION BY source) AS ng
+      FROM base),
+    tot AS (SELECT COUNT(*) AS n FROM base),
+    hist AS (SELECT n_chars AS v, COUNT(*) AS cnt FROM base GROUP BY 1),
+    chist AS (
+      SELECT v, SUM(cnt) OVER (ORDER BY v) - cnt AS lo,
+             SUM(cnt) OVER (ORDER BY v) AS hi
+      FROM hist),
+    pos AS (
+      SELECT doc_id, source, n_chars,
+             CASE WHEN ng > 1
+                  THEN greatest(1, (r0 * tot.n + (ng - 1) - 1) // (ng - 1))
+                  ELSE 1 END AS p
+      FROM ranked CROSS JOIN tot),
+    norm AS (
+      SELECT pos.source, pos.n_chars, c.v AS norm_value
+      FROM pos JOIN chist c ON pos.p > c.lo AND pos.p <= c.hi)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(norm_value) AS BIGINT) AS sum_norm,
+           CAST(MIN(norm_value) AS BIGINT) AS min_norm,
+           CAST(MAX(norm_value) AS BIGINT) AS max_norm
+    FROM norm GROUP BY source
+    """,
+)
+def stats_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization (operators/features.py) of
+    document lengths: every source's n_chars distribution is mapped onto
+    the pooled corpus distribution via exact integer rank arithmetic —
+    within-group ranks from the distributed prefix-sum operator (groups
+    span partitions), pooled PERCENTILE_DISC from the weighted-histogram
+    rank operator, position->value via a broadcast interval join bounded
+    by DISTINCT values. Census per source proves the full per-row map."""
+    from agol_pandas_spark.operators.features import quantile_normalize
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    normed = quantile_normalize(docs, "source", "n_chars", "doc_id")
+    return normed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum("norm_value").cast("long").alias("sum_norm"),
+        F.min("norm_value").cast("long").alias("min_norm"),
+        F.max("norm_value").cast("long").alias("max_norm"),
+    )

@@ -108,3 +108,55 @@ class TestTargetEncodeOof:
             target_encode_oof(df, "cat", "cents", "key", folds=1)
         with pytest.raises(ValueError, match="smoothing"):
             target_encode_oof(df, "cat", "cents", "key", smoothing=-1)
+
+
+class TestQuantileNormalize:
+    def _ref(self, rows):
+        vals = sorted(v for _, _, v in rows)
+        n = len(vals)
+        groups = {}
+        for g, i, v in rows:
+            groups.setdefault(g, []).append((v, i))
+        ref = {}
+        for g, lst in groups.items():
+            lst.sort()
+            ng = len(lst)
+            for r0, (v, i) in enumerate(lst):
+                p = max(1, -(-r0 * n // (ng - 1))) if ng > 1 else 1
+                ref[i] = vals[p - 1]
+        return ref
+
+    @pytest.mark.parametrize("n_parts", [1, 5])
+    def test_matches_python_reference(self, spark, n_parts):
+        import random
+
+        from agol_pandas_spark.operators.features import quantile_normalize
+
+        rng = random.Random(7)
+        rows = [
+            (f"g{rng.randrange(4)}", i, rng.randrange(1, 50)) for i in range(150)
+        ]
+        rows.append(("solo", 999, 17))  # singleton group -> pooled min
+        df = spark.createDataFrame(
+            rows, "grp string, id long, v long"
+        ).repartition(n_parts)
+        got = {
+            r["id"]: r["norm_value"]
+            for r in quantile_normalize(df, "grp", "v", "id").collect()
+        }
+        assert got == self._ref(rows)
+        assert got[999] == min(v for _, _, v in rows)
+
+    def test_every_group_gets_pooled_extremes(self, spark):
+        """Rank-1 maps to the pooled min and rank-n_g to the pooled max in
+        every multi-row group — the defining property of the transform."""
+        from agol_pandas_spark.operators.features import quantile_normalize
+
+        rows = [("a", 1, 100), ("a", 2, 300), ("b", 3, 1), ("b", 4, 9999)]
+        df = spark.createDataFrame(rows, "grp string, id long, v long")
+        got = {
+            r["id"]: r["norm_value"]
+            for r in quantile_normalize(df, "grp", "v", "id").collect()
+        }
+        assert got[1] == 1 and got[3] == 1          # group minima -> pooled min
+        assert got[2] == 9999 and got[4] == 9999    # group maxima -> pooled max
