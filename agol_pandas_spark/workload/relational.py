@@ -3348,3 +3348,150 @@ def stats_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("norm_value").cast("long").alias("min_norm"),
         F.max("norm_value").cast("long").alias("max_norm"),
     )
+
+
+@register(
+    "stats_cusum_changepoint",
+    tags=("stats", "changepoint", "monitoring"),
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    per AS (
+      SELECT event_type, SUM(n) AS tot, COUNT(*) AS days
+      FROM daily GROUP BY 1),
+    j AS (
+      SELECT d.event_type, d.day, d.n,
+             d.n * 1000 - (p.tot * 1000 // p.days) AS dev,
+             p.tot * 1000 // p.days AS mean_milli
+      FROM daily d JOIN per p USING (event_type)),
+    s AS (
+      SELECT event_type, day, n, mean_milli,
+             SUM(dev) OVER (PARTITION BY event_type ORDER BY day) AS cs
+      FROM j),
+    c AS (
+      SELECT event_type, day, n, mean_milli, cs,
+             least(CAST(0 AS BIGINT),
+                   MIN(cs) OVER (PARTITION BY event_type ORDER BY day))
+                 AS runmin
+      FROM s)
+    SELECT event_type, day, CAST(n AS BIGINT) AS n_events,
+           CAST(cs - runmin AS BIGINT) AS cusum_milli,
+           (cs - runmin) > 3 * mean_milli AS alarm
+    FROM c
+    """,
+)
+def stats_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change detection over per-type daily event volumes,
+    window-expressible exactly: the recursive C_i = max(0, C_{i-1} + dev_i)
+    unrolls to C_i = S_i - min(0, min_{j<=i} S_j) — one cumulative sum and
+    one running min over the SAME per-type ordering (single shuffle, two
+    Window ops). Deviations are exact milli-units against the per-type
+    mean rate; alarm = excursion beyond 3x the mean. Day x type rows only
+    — the corpus collapses to the daily histogram in the first
+    aggregation."""
+    from pyspark.sql.window import Window
+
+    ev = Catalog(spark, sf_dir).table("events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    per = daily.groupBy("event_type").agg(
+        F.sum("n").alias("tot"), F.count(F.lit(1)).alias("days")
+    )
+    j = daily.join(F.broadcast(per), "event_type").select(
+        "event_type",
+        "day",
+        "n",
+        F.expr("n * 1000L - (tot * 1000L div days)").alias("dev"),
+        F.expr("tot * 1000L div days").alias("mean_milli"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = j.withColumn("cs", F.sum("dev").over(w))
+    c = s.withColumn(
+        "runmin", F.least(F.lit(0).cast("long"), F.min("cs").over(w))
+    )
+    return c.select(
+        "event_type",
+        "day",
+        F.col("n").cast("long").alias("n_events"),
+        (F.col("cs") - F.col("runmin")).cast("long").alias("cusum_milli"),
+        ((F.col("cs") - F.col("runmin")) > 3 * F.col("mean_milli")).alias("alarm"),
+    )
+
+
+@register(
+    "stats_gini_concentration",
+    tags=("stats", "inequality", "ranks"),
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_mktsegment, c.c_custkey,
+             COALESCE(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0)
+                 AS x
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    r AS (
+      SELECT c_mktsegment, x,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY x, c_custkey) AS rn
+      FROM spend),
+    agg AS (
+      SELECT c_mktsegment, COUNT(*) AS n, SUM(x) AS sx, SUM(rn * x) AS srx
+      FROM r GROUP BY 1)
+    SELECT c_mktsegment, CAST(n AS BIGINT) AS n_customers,
+           CAST(sx AS BIGINT) AS total_cents,
+           CAST((2 * CAST(srx AS HUGEINT) - CAST(n + 1 AS HUGEINT) * sx)
+                * 1000000 // (CAST(n AS HUGEINT) * sx) AS BIGINT) AS gini_ppm
+    FROM agg
+    """,
+)
+def stats_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer-spend concentration per market segment
+    (the rank formula G = (2·Σ rᵢxᵢ − (n+1)·Σx) / (n·Σx) in exact integer
+    ppm): per-segment ranks ride the distributed prefix-sum operator
+    (segments span partitions — no low-cardinality window funnel), the
+    cross terms sum as BIGINT, and the final ppm division runs in
+    DECIMAL(38,0) headroom mirrored by the oracle's HUGEINT. Total order
+    (spend, custkey) makes tied spends deterministic."""
+    from agol_pandas_spark.operators.ranks import add_partitioned_prefix_sum
+
+    cust = Catalog(spark, sf_dir).table("customer")
+    orders = Catalog(spark, sf_dir).table("orders")
+    spend = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(
+            F.coalesce(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")),
+                F.lit(0).cast("long"),
+            ).alias("x")
+        )
+    )
+    ranked = add_partitioned_prefix_sum(
+        spend.withColumn("__one", F.lit(1)),
+        part_keys=["c_mktsegment"],
+        order_keys=["x", "c_custkey"],
+        weight_col="__one",
+        out_col="__r0",
+        exclusive=True,
+    )
+    agg = ranked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum((F.col("__r0") + 1) * F.col("x")).alias("srx"),
+    )
+    return agg.select(
+        "c_mktsegment",
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("sx").cast("long").alias("total_cents"),
+        F.expr(
+            "cast((2 * cast(srx as decimal(38,0)) "
+            "- cast(n + 1 as decimal(38,0)) * cast(sx as decimal(38,0))) "
+            "* 1000000 div (cast(n as decimal(38,0)) "
+            "* cast(sx as decimal(38,0))) as long)"
+        ).alias("gini_ppm"),
+    )

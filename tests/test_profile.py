@@ -163,3 +163,93 @@ def test_chi2_drift_fuzz_against_bigint_reference(spark):
         r.contrib_ppm == 0 and r.d_abs == 0
         for r in chi2_drift(df, "cell", "side").collect()
     )
+
+
+def test_cusum_unroll_equals_recursive_reference(spark):
+    """The window form C_i = S_i - min(0, min_{j<=i} S_j) used by
+    stats_cusum_changepoint must equal the textbook recursion
+    C_i = max(0, C_{i-1} + dev_i) on adversarial series."""
+    import datetime as dt
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    rng = random.Random(11)
+    series = {
+        "flat": [0] * 20,
+        "step_up": [-5] * 10 + [50] * 10,
+        "sawtooth": [(-1) ** i * (i % 7) * 3 for i in range(30)],
+        "random": [rng.randrange(-40, 40) for _ in range(50)],
+    }
+    rows = []
+    expected = {}
+    for name, devs in series.items():
+        c = 0
+        for i, d in enumerate(devs):
+            c = max(0, c + d)
+            rows.append((name, dt.date(2024, 1, 1) + dt.timedelta(days=i), d))
+            expected[(name, i)] = c
+    df = spark.createDataFrame(rows, "grp string, day date, dev long").repartition(4)
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = (
+        df.withColumn("cs", F.sum("dev").over(w))
+        .withColumn("runmin", F.least(F.lit(0).cast("long"), F.min("cs").over(w)))
+        .withColumn("cusum", F.col("cs") - F.col("runmin"))
+    )
+    got = {}
+    for r in out.collect():
+        idx = (r["day"] - dt.date(2024, 1, 1)).days
+        got[(r["grp"], idx)] = r["cusum"]
+    assert got == expected
+
+
+def test_gini_rank_formula_against_reference(spark):
+    """The integer-ppm Gini used by stats_gini_concentration vs a float
+    reference implementation, including the all-equal (G=0) and
+    one-owner (G -> (n-1)/n) extremes."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from agol_pandas_spark.operators.ranks import add_partitioned_prefix_sum
+
+    rng = random.Random(3)
+    cases = {
+        "equal": [100] * 10,
+        "one_owner": [0] * 9 + [1000],
+        "random": [rng.randrange(0, 10_000) for _ in range(60)],
+    }
+    rows = [
+        (g, i, v) for g, vals in cases.items() for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "grp string, k long, x long")
+    ranked = add_partitioned_prefix_sum(
+        df.withColumn("__one", F.lit(1)),
+        part_keys=["grp"],
+        order_keys=["x", "k"],
+        weight_col="__one",
+        out_col="__r0",
+        exclusive=True,
+    )
+    agg = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum((F.col("__r0") + 1) * F.col("x")).alias("srx"),
+    )
+    got = {
+        r["grp"]: (2 * r["srx"] - (r["n"] + 1) * r["sx"]) * 1_000_000 // (r["n"] * r["sx"])
+        for r in agg.collect()
+    }
+    for g, vals in cases.items():
+        n = len(vals)
+        xs = sorted(vals)
+        ref = (2 * sum((i + 1) * x for i, x in enumerate(xs))
+               - (n + 1) * sum(xs)) / (n * sum(xs))
+        assert abs(got[g] - ref * 1_000_000) <= 1  # truncation only
+    assert got["equal"] == 0
+    assert got["one_owner"] == ((10 - 1) * 1_000_000) // 10
