@@ -676,3 +676,127 @@ def stream_pruned_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     shutil.rmtree(sink_root, ignore_errors=True)
     return out
+
+
+@register(
+    "stream_watermark_late_routing",
+    tags=("streaming", "watermark", "dead-letter", "events"),
+    oracle="""
+    WITH b AS (
+      SELECT event_type, event_id, ts, event_id % 3 AS batch FROM events),
+    wm AS (SELECT batch, MAX(ts) AS mx FROM b GROUP BY batch),
+    prev AS (
+      SELECT k.batch, MAX(w.mx) AS prev_max
+      FROM (SELECT DISTINCT batch FROM b) k
+      LEFT JOIN wm w ON w.batch < k.batch
+      GROUP BY k.batch),
+    r AS (
+      SELECT b.event_type, b.event_id,
+             CASE WHEN p.prev_max IS NOT NULL
+                   AND b.ts < p.prev_max - INTERVAL 1 HOUR
+                  THEN TRUE ELSE FALSE END AS is_late
+      FROM b JOIN prev p ON p.batch = b.batch)
+    SELECT event_type, is_late, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS id_checksum
+    FROM r GROUP BY 1, 2
+    """,
+)
+def stream_watermark_late_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data DEAD-LETTER routing under an explicit watermark: the
+    events corpus lands as three files (split by event_id mod 3, mtimes
+    forcing batch order), each micro-batch classifies rows against the
+    watermark ``max event time of PRIOR batches − 1h`` kept in a tiny
+    driver-side state file, and routes them to on-time/late partitions of
+    an accounting table. Unlike the built-in watermark (which drops late
+    rows silently), every row stays accounted — the dead-letter pattern a
+    100 TB ingest needs for replay/debugging. The explicit watermark rule
+    makes the split deterministic BY CONSTRUCTION, so the batch oracle
+    replays it exactly from the event_id split.
+
+    Scale shape: per-batch classification is a map stage (one broadcast
+    scalar); partial counts append map-side-combined; state is one
+    integer per batch.
+    """
+    import shutil
+
+    cat = Catalog(spark, sf_dir)
+    events = cat.table("events")
+
+    landing = os.path.join(
+        tempfile.gettempdir(), f"stream_late_{uuid.uuid4().hex[:8]}"
+    )
+    os.makedirs(landing)
+    stage_root = tempfile.mkdtemp(prefix="stream_late_stage_")
+    base_mtime = 1_700_000_000
+    for k in range(3):
+        part_dir = os.path.join(stage_root, f"b{k}")
+        (
+            events.filter(F.pmod(F.col("event_id"), F.lit(3)) == k)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(part_dir)
+        )
+        src = next(
+            os.path.join(part_dir, f)
+            for f in os.listdir(part_dir)
+            if f.endswith(".parquet")
+        )
+        dst = os.path.join(landing, f"{k:02d}.parquet")
+        shutil.move(src, dst)
+        os.utime(dst, (base_mtime + 10 * k, base_mtime + 10 * k))
+    shutil.rmtree(stage_root, ignore_errors=True)
+
+    schema = spark.read.parquet(landing).schema
+    stream = stream_from_directory(spark, landing, schema)
+
+    state_root = tempfile.mkdtemp(prefix="stream_late_state_")
+    wm_dir = os.path.join(state_root, "wm")
+    os.makedirs(wm_dir)
+    delay_us = 3_600 * 1_000_000
+
+    def route(batch_df, batch_id):
+        prior = [
+            int(open(os.path.join(wm_dir, f)).read())
+            for f in os.listdir(wm_dir)
+        ]
+        prev_max = max(prior) if prior else None
+        if prev_max is None:
+            is_late = F.lit(False)
+        else:
+            is_late = F.unix_micros(F.col("ts")) < F.lit(prev_max - delay_us)
+        (
+            batch_df.withColumn("is_late", is_late)
+            .groupBy("event_type", "is_late")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("event_id").alias("id_checksum"),
+            )
+            .write.mode("append")
+            .parquet(os.path.join(state_root, "routed"))
+        )
+        bmax = batch_df.agg(F.unix_micros(F.max("ts"))).first()[0]
+        if bmax is not None:
+            new_max = bmax if prev_max is None else max(prev_max, bmax)
+            with open(os.path.join(wm_dir, f"{batch_id}.txt"), "w") as fh:
+                fh.write(str(new_max))
+
+    q = (
+        stream.writeStream.foreachBatch(route)
+        .option("checkpointLocation", os.path.join(state_root, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    out = (
+        spark.read.parquet(os.path.join(state_root, "routed"))
+        .groupBy("event_type", "is_late")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("id_checksum").cast("long").alias("id_checksum"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(state_root, ignore_errors=True)
+    shutil.rmtree(landing, ignore_errors=True)
+    return out
