@@ -28,7 +28,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from agol_pandas_spark.errors import TableExistsError, TableNotFoundError
+from agol_pandas_spark.errors import (
+    EmptyInputError,
+    TableExistsError,
+    TableNotFoundError,
+)
 from agol_pandas_spark.functions.names import normalize_service_name
 
 TEST_TABLES = (
@@ -657,6 +661,64 @@ class Catalog:
             shutil.rmtree(self._version_path(name, v), ignore_errors=True)
         return drop
 
+    def _tombstone_path(self, name: str) -> str:
+        return os.path.join(
+            self.root, ".tombstones", normalize_service_name(name)
+        )
+
+    def soft_delete_keys(self, name: str, keys: DataFrame) -> str:
+        """DELETE without touching a single data file: the keys land in a
+        tombstone SIDECAR (parquet, appended per call) and reads through
+        :meth:`table_live` anti-join them out. At 100 TB this makes
+        deletes O(deleted keys) instead of O(table) — the deletion-vector
+        idea at key granularity; the rewrite is deferred to
+        :meth:`apply_tombstones` (run it with compaction housekeeping).
+
+        The reference's only delete was truncate-and-reload
+        (src/agol_pandas.py:396); ``merge_delete_keys`` rewrites the
+        surviving rows; this rewrites NOTHING at delete time.
+        """
+        if not self.exists(name):
+            raise TableNotFoundError(f"no table {name!r} under {self.root}")
+        if keys.isEmpty():
+            raise EmptyInputError("tombstone keys DataFrame is empty")
+        out = self._tombstone_path(name)
+        os.makedirs(out, exist_ok=True)
+        keys.distinct().write.mode("append").parquet(out)
+        return out
+
+    def tombstones(self, name: str) -> DataFrame | None:
+        """The table's accumulated tombstone keys (compacted), or None."""
+        p = self._tombstone_path(name)
+        if not os.path.exists(p) or not any(
+            f.endswith(".parquet") for f in os.listdir(p)
+        ):
+            return None
+        return self.spark.read.parquet(p).distinct()
+
+    def table_live(self, name: str, merge_schema: bool = False) -> DataFrame:
+        """:meth:`table` minus tombstoned keys (left anti join on the
+        tombstone key columns). Tombstone sets are small next to the
+        table, so Spark broadcasts the anti-join side — the read path
+        costs one map-side filter, no shuffle of the table."""
+        df = self.table(name, merge_schema=merge_schema)
+        tomb = self.tombstones(name)
+        if tomb is None:
+            return df
+        return df.join(F.broadcast(tomb), on=list(tomb.columns), how="left_anti")
+
+    def apply_tombstones(self, name: str) -> str:
+        """Deferred compaction of soft deletes: rewrite the table through
+        the atomic two-phase commit with tombstoned rows dropped, then
+        clear the sidecar. Idempotent (no tombstones → no-op)."""
+        tomb = self.tombstones(name)
+        if tomb is None:
+            return self.path(name)
+        live = self.table_live(name)
+        path = self.write(live, name, mode="overwrite")
+        shutil.rmtree(self._tombstone_path(name), ignore_errors=True)
+        return path
+
     def drop(self, name: str) -> None:
         p = self.path(name)
         if os.path.exists(p):
@@ -666,6 +728,7 @@ class Catalog:
             os.path.join(self.root, ".indexes", normalize_service_name(name)),
             ignore_errors=True,
         )
+        shutil.rmtree(self._tombstone_path(name), ignore_errors=True)
         self._ns_cols.pop(p, None)
 
 

@@ -974,6 +974,7 @@ _SQL_GRAMS5 = (
 
 @register(
     "text_substring_dup_spans",
+    headline=True,
     tags=("dedup", "text", "substring"),
     oracle=f"""
     WITH t AS (SELECT doc_id, {SQL_TOKS.format(src='text')} AS t FROM documents),

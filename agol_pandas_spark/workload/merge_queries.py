@@ -11,6 +11,8 @@ post-merge table; the oracle reproduces the reference semantics
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -726,3 +728,64 @@ def _narrow_low_key_delta(cust: DataFrame) -> DataFrame:
         F.lit("INSERTED").alias("c_mktsegment"),
     )
     return updates.unionByName(inserts)
+
+
+@register(
+    "merge_tombstone_soft_delete",
+    tags=("merge", "delete", "tombstone", "lakehouse"),
+    oracle="""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+    FROM orders WHERE o_orderkey % 10 <> 0
+    GROUP BY o_orderstatus
+    """,
+)
+def merge_tombstone_soft_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft delete via tombstone sidecar (Catalog.soft_delete_keys): 10%%
+    of order keys are deleted WITHOUT rewriting a single data file — the
+    query raises in-plan if any data file's inode or mtime changed — and
+    the live view anti-joins the broadcast tombstone set at read time.
+    The oracle recomputes the surviving rows directly; the deferred
+    rewrite (apply_tombstones) is lifecycle-tested in
+    tests/test_catalog_writers.py."""
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="tombstone_")
+    cat = Catalog(spark, root)
+    orders = Catalog(spark, sf_dir).table("orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    cat.write(orders.repartition(8), "orders", mode="error")
+
+    def file_state():
+        return {
+            f: (os.stat(f).st_ino, os.stat(f).st_mtime_ns)
+            for f in cat.data_files("orders")
+        }
+
+    before = file_state()
+    doomed = cat.table("orders").filter(
+        F.col("o_orderkey") % 10 == 0
+    ).select("o_orderkey")
+    cat.soft_delete_keys("orders", doomed)
+    after = file_state()
+    if before != after:  # explicit raise: survives python -O
+        raise RuntimeError(
+            "soft delete rewrote data files — tombstones must be a sidecar"
+        )
+    out = (
+        cat.table_live("orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("key_checksum"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out

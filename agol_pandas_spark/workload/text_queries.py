@@ -1470,6 +1470,7 @@ def text_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_bpe_pair_merge",
+    headline=True,
     tags=("text", "tokenizer", "bpe"),
     oracle=f"""
     WITH w AS (

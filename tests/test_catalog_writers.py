@@ -369,3 +369,68 @@ def test_shallow_clone_zero_copy_and_isolated(spark, tmp_path):
 
     with _pytest.raises(TableExistsError):
         cat.clone("src", "dev")
+
+
+class TestTombstoneSoftDelete:
+    """Key-tombstone sidecar lifecycle (Catalog.soft_delete_keys /
+    table_live / apply_tombstones)."""
+
+    @pytest.fixture()
+    def cat(self, spark, tmp_path):
+        from agol_pandas_spark.catalog import Catalog
+
+        c = Catalog(spark, str(tmp_path))
+        df = spark.createDataFrame(
+            [(k, f"v{k}") for k in range(20)], "k long, v string"
+        )
+        c.write(df.repartition(4), "t", mode="error")
+        return c
+
+    def test_delete_touches_no_data_files(self, spark, cat):
+        import os
+
+        before = {f: os.stat(f).st_ino for f in cat.data_files("t")}
+        cat.soft_delete_keys("t", spark.createDataFrame([(3,), (7,)], "k long"))
+        after = {f: os.stat(f).st_ino for f in cat.data_files("t")}
+        assert before == after
+        live = {r["k"] for r in cat.table_live("t").collect()}
+        assert live == set(range(20)) - {3, 7}
+
+    def test_tombstones_accumulate_and_dedupe(self, spark, cat):
+        cat.soft_delete_keys("t", spark.createDataFrame([(1,), (2,)], "k long"))
+        cat.soft_delete_keys("t", spark.createDataFrame([(2,), (5,)], "k long"))
+        assert cat.tombstones("t").count() == 3
+        assert cat.table_live("t").count() == 17
+
+    def test_apply_tombstones_rewrites_and_clears(self, spark, cat):
+        cat.soft_delete_keys("t", spark.createDataFrame([(0,), (19,)], "k long"))
+        cat.apply_tombstones("t")
+        assert cat.tombstones("t") is None
+        # post-compaction the base table itself has the rows gone
+        assert {r["k"] for r in cat.table("t").collect()} == set(range(1, 19))
+        # idempotent no-op afterwards
+        cat.apply_tombstones("t")
+        assert cat.table("t").count() == 18
+
+    def test_empty_and_missing_guards(self, spark, cat):
+        import pytest as _pytest
+
+        from agol_pandas_spark.errors import EmptyInputError, TableNotFoundError
+
+        with _pytest.raises(EmptyInputError):
+            cat.soft_delete_keys(
+                "t", spark.createDataFrame([], "k long")
+            )
+        with _pytest.raises(TableNotFoundError):
+            cat.soft_delete_keys(
+                "nope", spark.createDataFrame([(1,)], "k long")
+            )
+
+    def test_drop_removes_sidecar(self, spark, cat):
+        import os
+
+        cat.soft_delete_keys("t", spark.createDataFrame([(1,)], "k long"))
+        side = cat._tombstone_path("t")
+        assert os.path.exists(side)
+        cat.drop("t")
+        assert not os.path.exists(side)

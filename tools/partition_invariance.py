@@ -61,6 +61,20 @@ QUERIES = [
     "geo_knn_within_radius",
     "geo_point_in_concave_polygon",
     "text_url_canonical_dedup",
+    # r6 session-2 additions: partition-sensitive by construction —
+    # skyline's local-frontier stage, the rank-riding normalizations,
+    # the gaps-and-islands span merge, BPE's 1-row best-pair broadcast,
+    # the mtime-ordered streaming drain
+    "stats_skyline_suppliers",
+    "stats_quantile_normalize",
+    "stats_gini_concentration",
+    "stats_cusum_changepoint",
+    "text_substring_dup_spans",
+    "text_bpe_pair_merge",
+    "feature_target_encoding",
+    "sim_matryoshka_rerank_topk",
+    "source_csv_malformed_quarantine",
+    "stream_watermark_late_routing",
 ]
 
 PARTITIONS = (1, 7, 200)
