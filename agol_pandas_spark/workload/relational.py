@@ -3495,3 +3495,110 @@ def stats_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "* cast(sx as decimal(38,0))) as long)"
         ).alias("gini_ppm"),
     )
+
+
+@register(
+    "having_q11_valuable_parts",
+    tags=("agg", "having", "scalar-subquery", "tpch"),
+    oracle="""
+    WITH pr AS (
+      SELECT l_partkey,
+             SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT)) AS revenue_cents
+      FROM lineitem GROUP BY 1),
+    tot AS (SELECT SUM(revenue_cents) AS t FROM pr)
+    SELECT pr.l_partkey AS p_partkey, pr.revenue_cents,
+           CAST(CAST(pr.revenue_cents AS HUGEINT) * 1000000 // tot.t
+                AS BIGINT) AS share_ppm
+    FROM pr CROSS JOIN tot
+    WHERE pr.revenue_cents * 2000 > tot.t
+    """,
+)
+def having_q11_valuable_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: groups whose aggregate exceeds a fraction of the
+    GLOBAL total (HAVING against a scalar subquery) — parts carrying more
+    than 0.05%% of total revenue, with exact-ppm shares. The global total
+    is a 1-row broadcast; the per-part aggregation is the only
+    corpus-scale shuffle; the share division runs in DECIMAL(38)/HUGEINT
+    headroom."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    pr = li.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("long")
+        ).alias("revenue_cents")
+    )
+    tot = pr.agg(F.sum("revenue_cents").alias("t"))
+    return (
+        pr.crossJoin(F.broadcast(tot))
+        .filter(F.col("revenue_cents") * 2000 > F.col("t"))
+        .select(
+            "p_partkey",
+            "revenue_cents",
+            F.expr(
+                "cast(cast(revenue_cents as decimal(38,0)) * 1000000 "
+                "div cast(t as decimal(38,0)) as long)"
+            ).alias("share_ppm"),
+        )
+    )
+
+
+@register(
+    "subquery_q22_idle_customers",
+    tags=("subquery", "anti-join", "tpch"),
+    oracle="""
+    WITH ab AS (
+      SELECT SUM(CAST(round(c_acctbal * 100) AS BIGINT)) // COUNT(*)
+                 AS ab_cents
+      FROM customer WHERE c_acctbal > 0.0),
+    cutoff AS (
+      SELECT MAX(o_orderdate) - INTERVAL 1 YEAR AS co FROM orders),
+    recent AS (
+      SELECT DISTINCT o.o_custkey
+      FROM orders o CROSS JOIN cutoff WHERE o.o_orderdate >= cutoff.co),
+    idle AS (
+      SELECT c.c_nationkey,
+             CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal
+      FROM customer c CROSS JOIN ab
+      WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) > ab.ab_cents
+        AND NOT EXISTS (SELECT 1 FROM recent r
+                        WHERE r.o_custkey = c.c_custkey))
+    SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_custs,
+           CAST(SUM(bal) AS BIGINT) AS total_bal_cents
+    FROM idle GROUP BY 1
+    """,
+)
+def subquery_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-sales-opportunity): customers with
+    above-average positive balance and NO orders in the last year of the
+    corpus, grouped by nation — a scalar aggregate subquery and a scalar
+    date cutoff (1-row broadcasts), an exact-cents mean via integer
+    division, and a left ANTI join against the recent-orders key set.
+    The anti join shuffles on custkey; nothing else touches corpus
+    scale."""
+    cust = Catalog(spark, sf_dir).table("customer")
+    orders = Catalog(spark, sf_dir).table("orders")
+    ab = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.expr(
+            "sum(cast(round(c_acctbal * 100) as bigint)) div count(*)"
+        ).alias("ab_cents")
+    )
+    cutoff = orders.agg(
+        F.expr("max(o_orderdate) - interval 1 year").alias("co")
+    )
+    recent = (
+        orders.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("o_orderdate") >= F.col("co"))
+        .select("o_custkey")
+        .distinct()
+    )
+    idle = (
+        cust.crossJoin(F.broadcast(ab))
+        .withColumn("bal", F.round(F.col("c_acctbal") * 100).cast("long"))
+        .filter(F.col("bal") > F.col("ab_cents"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+    )
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        F.sum("bal").cast("long").alias("total_bal_cents"),
+    )
