@@ -1531,27 +1531,28 @@ def substring_dup_spans(
         raise ValueError(f"min_count must be >= 2, got {min_count}")
     toks = tokens(F.col(text_col))
     grams = F.transform(word_shingles(toks, k), portable_hash60)
-    # posexplode_outer keeps zero-gram docs alive so the census is total;
-    # the Generate is also the CollapseProject barrier for the hash array.
+    # the per-doc census base is a PURE MAP over the corpus — carrying
+    # n_tokens through the exploded gram table and re-aggregating it back
+    # (the first cut of this operator) paid a full gram-table shuffle for
+    # information the un-exploded row already has
+    base = df.select(F.col(id_col), F.size(toks).alias("n_tokens"))
+    # posexplode is the CollapseProject barrier for the hash array
+    # (hashing runs once per row); zero-gram docs live on in `base`.
     occ = df.select(
         F.col(id_col),
-        F.size(toks).alias("n_tokens"),
-        F.posexplode_outer(grams).alias("__p0", "__h"),
+        F.posexplode(grams).alias("__p0", "__h"),
     ).select(
         F.col(id_col),
-        "n_tokens",
         (F.col("__p0") + F.lit(1)).alias("pos"),  # 1-based like the oracle
         "__h",
     )
-    # three downstream jobs read occ (dup-hash count, join-back, per-doc
-    # census); without the cache each re-runs tokenize→shingle→md5 over the
-    # full corpus. Bounded FIFO persist (ranks.py, ADVICE r5) — the caller's
-    # job is lazy so an eager unpersist here would drop the cache before it
-    # is ever hit.
+    # two downstream jobs read occ (dup-hash count, join-back); without the
+    # cache each re-runs tokenize→shingle→md5 over the full corpus. Bounded
+    # FIFO persist (ranks.py, ADVICE r5) — the caller's job is lazy so an
+    # eager unpersist here would drop the cache before it is ever hit.
     occ = _persist_bounded(occ)
     dup_hashes = (
-        occ.filter(F.col("__h").isNotNull())
-        .groupBy("__h")
+        occ.groupBy("__h")
         .agg(F.count(F.lit(1)).alias("__n_occ"))
         .filter(F.col("__n_occ") >= int(min_count))
         .select("__h")
@@ -1579,7 +1580,6 @@ def substring_dup_spans(
             F.sum("__span").cast("int").alias("dup_tokens"),
         )
     )
-    base = occ.groupBy(id_col).agg(F.first("n_tokens").alias("n_tokens"))
     return base.join(per_doc, id_col, "left").select(
         F.col(id_col),
         F.col("n_tokens").cast("int").alias("n_tokens"),

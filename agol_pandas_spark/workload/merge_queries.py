@@ -736,7 +736,7 @@ def _narrow_low_key_delta(cust: DataFrame) -> DataFrame:
     oracle="""
     SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
-           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
     FROM orders WHERE o_orderkey % 10 <> 0
     GROUP BY o_orderstatus
     """,

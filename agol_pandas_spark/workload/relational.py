@@ -3199,8 +3199,8 @@ def privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH m AS (
       SELECT l_suppkey AS s_suppkey,
-             SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
-                      AS BIGINT)) AS revenue_cents,
+             CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS revenue_cents,
              COUNT(*) AS n_items,
              SUM(CAST(round(l_discount * 10000) AS BIGINT)) // COUNT(*)
                  AS avg_discount_bp
@@ -3503,8 +3503,8 @@ def stats_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH pr AS (
       SELECT l_partkey,
-             SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
-                      AS BIGINT)) AS revenue_cents
+             CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS revenue_cents
       FROM lineitem GROUP BY 1),
     tot AS (SELECT SUM(revenue_cents) AS t FROM pr)
     SELECT pr.l_partkey AS p_partkey, pr.revenue_cents,

@@ -648,7 +648,7 @@ def source_skipping_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("source", "csv", "quality"),
     oracle="""
     SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
-           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
     FROM orders WHERE o_orderkey % 7 <> 0 GROUP BY 1
     UNION ALL
     SELECT '__quarantined__' AS o_orderpriority,

@@ -85,6 +85,28 @@ NOTES = {
         "partitioning (the second re-sorts within partitions, no second "
         "shuffle), and the |Δt| choice is a codegen projection."
     ),
+    "text_substring_dup_spans": (
+        "ExactSubstr census (r6): the tokenize→shingle→md5 map feeds one "
+        "InMemoryTableScan read twice (dup-hash count, join-back) while "
+        "the per-doc census base is a separate pure-map scan — the only "
+        "corpus-scale shuffle is the gram-hash aggregation with map-side "
+        "partial combine, and the span merge windows are partitioned BY "
+        "DOCUMENT."
+    ),
+    "stats_skyline_suppliers": (
+        "Distributed skyline (r6): the per-partition numpy frontier "
+        "(ArrowEvalPython over mapInPandas) reduces the input before any "
+        "join; the dominance check is a BroadcastNestedLoopJoin "
+        "LeftAnti over the persisted CANDIDATE set only — the aggregated "
+        "input never sees a cross join."
+    ),
+    "text_bpe_pair_merge": (
+        "BPE iteration (r6): the word histogram is the only corpus-scale "
+        "shuffle (partial_count before the exchange); pair counting, the "
+        "1-row best-pair sort-limit, and the merge replace all run on "
+        "the vocabulary — the best pair re-enters as a 1-row "
+        "BroadcastNestedLoopJoin, which is model state, not data."
+    ),
 }
 
 
