@@ -673,3 +673,54 @@ def apply_changes(
     touched = latest.select(*keys)
     kept = target.join(touched, on=keys, how="left_anti")
     return kept.unionByName(upserts)
+
+
+def assign_surrogate_keys(
+    new_rows: DataFrame,
+    order_by: Sequence[str],
+    existing: DataFrame | None = None,
+    sk_col: str = "sk",
+) -> DataFrame:
+    """Dense surrogate keys (warehouse identity columns) for an ingest
+    batch, distributed: ``sk = max(existing sk) + global row_number`` over
+    the batch's ``order_by`` total order.
+
+    Spark has no sequences; ``monotonically_increasing_id`` is neither
+    dense nor stable across partitionings, and a single-partition
+    ``row_number`` window funnels the batch through one task. Here the
+    row numbers come from :func:`~agol_pandas_spark.operators.ranks.
+    add_global_ranks` (range-partitioned histogram + per-partition
+    offsets), and the existing maximum enters as a 1-row broadcast — both
+    sides stay fully parallel. ``order_by`` must be a total order
+    (duplicate keys would make any engine's assignment nondeterministic);
+    duplicates are rejected up front via the same unique-key check the
+    merge modes use (``unique=True`` on the rank operator is a caller
+    ASSERTION, not a check — silent ties would assign nondeterministic
+    keys).
+
+    Keys are dense (1..n per batch), deterministic under any
+    partitioning, and contiguous across batches when each batch passes
+    the previous result as ``existing``.
+    """
+    from agol_pandas_spark.operators.ranks import add_global_ranks
+
+    validate_unique_key(new_rows, list(order_by), "new_rows")
+    ranked = add_global_ranks(
+        new_rows,
+        keys=list(order_by),
+        unique=True,
+        row_number_col="__rn",
+    )
+    if existing is None:
+        base = F.lit(0).cast("long")
+        out = ranked
+    else:
+        mx = existing.agg(
+            F.coalesce(F.max(sk_col), F.lit(0)).cast("long").alias("__base")
+        )
+        out = ranked.crossJoin(F.broadcast(mx))
+        base = F.col("__base")
+    return out.select(
+        *[F.col(c) for c in new_rows.columns],
+        (base + F.col("__rn")).cast("long").alias(sk_col),
+    )

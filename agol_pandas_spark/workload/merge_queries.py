@@ -789,3 +789,54 @@ def merge_tombstone_soft_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "merge_surrogate_keys",
+    tags=("merge", "identity", "ranks"),
+    oracle="""
+    WITH dim AS (
+      SELECT 'customer' AS src, c_custkey AS nk,
+             ROW_NUMBER() OVER (ORDER BY c_custkey) AS sk
+      FROM customer),
+    batch AS (
+      SELECT 'supplier' AS src, s_suppkey AS nk,
+             (SELECT COUNT(*) FROM customer)
+               + ROW_NUMBER() OVER (ORDER BY s_suppkey) AS sk
+      FROM supplier),
+    uni AS (SELECT * FROM dim UNION ALL SELECT * FROM batch)
+    SELECT src, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(sk) AS BIGINT) AS min_sk,
+           CAST(MAX(sk) AS BIGINT) AS max_sk,
+           CAST(SUM(sk) AS BIGINT) AS sk_checksum,
+           CAST(SUM(nk * sk) AS BIGINT) AS pair_checksum
+    FROM uni GROUP BY src
+    """,
+)
+def merge_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse identity columns without sequences: the customer
+    dimension gets dense surrogate keys 1..n via the distributed rank
+    operator, then a supplier ingest batch continues the sequence from
+    max(sk) (1-row broadcast) — dense, deterministic under any
+    partitioning, contiguous across batches. The census pins density
+    (min/max/sum) and the exact key-to-row assignment (nk·sk
+    checksum)."""
+    from agol_pandas_spark.operators.merge import assign_surrogate_keys
+
+    cat = Catalog(spark, sf_dir)
+    cust = cat.table("customer").select(
+        F.lit("customer").alias("src"), F.col("c_custkey").alias("nk")
+    )
+    dim = assign_surrogate_keys(cust, order_by=["nk"])
+    supp = cat.table("supplier").select(
+        F.lit("supplier").alias("src"), F.col("s_suppkey").alias("nk")
+    )
+    batch = assign_surrogate_keys(supp, order_by=["nk"], existing=dim)
+    uni = dim.unionByName(batch)
+    return uni.groupBy("src").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("sk").cast("long").alias("min_sk"),
+        F.max("sk").cast("long").alias("max_sk"),
+        F.sum("sk").cast("long").alias("sk_checksum"),
+        F.sum(F.col("nk") * F.col("sk")).cast("long").alias("pair_checksum"),
+    )

@@ -1517,3 +1517,91 @@ def text_bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     recount — pre and post pair tables value-checked."""
     docs = Catalog(spark, sf_dir).table("documents")
     return textops.bpe_pair_counts(docs, "text", min_count=2)
+
+
+@register(
+    "pipeline_feature_matrix",
+    tags=("pipeline", "feature", "composed"),
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, n_chars,
+             CAST(('0x' || substring(md5('fold' || CAST(doc_id AS VARCHAR)),
+                                     1, 15)) AS BIGINT) % 5 AS fold,
+             md5(text) AS th,
+             CAST(len({SQL_TOKS.format(src='text')}) AS BIGINT) AS n_tokens
+      FROM documents),
+    dupes AS (
+      SELECT th FROM base GROUP BY th HAVING COUNT(*) >= 2),
+    ranked AS (
+      SELECT doc_id, source, fold, n_chars, n_tokens,
+             CASE WHEN b.th IN (SELECT th FROM dupes) THEN 1 ELSE 0 END
+                 AS is_dup,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) - 1 AS r0,
+             COUNT(*) OVER (PARTITION BY source) AS ng
+      FROM base b),
+    tot AS (SELECT COUNT(*) AS n FROM base),
+    hist AS (SELECT n_chars AS v, COUNT(*) AS cnt FROM base GROUP BY 1),
+    chist AS (
+      SELECT v, SUM(cnt) OVER (ORDER BY v) - cnt AS lo,
+             SUM(cnt) OVER (ORDER BY v) AS hi
+      FROM hist),
+    pos AS (
+      SELECT r.*, CASE WHEN ng > 1
+                       THEN greatest(1, (r0 * tot.n + (ng - 1) - 1)
+                                        // (ng - 1))
+                       ELSE 1 END AS p
+      FROM ranked r CROSS JOIN tot),
+    mat AS (
+      SELECT pos.fold, pos.is_dup, pos.n_tokens, c.v AS norm_len
+      FROM pos JOIN chist c ON pos.p > c.lo AND pos.p <= c.hi)
+    SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(is_dup) AS BIGINT) AS n_dups,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(norm_len) AS BIGINT) AS sum_norm_len
+    FROM mat GROUP BY fold
+    """,
+)
+def pipeline_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition of the feature layer: deterministic fold
+    assignment (features.fold_of), exact-dup flags (portable text hash,
+    one corpus shuffle), token counts (codegen map), and cross-source
+    quantile-normalized lengths (features.quantile_normalize on the
+    distributed rank operators) — assembled into one per-fold training-
+    matrix census. Every stage is an operator proven by its own registry
+    entry; the composition stays ONE lazy plan."""
+    from agol_pandas_spark.functions.text import portable_hash60
+    from agol_pandas_spark.operators.features import fold_of, quantile_normalize
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    normed = quantile_normalize(docs, "source", "n_chars", "doc_id").select(
+        "doc_id", F.col("norm_value").alias("norm_len")
+    )
+    th = portable_hash60(F.col("text"))
+    hashed = docs.select(
+        "doc_id",
+        fold_of("doc_id", 5).alias("fold"),
+        th.alias("__th"),
+        F.size(textops.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    dup_hashes = (
+        hashed.groupBy("__th")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("__th")
+    )
+    flagged = hashed.join(
+        F.broadcast(dup_hashes.withColumn("__d", F.lit(1))), "__th", "left"
+    ).select(
+        "doc_id",
+        "fold",
+        "n_tokens",
+        F.coalesce("__d", F.lit(0)).alias("is_dup"),
+    )
+    mat = flagged.join(normed, "doc_id")
+    return mat.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("is_dup").cast("long").alias("n_dups"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("norm_len").cast("long").alias("sum_norm_len"),
+    )

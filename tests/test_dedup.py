@@ -801,3 +801,77 @@ class TestSubstringDupSpans:
             substring_dup_spans(df, "doc_id", "text", k=0)
         with pytest.raises(ValueError):
             substring_dup_spans(df, "doc_id", "text", min_count=1)
+
+
+def test_substring_dup_spans_fuzz_vs_python(spark):
+    """Span census equals a brute-force Python reference on random
+    small-alphabet corpora (small alphabet maximizes within- and
+    cross-doc gram collisions, the hard cases for island merging)."""
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from agol_pandas_spark.operators.dedup import substring_dup_spans
+
+    doc = st.lists(
+        st.sampled_from("abc"), min_size=0, max_size=24
+    ).map(lambda xs: " ".join(xs))
+    corpus = st.lists(doc, min_size=1, max_size=6)
+
+    def ref(texts, k=3, min_count=2):
+        grams = []
+        for d, t in enumerate(texts):
+            toks = t.split()
+            grams.append(
+                [tuple(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+            )
+        cnt = Counter(g for gs in grams for g in gs)
+        out = {}
+        for d, t in enumerate(texts):
+            toks = t.split()
+            dup_pos = [
+                i + 1 for i, g in enumerate(grams[d]) if cnt[g] >= min_count
+            ]
+            spans = []
+            for p in dup_pos:
+                if spans and p <= spans[-1][1] + 1:
+                    spans[-1][1] = max(spans[-1][1], p + k - 1)
+                else:
+                    spans.append([p, p + k - 1])
+            dup_tokens = sum(e - s + 1 for s, e in spans)
+            n = len(toks)
+            out[d] = (
+                n,
+                len(dup_pos),
+                len(spans),
+                dup_tokens,
+                dup_tokens * 1_000_000 // n if n else 0,
+            )
+        return out
+
+    @given(texts=corpus)
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(texts):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (
+                r["n_tokens"],
+                r["n_dup_grams"],
+                r["dup_spans"],
+                r["dup_tokens"],
+                r["dup_ppm"],
+            )
+            for r in substring_dup_spans(
+                df, "doc_id", "text", k=3, min_count=2
+            ).collect()
+        }
+        assert got == ref(texts)
+
+    run()

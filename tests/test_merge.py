@@ -301,3 +301,37 @@ def test_union_rejects_lossy_long_vs_double(spark):
     tgt_i = spark.createDataFrame([(1, 7)], "id long, v int")
     src_d = spark.createDataFrame([(2, 1.5)], "id long, v double")
     assert merge(tgt_i, src_d, key="id", mode="append").count() == 2
+
+
+class TestSurrogateKeys:
+    def test_dense_deterministic_across_partitionings(self, spark):
+        from agol_pandas_spark.operators.merge import assign_surrogate_keys
+
+        rows = [(k,) for k in [30, 10, 50, 20, 40]]
+        results = []
+        for n_parts in (1, 3):
+            df = spark.createDataFrame(rows, "nk long").repartition(n_parts)
+            out = assign_surrogate_keys(df, order_by=["nk"])
+            results.append({r["nk"]: r["sk"] for r in out.collect()})
+        assert results[0] == results[1] == {10: 1, 20: 2, 30: 3, 40: 4, 50: 5}
+
+    def test_continues_from_existing_max(self, spark):
+        from agol_pandas_spark.operators.merge import assign_surrogate_keys
+
+        first = assign_surrogate_keys(
+            spark.createDataFrame([(1,), (2,)], "nk long"), order_by=["nk"]
+        )
+        second = assign_surrogate_keys(
+            spark.createDataFrame([(7,), (8,), (9,)], "nk long"),
+            order_by=["nk"],
+            existing=first,
+        )
+        got = {r["nk"]: r["sk"] for r in second.collect()}
+        assert got == {7: 3, 8: 4, 9: 5}
+
+    def test_duplicate_order_keys_raise(self, spark):
+        from agol_pandas_spark.operators.merge import assign_surrogate_keys
+
+        df = spark.createDataFrame([(1,), (1,)], "nk long")
+        with pytest.raises(Exception):
+            assign_surrogate_keys(df, order_by=["nk"]).collect()
