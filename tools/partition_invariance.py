@@ -75,6 +75,8 @@ QUERIES = [
     "sim_matryoshka_rerank_topk",
     "source_csv_malformed_quarantine",
     "stream_watermark_late_routing",
+    "merge_surrogate_keys",
+    "pipeline_feature_matrix",
 ]
 
 PARTITIONS = (1, 7, 200)
