@@ -162,6 +162,30 @@ def quantile_normalize(
         add_partitioned_prefix_sum,
     )
 
+    # NULL ordering diverges across engines (Spark NULLS FIRST, DuckDB
+    # NULLS LAST) and a NULL quantile is undefined — fail in-plan instead
+    # of silently rank-shifting a whole group; the guard rides the value
+    # column so pruning cannot drop it
+    def _guarded(c: str) -> F.Column:
+        return (
+            F.when(
+                F.col(group_col).isNull()
+                | F.col(value_col).isNull()
+                | F.col(id_col).isNull(),
+                F.raise_error(
+                    F.lit(
+                        "quantile_normalize: NULL in "
+                        f"({group_col}, {value_col}, {id_col}) — filter or "
+                        "impute first"
+                    )
+                ).cast(df.schema[c].dataType),
+            )
+            .otherwise(F.col(c))
+            .alias(c)
+        )
+
+    df = df.select(_guarded(id_col), _guarded(group_col), _guarded(value_col))
+
     ranked = add_partitioned_prefix_sum(
         df.select(id_col, group_col, value_col).withColumn("__one", F.lit(1)),
         part_keys=[group_col],

@@ -160,3 +160,13 @@ class TestQuantileNormalize:
         }
         assert got[1] == 1 and got[3] == 1          # group minima -> pooled min
         assert got[2] == 9999 and got[4] == 9999    # group maxima -> pooled max
+
+    def test_null_inputs_raise(self, spark):
+        from agol_pandas_spark.operators.features import quantile_normalize
+
+        df = spark.createDataFrame(
+            [("a", 1, 10), ("a", 2, None), ("b", 3, 5)],
+            "grp string, id long, v long",
+        )
+        with pytest.raises(Exception, match="NULL"):
+            quantile_normalize(df, "grp", "v", "id").collect()
