@@ -92,3 +92,40 @@ class TestSkyline:
         out = skyline(df, minimize=["a"], maximize=["b"])
         assert set(out.columns) == {"id", "tag", "a", "b"}
         assert [r["tag"] for r in out.collect()] == ["x"]
+
+
+def test_local_frontier_sweep_scales_and_matches(spark):
+    """The sort-filter-skyline sweep on a large single block equals the
+    brute-force reference (correctness of the frontier-only comparison)
+    and finishes fast enough to prove it is not O(m^2)."""
+    import random
+    import time
+
+    import pandas as pd
+
+    from agol_pandas_spark.operators.skyline import _local_frontier
+
+    rng = random.Random(99)
+    n = 60_000
+    pdf = pd.DataFrame(
+        {
+            "id": range(n),
+            "a": [rng.randrange(1_000_000) for _ in range(n)],
+            "b": [rng.randrange(1_000_000) for _ in range(n)],
+            "c": [rng.randrange(1_000_000) for _ in range(n)],
+        }
+    )
+    t0 = time.time()
+    got = _local_frontier(pdf, ["a", "b"], ["c"])
+    elapsed = time.time() - t0
+    assert elapsed < 30  # the naive O(m^2) scan took minutes at this size
+    sample = pdf.sample(400, random_state=1)
+    rows = pdf[["a", "b", "c"]].to_numpy()
+    for _, r in sample.iterrows():
+        dominated = (
+            (rows[:, 0] <= r["a"])
+            & (rows[:, 1] <= r["b"])
+            & (rows[:, 2] >= r["c"])
+            & ((rows[:, 0] < r["a"]) | (rows[:, 1] < r["b"]) | (rows[:, 2] > r["c"]))
+        ).any()
+        assert (r["id"] in set(got["id"])) == (not dominated)
