@@ -3602,3 +3602,75 @@ def subquery_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_custs"),
         F.sum("bal").cast("long").alias("total_bal_cents"),
     )
+
+
+@register(
+    "stats_auc_mann_whitney",
+    tags=("stats", "ml-eval", "ranks"),
+    oracle="""
+    WITH hist AS (
+      SELECT n_chars AS v, COUNT(*) AS c FROM documents GROUP BY 1),
+    chist AS (
+      SELECT v, c, SUM(c) OVER (ORDER BY v) - c AS cum_before FROM hist),
+    pos AS (
+      SELECT lang, n_chars AS v, COUNT(*) AS pc
+      FROM documents GROUP BY 1, 2),
+    tot AS (SELECT COUNT(*) AS n FROM documents),
+    r AS (
+      SELECT p.lang,
+             SUM(p.pc) AS n_pos,
+             SUM(p.pc * (2 * ch.cum_before + ch.c + 1)) AS r2
+      FROM pos p JOIN chist ch ON ch.v = p.v
+      GROUP BY p.lang)
+    SELECT r.lang, CAST(r.n_pos AS BIGINT) AS n_pos,
+           CAST(tot.n - r.n_pos AS BIGINT) AS n_neg,
+           CAST(r.r2 - r.n_pos * (r.n_pos + 1) AS BIGINT) AS u2,
+           CAST((r.r2 - r.n_pos * (r.n_pos + 1)) * 500000
+                // (r.n_pos * (tot.n - r.n_pos)) AS BIGINT) AS auc_ppm
+    FROM r CROSS JOIN tot
+    """,
+)
+def stats_auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-vs-rest ROC-AUC (equivalently the Mann-Whitney U statistic)
+    for every language class at once, with document length as the score —
+    exact integers throughout: tie-averaged ranks carried in DOUBLED
+    units (avg2 = 2·cum_before + c + 1) over the distinct-value
+    histogram, U₂ = R₂ − n_pos(n_pos+1), AUC_ppm = U₂·5·10⁵ div
+    (n_pos·n_neg). The corpus collapses to (value) and (lang, value)
+    histograms first; the cumulative window runs over distinct values
+    via the weighted-histogram rank operator — never row-at-a-time."""
+    from agol_pandas_spark.operators.ranks import add_global_ranks
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    hist = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    chist = add_global_ranks(
+        hist, keys=["v"], weight_col="c", rank_col="__rk", total_col="__n"
+    ).select("v", "c", (F.col("__rk") - 1).alias("cum_before"), F.col("__n"))
+    pos = docs.groupBy("lang", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("pc")
+    )
+    r = (
+        pos.join(chist, "v")
+        .groupBy("lang")
+        .agg(
+            F.sum("pc").alias("n_pos"),
+            F.sum(
+                F.col("pc") * (2 * F.col("cum_before") + F.col("c") + 1)
+            ).alias("r2"),
+            F.first("__n").alias("n"),
+        )
+    )
+    return r.select(
+        "lang",
+        F.col("n_pos").cast("long").alias("n_pos"),
+        (F.col("n") - F.col("n_pos")).cast("long").alias("n_neg"),
+        (F.col("r2") - F.col("n_pos") * (F.col("n_pos") + 1))
+        .cast("long")
+        .alias("u2"),
+        F.expr(
+            "cast((r2 - n_pos * (n_pos + 1)) * 500000L "
+            "div (n_pos * (n - n_pos)) as long)"
+        ).alias("auc_ppm"),
+    )

@@ -253,3 +253,53 @@ def test_gini_rank_formula_against_reference(spark):
         assert abs(got[g] - ref * 1_000_000) <= 1  # truncation only
     assert got["equal"] == 0
     assert got["one_owner"] == ((10 - 1) * 1_000_000) // 10
+
+
+def test_auc_rank_formula_vs_sklearn_style_reference(spark):
+    """The tie-averaged doubled-rank AUC used by stats_auc_mann_whitney
+    vs a direct pairwise reference (wins + half-ties), including
+    all-ties, perfect, and inverted separations."""
+    from pyspark.sql import functions as F
+
+    from agol_pandas_spark.operators.ranks import add_global_ranks
+
+    cases = {
+        "perfect": [(1, 10), (1, 9), (0, 2), (0, 1)],
+        "inverted": [(1, 1), (1, 2), (0, 9), (0, 10)],
+        "all_ties": [(1, 5), (1, 5), (0, 5), (0, 5)],
+        "mixed": [(1, 3), (0, 3), (1, 7), (0, 2), (0, 7), (1, 1)],
+    }
+    for name, rows in cases.items():
+        df = spark.createDataFrame(
+            [(lab, sc) for lab, sc in rows], "label int, score long"
+        )
+        hist = df.groupBy(F.col("score").alias("v")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        chist = add_global_ranks(
+            hist, keys=["v"], weight_col="c", rank_col="__rk", total_col="__n"
+        ).select("v", "c", (F.col("__rk") - 1).alias("cb"), "__n")
+        pos = df.filter("label = 1").groupBy(F.col("score").alias("v")).agg(
+            F.count(F.lit(1)).alias("pc")
+        )
+        agg = (
+            pos.join(chist, "v")
+            .agg(
+                F.sum("pc").alias("np"),
+                F.sum(F.col("pc") * (2 * F.col("cb") + F.col("c") + 1)).alias("r2"),
+                F.first("__n").alias("n"),
+            )
+            .first()
+        )
+        u2 = agg["r2"] - agg["np"] * (agg["np"] + 1)
+        auc = u2 / (2 * agg["np"] * (agg["n"] - agg["np"]))
+        # pairwise reference: P(score_pos > score_neg) + 0.5 P(tie)
+        wins = ties = 0
+        poss = [s for lb, s in rows if lb == 1]
+        negs = [s for lb, s in rows if lb == 0]
+        for p in poss:
+            for q in negs:
+                wins += p > q
+                ties += p == q
+        ref = (wins + 0.5 * ties) / (len(poss) * len(negs))
+        assert auc == ref, (name, auc, ref)
