@@ -1594,3 +1594,96 @@ def substring_dup_spans(
         .cast("long")
         .alias("dup_ppm"),
     )
+
+
+def substring_dup_removal(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """ExactSubstr REMOVAL (the actionable half of Lee et al. 2022):
+    duplicated word-``k``-gram runs are deleted from every document
+    except the one owning the gram's globally-first occurrence
+    (owner = min ``(id, pos)`` per gram hash — one copy of every
+    duplicated passage survives the corpus).
+
+    Output per document: ``(id, n_tokens, n_removed, cleaned_hash)``
+    where ``cleaned_hash`` is the portable 60-bit hash of the kept
+    tokens re-joined with single spaces — the cleaned text itself,
+    value-checkable without shipping it.
+
+    Scale shape: the census machinery of :func:`substring_dup_spans`
+    plus (1) a per-hash owner aggregation (``min_by`` over the packed
+    (id, pos) — one shuffle of the dup occurrences only), (2) per-doc
+    removal intervals collected as a bounded array (spans per doc are
+    bounded by the doc's own gram count), and (3) one codegen map that
+    filters each doc's token array by interval membership and re-hashes.
+    The corpus text is never shuffled.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    toks = tokens(F.col(text_col))
+    grams = F.transform(word_shingles(toks, k), portable_hash60)
+    occ = df.select(
+        F.col(id_col),
+        F.posexplode(grams).alias("__p0", "__h"),
+    ).select(F.col(id_col), (F.col("__p0") + F.lit(1)).alias("pos"), "__h")
+    occ = _persist_bounded(occ)
+    dup_occ = (
+        occ.groupBy("__h")
+        .agg(
+            F.count(F.lit(1)).alias("__n_occ"),
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__owner"),
+        )
+        .filter(F.col("__n_occ") >= int(min_count))
+        .join(occ, "__h")
+        .filter(
+            (F.col(id_col) != F.col(f"__owner.{id_col}"))
+            | (F.col("pos") != F.col("__owner.pos"))
+        )
+        .select(id_col, "pos")
+    )
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = (
+        F.max("pos").over(wd.rowsBetween(Window.unboundedPreceding, -1))
+        + F.lit(k - 1)
+    )
+    islands = dup_occ.withColumn(
+        "__new",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1).otherwise(0),
+    ).withColumn("__isl", F.sum("__new").over(wd))
+    spans = (
+        islands.groupBy(id_col, "__isl")
+        .agg(
+            F.min("pos").alias("__s"),
+            (F.max("pos") + F.lit(k - 1)).alias("__e"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(F.struct(F.col("__s"), F.col("__e"))).alias("__spans")
+        )
+    )
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+    joined = base.join(spans, id_col, "left").withColumn(
+        "__spans",
+        F.coalesce(
+            "__spans", F.array().cast("array<struct<__s:long,__e:long>>")
+        ),
+    )
+    kept = F.filter(
+        F.col("__toks"),
+        lambda x, i: ~F.exists(
+            F.col("__spans"),
+            lambda s: (i + 1 >= s["__s"]) & (i + 1 <= s["__e"]),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("__toks").cast("int").alias("n_tokens"),
+        (F.size("__toks") - F.size(kept)).cast("int").alias("n_removed"),
+        portable_hash60(F.array_join(kept, " ")).alias("cleaned_hash"),
+    )

@@ -1020,3 +1020,57 @@ def text_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-document gaps-and-islands window; never all-pairs, never global."""
     docs = Catalog(spark, sf_dir).table("documents")
     return dedup.substring_dup_spans(docs, "doc_id", "text", k=5, min_count=2)
+
+
+@register(
+    "text_substring_dup_removal",
+    tags=("dedup", "text", "substring", "transform"),
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKS.format(src='text')} AS t FROM documents),
+    g AS (SELECT doc_id, t AS toks, {_SQL_GRAMS5.format(toks='t')} AS gs
+          FROM t),
+    occ AS (SELECT doc_id, unnest(list_transform(gs, (s, i) ->
+              struct_pack(pos := i, h := {SQL_HASH60.format(expr='s')}))) AS u
+            FROM g),
+    o AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM occ),
+    dup AS (
+      SELECT h, MIN(struct_pack(doc_id := doc_id, pos := pos)) AS owner
+      FROM o GROUP BY h HAVING COUNT(*) >= 2),
+    rem AS (
+      SELECT o.doc_id, o.pos
+      FROM o JOIN dup USING (h)
+      WHERE NOT (o.doc_id = dup.owner.doc_id AND o.pos = dup.owner.pos)),
+    isl AS (SELECT doc_id, pos,
+              CASE WHEN max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 5 >= pos
+                   THEN 0 ELSE 1 END AS new_isl
+            FROM rem),
+    isl2 AS (SELECT doc_id, pos,
+               SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+             FROM isl),
+    spans AS (SELECT doc_id,
+                list(struct_pack(s := s, e := e)) AS sp
+              FROM (SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 4 AS e
+                    FROM isl2 GROUP BY doc_id, island)
+              GROUP BY doc_id),
+    cleaned AS (
+      SELECT g.doc_id, g.toks,
+             list_filter(g.toks, (x, i) ->
+               len(list_filter(COALESCE(spans.sp, []),
+                               spn -> i >= spn.s AND i <= spn.e)) = 0)
+                 AS kept
+      FROM g LEFT JOIN spans ON spans.doc_id = g.doc_id)
+    SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(len(toks) - len(kept) AS INTEGER) AS n_removed,
+           {SQL_HASH60.format(expr="COALESCE(array_to_string(kept, ' '), '')")}
+               AS cleaned_hash
+    FROM cleaned
+    """,
+)
+def text_substring_dup_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr removal: duplicated 5-gram runs deleted everywhere
+    except the globally-first occurrence (owner = min (doc, pos) per
+    gram) — one surviving copy of every duplicated passage. Cleaned text
+    is value-checked via its portable hash; corpus text never shuffles."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    return dedup.substring_dup_removal(docs, "doc_id", "text", k=5, min_count=2)

@@ -875,3 +875,46 @@ def test_substring_dup_spans_fuzz_vs_python(spark):
         assert got == ref(texts)
 
     run()
+
+
+class TestSubstringDupRemoval:
+    """ExactSubstr removal (dedup.substring_dup_removal): one surviving
+    copy of every duplicated passage, owner = globally-first occurrence."""
+
+    @pytest.fixture(scope="class")
+    def cleaned(self, spark):
+        from agol_pandas_spark.operators.dedup import substring_dup_removal
+
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "intro words the quick brown fox jumps over the lazy dog "
+                "today end"),
+            (3, "fresh content with nothing shared across the corpus here"),
+            (4, "the quick brown fox jumps over the lazy dog today"),  # full dup
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = substring_dup_removal(df, "doc_id", "text", k=5, min_count=2)
+        return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+    def test_owner_keeps_everything(self, cleaned):
+        # doc 1 is the global first occurrence of the shared run
+        assert cleaned[1]["n_removed"] == 0
+
+    def test_non_owners_lose_the_run(self, cleaned):
+        assert cleaned[2]["n_removed"] == 10  # 10-token run removed
+        assert cleaned[4]["n_removed"] == 10  # full-dup doc emptied
+
+    def test_untouched_doc(self, cleaned):
+        assert cleaned[3]["n_removed"] == 0
+
+    def test_cleaned_hash_matches_surviving_tokens(self, spark, cleaned):
+        import hashlib
+
+        def h60(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        assert cleaned[2]["cleaned_hash"] == h60("intro words end")
+        assert cleaned[4]["cleaned_hash"] == h60("")  # emptied doc
+        assert cleaned[1]["cleaned_hash"] == h60(
+            "the quick brown fox jumps over the lazy dog today"
+        )
