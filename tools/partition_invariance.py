@@ -77,6 +77,8 @@ QUERIES = [
     "stream_watermark_late_routing",
     "merge_surrogate_keys",
     "pipeline_feature_matrix",
+    "stats_auc_mann_whitney",
+    "text_substring_dup_removal",
 ]
 
 PARTITIONS = (1, 7, 200)
