@@ -188,3 +188,62 @@ def bloom_might_contain(
     return checked.groupBy(item_col).agg(
         F.min(F.col("hit").cast("int")).cast("boolean").alias("might_contain")
     )
+
+def bloom_as_map(bloom: DataFrame) -> DataFrame:
+    """Collapse a ``bloom_build`` word table to ONE row holding a
+    ``map<word, bits>`` — the shape a shuffle-free semi-join reduction
+    wants: the single row broadcasts via ``crossJoin(broadcast(...))``
+    and every fact row checks its bits with pure JVM expressions.
+
+    At the default ``m`` the map is 256 entries / ~4 KiB — negligible
+    against a broadcast variable, and independent of both corpus and
+    filter-build cardinality.
+    """
+    return bloom.agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("word", "bits")))
+        ).alias("__bloom")
+    )
+
+
+def bloom_reduce(
+    fact: DataFrame,
+    bloom_map: DataFrame,
+    item_col: str,
+    m: int = BLOOM_BITS,
+    k: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Shuffle-free Bloom semi-join reduction of a fact table.
+
+    The 100 TB join problem this solves: a selective predicate on the
+    dimension side leaves a key set too large to broadcast as an exact
+    IN-list but tiny as a bit set. Building the Bloom over the dim keys
+    and applying it to the fact side BELOW the shuffle means the
+    Exchange carries only rows that can possibly match — the same idea
+    as Spark's runtime row-level bloom filtering
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``), but explicit,
+    engine-portable (md5 hash family → reproducible in the DuckDB
+    oracle), and usable across connector boundaries where the optimizer
+    cannot inject it.
+
+    No false negatives by construction, so a subsequent EXACT join
+    yields results identical to the unreduced join — false positives
+    only cost shuffle bytes. The predicate is ``k`` static conjuncts of
+    map lookups + bit tests: no explode, no groupBy, no per-row Python —
+    the fact scan stays one WholeStageCodegen span.
+    """
+    out = fact.crossJoin(F.broadcast(bloom_map))
+    cond = F.lit(True)
+    for i in range(k):
+        pos = _bit_pos(F.col(item_col), i, m)
+        word = F.floor(pos / 32).cast("long")
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), F.pmod(pos, F.lit(32)).cast("int")
+        )
+        hit = (
+            F.coalesce(F.element_at(F.col("__bloom"), word), F.lit(0))
+            .bitwiseAND(bit)
+            != 0
+        )
+        cond = cond & hit
+    return out.filter(cond).drop("__bloom")

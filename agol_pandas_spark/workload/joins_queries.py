@@ -403,3 +403,60 @@ def join_asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_event_id",
         "purchase_value",
     )
+
+
+@register(
+    "join_bloom_semi_reduction",
+    tags=("join", "sketch", "scale"),
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING' AND c.c_acctbal < 0
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_bloom_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom semi-join reduction (``operators/sketches.py:bloom_reduce``):
+    the selective dimension predicate (delinquent BUILDING customers)
+    compresses its key set to an 8192-bit Bloom map; the orders fact
+    side is filtered through it BELOW the join shuffle — zero false
+    negatives, so the subsequent EXACT shuffle join returns results
+    identical to the unreduced join (which is precisely what the oracle
+    computes, bloom-free). This is the explicit, connector-portable form
+    of runtime row-level bloom filtering: at 100 TB the Exchange carries
+    only can-possibly-match rows instead of the whole fact table.
+    Mechanism (reduction factor, no-false-negative invariant, plan
+    shape) pinned in tests/test_plans.py and tests/test_joins.py.
+    """
+    from agol_pandas_spark.operators.sketches import (
+        bloom_as_map,
+        bloom_build,
+        bloom_reduce,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    dim = (
+        cat.table("customer")
+        .filter((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") < 0))
+        .select("c_custkey")
+    )
+    bloom_map = bloom_as_map(
+        bloom_build(dim.select(F.col("c_custkey").cast("string").alias("k")), "k")
+    )
+    fact = cat.table("orders").withColumn(
+        "__k", F.col("o_custkey").cast("string")
+    )
+    reduced = bloom_reduce(fact, bloom_map, "__k").drop("__k")
+    # exact join scrubs bloom false positives; merge hint models the
+    # big-dim regime where broadcast is off the table and the reduction
+    # actually pays (the shuffle moves only bloom survivors)
+    joined = reduced.join(dim.hint("merge"), reduced.o_custkey == dim.c_custkey)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("total_cents"),
+    )

@@ -369,3 +369,50 @@ def test_asof_nearest_tolerance_unshadows_far_backward(spark):
         right_cols=["v"], direction="nearest", tolerance_seconds=5,
     ).collect()
     assert r3["v"] == "near_fwd"
+
+
+class TestBloomSemiReduction:
+    """operators/sketches.py: bloom_as_map + bloom_reduce — the
+    shuffle-free fact-side semi-join reduction."""
+
+    def test_no_false_negatives_and_real_reduction(self, spark):
+        from agol_pandas_spark.operators.sketches import (
+            bloom_as_map,
+            bloom_build,
+            bloom_reduce,
+        )
+
+        keys = spark.range(0, 40).select(
+            (F.col("id") * 7).cast("string").alias("k")
+        )
+        fact = spark.range(0, 5000).select(
+            F.col("id").alias("fid"), F.col("id").cast("string").alias("k")
+        )
+        bmap = bloom_as_map(bloom_build(keys, "k"))
+        kept = bloom_reduce(fact, bmap, "k")
+        kept_ids = {r.fid for r in kept.collect()}
+        true_ids = {i * 7 for i in range(40) if i * 7 < 5000}
+        # every true match survives the filter (no false negatives)
+        assert true_ids <= kept_ids
+        # and the reduction actually reduced: FP rate with m=8192, k=4,
+        # n=40 is ~1e-5 — far under 1% of the 5000 probes
+        assert len(kept_ids) <= len(true_ids) + 50
+
+    def test_query_plan_shape(self, spark, sf_dir):
+        from agol_pandas_spark.plans.explain import formatted_plan
+        from agol_pandas_spark.workload import load_all
+
+        df = load_all()["join_bloom_semi_reduction"].fn(spark, sf_dir)
+        plan = formatted_plan(df)
+        # the bloom map applies via a single-row broadcast (BNLJ), and
+        # the exact join stays the modeled shuffle join — no cartesian
+        # over real data, no broadcast of the dim (which would make the
+        # reduction moot in the regime this query models)
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "SortMergeJoin" in plan
+        assert "CartesianProduct" not in plan
+        # bloom predicate (md5 'bloomN_' family) evaluates fact-side
+        # BELOW the fact Exchange: in the formatted tree the SMJ prints
+        # before its children, so the BNLJ must appear after it
+        tree = plan.split("== Initial Plan ==")[0]
+        assert tree.index("SortMergeJoin") < tree.index("BroadcastNestedLoopJoin")
