@@ -3674,3 +3674,306 @@ def stats_auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div (n_pos * (n - n_pos)) as long)"
         ).alias("auc_ppm"),
     )
+
+
+@register(
+    "mining_association_rules",
+    tags=("mining", "apriori", "baskets"),
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM baskets),
+    item AS (
+      SELECT brand, COUNT(*) AS n_item FROM baskets GROUP BY brand),
+    freq AS (
+      SELECT item.brand, item.n_item FROM item CROSS JOIN n
+      WHERE item.n_item * 100 >= n.n_orders),
+    pair AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS n_pair
+      FROM baskets a
+      JOIN freq fa ON fa.brand = a.brand
+      JOIN baskets b ON a.ok = b.ok AND a.brand < b.brand
+      JOIN freq fb ON fb.brand = b.brand
+      GROUP BY 1, 2)
+    SELECT p.brand_a, p.brand_b,
+           CAST(p.n_pair AS BIGINT) AS n_pair,
+           CAST(p.n_pair * 1000000 // fa.n_item AS BIGINT) AS conf_a_to_b_ppm,
+           CAST(p.n_pair * 1000000 // fb.n_item AS BIGINT) AS conf_b_to_a_ppm,
+           CAST(p.n_pair * n.n_orders * 1000000
+                // (fa.n_item * fb.n_item) AS BIGINT) AS lift_ppm
+    FROM pair p
+    JOIN freq fa ON fa.brand = p.brand_a
+    JOIN freq fb ON fb.brand = p.brand_b
+    CROSS JOIN n
+    WHERE p.n_pair * 200 >= n.n_orders
+    """,
+)
+def mining_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori-style association rules over order baskets: which part
+    brands co-occur in the same order beyond chance. Exact integers
+    end-to-end — support counts, confidence and lift in integer ppm
+    (floor division), no doubles anywhere.
+
+    Scale posture: baskets collapse to DISTINCT (order, brand) first
+    (map-side combine); infrequent brands (< 1% of orders) are pruned
+    via a broadcast semi-join BEFORE pair generation — the apriori
+    antimonotonicity cut that keeps the self-join from exploding on the
+    heavy tail; the pair self-join shuffles on the order key where each
+    basket contributes at most |basket|² rows; pair supports re-shuffle
+    on the (a, b) key pair — bounded by the frequent-brand square, not
+    the corpus. Min pair support 0.5% of orders.
+    """
+    cat = Catalog(spark, sf_dir)
+    li = cat.table("lineitem").select("l_orderkey", "l_partkey")
+    part = cat.table("part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n_orders_df = baskets.agg(
+        F.count_distinct("ok").alias("n_orders")
+    )
+    item = baskets.groupBy("brand").agg(F.count(F.lit(1)).alias("n_item"))
+    freq = (
+        item.crossJoin(F.broadcast(n_orders_df))
+        .filter(F.col("n_item") * 100 >= F.col("n_orders"))
+        .select("brand", "n_item")
+    )
+    fa = F.broadcast(freq.select(F.col("brand").alias("brand_a"),
+                                 F.col("n_item").alias("n_a")))
+    fb = F.broadcast(freq.select(F.col("brand").alias("brand_b"),
+                                 F.col("n_item").alias("n_b")))
+    a = baskets.select("ok", F.col("brand").alias("brand_a")).join(fa, "brand_a")
+    b = baskets.select("ok", F.col("brand").alias("brand_b")).join(fb, "brand_b")
+    pairs = (
+        a.join(b.drop("n_b"), "ok")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    return (
+        pairs.join(fa, "brand_a")
+        .join(fb, "brand_b")
+        .crossJoin(F.broadcast(n_orders_df))
+        .filter(F.col("n_pair") * 200 >= F.col("n_orders"))
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            F.expr("n_pair * 1000000L div n_a").cast("long")
+            .alias("conf_a_to_b_ppm"),
+            F.expr("n_pair * 1000000L div n_b").cast("long")
+            .alias("conf_b_to_a_ppm"),
+            F.expr("n_pair * n_orders * 1000000L div (n_a * n_b)")
+            .cast("long")
+            .alias("lift_ppm"),
+        )
+    )
+
+
+_FD_CANDIDATES: dict[str, list[tuple[str, str]]] = {
+    # table -> [(determinant, dependent)]; mix of holding and failing
+    # dependencies so both verdicts are exercised
+    "nation": [("n_nationkey", "n_regionkey")],
+    "customer": [("c_nationkey", "c_mktsegment")],
+    "orders": [("o_orderkey", "o_orderstatus"), ("o_custkey", "o_orderpriority")],
+    "lineitem": [("l_partkey", "l_suppkey")],
+    "documents": [("doc_id", "lang"), ("source", "lang")],
+}
+
+
+def _fd_oracle() -> str:
+    parts = []
+    for tbl, cands in _FD_CANDIDATES.items():
+        for det, dep in cands:
+            parts.append(f"""
+    SELECT '{tbl}' AS tbl, '{det}' AS determinant, '{dep}' AS dependent,
+           CAST((SELECT COUNT(DISTINCT {det}) FROM {tbl}) AS BIGINT) AS n_det,
+           CAST((SELECT COUNT(*) FROM (SELECT DISTINCT {det}, {dep} FROM {tbl}))
+                AS BIGINT) AS n_pairs,
+           (SELECT COUNT(DISTINCT {det}) FROM {tbl}) =
+           (SELECT COUNT(*) FROM (SELECT DISTINCT {det}, {dep} FROM {tbl}))
+             AS holds""")
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "profile_functional_deps",
+    tags=("profile", "quality", "metadata"),
+    oracle=_fd_oracle(),
+)
+def profile_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery (Metanome/Tane-style profiling,
+    verification step): a candidate FD ``det → dep`` holds iff
+    ``|distinct det| == |distinct (det, dep)|``. All of a table's
+    candidates evaluate in ONE aggregation over ONE scan (Spark expands
+    the multi-distinct into a single Expand+partial-agg pass — per-
+    candidate scans would read the 100 TB corpus once per candidate);
+    the per-table single-row results union into the report. Candidates
+    cover both verdicts: key-like FDs hold, genuinely multivalued
+    attributes fail.
+    """
+    cat = Catalog(spark, sf_dir)
+    reports = []
+    for tbl, cands in _FD_CANDIDATES.items():
+        df = cat.table(tbl)
+        aggs = []
+        for det, dep in cands:
+            aggs.append(F.count_distinct(F.col(det)).alias(f"d_{det}_{dep}"))
+            aggs.append(
+                F.count_distinct(F.col(det), F.col(dep)).alias(f"p_{det}_{dep}")
+            )
+        one = df.agg(*aggs)
+        for det, dep in cands:
+            reports.append(
+                one.select(
+                    F.lit(tbl).alias("tbl"),
+                    F.lit(det).alias("determinant"),
+                    F.lit(dep).alias("dependent"),
+                    F.col(f"d_{det}_{dep}").cast("long").alias("n_det"),
+                    F.col(f"p_{det}_{dep}").cast("long").alias("n_pairs"),
+                    (F.col(f"d_{det}_{dep}") == F.col(f"p_{det}_{dep}")).alias(
+                        "holds"
+                    ),
+                )
+            )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+@register(
+    "link_fellegi_sunter_weights",
+    tags=("linkage", "entity-resolution", "blocking"),
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey AS id, c_nationkey AS nat, c_mktsegment AS seg,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+             CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS band
+      FROM customer),
+    n AS (SELECT COUNT(*) AS n FROM c),
+    u_seg AS (
+      SELECT GREATEST((SELECT SUM(cnt * cnt) FROM
+               (SELECT COUNT(*) AS cnt FROM c GROUP BY seg))
+             * 1000000 // (n.n * n.n), 1) AS u FROM n),
+    u_band AS (
+      SELECT GREATEST((SELECT SUM(cnt * cnt) FROM
+               (SELECT COUNT(*) AS cnt FROM c GROUP BY band))
+             * 1000000 // (n.n * n.n), 1) AS u FROM n),
+    u_cents AS (
+      SELECT GREATEST((SELECT SUM(cnt * cnt) FROM
+               (SELECT COUNT(*) AS cnt FROM c GROUP BY cents))
+             * 1000000 // (n.n * n.n), 1) AS u FROM n),
+    cand AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM c a JOIN c b
+        ON a.nat = b.nat AND a.seg = b.seg AND a.band = b.band
+       AND a.id < b.id
+      UNION
+      SELECT a.id, b.id
+      FROM c a JOIN c b
+        ON a.nat = b.nat AND a.cents = b.cents AND a.id < b.id)
+    SELECT cand.id_a, cand.id_b,
+           ca.seg = cb.seg AS agree_seg,
+           ca.band = cb.band AS agree_band,
+           ca.cents = cb.cents AS agree_cents,
+           CAST(CASE WHEN ca.seg = cb.seg
+                     THEN 1000000000000 // u_seg.u ELSE 0 END
+              + CASE WHEN ca.band = cb.band
+                     THEN 1000000000000 // u_band.u ELSE 0 END
+              + CASE WHEN ca.cents = cb.cents
+                     THEN 1000000000000 // u_cents.u ELSE 0 END
+             AS BIGINT) AS score
+    FROM cand
+    JOIN c ca ON ca.id = cand.id_a
+    JOIN c cb ON cb.id = cand.id_b
+    CROSS JOIN u_seg CROSS JOIN u_band CROSS JOIN u_cents
+    """,
+)
+def link_fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage, Splink-style: multi-pass blocked
+    candidate generation + frequency-derived u-probability weights —
+    exact integers end-to-end.
+
+    u-probability per comparison field = the chance two RANDOM records
+    agree on it, computed from the value histogram as sum(c_v^2)/N^2 in
+    floor ppm (GREATEST 1 guards near-unique fields). A field's match
+    weight is the Fellegi-Sunter agreement surprise 1/u (m assumed ~1;
+    linear domain instead of log2 so the score stays an exact BIGINT),
+    and a candidate pair's score sums the weights of its agreeing
+    fields — rare agreements (exact balance cents) dominate common ones
+    (market segment), which is the entire FS insight.
+
+    Scale posture: candidates come from TWO blocking passes — (nation,
+    segment, balance band) and (nation, exact cents) — each a shuffle
+    on its block key with per-block pair fan-out bounded by block size,
+    then UNION-deduped; the full quadratic pair space is never
+    materialized. Value histograms are map-side-combined aggregates;
+    the three u-weights broadcast as single-row tables.
+    """
+    cat = Catalog(spark, sf_dir)
+    c = cat.table("customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        F.expr("cast(round(c_acctbal * 100) as bigint) div 100000")
+        .cast("long")
+        .alias("band"),
+    )
+    n_df = c.agg(F.count(F.lit(1)).alias("n"))
+
+    def u_weight(field: str, alias: str) -> DataFrame:
+        hist = c.groupBy(field).agg(F.count(F.lit(1)).alias("cnt"))
+        return (
+            hist.agg(F.sum(F.col("cnt") * F.col("cnt")).alias("ss"))
+            .crossJoin(F.broadcast(n_df))
+            .select(
+                F.greatest(
+                    F.expr("ss * 1000000L div (n * n)"), F.lit(1).cast("long")
+                ).alias(alias)
+            )
+        )
+
+    a = c.select(*[F.col(x).alias(f"{x}_a") for x in c.columns])
+    b = c.select(*[F.col(x).alias(f"{x}_b") for x in c.columns])
+    pass1 = a.join(
+        b,
+        (F.col("nat_a") == F.col("nat_b"))
+        & (F.col("seg_a") == F.col("seg_b"))
+        & (F.col("band_a") == F.col("band_b"))
+        & (F.col("id_a") < F.col("id_b")),
+    )
+    pass2 = a.join(
+        b,
+        (F.col("nat_a") == F.col("nat_b"))
+        & (F.col("cents_a") == F.col("cents_b"))
+        & (F.col("id_a") < F.col("id_b")),
+    )
+    cand = pass1.select("id_a", "id_b").union(pass2.select("id_a", "id_b")).distinct()
+    attrs = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .crossJoin(F.broadcast(u_weight("seg", "u_seg")))
+        .crossJoin(F.broadcast(u_weight("band", "u_band")))
+        .crossJoin(F.broadcast(u_weight("cents", "u_cents")))
+    )
+    w = lambda agree, u: F.when(agree, F.expr(f"1000000000000L div {u}")).otherwise(  # noqa: E731
+        F.lit(0).cast("long")
+    )
+    agree_seg = F.col("seg_a") == F.col("seg_b")
+    agree_band = F.col("band_a") == F.col("band_b")
+    agree_cents = F.col("cents_a") == F.col("cents_b")
+    return attrs.select(
+        "id_a",
+        "id_b",
+        agree_seg.alias("agree_seg"),
+        agree_band.alias("agree_band"),
+        agree_cents.alias("agree_cents"),
+        (w(agree_seg, "u_seg") + w(agree_band, "u_band") + w(agree_cents, "u_cents"))
+        .cast("long")
+        .alias("score"),
+    )

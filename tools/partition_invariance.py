@@ -79,6 +79,10 @@ QUERIES = [
     "pipeline_feature_matrix",
     "stats_auc_mann_whitney",
     "text_substring_dup_removal",
+    "join_bloom_semi_reduction",
+    "mining_association_rules",
+    "profile_functional_deps",
+    "link_fellegi_sunter_weights",
 ]
 
 PARTITIONS = (1, 7, 200)
