@@ -67,3 +67,17 @@ class SchemaMismatchError(EngineError):
     otherwise surface as an opaque Catalyst union error — or worse, an
     implicit lossy coercion. Fail fast, naming the conflicting columns;
     cast explicitly upstream if the evolution is intended."""
+
+
+class ConstraintViolationError(EngineError):
+    """A declarative CHECK constraint rejected a write: at least one
+    source row evaluates a check predicate to FALSE (NULL/unknown passes,
+    per SQL CHECK semantics). Carries ``counts`` — rule name → number of
+    violating rows — so the caller sees every failing rule from the ONE
+    validation scan, not just the first. The write never reaches the
+    two-phase commit; the target is untouched."""
+
+    def __init__(self, counts: dict[str, int]):
+        self.counts = dict(counts)
+        rules = ", ".join(f"{k}: {v} rows" for k, v in sorted(self.counts.items()))
+        super().__init__(f"CHECK constraint(s) violated — {rules}")

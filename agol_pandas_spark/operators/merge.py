@@ -258,6 +258,7 @@ def write_table(
     mode: str | WriteMode = WriteMode.APPEND,
     key: str | Sequence[str] | None = None,
     prune: bool = False,
+    checks: dict[str, str] | None = None,
 ) -> str:
     """Materialize a merge into a catalog table, create-if-absent.
 
@@ -267,6 +268,12 @@ def write_table(
     ``rollback=True`` (``:453``). Fixes the reference's ``:581`` validation
     bug (it raised whenever an id *was* supplied).
 
+    ``checks`` (rule name → SQL predicate) are declarative CHECK
+    constraints validated against the SOURCE in one scan before anything
+    is written (``operators/constraints.enforce_checks``); a violation
+    raises ``ConstraintViolationError`` with every failing rule's count
+    and leaves the target untouched.
+
     ``prune=True`` routes keyed modes through :func:`merge_pruned` — the
     copy-on-write path that rewrites only the files whose key span can
     contain a source key and carries every other file into the new
@@ -274,6 +281,10 @@ def write_table(
     upsert touching 0.1% of keys stops paying a full-table rewrite.
     """
     m = WriteMode.parse(mode) if isinstance(mode, str) else mode
+    if checks:
+        from agol_pandas_spark.operators.constraints import enforce_checks
+
+        enforce_checks(source, checks)
     if not catalog.exists(name):
         if source.isEmpty():
             raise EmptyInputError("source DataFrame is empty")

@@ -335,3 +335,58 @@ class TestSurrogateKeys:
         df = spark.createDataFrame([(1,), (1,)], "nk long")
         with pytest.raises(Exception):
             assign_surrogate_keys(df, order_by=["nk"]).collect()
+
+
+class TestCheckConstraints:
+    """operators/constraints.py: declarative CHECK enforcement on write."""
+
+    def test_violations_collect_all_rules_in_one_pass(self, spark):
+        from agol_pandas_spark.errors import ConstraintViolationError
+        from agol_pandas_spark.operators.constraints import enforce_checks
+
+        df = spark.createDataFrame(
+            [(1, 10.0), (2, -5.0), (3, None), (None, 3.0)],
+            "k long, v double",
+        )
+        with pytest.raises(ConstraintViolationError) as ei:
+            enforce_checks(
+                df,
+                {
+                    "v_nonneg": "v >= 0",          # row 2 fails; NULL v passes
+                    "k_not_null": "k IS NOT NULL",  # last row fails
+                    "v_below_cap": "v < 1000",      # nobody fails
+                },
+            )
+        assert ei.value.counts == {"v_nonneg": 1, "k_not_null": 1}
+
+    def test_null_predicate_passes_like_sql_check(self, spark):
+        from agol_pandas_spark.operators.constraints import enforce_checks
+
+        df = spark.createDataFrame([(1, None), (2, 5.0)], "k long, v double")
+        # v >= 0 is UNKNOWN for the NULL row — SQL CHECK lets it through
+        assert enforce_checks(df, {"v_nonneg": "v >= 0"}) is df
+
+    def test_write_table_checks_leave_target_untouched(self, spark, tmp_path):
+        from agol_pandas_spark.catalog import Catalog
+        from agol_pandas_spark.errors import ConstraintViolationError
+        from agol_pandas_spark.operators.merge import write_table
+
+        cat = Catalog(spark, str(tmp_path))
+        good = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+        write_table(cat, good, "t", mode="overwrite", key="k",
+                    checks={"v_nonneg": "v >= 0"})
+        bad = spark.createDataFrame([(2, -1.0), (3, 30.0)], "k long, v double")
+        with pytest.raises(ConstraintViolationError):
+            write_table(cat, bad, "t", mode="upsert", key="k",
+                        checks={"v_nonneg": "v >= 0"})
+        # rejected write never reached the two-phase commit
+        assert sorted(tuple(r) for r in cat.table("t").collect()) == [
+            (1, 10.0), (2, 20.0),
+        ]
+        # and a passing write still goes through with checks on
+        fix = spark.createDataFrame([(2, 2.0)], "k long, v double")
+        write_table(cat, fix, "t", mode="upsert", key="k",
+                    checks={"v_nonneg": "v >= 0"})
+        assert sorted(tuple(r) for r in cat.table("t").collect()) == [
+            (1, 10.0), (2, 2.0),
+        ]
