@@ -3977,3 +3977,231 @@ def link_fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("score"),
     )
+
+
+@register(
+    "stats_welch_t2_one_vs_rest",
+    tags=("stats", "hypothesis-test", "drift"),
+    oracle="""
+    WITH x AS (
+      SELECT o_orderpriority AS pri,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    g0 AS (
+      SELECT pri, COUNT(*) AS n,
+             SUM(CAST(cents AS DECIMAL(38,0))) AS s_dec,
+             CAST(SUM(CAST(cents AS DECIMAL(38,0))
+                      * CAST(cents AS DECIMAL(38,0))) AS HUGEINT) AS q_int
+      FROM x GROUP BY pri),
+    -- DuckDB's direct DECIMAL(38,0)/HUGEINT -> DOUBLE cast is off by one
+    -- ulp for some values past 2^63 (not correctly rounded); the exact
+    -- hi/lo split below reproduces Spark's correctly-rounded cast:
+    -- both halves are integer-exact in a double, and the final
+    -- mul-add is the same IEEE expression both engines evaluate.
+    g AS (
+      SELECT pri, n, CAST(s_dec AS DOUBLE) AS s,
+             CAST(q_int // 4294967296 AS DOUBLE) * 4294967296
+               + CAST(q_int % 4294967296 AS DOUBLE) AS q
+      FROM g0),
+    tot0 AS (
+      SELECT COUNT(*) AS tn,
+             SUM(CAST(cents AS DECIMAL(38,0))) AS ts_dec,
+             CAST(SUM(CAST(cents AS DECIMAL(38,0))
+                      * CAST(cents AS DECIMAL(38,0))) AS HUGEINT) AS tq_int
+      FROM x),
+    tot AS (
+      SELECT tn, CAST(ts_dec AS DOUBLE) AS ts,
+             CAST(tq_int // 4294967296 AS DOUBLE) * 4294967296
+               + CAST(tq_int % 4294967296 AS DOUBLE) AS tq
+      FROM tot0),
+    ovr AS (
+      SELECT g.pri, g.n AS n_a, tot.tn - g.n AS n_b,
+             g.s / g.n AS m_a, (tot.ts - g.s) / (tot.tn - g.n) AS m_b,
+             (g.n * g.q - g.s * g.s) / (CAST(g.n AS DOUBLE) * (g.n - 1))
+               AS v_a,
+             ((tot.tn - g.n) * (tot.tq - g.q)
+              - (tot.ts - g.s) * (tot.ts - g.s))
+             / (CAST(tot.tn - g.n AS DOUBLE) * (tot.tn - g.n - 1)) AS v_b
+      FROM g CROSS JOIN tot)
+    SELECT pri, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           m_a - m_b AS mean_diff_cents,
+           ((m_a - m_b) * (m_a - m_b)) / (v_a / n_a + v_b / n_b) AS t2,
+           ((v_a / n_a + v_b / n_b) * (v_a / n_a + v_b / n_b))
+           / ((v_a / n_a) * (v_a / n_a) / (n_a - 1)
+              + (v_b / n_b) * (v_b / n_b) / (n_b - 1)) AS welch_df
+    FROM ovr
+    """,
+)
+def stats_welch_t2_one_vs_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t² for every order-priority class at once
+    (one-vs-rest): does this class's mean order value differ from the
+    rest's beyond what its variance explains. ONE scan: per-class exact
+    integer moments (n, Σcents, Σcents² in DECIMAL(38,0) — Σx² passes
+    2⁶³ at sf≥0.1) plus the grand totals; the rest-side moments are
+    exact decimal subtractions, and only the final scalar t²/df assembly
+    runs in doubles — per-row IEEE arithmetic over exact aggregates,
+    bit-reproducible across engines because the aggregation itself never
+    touched floats. df is the Welch-Satterthwaite effective dof.
+    """
+    x = Catalog(spark, sf_dir).table("orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    dec = F.col("cents").cast("decimal(38,0)")
+    split = (
+        "CAST({c} div 4294967296 AS DOUBLE) * 4294967296D "
+        "+ CAST({c} % 4294967296 AS DOUBLE)"
+    )
+    g = x.groupBy("pri").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).cast("double").alias("s"),
+        F.sum(dec * dec).alias("q_dec"),
+    ).select(
+        "pri", "n", "s", F.expr(split.format(c="q_dec")).alias("q")
+    )
+    tot = x.agg(
+        F.count(F.lit(1)).alias("tn"),
+        F.sum(dec).cast("double").alias("ts"),
+        F.sum(dec * dec).alias("tq_dec"),
+    ).select(
+        "tn", "ts", F.expr(split.format(c="tq_dec")).alias("tq")
+    )
+    both = g.crossJoin(F.broadcast(tot)).select(
+        "pri",
+        F.col("n").alias("n_a"),
+        (F.col("tn") - F.col("n")).alias("n_b"),
+        (F.col("s") / F.col("n")).alias("m_a"),
+        ((F.col("ts") - F.col("s")) / (F.col("tn") - F.col("n"))).alias("m_b"),
+        (
+            (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+            / (F.col("n").cast("double") * (F.col("n") - 1))
+        ).alias("v_a"),
+        (
+            (
+                (F.col("tn") - F.col("n")) * (F.col("tq") - F.col("q"))
+                - (F.col("ts") - F.col("s")) * (F.col("ts") - F.col("s"))
+            )
+            / (
+                (F.col("tn") - F.col("n")).cast("double")
+                * (F.col("tn") - F.col("n") - 1)
+            )
+        ).alias("v_b"),
+    )
+    se2_a = F.col("v_a") / F.col("n_a")
+    se2_b = F.col("v_b") / F.col("n_b")
+    diff = F.col("m_a") - F.col("m_b")
+    return both.select(
+        "pri",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        diff.alias("mean_diff_cents"),
+        ((diff * diff) / (se2_a + se2_b)).alias("t2"),
+        (
+            ((se2_a + se2_b) * (se2_a + se2_b))
+            / (
+                se2_a * se2_a / (F.col("n_a") - 1)
+                + se2_b * se2_b / (F.col("n_b") - 1)
+            )
+        ).alias("welch_df"),
+    )
+
+
+_POISSON_PPM = (367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990)
+
+
+def _poisson_case_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POISSON_PPM)
+    )
+    return f"CASE {branches} ELSE {len(_POISSON_PPM)} END"
+
+
+@register(
+    "stats_poisson_bootstrap_ci",
+    tags=("stats", "bootstrap", "resampling"),
+    oracle=f"""
+    WITH x AS (
+      SELECT o_orderkey AS id,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    reps AS (
+      SELECT x.id, x.cents, r.b,
+             {_poisson_case_sql(
+                 "CAST(('0x' || substring(md5('boot' || r.b || '_' || x.id),"
+                 "1, 15)) AS BIGINT) % 1000000")} AS w
+      FROM x CROSS JOIN (SELECT unnest(range(32)) AS b) r),
+    means AS (
+      SELECT b, SUM(w) AS n_eff,
+             SUM(w * cents) * 100 // SUM(w) AS mean_cc
+      FROM reps GROUP BY b),
+    sorted_means AS (
+      SELECT list_sort(list(mean_cc)) AS ms FROM means),
+    point AS (
+      SELECT COUNT(*) AS n, SUM(cents) * 100 // COUNT(*) AS point_mean_cc
+      FROM x)
+    SELECT CAST(point.n AS BIGINT) AS n,
+           CAST(point.point_mean_cc AS BIGINT) AS point_mean_cc,
+           CAST(sorted_means.ms[2] AS BIGINT) AS ci_lo_cc,
+           CAST(sorted_means.ms[31] AS BIGINT) AS ci_hi_cc
+    FROM point CROSS JOIN sorted_means
+    """,
+)
+def stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass distributed bootstrap CI for the mean order value — the
+    Poisson(1) trick: resampling-with-replacement across a cluster is
+    impossible to coordinate per-replica, but each row's multiplicity in
+    replica b is ~Poisson(1), independent across rows, so 32 bootstrap
+    replicas materialize as 32 deterministic hash-derived weights and
+    ONE weighted aggregation. No data movement beyond a 32-row shuffle:
+    rows explode onto the replica axis, weights come from the portable
+    md5 hash quantized to ppm against the Poisson(1) CDF, and each
+    replica's weighted mean reduces with map-side combine. The 95% CI
+    reads ranks 2 and 31 of the 32 sorted replica means (~3rd/97th
+    percentile); all arithmetic is exact integer (means in centi-cents
+    via floor division).
+    """
+    from agol_pandas_spark.functions.text import portable_hash60
+
+    x = Catalog(spark, sf_dir).table("orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    reps = x.select(
+        "id", "cents", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b")
+    )
+    u = F.pmod(
+        portable_hash60(
+            F.concat(F.lit("boot"), F.col("b"), F.lit("_"), F.col("id"))
+        ),
+        F.lit(1000000),
+    )
+    w = F.lit(len(_POISSON_PPM))
+    for k, t in reversed(list(enumerate(_POISSON_PPM))):
+        w = F.when(u < t, F.lit(k)).otherwise(w)
+    means = (
+        reps.withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            F.sum("w").alias("n_eff"),
+            F.expr("sum(w * cents) * 100L div sum(w)").alias("mean_cc"),
+        )
+    )
+    # 32 replica means: CI bounds via a sorted array in one single-group
+    # agg — no window (a global window, even a 32-row one, is banned by
+    # the registry-wide plan pin), no second shuffle
+    ci = means.agg(
+        F.array_sort(F.collect_list("mean_cc")).alias("ms")
+    ).select(
+        F.element_at("ms", 2).alias("ci_lo_cc"),
+        F.element_at("ms", 31).alias("ci_hi_cc"),
+    )
+    point = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("sum(cents) * 100L div count(1)").alias("point_mean_cc"),
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        "n",
+        F.col("point_mean_cc").cast("long").alias("point_mean_cc"),
+        F.col("ci_lo_cc").cast("long").alias("ci_lo_cc"),
+        F.col("ci_hi_cc").cast("long").alias("ci_hi_cc"),
+    )

@@ -83,6 +83,8 @@ QUERIES = [
     "mining_association_rules",
     "profile_functional_deps",
     "link_fellegi_sunter_weights",
+    "stats_welch_t2_one_vs_rest",
+    "stats_poisson_bootstrap_ci",
 ]
 
 PARTITIONS = (1, 7, 200)
