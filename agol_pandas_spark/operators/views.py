@@ -1,0 +1,61 @@
+"""Incremental maintenance of materialized join views.
+
+A materialized join view over an append-only fact table does not need
+re-deriving when a batch of fact rows arrives: for an inner or left join
+against a static dimension, the delta algebra is simply
+``V' = V ∪ (Δfact ⋈ dim)`` — the classic incremental view maintenance
+identity restricted to insert-only deltas. At 100 TB this is the
+difference between a refresh costing O(|Δ|) and re-joining the whole
+fact history on every batch.
+
+The commit path makes the O(|Δ|) promise physical, not just logical:
+every existing view file carries into the new snapshot BY REFERENCE
+(hard link via ``Catalog.write_with_carryover`` — zero copy, zero
+re-read) and only the delta join materializes new files, all under the
+same atomic two-phase swap every other write uses.
+
+No counterpart in the reference (its service re-uploads full result
+sets, ``src/agol_pandas.py:396``); north-star scope per SURVEY §2b.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from agol_pandas_spark.errors import EmptyInputError, TableNotFoundError
+
+
+def refresh_join_view(
+    catalog,
+    name: str,
+    delta: DataFrame,
+    dim: DataFrame,
+    on,
+    how: str = "inner",
+) -> dict:
+    """Append ``Δfact ⋈ dim`` to materialized view ``name``; existing
+    files carry by reference. Returns ``{"path", "files_carried",
+    "files_total"}``.
+
+    Correctness contract (caller's obligations, documented not checked —
+    they are not knowable from the inputs): ``delta`` contains only fact
+    rows not already reflected in the view, and ``dim`` is unchanged
+    since the view was derived. ``how`` must be ``inner`` or ``left`` —
+    the join types whose insert-only delta is itself a pure append
+    (a full/right join's delta could retract previously-emitted
+    NULL-padded rows).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"delta append-only maintenance needs inner/left, got {how!r}")
+    if not catalog.exists(name):
+        raise TableNotFoundError(f"no view {name!r} to refresh")
+    if delta.isEmpty():
+        raise EmptyInputError("delta is empty — nothing to refresh")
+    carry = catalog.data_files(name)
+    joined = delta.join(dim, on, how)
+    path = catalog.write_with_carryover(joined, name, carry_files=carry)
+    return {
+        "path": path,
+        "files_carried": len(carry),
+        "files_total": len(catalog.data_files(name)),
+    }

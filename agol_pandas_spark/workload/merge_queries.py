@@ -840,3 +840,79 @@ def merge_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sk").cast("long").alias("sk_checksum"),
         F.sum(F.col("nk") * F.col("sk")).cast("long").alias("pair_checksum"),
     )
+
+
+@register(
+    "merge_incremental_join_view",
+    tags=("merge", "incremental", "view-maintenance"),
+    oracle="""
+    SELECT o.o_orderpriority, c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY o.o_orderpriority, c.c_mktsegment
+    """,
+)
+def merge_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance
+    (``operators/views.refresh_join_view``): the orders⋈customer view is
+    derived once from the pre-1997 fact history, then a year's batch of
+    new orders arrives and the refresh joins ONLY the delta — every
+    pre-existing view file carries into the new snapshot by hard-link
+    reference (the in-query raise proves inode survival: zero bytes of
+    old view re-read or re-written). The oracle derives the whole view
+    from scratch and aggregates it — identical contents is the entire
+    point of the maintenance identity V' = V ∪ (Δfact ⋈ dim).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from agol_pandas_spark.operators.views import refresh_join_view
+
+    src = Catalog(spark, sf_dir)
+    orders = src.table("orders")
+    cust = src.table("customer").select("c_custkey", "c_mktsegment")
+    cutoff = F.lit("1997-01-01").cast("date")
+    cols = ["o_orderkey", "o_orderpriority", "o_totalprice", "c_mktsegment"]
+
+    root = tempfile.mkdtemp(prefix="ivm_")
+    cat = Catalog(spark, root)
+    initial = (
+        orders.filter(F.col("o_orderdate") < cutoff)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(*cols)
+    )
+    cat.write(initial, "view", mode="error")
+    before = {
+        os.path.basename(p): os.stat(p).st_ino for p in cat.data_files("view")
+    }
+
+    delta = orders.filter(F.col("o_orderdate") >= cutoff)
+    stats = refresh_join_view(
+        cat, "view", delta, F.broadcast(cust),
+        delta.o_custkey == cust.c_custkey,
+    )
+    after = {
+        os.path.basename(p): os.stat(p).st_ino for p in cat.data_files("view")
+    }
+    carried = {b: i for b, i in after.items() if b in before}
+    if carried != before or stats["files_total"] <= stats["files_carried"]:
+        raise RuntimeError(
+            f"carryover broke: {len(carried)}/{len(before)} files survived, "
+            f"stats {stats}"
+        )
+    out = (
+        cat.table("view")
+        .groupBy("o_orderpriority", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("total_cents"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -434,3 +434,47 @@ class TestTombstoneSoftDelete:
         assert os.path.exists(side)
         cat.drop("t")
         assert not os.path.exists(side)
+
+
+class TestRefreshJoinView:
+    """operators/views.py: incremental join-view maintenance."""
+
+    def test_refresh_appends_delta_join_and_carries_files(self, spark, tmp_path):
+        import os
+
+        from agol_pandas_spark.catalog import Catalog
+        from agol_pandas_spark.operators.views import refresh_join_view
+
+        cat = Catalog(spark, str(tmp_path))
+        dim = spark.createDataFrame([(1, "x"), (2, "y")], "k long, attr string")
+        fact0 = spark.createDataFrame([(10, 1), (11, 2)], "fid long, k long")
+        cat.write(fact0.join(dim, "k"), "v", mode="error")
+        inodes = {os.path.basename(p): os.stat(p).st_ino
+                  for p in cat.data_files("v")}
+        delta = spark.createDataFrame([(12, 1), (13, 9)], "fid long, k long")
+        stats = refresh_join_view(cat, "v", delta, dim, "k")
+        assert stats["files_total"] > stats["files_carried"] > 0
+        after = {os.path.basename(p): os.stat(p).st_ino
+                 for p in cat.data_files("v")}
+        assert all(after[b] == i for b, i in inodes.items())
+        got = sorted((r.fid, r.k, r.attr) for r in cat.table("v").collect())
+        # k=9 has no dim row -> inner join drops it, like a full re-derive
+        assert got == [(10, 1, "x"), (11, 2, "y"), (12, 1, "x")]
+
+    def test_refresh_rejects_bad_inputs(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from agol_pandas_spark.catalog import Catalog
+        from agol_pandas_spark.errors import EmptyInputError, TableNotFoundError
+        from agol_pandas_spark.operators.views import refresh_join_view
+
+        cat = Catalog(spark, str(tmp_path))
+        dim = spark.createDataFrame([(1, "x")], "k long, attr string")
+        delta = spark.createDataFrame([(12, 1)], "fid long, k long")
+        with _pytest.raises(TableNotFoundError):
+            refresh_join_view(cat, "missing", delta, dim, "k")
+        cat.write(delta.join(dim, "k"), "v", mode="error")
+        with _pytest.raises(ValueError):
+            refresh_join_view(cat, "v", delta, dim, "k", how="full")
+        with _pytest.raises(EmptyInputError):
+            refresh_join_view(cat, "v", delta.filter("fid < 0"), dim, "k")

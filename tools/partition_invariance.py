@@ -85,6 +85,7 @@ QUERIES = [
     "link_fellegi_sunter_weights",
     "stats_welch_t2_one_vs_rest",
     "stats_poisson_bootstrap_ci",
+    "merge_incremental_join_view",
 ]
 
 PARTITIONS = (1, 7, 200)
