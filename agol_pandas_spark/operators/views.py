@@ -59,3 +59,43 @@ def refresh_join_view(
         "files_carried": len(carry),
         "files_total": len(catalog.data_files(name)),
     }
+
+
+def write_audit_publish(
+    catalog,
+    name: str,
+    source: DataFrame,
+    audits: dict,
+    mode: str = "upsert",
+    key=None,
+    keep_versions: int = 0,
+) -> str:
+    """Iceberg-style Write-Audit-Publish: stage the post-merge table to
+    an audit branch, validate the ENTIRE branch contents against
+    ``audits`` (rule name → SQL predicate, CHECK semantics), and publish
+    by atomic directory swap only when every audit passes.
+
+    The difference from ``write_table(checks=...)`` is *what* is
+    audited: source-side checks can only see the incoming rows, while a
+    WAP audit sees the full post-merge state — table-level invariants
+    (a merge that would resurrect a deleted row, drift a distribution,
+    or break a cross-row rule) are only visible there. Publish is a
+    rename — the staged branch IS the new snapshot, so a pass costs no
+    second write and a fail costs no cleanup of the target (which the
+    swap never touched); the failed branch is dropped and the error
+    carries every failing rule's violation count.
+    """
+    from agol_pandas_spark.operators.constraints import enforce_checks
+    from agol_pandas_spark.operators.merge import merge
+
+    branch = f"{name}__audit"
+    result = merge(catalog.table(name), source, mode, key)
+    if catalog.exists(branch):
+        catalog.drop(branch)
+    catalog.write(result, branch, mode="error")
+    try:
+        enforce_checks(catalog.table(branch), audits)
+    except Exception:
+        catalog.drop(branch)
+        raise
+    return catalog._swap_in(catalog.path(branch), name, keep_versions)

@@ -916,3 +916,73 @@ def merge_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "merge_write_audit_publish",
+    tags=("merge", "wap", "quality-gate"),
+    oracle="""
+    WITH delta AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             c_acctbal + 100.0 AS c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 10 = 3)
+    SELECT c.c_custkey, c.c_name, c.c_nationkey,
+           CASE WHEN d.c_custkey IS NOT NULL
+                THEN d.c_acctbal ELSE c.c_acctbal END AS c_acctbal,
+           c.c_mktsegment
+    FROM customer c LEFT JOIN delta d ON c.c_custkey = d.c_custkey
+    """,
+)
+def merge_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish (``operators/views.write_audit_publish``):
+    upserts stage to an audit branch, the audit validates the FULL
+    post-merge table (not just the incoming rows), and only a passing
+    branch publishes — by rename, never a second write. Two batches run:
+    a poisoned one (absurd balances) whose audit REJECTS it — the
+    in-query raise proves the published table's files are untouched,
+    byte-for-byte — then a clean +100.00 adjustment that passes and
+    publishes. The oracle replays only the clean batch's upsert, which
+    is exactly what a correct WAP gate must leave behind.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from agol_pandas_spark.errors import ConstraintViolationError
+    from agol_pandas_spark.operators.views import write_audit_publish
+
+    src = Catalog(spark, sf_dir)
+    cust = src.table("customer")
+    root = tempfile.mkdtemp(prefix="wap_")
+    cat = Catalog(spark, root)
+    cat.write(cust, "c", mode="error")
+    audits = {"bal_sane": "c_acctbal BETWEEN -100000 AND 100000"}
+    before = {
+        os.path.basename(p): (os.stat(p).st_ino, os.stat(p).st_mtime_ns)
+        for p in cat.data_files("c")
+    }
+
+    tenth = F.col("c_custkey") % 10 == 3
+    bad = cust.filter(tenth).withColumn(
+        "c_acctbal", F.col("c_acctbal") + F.lit(10_000_000.0)
+    )
+    rejected = False
+    try:
+        write_audit_publish(cat, "c", bad, audits, mode="upsert", key="c_custkey")
+    except ConstraintViolationError:
+        rejected = True
+    after_fail = {
+        os.path.basename(p): (os.stat(p).st_ino, os.stat(p).st_mtime_ns)
+        for p in cat.data_files("c")
+    }
+    if not rejected or after_fail != before or cat.exists("c__audit"):
+        raise RuntimeError("audit gate leaked: rejected write touched the table")
+
+    good = cust.filter(tenth).withColumn(
+        "c_acctbal", F.col("c_acctbal") + F.lit(100.0)
+    )
+    write_audit_publish(cat, "c", good, audits, mode="upsert", key="c_custkey")
+    out = cat.table("c").localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out

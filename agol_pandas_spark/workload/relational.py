@@ -4205,3 +4205,71 @@ def stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ci_lo_cc").cast("long").alias("ci_lo_cc"),
         F.col("ci_hi_cc").cast("long").alias("ci_hi_cc"),
     )
+
+
+@register(
+    "subquery_q21_waiting_suppliers",
+    tags=("subquery", "decorrelation", "tpch"),
+    oracle="""
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    """,
+)
+def subquery_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's correlation shape on this schema's columns: the sole
+    at-fault supplier per finalized order — the supplier's line was
+    returned, the order had OTHER suppliers (EXISTS), and none of the
+    others' lines were returned (NOT EXISTS). The two correlated
+    subqueries are expressed directly as the physical plans Catalyst
+    would decorrelate them into — a left-semi and a left-anti join, each
+    with a composite (equi on orderkey + inequality on suppkey)
+    condition — so the whole query is one shuffle family on the order
+    key plus a broadcast supplier lookup; no per-row re-execution of a
+    subquery anywhere. (The reference schema lacks receipt/commit dates;
+    returnflag stands in for lateness, preserving the join structure.)
+    """
+    cat = Catalog(spark, sf_dir)
+    li = cat.table("lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+    orders = cat.table("orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey"
+    )
+    supp = cat.table("supplier").select("s_suppkey", "s_name")
+    l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    out = (
+        l1.join(orders, l1.l_orderkey == orders.o_orderkey).drop("o_orderkey")
+        .join(
+            l2,
+            (F.col("l_orderkey") == F.col("ok2"))
+            & (F.col("l_suppkey") != F.col("sk2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("ok3"))
+            & (F.col("l_suppkey") != F.col("sk3")),
+            "left_anti",
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
+    return out

@@ -86,6 +86,8 @@ QUERIES = [
     "stats_welch_t2_one_vs_rest",
     "stats_poisson_bootstrap_ci",
     "merge_incremental_join_view",
+    "subquery_q21_waiting_suppliers",
+    "merge_write_audit_publish",
 ]
 
 PARTITIONS = (1, 7, 200)
