@@ -4273,3 +4273,163 @@ def subquery_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
     )
     return out
+
+
+@register(
+    "join_q07_nation_volume",
+    tags=("join", "tpch", "star"),
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           {SQL_DSUM(REVENUE.replace('l_', 'l.l_'), 'volume')},
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+)
+def join_q07_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): revenue flow between every
+    supplier-nation → customer-nation pair by ship year, two-year
+    window. Five-way star: supplier and both nation legs broadcast
+    (tiny dims), the lineitem↔orders equi-join is the only real
+    shuffle, and the shipdate range predicate pushes to the parquet
+    scan so the two-year window prunes row groups before anything
+    joins. Revenue via the engine's quantized-integer double sum
+    (bit-reproducible across engines).
+    """
+    cat = Catalog(spark, sf_dir)
+    li = cat.table("lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    supp = cat.table("supplier").select("s_suppkey", "s_nationkey")
+    orders = cat.table("orders").select("o_orderkey", "o_custkey")
+    cust = cat.table("customer").select("c_custkey", "c_nationkey")
+    n1 = cat.table("nation").select(
+        F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = cat.table("nation").select(
+        F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            dsum(rev, "volume"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "filter_q19_disjunctive_revenue",
+    tags=("filter", "tpch", "pushdown"),
+    oracle=f"""
+    SELECT {SQL_DSUM(REVENUE.replace('l_', 'l.l_'), 'revenue')},
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def filter_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, disjunctive predicates): the
+    OR-of-ANDs filter the optimizer must not lose. Catalyst extracts
+    the common conjuncts each disjunct implies — l_quantity ≤ 30 and
+    p_size ≥ 1 bound every branch — and pushes those to the respective
+    scans as PushedFilters, while the full disjunction evaluates after
+    the broadcast join with part. At 100 TB the extracted bounds are
+    what keeps the lineitem scan from reading every row group; the
+    plan pin in tests/test_plans.py holds Catalyst to it.
+    """
+    cat = Catalog(spark, sf_dir)
+    li = cat.table("lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = cat.table("part").select("p_partkey", "p_brand", "p_size")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    branch = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.filter(
+            branch("Brand#3", 5, 1, 11)
+            | branch("Brand#15", 10, 10, 20)
+            | branch("Brand#22", 15, 20, 30)
+        ).agg(
+            dsum(rev, "revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "top_q10_returned_customers",
+    tags=("topk", "tpch", "join"),
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           {SQL_DSUM(REVENUE.replace('l_', 'l.l_'), 'revenue')}
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate < DATE '1996-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY 4 DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def top_q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): the 20 customers who
+    returned the most revenue in a quarter. Orders prune on the date
+    range at the scan, lineitem prunes on returnflag, customer+nation
+    broadcast, and the final top-20 runs as TakeOrderedAndProject —
+    per-partition heads merged on the driver, never a global sort of
+    the grouped result. Ties break on the key so the limit is
+    deterministic.
+    """
+    cat = Catalog(spark, sf_dir)
+    cust = cat.table("customer").select("c_custkey", "c_name", "c_nationkey")
+    orders = cat.table("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("date"))
+    ).select("o_orderkey", "o_custkey")
+    li = cat.table("lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    nat = cat.table("nation").select("n_nationkey", "n_name")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(rev, "revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )

@@ -507,3 +507,25 @@ def test_whitelisted_global_windows_still_exist(spark, sf_dir):
     for name in sorted(GLOBAL_WINDOW_BOUNDED_OK):
         df = REGISTRY[name].fn(spark, sf_dir)
         assert _global_windows(df), f"{name} no longer has a global window"
+
+
+def test_q19_disjunctive_pushdown(q):
+    """Q19's OR-of-ANDs must split per side and reach both scans: the
+    quantity disjunction pushes to lineitem, the brand/size disjunction
+    to part — losing either reads the full table at 100 TB."""
+    fs = pushed_filters(q("filter_q19_disjunctive_revenue"))
+    text = " ".join(fs)
+    assert "l_quantity" in text and "Or(" in text
+    assert "p_brand" in text and "p_size" in text
+
+
+def test_q10_topk_and_broadcast_dims(q):
+    plan = formatted_plan(q("top_q10_returned_customers"))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q07_star_no_cartesian(q):
+    plan = formatted_plan(q("join_q07_nation_volume"))
+    assert plan.count("BroadcastHashJoin") >= 6  # tree + details, >=3 dims
+    assert "CartesianProduct" not in plan

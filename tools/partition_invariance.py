@@ -88,6 +88,9 @@ QUERIES = [
     "merge_incremental_join_view",
     "subquery_q21_waiting_suppliers",
     "merge_write_audit_publish",
+    "join_q07_nation_volume",
+    "filter_q19_disjunctive_revenue",
+    "top_q10_returned_customers",
 ]
 
 PARTITIONS = (1, 7, 200)
