@@ -284,6 +284,66 @@ class Catalog:
             out.append(entry)
         return out
 
+    def storage_stats(self, name: str) -> "DataFrame":
+        """Distributed per-column storage profile from parquet footers:
+        one output row per (file, column) with row-group count, value
+        count, and compressed/uncompressed byte totals — the input a
+        compaction/encoding planner needs (which columns bloat, which
+        files fragment) WITHOUT scanning any data.
+
+        The file list fans out over executors and each partition reads
+        only footers via pyarrow (``mapInPandas`` — at 100 TB the
+        catalog holds ~10⁵ files and a driver-side loop like
+        :meth:`file_key_spans` would serialize ~minutes of metadata
+        I/O; spans stay driver-side only because the pruned-merge path
+        needs them in a plain dict). Aggregate per column with
+        ``groupBy("column")`` downstream.
+        """
+        import pandas as _pd
+
+        from pyspark.sql import types as _T
+
+        files = self.data_files(name)
+        schema = _T.StructType(
+            [
+                _T.StructField("file", _T.StringType()),
+                _T.StructField("column", _T.StringType()),
+                _T.StructField("n_row_groups", _T.LongType()),
+                _T.StructField("n_values", _T.LongType()),
+                _T.StructField("compressed_bytes", _T.LongType()),
+                _T.StructField("uncompressed_bytes", _T.LongType()),
+            ]
+        )
+
+        def read_footers(batches):
+            import pyarrow.parquet as _pq
+
+            for pdf in batches:
+                rows = []
+                for f in pdf["path"]:
+                    meta = _pq.ParquetFile(f).metadata
+                    per = {}
+                    for rg in range(meta.num_row_groups):
+                        for ci in range(meta.num_columns):
+                            col = meta.row_group(rg).column(ci)
+                            e = per.setdefault(
+                                col.path_in_schema, [0, 0, 0, 0]
+                            )
+                            e[0] += 1
+                            e[1] += col.num_values
+                            e[2] += col.total_compressed_size
+                            e[3] += col.total_uncompressed_size
+                    for cname, (nrg, nv, cb, ub) in per.items():
+                        rows.append((f, cname, nrg, nv, cb, ub))
+                yield _pd.DataFrame(
+                    rows, columns=[f.name for f in schema.fields]
+                )
+
+        paths = self.spark.createDataFrame(
+            [(f,) for f in files], "path string"
+        ).repartition(min(len(files), 64))
+        return paths.mapInPandas(read_footers, schema)
+
     def write_with_carryover(
         self,
         df: DataFrame,

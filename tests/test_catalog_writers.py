@@ -478,3 +478,41 @@ class TestRefreshJoinView:
             refresh_join_view(cat, "v", delta, dim, "k", how="full")
         with _pytest.raises(EmptyInputError):
             refresh_join_view(cat, "v", delta.filter("fid < 0"), dim, "k")
+
+
+class TestStorageStats:
+    """Catalog.storage_stats: distributed footer sweep vs DuckDB's
+    parquet_metadata ground truth."""
+
+    def test_matches_duckdb_parquet_metadata(self, spark, tmp_path, sf_dir):
+        import duckdb
+
+        from agol_pandas_spark.catalog import Catalog
+
+        cat = Catalog(spark, str(tmp_path))
+        src = Catalog(spark, sf_dir).table("orders").repartition(4)
+        cat.write(src, "o", mode="error")
+        got = {
+            (r.column,): (r.n_row_groups, r.n_values,
+                          r.compressed_bytes, r.uncompressed_bytes)
+            for r in cat.storage_stats("o")
+            .groupBy("column")
+            .agg(
+                F.sum("n_row_groups").alias("n_row_groups"),
+                F.sum("n_values").alias("n_values"),
+                F.sum("compressed_bytes").alias("compressed_bytes"),
+                F.sum("uncompressed_bytes").alias("uncompressed_bytes"),
+            )
+            .collect()
+        }
+        con = duckdb.connect()
+        files = cat.data_files("o")
+        want = {}
+        for r in con.execute(
+            "SELECT path_in_schema, COUNT(*), SUM(num_values), "
+            "SUM(total_compressed_size), SUM(total_uncompressed_size) "
+            f"FROM parquet_metadata({files!r}) GROUP BY 1"
+        ).fetchall():
+            want[(r[0],)] = (int(r[1]), int(r[2]), int(r[3]), int(r[4]))
+        assert got == want
+        assert len(got) == len(src.columns)
