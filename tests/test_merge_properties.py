@@ -7,6 +7,7 @@ pandas-dict reference implementation of the reference's server semantics
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -336,3 +337,71 @@ def test_pruned_merge_equals_full_merge(
     assert stats["pruned"] is True
     got = sorted(map(tuple, cat.table("t").collect()))
     assert got == expected, f"mode={mode} files={n_files} range={range_layout}"
+
+
+@given(
+    member=st.lists(st.integers(0, 10_000), min_size=1, max_size=60,
+                    unique=True),
+    probes=st.lists(st.integers(0, 10_000), min_size=1, max_size=120,
+                    unique=True),
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bloom_reduce_never_drops_a_member(spark, member, probes):
+    """Property: bloom_reduce keeps EVERY probe whose key is in the
+    member set (no false negatives) — the invariant the exact join after
+    the reduction relies on for correctness."""
+    from agol_pandas_spark.operators.sketches import (
+        bloom_as_map,
+        bloom_build,
+        bloom_reduce,
+    )
+
+    keys = spark.createDataFrame(
+        pd.DataFrame({"k": [str(m) for m in member]}), "k string"
+    )
+    fact = spark.createDataFrame(
+        pd.DataFrame({"fid": probes, "k": [str(p) for p in probes]}),
+        "fid long, k string",
+    )
+    kept = {
+        r.fid
+        for r in bloom_reduce(fact, bloom_as_map(bloom_build(keys, "k")), "k")
+        .collect()
+    }
+    assert set(member) & set(probes) <= kept
+
+
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=40,
+    ),
+    cut=st.integers(-500, 500),
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_check_constraints_count_matches_python_semantics(spark, vals, cut):
+    """Property: enforce_checks' violation count equals the Python
+    recompute under SQL CHECK semantics (NULL passes, only FALSE
+    violates)."""
+    from agol_pandas_spark.errors import ConstraintViolationError
+    from agol_pandas_spark.operators.constraints import enforce_checks
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"v": pd.array(vals, dtype="Int64")}), "v long"
+    )
+    expected = sum(1 for v in vals if v is not None and not (v >= cut))
+    if expected == 0:
+        assert enforce_checks(df, {"r": f"v >= {cut}"}) is df
+    else:
+        with pytest.raises(ConstraintViolationError) as ei:
+            enforce_checks(df, {"r": f"v >= {cut}"})
+        assert ei.value.counts == {"r": expected}
