@@ -516,3 +516,62 @@ class TestStorageStats:
             want[(r[0],)] = (int(r[1]), int(r[2]), int(r[3]), int(r[4]))
         assert got == want
         assert len(got) == len(src.columns)
+
+
+class TestWriteAuditPublish:
+    """operators/views.write_audit_publish mechanism: staging isolation,
+    crash recovery, and publish atomicity."""
+
+    def _cat(self, spark, tmp_path):
+        cat = Catalog(spark, str(tmp_path))
+        t = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+        cat.write(t, "t", mode="error")
+        return cat
+
+    def test_stale_audit_branch_from_crash_is_replaced(self, spark, tmp_path):
+        from agol_pandas_spark.operators.views import write_audit_publish
+
+        cat = self._cat(spark, tmp_path)
+        # simulate a crash AFTER staging, BEFORE publish: a stale branch
+        # left on disk with garbage contents
+        stale = spark.createDataFrame([(99, -1.0)], "k long, v double")
+        cat.write(stale, "t__audit", mode="error")
+        good = spark.createDataFrame([(3, 30.0)], "k long, v double")
+        write_audit_publish(cat, "t", good, {"v_pos": "v > 0"},
+                            mode="upsert", key="k")
+        got = sorted(tuple(r) for r in cat.table("t").collect())
+        # the stale branch's garbage row must NOT leak into the publish
+        assert got == [(1, 10.0), (2, 20.0), (3, 30.0)]
+        assert not cat.exists("t__audit")
+
+    def test_failed_audit_drops_branch_and_preserves_versions(
+        self, spark, tmp_path
+    ):
+        import pytest as _pytest
+
+        from agol_pandas_spark.errors import ConstraintViolationError
+        from agol_pandas_spark.operators.views import write_audit_publish
+
+        cat = self._cat(spark, tmp_path)
+        bad = spark.createDataFrame([(3, -5.0)], "k long, v double")
+        with _pytest.raises(ConstraintViolationError) as ei:
+            write_audit_publish(cat, "t", bad, {"v_pos": "v > 0"},
+                                mode="upsert", key="k")
+        assert ei.value.counts == {"v_pos": 1}
+        assert not cat.exists("t__audit")
+        assert sorted(tuple(r) for r in cat.table("t").collect()) == [
+            (1, 10.0), (2, 20.0),
+        ]
+
+    def test_publish_with_versioning_enables_rollback(self, spark, tmp_path):
+        from agol_pandas_spark.operators.views import write_audit_publish
+
+        cat = self._cat(spark, tmp_path)
+        good = spark.createDataFrame([(2, 99.0)], "k long, v double")
+        write_audit_publish(cat, "t", good, {"v_pos": "v > 0"},
+                            mode="upsert", key="k", keep_versions=2)
+        assert cat.versions("t")
+        cat.restore("t", cat.versions("t")[-1])
+        assert sorted(tuple(r) for r in cat.table("t").collect()) == [
+            (1, 10.0), (2, 20.0),
+        ]
