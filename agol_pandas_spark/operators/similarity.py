@@ -1503,3 +1503,59 @@ def matryoshka_rerank_topk(
     return rescored.withColumn("rnk", F.row_number().over(wk)).filter(
         F.col("rnk") <= k
     )
+
+
+def hard_negative_topk(
+    emb: DataFrame,
+    corpus_id: str,
+    label_col: str,
+    probe_filter: Column,
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Contrastive-training hard-negative mining: for each probe vector,
+    the ``k`` nearest neighbors whose LABEL DIFFERS — the negatives that
+    look most like positives are the ones worth training against.
+
+    Same scale shape as :func:`brute_force_topk` (probes broadcast with
+    hoisted norms, corpus scanned once, per-partition WindowGroupLimit
+    prunes before the per-probe shuffle) plus one pair predicate:
+    ``label_q != label_c`` evaluates inside the broadcast join, so
+    same-label pairs never reach scoring. Output: (query_id, corpus_id,
+    cosine, rnk) with deterministic id tie-break.
+    """
+    from agol_pandas_spark.operators.chunking import spread_small_scan
+
+    q = emb.filter(probe_filter).select(
+        F.col(corpus_id).alias("__qid"),
+        F.col(label_col).alias("__qlabel"),
+        F.col(vec_col).alias("__qvec"),
+        _norm_exact(F.col(vec_col)).alias("__qnorm"),
+    )
+    c = spread_small_scan(emb).select(
+        F.col(corpus_id).alias("__cid"),
+        F.col(label_col).alias("__clabel"),
+        F.col(vec_col).alias("__cvec"),
+        _norm_exact(F.col(vec_col)).alias("__cnorm"),
+    )
+    cos = F.try_divide(
+        _dot_scaled(F.col("__qvec"), F.col("__cvec")).cast("double")
+        / F.lit(float(VSCALE)),
+        F.col("__qnorm") * F.col("__cnorm"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("__qlabel") != F.col("__clabel"))
+        .select(
+            F.col("__qid").alias("query_id"),
+            F.col("__cid").alias("neg_id"),
+            cos.alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neg_id")
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )

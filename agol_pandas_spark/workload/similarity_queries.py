@@ -911,3 +911,36 @@ def sim_matryoshka_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         coarse_c=50,
         k=10,
     )
+
+
+@register(
+    "sim_hard_negative_mining",
+    tags=("similarity", "contrastive", "training"),
+    oracle=_sql_pair_cosine(
+        """
+    pairs AS (
+      SELECT q.vec_id AS qid, q.embedding AS qv, c.vec_id AS cid, c.embedding AS cv
+      FROM embeddings q JOIN embeddings c ON q.label <> c.label
+      WHERE q.vec_id % 50 = 0)
+    """
+    )
+    + """
+    SELECT qid AS query_id, cid AS neg_id, cosine, rnk FROM (
+      SELECT qid, cid, cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rnk
+      FROM cosines)
+    WHERE rnk <= 5
+    """,
+)
+def sim_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training
+    (``operators/similarity.hard_negative_topk``): per probe, the 5
+    most-similar OTHER-label vectors — the label inequality evaluates
+    inside the broadcast pair join so same-label pairs never score, and
+    the per-probe top-5 prunes per partition (WindowGroupLimit) before
+    the probe-key shuffle."""
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    return similarity.hard_negative_topk(
+        emb, corpus_id="vec_id", label_col="label",
+        probe_filter=F.col("vec_id") % 50 == 0, k=5,
+    )

@@ -91,6 +91,7 @@ QUERIES = [
     "join_q07_nation_volume",
     "filter_q19_disjunctive_revenue",
     "top_q10_returned_customers",
+    "sim_hard_negative_mining",
 ]
 
 PARTITIONS = (1, 7, 200)
