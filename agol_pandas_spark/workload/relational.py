@@ -3979,6 +3979,32 @@ def link_fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# Exact-integer → double conversion past 2^63: DuckDB's direct
+# DECIMAL(38,0)/HUGEINT→DOUBLE cast is off by one ulp for some values
+# (observed: 25220379160838261152), while Spark/Python round correctly.
+# Splitting into (value div 2^32, value mod 2^32) — both integer-exact in
+# a double up to ~2^85 — and reassembling with one mul-add makes BOTH
+# engines evaluate the same IEEE expression, so the doubles match
+# bit-for-bit. Spark side takes the decimal column name; DuckDB side
+# must route through HUGEINT (its DECIMAL // operator goes through
+# float, HUGEINT // is exact).
+def SPLIT_DOUBLE(col: str) -> str:
+    """Spark SQL fragment: correctly-rounded double of an exact decimal."""
+    return (
+        f"CAST({col} div 4294967296 AS DOUBLE) * 4294967296D "
+        f"+ CAST({col} % 4294967296 AS DOUBLE)"
+    )
+
+
+def SQL_SPLIT_DOUBLE(expr: str) -> str:
+    """DuckDB fragment matching :func:`SPLIT_DOUBLE` bit-for-bit."""
+    return (
+        f"CAST(CAST({expr} AS HUGEINT) // 4294967296 AS DOUBLE) * 4294967296 "
+        f"+ CAST(CAST({expr} AS HUGEINT) % 4294967296 AS DOUBLE)"
+    )
+
+
 @register(
     "stats_welch_t2_one_vs_rest",
     tags=("stats", "hypothesis-test", "drift"),
@@ -4048,23 +4074,19 @@ def stats_welch_t2_one_vs_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
     dec = F.col("cents").cast("decimal(38,0)")
-    split = (
-        "CAST({c} div 4294967296 AS DOUBLE) * 4294967296D "
-        "+ CAST({c} % 4294967296 AS DOUBLE)"
-    )
     g = x.groupBy("pri").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(dec).cast("double").alias("s"),
         F.sum(dec * dec).alias("q_dec"),
     ).select(
-        "pri", "n", "s", F.expr(split.format(c="q_dec")).alias("q")
+        "pri", "n", "s", F.expr(SPLIT_DOUBLE("q_dec")).alias("q")
     )
     tot = x.agg(
         F.count(F.lit(1)).alias("tn"),
         F.sum(dec).cast("double").alias("ts"),
         F.sum(dec * dec).alias("tq_dec"),
     ).select(
-        "tn", "ts", F.expr(split.format(c="tq_dec")).alias("tq")
+        "tn", "ts", F.expr(SPLIT_DOUBLE("tq_dec")).alias("tq")
     )
     both = g.crossJoin(F.broadcast(tot)).select(
         "pri",
@@ -4432,4 +4454,96 @@ def top_q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(rev, "revenue"))
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
+    )
+
+
+@register(
+    "stats_spearman_rank_corr",
+    tags=("stats", "ranks", "correlation"),
+    oracle=f"""
+    WITH x AS (
+      SELECT l_returnflag AS g,
+             CAST(round(l_quantity) AS BIGINT) AS xv,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS yv
+      FROM lineitem),
+    hx AS (
+      SELECT g, xv, COUNT(*) AS c,
+             2 * (SUM(COUNT(*)) OVER (PARTITION BY g ORDER BY xv)
+                  - COUNT(*)) + COUNT(*) + 1 AS rx2
+      FROM x GROUP BY g, xv),
+    hy AS (
+      SELECT g, yv, COUNT(*) AS c,
+             2 * (SUM(COUNT(*)) OVER (PARTITION BY g ORDER BY yv)
+                  - COUNT(*)) + COUNT(*) + 1 AS ry2
+      FROM x GROUP BY g, yv),
+    r AS (
+      SELECT x.g, hx.rx2, hy.ry2
+      FROM x JOIN hx ON hx.g = x.g AND hx.xv = x.xv
+             JOIN hy ON hy.g = x.g AND hy.yv = x.yv),
+    m AS (
+      SELECT g, COUNT(*) AS n,
+             SUM(CAST(rx2 AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(ry2 AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(rx2 AS DECIMAL(38,0)) * rx2) AS sxx,
+             SUM(CAST(ry2 AS DECIMAL(38,0)) * ry2) AS syy,
+             SUM(CAST(rx2 AS DECIMAL(38,0)) * ry2) AS sxy
+      FROM r GROUP BY g)
+    SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+           ({SQL_SPLIT_DOUBLE('n * sxy - sx * sy')})
+           / (sqrt({SQL_SPLIT_DOUBLE('n * sxx - sx * sx')})
+              * sqrt({SQL_SPLIT_DOUBLE('n * syy - sy * sy')})) AS rho
+    FROM m
+    """,
+)
+def stats_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and extended price per
+    return flag — the tie-corrected definition (Pearson over tie-averaged
+    ranks), computed without ever ranking row-at-a-time: each variable
+    collapses to a per-group value histogram, the cumulative window runs
+    over DISTINCT values partitioned by group (histogram-sized, never
+    corpus-sized), and tie-averaged ranks stay exact integers in DOUBLED
+    units (avg2 = 2·cum_before + c + 1). Rank moments accumulate in
+    DECIMAL(38,0) (sx·sy passes 2⁶³ at sf0.1); the final ρ assembly uses
+    the split-cast helpers (both engines evaluate the identical IEEE
+    expression — sqrt is IEEE-correctly-rounded everywhere, unlike
+    ln/exp) so the doubles match bit-for-bit.
+    """
+    x = Catalog(spark, sf_dir).table("lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.round("l_quantity").cast("long").alias("xv"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("yv"),
+    )
+    from pyspark.sql.window import Window as W
+
+    def hist_ranks(col: str, rank_name: str) -> DataFrame:
+        h = x.groupBy("g", col).agg(F.count(F.lit(1)).alias("c"))
+        w = W.partitionBy("g").orderBy(col)
+        return h.select(
+            "g",
+            col,
+            (
+                2 * (F.sum("c").over(w) - F.col("c")) + F.col("c") + 1
+            ).alias(rank_name),
+        )
+    r = (
+        x.join(hist_ranks("xv", "rx2"), ["g", "xv"])
+        .join(hist_ranks("yv", "ry2"), ["g", "yv"])
+    )
+    dx = F.col("rx2").cast("decimal(38,0)")
+    dy = F.col("ry2").cast("decimal(38,0)")
+    m = r.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dx).alias("sx"),
+        F.sum(dy).alias("sy"),
+        F.sum(dx * F.col("rx2")).alias("sxx"),
+        F.sum(dy * F.col("ry2")).alias("syy"),
+        F.sum(dx * F.col("ry2")).alias("sxy"),
+    )
+    num = SPLIT_DOUBLE("(n * sxy - sx * sy)")
+    d1 = SPLIT_DOUBLE("(n * sxx - sx * sx)")
+    d2 = SPLIT_DOUBLE("(n * syy - sy * sy)")
+    return m.select(
+        F.col("g").alias("l_returnflag"),
+        F.col("n").cast("long").alias("n"),
+        F.expr(f"({num}) / (sqrt({d1}) * sqrt({d2}))").alias("rho"),
     )

@@ -92,6 +92,7 @@ QUERIES = [
     "filter_q19_disjunctive_revenue",
     "top_q10_returned_customers",
     "sim_hard_negative_mining",
+    "stats_spearman_rank_corr",
 ]
 
 PARTITIONS = (1, 7, 200)
