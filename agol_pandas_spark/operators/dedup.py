@@ -1687,3 +1687,60 @@ def substring_dup_removal(
         (F.size("__toks") - F.size(kept)).cast("int").alias("n_removed"),
         portable_hash60(F.array_join(kept, " ")).alias("cleaned_hash"),
     )
+
+
+def kcore(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    k: int = 2,
+    max_rounds: int = 6,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly delete
+    nodes of degree < k (and their edges) until stable. The surviving
+    subgraph — every node keeping ≥ k neighbors *within* the core — is
+    the cohesive heart of a near-dup graph: boilerplate/template
+    families dense enough that spot-fixing single pairs won't dissolve
+    them, the clusters a curation pass should handle wholesale.
+
+    Returns ``(node, core_degree)`` over the k-core, degrees measured
+    inside the core. Each round is one degree aggregation plus two
+    semi-joins on the survivor set, lineage cut per round
+    (``_cut_lineage``; pass ``checkpoint_dir`` for executor-loss-safe
+    reliable checkpoints). Peeling removes at least one node per
+    non-final round, but in practice collapses geometrically — the
+    driver checks one edge-count scalar per round and raises
+    :class:`ConvergenceError` if ``max_rounds`` passes still shrink,
+    so a truncated (wrong) core can never be returned silently.
+    """
+    sym = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    e = _cut_lineage(sym, checkpoint_dir)
+    n_edges = e.count()
+    for _ in range(max_rounds):
+        keep = (
+            e.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("__d"))
+            .filter(F.col("__d") >= k)
+            .select("a")
+        )
+        e_next = _cut_lineage(
+            e.join(keep, "a", "left_semi").join(
+                keep.select(F.col("a").alias("b")), "b", "left_semi"
+            ),
+            checkpoint_dir,
+        )
+        n_next = e_next.count()
+        e = e_next
+        if n_next == n_edges:
+            break
+        n_edges = n_next
+    else:
+        raise ConvergenceError(
+            f"k-core peeling still shrinking after {max_rounds} rounds"
+        )
+    return e.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("core_degree")
+    )

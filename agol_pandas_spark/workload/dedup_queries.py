@@ -1074,3 +1074,46 @@ def text_substring_dup_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     is value-checked via its portable hash; corpus text never shuffles."""
     docs = Catalog(spark, sf_dir).table("documents")
     return dedup.substring_dup_removal(docs, "doc_id", "text", k=5, min_count=2)
+
+
+def _sql_kcore_unroll(k: int, rounds: int) -> str:
+    """Unrolled peeling rounds over CTE ``e0`` (symmetric edges)."""
+    parts = []
+    for i in range(rounds):
+        # every e{i}/k{i} is referenced more than once downstream; without
+        # MATERIALIZED DuckDB may inline them, re-evaluating the expensive
+        # SimHash base once per reference — exponential in the unroll depth
+        parts.append(
+            f"k{i} AS MATERIALIZED "
+            f"(SELECT a FROM e{i} GROUP BY a HAVING COUNT(*) >= {k})"
+        )
+        parts.append(
+            f"e{i + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e{i} e "
+            f"JOIN k{i} ka ON ka.a = e.a JOIN k{i} kb ON kb.a = e.b)"
+        )
+    return ", ".join(parts)
+
+
+@register(
+    "graph_kcore_boilerplate",
+    tags=("graph", "kcore", "dedup"),
+    oracle=f"""
+    WITH shp AS ({REGISTRY["dedup_simhash_band_pairs"].oracle}),
+    pairs AS MATERIALIZED (SELECT id_a, id_b FROM shp),
+    e0 AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+    {_sql_kcore_unroll(k=2, rounds=6)}
+    SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM e6 GROUP BY a
+    """,
+)
+def graph_kcore_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the SimHash near-dup graph (``operators/dedup.kcore``):
+    the boilerplate families cohesive enough that every member stays
+    tied to ≥2 others even after peeling stragglers. The engine peels
+    until stable (edge-count scalar per round, ConvergenceError rather
+    than a silent truncation); the oracle unrolls six peeling rounds in
+    SQL — both SFs converge in ≤5, so fixpoint == round-6 state."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    pairs = dedup.simhash_band_pairs(docs, "doc_id", "text", max_hamming=3)
+    return dedup.kcore(pairs, "id_a", "id_b", k=2, max_rounds=6)

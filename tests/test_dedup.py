@@ -918,3 +918,59 @@ class TestSubstringDupRemoval:
         assert cleaned[1]["cleaned_hash"] == h60(
             "the quick brown fox jumps over the lazy dog today"
         )
+
+
+class TestKCore:
+    """k-core peeling on hand-built graphs with known cores."""
+
+    def _kcore(self, spark, edges, **kw):
+        from agol_pandas_spark.operators.dedup import kcore
+
+        df = spark.createDataFrame(edges, "a long, b long")
+        return {
+            r["node"]: r["core_degree"]
+            for r in kcore(df, "a", "b", **kw).collect()
+        }
+
+    def test_triangle_with_pendant(self, spark):
+        # triangle {1,2,3} plus pendant 3-4: 2-core is exactly the triangle
+        got = self._kcore(spark, [(1, 2), (2, 3), (1, 3), (3, 4)], k=2)
+        assert got == {1: 2, 2: 2, 3: 2}
+
+    def test_cascading_peel(self, spark):
+        # path 1-2-3-4-5 dissolves entirely under k=2 (cascade, several rounds)
+        got = self._kcore(spark, [(1, 2), (2, 3), (3, 4), (4, 5)], k=2)
+        assert got == {}
+
+    def test_core_degree_measured_inside_core(self, spark):
+        # K4 {1..4} + pendant on node 1: node 1's core degree is 3, not 4
+        k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+        got = self._kcore(spark, k4 + [(1, 9)], k=3)
+        assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    def test_round_exhaustion_raises(self, spark):
+        import pytest as _pytest
+
+        from agol_pandas_spark.errors import ConvergenceError
+
+        # long path needs many cascade rounds; 1 round cannot finish
+        path = [(i, i + 1) for i in range(40)]
+        with _pytest.raises(ConvergenceError):
+            self._kcore(spark, path, k=2, max_rounds=1)
+
+    def test_reliable_checkpoint_identical(self, spark, tmp_path):
+        import os
+
+        edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (4, 6)]
+        base = self._kcore(spark, edges, k=2)
+        ckpt = str(tmp_path / "kcore_ckpt")
+        old = spark.sparkContext.getCheckpointDir()
+        try:
+            got = self._kcore(spark, edges, k=2, checkpoint_dir=ckpt)
+        finally:
+            if old:
+                spark.sparkContext.setCheckpointDir(old)
+        # bridge 3-4 survives (both endpoints are in the core), so the
+        # bridge endpoints count it toward their core degree
+        assert got == base == {1: 2, 2: 2, 3: 3, 4: 3, 5: 2, 6: 2}
+        assert any(os.scandir(ckpt)), "no checkpoint data written"

@@ -93,6 +93,7 @@ QUERIES = [
     "top_q10_returned_customers",
     "sim_hard_negative_mining",
     "stats_spearman_rank_corr",
+    "graph_kcore_boilerplate",
 ]
 
 PARTITIONS = (1, 7, 200)
