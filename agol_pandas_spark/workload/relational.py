@@ -4547,3 +4547,260 @@ def stats_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.expr(f"({num}) / (sqrt({d1}) * sqrt({d2}))").alias("rho"),
     )
+
+
+@register(
+    "join_q05_local_supplier_volume",
+    tags=("join", "tpch", "star"),
+    oracle=f"""
+    SELECT n.n_name,
+           {SQL_DSUM(REVENUE.replace('l_', 'l.l_'), 'revenue')},
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def join_q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): revenue from orders where the
+    customer and the line's supplier share a nation, per Asian nation,
+    one order year. The "local" constraint — supplier nation ==
+    customer nation — rides the broadcast supplier join as an extra
+    equi-conjunct rather than a post-join filter, so mismatched rows
+    die inside the build-side probe instead of surviving a shuffle.
+    Orders prune on the date range at the scan; nation⋈region folds to
+    a broadcast nationkey set. The only real shuffle is
+    lineitem↔orders.
+    """
+    cat = Catalog(spark, sf_dir)
+    nat = cat.table("nation")
+    reg = cat.table("region").filter(F.col("r_name") == "ASIA")
+    asia_nat = nat.join(
+        F.broadcast(reg), nat.n_regionkey == reg.r_regionkey
+    ).select("n_nationkey", "n_name")
+    orders = cat.table("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    cust = cat.table("customer").select("c_custkey", "c_nationkey")
+    supp = cat.table("supplier").select("s_suppkey", "s_nationkey")
+    li = cat.table("lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(asia_nat), supp.s_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            dsum(_rev(), "revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "filter_q14_promo_share",
+    tags=("filter", "tpch", "agg"),
+    oracle=f"""
+    SELECT
+      CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+               THEN CAST(round(({REVENUE.replace('l_', 'l.l_')}) * {SCALE}) AS BIGINT)
+               ELSE 0 END) AS DOUBLE) / {SCALE}.0 AS promo_revenue,
+      {SQL_DSUM(REVENUE.replace('l_', 'l.l_'), 'total_revenue')},
+      CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+               THEN CAST(round(({REVENUE.replace('l_', 'l.l_')}) * {SCALE}) AS BIGINT)
+               ELSE 0 END) AS DOUBLE) * 100.0
+        / CAST(SUM(CAST(round(({REVENUE.replace('l_', 'l.l_')}) * {SCALE}) AS BIGINT)) AS DOUBLE)
+        AS promo_pct
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l.l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+)
+def filter_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): PROMO-typed revenue share for one
+    ship month. Conditional and total revenue land in ONE partial
+    aggregation over one pruned scan (the month predicate pushes to
+    parquet, part broadcasts); the percentage divides the two
+    identical quantized-integer sums, so even the ratio is
+    bit-reproducible across engines — no decimal detour needed.
+    """
+    cat = Catalog(spark, sf_dir)
+    li = cat.table("lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    part = cat.table("part").select("p_partkey", "p_type")
+    q = F.round(_rev() * SCALE).cast("long")
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", q).otherwise(F.lit(0)))
+    total = F.sum(q)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+            (promo.cast("double") / F.lit(float(SCALE))).alias("promo_revenue"),
+            (total.cast("double") / F.lit(float(SCALE))).alias("total_revenue"),
+            (promo.cast("double") * 100.0 / total.cast("double")).alias(
+                "promo_pct"
+            ),
+        )
+    )
+
+
+@register(
+    "join_q13_order_count_distribution",
+    tags=("join", "tpch", "agg"),
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey,
+             CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY 1) d
+    GROUP BY 1
+    """,
+)
+def join_q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): how many customers placed
+    exactly N non-urgent orders — including N=0, which is why the
+    LEFT join (with the priority predicate INSIDE the join condition,
+    not a WHERE that would turn it inner) is the whole point. Spark
+    pre-aggregates orders per custkey before the join, so the join
+    carries one row per customer per side instead of one per order;
+    the N=0 customers surface via coalesce. Second aggregation is
+    histogram-sized.
+    """
+    cat = Catalog(spark, sf_dir)
+    cust = cat.table("customer").select("c_custkey")
+    per_cust = (
+        cat.table("orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy(F.col("o_custkey"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce(F.col("n_orders"), F.lit(0)).cast("long").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+    )
+
+
+@register(
+    "top_q18_large_orders",
+    tags=("topk", "tpch", "having"),
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS VARCHAR) AS o_orderdate,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+           q.total_qty
+    FROM (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+      FROM lineitem GROUP BY 1
+      HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 250) q
+    JOIN orders o ON o.o_orderkey = q.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY total_cents DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def top_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total quantity
+    exceeds 250 units, with their customer, top-100 by price. The
+    HAVING aggregation runs FIRST — lineitem collapses to one row per
+    qualifying order (~1% survive) before any join, so orders and
+    customer join against the tiny survivor set (broadcast), and the
+    top-100 is TakeOrderedAndProject. Quantities are integral doubles;
+    round→BIGINT makes the sum and the threshold exact.
+    """
+    cat = Catalog(spark, sf_dir)
+    big = (
+        cat.table("lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    orders = cat.table("orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = cat.table("customer").select("c_custkey", "c_name")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
+            F.col("total_qty").cast("long").alias("total_qty"),
+        )
+        .orderBy(F.col("total_cents").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "top_q15_supplier_max_revenue",
+    tags=("topk", "tpch", "scalar-subquery"),
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(round(({REVENUE}) * {SCALE}) AS BIGINT)) AS r_scaled
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY 1)
+    SELECT s.s_suppkey, s.s_name,
+           CAST(rev.r_scaled AS DOUBLE) / {SCALE}.0 AS total_revenue
+    FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+    WHERE rev.r_scaled = (SELECT MAX(r_scaled) FROM rev)
+    """,
+)
+def top_q15_supplier_max_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): supplier(s) whose quarterly revenue
+    equals the maximum — the scalar-subquery-over-a-view shape, with
+    the tie semantics LIMIT 1 would get wrong. The per-supplier
+    aggregate is computed once; the global max is a 1-row aggregate of
+    that (supplier-count-sized) result, broadcast back as an
+    equi-join on the exact scaled-integer revenue — float equality
+    never decides a match, and no global window is involved.
+    """
+    cat = Catalog(spark, sf_dir)
+    rev = (
+        cat.table("lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.round(_rev() * SCALE).cast("long")).alias("r_scaled"))
+    )
+    mx = rev.agg(F.max("r_scaled").alias("r_scaled"))
+    supp = cat.table("supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), "r_scaled")
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("r_scaled").cast("double") / F.lit(float(SCALE))).alias(
+                "total_revenue"
+            ),
+        )
+    )
