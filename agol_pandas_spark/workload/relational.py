@@ -4804,3 +4804,326 @@ def top_q15_supplier_max_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "join_q08_market_share",
+    tags=("join", "tpch", "agg"),
+    oracle=f"""
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+      CAST(SUM(CASE WHEN n1.n_name = 'NATION_7'
+               THEN CAST(round(({REVENUE.replace('l_', 'l.l_')}) * {SCALE}) AS BIGINT)
+               ELSE 0 END) AS DOUBLE)
+        / CAST(SUM(CAST(round(({REVENUE.replace('l_', 'l.l_')}) * {SCALE}) AS BIGINT)) AS DOUBLE)
+        AS mkt_share,
+      {SQL_DSUM(REVENUE.replace('l_', 'l.l_'), 'total_volume')}
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n2.n_regionkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def join_q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): NATION_7 suppliers' share of
+    revenue sold into ASIA-region customers, per order year. The share
+    is conditional-sum over total-sum of the same quantized-integer
+    revenue — one partial aggregation carries both, and the division
+    of two identical BIGINT-derived doubles is bit-reproducible. All
+    dimension legs broadcast; lineitem↔orders is the only shuffle.
+    """
+    cat = Catalog(spark, sf_dir)
+    li = cat.table("lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = cat.table("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = cat.table("customer").select("c_custkey", "c_nationkey")
+    nat = cat.table("nation")
+    reg = cat.table("region").filter(F.col("r_name") == "ASIA")
+    asia_keys = nat.join(
+        F.broadcast(reg), nat.n_regionkey == reg.r_regionkey
+    ).select(F.col("n_nationkey").alias("cust_nk"))
+    supp = cat.table("supplier").select("s_suppkey", "s_nationkey")
+    supp_nat = nat.select(
+        F.col("n_nationkey").alias("supp_nk"), F.col("n_name").alias("supp_nation")
+    )
+    q = F.round(_rev() * SCALE).cast("long")
+    nation7 = F.sum(
+        F.when(F.col("supp_nation") == "NATION_7", q).otherwise(F.lit(0))
+    )
+    total = F.sum(q)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(asia_keys), cust.c_nationkey == F.col("cust_nk"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(supp_nat), supp.s_nationkey == F.col("supp_nk"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (nation7.cast("double") / total.cast("double")).alias("mkt_share"),
+            (total.cast("double") / F.lit(float(SCALE))).alias("total_volume"),
+        )
+    )
+
+
+@register(
+    "join_q09_product_profit",
+    tags=("join", "tpch", "star"),
+    oracle=f"""
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+      CAST(SUM(CAST(round((l.l_extendedprice * (1 - l.l_discount)
+                  - p.p_retailprice * l.l_quantity * 0.10) * {SCALE}) AS BIGINT))
+           AS DOUBLE) / {SCALE}.0 AS profit,
+      CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%red%'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def join_q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit): profit on 'red' parts by
+    supplier nation and order year, with supply cost modeled as 10% of
+    the part's retail price per unit (this corpus has no partsupp
+    table — the join/aggregation shape is Q9's, the cost column is
+    derived). The part filter broadcasts a pre-shrunk build side, so
+    lineitem rows for other parts die in the first probe; profit is
+    one quantized-integer sum per (nation, year).
+    """
+    cat = Catalog(spark, sf_dir)
+    part = cat.table("part").filter(F.col("p_name").like("%red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    li = cat.table("lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    supp = cat.table("supplier").select("s_suppkey", "s_nationkey")
+    nat = cat.table("nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    orders = cat.table("orders").select("o_orderkey", "o_orderdate")
+    profit = _rev() - F.col("p_retailprice") * F.col("l_quantity") * 0.10
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            dsum(profit, "profit"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "join_q12_late_priority_counts",
+    tags=("join", "tpch", "agg"),
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def join_q12_late_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes / order priority): of the lines
+    shipped more than 60 days after their order in 1996, how many
+    belonged to high- vs low-priority orders, per returnflag class
+    (this corpus has no shipmode or commit/receipt dates — returnflag
+    plays the grouping role, ship-vs-order lag the lateness test).
+    The lag predicate compares two columns, so it evaluates right
+    above the join while the 1996 ship-year range still pushes to the
+    lineitem scan; both CASE counts ride one partial aggregation.
+    """
+    cat = Catalog(spark, sf_dir)
+    li = cat.table("lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag", "l_shipdate")
+    orders = cat.table("orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "profile_q16_supplier_counts",
+    tags=("profile", "tpch", "subquery"),
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 5, 9, 13, 17, 21, 25)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def profile_q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship): distinct suppliers able
+    to supply each qualifying (brand, type, size) combination,
+    excluding blacklisted suppliers — the NOT IN subquery shape (here:
+    negative account balance standing in for the complaints LIKE). The
+    exclusion runs as a broadcast LEFT ANTI join (supplier keys are
+    non-null, so NOT IN == anti-join); the brand/size predicates push
+    into the broadcast part build side; COUNT(DISTINCT) shuffles on
+    the group keys once.
+    """
+    cat = Catalog(spark, sf_dir)
+    part = cat.table("part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = cat.table("supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    li = cat.table("lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).cast("long").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "subquery_q20_excess_share_suppliers",
+    tags=("subquery", "tpch", "semi"),
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(round(l_quantity) AS BIGINT)) AS q
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2),
+    tot AS (SELECT l_partkey, SUM(q) AS tq FROM ps GROUP BY 1)
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT ps.l_suppkey FROM ps JOIN tot ON tot.l_partkey = ps.l_partkey
+      WHERE ps.q * 10 > tot.tq * 3)
+    """,
+)
+def subquery_q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion): suppliers who shipped more
+    than 30% of some part's total 1996 volume — the nested correlated
+    aggregate shape (ps_availqty > 0.5·sum(...) in the original; this
+    corpus has no partsupp, so the dominance test compares the
+    supplier's shipped quantity against the part's corpus-wide total).
+    Both aggregation levels reuse ONE shuffle family keyed on
+    l_partkey — the per-(part,supplier) rollup re-aggregates to the
+    part total without a second scan — and the dominance test is
+    exact integer cross-multiplication (q·10 > total·3), never a
+    float share. The qualifying supplier set semi-joins supplier.
+    """
+    cat = Catalog(spark, sf_dir)
+    ps = (
+        cat.table("lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("q"))
+    )
+    tot = ps.groupBy("l_partkey").agg(F.sum("q").alias("tq"))
+    dominant = (
+        ps.join(tot, "l_partkey")
+        .filter(F.col("q") * 10 > F.col("tq") * 3)
+        .select("l_suppkey")
+    )
+    supp = cat.table("supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nat = cat.table("nation").select("n_nationkey", "n_name")
+    return (
+        supp.join(
+            F.broadcast(dominant), supp.s_suppkey == dominant.l_suppkey, "left_semi"
+        ).join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+@register(
+    "join_q02_min_unit_price_supplier",
+    tags=("join", "tpch", "correlated-min"),
+    oracle="""
+    WITH u AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(round(l_extendedprice / l_quantity * 100) AS BIGINT) AS unit_cents
+      FROM lineitem),
+    m AS (SELECT l_partkey, MIN(unit_cents) AS min_cents FROM u GROUP BY 1)
+    SELECT DISTINCT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name,
+           u.unit_cents
+    FROM u
+    JOIN m ON m.l_partkey = u.l_partkey AND u.unit_cents = m.min_cents
+    JOIN part p ON p.p_partkey = u.l_partkey
+    JOIN supplier s ON s.s_suppkey = u.l_suppkey
+    WHERE p.p_size = 5
+    """,
+)
+def join_q02_min_unit_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier): for every size-5 part, the
+    supplier(s) who sold it at its minimum observed unit price — the
+    correlated-MIN-subquery shape (supplycost becomes observed
+    extendedprice/quantity; no partsupp in this corpus). The per-part
+    minimum is a re-aggregation of the same (part, supplier) rollup —
+    one shuffle family on l_partkey — joined back on exact integer
+    cents so float equality never decides a winner; ties keep every
+    achieving supplier, as Q2's semantics require. Part filter and
+    supplier lookup broadcast.
+    """
+    cat = Catalog(spark, sf_dir)
+    u = (
+        cat.table("lineitem")
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.round(F.col("l_extendedprice") / F.col("l_quantity") * 100)
+            .cast("long")
+            .alias("unit_cents"),
+        )
+        .distinct()
+    )
+    m = u.groupBy(F.col("l_partkey").alias("__mk")).agg(
+        F.min("unit_cents").alias("min_cents")
+    )
+    part = cat.table("part").filter(F.col("p_size") == 5).select(
+        "p_partkey", "p_brand"
+    )
+    supp = cat.table("supplier").select("s_suppkey", "s_name")
+    return (
+        u.join(
+            m,
+            (u.l_partkey == m["__mk"]) & (u.unit_cents == m.min_cents),
+        )
+        .join(F.broadcast(part), u.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), u.l_suppkey == supp.s_suppkey)
+        .select("p_partkey", "p_brand", "s_suppkey", "s_name", "unit_cents")
+        .distinct()
+    )

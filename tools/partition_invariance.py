@@ -94,6 +94,8 @@ QUERIES = [
     "sim_hard_negative_mining",
     "stats_spearman_rank_corr",
     "graph_kcore_boilerplate",
+    "subquery_q20_excess_share_suppliers",
+    "join_q02_min_unit_price_supplier",
 ]
 
 PARTITIONS = (1, 7, 200)
