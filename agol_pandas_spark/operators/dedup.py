@@ -1744,3 +1744,68 @@ def kcore(
     return e.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("core_degree")
     )
+
+
+def resource_allocation_links(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    min_common: int = 2,
+    max_center_degree: int | None = None,
+) -> DataFrame:
+    """Resource-Allocation link prediction (Zhou/Lü/Zhang 2009) on an
+    undirected graph: ``RA(u,v) = Σ_{w ∈ N(u)∩N(v)} 1/deg(w)`` — common
+    neighbors weighted DOWN by their promiscuity, the refinement that
+    beats raw common-neighbor counts and Jaccard on template graphs: a
+    shared neighbor adjacent to half the corpus says almost nothing,
+    one adjacent to three documents says a lot.
+
+    Exactness: each wedge contributes ``10¹² div deg(w)`` on BIGINTs —
+    truncating integer division both engines evaluate identically — and
+    the pair score is the exact integer sum of those (micro-units ×10⁶,
+    i.e. pico-units ×10¹²). No float ever forms.
+
+    Shape mirrors :func:`common_neighbor_jaccard`: symmetrize+distinct,
+    one degree aggregation joined onto the wedge CENTER before the
+    self-join (so every wedge carries its weight into the partial agg),
+    wedge equi-join on the shared neighbor — shuffle carries wedges,
+    never all-pairs. ``max_center_degree`` is the same hub-cap
+    mitigation: at 100 TB hubs dominate Σd(w)² fan-out, and a capped
+    run reports exact lower bounds.
+
+    Returns ``(id_a, id_b, n_common, ra_pico)`` with ``id_a < id_b``.
+    """
+    e2 = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = e2.groupBy(F.col("a").alias("w")).agg(F.count(F.lit(1)).alias("d"))
+    wedge_src = e2
+    if max_center_degree is not None:
+        ok = deg.filter(F.col("d") <= int(max_center_degree)).select(
+            F.col("w").alias("b")
+        )
+        wedge_src = e2.join(ok, "b", "left_semi")
+    # weight rides the center BEFORE the self-join: one broadcastable
+    # degree join instead of two post-hoc lookups per pair
+    weighted = wedge_src.join(
+        deg, wedge_src.b == deg.w
+    ).select(
+        F.col("w"),
+        F.col("a"),
+        F.expr("1000000000000 div d").alias("wt"),
+    )
+    left = weighted.select("w", F.col("a").alias("id_a"), "wt")
+    right = weighted.select(F.col("w").alias("w2"), F.col("a").alias("id_b"))
+    return (
+        left.join(right, left.w == right.w2)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum("wt").cast("long").alias("ra_pico"),
+        )
+        .filter(F.col("n_common") >= min_common)
+    )

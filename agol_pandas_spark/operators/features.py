@@ -235,3 +235,52 @@ def quantile_normalize(
         F.col(value_col),
         F.col("__v").alias("norm_value"),
     )
+
+
+def hashing_trick_features(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Hashing-trick (feature-hashing) vectorization: tokens map to a
+    fixed ``n_buckets``-dimensional count vector through a hash instead
+    of a learned vocabulary — the stateless featurizer that needs no
+    driver-side dictionary, no second pass, and no vocabulary shuffle,
+    which is exactly what makes it the 100 TB-safe baseline: the only
+    wide operation is one aggregation keyed on (doc, bucket) and one on
+    doc.
+
+    Buckets come from the engine-portable 60-bit md5 hash mod
+    ``n_buckets`` (nonnegative, so ``%`` agrees across engines). The
+    sparse vector serializes as ``"bucket:count"`` pairs in bucket
+    order — a deterministic string both engines can build bit-equal,
+    and the format a downstream trainer's parser expects.
+
+    Returns ``(id, n_tokens, nnz, vec)``.
+    """
+    from agol_pandas_spark.functions.text import portable_hash60, tokens
+
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("t"),
+    )
+    per_bucket = tok.groupBy(
+        "id", (portable_hash60(F.col("t")) % n_buckets).alias("b")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_bucket.groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("int").alias("nnz"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("b"), F.col("c")))
+                    ),
+                    lambda s: F.concat_ws(":", s["b"], s["c"]),
+                ),
+                " ",
+            ).alias("vec"),
+        )
+    )

@@ -1117,3 +1117,36 @@ def graph_kcore_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir).table("documents")
     pairs = dedup.simhash_band_pairs(docs, "doc_id", "text", max_hamming=3)
     return dedup.kcore(pairs, "id_a", "id_b", k=2, max_rounds=6)
+
+
+@register(
+    "graph_resource_allocation_links",
+    tags=("graph", "link-prediction", "dedup"),
+    oracle=f"""
+    WITH shp AS ({REGISTRY["dedup_simhash_band_pairs"].oracle}),
+    pairs AS (SELECT id_a, id_b FROM shp),
+    e2 AS (SELECT id_a AS a, id_b AS b FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+    deg AS (SELECT a AS w, COUNT(*) AS d FROM e2 GROUP BY a),
+    weighted AS (
+      SELECT e2.b AS w, e2.a AS a, 1000000000000 // deg.d AS wt
+      FROM e2 JOIN deg ON deg.w = e2.b)
+    SELECT l.a AS id_a, r.a AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_common,
+           CAST(SUM(l.wt) AS BIGINT) AS ra_pico
+    FROM weighted l JOIN weighted r ON l.w = r.w AND l.a < r.a
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+)
+def graph_resource_allocation_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-Allocation link prediction on the SimHash near-dup
+    graph (``operators/dedup.resource_allocation_links``): common
+    neighbors weighted by 1/degree, so a shared neighbor adjacent to
+    half the corpus stops outvoting one adjacent to three documents —
+    the template-sibling signal Jaccard's flat counting misses. Every
+    wedge contributes the exact integer ``10¹² div deg(center)``;
+    wedge-join on the shared neighbor, never all-pairs."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    pairs = dedup.simhash_band_pairs(docs, "doc_id", "text", max_hamming=3)
+    return dedup.resource_allocation_links(pairs, "id_a", "id_b", min_common=2)

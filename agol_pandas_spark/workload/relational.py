@@ -5127,3 +5127,61 @@ def join_q02_min_unit_price_supplier(spark: SparkSession, sf_dir: str) -> DataFr
         .select("p_partkey", "p_brand", "s_suppkey", "s_name", "unit_cents")
         .distinct()
     )
+
+
+@register(
+    "privacy_t_closeness_audit",
+    tags=("privacy", "audit", "emd"),
+    oracle="""
+    WITH h AS (
+      SELECT c_mktsegment AS q,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS b,
+             COUNT(*) AS c
+      FROM customer GROUP BY 1, 2),
+    grid AS (
+      SELECT q, b
+      FROM (SELECT DISTINCT q FROM h) CROSS JOIN (SELECT DISTINCT b FROM h)),
+    dense AS (
+      SELECT grid.q, grid.b, COALESCE(h.c, 0) AS c
+      FROM grid LEFT JOIN h ON h.q = grid.q AND h.b = grid.b),
+    cums AS (
+      SELECT q, b, SUM(c) OVER (PARTITION BY q ORDER BY b) AS cum_class
+      FROM dense),
+    gcum AS (SELECT b, SUM(cum_class) AS cum_glob FROM cums GROUP BY b),
+    pc AS (SELECT q, MAX(cum_class) AS n_class FROM cums GROUP BY q),
+    nt AS (SELECT SUM(n_class) AS n_total FROM pc),
+    mm AS (SELECT COUNT(DISTINCT b) AS m FROM h),
+    emd AS (
+      SELECT cums.q,
+             CAST(MAX(pc.n_class) AS BIGINT) AS n_class,
+             CAST((1000000 * SUM(ABS(cum_class * n_total - cum_glob * pc.n_class)))
+                  // ((MAX(m) - 1) * MAX(pc.n_class) * MAX(n_total)) AS BIGINT)
+               AS emd_ppm
+      FROM cums
+      JOIN gcum ON gcum.b = cums.b
+      JOIN pc ON pc.q = cums.q
+      CROSS JOIN nt CROSS JOIN mm
+      GROUP BY cums.q)
+    SELECT q AS c_mktsegment, n_class, emd_ppm,
+           emd_ppm <= 100000 AS t_close
+    FROM emd
+    """,
+)
+def privacy_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness release gate (``operators/profile.t_closeness_audit``):
+    bounds the Earth Mover's Distance between each market segment's
+    account-balance distribution (thousand-unit buckets, ordered) and
+    the global one — the leak k-anonymity and l-diversity both miss
+    when a class's values cluster at one end. Ordered-bucket EMD =
+    mean |cumulative gap|, evaluated entirely in exact integers on the
+    (class × bucket) histogram; the global cumulative is the SUM of
+    per-class cums, so no unpartitioned window exists anywhere."""
+    cat = Catalog(spark, sf_dir)
+    from agol_pandas_spark.operators.profile import t_closeness_audit
+
+    return t_closeness_audit(
+        cat.table("customer"),
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long"),
+        t_ppm=100_000,
+    )

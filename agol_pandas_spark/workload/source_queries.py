@@ -707,3 +707,37 @@ def source_csv_malformed_quarantine(spark: SparkSession, sf_dir: str) -> DataFra
     )
     shutil.rmtree(path, ignore_errors=True)
     return out
+
+
+@register(
+    "source_xml_roundtrip_agg",
+    tags=("source", "xml"),
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS balance_scaled
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def source_xml_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML staging roundtrip: the document-interchange format Spark 4
+    reads natively (rowTag streaming parse, schema supplied explicitly
+    so no inference pass re-types the columns). Customer goes through
+    XML — entity escaping and all — and the aggregate must match the
+    original parquet exactly."""
+    cat = Catalog(spark, sf_dir)
+    path = _stage("xml")
+    src = cat.table("customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    src.write.format("xml").option("rowTag", "customer").save(path)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "customer")
+        .schema("c_custkey long, c_mktsegment string, c_acctbal double")
+        .load(path)
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias(
+            "balance_scaled"
+        ),
+    )

@@ -1605,3 +1605,36 @@ def pipeline_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.sum("norm_len").cast("long").alias("sum_norm_len"),
     )
+
+
+@register(
+    "feature_hashing_trick_vectorize",
+    tags=("feature", "text", "vectorize"),
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, unnest({SQL_TOKS.format(src='text')}) AS tok
+      FROM documents),
+    pb AS (
+      SELECT doc_id,
+             {SQL_HASH60.format(expr='tok')} % 64 AS b,
+             COUNT(*) AS c
+      FROM t GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS INTEGER) AS nnz,
+           string_agg(b || ':' || c, ' ' ORDER BY b) AS vec
+    FROM pb GROUP BY doc_id
+    """,
+)
+def feature_hashing_trick_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick vectorization
+    (``operators/features.hashing_trick_features``): tokens → fixed
+    64-bucket count vectors through the portable md5 hash — the
+    vocabulary-free featurizer whose only wide operations are two
+    keyed aggregations, with no dictionary to build, broadcast, or
+    keep consistent across a 100 TB corpus. Vectors serialize as
+    bucket-ordered ``b:c`` strings both engines build bit-equal."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    from agol_pandas_spark.operators.features import hashing_trick_features
+
+    return hashing_trick_features(docs, "doc_id", "text", n_buckets=64)

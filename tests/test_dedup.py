@@ -974,3 +974,59 @@ class TestKCore:
         # bridge endpoints count it toward their core degree
         assert got == base == {1: 2, 2: 2, 3: 3, 4: 3, 5: 2, 6: 2}
         assert any(os.scandir(ckpt)), "no checkpoint data written"
+
+
+def test_resource_allocation_matches_python_reference(spark):
+    """RA score = exact sum of 10^12 // deg(center) over common
+    neighbors, checked against a set-based Python recompute."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    from agol_pandas_spark.operators.dedup import resource_allocation_links
+
+    edges = [(1, 3), (2, 3), (1, 4), (2, 4), (5, 3), (5, 6), (4, 6)]
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["ra_pico"])
+        for r in resource_allocation_links(
+            spark.createDataFrame(edges, "a long, b long"), "a", "b",
+            min_common=1,
+        ).collect()
+    }
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {}
+    for u, v in combinations(sorted(adj), 2):
+        common = adj[u] & adj[v]
+        if common:
+            want[(u, v)] = (
+                len(common),
+                sum(10**12 // len(adj[w]) for w in common),
+            )
+    assert got == want
+    # hub discount: pair (1,2) shares hub 3 (deg 3) and node 4 (deg 3)
+    assert got[(1, 2)][1] == 2 * (10**12 // 3)
+
+
+def test_resource_allocation_center_degree_cap(spark):
+    """Capping center degree drops hub-mediated wedges; surviving
+    scores are exact lower bounds of the uncapped run."""
+    from agol_pandas_spark.operators.dedup import resource_allocation_links
+
+    # hub 9 adjacent to everyone; 1-2 also share low-degree node 3
+    edges = [(1, 9), (2, 9), (3, 9), (4, 9), (5, 9), (1, 3), (2, 3)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    full = {
+        (r["id_a"], r["id_b"]): r["ra_pico"]
+        for r in resource_allocation_links(df, "a", "b", min_common=1).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["ra_pico"]
+        for r in resource_allocation_links(
+            df, "a", "b", min_common=1, max_center_degree=3
+        ).collect()
+    }
+    assert capped[(1, 2)] == 10**12 // 3  # only node 3 (deg 3) survives
+    assert all(capped[p] <= full[p] for p in capped)

@@ -170,3 +170,32 @@ class TestQuantileNormalize:
         )
         with pytest.raises(Exception, match="NULL"):
             quantile_normalize(df, "grp", "v", "id").collect()
+
+
+def test_hashing_trick_matches_python_reference(spark):
+    """Bucket ids, counts, and the serialized vector must equal a
+    Python md5 recompute of the same tokens."""
+    import hashlib
+    from collections import Counter
+
+    from agol_pandas_spark.operators.features import hashing_trick_features
+
+    rows = [
+        (1, "the quick brown fox the quick"),
+        (2, "  spaced   out   tokens "),
+        (3, "single"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["nnz"], r["vec"])
+        for r in hashing_trick_features(df, "doc_id", "text", n_buckets=64).collect()
+    }
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 64
+
+    for doc_id, text in rows:
+        toks = [t for t in text.split() if t]
+        cnt = Counter(bucket(t) for t in toks)
+        vec = " ".join(f"{b}:{c}" for b, c in sorted(cnt.items()))
+        assert got[doc_id] == (len(toks), len(cnt), vec), doc_id

@@ -303,3 +303,53 @@ def test_auc_rank_formula_vs_sklearn_style_reference(spark):
                 ties += p == q
         ref = (wins + 0.5 * ties) / (len(poss) * len(negs))
         assert auc == ref, (name, auc, ref)
+
+
+class TestTCloseness:
+    def _audit(self, spark, rows, t_ppm=100_000):
+        from pyspark.sql import functions as F
+
+        from agol_pandas_spark.operators.profile import t_closeness_audit
+
+        df = spark.createDataFrame(rows, "q string, v long")
+        out = t_closeness_audit(df, "q", F.col("v"), t_ppm=t_ppm)
+        return {r["q"]: (r["n_class"], r["emd_ppm"], r["t_close"]) for r in out.collect()}
+
+    def test_identical_distributions_emd_zero(self, spark):
+        rows = [(q, v) for q in ("a", "b") for v in (0, 1, 2, 3)]
+        got = self._audit(spark, rows)
+        assert got == {"a": (4, 0, True), "b": (4, 0, True)}
+
+    def test_concentrated_class_flagged(self, spark):
+        # class 'lo' sits entirely at bucket 0, 'hi' entirely at bucket 3:
+        # maximal separation over 4 buckets -> EMD well above any sane t
+        rows = [("lo", 0)] * 4 + [("hi", 3)] * 4
+        got = self._audit(spark, rows, t_ppm=200_000)
+        assert not got["lo"][2] and not got["hi"][2]
+        # each class is distance 3/2 of max 3 from the 50/50 mix: EMD = 1/2
+        assert got["lo"][1] == got["hi"][1] == 500_000
+
+    def test_matches_python_reference(self, spark):
+        import itertools
+
+        rows = [
+            ("a", 0), ("a", 0), ("a", 1), ("a", 5),
+            ("b", 1), ("b", 2), ("b", 5), ("b", 5), ("b", 5),
+            ("c", 0), ("c", 2),
+        ]
+        got = self._audit(spark, rows)
+
+        buckets = sorted({v for _, v in rows})
+        m = len(buckets)
+        n_total = len(rows)
+        for q in ("a", "b", "c"):
+            cls = [v for g, v in rows if g == q]
+            n_class = len(cls)
+            acc = 0
+            cum_c = cum_g = 0
+            for b in buckets:
+                cum_c += sum(1 for v in cls if v == b)
+                cum_g += sum(1 for _, v in rows if v == b)
+                acc += abs(cum_c * n_total - cum_g * n_class)
+            emd = (1_000_000 * acc) // ((m - 1) * n_class * n_total)
+            assert got[q] == (n_class, emd, emd <= 100_000), q

@@ -96,6 +96,9 @@ QUERIES = [
     "graph_kcore_boilerplate",
     "subquery_q20_excess_share_suppliers",
     "join_q02_min_unit_price_supplier",
+    "graph_resource_allocation_links",
+    "privacy_t_closeness_audit",
+    "feature_hashing_trick_vectorize",
 ]
 
 PARTITIONS = (1, 7, 200)
