@@ -312,3 +312,90 @@ def t_closeness_audit(
             (F.col("emd_ppm") <= F.lit(int(t_ppm))).alias("t_close"),
         )
     )
+
+
+def kendall_tau_b(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Kendall's τ-b (tie-corrected rank correlation) per group, for
+    INTEGER-quantized variables — the definition is an O(n²) sweep over
+    row pairs, but for quantized data the joint distribution collapses
+    to a per-group (x, y) histogram and every pair count falls out of
+    cell-count products: concordant/discordant totals are a histogram
+    self-join on ``x_a < x_b`` (bounded by distinct-value counts, not
+    rows — the same size at 100 TB as at 100 MB), tie terms come from
+    the marginal histograms, and all products accumulate in exact
+    DECIMAL(38,0).
+
+    The final τ divides through the split-cast correctly-rounded double
+    of ``nc − nd``; each variance factor ``n(n−1)/2 − t`` stays under
+    2⁶³ so its sqrt takes the plain BIGINT→double path. Returns
+    ``(group, n, tau_b)``.
+    """
+    x = df.select(
+        F.col(group_col).alias("g"),
+        F.col(x_col).alias("xv"),
+        F.col(y_col).alias("yv"),
+    )
+    cells = x.groupBy("g", "xv", "yv").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("c")
+    )
+    a = cells.select(
+        F.col("g"), F.col("xv").alias("xa"), F.col("yv").alias("ya"),
+        F.col("c").alias("ca"),
+    )
+    b = cells.select(
+        F.col("g").alias("gb"), F.col("xv").alias("xb"),
+        F.col("yv").alias("yb"), F.col("c").alias("cb"),
+    )
+    cd = (
+        a.join(b, (a.g == b.gb) & (a.xa < b.xb))
+        .groupBy("g")
+        .agg(
+            F.sum(
+                F.when(F.col("ya") < F.col("yb"), F.col("ca") * F.col("cb"))
+                .otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).alias("nc"),
+            F.sum(
+                F.when(F.col("ya") > F.col("yb"), F.col("ca") * F.col("cb"))
+                .otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).alias("nd"),
+        )
+    )
+
+    def tie_term(col: str, alias: str) -> DataFrame:
+        t = x.groupBy("g", col).agg(F.count(F.lit(1)).alias("t"))
+        return t.groupBy("g").agg(
+            F.sum(F.col("t") * (F.col("t") - 1) / 2).cast("long").alias(alias)
+        )
+
+    # split-cast: correctly-rounded doubles of the exact decimals. The
+    # denominator multiplies (n0-n1)(n0-n2) EXACTLY in DECIMAL(38,0)
+    # before its single sqrt — sqrt(a)*sqrt(b) would cost one ulp and
+    # perfect correlations would miss exact +/-1.
+    def split(expr: str) -> str:
+        return (
+            f"CAST(({expr}) div 4294967296 AS DOUBLE) * 4294967296D "
+            f"+ CAST(({expr}) % 4294967296 AS DOUBLE)"
+        )
+
+    nn = x.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    den = (
+        "CAST(n * (n - 1) div 2 - n1 AS DECIMAL(38,0))"
+        " * CAST(n * (n - 1) div 2 - n2 AS DECIMAL(38,0))"
+    )
+    return (
+        nn.join(cd, "g")
+        .join(tie_term("xv", "n1"), "g")
+        .join(tie_term("yv", "n2"), "g")
+        .select(
+            "g",
+            F.col("n").cast("long").alias("n"),
+            F.expr(
+                f"({split('nc - nd')}) / sqrt({split(den)})"
+            ).alias("tau_b"),
+        )
+    )

@@ -1047,3 +1047,57 @@ def bpe_pair_counts(
             F.lit("post").alias("stage"), "sym_a", "sym_b", F.col("cnt").cast("long")
         )
     )
+
+
+def build_inverted_index(catalog, name: str, docs: DataFrame,
+                         id_col: str, text_col: str,
+                         n_files: int = 8) -> str:
+    """Persist a token → (doc, tf) inverted index as a catalog table —
+    the search-engine primitive: answering "which documents contain
+    these terms" from a 100 TB corpus must not scan the corpus.
+
+    Postings are range-repartitioned AND sorted by token, so each
+    parquet file (and each row group inside it) covers a narrow token
+    span and a term lookup prunes to the one file whose footer min/max
+    straddles the term — the same data-skipping machinery the zorder
+    path uses, pointed at text. The index carries no document text:
+    ~one slim row per distinct (token, doc), a small fraction of the
+    corpus, built with ONE shuffle (the tf aggregation; the range
+    partitioning rides the same exchange budget).
+    """
+    postings = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.explode(tokens(F.col(text_col))).alias("token"),
+        )
+        .groupBy("token", "doc")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .repartitionByRange(n_files, "token")
+        .sortWithinPartitions("token", "doc")
+    )
+    return catalog.write(postings, name, mode="overwrite")
+
+
+def search_conjunctive(catalog, name: str, terms: Sequence[str]) -> DataFrame:
+    """Conjunctive (AND) keyword search against an inverted index built
+    by :func:`build_inverted_index`: fetch each term's postings — the
+    ``token IN (...)`` predicate pushes to the parquet scan, so only
+    the terms' row groups are read, never the index, never the corpus —
+    and intersect them by requiring every term to appear. One
+    postings-sized aggregation keyed on doc.
+
+    Returns ``(doc, n_terms_matched, total_tf)`` for documents matching
+    ALL terms.
+    """
+    ts = [str(t) for t in terms]
+    if not ts:
+        raise ValueError("search_conjunctive needs at least one term")
+    p = catalog.table(name).filter(F.col("token").isin(ts))
+    return (
+        p.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_terms_matched"),
+            F.sum("tf").cast("long").alias("total_tf"),
+        )
+        .filter(F.col("n_terms_matched") == len(ts))
+    )

@@ -5185,3 +5185,65 @@ def privacy_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("c_acctbal") / 1000).cast("long"),
         t_ppm=100_000,
     )
+
+
+@register(
+    "stats_kendall_tau_b",
+    tags=("stats", "correlation", "ranks"),
+    oracle=f"""
+    WITH x AS (
+      SELECT l_returnflag AS g,
+             CAST(round(l_quantity) AS BIGINT) AS xv,
+             CAST(round(l_tax * 100) AS BIGINT) AS yv
+      FROM lineitem),
+    cells AS (
+      SELECT g, xv, yv, CAST(COUNT(*) AS DECIMAL(38,0)) AS c
+      FROM x GROUP BY 1, 2, 3),
+    cd AS (
+      SELECT a.g,
+             SUM(CASE WHEN a.yv < b.yv THEN a.c * b.c ELSE 0 END) AS nc,
+             SUM(CASE WHEN a.yv > b.yv THEN a.c * b.c ELSE 0 END) AS nd
+      FROM cells a JOIN cells b ON a.g = b.g AND a.xv < b.xv
+      GROUP BY 1),
+    tx AS (
+      SELECT g, SUM(t * (t - 1) / 2) AS n1 FROM (
+        SELECT g, xv, COUNT(*) AS t FROM x GROUP BY 1, 2) GROUP BY 1),
+    ty AS (
+      SELECT g, SUM(t * (t - 1) / 2) AS n2 FROM (
+        SELECT g, yv, COUNT(*) AS t FROM x GROUP BY 1, 2) GROUP BY 1),
+    nn AS (SELECT g, COUNT(*) AS n FROM x GROUP BY 1)
+    SELECT nn.g AS l_returnflag, CAST(nn.n AS BIGINT) AS n,
+           ({SQL_SPLIT_DOUBLE('nc - nd')})
+           / sqrt({SQL_SPLIT_DOUBLE(
+               'CAST(nn.n * (nn.n - 1) / 2 - n1 AS DECIMAL(38,0))'
+               ' * CAST(nn.n * (nn.n - 1) / 2 - n2 AS DECIMAL(38,0))')}) AS tau_b
+    FROM nn
+    JOIN cd ON cd.g = nn.g
+    JOIN tx ON tx.g = nn.g
+    JOIN ty ON ty.g = nn.g
+    """,
+)
+def stats_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ-b (tie-corrected) between quantity and tax rate per
+    return flag — the rank correlation whose naive form is an O(n²)
+    pair sweep. Here n² never happens: both variables quantize to
+    small integer grids, so the joint distribution collapses to a
+    per-group (x, y) HISTOGRAM, and concordant/discordant pairs are a
+    histogram-cell self-join (bounded by distinct-value counts, not
+    rows) with exact DECIMAL(38,0) products — at 100 TB the histogram
+    is the same size it is here. Tie terms come from the marginal
+    histograms; the final τ assembles through the split-cast double
+    helpers — the denominator multiplies its two variance factors
+    EXACTLY in DECIMAL(38,0) before one sqrt, so perfect correlations
+    come out exactly ±1.
+    """
+    from agol_pandas_spark.operators.profile import kendall_tau_b
+
+    x = Catalog(spark, sf_dir).table("lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.round("l_quantity").cast("long").alias("xv"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("yv"),
+    )
+    return kendall_tau_b(x, "g", "xv", "yv").withColumnsRenamed(
+        {"g": "l_returnflag"}
+    )

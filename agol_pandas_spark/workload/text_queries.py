@@ -1638,3 +1638,41 @@ def feature_hashing_trick_vectorize(spark: SparkSession, sf_dir: str) -> DataFra
     from agol_pandas_spark.operators.features import hashing_trick_features
 
     return hashing_trick_features(docs, "doc_id", "text", n_buckets=64)
+
+
+@register(
+    "text_inverted_index_search",
+    tags=("text", "index", "search"),
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, unnest({SQL_TOKS.format(src='text')}) AS tok
+      FROM documents),
+    p AS (
+      SELECT doc_id, tok, COUNT(*) AS tf
+      FROM t WHERE tok IN ('batch', 'vector') GROUP BY 1, 2)
+    SELECT doc_id AS doc,
+           CAST(COUNT(*) AS INTEGER) AS n_terms_matched,
+           CAST(SUM(tf) AS BIGINT) AS total_tf
+    FROM p GROUP BY 1 HAVING COUNT(*) = 2
+    """,
+)
+def text_inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive keyword search through a PERSISTED inverted index
+    (``textops.build_inverted_index`` / ``search_conjunctive``): the
+    corpus is indexed once as token-sorted (token, doc, tf) postings —
+    range-partitioned so a term lookup prunes to the file whose footer
+    token span covers it — and the AND of two terms is answered from
+    postings alone, never re-reading document text. The oracle replays
+    the same intersection straight off the corpus."""
+    import shutil
+    import tempfile
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    idx_root = tempfile.mkdtemp(prefix="inv_index_")
+    idx_cat = Catalog(spark, idx_root)
+    textops.build_inverted_index(idx_cat, "postings", docs, "doc_id", "text")
+    out = textops.search_conjunctive(idx_cat, "postings", ["batch", "vector"])
+    # materialize before the temp index directory disappears
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(idx_root, ignore_errors=True)
+    return out

@@ -353,3 +353,56 @@ class TestTCloseness:
                 acc += abs(cum_c * n_total - cum_g * n_class)
             emd = (1_000_000 * acc) // ((m - 1) * n_class * n_total)
             assert got[q] == (n_class, emd, emd <= 100_000), q
+
+
+def test_kendall_tau_b_vs_pairwise_reference(spark):
+    """Histogram-cell τ-b vs the direct O(n²) definition (concordant −
+    discordant over the tie-corrected denominator), including perfect,
+    inverted, heavily-tied, and independent-ish groups."""
+    import math
+    from itertools import combinations
+
+    from agol_pandas_spark.operators.profile import kendall_tau_b
+
+    cases = {
+        "perfect": [(1, 1), (2, 2), (3, 3), (4, 4)],
+        "inverted": [(1, 4), (2, 3), (3, 2), (4, 1)],
+        "tied": [(1, 1), (1, 2), (2, 1), (2, 2), (2, 2), (3, 1)],
+        "mixed": [(5, 2), (1, 9), (3, 3), (3, 7), (8, 1), (2, 2), (7, 7)],
+    }
+    rows = [(g, x, y) for g, pts in cases.items() for x, y in pts]
+    got = {
+        r["g"]: (r["n"], r["tau_b"])
+        for r in kendall_tau_b(
+            spark.createDataFrame(rows, "g string, xv long, yv long"),
+            "g", "xv", "yv",
+        ).collect()
+    }
+    for g, pts in cases.items():
+        nc = nd = tx = ty = 0
+        for (x1, y1), (x2, y2) in combinations(pts, 2):
+            if x1 == x2:
+                tx += 1
+                if y1 == y2:
+                    ty += 1
+                continue
+            if y1 == y2:
+                ty += 1
+                continue
+            if (x1 < x2) == (y1 < y2):
+                nc += 1
+            else:
+                nd += 1
+        n0 = len(pts) * (len(pts) - 1) // 2
+        # reference tie counts are PAIR counts; recompute per-value form
+        tx = sum(
+            c * (c - 1) // 2
+            for c in __import__("collections").Counter(x for x, _ in pts).values()
+        )
+        ty = sum(
+            c * (c - 1) // 2
+            for c in __import__("collections").Counter(y for _, y in pts).values()
+        )
+        ref = (nc - nd) / math.sqrt((n0 - tx) * (n0 - ty))
+        assert got[g] == (len(pts), ref), g
+    assert got["perfect"][1] == 1.0 and got["inverted"][1] == -1.0

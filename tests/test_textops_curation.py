@@ -475,3 +475,37 @@ class TestBpePairCounts:
     def test_unmerged_words_unchanged(self, stages):
         assert stages[("post", "l", "o")] == 5
         assert stages[("post", "a", "b")] == 2
+
+
+def test_inverted_index_search_semantics(spark, tmp_path):
+    """Conjunctive search returns exactly the docs containing ALL terms,
+    with summed term frequencies; empty-term list raises."""
+    import pytest as _pytest
+
+    from agol_pandas_spark.catalog import Catalog
+    from agol_pandas_spark.operators.textops import (
+        build_inverted_index,
+        search_conjunctive,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha gamma"),
+            (2, "alpha delta"),
+            (3, "beta beta gamma"),
+            (4, "alpha beta beta"),
+        ],
+        "doc_id long, text string",
+    )
+    cat = Catalog(spark, str(tmp_path))
+    build_inverted_index(cat, "idx", docs, "doc_id", "text", n_files=2)
+    got = {
+        r["doc"]: (r["n_terms_matched"], r["total_tf"])
+        for r in search_conjunctive(cat, "idx", ["alpha", "beta"]).collect()
+    }
+    assert got == {1: (2, 3), 4: (2, 3)}  # docs 2 and 3 miss one term
+
+    single = {r["doc"] for r in search_conjunctive(cat, "idx", ["gamma"]).collect()}
+    assert single == {1, 3}
+    with _pytest.raises(ValueError):
+        search_conjunctive(cat, "idx", [])

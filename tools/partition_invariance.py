@@ -99,6 +99,8 @@ QUERIES = [
     "graph_resource_allocation_links",
     "privacy_t_closeness_audit",
     "feature_hashing_trick_vectorize",
+    "stats_kendall_tau_b",
+    "text_inverted_index_search",
 ]
 
 PARTITIONS = (1, 7, 200)
