@@ -1559,3 +1559,111 @@ def hard_negative_topk(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= k
     )
+
+
+def mmr_diversified_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    pool_k: int = 20,
+    k: int = 5,
+    lam: float = 0.5,
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998): pick
+    ``k`` results per query that are relevant AND mutually diverse —
+    the re-ranker that stops a retrieval pipeline from returning five
+    copies of the same near-dup passage. Greedy selection:
+    ``next = argmax λ·rel(q,c) − (1−λ)·max_{s∈selected} sim(c,s)``.
+
+    Two stages, like every rerank operator here: a relevance pool of
+    ``pool_k`` candidates per query (exact brute-force cosine; compose
+    with the IVF paths when the corpus demands it), then ``k`` greedy
+    rounds over the pool. The pool is per-query tiny, so each round is
+    one partitioned window over |Q|·pool_k rows and the candidate-pair
+    similarity table (|Q|·pool_k² rows) is computed ONCE up front from
+    the same exact scaled-integer cosine — the corpus is never touched
+    after stage 1, and nothing unbounded reaches the driver.
+
+    Determinism: relevance and pair similarities are the engine's
+    bit-reproducible cosines; the greedy score is the same IEEE
+    mul-sub in both engines; ties break on candidate id. Returns
+    ``(query_id, corpus_id, pick_rank, rel, mmr_score)``.
+    """
+    pool = brute_force_topk(
+        queries, corpus, query_id, corpus_id, query_vec, corpus_vec, k=pool_k
+    ).select(query_id, F.col(corpus_id).alias("cid"), F.col("cosine").alias("rel"))
+    cvecs = corpus.select(
+        F.col(corpus_id).alias("cid"),
+        F.col(corpus_vec).alias("__cv"),
+        _norm_exact(F.col(corpus_vec)).alias("__cn"),
+    )
+    cand = pool.join(F.broadcast(cvecs), "cid").select(
+        query_id, "cid", "rel", "__cv", "__cn"
+    )
+    a = cand.select(
+        query_id, F.col("cid").alias("cid_a"),
+        F.col("__cv").alias("__va"), F.col("__cn").alias("__na"),
+    )
+    b = cand.select(
+        F.col(query_id).alias("__qb"), F.col("cid").alias("cid_b"),
+        F.col("__cv").alias("__vb"), F.col("__cn").alias("__nb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (a[query_id] == b["__qb"]) & (F.col("cid_a") != F.col("cid_b")),
+        )
+        .select(
+            query_id,
+            "cid_a",
+            "cid_b",
+            F.try_divide(
+                _dot_scaled(F.col("__va"), F.col("__vb")).cast("double")
+                / F.lit(float(VSCALE)),
+                F.col("__na") * F.col("__nb"),
+            ).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    slim = cand.select(query_id, "cid", "rel").localCheckpoint(eager=True)
+
+    w = Window.partitionBy(query_id).orderBy(F.col("__score").desc(), "cid")
+    first = (
+        slim.withColumn("__score", F.lit(float(lam)) * F.col("rel"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            query_id, "cid", F.lit(1).alias("pick_rank"), "rel",
+            F.col("__score").alias("mmr_score"),
+        )
+    )
+    sel = first.localCheckpoint(eager=True)
+    for r in range(2, k + 1):
+        msim = (
+            pairs.join(
+                sel.select(query_id, F.col("cid").alias("cid_b")),
+                [query_id, "cid_b"],
+                "left_semi",
+            )
+            .groupBy(query_id, F.col("cid_a").alias("cid"))
+            .agg(F.max("sim").alias("__maxsim"))
+        )
+        remaining = slim.join(sel.select(query_id, "cid"), [query_id, "cid"], "left_anti")
+        scored = remaining.join(msim, [query_id, "cid"], "left").withColumn(
+            "__score",
+            F.lit(float(lam)) * F.col("rel")
+            - F.lit(1.0 - float(lam)) * F.coalesce(F.col("__maxsim"), F.lit(0.0)),
+        )
+        pick = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                query_id, "cid", F.lit(r).alias("pick_rank"), "rel",
+                F.col("__score").alias("mmr_score"),
+            )
+        )
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+    return sel.withColumnRenamed("cid", corpus_id)

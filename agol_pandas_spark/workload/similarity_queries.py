@@ -944,3 +944,105 @@ def sim_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, corpus_id="vec_id", label_col="label",
         probe_filter=F.col("vec_id") % 50 == 0, k=5,
     )
+
+
+def _sql_mmr_unroll(k: int, lam: str = "0.5") -> str:
+    """Unrolled greedy MMR rounds over CTEs ``pool`` (qid, cid, rel)
+    and ``psim`` (qid, cid_a, cid_b, sim). Emits ``selcum{k}``."""
+    parts = [
+        f"""sel1 AS MATERIALIZED (
+          SELECT qid, cid, rel, {lam} * rel AS mmr_score,
+                 CAST(1 AS INTEGER) AS pick_rank
+          FROM (SELECT qid, cid, rel,
+                       ROW_NUMBER() OVER (PARTITION BY qid
+                                          ORDER BY {lam} * rel DESC, cid) AS rn
+                FROM pool) WHERE rn = 1)""",
+        "selcum1 AS (SELECT * FROM sel1)",
+    ]
+    for i in range(2, k + 1):
+        parts.append(f"""ms{i} AS MATERIALIZED (
+          SELECT p.qid, p.cid_a AS cid, MAX(p.sim) AS maxsim
+          FROM psim p JOIN selcum{i - 1} s
+            ON s.qid = p.qid AND s.cid = p.cid_b
+          GROUP BY 1, 2)""")
+        parts.append(f"""sc{i} AS (
+          SELECT pool.qid, pool.cid, pool.rel,
+                 {lam} * pool.rel
+                   - (1.0 - {lam}) * COALESCE(ms.maxsim, 0.0) AS score
+          FROM pool
+          LEFT JOIN ms{i} ms ON ms.qid = pool.qid AND ms.cid = pool.cid
+          WHERE NOT EXISTS (SELECT 1 FROM selcum{i - 1} s
+                            WHERE s.qid = pool.qid AND s.cid = pool.cid))""")
+        parts.append(f"""sel{i} AS MATERIALIZED (
+          SELECT qid, cid, rel, score AS mmr_score,
+                 CAST({i} AS INTEGER) AS pick_rank
+          FROM (SELECT qid, cid, rel, score,
+                       ROW_NUMBER() OVER (PARTITION BY qid
+                                          ORDER BY score DESC, cid) AS rn
+                FROM sc{i}) WHERE rn = 1)""")
+        parts.append(
+            f"selcum{i} AS (SELECT * FROM selcum{i - 1}"
+            f" UNION ALL SELECT * FROM sel{i})"
+        )
+    return ",\n    ".join(parts)
+
+
+@register(
+    "sim_mmr_diversified_topk",
+    tags=("similarity", "rerank", "mmr", "diversity"),
+    oracle=_sql_pair_cosine(
+        """
+    pairs AS (
+      SELECT q.vec_id AS qid, q.embedding AS qv, c.vec_id AS cid, c.embedding AS cv
+      FROM embeddings q CROSS JOIN embeddings c
+      WHERE q.vec_id < 3)
+    """
+    )
+    + f"""
+    , pool AS MATERIALIZED (
+      SELECT qid, cid, cosine AS rel FROM (
+        SELECT qid, cid, cosine,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cosine DESC, cid) AS rn
+        FROM cosines) WHERE rn <= 20),
+    cp AS (
+      SELECT a.qid, a.cid AS cid_a, b.cid AS cid_b,
+             ea.embedding AS va, eb.embedding AS vb
+      FROM pool a
+      JOIN pool b ON a.qid = b.qid AND a.cid <> b.cid
+      JOIN embeddings ea ON ea.vec_id = a.cid
+      JOIN embeddings eb ON eb.vec_id = b.cid),
+    pdots AS (
+      SELECT qid, cid_a, cid_b,
+             SUM(CAST(round(CAST(ax AS DOUBLE) * CAST(bx AS DOUBLE)
+                            * 1000000000) AS BIGINT)) AS dot_scaled
+      FROM (SELECT qid, cid_a, cid_b, unnest(va) AS ax, unnest(vb) AS bx FROM cp)
+      GROUP BY 1, 2, 3),
+    psim AS MATERIALIZED (
+      SELECT d.qid, d.cid_a, d.cid_b,
+             (CAST(d.dot_scaled AS DOUBLE) / 1000000000.0)
+               / (na.nrm * nb.nrm) AS sim
+      FROM pdots d
+      JOIN norms na ON na.vec_id = d.cid_a
+      JOIN norms nb ON nb.vec_id = d.cid_b),
+    {_sql_mmr_unroll(5)}
+    SELECT qid AS query_id, cid AS vec_id, pick_rank, rel, mmr_score
+    FROM selcum5
+    """,
+)
+def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified retrieval
+    (``operators/similarity.mmr_diversified_topk``): 3 probes pull a
+    20-candidate exact-cosine pool, then 5 greedy rounds pick results
+    that are relevant AND mutually diverse (λ=0.5) — the re-ranker
+    that keeps near-dup passages from monopolizing a context window.
+    Pool and candidate-pair similarities use the engine's
+    bit-reproducible cosine; the oracle unrolls all five greedy rounds
+    in SQL and every score and pick is value-checked."""
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.mmr_diversified_topk(
+        probes, emb, "query_id", "vec_id", pool_k=20, k=5, lam=0.5
+    )

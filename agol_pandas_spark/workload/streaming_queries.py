@@ -800,3 +800,88 @@ def stream_watermark_late_routing(spark: SparkSession, sf_dir: str) -> DataFrame
     shutil.rmtree(state_root, ignore_errors=True)
     shutil.rmtree(landing, ignore_errors=True)
     return out
+
+
+@register(
+    "stream_hll_incremental_distinct",
+    tags=("streaming", "sketch", "hll", "approx"),
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS within_tol
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_hll_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental distinct-user counting through MERGEABLE HLL
+    sketches: the events corpus drains as three micro-batches, each
+    batch appends ONE Datasketches HLL row per event type to a state
+    table — a few KB per batch regardless of batch size, the property
+    that lets a 100 TB stream track distinct counts without ever
+    holding the key set — and the final estimate unions the per-batch
+    sketches (``hll_union_agg``, order-insensitive by construction).
+    The estimate is bounded against the exact distinct count with the
+    registry's approx contract (within-5% boolean the oracle
+    hash-checks); lgConfigK=14 keeps the expected error ≈0.8%.
+    """
+    import shutil
+
+    cat = Catalog(spark, sf_dir)
+    ev_path = cat.path("events")
+    schema = spark.read.parquet(ev_path).schema
+    landing = os.path.join(
+        tempfile.gettempdir(), f"stream_hll_{uuid.uuid4().hex[:8]}"
+    )
+    (
+        spark.read.parquet(ev_path)
+        .repartition(3)
+        .write.mode("overwrite")
+        .parquet(landing)
+    )
+    ev = stream_from_directory(spark, landing, schema)
+
+    state_root = tempfile.mkdtemp(prefix="stream_hll_state_")
+    sketch_dir = os.path.join(state_root, "sketches")
+
+    def accumulate(batch_df, batch_id):
+        (
+            batch_df.groupBy("event_type")
+            .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sketch"))
+            .write.mode("append")
+            .parquet(sketch_dir)
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(accumulate)
+        .option("checkpointLocation", os.path.join(state_root, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    est = (
+        spark.read.parquet(sketch_dir)
+        .groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_union_agg(F.col("sketch"), F.lit(True))
+            ).alias("approx_users")
+        )
+    )
+    exact = (
+        spark.read.parquet(ev_path)
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_exact"))
+    )
+    out = exact.join(est, "event_type").select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("approx_users") - F.col("n_exact"))
+            <= F.col("n_exact") * 0.05
+        ).alias("within_tol"),
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(state_root, ignore_errors=True)
+    shutil.rmtree(landing, ignore_errors=True)
+    return out

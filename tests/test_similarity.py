@@ -531,3 +531,73 @@ class TestMatryoshkaRerank:
 
         with pytest.raises(ValueError, match="prefix_dim"):
             matryoshka_rerank_topk(emb, emb, "vec_id", "vec_id", prefix_dim=0)
+
+
+def test_mmr_skips_near_duplicate_of_first_pick(spark):
+    """With the corpus containing an exact copy of the best hit, plain
+    top-k returns both copies back to back; MMR's round 2 must skip the
+    copy for the most-relevant DIVERSE candidate, and every pick's score
+    must equal the greedy Python recompute."""
+    import math
+
+    from agol_pandas_spark.operators.similarity import (
+        brute_force_topk,
+        mmr_diversified_topk,
+    )
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    vecs = {
+        10: [0.7, 0.7, 0.0, 0.0],   # best hit (rel-tie broken by id)
+        11: [0.7, 0.7, 0.0, 0.0],   # its exact copy: sim to 10 is 1.0
+        12: [0.7, -0.7, 0.0, 0.0],  # equally relevant, orthogonal to 10
+        13: [0.0, 0.0, 1.0, 0.0],   # irrelevant but fully diverse
+    }
+    corpus = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+    )
+    queries = spark.createDataFrame(
+        [(0, q)], "query_id long, embedding array<float>"
+    )
+    got = {
+        r["pick_rank"]: (r["vec_id"], r["mmr_score"])
+        for r in mmr_diversified_topk(
+            queries, corpus, "query_id", "vec_id", pool_k=4, k=3, lam=0.5
+        ).collect()
+    }
+    # top-k control: ranks 1-2 are the duplicate pair
+    topk = {
+        r["rnk"]: r["vec_id"]
+        for r in brute_force_topk(
+            queries, corpus, "query_id", "vec_id", k=2
+        ).collect()
+    }
+    assert sorted((topk[1], topk[2])) == [10, 11]
+    assert got[1][0] == 10        # rel tie among 10/11/12 -> smallest id
+    assert got[2][0] == 12        # orthogonal twin beats the exact copy
+    assert got[3][0] == 13        # even rel=0 diverse beats the copy
+
+    # greedy reference on exact quantized cosines (embeddings are
+    # float32 columns: quantize the float32 representations)
+    import numpy as np
+
+    def cos(a, b):
+        a = [float(np.float32(x)) for x in a]
+        b = [float(np.float32(x)) for x in b]
+        dot = sum(round(x * y * 1e9) for x, y in zip(a, b)) / 1e9
+        na = math.sqrt(sum(round(x * x * 1e9) for x in a) / 1e9)
+        nb = math.sqrt(sum(round(x * x * 1e9) for x in b) / 1e9)
+        return dot / (na * nb)
+
+    rel = {i: cos(q, v) for i, v in vecs.items()}
+    sel = []
+    for r in range(1, 4):
+        best = None
+        for i in sorted(vecs):
+            if i in sel:
+                continue
+            ms = max((cos(vecs[i], vecs[s]) for s in sel), default=0.0)
+            score = 0.5 * rel[i] - 0.5 * ms
+            if best is None or score > best[1]:
+                best = (i, score)
+        sel.append(best[0])
+        assert got[r] == best, r

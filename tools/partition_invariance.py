@@ -101,6 +101,7 @@ QUERIES = [
     "feature_hashing_trick_vectorize",
     "stats_kendall_tau_b",
     "text_inverted_index_search",
+    "sim_mmr_diversified_topk",
 ]
 
 PARTITIONS = (1, 7, 200)
