@@ -1809,3 +1809,72 @@ def resource_allocation_links(
         )
         .filter(F.col("n_common") >= min_common)
     )
+
+
+def hits_scaled(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    iterations: int = 2,
+    scale: int = 10**6,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """HITS (Kleinberg 1999) hubs & authorities over a DIRECTED graph
+    in exact scaled-integer arithmetic: authority = Σ hub over
+    in-edges, hub = Σ authority over out-edges, each half-step
+    renormalized by the current MAX (one 1-row aggregate, broadcast
+    back) via truncating integer division — the bit-reproducible
+    stand-in for the float L2 normalization, same family as
+    :func:`pagerank_scaled`'s damped integer ranks.
+
+    Per half-step: one shuffle join of the edge list with the score
+    table plus one aggregation — no normalization pass ever touches
+    the edges again, and only the single max integer crosses the
+    driver. Lineage is cut per iteration (``checkpoint_dir`` →
+    executor-loss-safe reliable checkpoints). Returns one row per
+    node and side: ``(node, role['hub'|'auth'], score_scaled)``;
+    source-side nodes carry hub scores, destination-side authority
+    scores (a node appearing on both sides gets both rows).
+    """
+    e = _cut_lineage(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct(),
+        checkpoint_dir,
+    )
+    hub = e.select("a").distinct().select(
+        F.col("a").alias("node"), F.lit(int(scale)).alias("s")
+    )
+    auth = None
+    for _ in range(iterations):
+        araw = (
+            e.join(hub, e.a == hub.node)
+            .groupBy("b")
+            .agg(F.sum("s").alias("raw"))
+        )
+        amax = araw.agg(F.max("raw").alias("mx"))
+        auth = _cut_lineage(
+            araw.join(F.broadcast(amax)).select(
+                F.col("b").alias("node"),
+                F.expr(f"(raw * {int(scale)}) div mx").alias("s"),
+            ),
+            checkpoint_dir,
+        )
+        hraw = (
+            e.join(auth, e.b == auth.node)
+            .groupBy("a")
+            .agg(F.sum("s").alias("raw"))
+        )
+        hmax = hraw.agg(F.max("raw").alias("mx"))
+        hub = _cut_lineage(
+            hraw.join(F.broadcast(hmax)).select(
+                F.col("a").alias("node"),
+                F.expr(f"(raw * {int(scale)}) div mx").alias("s"),
+            ),
+            checkpoint_dir,
+        )
+    return hub.select(
+        "node", F.lit("hub").alias("role"), F.col("s").alias("score_scaled")
+    ).unionByName(
+        auth.select(
+            "node", F.lit("auth").alias("role"), F.col("s").alias("score_scaled")
+        )
+    )

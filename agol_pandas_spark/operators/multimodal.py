@@ -267,3 +267,93 @@ def resize_payload(
             )
 
     return df.select(id_col, payload_col).mapInPandas(process, schema=out_schema)
+
+
+AUDIO_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("mean_amplitude", T.DoubleType()),
+    ]
+)
+
+
+def encode_wav(sample_rate: int, samples: "list[int] | bytes") -> bytes:
+    """Minimal PCM16 mono RIFF/WAVE writer — stdlib-only, the audio
+    sibling of :func:`encode_bmp`. ``samples`` is int16 little-endian
+    bytes or a list of ints in [-32768, 32767]."""
+    import struct
+
+    if not isinstance(samples, (bytes, bytearray)):
+        samples = struct.pack(f"<{len(samples)}h", *samples)
+    data = bytes(samples)
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate,
+        sample_rate * 2, 2, 16,
+    )
+    hdr = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + 8 + len(data), b"WAVE")
+    return hdr + fmt + struct.pack("<4sI", b"data", len(data)) + data
+
+
+def wav_codec(payload: bytes) -> dict:
+    """REAL audio decode, stdlib-only: walk the RIFF chunk list (not a
+    fixed offset — encoders may interleave LIST/fact chunks), require
+    PCM 16-bit mono, and report sample rate / sample count / mean
+    amplitude. Malformed, truncated, or non-PCM16-mono payloads raise
+    ``ValueError`` — decode stages fail loudly."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_fmt, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if (audio_fmt, channels, bits) != (1, 1, 16):
+        raise ValueError(
+            f"only PCM16 mono supported, got fmt={audio_fmt} "
+            f"ch={channels} bits={bits}"
+        )
+    n = len(data) // 2
+    if n == 0:
+        raise ValueError("empty data chunk")
+    total = sum(struct.unpack(f"<{n}h", data[: n * 2]))
+    return {
+        "sample_rate": rate,
+        "n_samples": n,
+        "mean_amplitude": total / n,
+    }
+
+
+def decode_audio_features(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    codec: Callable[[bytes], dict] = wav_codec,
+) -> DataFrame:
+    """Arrow-batched audio decode: (id, payload) → (id, sample_rate,
+    n_samples, mean_amplitude) via ``mapInPandas`` — the same scale
+    shape as :func:`decode_features`: payload bytes stay on executors,
+    cross into Python once over Arrow, fixed output schema."""
+    out_schema = T.StructType([df.schema[id_col], *AUDIO_DECODED_SCHEMA.fields])
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            feats = [codec(bytes(p)) for p in pdf[payload_col]]
+            out = pd.DataFrame(feats)
+            out.insert(0, id_col, pdf[id_col].values)
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)

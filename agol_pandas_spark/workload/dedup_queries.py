@@ -1150,3 +1150,57 @@ def graph_resource_allocation_links(spark: SparkSession, sf_dir: str) -> DataFra
     docs = Catalog(spark, sf_dir).table("documents")
     pairs = dedup.simhash_band_pairs(docs, "doc_id", "text", max_hamming=3)
     return dedup.resource_allocation_links(pairs, "id_a", "id_b", min_common=2)
+
+
+def _sql_hits_unroll(iterations: int, scale: int) -> str:
+    """Unrolled HITS half-steps over CTE ``e`` (a → b directed edges).
+    Emits ``h{n}`` / ``a{n}``."""
+    parts = ["h0 AS (SELECT DISTINCT a AS node, " f"{scale} AS s FROM e)"]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"ar{i} AS MATERIALIZED (SELECT b, SUM(s) AS raw "
+            f"FROM e JOIN h{i - 1} ON h{i - 1}.node = e.a GROUP BY b)"
+        )
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT b AS node, "
+            f"(raw * {scale}) // (SELECT MAX(raw) FROM ar{i}) AS s FROM ar{i})"
+        )
+        parts.append(
+            f"hr{i} AS MATERIALIZED (SELECT a, SUM(s) AS raw "
+            f"FROM e JOIN a{i} ON a{i}.node = e.b GROUP BY a)"
+        )
+        parts.append(
+            f"h{i} AS MATERIALIZED (SELECT a AS node, "
+            f"(raw * {scale}) // (SELECT MAX(raw) FROM hr{i}) AS s FROM hr{i})"
+        )
+    return ",\n    ".join(parts)
+
+
+@register(
+    "graph_hits_hubs_authorities",
+    tags=("graph", "hits", "ranking"),
+    oracle=f"""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS a, l.l_suppkey AS b
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+    {_sql_hits_unroll(iterations=2, scale=10**6)}
+    SELECT node, 'hub' AS role, CAST(s AS BIGINT) AS score_scaled FROM h2
+    UNION ALL
+    SELECT node, 'auth' AS role, CAST(s AS BIGINT) AS score_scaled FROM a2
+    """,
+)
+def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (``operators/dedup.hits_scaled``) on the
+    directed customer→supplier purchase graph: hub customers buy from
+    many strong suppliers, authority suppliers serve many strong
+    customers — mutually recursive, resolved by two exact
+    integer-scaled iterations with MAX renormalization (one broadcast
+    scalar per half-step), bit-reproducible where float HITS is not.
+    The oracle unrolls both iterations in SQL."""
+    cat = Catalog(spark, sf_dir)
+    li = cat.table("lineitem").select("l_orderkey", "l_suppkey")
+    orders = cat.table("orders").select("o_orderkey", "o_custkey")
+    e = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
+    )
+    return dedup.hits_scaled(e, "cust", "supp", iterations=2, scale=10**6)

@@ -313,3 +313,73 @@ def mm_decode_real_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return decode_features(rendered, "doc_id", "payload", codec=bmp_codec)
+
+
+@register(
+    "mm_decode_real_wav",
+    tags=("multimodal", "decode", "audio", "wav"),
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 800 + (doc_id % 5) * 160 AS n
+      FROM documents WHERE doc_id < 200),
+    smp AS (
+      SELECT d.doc_id, d.n,
+             SUM((d.doc_id * 13 + i * 17) % 65536 - 32768) AS s
+      FROM dims d, unnest(range(0, d.n)) AS u(i)
+      GROUP BY d.doc_id, d.n)
+    SELECT doc_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(s AS DOUBLE) / n AS mean_amplitude
+    FROM smp
+    """,
+)
+def mm_decode_real_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: each document id is rendered into a
+    genuine PCM16 mono RIFF/WAVE file (``encode_wav`` — fmt/data chunk
+    layout, word alignment) inside an Arrow-batched stage, then decoded
+    by the stdlib chunk-walking parser ``wav_codec`` through the same
+    ``mapInPandas`` plumbing as the BMP path — the audio modality's
+    proof that the Spark-side schema/partitioning/batch shape carries
+    real media, not just the deterministic fake. Samples follow a
+    closed-form formula so the oracle derives rate/count/mean
+    analytically; header or chunk-walk bugs would diverge."""
+    import numpy as np
+    import pandas as pd
+
+    from agol_pandas_spark.operators.multimodal import (
+        decode_audio_features,
+        encode_wav,
+        wav_codec,
+    )
+
+    docs = (
+        Catalog(spark, sf_dir)
+        .table("documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+    )
+
+    def render(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                n = 800 + (int(d) % 5) * 160
+                smp = ((int(d) * 13 + np.arange(n, dtype=np.int64) * 17)
+                       % 65536 - 32768).astype("<i2").tobytes()
+                payloads.append(encode_wav(8000, smp))
+            yield pd.DataFrame({"doc_id": ids.values, "payload": payloads})
+
+    import pyspark.sql.types as T
+
+    rendered = docs.mapInPandas(
+        render,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+    return decode_audio_features(rendered, "doc_id", "payload", codec=wav_codec)

@@ -5247,3 +5247,133 @@ def stats_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kendall_tau_b(x, "g", "xv", "yv").withColumnsRenamed(
         {"g": "l_returnflag"}
     )
+
+
+@register(
+    "top_q03_shipping_priority",
+    tags=("topk", "tpch", "join"),
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {SQL_DSUM(REVENUE.replace('l_', 'l.l_'), 'revenue')},
+           CAST(o.o_orderdate AS VARCHAR) AS o_orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1996-06-15'
+      AND l.l_shipdate > TIMESTAMP '1996-06-15'
+    GROUP BY 1, 3, 4
+    ORDER BY 2 DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def top_q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): the 10 highest-revenue BUILDING
+    orders placed before the cutoff but not yet fully shipped. Both
+    date predicates and the segment filter push to their scans —
+    opposite-direction ranges on order vs ship date are the classic
+    unshipped-backlog probe — customer broadcasts, and the top-10 of
+    the grouped result is TakeOrderedAndProject with a key tie-break.
+    """
+    cat = Catalog(spark, sf_dir)
+    cust = cat.table("customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = cat.table("orders").filter(
+        F.col("o_orderdate") < F.lit("1996-06-15").cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = cat.table("lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-06-15").cast("timestamp")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(dsum(_rev(), "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "subquery_q04_priority_late_lines",
+    tags=("subquery", "tpch", "semi"),
+    oracle="""
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY)
+    GROUP BY 1
+    """,
+)
+def subquery_q04_priority_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking): quarterly orders with at
+    least one late line, counted per priority — the correlated EXISTS
+    shape (commit<receipt becomes ship-vs-order lag; this corpus has
+    no commit/receipt dates). The EXISTS runs as a LEFT SEMI join
+    whose condition mixes the equi-key with the correlated column
+    comparison; the quarter predicate pushes to the orders scan, so
+    the semi join probes only one quarter's keys.
+    """
+    cat = Catalog(spark, sf_dir)
+    orders = cat.table("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = cat.table("lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 45 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+
+
+@register(
+    "filter_q06_forecast_revenue",
+    tags=("filter", "tpch", "agg", "pushdown"),
+    oracle=f"""
+    SELECT {SQL_DSUM('l_extendedprice * l_discount', 'revenue')},
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def filter_q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the pure scan-filter-agg
+    query — no join anywhere, which is the point: all four range
+    predicates reach the parquet scan as PushedFilters, the reader
+    prunes row groups on the shipdate/discount/quantity footer spans,
+    and what survives feeds one partial aggregation. The query whose
+    entire cost IS the scan — at 100 TB it measures nothing but
+    pushdown quality.
+    """
+    cat = Catalog(spark, sf_dir)
+    li = cat.table("lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )

@@ -1030,3 +1030,42 @@ def test_resource_allocation_center_degree_cap(spark):
     }
     assert capped[(1, 2)] == 10**12 // 3  # only node 3 (deg 3) survives
     assert all(capped[p] <= full[p] for p in capped)
+
+
+def test_hits_scaled_matches_python_reference(spark):
+    """2-iteration max-normalized integer HITS vs a direct Python
+    recompute on a small directed bipartite graph."""
+    from collections import defaultdict
+
+    from agol_pandas_spark.operators.dedup import hits_scaled
+
+    edges = [(1, 10), (1, 11), (2, 10), (3, 10), (3, 12), (4, 12)]
+    got = {
+        (r["role"], r["node"]): r["score_scaled"]
+        for r in hits_scaled(
+            spark.createDataFrame(edges, "a long, b long"), "a", "b",
+            iterations=2, scale=10**6,
+        ).collect()
+    }
+
+    out_e = defaultdict(set)
+    in_e = defaultdict(set)
+    for a, b in edges:
+        out_e[a].add(b)
+        in_e[b].add(a)
+    hub = {a: 10**6 for a in out_e}
+    auth = {}
+    for _ in range(2):
+        raw_a = {b: sum(hub[a] for a in in_e[b]) for b in in_e}
+        mx = max(raw_a.values())
+        auth = {b: raw_a[b] * 10**6 // mx for b in raw_a}
+        raw_h = {a: sum(auth[b] for b in out_e[a]) for a in out_e}
+        mx = max(raw_h.values())
+        hub = {a: raw_h[a] * 10**6 // mx for a in raw_h}
+    want = {("hub", a): s for a, s in hub.items()}
+    want.update({("auth", b): s for b, s in auth.items()})
+    assert got == want
+    # node 10 (in-degree 3) is the top authority; node 3 feeds both
+    # strong authorities and tops the hubs
+    assert got[("auth", 10)] == 10**6
+    assert got[("hub", 3)] == 10**6

@@ -161,3 +161,54 @@ def test_bmp_decode_through_map_in_pandas(spark):
         assert got[i]["width"] == w
         assert got[i]["height"] == h
         assert got[i]["mean_intensity"] == mean
+
+
+class TestWavCodec:
+    def test_roundtrip_stats(self):
+        from agol_pandas_spark.operators.multimodal import encode_wav, wav_codec
+
+        samples = [0, 1000, -1000, 32767, -32768, 5]
+        got = wav_codec(encode_wav(44100, samples))
+        assert got == {
+            "sample_rate": 44100,
+            "n_samples": 6,
+            "mean_amplitude": sum(samples) / 6,
+        }
+
+    def test_chunk_walk_skips_extra_chunks(self):
+        """A LIST chunk between fmt and data (word-aligned, odd size)
+        must be walked over, not mis-parsed as audio."""
+        import struct
+
+        from agol_pandas_spark.operators.multimodal import encode_wav, wav_codec
+
+        base = encode_wav(8000, [7, -7, 7])
+        fmt_and_rest = base[12:]
+        extra = struct.pack("<4sI", b"LIST", 5) + b"INFOx" + b"\x00"  # pad
+        patched = (
+            struct.pack("<4sI4s", b"RIFF", len(fmt_and_rest) + len(extra) + 4,
+                        b"WAVE")
+            + base[12:36]          # fmt chunk (8 + 16 bytes)
+            + extra
+            + base[36:]            # data chunk
+        )
+        got = wav_codec(patched)
+        assert (got["n_samples"], got["sample_rate"]) == (3, 8000)
+
+    def test_malformed_payloads_raise(self):
+        import struct
+
+        import pytest
+
+        from agol_pandas_spark.operators.multimodal import encode_wav, wav_codec
+
+        with pytest.raises(ValueError):
+            wav_codec(b"RIFFxxxxWAV?")          # bad magic
+        good = encode_wav(8000, [1, 2, 3])
+        with pytest.raises(ValueError):
+            wav_codec(good[:-2])                # truncated data chunk
+        # stereo rejected: patch channels=2 in the fmt chunk
+        stereo = bytearray(good)
+        struct.pack_into("<H", stereo, 22, 2)
+        with pytest.raises(ValueError):
+            wav_codec(bytes(stereo))

@@ -102,6 +102,7 @@ QUERIES = [
     "stats_kendall_tau_b",
     "text_inverted_index_search",
     "sim_mmr_diversified_topk",
+    "graph_hits_hubs_authorities",
 ]
 
 PARTITIONS = (1, 7, 200)
