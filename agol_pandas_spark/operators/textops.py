@@ -1101,3 +1101,60 @@ def search_conjunctive(catalog, name: str, terms: Sequence[str]) -> DataFrame:
         )
         .filter(F.col("n_terms_matched") == len(ts))
     )
+
+
+def temperature_mix_sample(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    temperature: float = 2.0,
+    salt: str = "tmix",
+) -> DataFrame:
+    """Temperature-scaled domain mixing (the multilingual-pretraining
+    rebalance, Conneau & Lample 2019): target weights ∝ n_d^(1/T)
+    derived FROM the observed counts instead of hand-tuned — T=1 keeps
+    the natural mix, T→∞ flattens to uniform; in between, long-tail
+    domains are upweighted relative to the head without ever
+    upsampling rows.
+
+    Only ``T=2`` (weights ∝ √n_d) is exposed: sqrt is the one power
+    with an IEEE-correctly-rounded primitive in both engines, so the
+    per-domain keep-rates — ``ppm_d = min(1, (√n_d · min_e(n_e/√n_e))
+    / n_d)`` in floor-ppm — reproduce bit-identically in the oracle,
+    like every other gate in this file. Admission gates on the
+    portable row hash: stable across partitioning, engines, re-runs.
+
+    Plan shape mirrors :func:`domain_mix_sample`: one per-domain count
+    aggregation, one scalar, a broadcast rate table onto the scan.
+    """
+    if float(temperature) != 2.0:
+        raise ValueError(
+            "only temperature=2.0 is supported (sqrt is the one power "
+            "both engines round identically); got "
+            f"{temperature!r}"
+        )
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
+    weighted = counts.select(
+        domain_col, "__n", F.sqrt(F.col("__n").cast("double")).alias("__w")
+    )
+    t = weighted.agg(F.min(F.col("__n") / F.col("__w")).alias("__t"))
+    rates = weighted.crossJoin(F.broadcast(t)).select(
+        F.col(domain_col),
+        F.least(
+            F.lit(1_000_000).cast("long"),
+            F.floor(F.col("__w") * F.col("__t") / F.col("__n") * 1_000_000).cast(
+                "long"
+            ),
+        ).alias("__ppm"),
+    )
+    gate = (
+        portable_hash60(
+            F.concat(F.lit(salt), F.col(id_col).cast("string"))
+        )
+        % 1_000_000
+    )
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .filter(gate < F.col("__ppm"))
+        .drop("__ppm")
+    )

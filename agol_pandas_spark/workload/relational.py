@@ -13,7 +13,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from agol_pandas_spark.catalog import Catalog
-from agol_pandas_spark.workload import register
+from agol_pandas_spark.workload import REGISTRY, register
 
 # Deterministic aggregation of doubles. Double summation order varies with
 # partitioning, and even double→decimal casts disagree across engines near
@@ -5376,4 +5376,62 @@ def filter_q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.agg(
         dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
         F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+@register(
+    "link_entity_resolution_clusters",
+    tags=("linkage", "entity-resolution", "clustering", "pipeline"),
+    oracle=f"""
+    WITH fs AS ({REGISTRY["link_fellegi_sunter_weights"].oracle}),
+    matches AS (SELECT id_a, id_b FROM fs WHERE score > 100000000),
+    edges2 AS (SELECT id_a AS a, id_b AS b FROM matches
+               UNION SELECT id_b, id_a FROM matches),
+    nodes AS (SELECT DISTINCT a AS node FROM edges2),
+    reach AS (
+      WITH RECURSIVE r(node, label) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.b, r.label FROM r JOIN edges2 e ON e.a = r.node
+      ) SELECT * FROM r),
+    cc AS (SELECT node, MIN(label) AS entity FROM reach GROUP BY node)
+    SELECT cc.entity,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MAX(round(c.c_acctbal * 100)) AS BIGINT) AS max_cents,
+           MIN(c.c_name) AS canonical_name
+    FROM cc JOIN customer c ON c.c_custkey = cc.node
+    GROUP BY cc.entity
+    """,
+)
+def link_entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end, composed from the engine's own
+    stages: Fellegi-Sunter blocked scoring (the
+    ``link_fellegi_sunter_weights`` plan, reused verbatim) → score
+    threshold keeping only exact-balance-grade agreements (the 1e8 cut
+    sits two orders of magnitude above the seg+band weight ceiling and
+    well under any cents-agreement weight at either SF) → connected
+    components over the match edges (transitive closure: A≈B≈C is one
+    entity even when A and C never paired) → survivorship, one row per
+    resolved entity with its canonical member count and max balance.
+    The full quadratic pair space is never materialized at any stage.
+    """
+    from agol_pandas_spark.operators.dedup import connected_components
+    from agol_pandas_spark.workload import REGISTRY
+
+    scored = REGISTRY["link_fellegi_sunter_weights"].fn(spark, sf_dir)
+    matches = scored.filter(F.col("score") > 100_000_000).select("id_a", "id_b")
+    cc = connected_components(matches, "id_a", "id_b").select(
+        F.col("node"), F.col("component").alias("entity")
+    )
+    cust = Catalog(spark, sf_dir).table("customer").select(
+        F.col("c_custkey"), F.col("c_acctbal"), F.col("c_name")
+    )
+    return (
+        cc.join(cust, cc.node == cust.c_custkey)
+        .groupBy("entity")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.max(F.round(F.col("c_acctbal") * 100)).cast("long").alias("max_cents"),
+            F.min("c_name").alias("canonical_name"),
+        )
     )

@@ -1676,3 +1676,42 @@ def text_inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     shutil.rmtree(idx_root, ignore_errors=True)
     return out
+
+
+@register(
+    "sample_temperature_domain_mix",
+    tags=("sampling", "mixing", "temperature", "text"),
+    oracle=f"""
+    WITH c AS (
+      SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    w AS (SELECT source, n, sqrt(CAST(n AS DOUBLE)) AS w FROM c),
+    t AS (SELECT MIN(n / w) AS t FROM w),
+    r AS (
+      SELECT source,
+             CAST(least(1000000, floor(w * t.t / n * 1000000)) AS BIGINT) AS ppm
+      FROM w, t),
+    s AS (
+      SELECT d.doc_id, d.source
+      FROM documents d JOIN r ON d.source = r.source
+      WHERE {SQL_HASH60.format(expr="'tmix' || CAST(doc_id AS VARCHAR)")}
+            % 1000000 < r.ppm)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM s GROUP BY source
+    """,
+)
+def sample_temperature_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (T=2) domain rebalance
+    (``textops.temperature_mix_sample``): target weights ∝ √n_source
+    derived from the corpus itself — the multilingual-pretraining
+    rebalance that lifts tail sources without hand-tuned weights or
+    upsampling. sqrt is IEEE-correctly-rounded in both engines, so the
+    floor-ppm keep-rates and the hash-gated admitted set reproduce
+    row-for-row in the oracle."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    kept = textops.temperature_mix_sample(docs, "doc_id", "source")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )

@@ -509,3 +509,42 @@ def test_inverted_index_search_semantics(spark, tmp_path):
     assert single == {1, 3}
     with _pytest.raises(ValueError):
         search_conjunctive(cat, "idx", [])
+
+
+def test_temperature_mix_flattens_toward_tail(spark):
+    """T=2 keeps ~sqrt-proportional domains: the limiting (smallest)
+    domain keeps 100%, the head is downsampled by ~sqrt(n_head/n_tail);
+    keep-rates follow the exact floor-ppm formula; T != 2 raises."""
+    import hashlib
+    import math
+
+    import pytest as _pytest
+
+    from agol_pandas_spark.operators.textops import temperature_mix_sample
+
+    rows = [(i, "head") for i in range(400)] + [
+        (i, "tail") for i in range(400, 500)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = temperature_mix_sample(df, "doc_id", "source")
+    got = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(
+            __import__("pyspark.sql.functions", fromlist=["F"]).count("*").alias("n")
+        ).collect()
+    }
+
+    # exact replay: t = min(n/sqrt(n)) over domains, ppm = floor-rate
+    t = min(n / math.sqrt(n) for n in (400, 100))
+    def ppm(n):
+        return min(10**6, math.floor(math.sqrt(n) * t / n * 10**6))
+    def h(doc_id):
+        return int(hashlib.md5(f"tmix{doc_id}".encode()).hexdigest()[:15], 16) % 10**6
+    want = {"head": sum(1 for i in range(400) if h(i) < ppm(400)),
+            "tail": sum(1 for i in range(400, 500) if h(i) < ppm(100))}
+    assert got == want
+    assert want["tail"] == 100  # limiting domain keeps everything
+    assert 0.4 < want["head"] / 400 < 0.6  # ~sqrt(100/400) = 0.5 keep-rate
+
+    with _pytest.raises(ValueError):
+        temperature_mix_sample(df, "doc_id", "source", temperature=3.0)

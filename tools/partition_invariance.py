@@ -103,6 +103,8 @@ QUERIES = [
     "text_inverted_index_search",
     "sim_mmr_diversified_topk",
     "graph_hits_hubs_authorities",
+    "link_entity_resolution_clusters",
+    "sample_temperature_domain_mix",
 ]
 
 PARTITIONS = (1, 7, 200)
