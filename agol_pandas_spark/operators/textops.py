@@ -1158,3 +1158,99 @@ def temperature_mix_sample(
         .filter(gate < F.col("__ppm"))
         .drop("__ppm")
     )
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 4,
+) -> DataFrame:
+    """Multi-iteration BPE tokenizer training: learn ``n_merges`` merges
+    by repeatedly counting adjacent-symbol pairs on the weighted
+    vocabulary, merging the best pair, and re-counting — the full
+    Sennrich et al. (2016) loop, of which :func:`bpe_pair_counts` is
+    one step. Same scale contract: ONE corpus-scale shuffle builds the
+    word histogram; every iteration after runs on the vocabulary, the
+    best pair is a 1-row sort-limit broadcast (never a driver
+    collect), and the merge is a pure string map.
+
+    Returns one row per learned merge:
+    ``(merge_rank, sym_a, sym_b, pair_count, corpus_symbols_after)`` —
+    the merge table a downstream encoder applies in rank order, plus
+    the corpus-wide symbol count after each merge (the compression
+    trajectory; it is NOT ``prev − pair_count`` because pair counting
+    sees overlapping pairs while the merge is non-overlapping,
+    left-to-right).
+    """
+    words = (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("word"))
+        .filter(~F.col("word").contains(BPE_SEP))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wf"))
+        .withColumn(
+            "syms",
+            F.expr(
+                "transform(sequence(1, length(word)), "
+                "i -> substring(word, i, 1))"
+            ),
+        )
+        .select("wf", "syms")
+        .localCheckpoint(eager=True)
+    )
+    sep = F.lit(BPE_SEP)
+    out = None
+    for rank in range(1, n_merges + 1):
+        pairs = (
+            words.select(
+                "wf",
+                F.explode(
+                    F.expr(
+                        "CASE WHEN size(syms) >= 2 THEN "
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(syms[i - 1] AS a, syms[i] AS b)) "
+                        "ELSE cast(array() AS array<struct<a:string,b:string>>) END"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("sym_a"), F.col("p.b").alias("sym_b"))
+            .agg(F.sum("wf").alias("cnt"))
+        )
+        best = (
+            pairs.orderBy(F.col("cnt").desc(), "sym_a", "sym_b")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        words = (
+            words.crossJoin(
+                F.broadcast(
+                    best.select(
+                        F.col("sym_a").alias("__ba"), F.col("sym_b").alias("__bb")
+                    )
+                )
+            )
+            .withColumn(
+                "syms",
+                F.split(
+                    F.replace(
+                        F.array_join(F.col("syms"), BPE_SEP),
+                        F.concat(F.col("__ba"), sep, F.col("__bb")),
+                        F.concat(F.col("__ba"), F.col("__bb")),
+                    ),
+                    BPE_SEP,
+                ),
+            )
+            .select("wf", "syms")
+            .localCheckpoint(eager=True)
+        )
+        after = words.agg(
+            F.sum(F.col("wf") * F.size("syms")).alias("corpus_symbols_after")
+        )
+        row = best.join(F.broadcast(after)).select(
+            F.lit(rank).alias("merge_rank"),
+            "sym_a",
+            "sym_b",
+            F.col("cnt").cast("long").alias("pair_count"),
+            F.col("corpus_symbols_after").cast("long"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

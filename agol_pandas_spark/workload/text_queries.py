@@ -1715,3 +1715,65 @@ def sample_temperature_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+def _sql_bpe_unroll(n_merges: int) -> str:
+    """Unrolled BPE training rounds over CTE ``w0`` (wf, syms). Emits
+    ``b{i}`` (best pair + count) and ``s{i}`` (post-merge symbol total)."""
+    parts = []
+    for i in range(1, n_merges + 1):
+        parts.append(f"""p{i} AS MATERIALIZED (
+          SELECT u.a AS sym_a, u.b AS sym_b, SUM(wf) AS cnt FROM (
+            SELECT wf, unnest(list_transform(range(1, greatest(len(syms), 1)),
+                     j -> struct_pack(a := syms[j], b := syms[j + 1]))) AS u
+            FROM w{i - 1}) GROUP BY 1, 2)""")
+        parts.append(
+            f"b{i} AS MATERIALIZED (SELECT sym_a AS ba, sym_b AS bb, cnt "
+            f"FROM p{i} ORDER BY cnt DESC, sym_a, sym_b LIMIT 1)"
+        )
+        parts.append(f"""w{i} AS MATERIALIZED (
+          SELECT wf, string_split(
+                   replace(array_to_string(syms, chr(31)),
+                           (SELECT ba FROM b{i}) || chr(31) || (SELECT bb FROM b{i}),
+                           (SELECT ba FROM b{i}) || (SELECT bb FROM b{i})),
+                   chr(31)) AS syms
+          FROM w{i - 1})""")
+        parts.append(
+            f"s{i} AS (SELECT SUM(wf * len(syms)) AS total FROM w{i})"
+        )
+    return ",\n    ".join(parts)
+
+
+@register(
+    "text_bpe_learned_merges",
+    tags=("text", "tokenizer", "bpe", "iterative"),
+    oracle=f"""
+    WITH w0 AS MATERIALIZED (
+      SELECT wf, list_transform(range(1, length(word) + 1), i -> word[i]) AS syms
+      FROM (
+        SELECT tok AS word, COUNT(*) AS wf
+        FROM (SELECT unnest({SQL_TOKS.format(src='lower(text)')}) AS tok
+              FROM documents)
+        WHERE NOT contains(tok, chr(31))
+        GROUP BY tok)),
+    {_sql_bpe_unroll(4)}
+    {' UNION ALL '.join(
+        f'''SELECT CAST({i} AS INTEGER) AS merge_rank,
+               (SELECT ba FROM b{i}) AS sym_a,
+               (SELECT bb FROM b{i}) AS sym_b,
+               CAST((SELECT cnt FROM b{i}) AS BIGINT) AS pair_count,
+               CAST((SELECT total FROM s{i}) AS BIGINT) AS corpus_symbols_after'''
+        for i in range(1, 5)
+    )}
+    """,
+)
+def text_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE tokenizer-training loop
+    (``textops.bpe_learn_merges``): four merges learned iteratively —
+    pair counts on the weighted vocabulary, deterministic best pair as
+    a 1-row sort-limit broadcast, left-to-right merge, recount — with
+    the corpus-wide symbol count after each merge (the compression
+    trajectory). One corpus-scale shuffle total; every iteration runs
+    on the vocabulary. The oracle unrolls all four rounds."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    return textops.bpe_learn_merges(docs, "text", n_merges=4)

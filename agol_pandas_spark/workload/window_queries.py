@@ -650,3 +650,79 @@ def window_first_last_nth_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@register(
+    "window_capped_session_stats",
+    tags=("window", "events", "sessionize"),
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, epoch_ms(ts) // 1000 AS s,
+             CASE WHEN (epoch_ms(ts) // 1000)
+                       - (epoch_ms(LAG(ts) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)) // 1000)
+                       > 1800
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM events),
+    g AS (
+      SELECT user_id, event_id, s,
+             SUM(brk) OVER (PARTITION BY user_id
+                            ORDER BY s, event_id) AS sess
+      FROM o),
+    st AS (
+      SELECT user_id, event_id, s, sess,
+             MIN(s) OVER (PARTITION BY user_id, sess) AS sess_start
+      FROM g),
+    sub AS (
+      SELECT user_id, sess, (s - sess_start) // 7200 AS sub_id, s
+      FROM st)
+    SELECT user_id, CAST(sess AS BIGINT) AS session_id,
+           CAST(sub_id AS BIGINT) AS sub_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(s) AS BIGINT) AS start_s,
+           CAST(MAX(s) - MIN(s) AS BIGINT) AS duration_s
+    FROM sub GROUP BY 1, 2, 3
+    """,
+)
+def window_capped_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with BOTH standard cut rules: a new session on
+    >30-min inactivity (gaps-and-islands cumulative-break-sum) AND a
+    hard 2-hour duration cap splitting marathon sessions into
+    sub-sessions (offset-from-session-start integer division — no
+    second pass, no recursion). The cap is what real analytics
+    pipelines add once bot traffic appears: an unbounded session is a
+    memory leak in every downstream rollup. All windows are
+    partitioned by user (or user+session); sub-session duration is
+    ≤ 7200 s by construction.
+    """
+    ev = Catalog(spark, sf_dir).table("events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("s")
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    brk = F.when(
+        F.lag("s").over(w).isNull() | ((F.col("s") - F.lag("s").over(w)) > 1800),
+        1,
+    ).otherwise(0)
+    g = ev.withColumn("sess", F.sum(brk).over(w))
+    sub = g.withColumn(
+        "sub_id",
+        F.expr("(s - min(s) OVER (PARTITION BY user_id, sess)) div 7200"),
+    )
+    return (
+        sub.groupBy("user_id", "sess", "sub_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("s").cast("long").alias("start_s"),
+            (F.max("s") - F.min("s")).cast("long").alias("duration_s"),
+        )
+        .select(
+            "user_id",
+            F.col("sess").cast("long").alias("session_id"),
+            F.col("sub_id").cast("long"),
+            "n_events",
+            "start_s",
+            "duration_s",
+        )
+    )

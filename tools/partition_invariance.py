@@ -105,6 +105,8 @@ QUERIES = [
     "graph_hits_hubs_authorities",
     "link_entity_resolution_clusters",
     "sample_temperature_domain_mix",
+    "text_bpe_learned_merges",
+    "window_capped_session_stats",
 ]
 
 PARTITIONS = (1, 7, 200)
