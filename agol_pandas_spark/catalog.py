@@ -445,6 +445,45 @@ class Catalog:
         df = self.spark.read.parquet(p).coalesce(int(n_files))
         return self.write(df, name, mode="overwrite")
 
+    def compact_selective(
+        self,
+        name: str,
+        min_file_bytes: int = 8 * 1024 * 1024,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        keep_versions: int = 0,
+    ) -> dict:
+        """Delta-OPTIMIZE-style SELECTIVE compaction: rewrite only the
+        files smaller than ``min_file_bytes`` and carry every
+        already-well-sized file into the new snapshot by reference
+        (:meth:`write_with_carryover` — hard links, no copy, no
+        re-read). :meth:`compact` rewrites the whole table; on a table
+        where one historical backfill wrote big files and daily
+        micro-appends fragmented the tail, that's paying for the 99%
+        that was already fine. Here the rewrite job's input AND output
+        are proportional to the small-file set alone.
+
+        No-op (returns without a commit) when fewer than two small
+        files exist — one small file can't be made fewer. Returns
+        ``{"rewritten": n, "carried": n, "path": str|None}``.
+        """
+        p = self.path(name)
+        if not os.path.exists(p):
+            raise TableNotFoundError(f"no table {name!r} under {self.root}")
+        files = [
+            os.path.join(p, f)
+            for f in os.listdir(p)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ]
+        small = [f for f in files if os.path.getsize(f) < min_file_bytes]
+        large = [f for f in files if os.path.getsize(f) >= min_file_bytes]
+        if len(small) < 2:
+            return {"rewritten": 0, "carried": len(files), "path": None}
+        n_bytes = sum(os.path.getsize(f) for f in small)
+        n_out = max(1, -(-n_bytes // target_file_bytes))
+        df = self.spark.read.parquet(*small).coalesce(int(n_out))
+        out = self.write_with_carryover(df, name, large, keep_versions)
+        return {"rewritten": len(small), "carried": len(large), "path": out}
+
     def optimize_zorder(
         self,
         name: str,

@@ -12,6 +12,8 @@ post-merge table; the oracle reproduces the reference semantics
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -984,5 +986,78 @@ def merge_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     write_audit_publish(cat, "c", good, audits, mode="upsert", key="c_custkey")
     out = cat.table("c").localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@register(
+    "merge_selective_compaction",
+    tags=("merge", "compaction", "carryover", "small-files"),
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS price_scaled
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def merge_selective_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECTIVE small-files compaction
+    (``Catalog.compact_selective``): a snapshot holding one
+    well-sized historical file plus 30 micro-append fragments rewrites
+    ONLY the fragments; the big file carries into the new snapshot by
+    hard link — its inode must survive (raised on in-query), because a
+    selective OPTIMIZE that silently rewrites everything is just slow
+    OPTIMIZE. File count collapses 31 → 2 and the oracle proves
+    row-identity against the source table. At 100 TB this is the
+    difference between compaction costing O(daily fragments) and
+    O(table).
+    """
+    root = tempfile.mkdtemp(prefix="selcompact_")
+    cat = Catalog(spark, root)
+    orders = Catalog(spark, sf_dir).table("orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    big = orders.filter(F.col("o_orderkey") % 10 != 0).coalesce(1)
+    frags = orders.filter(F.col("o_orderkey") % 10 == 0).repartition(30)
+    cat.write(big.unionByName(frags), "mixed", mode="error")
+
+    p = cat.path("mixed")
+    files = sorted(
+        (os.path.getsize(os.path.join(p, f)), f)
+        for f in os.listdir(p)
+        if f.endswith(".parquet")
+    )
+    n_before = len(files)
+    big_file = files[-1][1]
+    big_inode = os.stat(os.path.join(p, big_file)).st_ino
+    threshold = files[-1][0]  # strictly-under-the-big-file cutoff
+
+    stats = cat.compact_selective("mixed", min_file_bytes=threshold)
+    survivors = [f for f in os.listdir(p) if f.endswith(".parquet")]
+    if stats["rewritten"] != n_before - 1 or stats["carried"] != 1:
+        raise RuntimeError(f"unexpected selective-compaction stats: {stats}")
+    if len(survivors) != 2:
+        raise RuntimeError(
+            f"expected 2 files after selective compaction, got {len(survivors)}"
+        )
+    if os.stat(os.path.join(p, big_file)).st_ino != big_inode:
+        raise RuntimeError(
+            "well-sized file was rewritten — selective compaction must "
+            "carry it by reference"
+        )
+
+    out = (
+        cat.table("mixed")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").cast("long").alias("key_checksum"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("price_scaled"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)
     return out

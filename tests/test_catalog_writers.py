@@ -575,3 +575,45 @@ class TestWriteAuditPublish:
         assert sorted(tuple(r) for r in cat.table("t").collect()) == [
             (1, 10.0), (2, 20.0),
         ]
+
+
+def test_compact_selective_rewrites_only_small_files(spark, tmp_path):
+    """Only sub-threshold files are rewritten; well-sized files carry by
+    hard link (same inode); fewer than two small files is a no-op."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from agol_pandas_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    df = spark.range(0, 20_000).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    )
+    big = df.filter(F.col("id") % 10 != 0).coalesce(1)
+    frags = df.filter(F.col("id") % 10 == 0).repartition(12)
+    cat.write(big.unionByName(frags), "t", mode="error")
+
+    p = cat.path("t")
+    files = sorted(
+        (os.path.getsize(os.path.join(p, f)), f)
+        for f in os.listdir(p) if f.endswith(".parquet")
+    )
+    big_name = files[-1][1]
+    inode = os.stat(os.path.join(p, big_name)).st_ino
+    before = sorted(map(tuple, cat.table("t").collect()))
+
+    stats = cat.compact_selective("t", min_file_bytes=files[-1][0])
+    assert stats["rewritten"] == len(files) - 1 and stats["carried"] == 1
+    survivors = [f for f in os.listdir(p) if f.endswith(".parquet")]
+    assert len(survivors) == 2
+    assert os.stat(os.path.join(p, big_name)).st_ino == inode
+    assert sorted(map(tuple, cat.table("t").collect())) == before
+
+    # second pass: one small file left -> no-op, nothing touched
+    mtimes = {f: os.stat(os.path.join(p, f)).st_mtime_ns for f in survivors}
+    stats2 = cat.compact_selective("t", min_file_bytes=files[-1][0])
+    assert stats2 == {"rewritten": 0, "carried": 2, "path": None}
+    assert {
+        f: os.stat(os.path.join(p, f)).st_mtime_ns for f in survivors
+    } == mtimes
