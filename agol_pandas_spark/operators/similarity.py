@@ -1667,3 +1667,60 @@ def mmr_diversified_topk(
         )
         sel = sel.unionByName(pick).localCheckpoint(eager=True)
     return sel.withColumnRenamed("cid", corpus_id)
+
+
+def rrf_fusion(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    query_col: str,
+    id_col: str,
+    rank_a: str = "rank_a",
+    rank_b: str = "rank_b",
+    k0: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al. 2009): merge two ranked
+    candidate lists per query by ``Σ 1/(k0 + rank)`` — the standard
+    hybrid-retrieval combiner (keyword recall ∪ vector recall) that
+    needs NO score calibration between the lists, only their ranks.
+
+    Exactness: each list contributes ``10⁹ div (k0 + rank)`` on
+    BIGINTs (truncating division, identical in both engines); a
+    candidate missing from one list contributes 0 from it. The fuse is
+    one full-outer join on (query, id) — both inputs are per-query
+    top-k tables, so the join is candidate-sized, never corpus-sized —
+    and the final top-k is a partitioned window with id tie-break.
+
+    Returns ``(query, id, in_a, in_b, rrf_score, fused_rank)``.
+    """
+    a = ranked_a.select(
+        F.col(query_col).alias("__q"), F.col(id_col).alias("__id"),
+        F.col(rank_a).alias("__ra"),
+    )
+    b = ranked_b.select(
+        F.col(query_col).alias("__q"), F.col(id_col).alias("__id"),
+        F.col(rank_b).alias("__rb"),
+    )
+    fused = (
+        a.join(b, ["__q", "__id"], "full_outer")
+        .select(
+            F.col("__q").alias(query_col),
+            F.col("__id").alias(id_col),
+            F.col("__ra").isNotNull().alias("in_a"),
+            F.col("__rb").isNotNull().alias("in_b"),
+            (
+                F.coalesce(
+                    F.expr(f"1000000000 div ({int(k0)} + __ra)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"1000000000 div ({int(k0)} + __rb)"), F.lit(0)
+                )
+            ).cast("long").alias("rrf_score"),
+        )
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("rrf_score").desc(), F.col(id_col)
+    )
+    return fused.withColumn("fused_rank", F.row_number().over(w)).filter(
+        F.col("fused_rank") <= int(topk)
+    )

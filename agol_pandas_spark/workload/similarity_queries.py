@@ -13,6 +13,7 @@ behavior) to reproduce ``zip_with``.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from agol_pandas_spark.catalog import Catalog
@@ -1046,3 +1047,114 @@ def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.mmr_diversified_topk(
         probes, emb, "query_id", "vec_id", pool_k=20, k=5, lam=0.5
     )
+
+
+_RRF_TERMS = {0: ("batch", "vector"), 1: ("scan", "slow"), 2: ("join", "merge")}
+
+
+@register(
+    "sim_hybrid_rrf_fusion",
+    tags=("similarity", "hybrid", "rrf", "search"),
+    oracle=_sql_pair_cosine(
+        """
+    pairs AS (
+      SELECT q.vec_id AS qid, q.embedding AS qv, c.vec_id AS cid, c.embedding AS cv
+      FROM embeddings q CROSS JOIN embeddings c
+      WHERE q.vec_id < 3)
+    """
+    )
+    + f"""
+    , vrank AS (
+      SELECT qid, cid, rnk FROM (
+        SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cosine DESC, cid) AS rnk
+        FROM cosines) WHERE rnk <= 20),
+    terms(qid, term) AS (VALUES {", ".join(
+        f"({q}, '{t}')" for q, ts in _RRF_TERMS.items() for t in ts)}),
+    tok AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents) GROUP BY 1, 2),
+    km AS (
+      SELECT t.qid, k.doc_id, COUNT(*) AS n_terms, SUM(k.tf) AS score
+      FROM terms t JOIN tok k ON k.tok = t.term
+      GROUP BY 1, 2 HAVING COUNT(*) = 2),
+    krank AS (
+      SELECT qid, doc_id, rnk FROM (
+        SELECT qid, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, doc_id) AS rnk
+        FROM km) WHERE rnk <= 20),
+    fused AS (
+      SELECT COALESCE(k.qid, v.qid) AS query_id,
+             COALESCE(k.doc_id, v.cid) AS doc,
+             k.rnk IS NOT NULL AS in_keyword,
+             v.rnk IS NOT NULL AS in_vector,
+             CAST(COALESCE(1000000000 // (60 + k.rnk), 0)
+                  + COALESCE(1000000000 // (60 + v.rnk), 0) AS BIGINT)
+               AS rrf_score
+      FROM krank k
+      FULL OUTER JOIN vrank v ON v.qid = k.qid AND v.cid = k.doc_id)
+    SELECT query_id, doc, in_keyword, in_vector, rrf_score,
+           CAST(fused_rank AS INTEGER) AS fused_rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, doc) AS fused_rank
+      FROM fused)
+    WHERE fused_rank <= 10
+    """,
+)
+def sim_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with Reciprocal Rank Fusion
+    (``similarity.rrf_fusion``): per probe, a conjunctive-keyword
+    top-20 (exact term frequencies) and an exact-cosine vector top-20
+    fuse by Σ 10⁹ div (60 + rank) — no score calibration between the
+    modalities, only ranks; a candidate found by one recall path still
+    surfaces. Both lists are per-query top-k tables, so the fuse join
+    is candidate-sized; every rank, flag, and fused score is
+    value-checked."""
+    cat = Catalog(spark, sf_dir)
+    emb = cat.table("embeddings")
+    docs = cat.table("documents")
+
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    vrank = similarity.brute_force_topk(
+        probes, emb, "query_id", "vec_id", k=20
+    ).select("query_id", F.col("vec_id").alias("doc"), F.col("rnk").alias("vr"))
+
+    from agol_pandas_spark.functions.text import tokens as tok_fn
+
+    terms = spark.createDataFrame(
+        [(q, t) for q, ts in _RRF_TERMS.items() for t in ts],
+        "query_id long, term string",
+    )
+    tok = (
+        docs.select(
+            F.col("doc_id").alias("doc"),
+            F.explode(tok_fn(F.col("text"))).alias("tok"),
+        )
+        .groupBy("doc", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    km = (
+        tok.join(F.broadcast(terms), tok.tok == terms.term)
+        .groupBy("query_id", "doc")
+        .agg(F.count(F.lit(1)).alias("n_terms"), F.sum("tf").alias("score"))
+        .filter(F.col("n_terms") == 2)
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "doc")
+    krank = (
+        km.withColumn("kr", F.row_number().over(wk))
+        .filter(F.col("kr") <= 20)
+        .select("query_id", "doc", "kr")
+    )
+    fused = similarity.rrf_fusion(
+        krank, vrank, "query_id", "doc", rank_a="kr", rank_b="vr",
+        k0=60, topk=10,
+    )
+    return fused.withColumnsRenamed({"in_a": "in_keyword", "in_b": "in_vector"})

@@ -601,3 +601,33 @@ def test_mmr_skips_near_duplicate_of_first_pick(spark):
                 best = (i, score)
         sel.append(best[0])
         assert got[r] == best, r
+
+
+def test_rrf_fusion_semantics(spark):
+    """RRF = exact 1e9 div (k0+rank) sums; one-list candidates score
+    their single contribution; ties break on id."""
+    from agol_pandas_spark.operators.similarity import rrf_fusion
+
+    a = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)], "q long, id long, ra int"
+    )
+    b = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2)], "q long, id long, rb int"
+    )
+    got = {
+        r["id"]: (r["in_a"], r["in_b"], r["rrf_score"], r["fused_rank"])
+        for r in rrf_fusion(a, b, "q", "id", "ra", "rb", k0=60, topk=10).collect()
+    }
+    s = lambda r: 10**9 // (60 + r)
+    assert got[11] == (True, True, s(2) + s(1), 1)   # in both lists
+    assert got[10] == (True, False, s(1), 2)
+    assert got[13] == (False, True, s(2), 3)         # vector-only candidate
+    assert got[12] == (True, False, s(3), 4)
+    # exact tie (same single-list rank) breaks on smaller id
+    a2 = spark.createDataFrame([(0, 20, 1)], "q long, id long, ra int")
+    b2 = spark.createDataFrame([(0, 19, 1)], "q long, id long, rb int")
+    got2 = [
+        (r["id"], r["fused_rank"])
+        for r in rrf_fusion(a2, b2, "q", "id", "ra", "rb").collect()
+    ]
+    assert sorted(got2) == [(19, 1), (20, 2)]

@@ -107,6 +107,8 @@ QUERIES = [
     "sample_temperature_domain_mix",
     "text_bpe_learned_merges",
     "window_capped_session_stats",
+    "sim_hybrid_rrf_fusion",
+    "merge_selective_compaction",
 ]
 
 PARTITIONS = (1, 7, 200)
