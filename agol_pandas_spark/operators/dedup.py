@@ -1878,3 +1878,31 @@ def hits_scaled(
             "node", F.lit("auth").alias("role"), F.col("s").alias("score_scaled")
         )
     )
+
+
+def append_lsh_index(
+    catalog,
+    name: str,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> str:
+    """Append an admitted batch's banded signatures to a persisted LSH
+    index — the maintenance half of incremental dedup: without it the
+    index only knows the original corpus and every later batch silently
+    stops deduping against earlier batches. The batch is hashed with
+    the index's OWN stored parameters (``_resolve_lsh_params`` — a
+    layout drift would corrupt recall, so there is no way to pass
+    different ones here), banded identically, and appended through the
+    ordinary merge path: the index tracks the corpus without ever
+    being rebuilt. At 100 TB this is the difference between per-batch
+    index maintenance costing O(batch) and O(corpus).
+    """
+    from agol_pandas_spark.operators.merge import WriteMode, write_table
+
+    shingle_size, num_hashes, band_size = _resolve_lsh_params(
+        catalog, name, None, None, None
+    )
+    sig = minhash_signatures(batch, id_col, text_col, shingle_size, num_hashes)
+    banded = banded_signatures(sig, id_col, num_hashes, band_size)
+    return write_table(catalog, banded, name, mode=WriteMode.APPEND)

@@ -1204,3 +1204,65 @@ def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
     )
     return dedup.hits_scaled(e, "cust", "supp", iterations=2, scale=10**6)
+
+
+@register(
+    "pipeline_lsh_index_append",
+    tags=("dedup", "lsh", "index", "incremental", "maintenance"),
+    oracle=_SQL_SIGNATURES
+    + """
+    , bands AS (
+      SELECT doc_id, b AS band_id,
+             CASE b
+               WHEN 0 THEN mh_0 || '_' || mh_1
+               WHEN 1 THEN mh_2 || '_' || mh_3
+               WHEN 2 THEN mh_4 || '_' || mh_5
+               ELSE mh_6 || '_' || mh_7 END AS band_key,
+             mh_0, mh_1, mh_2, mh_3, mh_4, mh_5, mh_6, mh_7
+      FROM sig, unnest([0,1,2,3]) AS u(b))
+    SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id,
+           (CASE WHEN a.mh_0=b.mh_0 THEN 1 ELSE 0 END +
+            CASE WHEN a.mh_1=b.mh_1 THEN 1 ELSE 0 END +
+            CASE WHEN a.mh_2=b.mh_2 THEN 1 ELSE 0 END +
+            CASE WHEN a.mh_3=b.mh_3 THEN 1 ELSE 0 END +
+            CASE WHEN a.mh_4=b.mh_4 THEN 1 ELSE 0 END +
+            CASE WHEN a.mh_5=b.mh_5 THEN 1 ELSE 0 END +
+            CASE WHEN a.mh_6=b.mh_6 THEN 1 ELSE 0 END +
+            CASE WHEN a.mh_7=b.mh_7 THEN 1 ELSE 0 END) AS n_matching_hashes
+    FROM bands a
+    JOIN documents da ON a.doc_id = da.doc_id
+                     AND da.source = 'src0' AND da.doc_id % 8 = 0
+    JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+    JOIN documents db ON b.doc_id = db.doc_id
+                     AND NOT (db.source = 'src0' AND db.doc_id % 8 = 0)
+    """,
+)
+def pipeline_lsh_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH index MAINTENANCE
+    (``operators/dedup.append_lsh_index``): the corpus is indexed once,
+    an admitted batch's bands are APPENDED through the ordinary merge
+    path — hashed with the index's own stored parameters, so layout
+    drift is impossible by construction — and the NEXT batch's probe
+    sees corpus and earlier batches alike without any rebuild. Probe
+    results are value-checked: every (batch2, corpus ∪ batch1) pair
+    with exact signature agreement. Index maintenance costs O(batch),
+    never O(corpus)."""
+    import shutil
+    import tempfile
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    corpus = docs.filter(F.col("source") != "src0")
+    src0 = docs.filter(F.col("source") == "src0")
+    # src0 holds only even doc_ids in this corpus; carve the probe
+    # batch as the %8==0 slice (it provably has near-dups at both SFs)
+    batch1 = src0.filter(F.col("doc_id") % 8 != 0)
+    batch2 = src0.filter(F.col("doc_id") % 8 == 0)
+
+    idx_root = tempfile.mkdtemp(prefix="lsh_append_")
+    idx_cat = Catalog(spark, idx_root)
+    dedup.write_lsh_index(idx_cat, "corpus_lsh", corpus, "doc_id", "text")
+    dedup.append_lsh_index(idx_cat, "corpus_lsh", batch1, "doc_id", "text")
+    out = dedup.probe_lsh_index(idx_cat, "corpus_lsh", batch2, "doc_id", "text")
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(idx_root, ignore_errors=True)
+    return out

@@ -1069,3 +1069,38 @@ def test_hits_scaled_matches_python_reference(spark):
     # strong authorities and tops the hubs
     assert got[("auth", 10)] == 10**6
     assert got[("hub", 3)] == 10**6
+
+
+def test_append_lsh_index_uses_stored_params_and_finds_cross_batch(spark, tmp_path):
+    """Appended batches become probe-visible; the append hashes with the
+    index's STORED parameters (no way to pass different ones), so a
+    probe after append still param-validates cleanly."""
+    from agol_pandas_spark.catalog import Catalog
+    from agol_pandas_spark.operators.dedup import (
+        append_lsh_index,
+        probe_lsh_index,
+        write_lsh_index,
+    )
+
+    text = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the windowsill"
+    )
+    corpus = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    batch1 = spark.createDataFrame([(2, text)], "doc_id long, text string")
+    batch2 = spark.createDataFrame([(3, text)], "doc_id long, text string")
+    cat = Catalog(spark, str(tmp_path))
+    write_lsh_index(cat, "idx", corpus, "doc_id", "text",
+                    shingle_size=2, band_size=4)
+
+    before = {
+        r["corpus_id"]
+        for r in probe_lsh_index(cat, "idx", batch2, "doc_id", "text").collect()
+    }
+    assert before == {1}
+    append_lsh_index(cat, "idx", batch1, "doc_id", "text")
+    after = {
+        r["corpus_id"]
+        for r in probe_lsh_index(cat, "idx", batch2, "doc_id", "text").collect()
+    }
+    assert after == {1, 2}  # batch1 now probe-visible, no rebuild

@@ -109,6 +109,7 @@ QUERIES = [
     "window_capped_session_stats",
     "sim_hybrid_rrf_fusion",
     "merge_selective_compaction",
+    "pipeline_lsh_index_append",
 ]
 
 PARTITIONS = (1, 7, 200)
