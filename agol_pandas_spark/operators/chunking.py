@@ -286,3 +286,49 @@ def with_running_total(
             yield b.append_column(col_name, pa.array(starts))
 
     return parts.mapInArrow(add_running, out_schema)
+
+
+def rendezvous_shard(df, key_col: str, n_shards: int, salt: str = "shard"):
+    """Rendezvous (highest-random-weight) shard assignment: every key
+    scores each shard with the portable hash of (key, shard) and joins
+    the argmax — the consistent-hashing scheme whose defining property
+    is MINIMAL MOVEMENT: growing from K to K+1 shards reassigns only
+    ~1/(K+1) of keys, where a mod-K scheme reshuffles (K-1)/K of the
+    table. That is the difference between a shard-count change costing
+    O(table/K) and O(table) at 100 TB.
+
+    Pure map + per-key argmax over K scores (the K-way explode carries
+    integers, never payloads; one partitioned window sized K per key).
+    Deterministic: ties (a 60-bit hash collision across K values)
+    break toward the higher shard id. Returns ``df`` plus
+    ``shard_{n_shards}``.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from agol_pandas_spark.functions.text import portable_hash60
+
+    scored = df.select(
+        F.col(key_col),
+        F.explode(F.array(*[F.lit(i) for i in range(int(n_shards))])).alias(
+            "__s"
+        ),
+    ).select(
+        key_col,
+        "__s",
+        portable_hash60(
+            F.concat(
+                F.lit(salt), F.col(key_col).cast("string"),
+                F.lit("#"), F.col("__s").cast("string"),
+            )
+        ).alias("__h"),
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.col("__h").desc(), F.col("__s").desc()
+    )
+    best = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(key_col, F.col("__s").alias(f"shard_{int(n_shards)}"))
+    )
+    return df.join(best, key_col)

@@ -1061,3 +1061,72 @@ def merge_selective_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "merge_rendezvous_rebalance",
+    tags=("sharding", "consistent-hashing", "layout"),
+    oracle="""
+    WITH keys AS (SELECT o_orderkey AS k FROM orders),
+    s8 AS (
+      SELECT k, s AS shard8 FROM (
+        SELECT k, s,
+               ROW_NUMBER() OVER (PARTITION BY k ORDER BY h DESC, s DESC) AS rn
+        FROM (
+          SELECT k, s,
+                 CAST(('0x' || substring(md5('shard' || CAST(k AS VARCHAR)
+                        || '#' || CAST(s AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+          FROM keys, unnest([0,1,2,3,4,5,6,7]) AS u(s)))
+      WHERE rn = 1),
+    s9 AS (
+      SELECT k, s AS shard9 FROM (
+        SELECT k, s,
+               ROW_NUMBER() OVER (PARTITION BY k ORDER BY h DESC, s DESC) AS rn
+        FROM (
+          SELECT k, s,
+                 CAST(('0x' || substring(md5('shard' || CAST(k AS VARCHAR)
+                        || '#' || CAST(s AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+          FROM keys, unnest([0,1,2,3,4,5,6,7,8]) AS u(s)))
+      WHERE rn = 1)
+    SELECT CAST(s9.shard9 AS INTEGER) AS new_shard,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN s8.shard8 <> s9.shard9 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_moved
+    FROM s8 JOIN s9 ON s8.k = s9.k
+    GROUP BY 1
+    """,
+)
+def merge_rendezvous_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hashing shard rebalance
+    (``operators/chunking.rendezvous_shard``): order keys assigned to
+    8 and then 9 shards by highest-random-weight hashing; the per-shard
+    census counts how many keys moved. Rendezvous hashing's defining
+    property — only ~1/9 of keys relocate when a shard is added, vs
+    ~8/9 under mod-K — is asserted IN-PLAN (a raise, so a broken hash
+    scheme cannot return plausible-looking counts), and every
+    assignment is value-checked against the SQL twin. Keys only, K-way
+    integer explode: the payload never moves until the plan says so.
+    """
+    from agol_pandas_spark.operators.chunking import rendezvous_shard
+
+    keys = Catalog(spark, sf_dir).table("orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    s8 = rendezvous_shard(keys, "k", 8)
+    s9 = rendezvous_shard(keys, "k", 9)
+    joined = s8.join(s9, "k")
+    out = joined.groupBy(
+        F.col("shard_9").cast("int").alias("new_shard")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(
+            F.when(F.col("shard_8") != F.col("shard_9"), 1).otherwise(0)
+        ).cast("long").alias("n_moved"),
+    )
+    totals = out.agg(F.sum("n_keys").alias("t"), F.sum("n_moved").alias("m")).first()
+    if totals["m"] * 4 > totals["t"]:  # expected ~1/9; raise if > 1/4
+        raise RuntimeError(
+            f"rendezvous rebalance moved {totals['m']}/{totals['t']} keys — "
+            "minimal-movement property violated"
+        )
+    return out

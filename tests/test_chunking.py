@@ -107,3 +107,39 @@ def test_iter_pandas_chunks_streams_partitionwise(spark):
     assert sum(len(c) for c in [first, *rest]) == 1000
     flat = [v for c in [first, *rest] for v in c["id"].tolist()]
     assert flat == sorted(flat)
+
+
+def test_rendezvous_shard_minimal_movement(spark):
+    """K -> K+1 moves ~1/(K+1) of keys (mod-K moves ~K/(K+1)); moved
+    keys land ONLY on the new shard; assignments match a Python HRW
+    recompute."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from agol_pandas_spark.operators.chunking import rendezvous_shard
+
+    keys = spark.range(0, 3000).select(F.col("id").alias("k"))
+    s4 = rendezvous_shard(keys, "k", 4)
+    s5 = rendezvous_shard(keys, "k", 5)
+    rows = {r["k"]: (r["shard_4"], r["shard_5"])
+            for r in s4.join(s5, "k").collect()}
+
+    def hrw(k, n):
+        return max(
+            range(n),
+            key=lambda s: (
+                int(hashlib.md5(f"shard{k}#{s}".encode()).hexdigest()[:15], 16),
+                s,
+            ),
+        )
+
+    for k, (a, b) in list(rows.items())[:200]:
+        assert (a, b) == (hrw(k, 4), hrw(k, 5)), k
+
+    moved = [k for k, (a, b) in rows.items() if a != b]
+    assert all(rows[k][1] == 4 for k in moved)  # movers go to the NEW shard
+    frac = len(moved) / len(rows)
+    assert 0.1 < frac < 0.3  # ~1/5 expected
+    mod_moved = sum(1 for k in rows if k % 4 != k % 5) / len(rows)
+    assert mod_moved > 0.7  # mod-K reshuffles most keys
