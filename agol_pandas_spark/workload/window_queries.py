@@ -726,3 +726,58 @@ def window_capped_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "duration_s",
         )
     )
+
+
+@register(
+    "window_funnel_regex_match",
+    tags=("window", "events", "funnel", "pattern"),
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substring(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS path
+      FROM events GROUP BY user_id)
+    SELECT user_id,
+           CAST(length(path) AS INTEGER) AS n_events,
+           regexp_matches(path, 'v.*c.*p') AS converted,
+           CAST(length(regexp_extract(path, '^[^p]*')) AS INTEGER)
+             AS events_before_first_purchase
+    FROM seq
+    """,
+)
+def window_funnel_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite sequence-pattern funnel: each user's ordered
+    event history collapses to a compact symbol string (one partitioned
+    window + aggregation), and the funnel definition is a REGEX over it
+    — 'view then cart-click then purchase, any gaps' is ``v.*c.*p``,
+    far more expressive than fixed-stage counters and still one codegen
+    map over user-sized strings. Also extracts a position feature (the
+    prefix before the first purchase) the regex engine computes for
+    free. Pattern evaluation cost scales with per-user history length,
+    never corpus size.
+    """
+    ev = Catalog(spark, sf_dir).table("events")
+    seq = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: F.substring(s["event_type"], 1, 1),
+                ),
+                "",
+            ).alias("path")
+        )
+    )
+    return seq.select(
+        "user_id",
+        F.length("path").cast("int").alias("n_events"),
+        F.col("path").rlike("v.*c.*p").alias("converted"),
+        F.length(F.regexp_extract(F.col("path"), "^[^p]*", 0))
+        .cast("int")
+        .alias("events_before_first_purchase"),
+    )

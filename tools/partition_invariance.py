@@ -110,6 +110,8 @@ QUERIES = [
     "sim_hybrid_rrf_fusion",
     "merge_selective_compaction",
     "pipeline_lsh_index_append",
+    "merge_rendezvous_rebalance",
+    "window_funnel_regex_match",
 ]
 
 PARTITIONS = (1, 7, 200)
