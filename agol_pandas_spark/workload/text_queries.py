@@ -1777,3 +1777,85 @@ def text_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the vocabulary. The oracle unrolls all four rounds."""
     docs = Catalog(spark, sf_dir).table("documents")
     return textops.bpe_learn_merges(docs, "text", n_merges=4)
+
+
+@register(
+    "text_kneser_ney_bigram_ppm",
+    tags=("text", "lm", "ngram", "smoothing"),
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKS.format(src='lower(text)')} AS t FROM documents),
+    bg AS (
+      SELECT u.a AS w1, u.b AS w2, COUNT(*) AS c FROM (
+        SELECT unnest(list_transform(range(1, greatest(len(t), 1)),
+                 i -> struct_pack(a := t[i], b := t[i + 1]))) AS u
+        FROM toks) GROUP BY 1, 2),
+    left_tot AS (
+      SELECT w1, SUM(c) AS c1, COUNT(*) AS fanout FROM bg GROUP BY 1),
+    right_cont AS (
+      SELECT w2, COUNT(*) AS cont FROM bg GROUP BY 1),
+    ntypes AS (SELECT COUNT(*) AS nt FROM bg)
+    SELECT bg.w1, bg.w2, CAST(bg.c AS BIGINT) AS c,
+           CAST((4 * bg.c - 3) * 1000000 // (4 * lt.c1)
+                + 3 * lt.fanout * rc.cont * 1000000 // (4 * lt.c1 * nt.nt)
+                AS BIGINT) AS pkn_ppm
+    FROM bg
+    JOIN left_tot lt ON lt.w1 = bg.w1
+    JOIN right_cont rc ON rc.w2 = bg.w2
+    CROSS JOIN ntypes nt
+    ORDER BY pkn_ppm DESC, bg.w1, bg.w2
+    LIMIT 50
+    """,
+)
+def text_kneser_ney_bigram_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney-smoothed bigram language model (d = 3/4) in EXACT
+    integer parts-per-million — the n-gram LM that scores data-quality
+    and contamination filters, without a single float: the discount
+    d=3/4 makes the discounted term (4c−3)/4c(w1·) an integer ratio,
+    and the continuation weight λ(w1)·P_cont(w2) is a product of
+    integer censuses (distinct-successor fan-out × distinct-predecessor
+    continuation over bigram-type count). Three aggregations over ONE
+    bigram table (which is vocabulary²-bounded, not corpus-bounded —
+    the same collapse every n-gram stage here rides); top-50 by
+    smoothed probability via TakeOrderedAndProject. (At web-scale
+    vocabularies the integer products need DECIMAL(38,0) headroom —
+    here they stay far under 2⁶³.)"""
+    from agol_pandas_spark.functions.text import tokens as tok_fn
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    bg = (
+        docs.select(tok_fn(F.lower(F.col("text"))).alias("t"))
+        .select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(t) >= 2 THEN "
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> struct(t[i - 1] AS a, t[i] AS b)) "
+                    "ELSE cast(array() AS array<struct<a:string,b:string>>) END"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("w1"), F.col("p.b").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    lt = bg.groupBy(F.col("w1").alias("lw1")).agg(
+        F.sum("c").alias("c1"), F.count(F.lit(1)).alias("fanout")
+    )
+    rc = bg.groupBy(F.col("w2").alias("rw2")).agg(F.count(F.lit(1)).alias("cont"))
+    nt = bg.agg(F.count(F.lit(1)).alias("nt"))
+    return (
+        bg.join(lt, bg.w1 == lt.lw1)
+        .join(rc, bg.w2 == rc.rw2)
+        .join(F.broadcast(nt))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").cast("long").alias("c"),
+            F.expr(
+                "CAST((4 * c - 3) * 1000000 div (4 * c1)"
+                " + 3 * fanout * cont * 1000000 div (4 * c1 * nt) AS BIGINT)"
+            ).alias("pkn_ppm"),
+        )
+        .orderBy(F.col("pkn_ppm").desc(), "w1", "w2")
+        .limit(50)
+    )

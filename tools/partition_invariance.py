@@ -112,6 +112,7 @@ QUERIES = [
     "pipeline_lsh_index_append",
     "merge_rendezvous_rebalance",
     "window_funnel_regex_match",
+    "text_kneser_ney_bigram_ppm",
 ]
 
 PARTITIONS = (1, 7, 200)
