@@ -12,6 +12,9 @@ spark = (SparkSession.builder.master("local[8]")
          .config("spark.sql.adaptive.enabled","false")
          .config("spark.sql.autoBroadcastJoinThreshold","-1")
          .config("spark.sql.shuffle.partitions","5")
+         # full-registry single-session sweep: heap headroom + per-query
+         # block release (same OOM mode as local_correctness.py, fixed r6)
+         .config("spark.driver.memory","6g")
          .getOrCreate())
 import __spark_entry__ as entry
 qs, os_ = entry.queries(), entry.oracle_sql()
@@ -36,4 +39,12 @@ for name in sorted(qs):
             bad.append(name)
     except Exception as ex:
         bad.append(f"{name}:{type(ex).__name__}:{str(ex)[:120]}")
+    spark.catalog.clearCache()
+    try:
+        from agol_pandas_spark.operators.ranks import release_persisted
+        release_persisted()
+        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            rdd.unpersist()
+    except Exception:
+        pass
 print("ADVERSE-CONFIG SWEEP:", len(qs), "queries,", len(bad), "failing:", bad)

@@ -48,6 +48,27 @@ def canonical_hash(rows, cols) -> str:
     return h.hexdigest()
 
 
+def _release_blocks(spark) -> None:
+    """Per-query block hygiene: drop the SQL cache, every persisted RDD
+    (incl. localCheckpoint blocks — registry queries never reuse them
+    across calls), and the rank operators' FIFO of persisted
+    intermediates, so a 291-query sweep's memory footprint is one
+    query's, not the sum of all previous queries'."""
+    spark.catalog.clearCache()
+    try:
+        from agol_pandas_spark.operators.ranks import release_persisted
+
+        release_persisted()
+    except Exception:
+        pass
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rdd in list(jmap.values()):
+            rdd.unpersist()
+    except Exception:
+        pass
+
+
 def main() -> None:
     rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     sf_dir = os.environ.get("SPARK_GRAFT_SF01_DIR", "/root/testdata/sf0.01")
@@ -59,6 +80,14 @@ def main() -> None:
         SparkSession.builder.master("local[8]")
         .appName("local-correctness")
         .config("spark.ui.enabled", "false")
+        # the sweep runs the FULL registry in one session; without a
+        # per-query block release the accumulated localCheckpoint blocks
+        # (iterative graph ops, staged-index queries) plus persisted rank
+        # intermediates overflow the default 1g heap around query ~100
+        # (observed: OOM at graph_resource_allocation_links, cascading
+        # ConnectionRefused for the rest of the alphabet). Headroom AND
+        # hygiene below; the driver's own 50-query window never hits this.
+        .config("spark.driver.memory", "6g")
         .getOrCreate()
     )
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -102,6 +131,7 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 - artifact records the failure
             rec["err"] = f"{type(exc).__name__}: {exc}"[:500]
         out[name] = rec
+        _release_blocks(spark)
 
     path = f"CORRECTNESS_local_r{rnd:02d}.json"
     with open(path, "w") as f:

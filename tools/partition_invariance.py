@@ -156,6 +156,15 @@ def main() -> int:
         for p in PARTITIONS:
             spark.conf.set("spark.sql.shuffle.partitions", str(p))
             spark.catalog.clearCache()
+            try:
+                from agol_pandas_spark.operators.ranks import release_persisted
+                release_persisted()
+                for rdd in list(
+                    spark.sparkContext._jsc.getPersistentRDDs().values()
+                ):
+                    rdd.unpersist()
+            except Exception:
+                pass
             df = queries[name](spark, sf_dir)
             hashes[p] = canonical_hash(df.collect(), df.columns)
         ok = len(set(hashes.values())) == 1
