@@ -63,3 +63,32 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def release_session_blocks(spark) -> None:
+    """Release every cached block the engine may have left in the
+    session: the SQL cache, the rank operators' bounded FIFO of
+    persisted intermediates, and any remaining persisted RDDs —
+    including ``localCheckpoint`` blocks, which queries create for
+    lineage cuts and never reuse across calls.
+
+    Call between queries in any LONG-LIVED session that runs many
+    engine queries back to back (dashboards, sweeps, notebook
+    marathons): each individual query's footprint is bounded, but
+    without a release the SUM of all previous queries' checkpoint
+    blocks squats on executor memory — a 291-query sweep OOM'd a
+    default-sized driver exactly this way (r6). Releasing is always
+    safe: a released plan recomputes, it never breaks.
+    """
+    spark.catalog.clearCache()
+    try:
+        from agol_pandas_spark.operators.ranks import release_persisted
+
+        release_persisted()
+    except Exception:
+        pass
+    try:
+        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            rdd.unpersist()
+    except Exception:
+        pass

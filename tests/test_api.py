@@ -113,3 +113,27 @@ def test_logging_object_backoff_ratchets():
     assert 0 < log.min_backoff <= 5.0
     assert log.min_backoff <= log.backoff <= 5.0
     assert len(log.fail_log) == 3 and len(log.logging_info) == 1
+
+
+def test_release_session_blocks_drops_cached_rdds(spark):
+    """After heavy queries leave localCheckpoint/persist blocks behind,
+    release_session_blocks drops them all; released plans still
+    recompute correctly."""
+    from pyspark.sql import functions as F
+
+    from agol_pandas_spark.operators.ranks import add_global_ranks
+    from agol_pandas_spark.session import release_session_blocks
+
+    df = spark.range(0, 1000).select(F.col("id").alias("k"))
+    ck = df.localCheckpoint(eager=True)
+    ranked = add_global_ranks(
+        df.groupBy("k").agg(F.count("*").alias("c")),
+        keys=["k"], weight_col="c", rank_col="r", total_col="n",
+    )
+    assert ranked.count() == 1000
+    assert not spark.sparkContext._jsc.getPersistentRDDs().isEmpty()
+
+    release_session_blocks(spark)
+    assert spark.sparkContext._jsc.getPersistentRDDs().isEmpty()
+    # released plans recompute — fresh queries still run
+    assert df.count() == 1000

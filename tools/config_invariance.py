@@ -39,12 +39,6 @@ for name in sorted(qs):
             bad.append(name)
     except Exception as ex:
         bad.append(f"{name}:{type(ex).__name__}:{str(ex)[:120]}")
-    spark.catalog.clearCache()
-    try:
-        from agol_pandas_spark.operators.ranks import release_persisted
-        release_persisted()
-        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
-            rdd.unpersist()
-    except Exception:
-        pass
+    from agol_pandas_spark.session import release_session_blocks
+    release_session_blocks(spark)
 print("ADVERSE-CONFIG SWEEP:", len(qs), "queries,", len(bad), "failing:", bad)

@@ -49,24 +49,10 @@ def canonical_hash(rows, cols) -> str:
 
 
 def _release_blocks(spark) -> None:
-    """Per-query block hygiene: drop the SQL cache, every persisted RDD
-    (incl. localCheckpoint blocks — registry queries never reuse them
-    across calls), and the rank operators' FIFO of persisted
-    intermediates, so a 291-query sweep's memory footprint is one
-    query's, not the sum of all previous queries'."""
-    spark.catalog.clearCache()
-    try:
-        from agol_pandas_spark.operators.ranks import release_persisted
+    """Per-query block hygiene (see session.release_session_blocks)."""
+    from agol_pandas_spark.session import release_session_blocks
 
-        release_persisted()
-    except Exception:
-        pass
-    try:
-        jmap = spark.sparkContext._jsc.getPersistentRDDs()
-        for rdd in list(jmap.values()):
-            rdd.unpersist()
-    except Exception:
-        pass
+    release_session_blocks(spark)
 
 
 def main() -> None:

@@ -155,16 +155,9 @@ def main() -> int:
         hashes = {}
         for p in PARTITIONS:
             spark.conf.set("spark.sql.shuffle.partitions", str(p))
-            spark.catalog.clearCache()
-            try:
-                from agol_pandas_spark.operators.ranks import release_persisted
-                release_persisted()
-                for rdd in list(
-                    spark.sparkContext._jsc.getPersistentRDDs().values()
-                ):
-                    rdd.unpersist()
-            except Exception:
-                pass
+            from agol_pandas_spark.session import release_session_blocks
+
+            release_session_blocks(spark)
             df = queries[name](spark, sf_dir)
             hashes[p] = canonical_hash(df.collect(), df.columns)
         ok = len(set(hashes.values())) == 1
