@@ -760,6 +760,67 @@ class Catalog:
             shutil.rmtree(self._version_path(name, v), ignore_errors=True)
         return drop
 
+    def _tag_path(self, name: str, tag: str) -> str:
+        return os.path.join(
+            self.root, ".tags", normalize_service_name(name),
+            normalize_service_name(tag),
+        )
+
+    def tag_snapshot(self, name: str, tag: str) -> str:
+        """Pin the table's CURRENT snapshot under an immutable tag
+        (Iceberg-style named ref): every data file hard-links into
+        ``.tags/<table>/<tag>/`` — no copy, no re-read, O(files) — and
+        later overwrites, merges, compactions, or version vacuums leave
+        the tag untouched. The cheap, release-grade "this exact data
+        trained model X" pin. Re-tagging an existing tag raises (tags
+        are immutable; drop it first)."""
+        src = self.path(name)
+        if not os.path.exists(src):
+            raise TableNotFoundError(f"no table {name!r} under {self.root}")
+        dst = self._tag_path(name, tag)
+        if os.path.exists(dst):
+            raise TableExistsError(
+                f"tag {tag!r} already exists for table {name!r}; tags are "
+                "immutable — drop_tag first"
+            )
+        staged = f"{dst}.__tmp_{uuid.uuid4().hex}"
+        os.makedirs(staged)
+        for f in os.listdir(src):
+            if f.startswith(("_", ".")) and not f.endswith(".parquet"):
+                continue
+            try:
+                os.link(os.path.join(src, f), os.path.join(staged, f))
+            except OSError:
+                shutil.copy2(os.path.join(src, f), os.path.join(staged, f))
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.replace(staged, dst)
+        return dst
+
+    def table_at_tag(self, name: str, tag: str) -> DataFrame:
+        """Read the immutable snapshot pinned by ``tag``."""
+        p = self._tag_path(name, tag)
+        if not os.path.exists(p):
+            raise TableNotFoundError(
+                f"no tag {tag!r} for table {name!r} under {self.root}"
+            )
+        return self.spark.read.parquet(p)
+
+    def tags(self, name: str) -> list[str]:
+        """Tags pinned for ``name`` (sorted)."""
+        d = os.path.join(self.root, ".tags", normalize_service_name(name))
+        if not os.path.isdir(d):
+            return []
+        return sorted(t for t in os.listdir(d) if not t.startswith("."))
+
+    def drop_tag(self, name: str, tag: str) -> None:
+        """Remove a tag (shared bytes survive through other links)."""
+        p = self._tag_path(name, tag)
+        if not os.path.exists(p):
+            raise TableNotFoundError(
+                f"no tag {tag!r} for table {name!r} under {self.root}"
+            )
+        shutil.rmtree(p)
+
     def _tombstone_path(self, name: str) -> str:
         return os.path.join(
             self.root, ".tombstones", normalize_service_name(name)

@@ -1130,3 +1130,74 @@ def merge_rendezvous_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "minimal-movement property violated"
         )
     return out
+
+
+@register(
+    "merge_tag_pinned_snapshot",
+    tags=("merge", "tags", "time-travel", "governance"),
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS balance_scaled
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def merge_tag_pinned_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Immutable named tags (``Catalog.tag_snapshot``/``table_at_tag``):
+    the 'this exact data trained model X' pin. A table is tagged, then
+    mutated by an upsert AND compacted — the tag must still read the
+    ORIGINAL contents (value-checked against the source), share bytes
+    with nothing it doesn't own (hard links, raised on if the tag copy
+    re-wrote data), and survive while the live table moved on (raised
+    on if live == tag after the merge). Tags are immutable: re-tagging
+    raises.
+    """
+    from agol_pandas_spark.errors import TableExistsError
+    from agol_pandas_spark.operators.merge import write_table
+
+    root = tempfile.mkdtemp(prefix="tags_")
+    cat = Catalog(spark, root)
+    cust = Catalog(spark, sf_dir).table("customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    cat.write(cust, "c", mode="error")
+    n_files_before = sum(
+        1 for f in os.listdir(cat.path("c")) if f.endswith(".parquet")
+    )
+    cat.tag_snapshot("c", "model-x-train")
+    try:
+        cat.tag_snapshot("c", "model-x-train")
+        raise RuntimeError("re-tagging must raise")
+    except TableExistsError:
+        pass
+    # mutate the live table: shift every balance by +1 cent
+    delta = cust.withColumn("c_acctbal", F.col("c_acctbal") + 0.01)
+    write_table(cat, delta, "c", mode="upsert", key="c_custkey")
+    cat.compact("c")
+
+    tag_dir = cat._tag_path("c", "model-x-train")
+    n_tag_files = sum(1 for f in os.listdir(tag_dir) if f.endswith(".parquet"))
+    if n_tag_files != n_files_before:
+        raise RuntimeError("tag must pin the original snapshot's files")
+    live_sum = cat.table("c").agg(
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+    ).first()[0]
+    tag_sum = cat.table_at_tag("c", "model-x-train").agg(
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+    ).first()[0]
+    if live_sum == tag_sum:
+        raise RuntimeError("live table must have moved past the tag")
+
+    out = (
+        cat.table_at_tag("c", "model-x-train")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+            .cast("long")
+            .alias("balance_scaled"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -5438,3 +5438,121 @@ def link_entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFra
             F.min("c_name").alias("canonical_name"),
         )
     )
+
+
+@register(
+    "stats_mann_kendall_seasonal",
+    tags=("stats", "trend", "monitoring"),
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
+             dayofweek(ts) AS season,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2, 3),
+    pairs AS (
+      SELECT a.event_type, a.season,
+             SUM(CASE WHEN b.y > a.y THEN 1
+                      WHEN b.y < a.y THEN -1 ELSE 0 END) AS s
+      FROM d a JOIN d b
+        ON a.event_type = b.event_type AND a.season = b.season
+       AND a.day < b.day
+      GROUP BY 1, 2),
+    nties AS (
+      SELECT event_type, season, COUNT(*) AS n,
+             SUM(t * (t - 1) * (2 * t + 5)) AS tie_term
+      FROM (
+        SELECT event_type, season, y, COUNT(*) AS t
+        FROM d GROUP BY 1, 2, 3)
+      GROUP BY 1, 2),
+    per_season AS (
+      SELECT p.event_type, p.s,
+             n.n * (n.n - 1) * (2 * n.n + 5) - n.tie_term AS var18
+      FROM pairs p JOIN nties n
+        ON n.event_type = p.event_type AND n.season = p.season),
+    tot AS (
+      SELECT event_type,
+             CAST(SUM(s) AS BIGINT) AS s_stat,
+             CAST(SUM(var18) AS BIGINT) AS var18
+      FROM per_season GROUP BY 1)
+    SELECT event_type, s_stat, var18,
+           CAST(s_stat - sign(s_stat) AS DOUBLE)
+             / sqrt(CAST(var18 AS DOUBLE) / 18.0) AS z
+    FROM tot
+    """,
+)
+def stats_mann_kendall_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann-Kendall trend test (Hirsch & Slack 1984) on daily
+    revenue-event totals per event type: S statistics computed within
+    each day-of-week season (so weekly cycles cannot masquerade as
+    trends) and summed, tie-corrected variance summed alongside. The
+    pair comparison runs on the per-(type, season) DAILY histogram —
+    bounded by the calendar, not the corpus, so the self-join is the
+    same size at any SF. S and the 18·Var integers are exact; only the
+    final z divides through mirrored IEEE doubles (sqrt is correctly
+    rounded), with the standard continuity correction ``S − sign(S)``.
+    """
+    ev = Catalog(spark, sf_dir).table("events")
+    d = ev.groupBy(
+        "event_type",
+        F.expr("CAST(unix_timestamp(ts) div 86400 AS BIGINT)").alias("day"),
+        F.dayofweek("ts").alias("season"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+    a = d.select(
+        "event_type", "season", F.col("day").alias("da"), F.col("y").alias("ya")
+    )
+    b = d.select(
+        F.col("event_type").alias("et2"), F.col("season").alias("se2"),
+        F.col("day").alias("db"), F.col("y").alias("yb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (a.event_type == b.et2) & (a.season == b.se2)
+            & (F.col("da") < F.col("db")),
+        )
+        .groupBy("event_type", "season")
+        .agg(
+            F.sum(
+                F.when(F.col("yb") > F.col("ya"), 1)
+                .when(F.col("yb") < F.col("ya"), -1)
+                .otherwise(0)
+            ).alias("s")
+        )
+    )
+    nt = (
+        d.groupBy("event_type", "season", "y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type", "season")
+        .agg(
+            F.count(F.lit(1)).alias("__nvals"),
+            F.sum("t").alias("n"),
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term"),
+        )
+    )
+    per = pairs.join(nt, ["event_type", "season"]).select(
+        "event_type",
+        "s",
+        (
+            F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+            - F.col("tie_term")
+        ).alias("var18"),
+    )
+    return (
+        per.groupBy("event_type")
+        .agg(
+            F.sum("s").cast("long").alias("s_stat"),
+            F.sum("var18").cast("long").alias("var18"),
+        )
+        .select(
+            "event_type",
+            "s_stat",
+            "var18",
+            (
+                (F.col("s_stat") - F.signum("s_stat")).cast("double")
+                / F.sqrt(F.col("var18").cast("double") / 18.0)
+            ).alias("z"),
+        )
+    )

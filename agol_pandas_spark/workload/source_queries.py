@@ -741,3 +741,51 @@ def source_xml_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "balance_scaled"
         ),
     )
+
+
+@register(
+    "source_partition_evolution_union",
+    tags=("source", "partitioning", "evolution"),
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def source_partition_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-layout EVOLUTION: the table's history spans two
+    physical layouts — an old batch hive-partitioned by status alone,
+    a newer one by (status, priority), the classic repartition-without-
+    rewrite migration. Each generation is read with ITS OWN partition
+    schema (partition values come from directory names, so a single
+    mixed-layout read would mis-infer), unioned by name, and the
+    aggregate must reproduce the unpartitioned source exactly — proving
+    no row was lost, duplicated, or mis-attributed to a partition
+    column during the layout change. Partition pruning still works per
+    generation, which is the point of evolving the layout in place.
+    """
+    import shutil
+
+    orders = Catalog(spark, sf_dir).table("orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    root = _stage("ptnevo")
+    old = orders.filter(F.col("o_orderkey") % 2 == 0)
+    new = orders.filter(F.col("o_orderkey") % 2 == 1)
+    old.write.partitionBy("o_orderstatus").parquet(root + "/gen1")
+    new.write.partitionBy("o_orderstatus", "o_orderpriority").parquet(
+        root + "/gen2"
+    )
+    g1 = spark.read.parquet(root + "/gen1")
+    g2 = spark.read.parquet(root + "/gen2")
+    out = (
+        g1.unionByName(g2)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").cast("long").alias("key_checksum"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out

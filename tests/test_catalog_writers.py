@@ -617,3 +617,43 @@ def test_compact_selective_rewrites_only_small_files(spark, tmp_path):
     assert {
         f: os.stat(os.path.join(p, f)).st_mtime_ns for f in survivors
     } == mtimes
+
+
+def test_tag_lifecycle(spark, tmp_path):
+    """Tags pin by hard link (same inode), survive overwrite + vacuum,
+    list/drop correctly, and re-tagging raises."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from agol_pandas_spark.catalog import Catalog
+    from agol_pandas_spark.errors import TableExistsError, TableNotFoundError
+
+    cat = Catalog(spark, str(tmp_path))
+    v1 = spark.range(0, 100).select(F.col("id").alias("k"))
+    cat.write(v1.coalesce(1), "t", mode="error")
+    p = cat.path("t")
+    data_file = next(f for f in os.listdir(p) if f.endswith(".parquet"))
+    src_inode = os.stat(os.path.join(p, data_file)).st_ino
+
+    cat.tag_snapshot("t", "rel_1")
+    tag_dir = cat._tag_path("t", "rel_1")
+    assert os.stat(os.path.join(tag_dir, data_file)).st_ino == src_inode
+    assert cat.tags("t") == ["rel_1"]
+    with pytest.raises(TableExistsError):
+        cat.tag_snapshot("t", "rel_1")
+
+    # overwrite + vacuum: the tag still reads v1
+    cat.write(
+        spark.range(100, 150).select(F.col("id").alias("k")),
+        "t", mode="overwrite", keep_versions=1,
+    )
+    cat.vacuum("t")
+    assert cat.table_at_tag("t", "rel_1").count() == 100
+    assert cat.table("t").count() == 50
+
+    cat.drop_tag("t", "rel_1")
+    assert cat.tags("t") == []
+    with pytest.raises(TableNotFoundError):
+        cat.table_at_tag("t", "rel_1")

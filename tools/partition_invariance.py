@@ -113,6 +113,8 @@ QUERIES = [
     "merge_rendezvous_rebalance",
     "window_funnel_regex_match",
     "text_kneser_ney_bigram_ppm",
+    "stats_mann_kendall_seasonal",
+    "merge_tag_pinned_snapshot",
 ]
 
 PARTITIONS = (1, 7, 200)
