@@ -284,3 +284,81 @@ def hashing_trick_features(
             ).alias("vec"),
         )
     )
+
+
+def isotonic_fit(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_num_col: str,
+    y_den_col: str,
+) -> DataFrame:
+    """Isotonic regression (the PAVA fit) per group, via the closed-form
+    minimax identity ``fit(i) = max_{j≤i} min_{k≥j} mean(y_j..y_k)`` —
+    the calibration step that turns raw model scores into monotone
+    probabilities (Zadrozny & Elkan 2002). The sequential
+    pool-adjacent-violators loop distributes poorly; the minimax form
+    is pure joins and windows.
+
+    Inputs are PRE-AGGREGATED points: one row per (group, x) with the
+    numerator/denominator of its mean (e.g. positives and trials for a
+    calibration curve) — so the O(n²) interval enumeration runs on the
+    per-group HISTOGRAM, the same size at any corpus scale. Interval
+    means come from exact integer prefix sums; the min/max comparisons
+    run on mirrored IEEE doubles (same division both engines). Returns
+    ``(group, x, y_raw, y_fit)`` with ``y_fit`` nondecreasing in x.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(x_col)
+    pts = df.select(
+        F.col(group_col).alias("g"),
+        F.col(x_col).alias("x"),
+        F.col(y_num_col).cast("long").alias("num"),
+        F.col(y_den_col).cast("long").alias("den"),
+    ).select(
+        "g", "x", "num", "den",
+        F.sum("num").over(
+            Window.partitionBy("g").orderBy("x")
+        ).alias("cnum"),
+        F.sum("den").over(
+            Window.partitionBy("g").orderBy("x")
+        ).alias("cden"),
+    )
+    j = pts.select(
+        "g", F.col("x").alias("xj"),
+        (F.col("cnum") - F.col("num")).alias("pnum_j"),
+        (F.col("cden") - F.col("den")).alias("pden_j"),
+    )
+    k = pts.select(
+        F.col("g").alias("g2"), F.col("x").alias("xk"),
+        F.col("cnum").alias("cnum_k"), F.col("cden").alias("cden_k"),
+    )
+    # min over k >= j of the interval mean (prefix-sum difference)
+    mins = (
+        j.join(k, (j.g == k.g2) & (F.col("xk") >= F.col("xj")))
+        .groupBy("g", "xj")
+        .agg(
+            F.min(
+                (F.col("cnum_k") - F.col("pnum_j")).cast("double")
+                / (F.col("cden_k") - F.col("pden_j")).cast("double")
+            ).alias("m")
+        )
+    )
+    wmax = Window.partitionBy("g").orderBy("xj")
+    fit = mins.select(
+        "g", F.col("xj").alias("x"), F.max("m").over(wmax).alias("y_fit")
+    )
+    return (
+        df.select(
+            F.col(group_col).alias("g"), F.col(x_col).alias("x"),
+            (
+                F.col(y_num_col).cast("double")
+                / F.col(y_den_col).cast("double")
+            ).alias("y_raw"),
+        )
+        .join(fit, ["g", "x"])
+        .select(
+            F.col("g").alias(group_col), "x", "y_raw", "y_fit"
+        )
+    )

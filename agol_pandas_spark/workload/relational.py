@@ -5556,3 +5556,66 @@ def stats_mann_kendall_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("z"),
         )
     )
+
+
+@register(
+    "stats_isotonic_calibration",
+    tags=("stats", "ml", "calibration", "isotonic"),
+    oracle="""
+    WITH pts AS (
+      SELECT o_orderstatus AS g,
+             CAST(round(o_totalprice * 100) AS BIGINT) // 5000000 AS x,
+             CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS num,
+             CAST(COUNT(*) AS BIGINT) AS den
+      FROM orders GROUP BY 1, 2),
+    cum AS (
+      SELECT g, x, num, den,
+             SUM(num) OVER (PARTITION BY g ORDER BY x) AS cnum,
+             SUM(den) OVER (PARTITION BY g ORDER BY x) AS cden
+      FROM pts),
+    mins AS (
+      SELECT j.g, j.x,
+             MIN(CAST(k.cnum - (j.cnum - j.num) AS DOUBLE)
+                 / CAST(k.cden - (j.cden - j.den) AS DOUBLE)) AS m
+      FROM cum j JOIN cum k ON k.g = j.g AND k.x >= j.x
+      GROUP BY 1, 2),
+    fit AS (
+      SELECT g, x, MAX(m) OVER (PARTITION BY g ORDER BY x) AS y_fit
+      FROM mins)
+    SELECT p.g AS o_orderstatus, p.x,
+           CAST(p.num AS DOUBLE) / CAST(p.den AS DOUBLE) AS y_raw,
+           f.y_fit
+    FROM pts p JOIN fit f ON f.g = p.g AND f.x = p.x
+    """,
+)
+def stats_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAVA) calibration via the distributed minimax identity
+    (``operators/features.isotonic_fit``): the urgent-order rate per
+    $50k price band, forced monotone in price per order status — the
+    monotone-probability calibration a ranking model's scores go
+    through before thresholding. The O(n²) interval enumeration runs
+    on the per-group price-band HISTOGRAM (same size at any SF);
+    interval means come from exact integer prefix sums, with only the
+    final mirrored-IEEE divisions compared. ``y_fit`` is nondecreasing
+    in x by construction.
+    """
+    from agol_pandas_spark.operators.features import isotonic_fit
+
+    pts = (
+        Catalog(spark, sf_dir)
+        .table("orders")
+        .groupBy(
+            F.col("o_orderstatus"),
+            F.expr(
+                "CAST(round(o_totalprice * 100) AS BIGINT) div 5000000"
+            ).alias("x"),
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).cast("long").alias("num"),
+            F.count(F.lit(1)).cast("long").alias("den"),
+        )
+    )
+    return isotonic_fit(pts, "o_orderstatus", "x", "num", "den")

@@ -199,3 +199,56 @@ def test_hashing_trick_matches_python_reference(spark):
         cnt = Counter(bucket(t) for t in toks)
         vec = " ".join(f"{b}:{c}" for b, c in sorted(cnt.items()))
         assert got[doc_id] == (len(toks), len(cnt), vec), doc_id
+
+
+def test_isotonic_fit_matches_sklearn_style_pava(spark):
+    """The minimax identity must equal a direct PAVA reference:
+    monotone output, pools average violators weighted by denominator,
+    already-monotone input is untouched."""
+    from agol_pandas_spark.operators.features import isotonic_fit
+
+    def pava(ys, ws):
+        # classic pool-adjacent-violators with weights
+        blocks = [[y * w, w] for y, w in zip(ys, ws)]
+        i = 0
+        while i < len(blocks) - 1:
+            if blocks[i][0] / blocks[i][1] > blocks[i + 1][0] / blocks[i + 1][1] + 1e-15:
+                blocks[i][0] += blocks[i + 1][0]
+                blocks[i][1] += blocks[i + 1][1]
+                del blocks[i + 1]
+                i = max(i - 1, 0)
+            else:
+                i += 1
+        # expand block means back to the original points
+        fit = []
+        bi, used = 0, 0
+        for w in ws:
+            s, bw = blocks[bi][0], blocks[bi][1]
+            fit.append(s / bw)
+            used += w
+            if used >= bw - 1e-12:
+                bi += 1
+                used = 0
+        return fit
+
+    cases = {
+        "violates": ([3, 1, 2, 6, 5], [1, 2, 1, 1, 3]),
+        "monotone": ([1, 2, 3, 4, 5], [1, 1, 1, 1, 1]),
+        "flat": ([2, 2, 2], [5, 1, 5]),
+    }
+    rows = []
+    for g, (nums, dens) in cases.items():
+        for x, (n, d) in enumerate(zip(nums, dens)):
+            rows.append((g, x, n * d, d))  # y = n per unit, num = y*den
+    df = spark.createDataFrame(rows, "g string, x int, num long, den long")
+    got = {
+        (r["g"], r["x"]): r["y_fit"]
+        for r in isotonic_fit(df, "g", "x", "num", "den").collect()
+    }
+    for g, (nums, dens) in cases.items():
+        ref = pava([float(n) for n in nums], [float(d) for d in dens])
+        fit = [got[(g, x)] for x in range(len(nums))]
+        assert all(b >= a - 1e-12 for a, b in zip(fit, fit[1:])), g
+        assert all(abs(a - b) < 1e-9 for a, b in zip(fit, ref)), (g, fit, ref)
+    # already-monotone input is untouched
+    assert [got[("monotone", x)] for x in range(5)] == [1.0, 2.0, 3.0, 4.0, 5.0]

@@ -115,6 +115,7 @@ QUERIES = [
     "text_kneser_ney_bigram_ppm",
     "stats_mann_kendall_seasonal",
     "merge_tag_pinned_snapshot",
+    "stats_isotonic_calibration",
 ]
 
 PARTITIONS = (1, 7, 200)
