@@ -5619,3 +5619,157 @@ def stats_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return isotonic_fit(pts, "o_orderstatus", "x", "num", "den")
+
+
+@register(
+    "stats_cramers_v_association",
+    tags=("stats", "categorical", "association"),
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderpriority AS r, o_orderstatus AS c,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM orders GROUP BY 1, 2),
+    rm AS (SELECT r, SUM(o) AS rt FROM cells GROUP BY 1),
+    cm AS (SELECT c, SUM(o) AS ct FROM cells GROUP BY 1),
+    nn AS (SELECT SUM(o) AS n, COUNT(DISTINCT r) AS nr,
+                  COUNT(DISTINCT c) AS nc FROM cells),
+    acc AS (
+      SELECT CAST(SUM(CAST(cells.o AS HUGEINT) * cells.o * nn.n * 1000000000
+                      // (rm.rt * cm.ct)) AS BIGINT) AS s_ppb,
+             MAX(nn.nr) AS nr, MAX(nn.nc) AS nc
+      FROM cells
+      JOIN rm ON rm.r = cells.r
+      JOIN cm ON cm.c = cells.c
+      CROSS JOIN nn)
+    SELECT CAST(nr AS INTEGER) AS n_rows, CAST(nc AS INTEGER) AS n_cols,
+           s_ppb - 1000000000 AS chi2_over_n_ppb,
+           sqrt(CAST(s_ppb - 1000000000 AS DOUBLE) / 1000000000.0
+                / CAST(least(nr - 1, nc - 1) AS DOUBLE)) AS cramers_v
+    FROM acc
+    """,
+)
+def stats_cramers_v_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V between order priority and order status — the
+    normalized categorical-association profile a data audit reports
+    (0 = independent, 1 = deterministic). χ²/n reduces to
+    ``Σ o²·n/(r_row·c_col) − 1`` — evaluated per cell as a truncating
+    integer division in DECIMAL/HUGEINT headroom (deterministic and
+    engine-identical, no float until the final sqrt, which is
+    correctly rounded everywhere). Contingency cells, marginals, and
+    the scalar are all histogram-sized aggregations.
+    """
+    cells = (
+        Catalog(spark, sf_dir)
+        .table("orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("r"),
+            F.col("o_orderstatus").alias("c"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    rm = cells.groupBy(F.col("r").alias("r2")).agg(F.sum("o").alias("rt"))
+    cm = cells.groupBy(F.col("c").alias("c2")).agg(F.sum("o").alias("ct"))
+    nn = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("r").alias("nr"),
+        F.countDistinct("c").alias("nc"),
+    )
+    acc = (
+        cells.join(F.broadcast(rm), cells.r == rm.r2)
+        .join(F.broadcast(cm), cells.c == cm.c2)
+        .join(F.broadcast(nn))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(o AS DECIMAL(38,0)) * o * n * 1000000000"
+                    " div (rt * ct)"
+                )
+            ).cast("long").alias("s_ppb"),
+            F.max("nr").alias("nr"),
+            F.max("nc").alias("nc"),
+        )
+    )
+    return acc.select(
+        F.col("nr").cast("int").alias("n_rows"),
+        F.col("nc").cast("int").alias("n_cols"),
+        (F.col("s_ppb") - 1_000_000_000).alias("chi2_over_n_ppb"),
+        F.sqrt(
+            (F.col("s_ppb") - 1_000_000_000).cast("double")
+            / 1.0e9
+            / F.least(F.col("nr") - 1, F.col("nc") - 1).cast("double")
+        ).alias("cramers_v"),
+    )
+
+
+@register(
+    "stats_cohens_kappa_ppm",
+    tags=("stats", "agreement", "categorical"),
+    oracle="""
+    WITH base AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS r1,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS r2
+      FROM orders),
+    cm AS (
+      SELECT yr,
+             CAST(SUM(r1 * r2) AS BIGINT) AS a,
+             CAST(SUM(r1 * (1 - r2)) AS BIGINT) AS b,
+             CAST(SUM((1 - r1) * r2) AS BIGINT) AS c,
+             CAST(SUM((1 - r1) * (1 - r2)) AS BIGINT) AS d
+      FROM base GROUP BY 1),
+    k AS (
+      SELECT yr, a, b, c, d, a + b + c + d AS n,
+             (a + b + c + d) * (a + d)
+               - ((a + b) * (a + c) + (c + d) * (b + d)) AS num,
+             (a + b + c + d) * (a + b + c + d)
+               - ((a + b) * (a + c) + (c + d) * (b + d)) AS den
+      FROM cm)
+    SELECT yr, a, b, c, d,
+           CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END
+                * (abs(CAST(num AS HUGEINT)) * 1000000 // den)
+                AS BIGINT) AS kappa_ppm
+    FROM k
+    """,
+)
+def stats_cohens_kappa_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's κ inter-rater agreement per order year, exact integer
+    ppm — the label-quality metric a multi-annotator pipeline gates
+    on: here 'priority says urgent' vs 'status says fulfilled' as the
+    two raters. κ = (p_o − p_e)/(1 − p_e) cross-multiplies to a ratio
+    of exact BIGINTs from the 2×2 confusion counts; the sign is
+    factored out before the truncating division so Spark's
+    toward-zero ``div`` and DuckDB's floor ``//`` agree on negative
+    κ. One map-side-combined aggregation over one scan.
+    """
+    base = Catalog(spark, sf_dir).table("orders").select(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("r1"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("r2"),
+    )
+    cm = base.groupBy("yr").agg(
+        F.sum(F.col("r1") * F.col("r2")).cast("long").alias("a"),
+        F.sum(F.col("r1") * (1 - F.col("r2"))).cast("long").alias("b"),
+        F.sum((1 - F.col("r1")) * F.col("r2")).cast("long").alias("c"),
+        F.sum((1 - F.col("r1")) * (1 - F.col("r2"))).cast("long").alias("d"),
+    )
+    n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    pe_num = (F.col("a") + F.col("b")) * (F.col("a") + F.col("c")) + (
+        F.col("c") + F.col("d")
+    ) * (F.col("b") + F.col("d"))
+    num = n * (F.col("a") + F.col("d")) - pe_num
+    den = n * n - pe_num
+    return cm.select(
+        "yr", "a", "b", "c", "d",
+        (
+            F.when(num < 0, -1).otherwise(1)
+            * F.expr(
+                "abs(CAST((a+b+c+d) * (a+d)"
+                " - ((a+b)*(a+c) + (c+d)*(b+d)) AS DECIMAL(38,0)))"
+                " * 1000000 div ((a+b+c+d)*(a+b+c+d)"
+                " - ((a+b)*(a+c) + (c+d)*(b+d)))"
+            )
+        ).cast("long").alias("kappa_ppm"),
+    )

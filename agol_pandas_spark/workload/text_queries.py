@@ -1859,3 +1859,110 @@ def text_kneser_ney_bigram_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pkn_ppm").desc(), "w1", "w2")
         .limit(50)
     )
+
+
+@register(
+    "sample_neyman_allocation",
+    tags=("sampling", "stratified", "design"),
+    oracle=f"""
+    WITH m AS (
+      SELECT c_mktsegment AS seg,
+             CAST(COUNT(*) AS BIGINT) AS nh,
+             CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sx,
+             SUM(CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS HUGEINT)
+                 * CAST(round(c_acctbal * 100) AS BIGINT)) AS sxx
+      FROM customer GROUP BY 1),
+    sd AS (
+      SELECT seg, nh,
+             sqrt((CAST(nh AS DOUBLE) * (CAST(CAST(sxx AS HUGEINT) // 4294967296 AS DOUBLE) * 4294967296 + CAST(CAST(sxx AS HUGEINT) % 4294967296 AS DOUBLE))
+                   - (CAST(CAST(CAST(sx AS HUGEINT) * sx AS HUGEINT) // 4294967296 AS DOUBLE) * 4294967296 + CAST(CAST(CAST(sx AS HUGEINT) * sx AS HUGEINT) % 4294967296 AS DOUBLE))) ) / CAST(nh AS DOUBLE) AS sh
+      FROM m),
+    w AS (SELECT seg, nh, sh, CAST(nh AS DOUBLE) * sh AS wh FROM sd),
+    tw AS (SELECT SUM(wh) AS t FROM w),
+    alloc AS (
+      SELECT seg, nh, CAST(floor(1000.0 * wh / tw.t) AS BIGINT) AS n_alloc
+      FROM w, tw),
+    ranked AS (
+      SELECT c.c_mktsegment AS seg, c.c_custkey,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.c_mktsegment
+               ORDER BY {SQL_HASH60.format(
+                   expr="'neyman' || CAST(c.c_custkey AS VARCHAR)")},
+                        c.c_custkey) AS rn
+      FROM customer c)
+    SELECT a.seg AS c_mktsegment, a.nh, a.n_alloc,
+           CAST(COUNT(r.c_custkey) AS BIGINT) AS n_sampled,
+           CAST(COALESCE(SUM(r.c_custkey), 0) AS BIGINT) AS key_checksum
+    FROM alloc a
+    LEFT JOIN ranked r ON r.seg = a.seg AND r.rn <= a.n_alloc
+    GROUP BY 1, 2, 3
+    """,
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling design: a fixed budget of
+    1000 rows split across market segments ∝ N_h·S_h (stratum size ×
+    stratum standard deviation) — the allocation that minimizes the
+    estimator's variance, the difference between a sample that sees
+    the volatile strata and one that wastes budget on homogeneous
+    ones. Moments are exact integers (Σx² in DECIMAL/HUGEINT headroom;
+    the variance numerator crosses 2⁶³, so it reassembles through the
+    split-cast correctly-rounded doubles); S_h and the quota floor run
+    on mirrored IEEE doubles. Selection is a deterministic per-stratum
+    hash rank (partitioned window) capped at the quota — a pure
+    function of the rows, like every sampler here.
+    """
+    from agol_pandas_spark.functions.text import portable_hash60
+
+    cust = Catalog(spark, sf_dir).table("customer").select(
+        "c_custkey", "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    m = cust.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count(F.lit(1)).cast("long").alias("nh"),
+        F.sum("cents").cast("long").alias("sx"),
+        F.sum(
+            F.col("cents").cast("decimal(38,0)") * F.col("cents")
+        ).alias("sxx"),
+    )
+    split = (
+        lambda col: f"CAST(({col}) div 4294967296 AS DOUBLE) * 4294967296D "
+        f"+ CAST(({col}) % 4294967296 AS DOUBLE)"
+    )
+    var_num = (
+        f"CAST(nh AS DOUBLE) * ({split('sxx')})"
+        f" - ({split('CAST(sx AS DECIMAL(38,0)) * sx')})"
+    )
+    w = m.select(
+        "seg", "nh",
+        F.expr(f"sqrt({var_num}) / CAST(nh AS DOUBLE)").alias("sh"),
+    ).select("seg", "nh", "sh", (F.col("nh").cast("double") * F.col("sh")).alias("wh"))
+    tw = w.agg(F.sum("wh").alias("t"))
+    alloc = w.join(F.broadcast(tw)).select(
+        "seg", "nh",
+        F.floor(1000.0 * F.col("wh") / F.col("t")).cast("long").alias("n_alloc"),
+    )
+    from pyspark.sql import Window
+
+    wr = Window.partitionBy("c_mktsegment").orderBy(
+        portable_hash60(
+            F.concat(F.lit("neyman"), F.col("c_custkey").cast("string"))
+        ),
+        "c_custkey",
+    )
+    ranked = cust.withColumn("rn", F.row_number().over(wr)).select(
+        F.col("c_mktsegment").alias("rseg"), "c_custkey", "rn"
+    )
+    return (
+        alloc.join(
+            ranked,
+            (alloc.seg == ranked.rseg) & (ranked.rn <= alloc.n_alloc),
+            "left",
+        )
+        .groupBy(F.col("seg").alias("c_mktsegment"), "nh", "n_alloc")
+        .agg(
+            F.count("c_custkey").cast("long").alias("n_sampled"),
+            F.coalesce(F.sum("c_custkey"), F.lit(0)).cast("long").alias(
+                "key_checksum"
+            ),
+        )
+    )

@@ -116,6 +116,9 @@ QUERIES = [
     "stats_mann_kendall_seasonal",
     "merge_tag_pinned_snapshot",
     "stats_isotonic_calibration",
+    "stats_cramers_v_association",
+    "stats_cohens_kappa_ppm",
+    "sample_neyman_allocation",
 ]
 
 PARTITIONS = (1, 7, 200)
