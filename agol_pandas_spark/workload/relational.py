@@ -5773,3 +5773,134 @@ def stats_cohens_kappa_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("long").alias("kappa_ppm"),
     )
+
+
+@register(
+    "stats_theil_sen_slope",
+    tags=("stats", "trend", "robust"),
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    slopes AS (
+      SELECT a.event_type,
+             CAST(b.y - a.y AS DOUBLE) / CAST(b.day - a.day AS DOUBLE)
+               AS slope,
+             a.day AS di, b.day AS dj
+      FROM d a JOIN d b
+        ON a.event_type = b.event_type AND a.day < b.day),
+    ranked AS (
+      SELECT event_type, slope,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY slope, di, dj) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM slopes)
+    SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+           slope AS theil_sen_slope
+    FROM ranked WHERE rn = (n + 1) // 2
+    """,
+)
+def stats_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend slope per event type: the median of all
+    pairwise day-to-day slopes — the estimator a single outlier day
+    cannot drag, the robust companion to the seasonal Mann-Kendall
+    direction test. Pairwise slopes enumerate over the DAILY histogram
+    (calendar-bounded — the self-join is the same size at any SF);
+    each slope is one mirrored IEEE division of exact integers, the
+    median picks rank ⌈n/2⌉ per type through a PARTITIONED window with
+    a deterministic (slope, day-pair) tie order.
+    """
+    ev = Catalog(spark, sf_dir).table("events")
+    d = ev.groupBy(
+        "event_type",
+        F.expr("CAST(unix_timestamp(ts) div 86400 AS BIGINT)").alias("day"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+    a = d.select(
+        "event_type", F.col("day").alias("di"), F.col("y").alias("yi")
+    )
+    b = d.select(
+        F.col("event_type").alias("et2"), F.col("day").alias("dj"),
+        F.col("y").alias("yj"),
+    )
+    slopes = a.join(
+        b, (a.event_type == b.et2) & (F.col("di") < F.col("dj"))
+    ).select(
+        "event_type",
+        (
+            (F.col("yj") - F.col("yi")).cast("double")
+            / (F.col("dj") - F.col("di")).cast("double")
+        ).alias("slope"),
+        "di",
+        "dj",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("slope", "di", "dj")
+    wn = Window.partitionBy("event_type")
+    return (
+        slopes.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("rn") == (F.col("n") + 1) / 2)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_pairs"),
+            F.col("slope").alias("theil_sen_slope"),
+        )
+    )
+
+
+@register(
+    "join_null_safe_region_match",
+    tags=("join", "null-semantics"),
+    oracle="""
+    WITH a AS (
+      SELECT c_custkey,
+             CASE WHEN c_mktsegment = 'MACHINERY' THEN NULL
+                  ELSE c_nationkey END AS nk
+      FROM customer),
+    b AS (
+      SELECT s_suppkey,
+             CASE WHEN s_acctbal < 0 THEN NULL ELSE s_nationkey END AS nk
+      FROM supplier)
+    SELECT a.nk IS NULL AS null_key,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(a.c_custkey) AS BIGINT) AS cust_checksum,
+           CAST(SUM(b.s_suppkey) AS BIGINT) AS supp_checksum
+    FROM a JOIN b ON a.nk IS NOT DISTINCT FROM b.nk
+    GROUP BY 1
+    """,
+)
+def join_null_safe_region_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): both
+    sides carve a NULL class out of their nation key, and the join
+    must MATCH the NULL groups to each other instead of silently
+    dropping them — the semantics an ordinary equi-join gets wrong and
+    the difference silently corrupts any dedup or linkage over
+    nullable keys (the r5 rank-operator ADVICE fix made the same
+    point). Value-checked: pair counts and both checksums for the
+    NULL-key and real-key classes.
+    """
+    cat = Catalog(spark, sf_dir)
+    a = cat.table("customer").select(
+        "c_custkey",
+        F.when(F.col("c_mktsegment") == "MACHINERY", F.lit(None))
+        .otherwise(F.col("c_nationkey"))
+        .alias("nk_a"),
+    )
+    b = cat.table("supplier").select(
+        "s_suppkey",
+        F.when(F.col("s_acctbal") < 0, F.lit(None))
+        .otherwise(F.col("s_nationkey"))
+        .alias("nk_b"),
+    )
+    return (
+        a.join(b, a.nk_a.eqNullSafe(b.nk_b))
+        .groupBy(F.col("nk_a").isNull().alias("null_key"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("c_custkey").cast("long").alias("cust_checksum"),
+            F.sum("s_suppkey").cast("long").alias("supp_checksum"),
+        )
+    )

@@ -119,6 +119,8 @@ QUERIES = [
     "stats_cramers_v_association",
     "stats_cohens_kappa_ppm",
     "sample_neyman_allocation",
+    "stats_theil_sen_slope",
+    "join_null_safe_region_match",
 ]
 
 PARTITIONS = (1, 7, 200)
