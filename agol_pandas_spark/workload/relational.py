@@ -5904,3 +5904,315 @@ def join_null_safe_region_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("s_suppkey").cast("long").alias("supp_checksum"),
         )
     )
+
+
+@register(
+    "stats_hellinger_drift",
+    tags=("stats", "drift", "distribution"),
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             LEAST(CAST(floor(value / 50) AS INTEGER), 9) AS vbucket,
+             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END
+               AS is_early
+      FROM events),
+    cells AS (
+      SELECT event_type, vbucket,
+             CAST(SUM(is_early) AS BIGINT) AS ne,
+             CAST(SUM(1 - is_early) AS BIGINT) AS nl
+      FROM base GROUP BY 1, 2),
+    tot AS (SELECT CAST(SUM(ne) AS BIGINT) AS te,
+                   CAST(SUM(nl) AS BIGINT) AS tl FROM cells),
+    contrib AS (
+      SELECT (sqrt(CAST(c.ne AS DOUBLE) / CAST(t.te AS DOUBLE))
+              - sqrt(CAST(c.nl AS DOUBLE) / CAST(t.tl AS DOUBLE)))
+             * (sqrt(CAST(c.ne AS DOUBLE) / CAST(t.te AS DOUBLE))
+                - sqrt(CAST(c.nl AS DOUBLE) / CAST(t.tl AS DOUBLE))) AS c
+      FROM cells c CROSS JOIN tot t)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(CAST(round(c * 1000000000000000) AS BIGINT)) AS BIGINT)
+             AS h2_scaled,
+           sqrt(CAST(SUM(CAST(round(c * 1000000000000000) AS BIGINT))
+                     AS DOUBLE) / 2000000000000000.0) AS hellinger
+    FROM contrib
+    """,
+)
+def stats_hellinger_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hellinger distance between the early-half and late-half
+    (event_type × value-bucket) distributions — the f-divergence drift
+    gate that needs NO logarithms, so unlike KL/JS it is exactly
+    reproducible across engines: IEEE 754 requires sqrt and the four
+    arithmetic ops to be correctly rounded, so every per-cell
+    contribution ``(√p−√q)²`` is bit-identical in Spark and DuckDB,
+    and the cross-cell sum is made order-independent by quantizing
+    each contribution to an integer at 1e-15 before summing (the same
+    histogram-collapse discipline as `stats_ks_drift`). One shuffle on
+    the cell key; totals ride a broadcast single-row cross join.
+    """
+    ev = Catalog(spark, sf_dir).table("events")
+    base = ev.select(
+        "event_type",
+        F.least(
+            F.floor(F.col("value") / 50).cast("int"), F.lit(9)
+        ).alias("vbucket"),
+        (F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
+        .cast("int")
+        .alias("is_early"),
+    )
+    cells = base.groupBy("event_type", "vbucket").agg(
+        F.sum("is_early").cast("long").alias("ne"),
+        F.sum(F.lit(1) - F.col("is_early")).cast("long").alias("nl"),
+    )
+    tot = cells.agg(
+        F.sum("ne").cast("long").alias("te"),
+        F.sum("nl").cast("long").alias("tl"),
+    )
+    d = F.sqrt(F.col("ne").cast("double") / F.col("te").cast("double")) - F.sqrt(
+        F.col("nl").cast("double") / F.col("tl").cast("double")
+    )
+    contrib = cells.crossJoin(F.broadcast(tot)).select(
+        (d * d).alias("c")
+    )
+    scaled = F.sum(F.round(F.col("c") * 1e15).cast("long")).cast("long")
+    return contrib.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        scaled.alias("h2_scaled"),
+        F.sqrt(scaled.cast("double") / 2e15).alias("hellinger"),
+    )
+
+
+@register(
+    "graph_degree_assortativity",
+    tags=("graph", "stats"),
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    dp AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS dx
+           FROM edges GROUP BY 1),
+    ds AS (SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS dy
+           FROM edges GROUP BY 1),
+    e2 AS (
+      SELECT dp.dx, ds.dy
+      FROM edges e JOIN dp USING (l_partkey) JOIN ds USING (l_suppkey)),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(dx) AS BIGINT) AS sx,
+             CAST(SUM(dy) AS BIGINT) AS sy,
+             CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+             CAST(SUM(dy * dy) AS BIGINT) AS syy,
+             CAST(SUM(dx * dy) AS BIGINT) AS sxy
+      FROM e2)
+    SELECT n AS n_edges, sx, sy, sxx, syy, sxy,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS assortativity
+    FROM s
+    """,
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the part–supplier bipartite graph:
+    the Pearson correlation between endpoint degrees across the edge
+    list (Newman 2002) — do high-degree parts attach to high-degree
+    suppliers? All six sufficient statistics are EXACT BIGINT sums of
+    integer degrees (no float accumulation anywhere); the correlation
+    itself is one single-row scalar expression over those integers,
+    so it is bit-identical across engines (casts, *, −, /, sqrt are
+    all correctly rounded under IEEE 754). Degrees come from two
+    grouped counts on the deduplicated edge list; the join-back
+    shuffles on each endpoint key only.
+    """
+    li = Catalog(spark, sf_dir).table("lineitem")
+    edges = li.select("l_partkey", "l_suppkey").distinct()
+    dp = edges.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("dx")
+    )
+    ds = edges.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("dy")
+    )
+    e2 = edges.join(dp, "l_partkey").join(ds, "l_suppkey")
+    s = e2.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("long").alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    return s.select(
+        F.col("n").alias("n_edges"),
+        "sx", "sy", "sxx", "syy", "sxy",
+        (
+            (nd * F.col("sxy").cast("double") - sxd * syd)
+            / (
+                F.sqrt(nd * F.col("sxx").cast("double") - sxd * sxd)
+                * F.sqrt(nd * F.col("syy").cast("double") - syd * syd)
+            )
+        ).alias("assortativity"),
+    )
+
+
+@register(
+    "stats_levene_brown_forsythe",
+    tags=("stats", "hypothesis-test"),
+    oracle="""
+    WITH x AS (
+      SELECT event_type, event_id,
+             CAST(round(value * 100) AS BIGINT) AS xq
+      FROM events),
+    ranked AS (
+      SELECT event_type, xq,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY xq, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM x),
+    med AS (
+      SELECT event_type, xq AS m FROM ranked WHERE rn = (n + 1) // 2),
+    z AS (
+      SELECT x.event_type, abs(x.xq - med.m) AS z
+      FROM x JOIN med USING (event_type)),
+    g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS ni,
+             CAST(SUM(z) AS BIGINT) AS ti,
+             CAST(SUM(z * z) AS BIGINT) AS qi
+      FROM z GROUP BY 1),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(ni) AS BIGINT) AS n,
+             CAST(SUM(ti) AS BIGINT) AS t,
+             CAST(SUM(qi) AS BIGINT) AS q,
+             CAST(SUM(CAST(round(CAST(ti AS DOUBLE) * CAST(ti AS DOUBLE)
+                                 / CAST(ni AS DOUBLE) * 1000)
+                           AS BIGINT)) AS BIGINT) AS b_milli
+      FROM g)
+    SELECT k, n, t, q, b_milli,
+           (CAST(n - k AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+           * (CAST(b_milli AS DOUBLE) / 1000.0
+              - CAST(t AS DOUBLE) * CAST(t AS DOUBLE) / CAST(n AS DOUBLE))
+           / (CAST(q AS DOUBLE) - CAST(b_milli AS DOUBLE) / 1000.0)
+             AS w_stat
+    FROM s
+    """,
+)
+def stats_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe variance-homogeneity test across event types:
+    Levene's W computed on absolute deviations from the GROUP MEDIAN
+    (the robust variant). The pipeline is exact end-to-end: values
+    quantize to integer cents, the lower median comes from a
+    PARTITIONED rank window with a deterministic (xq, event_id) tie
+    order, the deviations and both sums-of-squares are exact BIGINTs,
+    and the only rounding is the per-group ``Tᵢ²/nᵢ`` term quantized
+    to 1e-3 before its (order-independent) integer sum. W itself is a
+    single-row scalar over those integers — bit-identical across
+    engines. Two shuffles: the rank window and the group aggregate;
+    the k-row median table broadcasts back.
+    """
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).table("events")
+    x = ev.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("xq"),
+    )
+    w = Window.partitionBy("event_type").orderBy("xq", "event_id")
+    wn = Window.partitionBy("event_type")
+    med = (
+        x.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select("event_type", F.col("xq").alias("m"))
+    )
+    z = x.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("xq") - F.col("m")).alias("z")
+    )
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("ni"),
+        F.sum("z").cast("long").alias("ti"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("qi"),
+    )
+    b_term = F.round(
+        F.col("ti").cast("double")
+        * F.col("ti").cast("double")
+        / F.col("ni").cast("double")
+        * 1000
+    ).cast("long")
+    s = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("ni").cast("long").alias("n"),
+        F.sum("ti").cast("long").alias("t"),
+        F.sum("qi").cast("long").alias("q"),
+        F.sum(b_term).cast("long").alias("b_milli"),
+    )
+    kd = F.col("k").cast("double")
+    nd = F.col("n").cast("double")
+    td = F.col("t").cast("double")
+    qd = F.col("q").cast("double")
+    bd = F.col("b_milli").cast("double") / 1000.0
+    return s.select(
+        "k", "n", "t", "q", "b_milli",
+        (
+            ((nd - kd) / (kd - 1))
+            * (bd - td * td / nd)
+            / (qd - bd)
+        ).alias("w_stat"),
+    )
+
+
+@register(
+    "feature_loo_target_encoding",
+    tags=("feature", "ml-prep"),
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS yc
+      FROM orders),
+    enc AS (
+      SELECT o_orderkey, o_orderpriority, yc,
+             SUM(yc) OVER (PARTITION BY o_orderpriority) AS s,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM o)
+    SELECT o_orderkey, o_orderpriority, yc,
+           CAST(s - yc AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+             AS loo_price_cents
+    FROM enc
+    """,
+)
+def feature_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of order priority against order
+    value — the standard leakage-safe categorical encoder for model
+    training: each row's code is the mean target of its OWN group
+    with the row itself excluded, ``(Σy − y)/(n−1)``. The group sum
+    and count ride one partitioned window (one shuffle on the
+    category key); the target quantizes to integer cents so the sums
+    are exact, and each row's encoding is a single correctly-rounded
+    integer division — bit-identical across engines. At 100 TB this
+    is a map-side window per category partition; no per-row Python.
+    """
+    from pyspark.sql import Window
+
+    o = Catalog(spark, sf_dir).table("orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("yc"),
+    )
+    w = Window.partitionBy("o_orderpriority")
+    return (
+        o.withColumn("s", F.sum("yc").over(w))
+        .withColumn("n", F.count(F.lit(1)).over(w))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "yc",
+            (
+                (F.col("s") - F.col("yc")).cast("double")
+                / (F.col("n") - 1).cast("double")
+            ).alias("loo_price_cents"),
+        )
+    )
