@@ -247,3 +247,50 @@ def bloom_reduce(
         )
         cond = cond & hit
     return out.filter(cond).drop("__bloom")
+
+
+def misra_gries_candidates(items: DataFrame, col: str, k: int) -> DataFrame:
+    """Per-partition Misra–Gries summaries → global heavy-hitter
+    CANDIDATE set (one column, ``col``), guaranteed to contain every
+    item with global frequency > N/k.
+
+    Why the union of per-partition summaries is a valid superset: if
+    an item's global count f exceeds N/k = Σₚ Nₚ/k, then by pigeonhole
+    some partition p has local count fₚ > Nₚ/k — and Misra–Gries with
+    k counters never evicts an item whose local frequency exceeds the
+    local stream length over k (each of the ≤ Nₚ/k decrement rounds
+    removes at most one occurrence credit). So a second EXACT counting
+    pass restricted to the candidates (a broadcast semi-join — the
+    full-cardinality groupBy never happens) recovers the exact heavy
+    hitters with bounded memory: ≤ k counters per partition, ≤ k·P
+    candidate rows total, independent of data size. This is the
+    deterministic two-pass pattern (MG + recount), not the lossy
+    one-pass estimate — output is exactly reproducible.
+
+    The per-partition pass is genuinely imperative (conditional
+    eviction state) — the sanctioned ``mapInPandas`` case; everything
+    else stays JVM-side.
+    """
+    import pandas as pd
+
+    schema = items.select(col).schema
+
+    def summarize(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for item in pdf[col]:
+                if item in counters:
+                    counters[item] += 1
+                elif len(counters) < k:
+                    counters[item] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({col: list(counters.keys())})
+
+    return items.select(col).mapInPandas(summarize, schema=schema).distinct()

@@ -6216,3 +6216,242 @@ def feature_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("loo_price_cents"),
         )
     )
+
+
+@register(
+    "sketch_heavy_hitters_mg",
+    tags=("sketch", "frequency"),
+    oracle="""
+    WITH cats AS (
+      SELECT event_type || '|' ||
+             CAST(LEAST(CAST(floor(value / 50) AS INTEGER), 9) AS VARCHAR)
+               AS cat
+      FROM events),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cats)
+    SELECT cat, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM cats CROSS JOIN tot
+    GROUP BY cat, tot.n
+    HAVING COUNT(*) * 64 > tot.n
+    """,
+)
+def sketch_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (frequency > N/64) via the two-pass
+    Misra–Gries scheme: pass 1 builds bounded per-partition MG
+    summaries (≤ 64 counters each, `operators/sketches.py`) whose
+    union PROVABLY contains every global heavy hitter; pass 2
+    re-counts ONLY the candidates through a broadcast semi-join and
+    applies the exact integer threshold ``freq·64 > N``. The
+    full-cardinality groupBy never happens — at 100 TB the shuffle
+    carries candidate rows only (≤ 64·P), which is what makes top-item
+    queries over unbounded-cardinality keys feasible. Output is the
+    exact answer (deterministic), not an estimate.
+    """
+    from agol_pandas_spark.operators.sketches import misra_gries_candidates
+
+    ev = Catalog(spark, sf_dir).table("events")
+    cats = ev.select(
+        F.concat(
+            F.col("event_type"),
+            F.lit("|"),
+            F.least(
+                F.floor(F.col("value") / 50).cast("int"), F.lit(9)
+            ).cast("string"),
+        ).alias("cat")
+    )
+    cands = misra_gries_candidates(cats, "cat", 64)
+    tot = cats.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        cats.join(F.broadcast(cands), "cat", "left_semi")
+        .groupBy("cat")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("freq") * 64 > F.col("n"))
+        .select("cat", "freq")
+    )
+
+
+@register(
+    "join_allen_interval_relations",
+    tags=("join", "temporal"),
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(round(value * 1000) AS BIGINT) * 1000
+               AS e
+      FROM events),
+    pairs AS (
+      SELECT s AS s1, e AS e1,
+             LEAD(s) OVER w AS s2, LEAD(e) OVER w AS e2
+      FROM iv
+      WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)),
+    rel AS (
+      SELECT CASE
+               WHEN s1 = s2 AND e1 = e2 THEN 'equals'
+               WHEN s1 = s2 AND e1 < e2 THEN 'starts'
+               WHEN s1 = s2 THEN 'started_by'
+               WHEN e1 < s2 THEN 'before'
+               WHEN e1 = s2 THEN 'meets'
+               WHEN e1 < e2 THEN 'overlaps'
+               WHEN e1 = e2 THEN 'finished_by'
+               ELSE 'contains'
+             END AS relation,
+             s2 - s1 AS gap_us
+      FROM pairs WHERE s2 IS NOT NULL)
+    SELECT relation, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(gap_us) AS BIGINT) AS start_gap_us_sum
+    FROM rel GROUP BY relation
+    """,
+)
+def join_allen_interval_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen's interval-algebra classification over consecutive
+    per-user activity intervals ``[ts, ts + value·1ms]``: each
+    adjacent pair (ordered by start, earlier interval first) lands in
+    exactly one of the eight start-ordered Allen relations (before /
+    meets / overlaps / finished_by / contains / starts / equals /
+    started_by — the other five are their inverses and cannot occur
+    when the first interval starts no later). Endpoints are exact
+    INTEGER microseconds so every comparison is deterministic; the
+    pairing is one partitioned LEAD window (one shuffle on user_id) —
+    the interval-join pattern that needs no range join because
+    adjacency, not overlap search, defines the pairs. Counts carry a
+    start-gap checksum so the oracle verifies values, not just sizes.
+    """
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).table("events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("s"),
+        (
+            F.unix_micros(F.col("ts"))
+            + F.round(F.col("value") * 1000).cast("long") * 1000
+        ).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    pairs = iv.select(
+        F.col("s").alias("s1"),
+        F.col("e").alias("e1"),
+        F.lead("s").over(w).alias("s2"),
+        F.lead("e").over(w).alias("e2"),
+    ).filter(F.col("s2").isNotNull())
+    relation = (
+        F.when((F.col("s1") == F.col("s2")) & (F.col("e1") == F.col("e2")), "equals")
+        .when((F.col("s1") == F.col("s2")) & (F.col("e1") < F.col("e2")), "starts")
+        .when(F.col("s1") == F.col("s2"), "started_by")
+        .when(F.col("e1") < F.col("s2"), "before")
+        .when(F.col("e1") == F.col("s2"), "meets")
+        .when(F.col("e1") < F.col("e2"), "overlaps")
+        .when(F.col("e1") == F.col("e2"), "finished_by")
+        .otherwise("contains")
+    )
+    return (
+        pairs.select(
+            relation.alias("relation"),
+            (F.col("s2") - F.col("s1")).alias("gap_us"),
+        )
+        .groupBy("relation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("gap_us").cast("long").alias("start_gap_us_sum"),
+        )
+    )
+
+
+@register(
+    "stats_skewness_kurtosis_grouped",
+    tags=("stats", "moments"),
+    oracle="""
+    WITH x AS (
+      SELECT event_type, CAST(round(value) AS BIGINT) AS xq FROM events),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(xq) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mi
+      FROM x GROUP BY 1),
+    d AS (
+      SELECT x.event_type, m.n, m.mi, x.xq - m.mi AS d
+      FROM x JOIN m USING (event_type)),
+    s AS (
+      SELECT event_type, n, mi,
+             CAST(SUM(d) AS BIGINT) AS s1,
+             CAST(SUM(d * d) AS BIGINT) AS s2,
+             CAST(SUM(d * d * d) AS BIGINT) AS s3,
+             CAST(SUM(d * d * d * d) AS BIGINT) AS s4
+      FROM d GROUP BY 1, 2, 3),
+    mom AS (
+      SELECT event_type, n, mi, s1, s2, s3, s4,
+             CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS dl,
+             CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+             CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+             CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+      FROM s)
+    SELECT event_type, n,
+           CAST(mi AS DOUBLE) + dl AS mean,
+           r2 - dl * dl AS variance,
+           (r3 - 3 * dl * r2 + 2 * dl * dl * dl)
+             / (sqrt(r2 - dl * dl) * (r2 - dl * dl)) AS skewness,
+           (r4 - 4 * dl * r3 + 6 * dl * dl * r2 - 3 * dl * dl * dl * dl)
+             / ((r2 - dl * dl) * (r2 - dl * dl)) - 3 AS excess_kurtosis
+    FROM mom
+    """,
+)
+def stats_skewness_kurtosis_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped skewness and excess kurtosis via two-pass centered
+    integer power sums: pass 1 takes each group's INTEGER floor-mean,
+    pass 2 accumulates Σd..Σd⁴ of the integer deviations — all BIGINT
+    exact (|d| ≤ ~600 here keeps Σd⁴ < 2^53 through sf10; the decimal128
+    sum path of `agg_decimal128_exact_sum` is the drop-in for beyond).
+    Central moments about the TRUE mean come from the standard shift
+    identities (μ = m + δ, δ = Σd/n), so the float work is a handful of
+    correctly-rounded scalar ops per group — bit-identical across
+    engines, unlike streaming float moment updates which depend on
+    partitioning. Two shuffles (the two grouped sums); the k-row mean
+    table broadcasts back.
+    """
+    ev = Catalog(spark, sf_dir).table("events")
+    x = ev.select(
+        "event_type", F.round(F.col("value")).cast("long").alias("xq")
+    )
+    m = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.floor(F.sum("xq") / F.count(F.lit(1))).cast("long").alias("mi"),
+    )
+    d = x.join(F.broadcast(m), "event_type").select(
+        "event_type", "n", "mi", (F.col("xq") - F.col("mi")).alias("d")
+    )
+    s = d.groupBy("event_type", "n", "mi").agg(
+        F.sum("d").cast("long").alias("s1"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("s2"),
+        F.sum(F.col("d") * F.col("d") * F.col("d")).cast("long").alias("s3"),
+        F.sum(F.col("d") * F.col("d") * F.col("d") * F.col("d"))
+        .cast("long")
+        .alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    dl = F.col("s1").cast("double") / nd
+    r2 = F.col("s2").cast("double") / nd
+    r3 = F.col("s3").cast("double") / nd
+    r4 = F.col("s4").cast("double") / nd
+    var = r2 - dl * dl
+    return s.select(
+        "event_type",
+        "n",
+        (F.col("mi").cast("double") + dl).alias("mean"),
+        var.alias("variance"),
+        (
+            (r3 - F.lit(3) * dl * r2 + F.lit(2) * dl * dl * dl)
+            / (F.sqrt(var) * var)
+        ).alias("skewness"),
+        (
+            (
+                r4
+                - F.lit(4) * dl * r3
+                + F.lit(6) * dl * dl * r2
+                - F.lit(3) * dl * dl * dl * dl
+            )
+            / (var * var)
+            - F.lit(3)
+        ).alias("excess_kurtosis"),
+    )

@@ -252,3 +252,24 @@ def test_isotonic_fit_matches_sklearn_style_pava(spark):
         assert all(abs(a - b) < 1e-9 for a, b in zip(fit, ref)), (g, fit, ref)
     # already-monotone input is untouched
     assert [got[("monotone", x)] for x in range(5)] == [1.0, 2.0, 3.0, 4.0, 5.0]
+
+
+def test_misra_gries_candidate_superset(spark):
+    """MG candidate union must contain every item with freq > N/k —
+    adversarial layout: the heavy item is SPREAD across partitions so
+    no single partition sees it as locally dominant-by-a-landslide,
+    and a long tail of singletons forces constant evictions."""
+    from agol_pandas_spark.operators.sketches import misra_gries_candidates
+
+    k = 10
+    # 1000 tail singletons + one item at 150 (> N/k = 115) + one at 80
+    rows = [(f"tail{i}",) for i in range(1000)]
+    rows += [("heavy",)] * 150 + [("mid",)] * 80
+    df = spark.createDataFrame(rows, "cat string").repartition(8)
+    n = df.count()
+    cands = {r.cat for r in misra_gries_candidates(df, "cat", k).collect()}
+    exact = {"heavy"}  # 150 * 10 > 1230
+    assert 150 * k > n and 80 * k <= n
+    assert exact <= cands, f"superset violated: {exact - cands}"
+    # bounded size: at most k candidates per partition
+    assert len(cands) <= k * 8
