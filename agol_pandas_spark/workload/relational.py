@@ -6455,3 +6455,163 @@ def stats_skewness_kurtosis_grouped(spark: SparkSession, sf_dir: str) -> DataFra
             - F.lit(3)
         ).alias("excess_kurtosis"),
     )
+
+
+@register(
+    "events_markov_transitions",
+    tags=("events", "sequence"),
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS ft,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS tt
+      FROM events),
+    t AS (
+      SELECT ft, tt, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE tt IS NOT NULL GROUP BY 1, 2),
+    row_tot AS (
+      SELECT ft, CAST(SUM(n) AS BIGINT) AS nf FROM t GROUP BY 1)
+    SELECT t.ft AS from_type, t.tt AS to_type, t.n, row_tot.nf,
+           t.n * 1000000 // row_tot.nf AS p_ppm
+    FROM t JOIN row_tot USING (ft)
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences: LEAD pairs each event with its successor (one
+    partitioned window, one shuffle on user_id, deterministic
+    (ts, event_id) order), then transition counts row-normalize to
+    exact integer ppm — the user-journey model behind next-action
+    prediction and anomalous-flow detection. All integer arithmetic;
+    the per-source totals join back on the |types|²-row matrix.
+    """
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("ft"),
+        F.lead("event_type").over(w).alias("tt"),
+    ).filter(F.col("tt").isNotNull())
+    t = seq.groupBy("ft", "tt").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    row_tot = t.groupBy("ft").agg(F.sum("n").cast("long").alias("nf"))
+    return (
+        t.join(F.broadcast(row_tot), "ft")
+        .select(
+            F.col("ft").alias("from_type"),
+            F.col("tt").alias("to_type"),
+            "n",
+            "nf",
+            ((F.col("n") * 1000000) / F.col("nf"))
+            .cast("long")
+            .alias("p_ppm"),
+        )
+    )
+
+
+@register(
+    "stats_wilson_interval",
+    tags=("stats", "confidence"),
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT)
+               AS k
+      FROM events GROUP BY 1),
+    w AS (
+      SELECT event_type, n, k,
+             CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+             CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+               / CAST(n AS DOUBLE) AS zz
+      FROM g)
+    SELECT event_type, n, k, p AS p_hat,
+           (p + zz / 2 - CAST(1.96 AS DOUBLE)
+              * sqrt(p * (1 - p) / CAST(n AS DOUBLE)
+                     + zz / (4 * CAST(n AS DOUBLE))))
+             / (1 + zz) AS wilson_lo,
+           (p + zz / 2 + CAST(1.96 AS DOUBLE)
+              * sqrt(p * (1 - p) / CAST(n AS DOUBLE)
+                     + zz / (4 * CAST(n AS DOUBLE))))
+             / (1 + zz) AS wilson_hi
+    FROM w
+    """,
+)
+def stats_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95% score interval for the per-type proportion of
+    high-value events — the binomial CI that behaves at the extremes
+    where the normal approximation fails (the right tool for gate
+    pass-rates and dedup hit-rates). Inputs are exact integer (k, n)
+    from one grouped aggregate; the interval itself needs only the
+    four arithmetic ops and sqrt — ALL correctly rounded under IEEE
+    754 — so unlike t/log-based intervals it reproduces bit-identically
+    across engines with no quantization step. One portability trap,
+    hit and fixed here: a bare ``1.96`` literal is DECIMAL in DuckDB,
+    so ``1.96 * 1.96`` folds to exactly 3.8416 instead of the double
+    product — the oracle casts every float literal to DOUBLE.
+    """
+    ev = Catalog(spark, sf_dir).table("events")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("value") > 100, 1).otherwise(0))
+        .cast("long")
+        .alias("k"),
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("k").cast("double") / nd
+    zz = F.lit(1.96) * F.lit(1.96) / nd
+    rad = F.lit(1.96) * F.sqrt(
+        p * (F.lit(1) - p) / nd + zz / (F.lit(4) * nd)
+    )
+    return g.select(
+        "event_type",
+        "n",
+        "k",
+        p.alias("p_hat"),
+        ((p + zz / 2 - rad) / (F.lit(1) + zz)).alias("wilson_lo"),
+        ((p + zz / 2 + rad) / (F.lit(1) + zz)).alias("wilson_hi"),
+    )
+
+
+@register(
+    "privacy_l_diversity_gate",
+    tags=("privacy", "governance"),
+    oracle="""
+    WITH s AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
+      FROM customer),
+    g AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT bal_band) AS BIGINT) AS l_distinct
+      FROM s GROUP BY 1, 2)
+    SELECT c_nationkey, c_mktsegment, n, l_distinct
+    FROM g WHERE l_distinct < 3
+    """,
+)
+def privacy_l_diversity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (l = 3) complementing the k-anonymity and
+    t-closeness gates: for each quasi-identifier group
+    (nation × market segment), the SENSITIVE attribute (account-balance
+    band) must take at least l distinct values — k-anonymity alone
+    allows a group of 50 records that all share one salary band, which
+    re-identifies the attribute if not the row. Emits the violating
+    groups for suppression/generalization. One grouped
+    COUNT(DISTINCT) — Spark plans it as the standard two-phase expand
+    + partial-agg, no row explosion leaves the executor.
+    """
+    cust = Catalog(spark, sf_dir).table("customer")
+    s = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    )
+    return (
+        s.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct("bal_band").cast("long").alias("l_distinct"),
+        )
+        .filter(F.col("l_distinct") < 3)
+    )
