@@ -81,3 +81,16 @@ class ConstraintViolationError(EngineError):
         self.counts = dict(counts)
         rules = ", ".join(f"{k}: {v} rows" for k, v in sorted(self.counts.items()))
         super().__init__(f"CHECK constraint(s) violated — {rules}")
+
+
+class AuditFailedError(EngineError):
+    """A Write-Audit-Publish audit rejected the STAGED post-merge state:
+    the staged snapshot was discarded and the live table is untouched.
+    Carries ``violations`` (rule name → offending-row count)."""
+
+    def __init__(self, violations: dict):
+        self.violations = violations
+        super().__init__(
+            "WAP audit failed; staged snapshot discarded: "
+            + ", ".join(f"{k}={v}" for k, v in sorted(violations.items()))
+        )

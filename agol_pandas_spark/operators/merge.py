@@ -30,6 +30,8 @@ target rows stream through the join untouched; nothing is collected.
 
 from __future__ import annotations
 
+import os
+import shutil
 from collections.abc import Sequence
 from enum import Enum
 
@@ -735,3 +737,60 @@ def assign_surrogate_keys(
         *[F.col(c) for c in new_rows.columns],
         (base + F.col("__rn")).cast("long").alias(sk_col),
     )
+
+
+def write_audit_publish(
+    catalog,
+    source: DataFrame,
+    name: str,
+    mode: str | WriteMode = WriteMode.APPEND,
+    key: str | Sequence[str] | None = None,
+    audits: dict[str, str] | None = None,
+    keep_versions: int = 0,
+) -> str:
+    """Write-Audit-Publish: the Iceberg-pattern gated commit.
+
+    Unlike ``write_table(checks=...)`` — which validates the SOURCE
+    batch before merging — WAP audits the POST-MERGE STATE: the merge
+    result is materialized to the staging directory (phase 1 of the
+    catalog's existing two-phase commit), each audit predicate is
+    evaluated against the staged bytes actually about to go live (not
+    the logical plan — what you audit is what you publish), and only
+    if every audit returns zero rows does the atomic rename (phase 2)
+    publish it. On violation the staged snapshot is deleted and
+    ``AuditFailedError`` reports per-rule counts — the live table is
+    untouched, byte-for-byte. Publish costs one rename regardless of
+    table size; the audit pass is one scan of the staged data with all
+    predicates fused.
+
+    The reference uploaded chunks straight into the live service and
+    repaired by truncate on failure (src/agol_pandas.py:396,453) — the
+    window WAP exists to close.
+    """
+    import uuid as _uuid
+
+    from agol_pandas_spark.errors import AuditFailedError
+
+    m = WriteMode.parse(mode) if isinstance(mode, str) else mode
+    merged = (
+        source
+        if not catalog.exists(name)
+        else merge(catalog.table(name), source, m, key)
+    )
+    target = catalog.path(name)
+    os.makedirs(catalog.root, exist_ok=True)
+    staged = f"{target}.__tmp_{_uuid.uuid4().hex}"
+    merged.write.mode("overwrite").parquet(staged)
+    if audits:
+        spark = source.sparkSession
+        staged_df = spark.read.parquet(staged)
+        checks = [
+            F.sum(F.when(F.expr(pred), 1).otherwise(0)).alias(rule)
+            for rule, pred in sorted(audits.items())
+        ]
+        counts = staged_df.agg(*checks).first().asDict()
+        violations = {r: int(c) for r, c in counts.items() if c}
+        if violations:
+            shutil.rmtree(staged, ignore_errors=True)
+            raise AuditFailedError(violations)
+    return catalog._swap_in(staged, name, keep_versions)

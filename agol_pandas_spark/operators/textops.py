@@ -1254,3 +1254,92 @@ def bpe_learn_merges(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def aho_corasick_counts(
+    df: DataFrame,
+    text_col: str,
+    patterns: list[str],
+    group_col: str,
+) -> DataFrame:
+    """Multi-pattern substring counting via a broadcast Aho–Corasick
+    automaton: ONE pass over each document counts occurrences of EVERY
+    pattern simultaneously — the dictionary-scan primitive behind PII
+    term lists, blocklists, and benchmark-contamination screens, where
+    a 10k-alternative regex is quadratic-ish and per-pattern ``LIKE``
+    passes re-read the corpus k times. The automaton (goto + failure +
+    output links, Aho & Corasick 1975) builds once per task from the
+    pattern list captured in the closure — O(Σ|p|) driver-side state,
+    broadcast implicitly. The scan is the sanctioned imperative
+    ``mapInPandas`` case, and it PARTIALLY AGGREGATES inside each Arrow
+    batch — emitting (group, pattern, count) partials, never per-match
+    rows — so the downstream shuffle carries ≤ groups × patterns rows
+    per batch regardless of corpus size. Counts include overlapping
+    occurrences (all matches), which equals the non-overlapping count
+    for border-free patterns.
+    """
+    import pandas as pd
+
+    pats = list(patterns)
+
+    def build():
+        goto: list[dict] = [{}]
+        out: list[list[int]] = [[]]
+        for idx, p in enumerate(pats):
+            s = 0
+            for ch in p:
+                if ch not in goto[s]:
+                    goto.append({})
+                    out.append([])
+                    goto[s][ch] = len(goto) - 1
+                s = goto[s][ch]
+            out[s].append(idx)
+        fail = [0] * len(goto)
+        queue = list(goto[0].values())
+        for s in queue:
+            fail[s] = 0
+        i = 0
+        while i < len(queue):
+            r = queue[i]
+            i += 1
+            for ch, u in goto[r].items():
+                queue.append(u)
+                f = fail[r]
+                while f and ch not in goto[f]:
+                    f = fail[f]
+                fail[u] = goto[f].get(ch, 0) if goto[f].get(ch, 0) != u else 0
+                out[u] = out[u] + out[fail[u]]
+        return goto, fail, out
+
+    def scan(batches):
+        goto, fail, out = build()
+        for pdf in batches:
+            acc: dict = {}
+            for grp, text in zip(pdf[group_col], pdf[text_col]):
+                if text is None:
+                    continue
+                counts = [0] * len(pats)
+                s = 0
+                for ch in text:
+                    while s and ch not in goto[s]:
+                        s = fail[s]
+                    s = goto[s].get(ch, 0)
+                    for idx in out[s]:
+                        counts[idx] += 1
+                for idx, c in enumerate(counts):
+                    if c:
+                        key = (grp, pats[idx])
+                        acc[key] = acc.get(key, 0) + c
+            yield pd.DataFrame(
+                [(g, p, c) for (g, p), c in acc.items()],
+                columns=[group_col, "pattern", "n_matches"],
+            )
+
+    schema = (
+        f"{group_col} string, pattern string, n_matches long"
+    )
+    src = df.select(group_col, text_col)
+    partials = src.mapInPandas(scan, schema=schema)
+    return partials.groupBy(group_col, "pattern").agg(
+        F.sum("n_matches").cast("long").alias("n_matches")
+    )

@@ -92,3 +92,31 @@ def read_csv_quarantine(
         .option("columnNameOfCorruptRecord", corrupt_col)
         .csv(path)
     )
+
+
+def read_fixed_width(
+    spark: SparkSession,
+    path: str,
+    layout: list[tuple[str, int, int, str]],
+) -> DataFrame:
+    """Fixed-width text source: ``layout`` is ``(name, start_1based,
+    width, spark_type)`` per field. The mainframe/EDI interchange format
+    the reference's CSV staging path never handled. One narrow text scan
+    (a single ``value`` column — column pruning is trivially exact),
+    then pure JVM ``substring``/``trim``/``cast`` projections: no Python
+    in the row path, fully parallel over line splits, and Catalyst folds
+    the slicing into whole-stage codegen. Rows shorter than the layout
+    yield NULLs in the affected fields (``try_cast`` — under Spark 4's
+    ANSI mode a plain cast of the empty slice would fail the whole job;
+    a malformed interchange row must quarantine, not abort the ingest).
+    """
+    from pyspark.sql import functions as F
+
+    raw = spark.read.text(path)
+    cols = [
+        F.trim(F.substring(F.col("value"), start, width))
+        .try_cast(typ)
+        .alias(name)
+        for name, start, width, typ in layout
+    ]
+    return raw.select(*cols)

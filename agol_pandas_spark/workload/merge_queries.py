@@ -1201,3 +1201,83 @@ def merge_tag_pinned_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "merge_wap_gated_publish",
+    tags=("merge", "wap", "governance"),
+    oracle="""
+    WITH delta AS (
+      SELECT c_custkey,
+             c_acctbal + 1000.0 AS c_acctbal,
+             'UPDATED' AS c_mktsegment
+      FROM customer WHERE c_custkey % 3 = 0)
+    SELECT COALESCE(d.c_mktsegment, c.c_mktsegment) AS c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(
+             COALESCE(d.c_acctbal, c.c_acctbal) * 100) AS BIGINT))
+             AS BIGINT) AS balance_scaled
+    FROM customer c LEFT JOIN delta d USING (c_custkey)
+    GROUP BY 1
+    """,
+)
+def merge_wap_gated_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish (``operators/merge.write_audit_publish``):
+    the audit gate sits BETWEEN the two phases of the catalog's atomic
+    commit and evaluates against the staged post-merge bytes. Acted out
+    both ways: a poisoned batch (NULL market segments) stages, fails
+    the ``c_mktsegment IS NULL`` audit, and is PROVEN to leave the live
+    table byte-untouched (raised on if contents moved); the clean batch
+    then publishes through the same gate. Value-checked: the published
+    contents against a SQL-derived expected upsert.
+    """
+    from agol_pandas_spark.errors import AuditFailedError
+    from agol_pandas_spark.operators.merge import write_audit_publish
+
+    root = tempfile.mkdtemp(prefix="wap_")
+    cat = Catalog(spark, root)
+    cust = Catalog(spark, sf_dir).table("customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    cat.write(cust, "c", mode="error")
+
+    poisoned = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal") + 1000.0).alias("c_acctbal"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+    )
+    audits = {
+        "null_segment": "c_mktsegment IS NULL",
+        "unpriced": "c_acctbal IS NULL",
+    }
+    before = cat.table("c").agg(
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+    ).first()[0]
+    try:
+        write_audit_publish(cat, poisoned, "c", "upsert", "c_custkey", audits)
+        raise RuntimeError("poisoned batch must fail the WAP audit")
+    except AuditFailedError as ex:
+        if "null_segment" not in ex.violations:
+            raise RuntimeError(f"wrong audit fired: {ex.violations}")
+    after = cat.table("c").agg(
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+    ).first()[0]
+    if before != after:
+        raise RuntimeError("failed audit must leave the live table untouched")
+
+    clean = poisoned.withColumn("c_mktsegment", F.lit("UPDATED"))
+    write_audit_publish(cat, clean, "c", "upsert", "c_custkey", audits)
+
+    out = (
+        cat.table("c")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+            .cast("long")
+            .alias("balance_scaled"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -789,3 +789,48 @@ def source_partition_evolution_union(spark: SparkSession, sf_dir: str) -> DataFr
     out = out.localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "source_fixed_width_agg",
+    tags=("source", "fixed-width"),
+    oracle="""
+    SELECT s_nationkey, COUNT(*) AS n,
+           CAST(SUM(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS balance_scaled
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def source_fixed_width_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width staging roundtrip (``sources/readers.read_fixed_width``):
+    supplier rows render to a mainframe-style layout (key 10 / nation 5 /
+    balance-cents 14, right-aligned) with Spark's ``format_string`` —
+    no driver-side formatting — then read back through the narrow text
+    scan + substring/cast projection and re-aggregated. Matching the
+    parquet-derived oracle proves the layout writer and reader agree
+    column-for-column, including sign handling on negative balances.
+    """
+    sup = Catalog(spark, sf_dir).table("supplier").select(
+        "s_suppkey", "s_nationkey",
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("cents"),
+    )
+    path = _stage("fixedwidth")
+    sup.select(
+        F.format_string("%10d%5d%14d", "s_suppkey", "s_nationkey", "cents")
+        .alias("value")
+    ).write.text(path)
+    from agol_pandas_spark.sources.readers import read_fixed_width
+
+    back = read_fixed_width(
+        spark,
+        path,
+        [
+            ("s_suppkey", 1, 10, "long"),
+            ("s_nationkey", 11, 5, "long"),
+            ("cents", 16, 14, "long"),
+        ],
+    )
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("long").alias("balance_scaled"),
+    )

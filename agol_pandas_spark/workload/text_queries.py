@@ -1966,3 +1966,40 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "text_aho_corasick_multimatch",
+    tags=("text", "multi-pattern", "search"),
+    oracle="""
+    WITH pats AS (
+      SELECT * FROM (VALUES ('table'), ('value'), ('fast'),
+                            ('part'), ('row'), ('key')) p(pattern)),
+    hits AS (
+      SELECT d.lang, p.pattern,
+             (length(d.text) - length(replace(d.text, p.pattern, '')))
+               // length(p.pattern) AS c
+      FROM documents d CROSS JOIN pats p)
+    SELECT lang, pattern, CAST(SUM(c) AS BIGINT) AS n_matches
+    FROM hits GROUP BY 1, 2 HAVING SUM(c) > 0
+    """,
+)
+def text_aho_corasick_multimatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary scan via a broadcast Aho–Corasick automaton
+    (``operators/textops.aho_corasick_counts``): every pattern counted
+    in ONE pass per document — the blocklist/PII-term/contamination
+    primitive that at 10k patterns can't be a regex alternation and
+    at 100 TB can't be k per-pattern LIKE passes over the corpus. The
+    scan partially aggregates inside each Arrow batch, so the shuffle
+    carries ≤ langs × patterns rows per batch. The oracle cross-checks
+    with the replace-length identity (equal to AC counts for these
+    border-free patterns); the engine-side automaton handles
+    overlapping dictionaries the SQL identity cannot.
+    """
+    from agol_pandas_spark.operators.textops import aho_corasick_counts
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    pats = ["table", "value", "fast", "part", "row", "key"]
+    return aho_corasick_counts(docs, "text", pats, "lang").filter(
+        F.col("n_matches") > 0
+    )

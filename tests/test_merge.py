@@ -390,3 +390,50 @@ class TestCheckConstraints:
         assert sorted(tuple(r) for r in cat.table("t").collect()) == [
             (1, 10.0), (2, 2.0),
         ]
+
+
+def test_write_audit_publish_gate(spark, tmp_path):
+    """WAP: failing audit discards the staged snapshot (no leftover
+    staging dir, live table byte-identical); passing audit publishes
+    atomically; create-path also audited."""
+    import os
+
+    from agol_pandas_spark.catalog import Catalog
+    from agol_pandas_spark.errors import AuditFailedError
+    from agol_pandas_spark.operators.merge import write_audit_publish
+
+    cat = Catalog(spark, str(tmp_path / "wap"))
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k long, s string, v double"
+    )
+    # create-path audit failure: nothing may exist afterwards
+    bad = base.withColumn("s", __import__("pyspark").sql.functions.lit(None).cast("string"))
+    try:
+        write_audit_publish(cat, bad, "t", "append", audits={"null_s": "s IS NULL"})
+        raise AssertionError("audit must fail")
+    except AuditFailedError as ex:
+        assert ex.violations == {"null_s": 2}
+    assert not cat.exists("t")
+
+    write_audit_publish(cat, base, "t", "append", audits={"null_s": "s IS NULL"})
+    assert cat.table("t").count() == 2
+
+    # merge-path failure leaves table + directory untouched
+    files_before = sorted(os.listdir(cat.path("t")))
+    delta_bad = spark.createDataFrame([(2, None, 99.0)], "k long, s string, v double")
+    try:
+        write_audit_publish(cat, delta_bad, "t", "upsert", key="k",
+                            audits={"null_s": "s IS NULL"})
+        raise AssertionError("audit must fail")
+    except AuditFailedError:
+        pass
+    assert sorted(os.listdir(cat.path("t"))) == files_before
+    leftovers = [d for d in os.listdir(str(tmp_path / "wap")) if "__tmp" in d]
+    assert leftovers == [], f"staged dir leaked: {leftovers}"
+
+    # passing merge publishes
+    delta_ok = spark.createDataFrame([(2, "B", 99.0)], "k long, s string, v double")
+    write_audit_publish(cat, delta_ok, "t", "upsert", key="k",
+                        audits={"null_s": "s IS NULL"})
+    got = {r.k: (r.s, r.v) for r in cat.table("t").collect()}
+    assert got == {1: ("a", 10.0), 2: ("B", 99.0)}

@@ -548,3 +548,57 @@ def test_temperature_mix_flattens_toward_tail(spark):
 
     with _pytest.raises(ValueError):
         temperature_mix_sample(df, "doc_id", "source", temperature=3.0)
+
+
+def test_aho_corasick_counts_vs_python(spark):
+    """AC counts must equal per-pattern substring occurrence counts —
+    including OVERLAPPING matches, where the replace-length SQL identity
+    undercounts ('aa' in 'aaaa' is 3 overlapping, 2 non-overlapping)."""
+    from agol_pandas_spark.operators.textops import aho_corasick_counts
+
+    rows = [
+        ("g1", "the table of value and the key to the table"),
+        ("g1", "aaaa banana ana"),
+        ("g2", None),
+        ("g2", "partly parted counterpart"),
+    ]
+    df = spark.createDataFrame(rows, "lang string, text string").repartition(3)
+    pats = ["table", "key", "aa", "ana", "part", "the"]
+
+    def overlapping(text, p):
+        n = start = 0
+        while True:
+            i = text.find(p, start)
+            if i < 0:
+                return n
+            n += 1
+            start = i + 1  # overlapping
+
+    expect = {}
+    for g, t in rows:
+        if t is None:
+            continue
+        for p in pats:
+            c = overlapping(t, p)
+            if c:
+                expect[(g, p)] = expect.get((g, p), 0) + c
+    got = {
+        (r.lang, r.pattern): r.n_matches
+        for r in aho_corasick_counts(df, "text", pats, "lang").collect()
+        if r.n_matches > 0
+    }
+    assert got == expect
+    assert got[("g1", "aa")] == 3  # the overlapping case the SQL identity misses
+
+
+def test_read_fixed_width_short_rows(spark, tmp_path):
+    from agol_pandas_spark.sources.readers import read_fixed_width
+
+    p = tmp_path / "fw.txt"
+    p.write_text("       123   45          999\n  7\n")
+    df = read_fixed_width(
+        spark, str(p),
+        [("a", 1, 10, "long"), ("b", 11, 5, "long"), ("c", 16, 14, "long")],
+    )
+    rows = sorted([tuple(r) for r in df.collect()])
+    assert rows == [(7, None, None), (123, 45, 999)]

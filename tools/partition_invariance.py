@@ -21,6 +21,16 @@ import os
 import sys
 
 QUERIES = [
+    "events_markov_transitions",
+    "feature_loo_target_encoding",
+    "graph_degree_assortativity",
+    "join_allen_interval_relations",
+    "privacy_l_diversity_gate",
+    "sketch_heavy_hitters_mg",
+    "stats_hellinger_drift",
+    "stats_levene_brown_forsythe",
+    "stats_skewness_kurtosis_grouped",
+    "stats_wilson_interval",
     "agg_decimal128_exact_sum",
     "agg_exact_percentiles",
     "agg_probe_hugeint_bare",
