@@ -891,6 +891,74 @@ class Catalog:
         shutil.rmtree(self._tombstone_path(name), ignore_errors=True)
         self._ns_cols.pop(p, None)
 
+    def _branch_name(self, name: str, branch: str) -> str:
+        return f"{name}__branch_{normalize_service_name(branch)}"
+
+    def branch_table(self, name: str, branch: str) -> str:
+        """Fork the table's CURRENT snapshot as a WRITABLE branch
+        (Nessie/Iceberg-branch semantics, the git-for-data workflow):
+        the branch is a first-class catalog table whose initial data
+        files HARD-LINK to the parent's — an O(files) metadata fork, no
+        bytes copied. Because every write in this catalog goes through
+        the two-phase commit (a new staged directory atomically
+        replaces the old), mutating the branch NEVER touches the
+        parent's bytes: the shared inodes persist for the parent while
+        the branch's directory swings to new files — copy-on-write at
+        the filesystem layer with zero bookkeeping. Experiment on the
+        branch (backfills, risky reprocessing, schema trials), then
+        :meth:`publish_branch` to fast-forward the parent, or drop it.
+        """
+        src = self.path(name)
+        if not os.path.exists(src):
+            raise TableNotFoundError(f"no table {name!r} under {self.root}")
+        bname = self._branch_name(name, branch)
+        if self.exists(bname):
+            raise TableExistsError(
+                f"branch {branch!r} already exists for table {name!r}"
+            )
+        staged = f"{self.path(bname)}.__tmp_{uuid.uuid4().hex}"
+        os.makedirs(staged)
+        for f in os.listdir(src):
+            if f.startswith(("_", ".")) and not f.endswith(".parquet"):
+                continue
+            try:
+                os.link(os.path.join(src, f), os.path.join(staged, f))
+            except OSError:
+                shutil.copy2(os.path.join(src, f), os.path.join(staged, f))
+        os.replace(staged, self.path(bname))
+        return bname
+
+    def publish_branch(
+        self, name: str, branch: str, keep_versions: int = 0,
+        drop: bool = True,
+    ) -> str:
+        """Fast-forward the parent table to the branch's current
+        snapshot: hard-link the branch's files into a staging directory
+        and run the same atomic swap as every other commit — publish
+        costs O(files) links + one rename regardless of data size, and
+        the displaced parent snapshot archives under ``keep_versions``
+        like any overwrite. ``drop`` removes the branch after publish
+        (its bytes survive through the published links)."""
+        bname = self._branch_name(name, branch)
+        src = self.path(bname)
+        if not os.path.exists(src):
+            raise TableNotFoundError(
+                f"no branch {branch!r} for table {name!r} under {self.root}"
+            )
+        staged = f"{self.path(name)}.__tmp_{uuid.uuid4().hex}"
+        os.makedirs(staged)
+        for f in os.listdir(src):
+            if f.startswith(("_", ".")) and not f.endswith(".parquet"):
+                continue
+            try:
+                os.link(os.path.join(src, f), os.path.join(staged, f))
+            except OSError:
+                shutil.copy2(os.path.join(src, f), os.path.join(staged, f))
+        out = self._swap_in(staged, name, keep_versions)
+        if drop:
+            shutil.rmtree(src, ignore_errors=True)
+        return out
+
 
 def test_catalog(spark: SparkSession, sf_dir: str) -> Catalog:
     """Catalog over a driver-generated testdata directory."""

@@ -113,3 +113,53 @@ def stream_to_paged_sink(
         .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
+
+
+def stream_wap_into_catalog(
+    stream: DataFrame,
+    catalog,
+    name: str,
+    audits: dict[str, str],
+    quarantine: str | None = None,
+    key: str | None = None,
+    mode: str | WriteMode = WriteMode.APPEND,
+    prepare=None,
+    trigger_available_now: bool = True,
+):
+    """Write-Audit-Publish per micro-batch: each batch's post-merge
+    state stages, audits, and publishes atomically
+    (``operators/merge.write_audit_publish``); a batch that fails its
+    audit is appended to the ``quarantine`` table (with an
+    ``audit_rule`` column naming the violated rules) INSTEAD of
+    aborting the stream — continuous ingestion with a governance gate,
+    the streaming fix for the reference's upload-then-truncate repair
+    (src/agol_pandas.py:396,453). The live table only ever advances by
+    audited snapshots; a poisoned batch costs one staged-and-discarded
+    write, never a rollback.
+    """
+    from agol_pandas_spark.errors import AuditFailedError
+    from agol_pandas_spark.operators.merge import write_audit_publish
+
+    def wap_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if prepare is not None:
+            batch_df = prepare(batch_df)
+        try:
+            write_audit_publish(
+                catalog, batch_df, name, mode=mode, key=key, audits=audits
+            )
+        except AuditFailedError as ex:
+            if quarantine is None:
+                raise
+            from pyspark.sql import functions as F
+
+            tagged = batch_df.withColumn(
+                "audit_rule", F.lit(",".join(sorted(ex.violations)))
+            )
+            write_table(catalog, tagged, quarantine, mode=WriteMode.APPEND)
+
+    writer = stream.writeStream.foreachBatch(wap_batch)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1281,3 +1281,80 @@ def merge_wap_gated_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "merge_branch_fork_publish",
+    tags=("merge", "branch", "governance"),
+    oracle="""
+    WITH delta AS (
+      SELECT c_custkey, c_acctbal * 2.0 AS c_acctbal,
+             'BRANCHED' AS c_mktsegment
+      FROM customer WHERE c_custkey % 5 = 0)
+    SELECT COALESCE(d.c_mktsegment, c.c_mktsegment) AS c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(
+             COALESCE(d.c_acctbal, c.c_acctbal) * 100) AS BIGINT))
+             AS BIGINT) AS balance_scaled
+    FROM customer c LEFT JOIN delta d USING (c_custkey)
+    GROUP BY 1
+    """,
+)
+def merge_branch_fork_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Git-for-data branches (``Catalog.branch_table`` /
+    ``publish_branch``): fork the live table as a WRITABLE hard-link
+    branch (O(files) metadata, zero bytes copied — proven by inode
+    identity), run a risky reprocessing upsert ON THE BRANCH while the
+    parent is proven byte-untouched, then fast-forward-publish — one
+    atomic swap of hard links, so publish cost is independent of table
+    size. The parent's two-phase commit is what makes the fork safe:
+    every mutation lands in a fresh directory, so shared inodes never
+    see a write. Value-checked: published contents vs the SQL-derived
+    expected upsert.
+    """
+    from agol_pandas_spark.operators.merge import write_table
+
+    root = tempfile.mkdtemp(prefix="branch_")
+    cat = Catalog(spark, root)
+    cust = Catalog(spark, sf_dir).table("customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    cat.write(cust, "c", mode="error")
+    main_inodes = {os.stat(f).st_ino for f in cat.data_files("c")}
+
+    bname = cat.branch_table("c", "reproc")
+    branch_inodes = {os.stat(f).st_ino for f in cat.data_files(bname)}
+    if branch_inodes != main_inodes:
+        raise RuntimeError("branch must fork by hard link, not copy")
+
+    before = cat.table("c").agg(
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+    ).first()[0]
+    delta = cust.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal") * 2.0).alias("c_acctbal"),
+        F.lit("BRANCHED").alias("c_mktsegment"),
+    )
+    write_table(cat, delta, bname, mode="upsert", key="c_custkey")
+    after = cat.table("c").agg(
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+    ).first()[0]
+    if before != after:
+        raise RuntimeError("branch write must not touch the parent")
+    if {os.stat(f).st_ino for f in cat.data_files("c")} != main_inodes:
+        raise RuntimeError("parent inodes must survive branch mutation")
+
+    cat.publish_branch("c", "reproc")
+    out = (
+        cat.table("c")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+            .cast("long")
+            .alias("balance_scaled"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -6615,3 +6615,121 @@ def privacy_l_diversity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("l_distinct") < 3)
     )
+
+
+@register(
+    "window_running_distinct_users",
+    tags=("window", "distinct"),
+    oracle="""
+    WITH firsts AS (
+      SELECT event_type, user_id,
+             MIN(CAST(epoch_ms(ts) // 86400000 AS BIGINT)) AS first_day
+      FROM events GROUP BY 1, 2),
+    daily AS (
+      SELECT event_type, first_day AS day,
+             CAST(COUNT(*) AS BIGINT) AS new_users
+      FROM firsts GROUP BY 1, 2)
+    SELECT event_type, day, new_users,
+           CAST(SUM(new_users) OVER (PARTITION BY event_type
+                                     ORDER BY day) AS BIGINT) AS cum_users
+    FROM daily
+    """,
+)
+def window_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT user count per event type by day — the DAU→CAU
+    curve. ``COUNT(DISTINCT) OVER`` doesn't exist in Spark (or most
+    engines) for good reason: naively it re-scans every prefix. The
+    scalable identity: a user contributes exactly once, on their FIRST
+    day — so one grouped MIN gives first-touch days, a count per day
+    gives the new-user series, and a plain partitioned running SUM
+    gives the cumulative distinct count. Two key-shuffles and a
+    per-type window over ≤31 rows, vs the quadratic prefix re-scan.
+    """
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).table("events")
+    firsts = ev.groupBy("event_type", "user_id").agg(
+        F.min(F.expr("CAST(unix_timestamp(ts) div 86400 AS BIGINT)")).alias(
+            "first_day"
+        )
+    )
+    daily = firsts.groupBy(
+        "event_type", F.col("first_day").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("new_users"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )
+
+
+@register(
+    "stats_fano_burstiness",
+    tags=("stats", "temporal"),
+    oracle="""
+    WITH hours AS (
+      SELECT event_type,
+             CAST(epoch_ms(ts) // 3600000 AS BIGINT) AS hr
+      FROM events),
+    span AS (
+      SELECT MAX(hr) - MIN(hr) + 1 AS h FROM hours),
+    buckets AS (
+      SELECT event_type, hr, CAST(COUNT(*) AS BIGINT) AS c
+      FROM hours GROUP BY 1, 2),
+    g AS (
+      SELECT event_type,
+             CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(c * c) AS BIGINT) AS ss,
+             CAST(COUNT(*) AS BIGINT) AS nonzero_hours
+      FROM buckets GROUP BY 1)
+    SELECT event_type, n, nonzero_hours, span.h AS span_hours,
+           (CAST(span.h AS DOUBLE) * CAST(ss AS DOUBLE)
+            - CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+           / (CAST(span.h AS DOUBLE) * CAST(n AS DOUBLE)) AS fano
+    FROM g CROSS JOIN span
+    """,
+)
+def stats_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (index of dispersion, variance/mean of per-hour
+    event counts) per event type — the burstiness gate: ≈1 is Poisson
+    arrival, ≫1 means clumping (bot bursts, replays, thundering
+    herds). Zero-count hours inside the observed span are handled
+    WITHOUT materializing a calendar spine: they contribute nothing to
+    Σc or Σc², so Fano = (H·Σc² − N²)/(H·N) needs only the exact
+    integer bucket sums plus the span H — one grouped count, one tiny
+    aggregate, a broadcast single-row cross join, and a final
+    correctly-rounded scalar. No window, no gap-fill join.
+    """
+    ev = Catalog(spark, sf_dir).table("events")
+    hours = ev.select(
+        "event_type",
+        F.expr("CAST(unix_timestamp(ts) div 3600 AS BIGINT)").alias("hr"),
+    )
+    span = hours.agg(
+        (F.max("hr") - F.min("hr") + 1).cast("long").alias("h")
+    )
+    buckets = hours.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    g = buckets.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+        F.count(F.lit(1)).cast("long").alias("nonzero_hours"),
+    )
+    hd = F.col("h").cast("double")
+    nd = F.col("n").cast("double")
+    return g.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        "n",
+        "nonzero_hours",
+        F.col("h").alias("span_hours"),
+        (
+            (hd * F.col("ss").cast("double") - nd * nd) / (hd * nd)
+        ).alias("fano"),
+    )

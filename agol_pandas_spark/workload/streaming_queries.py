@@ -885,3 +885,101 @@ def stream_hll_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFra
     shutil.rmtree(state_root, ignore_errors=True)
     shutil.rmtree(landing, ignore_errors=True)
     return out
+
+
+@register(
+    "stream_wap_quarantine",
+    tags=("streaming", "wap", "governance", "events"),
+    oracle="""
+    WITH split AS (
+      SELECT *, user_id % 3 AS part,
+             CASE WHEN user_id % 3 = 1 AND event_type = 'error'
+                  THEN NULL ELSE value END AS v
+      FROM events)
+    SELECT CASE WHEN part = 1 THEN 'quarantined' ELSE 'published' END
+             AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(COALESCE(v, -1) * 10000) AS BIGINT))
+                AS BIGINT) AS value_scaled
+    FROM split GROUP BY 1
+    """,
+)
+def stream_wap_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Write-Audit-Publish
+    (``streaming/sinks.stream_wap_into_catalog``): three landing files
+    drain as three micro-batches through the WAP gate; the poisoned
+    batch (NULL values injected into its error events) fails the
+    ``value IS NULL`` audit and is QUARANTINED — appended to a
+    dead-letter table tagged with the violated rule — while the stream
+    keeps publishing the clean batches. The live table only ever
+    advances by audited atomic snapshots; the oracle reproduces both
+    populations exactly, proving nothing leaked across the gate in
+    either direction.
+    """
+    import shutil
+
+    from agol_pandas_spark.streaming.sinks import stream_wap_into_catalog
+
+    cat = Catalog(spark, sf_dir)
+    ev = cat.table("events").select(
+        "event_id", "user_id", "event_type", "value",
+        (F.col("user_id") % 3).alias("part"),
+    )
+    poisoned = ev.withColumn(
+        "value",
+        F.when(
+            (F.col("part") == 1) & (F.col("event_type") == "error"),
+            F.lit(None).cast("double"),
+        ).otherwise(F.col("value")),
+    )
+    landing = os.path.join(
+        tempfile.gettempdir(), f"stream_wap_{uuid.uuid4().hex[:8]}"
+    )
+    os.makedirs(landing)
+    for p in range(3):
+        staged = os.path.join(landing, f"__stage_{p}")
+        poisoned.filter(F.col("part") == p).drop("part").coalesce(
+            1
+        ).write.parquet(staged)
+        part_file = next(
+            f for f in os.listdir(staged) if f.endswith(".parquet")
+        )
+        os.rename(
+            os.path.join(staged, part_file),
+            os.path.join(landing, f"batch_{p}.parquet"),
+        )
+        shutil.rmtree(staged, ignore_errors=True)
+
+    schema = spark.read.parquet(
+        os.path.join(landing, "batch_0.parquet")
+    ).schema
+    stream = stream_from_directory(spark, landing, schema)
+
+    sink_root = tempfile.mkdtemp(prefix="stream_wap_cat_")
+    sink = Catalog(spark, sink_root)
+    q = stream_wap_into_catalog(
+        stream,
+        sink,
+        "published",
+        audits={"null_value": "value IS NULL"},
+        quarantine="dead_letter",
+        mode="append",
+    )
+    q.awaitTermination()
+
+    def summarize(df: DataFrame, status: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(
+                F.round(F.coalesce(F.col("value"), F.lit(-1.0)) * 10000)
+                .cast("long")
+            ).cast("long").alias("value_scaled"),
+        ).select(F.lit(status).alias("status"), "n_events", "value_scaled")
+
+    out = summarize(sink.table("published"), "published").unionByName(
+        summarize(sink.table("dead_letter").drop("audit_rule"), "quarantined")
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(sink_root, ignore_errors=True)
+    shutil.rmtree(landing, ignore_errors=True)
+    return out

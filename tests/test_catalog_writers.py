@@ -657,3 +657,55 @@ def test_tag_lifecycle(spark, tmp_path):
     assert cat.tags("t") == []
     with pytest.raises(TableNotFoundError):
         cat.table_at_tag("t", "rel_1")
+
+
+def test_branch_fork_publish_and_drop(spark, tmp_path):
+    """Branches fork by hard link, isolate writes both directions,
+    publish by fast-forward swap (archiving the displaced parent when
+    versioned), and re-branching an existing name raises."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from agol_pandas_spark.catalog import Catalog
+    from agol_pandas_spark.errors import TableExistsError, TableNotFoundError
+    from agol_pandas_spark.operators.merge import write_table
+
+    cat = Catalog(spark, str(tmp_path / "br"))
+    base = spark.createDataFrame([(i, i * 10) for i in range(6)], "k long, v long")
+    cat.write(base, "t", mode="error")
+    main_inodes = {os.stat(f).st_ino for f in cat.data_files("t")}
+
+    bname = cat.branch_table("t", "exp")
+    assert {os.stat(f).st_ino for f in cat.data_files(bname)} == main_inodes
+
+    try:
+        cat.branch_table("t", "exp")
+        raise AssertionError("re-branch must raise")
+    except TableExistsError:
+        pass
+
+    # mutate branch: parent untouched (inodes AND contents)
+    delta = spark.createDataFrame([(2, 999)], "k long, v long")
+    write_table(cat, delta, bname, mode="upsert", key="k")
+    assert {os.stat(f).st_ino for f in cat.data_files("t")} == main_inodes
+    assert cat.table("t").filter(F.col("k") == 2).first().v == 20
+
+    # mutate parent post-fork: branch keeps its own state
+    write_table(cat, spark.createDataFrame([(5, -1)], "k long, v long"),
+                "t", mode="upsert", key="k")
+    assert cat.table(bname).filter(F.col("k") == 5).first().v == 50
+
+    # publish fast-forwards parent to branch state (branch's k=2 edit,
+    # NOT the parent's k=5 edit — publish is a fast-forward, not a merge)
+    cat.publish_branch("t", "exp", keep_versions=1)
+    got = {r.k: r.v for r in cat.table("t").collect()}
+    assert got == {0: 0, 1: 10, 2: 999, 3: 30, 4: 40, 5: 50}
+    assert not cat.exists(bname)  # dropped after publish
+    assert cat.versions("t"), "displaced parent snapshot must archive"
+
+    try:
+        cat.publish_branch("t", "nope")
+        raise AssertionError("publishing a missing branch must raise")
+    except TableNotFoundError:
+        pass
