@@ -6458,58 +6458,6 @@ def stats_skewness_kurtosis_grouped(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
-    "events_markov_transitions",
-    tags=("events", "sequence"),
-    oracle="""
-    WITH seq AS (
-      SELECT event_type AS ft,
-             LEAD(event_type) OVER (PARTITION BY user_id
-                                    ORDER BY ts, event_id) AS tt
-      FROM events),
-    t AS (
-      SELECT ft, tt, CAST(COUNT(*) AS BIGINT) AS n
-      FROM seq WHERE tt IS NOT NULL GROUP BY 1, 2),
-    row_tot AS (
-      SELECT ft, CAST(SUM(n) AS BIGINT) AS nf FROM t GROUP BY 1)
-    SELECT t.ft AS from_type, t.tt AS to_type, t.n, row_tot.nf,
-           t.n * 1000000 // row_tot.nf AS p_ppm
-    FROM t JOIN row_tot USING (ft)
-    """,
-)
-def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-order Markov transition matrix over per-user event-type
-    sequences: LEAD pairs each event with its successor (one
-    partitioned window, one shuffle on user_id, deterministic
-    (ts, event_id) order), then transition counts row-normalize to
-    exact integer ppm — the user-journey model behind next-action
-    prediction and anomalous-flow detection. All integer arithmetic;
-    the per-source totals join back on the |types|²-row matrix.
-    """
-    from pyspark.sql import Window
-
-    ev = Catalog(spark, sf_dir).table("events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(
-        F.col("event_type").alias("ft"),
-        F.lead("event_type").over(w).alias("tt"),
-    ).filter(F.col("tt").isNotNull())
-    t = seq.groupBy("ft", "tt").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    row_tot = t.groupBy("ft").agg(F.sum("n").cast("long").alias("nf"))
-    return (
-        t.join(F.broadcast(row_tot), "ft")
-        .select(
-            F.col("ft").alias("from_type"),
-            F.col("tt").alias("to_type"),
-            "n",
-            "nf",
-            ((F.col("n") * 1000000) / F.col("nf"))
-            .cast("long")
-            .alias("p_ppm"),
-        )
-    )
-
-
-@register(
     "stats_wilson_interval",
     tags=("stats", "confidence"),
     oracle="""
@@ -6732,4 +6680,171 @@ def stats_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             (hd * F.col("ss").cast("double") - nd * nd) / (hd * nd)
         ).alias("fano"),
+    )
+
+
+@register(
+    "stats_lincoln_petersen_estimate",
+    tags=("stats", "capture-recapture"),
+    oracle="""
+    WITH marked AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ts < TIMESTAMP '2024-01-16'),
+    recapture AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ts >= TIMESTAMP '2024-01-16'),
+    s AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM marked) AS m,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM recapture) AS c,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM marked
+              WHERE user_id IN (SELECT user_id FROM recapture)) AS r,
+             (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT)
+              FROM events) AS true_total)
+    SELECT m, c, r, true_total,
+           CAST(m AS DOUBLE) * CAST(c AS DOUBLE) / CAST(r AS DOUBLE)
+             AS n_hat
+    FROM s
+    """,
+)
+def stats_lincoln_petersen_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture–recapture (Lincoln–Petersen) population estimate: users
+    'marked' in the first half of the window, 'recaptured' in the
+    second; N̂ = M·C/R estimates the TRUE population you never fully
+    observe — the estimator for questions like 'how many distinct
+    entities exist across partial crawls' or 'how many dups did both
+    dedup passes miss'. Three distinct-sets (two semi-joins on the
+    hashed key), exact BIGINT inputs, one correctly-rounded scalar;
+    the true distinct count rides along so the estimate is checkable.
+    """
+    ev = Catalog(spark, sf_dir).table("events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    marked = ev.filter(F.col("ts") < cut).select("user_id").distinct()
+    recap = ev.filter(F.col("ts") >= cut).select("user_id").distinct()
+    both = marked.join(recap, "user_id", "left_semi")
+    m = marked.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    c = recap.agg(F.count(F.lit(1)).cast("long").alias("c"))
+    r = both.agg(F.count(F.lit(1)).cast("long").alias("r"))
+    t = ev.agg(F.countDistinct("user_id").cast("long").alias("true_total"))
+    s = (
+        m.crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(r))
+        .crossJoin(F.broadcast(t))
+    )
+    return s.select(
+        "m", "c", "r", "true_total",
+        (
+            F.col("m").cast("double")
+            * F.col("c").cast("double")
+            / F.col("r").cast("double")
+        ).alias("n_hat"),
+    )
+
+
+@register(
+    "stats_runs_test_randomness",
+    tags=("stats", "hypothesis-test", "sequence"),
+    oracle="""
+    WITH x AS (
+      SELECT event_type, event_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS xq
+      FROM events),
+    ranked AS (
+      SELECT event_type, xq,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY xq, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM x),
+    med AS (
+      SELECT event_type, xq AS m FROM ranked WHERE rn = (n + 1) // 2),
+    signs AS (
+      SELECT x.event_type,
+             CASE WHEN x.xq > med.m THEN 1 ELSE 0 END AS sgn,
+             x.ts, x.event_id
+      FROM x JOIN med USING (event_type)
+      WHERE x.xq <> med.m),
+    steps AS (
+      SELECT event_type, sgn,
+             LAG(sgn) OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS prev
+      FROM signs),
+    g AS (
+      SELECT event_type,
+             CAST(SUM(sgn) AS BIGINT) AS n1,
+             CAST(SUM(1 - sgn) AS BIGINT) AS n2,
+             CAST(1 + SUM(CASE WHEN prev IS NOT NULL AND sgn <> prev
+                               THEN 1 ELSE 0 END) AS BIGINT) AS runs
+      FROM steps GROUP BY 1)
+    SELECT event_type, n1, n2, runs,
+           (CAST(runs AS DOUBLE)
+            - (2 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+               / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1))
+           / sqrt(2 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                  * (2 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                     - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE))
+                  / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                     * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                     * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1)))
+             AS z_stat
+    FROM g
+    """,
+)
+def stats_runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test per event type: is the time-ordered
+    above/below-median sign sequence random, or does it clump (drifting
+    sensors, feedback loops, replayed traffic)? Median ties drop (the
+    standard treatment), runs count via one partitioned LAG, and the
+    normal-approximation z comes from exact integer (n1, n2, R) in a
+    single correctly-rounded scalar — deterministic across engines.
+    Two partitioned windows (median rank, lag) — both shuffle once on
+    event_type.
+    """
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).table("events")
+    x = ev.select(
+        "event_type", "event_id", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("xq"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("xq", "event_id")
+    wn = Window.partitionBy("event_type")
+    med = (
+        x.withColumn("rn", F.row_number().over(wr))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select("event_type", F.col("xq").alias("m"))
+    )
+    signs = (
+        x.join(F.broadcast(med), "event_type")
+        .filter(F.col("xq") != F.col("m"))
+        .select(
+            "event_type",
+            (F.col("xq") > F.col("m")).cast("int").alias("sgn"),
+            "ts", "event_id",
+        )
+    )
+    wl = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    steps = signs.withColumn("prev", F.lag("sgn").over(wl))
+    g = steps.groupBy("event_type").agg(
+        F.sum("sgn").cast("long").alias("n1"),
+        F.sum(F.lit(1) - F.col("sgn")).cast("long").alias("n2"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    F.col("prev").isNotNull()
+                    & (F.col("sgn") != F.col("prev")),
+                    1,
+                ).otherwise(0)
+            )
+        ).cast("long").alias("runs"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = n1d + n2d
+    two_n1n2 = F.lit(2) * n1d * n2d
+    mu = two_n1n2 / nd + F.lit(1)
+    var = two_n1n2 * (two_n1n2 - n1d - n2d) / (nd * nd * (nd - F.lit(1)))
+    return g.select(
+        "event_type", "n1", "n2", "runs",
+        ((F.col("runs").cast("double") - mu) / F.sqrt(var)).alias("z_stat"),
     )

@@ -291,3 +291,68 @@ def udf_arrow_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .table("orders")
         .select("o_orderkey", key_tag("o_orderkey").alias("key_tag"))
     )
+
+
+@register(
+    "udf_ewma_integer_recurrence",
+    tags=("udf", "applyInPandas", "timeseries"),
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type,
+             CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    seq AS (
+      SELECT event_type, day, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY day) AS rn
+      FROM daily),
+    r AS (
+      SELECT event_type, day, x, rn, x AS s
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT seq.event_type, seq.day, seq.x, seq.rn,
+             (3 * r.s + seq.x) // 4
+      FROM seq JOIN r ON seq.event_type = r.event_type
+                     AND seq.rn = r.rn + 1)
+    SELECT event_type, day, x AS daily_cents, s AS ewma_cents FROM r
+    """,
+)
+def udf_ewma_integer_recurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing of the daily per-type revenue series — the
+    inherently SEQUENTIAL recurrence (sₜ = (3·sₜ₋₁ + xₜ) div 4, i.e.
+    α = 1/4 in exact floor-integer arithmetic, so every engine and
+    every run agrees bit-for-bit — float EWMA recurrences drift).
+    This is the sanctioned ``applyInPandas`` case: the recurrence
+    cannot be a window expression (each value depends on the previous
+    OUTPUT, not previous inputs), so each type's ≤31-row daily series
+    is smoothed in one Arrow batch per group after a calendar-bounded
+    pre-aggregation — the heavy reduction is JVM-side, Python touches
+    only groups × days rows. The oracle is a RECURSIVE CTE computing
+    the identical recurrence.
+    """
+    import pandas as pd
+
+    ev = Catalog(spark, sf_dir).table("events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("CAST(unix_timestamp(ts) div 86400 AS BIGINT)").alias("day"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        s = 0
+        out = []
+        for i, x in enumerate(pdf["x"]):
+            s = int(x) if i == 0 else (3 * s + int(x)) // 4
+            out.append(s)
+        pdf["ewma_cents"] = out
+        return pdf
+
+    schema = "event_type string, day long, x long, ewma_cents long"
+    sm = daily.groupBy("event_type").applyInPandas(smooth, schema=schema)
+    return sm.select(
+        "event_type", "day",
+        F.col("x").alias("daily_cents"),
+        "ewma_cents",
+    )

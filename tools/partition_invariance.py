@@ -21,7 +21,6 @@ import os
 import sys
 
 QUERIES = [
-    "events_markov_transitions",
     "feature_loo_target_encoding",
     "graph_degree_assortativity",
     "join_allen_interval_relations",
