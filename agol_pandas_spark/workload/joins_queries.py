@@ -460,3 +460,80 @@ def join_bloom_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_cents"),
     )
+
+
+@register(
+    "join_attribution_linear_touch",
+    tags=("join", "attribution", "events"),
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id AS pid, user_id, epoch_us(ts) AS pts,
+             CAST(round(value * 100) AS BIGINT) AS pc
+      FROM events WHERE event_type = 'purchase'),
+    touches AS (
+      SELECT user_id, event_type AS touch_type, event_id AS tid,
+             epoch_us(ts) AS tts
+      FROM events WHERE event_type IN ('click', 'view')),
+    pairs AS (
+      SELECT p.pid, p.pc, t.touch_type, t.tid
+      FROM purchases p JOIN touches t
+        ON p.user_id = t.user_id
+       AND t.tts < p.pts
+       AND t.tts >= p.pts - 259200000000),
+    credited AS (
+      SELECT touch_type, tid, pc,
+             COUNT(*) OVER (PARTITION BY pid) AS n_touches
+      FROM pairs)
+    SELECT touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_credits,
+           CAST(SUM(CAST(round(CAST(pc AS DOUBLE)
+                                / CAST(n_touches AS DOUBLE) * 1000)
+                         AS BIGINT)) AS BIGINT) AS credit_milli_cents
+    FROM credited GROUP BY touch_type
+    """,
+)
+def join_attribution_linear_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every click/view in the 3-day
+    lookback before a purchase shares the purchase value equally — the
+    marketing-analytics join that generalizes the last-touch as-of join
+    (`join_asof_click_purchase`). The pairing is a user-equi join with
+    a time-band residual (shuffles once on user_id; per-user fan-out is
+    bounded by the lookback window, the skew lever at 100 TB), the
+    per-purchase touch count is a PARTITIONED window, and each credit
+    ``pc/n`` quantizes to integer milli-cents BEFORE the final sum so
+    the aggregate is order-independent and bit-identical across
+    engines.
+    """
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).table("events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.unix_micros("ts").alias("pts"),
+        F.round(F.col("value") * 100).cast("long").alias("pc"),
+    )
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_type").alias("touch_type"),
+        F.col("event_id").alias("tid"),
+        F.unix_micros("ts").alias("tts"),
+    )
+    pairs = purchases.join(
+        touches,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - F.lit(259_200_000_000)),
+    ).select("pid", "pc", "touch_type", "tid")
+    w = Window.partitionBy("pid")
+    credited = pairs.withColumn("n_touches", F.count(F.lit(1)).over(w))
+    return credited.groupBy("touch_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_credits"),
+        F.sum(
+            F.round(
+                F.col("pc").cast("double")
+                / F.col("n_touches").cast("double")
+                * 1000
+            ).cast("long")
+        ).cast("long").alias("credit_milli_cents"),
+    )
