@@ -163,3 +163,44 @@ def stream_wap_into_catalog(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def append_once(catalog, batch: DataFrame, name: str, key_cols: list[str]):
+    """Idempotent append: the batch is fingerprinted by exact integer
+    aggregates over ``key_cols`` (count, sum, bit-XOR — order- and
+    partition-independent), the fingerprint rides every row as a
+    ``commit_key`` column, and the append is SKIPPED when the target
+    already contains that key. Turns at-least-once delivery into
+    exactly-once TABLE STATE without a separate transaction log: the
+    commit marker is in the data itself, so the dedup check and the
+    data share one atomic snapshot — there is no window where the log
+    says committed but the data is missing (or vice versa). Returns
+    True if the batch was appended, False if it was a duplicate."""
+    from pyspark.sql import functions as F
+
+    from agol_pandas_spark.operators.merge import write_table
+
+    parts = []
+    for c in key_cols:
+        parts += [
+            F.count(F.col(c)).cast("string"),
+            F.sum(F.col(c)).cast("string"),
+            F.expr(f"bit_xor({c})").cast("string"),
+        ]
+    fp = batch.agg(F.concat_ws("_", *parts).alias("fp")).first().fp
+    if catalog.exists(name):
+        dup = (
+            catalog.table(name)
+            .filter(F.col("commit_key") == fp)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            return False
+    write_table(
+        catalog,
+        batch.withColumn("commit_key", F.lit(fp)),
+        name,
+        mode="append",
+    )
+    return True

@@ -983,3 +983,95 @@ def stream_wap_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(sink_root, ignore_errors=True)
     shutil.rmtree(landing, ignore_errors=True)
     return out
+
+
+@register(
+    "stream_idempotent_redelivery",
+    tags=("streaming", "exactly-once", "events"),
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+           CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+             AS value_scaled
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_idempotent_redelivery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once TABLE STATE on top of at-least-once delivery
+    (``streaming/sinks.append_once``): the same landing files drain
+    TWICE — a second run with a fresh checkpoint redelivers every
+    micro-batch, the crash-recovery worst case — and the
+    content-fingerprint commit key (count/sum/bitxor per batch,
+    partition-order independent, carried IN the data so marker and
+    rows share one atomic snapshot) makes every redelivered batch a
+    no-op. The query raises if the second drain appended anything; the
+    oracle checks the final table equals exactly-once semantics.
+    """
+    import shutil
+
+    from agol_pandas_spark.streaming.sinks import append_once
+
+    cat = Catalog(spark, sf_dir)
+    ev = cat.table("events").select(
+        "event_id", "user_id", "event_type", "value",
+        (F.col("user_id") % 3).alias("part"),
+    )
+    landing = os.path.join(
+        tempfile.gettempdir(), f"stream_idem_{uuid.uuid4().hex[:8]}"
+    )
+    os.makedirs(landing)
+    for p in range(3):
+        staged = os.path.join(landing, f"__stage_{p}")
+        ev.filter(F.col("part") == p).drop("part").coalesce(1).write.parquet(
+            staged
+        )
+        part_file = next(
+            f for f in os.listdir(staged) if f.endswith(".parquet")
+        )
+        os.rename(
+            os.path.join(staged, part_file),
+            os.path.join(landing, f"batch_{p}.parquet"),
+        )
+        shutil.rmtree(staged, ignore_errors=True)
+
+    schema = spark.read.parquet(os.path.join(landing, "batch_0.parquet")).schema
+    sink_root = tempfile.mkdtemp(prefix="stream_idem_cat_")
+    sink = Catalog(spark, sink_root)
+
+    def drain() -> None:
+        stream = stream_from_directory(spark, landing, schema)
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda b, _id: b.isEmpty()
+                or append_once(sink, b, "t", ["event_id"])
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    n_first = sink.table("t").count()
+    drain()  # fresh checkpoint -> full redelivery of all three batches
+    n_second = sink.table("t").count()
+    if n_first != n_second:
+        raise RuntimeError(
+            f"redelivery appended rows: {n_first} -> {n_second}"
+        )
+
+    out = (
+        sink.table("t")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("event_id").cast("long").alias("id_checksum"),
+            F.sum(F.round(F.col("value") * 10000).cast("long"))
+            .cast("long")
+            .alias("value_scaled"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(sink_root, ignore_errors=True)
+    shutil.rmtree(landing, ignore_errors=True)
+    return out

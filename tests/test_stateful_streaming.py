@@ -312,3 +312,23 @@ def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     assert {(r.k, r.v) for r in cat.table("t").collect()} == {
         (1, 10), (2, 21), (3, 30),
     }
+
+
+def test_append_once_fingerprint_dedup(spark, tmp_path):
+    """append_once: same content (any partitioning/order) is a no-op;
+    different content appends; fingerprint survives column reorder of
+    rows but keys only on key_cols."""
+    from agol_pandas_spark.catalog import Catalog
+    from agol_pandas_spark.streaming.sinks import append_once
+
+    cat = Catalog(spark, str(tmp_path / "idem"))
+    b1 = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, s string")
+    assert append_once(cat, b1, "t", ["k"]) is True
+    assert cat.table("t").count() == 3
+    # exact redelivery, different partition layout -> no-op
+    assert append_once(cat, b1.repartition(5), "t", ["k"]) is False
+    assert cat.table("t").count() == 3
+    # genuinely new batch appends
+    b2 = spark.createDataFrame([(9, "z")], "k long, s string")
+    assert append_once(cat, b2, "t", ["k"]) is True
+    assert cat.table("t").count() == 4
