@@ -6848,3 +6848,165 @@ def stats_runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n1", "n2", "runs",
         ((F.col("runs").cast("double") - mu) / F.sqrt(var)).alias("z_stat"),
     )
+
+
+@register(
+    "stats_seasonal_additive_decompose",
+    tags=("stats", "timeseries", "decomposition"),
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS xq
+      FROM events GROUP BY 1, 2),
+    tr AS (
+      SELECT event_type, day, xq,
+             SUM(xq) OVER w AS wsum,
+             COUNT(*) OVER w AS wn
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    det AS (
+      SELECT event_type, day % 7 AS weekday,
+             CAST(round((CAST(xq AS DOUBLE)
+                         - CAST(wsum AS DOUBLE) / 7.0) * 1000)
+                  AS BIGINT) AS dq
+      FROM tr WHERE wn = 7)
+    SELECT event_type, weekday,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(dq) AS BIGINT) AS detrended_milli_sum,
+           CAST(SUM(dq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS seasonal_milli
+    FROM det GROUP BY 1, 2
+    """,
+)
+def stats_seasonal_additive_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily revenue
+    series per event type: trend = centered 7-day moving average
+    (PARTITIONED window, edges with incomplete frames excluded by the
+    in-frame count), seasonal = weekly profile of the detrended
+    series. The detrended values quantize to integer milli-cents
+    BEFORE the per-weekday mean, so the only cross-row float operation
+    anywhere is replaced by an exact BIGINT sum — the same
+    histogram-collapse discipline every stats_* query here rides.
+    Calendar-bounded per-type series (≤31 rows) make the window cheap
+    at any SF; the shuffle is the daily groupBy.
+    """
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).table("events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("CAST(unix_timestamp(ts) div 86400 AS BIGINT)").alias("day"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("xq"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    tr = daily.select(
+        "event_type", "day", "xq",
+        F.sum("xq").over(w).alias("wsum"),
+        F.count(F.lit(1)).over(w).alias("wn"),
+    ).filter(F.col("wn") == 7)
+    det = tr.select(
+        "event_type",
+        (F.col("day") % 7).alias("weekday"),
+        F.round(
+            (
+                F.col("xq").cast("double")
+                - F.col("wsum").cast("double") / 7.0
+            )
+            * 1000
+        ).cast("long").alias("dq"),
+    )
+    return det.groupBy("event_type", "weekday").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("dq").cast("long").alias("detrended_milli_sum"),
+        (
+            F.sum("dq").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("seasonal_milli"),
+    )
+
+
+@register(
+    "feature_linear_scoring_ppm",
+    tags=("feature", "inference", "ml-prep"),
+    oracle="""
+    WITH weights(feature, w) AS (
+      VALUES ('n_tokens', 7), ('n_chars', -2), ('bias', 100)),
+    feats AS (
+      SELECT doc_id, 'n_tokens' AS feature,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 'n_chars', CAST(length(text) AS BIGINT)
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 'bias', CAST(1 AS BIGINT) FROM documents),
+    z AS (
+      SELECT f.doc_id, CAST(SUM(f.x * w.w) AS BIGINT) AS z
+      FROM feats f JOIN weights w USING (feature)
+      GROUP BY 1)
+    SELECT doc_id, z,
+           LEAST(GREATEST(CAST(floor(CAST(z * 1000000 AS DOUBLE) / 4096)
+                               AS BIGINT) + 500000, 0), 1000000)
+             AS score_ppm
+    FROM z
+    """,
+)
+def feature_linear_scoring_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch inference of a linear scoring model over document
+    features — the quality-classifier application pattern: a broadcast
+    (feature, weight) table joins the unpivoted feature rows, the
+    logit is an exact integer dot product, and the activation is the
+    HARD sigmoid ``clamp(z/4096 + ½)`` in pure integer ppm — the
+    piecewise-linear activation that, unlike exp-based sigmoid, is
+    exactly reproducible on every engine and never needs a float
+    accumulation (one portability trap fixed here: integer ``//`` is
+    TRUNCATION toward zero in DuckDB but ``floor`` in Spark — they
+    disagree on negative logits, so both sides spell out true floor). At 100 TB this is one map-side join (weights
+    broadcast) + a per-doc grouped sum; swapping in trained weights is
+    a data change, not a code change.
+    """
+    docs = Catalog(spark, sf_dir).table("documents")
+    weights = docs.sparkSession.createDataFrame(
+        [("n_tokens", 7), ("n_chars", -2), ("bias", 100)],
+        "feature string, w long",
+    )
+    feats = (
+        docs.select(
+            "doc_id",
+            F.lit("n_tokens").alias("feature"),
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("x"),
+        )
+        .unionByName(
+            docs.select(
+                "doc_id",
+                F.lit("n_chars").alias("feature"),
+                F.length("text").cast("long").alias("x"),
+            )
+        )
+        .unionByName(
+            docs.select(
+                "doc_id",
+                F.lit("bias").alias("feature"),
+                F.lit(1).cast("long").alias("x"),
+            )
+        )
+    )
+    z = (
+        feats.join(F.broadcast(weights), "feature")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("x") * F.col("w")).cast("long").alias("z"))
+    )
+    return z.select(
+        "doc_id",
+        "z",
+        F.least(
+            F.greatest(
+                F.floor((F.col("z") * 1000000) / 4096) + 500000, F.lit(0)
+            ),
+            F.lit(1000000),
+        ).cast("long").alias("score_ppm"),
+    )

@@ -1158,3 +1158,74 @@ def sim_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         k0=60, topk=10,
     )
     return fused.withColumnsRenamed({"in_a": "in_keyword", "in_b": "in_vector"})
+
+
+@register(
+    "sim_centroid_shift_drift",
+    tags=("similarity", "drift", "vectors"),
+    oracle="""
+    WITH sides AS (
+      SELECT vec_id % 2 AS side,
+             generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                  AS BIGINT) AS xq
+      FROM embeddings),
+    cent AS (
+      SELECT side, dim,
+             CAST(SUM(xq) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM sides GROUP BY 1, 2),
+    diff AS (
+      SELECT a.dim,
+             CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+             - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) AS d
+      FROM cent a JOIN cent b USING (dim)
+      WHERE a.side = 0 AND b.side = 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_dims,
+           CAST(SUM(CAST(round(d * d) AS BIGINT)) AS BIGINT)
+             AS shift_sq_scaled,
+           sqrt(CAST(SUM(CAST(round(d * d) AS BIGINT)) AS DOUBLE))
+             / 1000000.0 AS centroid_shift_l2
+    FROM diff
+    """,
+)
+def sim_centroid_shift_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift gate: the L2 distance between the
+    per-dimension CENTROIDS of two corpus halves — the cheap first
+    alarm for 'the new crawl's embedding distribution moved' before
+    any ANN index is rebuilt. Coordinates quantize to 1e-6 integers so
+    the per-dimension sums are exact (one explode + grouped sum —
+    shuffle carries dims × sides rows); each mean and squared diff is
+    correctly-rounded scalar arithmetic, and the cross-dimension sum
+    quantizes before summing — bit-identical across engines. At 100 TB
+    the explode shuffles dim-partial sums only (map-side combine), and
+    the 64-row centroid table is driver-free.
+    """
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    sides = emb.select(
+        (F.col("vec_id") % 2).alias("side"),
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select(
+        "side", "dim",
+        F.round(F.col("x").cast("double") * 1e6).cast("long").alias("xq"),
+    )
+    cent = sides.groupBy("side", "dim").agg(
+        F.sum("xq").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    a = cent.filter(F.col("side") == 0).select(
+        "dim", (F.col("s").cast("double") / F.col("n").cast("double")).alias("ma")
+    )
+    b = cent.filter(F.col("side") == 1).select(
+        F.col("dim").alias("dim_b"),
+        (F.col("s").cast("double") / F.col("n").cast("double")).alias("mb"),
+    )
+    diff = a.join(b, a.dim == b.dim_b).select(
+        (F.col("ma") - F.col("mb")).alias("d")
+    )
+    scaled = F.sum(F.round(F.col("d") * F.col("d")).cast("long")).cast("long")
+    return diff.agg(
+        F.count(F.lit(1)).cast("long").alias("n_dims"),
+        scaled.alias("shift_sq_scaled"),
+        (F.sqrt(scaled.cast("double")) / 1e6).alias("centroid_shift_l2"),
+    )
