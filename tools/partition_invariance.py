@@ -21,6 +21,15 @@ import os
 import sys
 
 QUERIES = [
+    "stats_runs_test_randomness",
+    "udf_ewma_integer_recurrence",
+    "join_attribution_linear_touch",
+    "stats_fano_burstiness",
+    "window_running_distinct_users",
+    "stats_seasonal_additive_decompose",
+    "sim_centroid_shift_drift",
+    "stats_lincoln_petersen_estimate",
+    "feature_linear_scoring_ppm",
     "feature_loo_target_encoding",
     "graph_degree_assortativity",
     "join_allen_interval_relations",
