@@ -7010,3 +7010,113 @@ def feature_linear_scoring_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1000000),
         ).cast("long").alias("score_ppm"),
     )
+
+
+@register(
+    "stats_kruskal_wallis_h",
+    tags=("stats", "hypothesis-test", "ranks"),
+    oracle="""
+    WITH x AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS xq
+      FROM events),
+    pooled AS (
+      SELECT xq, CAST(COUNT(*) AS BIGINT) AS c FROM x GROUP BY 1),
+    ranked AS (
+      SELECT xq, c,
+             CAST(1 + COALESCE(SUM(c) OVER (ORDER BY xq
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS r
+      FROM pooled),
+    per_type AS (
+      SELECT event_type, xq, CAST(COUNT(*) AS BIGINT) AS ci
+      FROM x GROUP BY 1, 2),
+    sums AS (
+      SELECT p.event_type,
+             CAST(SUM(p.ci) AS BIGINT) AS ni,
+             CAST(SUM(p.ci * (2 * rk.r + rk.c - 1)) AS BIGINT) AS s2
+      FROM per_type p JOIN ranked rk USING (xq)
+      GROUP BY 1),
+    gtot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(ni) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                                 / (4 * CAST(ni AS DOUBLE)) * 1000)
+                           AS BIGINT)) AS BIGINT) AS a_milli,
+             (SELECT CAST(SUM(c * c * c - c) AS BIGINT) FROM pooled)
+               AS ties_cubed
+      FROM sums)
+    SELECT k, n, a_milli, ties_cubed,
+           (12.0 * (CAST(a_milli AS DOUBLE) / 1000.0)
+              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1))
+            - 3 * (CAST(n AS DOUBLE) + 1))
+           / (1 - CAST(ties_cubed AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                     * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))
+             AS h_stat
+    FROM gtot
+    """,
+)
+def stats_kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H (rank-based one-way ANOVA) across event types,
+    WITH midrank tie handling and the tie-correction divisor — and
+    with the pooled ranking done by the repo's distributed rank
+    operator (`operators/ranks.add_global_ranks`, histogram/weighted
+    mode) instead of a single-partition window: the pooled sample is
+    collapsed to a distinct-value histogram (≤ value-range rows
+    regardless of corpus size), ranks come from the range-partitioned
+    prefix-sum scheme, and each tied group's midrank×2 is the exact
+    integer ``2r + c − 1``. Per-type rank sums are exact BIGINTs; the
+    only rounding is the Σnᵢ·R̄ᵢ² term quantized at 1e-3 (the Levene/
+    Brown-Forsythe discipline). H is one correctly-rounded scalar.
+    """
+    from agol_pandas_spark.operators.ranks import add_global_ranks
+
+    ev = Catalog(spark, sf_dir).table("events")
+    x = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("xq")
+    )
+    pooled = x.groupBy("xq").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ranked = add_global_ranks(
+        pooled, ["xq"], weight_col="c", rank_col="r"
+    ).select("xq", "c", "r")
+    per_type = x.groupBy("event_type", "xq").agg(
+        F.count(F.lit(1)).cast("long").alias("ci")
+    )
+    sums = (
+        per_type.join(ranked, "xq")
+        .groupBy("event_type")
+        .agg(
+            F.sum("ci").cast("long").alias("ni"),
+            F.sum(
+                F.col("ci") * (2 * F.col("r") + F.col("c") - 1)
+            ).cast("long").alias("s2"),
+        )
+    )
+    a_term = F.round(
+        F.col("s2").cast("double")
+        * F.col("s2").cast("double")
+        / (4 * F.col("ni").cast("double"))
+        * 1000
+    ).cast("long")
+    ties = pooled.agg(
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("long")
+        .alias("ties_cubed")
+    )
+    glob = sums.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("ni").cast("long").alias("n"),
+        F.sum(a_term).cast("long").alias("a_milli"),
+    ).crossJoin(F.broadcast(ties))
+    nd = F.col("n").cast("double")
+    h_uncorr = (
+        F.lit(12.0)
+        * (F.col("a_milli").cast("double") / 1000.0)
+        / (nd * (nd + 1))
+        - 3 * (nd + 1)
+    )
+    corr = F.lit(1) - F.col("ties_cubed").cast("double") / (nd * nd * nd - nd)
+    return glob.select(
+        "k", "n", "a_milli", "ties_cubed",
+        (h_uncorr / corr).alias("h_stat"),
+    )

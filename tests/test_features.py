@@ -273,3 +273,34 @@ def test_misra_gries_candidate_superset(spark):
     assert exact <= cands, f"superset violated: {exact - cands}"
     # bounded size: at most k candidates per partition
     assert len(cands) <= k * 8
+
+
+def test_misra_gries_superset_property(spark):
+    """Property-based: for random streams and random k, the MG candidate
+    union contains EVERY item with global frequency > N/k, under random
+    partition counts (layout adversarial by construction)."""
+    from collections import Counter
+
+    from hypothesis import given, settings, strategies as st
+
+    from agol_pandas_spark.operators.sketches import misra_gries_candidates
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        data=st.lists(st.integers(min_value=0, max_value=30), min_size=20,
+                      max_size=400),
+        k=st.integers(min_value=2, max_value=12),
+        parts=st.integers(min_value=1, max_value=7),
+    )
+    def prop(data, k, parts):
+        df = spark.createDataFrame(
+            [(f"i{v}",) for v in data], "cat string"
+        ).repartition(parts)
+        n = len(data)
+        heavy = {f"i{v}" for v, c in Counter(data).items() if c * k > n}
+        cands = {
+            r.cat for r in misra_gries_candidates(df, "cat", k).collect()
+        }
+        assert heavy <= cands, (heavy - cands, k, parts, n)
+
+    prop()
