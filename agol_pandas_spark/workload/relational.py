@@ -7120,3 +7120,101 @@ def stats_kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k", "n", "a_milli", "ties_cubed",
         (h_uncorr / corr).alias("h_stat"),
     )
+
+
+@register(
+    "stats_friedman_blocked_ranks",
+    tags=("stats", "hypothesis-test", "ranks"),
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
+             event_type,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS xq
+      FROM events GROUP BY 1, 2),
+    k AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k
+          FROM daily),
+    complete AS (
+      SELECT day FROM daily GROUP BY day
+      HAVING COUNT(*) = (SELECT k FROM k)),
+    ranked AS (
+      SELECT d.day, d.event_type,
+             CAST(2 * RANK() OVER (PARTITION BY d.day ORDER BY d.xq)
+                  + COUNT(*) OVER (PARTITION BY d.day, d.xq) - 1
+                  AS BIGINT) AS r2
+      FROM daily d JOIN complete USING (day)),
+    sums AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_blocks,
+             CAST(SUM(r2) AS BIGINT) AS r2_sum
+      FROM ranked GROUP BY 1),
+    gtot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(MIN(n_blocks) AS BIGINT) AS n,
+             CAST(SUM(r2_sum * r2_sum) AS BIGINT) AS ssq
+      FROM sums)
+    SELECT k, n, ssq,
+           3.0 * CAST(ssq AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
+                * (CAST(k AS DOUBLE) + 1))
+           - 3 * CAST(n AS DOUBLE) * (CAST(k AS DOUBLE) + 1) AS chi2_f
+    FROM gtot
+    """,
+)
+def stats_friedman_blocked_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test (within-block rank ANOVA): days are blocks, event
+    types are treatments — does any type systematically out-earn the
+    others once day-to-day level shifts are blocked out? The
+    non-parametric complement to `stats_kruskal_wallis_h` (which pools
+    across blocks). Within-day ranks are PARTITIONED windows (k rows
+    per block — no global ranking needed, the structural advantage of
+    blocked designs at scale); midrank×2 = ``2·rank + ties − 1`` keeps
+    everything integer; only complete blocks (all k types present)
+    enter, mirroring the textbook design; χ²_F is one correctly-rounded
+    scalar from exact BIGINT rank-sum squares.
+    """
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).table("events")
+    daily = ev.groupBy(
+        F.expr("CAST(unix_timestamp(ts) div 86400 AS BIGINT)").alias("day"),
+        "event_type",
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("xq"))
+    k_df = daily.agg(
+        F.countDistinct("event_type").cast("long").alias("k")
+    )
+    complete = (
+        daily.groupBy("day")
+        .agg(F.count(F.lit(1)).alias("nt"))
+        .crossJoin(F.broadcast(k_df))
+        .filter(F.col("nt") == F.col("k"))
+        .select("day")
+    )
+    wr = Window.partitionBy("day").orderBy("xq")
+    wc = Window.partitionBy("day", "xq")
+    ranked = (
+        daily.join(complete, "day")
+        .select(
+            "day", "event_type",
+            (
+                2 * F.rank().over(wr) + F.count(F.lit(1)).over(wc) - 1
+            ).cast("long").alias("r2"),
+        )
+    )
+    sums = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum("r2").cast("long").alias("r2_sum"),
+    )
+    gtot = sums.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.min("n_blocks").cast("long").alias("n"),
+        F.sum(F.col("r2_sum") * F.col("r2_sum")).cast("long").alias("ssq"),
+    )
+    kd = F.col("k").cast("double")
+    nd = F.col("n").cast("double")
+    return gtot.select(
+        "k", "n", "ssq",
+        (
+            F.lit(3.0) * F.col("ssq").cast("double") / (nd * kd * (kd + 1))
+            - 3 * nd * (kd + 1)
+        ).alias("chi2_f"),
+    )
