@@ -7218,3 +7218,188 @@ def stats_friedman_blocked_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
             - 3 * nd * (kd + 1)
         ).alias("chi2_f"),
     )
+
+
+@register(
+    "stats_mcnemar_paired_flips",
+    tags=("stats", "hypothesis-test", "paired"),
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                       AND event_type = 'purchase' AND value > 100
+                      THEN 1 ELSE 0 END) AS h1,
+             MAX(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                       AND event_type = 'purchase' AND value > 100
+                      THEN 1 ELSE 0 END) AS h2
+      FROM events GROUP BY user_id),
+    cells AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(CASE WHEN h1 = 1 AND h2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN h1 = 0 AND h2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c
+      FROM per_user)
+    SELECT n_users, b, c,
+           (abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1)
+           * (abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1)
+           / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)) AS chi2_mcnemar
+    FROM cells
+    """,
+)
+def stats_mcnemar_paired_flips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test on PAIRED binary outcomes: did each user's
+    'makes high-value purchases' flag flip between the two halves of
+    the window? Unlike the chi-squared drift gates (which compare
+    independent samples), McNemar conditions on the pair — only the
+    discordant cells b (yes→no) and c (no→yes) carry information, with
+    the continuity-corrected ``(|b−c|−1)²/(b+c)``. One grouped MAX per
+    user (a single shuffle), exact integer cells, one correctly-rounded
+    scalar.
+    """
+    ev = Catalog(spark, sf_dir).table("events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    hi = (F.col("event_type") == "purchase") & (F.col("value") > 100)
+    per_user = ev.groupBy("user_id").agg(
+        F.max(((F.col("ts") < cut) & hi).cast("int")).alias("h1"),
+        F.max(((F.col("ts") >= cut) & hi).cast("int")).alias("h2"),
+    )
+    cells = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(((F.col("h1") == 1) & (F.col("h2") == 0)).cast("int"))
+        .cast("long")
+        .alias("b"),
+        F.sum(((F.col("h1") == 0) & (F.col("h2") == 1)).cast("int"))
+        .cast("long")
+        .alias("c"),
+    )
+    bd = F.col("b").cast("double")
+    cd = F.col("c").cast("double")
+    return cells.select(
+        "n_users", "b", "c",
+        (
+            (F.abs(bd - cd) - 1) * (F.abs(bd - cd) - 1) / (bd + cd)
+        ).alias("chi2_mcnemar"),
+    )
+
+
+@register(
+    "stats_cooks_distance_influence",
+    tags=("stats", "regression", "diagnostics"),
+    oracle="""
+    WITH q AS (
+      SELECT l_returnflag,
+             CAST(round(l_quantity) AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem),
+    m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM q GROUP BY 1),
+    fit AS (
+      SELECT l_returnflag, n, sx, sxx,
+             (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS b,
+             (CAST(sy AS DOUBLE)
+              - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS a
+      FROM m),
+    resid AS (
+      SELECT q.l_returnflag, f.n,
+             CAST(q.y AS DOUBLE) - (f.a + f.b * CAST(q.x AS DOUBLE)) AS e,
+             1.0 / CAST(f.n AS DOUBLE)
+             + (CAST(q.x AS DOUBLE) - CAST(f.sx AS DOUBLE) / f.n)
+               * (CAST(q.x AS DOUBLE) - CAST(f.sx AS DOUBLE) / f.n)
+               / (CAST(f.sxx AS DOUBLE)
+                  - CAST(f.sx AS DOUBLE) * f.sx / f.n) AS h
+      FROM q JOIN fit f USING (l_returnflag)),
+    sse AS (
+      SELECT l_returnflag, n,
+             CAST(SUM(CAST(round(e * e) AS BIGINT)) AS BIGINT) AS sse_sc
+      FROM resid GROUP BY 1, 2),
+    d AS (
+      SELECT r.l_returnflag, r.n,
+             (r.e * r.e / (2.0 * (CAST(s.sse_sc AS DOUBLE)
+                                  / (r.n - 2))))
+             * (r.h / ((1 - r.h) * (1 - r.h))) AS cook
+      FROM resid r JOIN sse s USING (l_returnflag))
+    SELECT l_returnflag,
+           CAST(MAX(n) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN cook > 4.0 / n THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_influential,
+           MAX(cook) AS max_cooks_d
+    FROM d GROUP BY 1
+    """,
+)
+def stats_cooks_distance_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cook's distance influence diagnostics over the per-segment OLS
+    fit (`stats_ols_price_on_quantity`'s model): which rows, if
+    dropped, would move the regression — the leverage×residual product
+    that catches both outliers and high-x anomalies. Everything
+    derives from the same five exact integer moments (broadcast back
+    to the rows); SSE quantizes per-row squared residuals to integers
+    before summing (the one cross-row accumulation), and the final
+    per-group reductions are MAX and a threshold COUNT — both
+    order-independent, so no global sort or top-k tie ambiguity. Three
+    passes over the fact table, each a map with a broadcast model —
+    the 100 TB shape for regression diagnostics.
+    """
+    li = Catalog(spark, sf_dir).table("lineitem")
+    q = li.select(
+        "l_returnflag",
+        F.round(F.col("l_quantity")).cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    m = q.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    b = (nd * F.col("sxy").cast("double") - sxd * syd) / (
+        nd * F.col("sxx").cast("double") - sxd * sxd
+    )
+    a = (syd - b * sxd) / nd
+    fit = m.select("l_returnflag", "n", "sx", "sxx", b.alias("b"), a.alias("a"))
+    xd = F.col("x").cast("double")
+    xbar = F.col("sx").cast("double") / F.col("n")
+    e = F.col("y").cast("double") - (F.col("a") + F.col("b") * xd)
+    h = 1.0 / F.col("n").cast("double") + (xd - xbar) * (xd - xbar) / (
+        F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+    )
+    resid = q.join(F.broadcast(fit), "l_returnflag").select(
+        "l_returnflag", "n", e.alias("e"), h.alias("h")
+    )
+    sse = resid.groupBy("l_returnflag", "n").agg(
+        F.sum(F.round(F.col("e") * F.col("e")).cast("long"))
+        .cast("long")
+        .alias("sse_sc")
+    )
+    d = resid.join(F.broadcast(sse.drop("n")), "l_returnflag").select(
+        "l_returnflag",
+        "n",
+        (
+            (
+                F.col("e") * F.col("e")
+                / (2.0 * (F.col("sse_sc").cast("double") / (F.col("n") - 2)))
+            )
+            * (F.col("h") / ((1 - F.col("h")) * (1 - F.col("h"))))
+        ).alias("cook"),
+    )
+    return d.groupBy("l_returnflag").agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("cook") > 4.0 / F.col("n"), 1).otherwise(0)
+        ).cast("long").alias("n_influential"),
+        F.max("cook").alias("max_cooks_d"),
+    )

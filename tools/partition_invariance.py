@@ -21,6 +21,8 @@ import os
 import sys
 
 QUERIES = [
+    "stats_kruskal_wallis_h",
+    "stats_friedman_blocked_ranks",
     "stats_runs_test_randomness",
     "udf_ewma_integer_recurrence",
     "join_attribution_linear_touch",
