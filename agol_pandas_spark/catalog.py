@@ -175,7 +175,7 @@ class Catalog:
 
     def write(
         self, df: DataFrame, name: str, mode: str = "error",
-        keep_versions: int = 0,
+        keep_versions: int = 0, expected_commit: str | None = None,
     ) -> str:
         """Atomically materialize ``df`` as catalog table ``name``.
 
@@ -198,11 +198,42 @@ class Catalog:
         os.makedirs(self.root, exist_ok=True)
         staged = f"{target}.__tmp_{uuid.uuid4().hex}"
         df.write.mode("overwrite").parquet(staged)
-        return self._swap_in(staged, name, keep_versions)
+        return self._swap_in(
+            staged, name, keep_versions, expected_commit=expected_commit
+        )
 
-    def _swap_in(self, staged: str, name: str, keep_versions: int) -> str:
+    def _swap_in(
+        self, staged: str, name: str, keep_versions: int,
+        expected_commit: str | None = None,
+    ) -> str:
         """Atomic tail of the two-phase commit: rename ``staged`` over the
-        current table, archiving or discarding the displaced snapshot."""
+        current table, archiving or discarding the displaced snapshot.
+
+        ``expected_commit`` (optimistic concurrency control — the
+        Delta/Iceberg commit protocol): the caller passes the commit id
+        it READ its inputs at (:meth:`commit_id`); if another writer
+        committed in between, the swap is REFUSED with
+        ``ConcurrentWriteError`` and the staged snapshot is discarded —
+        the caller re-reads and retries, so lost updates become
+        impossible instead of silent. Single-host note: the
+        check-then-rename pair is not itself atomic against a writer
+        racing in the same microsecond; on a shared filesystem the
+        rename of the marker-bearing directory is the serialization
+        point, which is the same honesty level as Delta on non-S3
+        object stores."""
+        if expected_commit is not None:
+            current = self.commit_id(name)
+            if current != expected_commit:
+                shutil.rmtree(staged, ignore_errors=True)
+                from agol_pandas_spark.errors import ConcurrentWriteError
+
+                raise ConcurrentWriteError(
+                    f"table {name!r} moved: expected commit "
+                    f"{expected_commit!r}, found {current!r}; re-read and "
+                    "retry"
+                )
+        with open(os.path.join(staged, "_commit_id"), "w") as f:
+            f.write(uuid.uuid4().hex)
         target = self.path(name)
         backup = None
         if os.path.exists(target):
@@ -225,6 +256,18 @@ class Catalog:
         # column); the footer cache must not outlive the file it described
         self._ns_cols.pop(target, None)
         return target
+
+    def commit_id(self, name: str) -> str | None:
+        """The table's current commit id (None for tables written before
+        OCC markers existed, or external single-file tables). Read this
+        BEFORE planning a read-modify-write, pass it back as
+        ``expected_commit`` — the optimistic-concurrency token."""
+        marker = os.path.join(self.path(name), "_commit_id")
+        try:
+            with open(marker) as f:
+                return f.read().strip()
+        except OSError:
+            return None
 
     def data_files(self, name: str) -> list[str]:
         """Absolute paths of the table's parquet data files (markers like

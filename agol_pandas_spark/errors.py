@@ -94,3 +94,9 @@ class AuditFailedError(EngineError):
             "WAP audit failed; staged snapshot discarded: "
             + ", ".join(f"{k}={v}" for k, v in sorted(violations.items()))
         )
+
+
+class ConcurrentWriteError(EngineError):
+    """Optimistic-concurrency conflict: the table's commit id moved
+    between the caller's read and its write. The staged snapshot was
+    discarded; re-read the table and retry the transformation."""

@@ -1358,3 +1358,74 @@ def merge_branch_fork_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "merge_occ_conflict_retry",
+    tags=("merge", "concurrency", "governance"),
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round((c_acctbal + 11.0) * 100) AS BIGINT))
+                AS BIGINT) AS balance_scaled
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def merge_occ_conflict_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimistic concurrency control on commits
+    (``Catalog.commit_id`` / ``write(expected_commit=...)``): writer A
+    plans a read-modify-write at one commit, writer B lands first, and
+    A's stale conditional commit is REFUSED (``ConcurrentWriteError``)
+    instead of silently erasing B's update — the lost-update anomaly
+    every multi-writer lakehouse protocol exists to prevent. A then
+    re-reads (seeing B's +1) and retries (+10) through the same gate;
+    the oracle checks the final contents carry BOTH writers' effects
+    (+11), which is exactly what last-writer-wins would have lost.
+    """
+    from agol_pandas_spark.errors import ConcurrentWriteError
+
+    root = tempfile.mkdtemp(prefix="occ_")
+    cat = Catalog(spark, root)
+    cust = Catalog(spark, sf_dir).table("customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    cat.write(cust, "c", mode="error")
+
+    # writer A reads its snapshot + token
+    token_a = cat.commit_id("c")
+    plan_a = cat.table("c").withColumn(
+        "c_acctbal", F.col("c_acctbal") + 10.0
+    ).localCheckpoint(eager=True)  # A's read really happened pre-B
+
+    # writer B commits first
+    cat.write(
+        cat.table("c").withColumn("c_acctbal", F.col("c_acctbal") + 1.0),
+        "c", mode="overwrite",
+    )
+
+    try:
+        cat.write(plan_a, "c", mode="overwrite", expected_commit=token_a)
+        raise RuntimeError("stale commit must be refused")
+    except ConcurrentWriteError:
+        pass
+
+    # A retries against the fresh state: both effects compose
+    retry = cat.table("c").withColumn(
+        "c_acctbal", F.col("c_acctbal") + 10.0
+    )
+    cat.write(retry, "c", mode="overwrite",
+              expected_commit=cat.commit_id("c"))
+
+    out = (
+        cat.table("c")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+            .cast("long")
+            .alias("balance_scaled"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -709,3 +709,40 @@ def test_branch_fork_publish_and_drop(spark, tmp_path):
         raise AssertionError("publishing a missing branch must raise")
     except TableNotFoundError:
         pass
+
+
+def test_optimistic_concurrency_conflict(spark, tmp_path):
+    """write(expected_commit=...) refuses the swap when another writer
+    committed in between (no lost update), discards the staged dir,
+    and succeeds after re-read; tables keep a commit id across swaps."""
+    import os
+
+    from agol_pandas_spark.catalog import Catalog
+    from agol_pandas_spark.errors import ConcurrentWriteError
+
+    cat = Catalog(spark, str(tmp_path / "occ"))
+    base = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    cat.write(base, "t", mode="error")
+    token = cat.commit_id("t")
+    assert token is not None
+
+    # writer B sneaks in
+    cat.write(base.withColumn("v", base.v + 1), "t", mode="overwrite")
+    assert cat.commit_id("t") != token
+
+    # writer A's conditional overwrite must refuse and leave no litter
+    try:
+        cat.write(base.withColumn("v", base.v * 100), "t",
+                  mode="overwrite", expected_commit=token)
+        raise AssertionError("stale expected_commit must raise")
+    except ConcurrentWriteError:
+        pass
+    assert {r.k: r.v for r in cat.table("t").collect()} == {1: 11, 2: 21}
+    litter = [d for d in os.listdir(str(tmp_path / "occ")) if "__tmp" in d]
+    assert litter == []
+
+    # re-read and retry succeeds
+    fresh = cat.commit_id("t")
+    cat.write(base.withColumn("v", base.v * 100), "t",
+              mode="overwrite", expected_commit=fresh)
+    assert {r.k: r.v for r in cat.table("t").collect()} == {1: 1000, 2: 2000}
