@@ -7403,3 +7403,116 @@ def stats_cooks_distance_influence(spark: SparkSession, sf_dir: str) -> DataFram
         ).cast("long").alias("n_influential"),
         F.max("cook").alias("max_cooks_d"),
     )
+
+
+@register(
+    "stats_dunn_posthoc_pairs",
+    tags=("stats", "hypothesis-test", "ranks", "posthoc"),
+    oracle="""
+    WITH x AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS xq
+      FROM events),
+    pooled AS (
+      SELECT xq, CAST(COUNT(*) AS BIGINT) AS c FROM x GROUP BY 1),
+    ranked AS (
+      SELECT xq, c,
+             CAST(1 + COALESCE(SUM(c) OVER (ORDER BY xq
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS r
+      FROM pooled),
+    per_type AS (
+      SELECT event_type, xq, CAST(COUNT(*) AS BIGINT) AS ci
+      FROM x GROUP BY 1, 2),
+    sums AS (
+      SELECT p.event_type,
+             CAST(SUM(p.ci) AS BIGINT) AS ni,
+             CAST(SUM(p.ci * (2 * rk.r + rk.c - 1)) AS BIGINT) AS s2
+      FROM per_type p JOIN ranked rk USING (xq)
+      GROUP BY 1),
+    gtot AS (
+      SELECT CAST(SUM(ni) AS BIGINT) AS n,
+             (SELECT CAST(SUM(c * c * c - c) AS BIGINT) FROM pooled)
+               AS ties_cubed
+      FROM sums)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           a.ni AS n_a, b.ni AS n_b,
+           (CAST(a.s2 AS DOUBLE) / (2 * CAST(a.ni AS DOUBLE))
+            - CAST(b.s2 AS DOUBLE) / (2 * CAST(b.ni AS DOUBLE)))
+           / sqrt((CAST(g.n AS DOUBLE) * (CAST(g.n AS DOUBLE) + 1) / 12
+                   - CAST(g.ties_cubed AS DOUBLE)
+                     / (12 * (CAST(g.n AS DOUBLE) - 1)))
+                  * (1 / CAST(a.ni AS DOUBLE) + 1 / CAST(b.ni AS DOUBLE)))
+             AS z_dunn
+    FROM sums a JOIN sums b ON a.event_type < b.event_type
+    CROSS JOIN gtot g
+    """,
+)
+def stats_dunn_posthoc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn's post-hoc test: after `stats_kruskal_wallis_h` rejects
+    'all types equal', WHICH pairs differ? Every unordered type pair
+    gets the z-statistic on mean-rank difference with the tie-corrected
+    variance ``(N(N+1)/12 − Σ(t³−t)/(12(N−1)))(1/nᵢ+1/nⱼ)``. Reuses the
+    same distributed-rank histogram machinery (midrank×2 integers from
+    `add_global_ranks` in weighted mode); the pair join is k×k over the
+    k-row rank-sum table — trivially broadcast — and every statistic is
+    a correctly-rounded scalar over exact BIGINTs.
+    """
+    from agol_pandas_spark.operators.ranks import add_global_ranks
+
+    ev = Catalog(spark, sf_dir).table("events")
+    x = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("xq")
+    )
+    pooled = x.groupBy("xq").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ranked = add_global_ranks(
+        pooled, ["xq"], weight_col="c", rank_col="r"
+    ).select("xq", "c", "r")
+    per_type = x.groupBy("event_type", "xq").agg(
+        F.count(F.lit(1)).cast("long").alias("ci")
+    )
+    sums = (
+        per_type.join(ranked, "xq")
+        .groupBy("event_type")
+        .agg(
+            F.sum("ci").cast("long").alias("ni"),
+            F.sum(
+                F.col("ci") * (2 * F.col("r") + F.col("c") - 1)
+            ).cast("long").alias("s2"),
+        )
+    )
+    gtot = sums.agg(F.sum("ni").cast("long").alias("n")).crossJoin(
+        F.broadcast(
+            pooled.agg(
+                F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+                .cast("long")
+                .alias("ties_cubed")
+            )
+        )
+    )
+    a = sums.select(
+        F.col("event_type").alias("type_a"),
+        F.col("ni").alias("n_a"),
+        F.col("s2").alias("s2_a"),
+    )
+    b = sums.select(
+        F.col("event_type").alias("type_b"),
+        F.col("ni").alias("n_b"),
+        F.col("s2").alias("s2_b"),
+    )
+    pairs = a.join(b, F.col("type_a") < F.col("type_b")).crossJoin(
+        F.broadcast(gtot)
+    )
+    nd = F.col("n").cast("double")
+    nad = F.col("n_a").cast("double")
+    nbd = F.col("n_b").cast("double")
+    mean_diff = F.col("s2_a").cast("double") / (2 * nad) - F.col(
+        "s2_b"
+    ).cast("double") / (2 * nbd)
+    var = (
+        nd * (nd + 1) / 12
+        - F.col("ties_cubed").cast("double") / (12 * (nd - 1))
+    ) * (1 / nad + 1 / nbd)
+    return pairs.select(
+        "type_a", "type_b", "n_a", "n_b",
+        (mean_diff / F.sqrt(var)).alias("z_dunn"),
+    )

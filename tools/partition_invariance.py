@@ -21,6 +21,7 @@ import os
 import sys
 
 QUERIES = [
+    "stats_dunn_posthoc_pairs",
     "stats_kruskal_wallis_h",
     "stats_friedman_blocked_ranks",
     "stats_runs_test_randomness",
