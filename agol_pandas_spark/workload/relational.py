@@ -7516,3 +7516,73 @@ def stats_dunn_posthoc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "type_a", "type_b", "n_a", "n_b",
         (mean_diff / F.sqrt(var)).alias("z_dunn"),
     )
+
+
+@register(
+    "sample_ab_srm_check",
+    tags=("sample", "experimentation"),
+    oracle="""
+    WITH users AS (
+      SELECT DISTINCT user_id FROM events),
+    assigned AS (
+      SELECT user_id,
+             CAST(('0x' || substring(md5('exp7_' || CAST(user_id
+                    AS VARCHAR)), 1, 15)) AS BIGINT) % 2 AS variant
+      FROM users),
+    counts AS (
+      SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_control,
+             CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_treatment
+      FROM assigned)
+    SELECT n_control, n_treatment,
+           (CAST(n_control AS DOUBLE) - CAST(n_treatment AS DOUBLE))
+           * (CAST(n_control AS DOUBLE) - CAST(n_treatment AS DOUBLE))
+           / (CAST(n_control AS DOUBLE) + CAST(n_treatment AS DOUBLE))
+             AS chi2_srm,
+           (CAST(n_control AS DOUBLE) - CAST(n_treatment AS DOUBLE))
+           * (CAST(n_control AS DOUBLE) - CAST(n_treatment AS DOUBLE))
+           / (CAST(n_control AS DOUBLE) + CAST(n_treatment AS DOUBLE))
+             < 10.83 AS srm_ok
+    FROM counts
+    """,
+)
+def sample_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment assignment + Sample-Ratio-Mismatch guardrail:
+    users bucket to variants by the engine-portable salted md5 hash
+    (deterministic, coordination-free — the assignment IS the function,
+    so any executor, any engine, any day agrees), and the 50/50 design
+    is audited with the SRM chi-square ``(n₀−n₁)²/N`` against the
+    p<0.001 cutoff (10.83) — the standard tripwire for broken
+    randomization, the first thing an experimentation platform checks
+    before reading any metric. One distinct + one grouped sum; exact
+    integer counts.
+    """
+    from agol_pandas_spark.functions.text import portable_hash60
+
+    ev = Catalog(spark, sf_dir).table("events")
+    users = ev.select("user_id").distinct()
+    assigned = users.select(
+        F.pmod(
+            portable_hash60(
+                F.concat(F.lit("exp7_"), F.col("user_id").cast("string"))
+            ),
+            F.lit(2),
+        ).alias("variant")
+    )
+    counts = assigned.agg(
+        F.sum((F.col("variant") == 0).cast("int")).cast("long").alias(
+            "n_control"
+        ),
+        F.sum((F.col("variant") == 1).cast("int")).cast("long").alias(
+            "n_treatment"
+        ),
+    )
+    d = F.col("n_control").cast("double") - F.col("n_treatment").cast("double")
+    n = F.col("n_control").cast("double") + F.col("n_treatment").cast("double")
+    chi2 = d * d / n
+    return counts.select(
+        "n_control", "n_treatment",
+        chi2.alias("chi2_srm"),
+        (chi2 < 10.83).alias("srm_ok"),
+    )

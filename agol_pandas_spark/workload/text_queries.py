@@ -2003,3 +2003,79 @@ def text_aho_corasick_multimatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aho_corasick_counts(docs, "text", pats, "lang").filter(
         F.col("n_matches") > 0
     )
+
+
+@register(
+    "text_code_prose_gate",
+    tags=("text", "curation", "gate"),
+    oracle="""
+    WITH feats AS (
+      SELECT lang,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(length(text)
+                  - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+                  AS BIGINT) AS n_symbols,
+             CAST(len(list_filter(string_split(text, ' '),
+                    t -> t IN ('merge', 'window', 'hash', 'sort',
+                               'scan', 'join', 'agg'))) AS BIGINT)
+               AS kw_hits
+      FROM documents WHERE length(text) > 0),
+    gated AS (
+      SELECT lang, n_chars, n_symbols, kw_hits,
+             CASE WHEN n_symbols * 1000000 > 30000 * n_chars
+                    OR kw_hits >= 3
+                  THEN 1 ELSE 0 END AS is_code
+      FROM feats)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(is_code) AS BIGINT) AS n_code,
+           CAST(SUM(kw_hits) AS BIGINT) AS kw_total,
+           CAST(SUM(n_symbols) AS BIGINT) * 1000000
+             // CAST(SUM(n_chars) AS BIGINT) AS symbol_ppm
+    FROM gated GROUP BY lang
+    """,
+)
+def text_code_prose_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose routing gate — the pretraining-mix decision that
+    sends code to the code pipeline (different dedup granularity,
+    different quality rules) and prose to the text one: symbol density
+    (non-alphanumeric chars per char, integer ppm) OR'd with a
+    keyword token vote (calibrated here to the corpus's query-DSL
+    vocabulary so the gate genuinely fires on both sides of the
+    threshold). Pure JVM expressions (regexp_replace + split +
+    filter — no Python in the row path); exact integer features,
+    integer-ppm aggregates (`//` — operands non-negative, and DuckDB
+    `/` on BIGINTs yields DOUBLE, a schema-level mismatch).
+    """
+    docs = Catalog(spark, sf_dir).table("documents").filter(
+        F.length("text") > 0
+    )
+    kw = F.array(*[F.lit(k) for k in
+                   ("merge", "window", "hash", "sort", "scan", "join", "agg")])
+    feats = docs.select(
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", ""))
+        ).cast("long").alias("n_symbols"),
+        F.size(
+            F.filter(F.split(F.col("text"), " "), lambda t: F.array_contains(kw, t))
+        ).cast("long").alias("kw_hits"),
+    )
+    gated = feats.withColumn(
+        "is_code",
+        (
+            (F.col("n_symbols") * 1000000 > 30000 * F.col("n_chars"))
+            | (F.col("kw_hits") >= 3)
+        ).cast("int"),
+    )
+    return gated.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("is_code").cast("long").alias("n_code"),
+        F.sum("kw_hits").cast("long").alias("kw_total"),
+        (
+            (F.sum("n_symbols").cast("long") * 1000000)
+            / F.sum("n_chars").cast("long")
+        ).cast("long").alias("symbol_ppm"),
+    )
