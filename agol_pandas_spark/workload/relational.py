@@ -7586,3 +7586,75 @@ def sample_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         chi2.alias("chi2_srm"),
         (chi2 < 10.83).alias("srm_ok"),
     )
+
+
+@register(
+    "window_max_drawdown_daily",
+    tags=("window", "sequence", "finance"),
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS xq
+      FROM events GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, day,
+             CAST(SUM(xq) OVER w AS BIGINT) AS equity
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS UNBOUNDED PRECEDING)),
+    peaks AS (
+      SELECT event_type, day, equity,
+             CAST(MAX(equity) OVER w AS BIGINT) AS peak
+      FROM cum
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS UNBOUNDED PRECEDING))
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(MAX(equity) AS BIGINT) AS final_peak_cents,
+           CAST(MAX(peak - equity) AS BIGINT) AS max_drawdown_cents,
+           MAX(CAST(peak - equity AS DOUBLE) / CAST(peak AS DOUBLE))
+             AS max_drawdown_frac
+    FROM peaks GROUP BY event_type
+    """,
+)
+def window_max_drawdown_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative daily revenue curve per event
+    type — the running-peak sequence analytic (finance's risk headline,
+    equally the SLO 'worst dip from high-water mark' statistic). Two
+    stacked PARTITIONED prefix windows (running sum → running max; no
+    global window anywhere), exact integer cents end to end; the
+    fractional drawdown is a per-row correctly-rounded division whose
+    MAX is order-independent. Mirrors the gaps-and-islands family:
+    sequence analytics as window compositions, not loops.
+    """
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).table("events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("CAST(unix_timestamp(ts) div 86400 AS BIGINT)").alias("day"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("xq"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = daily.select(
+        "event_type", "day", F.sum("xq").over(w).cast("long").alias("equity")
+    )
+    peaks = cum.select(
+        "event_type", "day", "equity",
+        F.max("equity").over(w).cast("long").alias("peak"),
+    )
+    return peaks.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.max("equity").cast("long").alias("final_peak_cents"),
+        F.max(F.col("peak") - F.col("equity")).cast("long").alias(
+            "max_drawdown_cents"
+        ),
+        F.max(
+            (F.col("peak") - F.col("equity")).cast("double")
+            / F.col("peak").cast("double")
+        ).alias("max_drawdown_frac"),
+    )

@@ -21,6 +21,9 @@ import os
 import sys
 
 QUERIES = [
+    "window_max_drawdown_daily",
+    "sample_ab_srm_check",
+    "text_code_prose_gate",
     "stats_dunn_posthoc_pairs",
     "stats_kruskal_wallis_h",
     "stats_friedman_blocked_ranks",
