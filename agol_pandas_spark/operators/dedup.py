@@ -1836,6 +1836,10 @@ def hits_scaled(
     source-side nodes carry hub scores, destination-side authority
     scores (a node appearing on both sides gets both rows).
     """
+    if iterations < 1:
+        raise ValueError(
+            f"hits_scaled needs iterations >= 1, got {iterations}"
+        )
     e = _cut_lineage(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct(),
         checkpoint_dir,

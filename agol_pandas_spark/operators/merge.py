@@ -393,7 +393,16 @@ def _touched_paths(
             probe = source.select(
                 *ks, (F.col(k0).cast("long") - F.pmod(F.col(k0).cast("long"), F.lit(g)))
                 .cast("long").alias("__kc")
-            ).withColumn("__cell", (F.col("__kc") / F.lit(g)).cast("long"))
+            ).withColumn(
+                # __kc = k - pmod(k, g) is exactly divisible by g, so
+                # integer `div` (truncating) == floor here even for
+                # negatives, and stays exact for |k| >= 2^53 where the
+                # former double division `__kc / g` would round to the
+                # wrong grid cell (silently mis-classifying a dirty file
+                # as clean). Driver side uses Python `//` on the same
+                # pre-floored values — both sides now agree exactly.
+                "__cell", F.expr(f"__kc div {g}")
+            )
             touched |= {
                 r["__path"]
                 for r in probe.join(
@@ -750,13 +759,20 @@ def write_audit_publish(
 ) -> str:
     """Write-Audit-Publish: the Iceberg-pattern gated commit.
 
+    Audit predicates use **CHECK semantics** — a row is a violation
+    only when the predicate evaluates to FALSE; TRUE and NULL pass —
+    the same direction as ``write_table(checks=...)``/``enforce_checks``
+    and :func:`agol_pandas_spark.operators.views.write_audit_publish_branch`.
+    Write rules as invariants that must HOLD ("x IS NOT NULL"), never
+    as violation matchers ("x IS NULL").
+
     Unlike ``write_table(checks=...)`` — which validates the SOURCE
     batch before merging — WAP audits the POST-MERGE STATE: the merge
     result is materialized to the staging directory (phase 1 of the
     catalog's existing two-phase commit), each audit predicate is
     evaluated against the staged bytes actually about to go live (not
     the logical plan — what you audit is what you publish), and only
-    if every audit returns zero rows does the atomic rename (phase 2)
+    if every audit holds on every row does the atomic rename (phase 2)
     publish it. On violation the staged snapshot is deleted and
     ``AuditFailedError`` reports per-rule counts — the live table is
     untouched, byte-for-byte. Publish costs one rename regardless of
@@ -785,7 +801,13 @@ def write_audit_publish(
         spark = source.sparkSession
         staged_df = spark.read.parquet(staged)
         checks = [
-            F.sum(F.when(F.expr(pred), 1).otherwise(0)).alias(rule)
+            # CHECK polarity: violation iff the predicate is FALSE
+            # (NULL = unknown passes, per SQL/Delta CHECK) — identical
+            # to enforce_checks so a rule moved between the two gates
+            # keeps its meaning.
+            F.sum(
+                F.when(F.expr(pred) == False, 1).otherwise(0)  # noqa: E712
+            ).alias(rule)
             for rule, pred in sorted(audits.items())
         ]
         counts = staged_df.agg(*checks).first().asDict()

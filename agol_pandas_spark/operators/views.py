@@ -61,7 +61,7 @@ def refresh_join_view(
     }
 
 
-def write_audit_publish(
+def write_audit_publish_branch(
     catalog,
     name: str,
     source: DataFrame,
@@ -70,10 +70,20 @@ def write_audit_publish(
     key=None,
     keep_versions: int = 0,
 ) -> str:
-    """Iceberg-style Write-Audit-Publish: stage the post-merge table to
-    an audit branch, validate the ENTIRE branch contents against
-    ``audits`` (rule name → SQL predicate, CHECK semantics), and publish
-    by atomic directory swap only when every audit passes.
+    """Iceberg-style Write-Audit-Publish via a NAMED audit branch:
+    stage the post-merge table to an inspectable catalog branch table
+    (``<name>__audit``), validate the ENTIRE branch contents against
+    ``audits`` (rule name → SQL predicate, **CHECK semantics**: a row
+    violates only when the predicate is FALSE; TRUE and NULL pass —
+    the same polarity as ``write_table(checks=...)`` and
+    ``operators.merge.write_audit_publish``), and publish by atomic
+    directory swap only when every audit passes.
+
+    Renamed from ``write_audit_publish`` (ADVICE r6): two public
+    functions shared that name; this one stages as a queryable branch
+    table, ``operators.merge.write_audit_publish`` stages in the
+    commit's temp directory. Both now enforce identical CHECK
+    polarity, so a rule moved between them keeps its meaning.
 
     The difference from ``write_table(checks=...)`` is *what* is
     audited: source-side checks can only see the incoming rows, while a

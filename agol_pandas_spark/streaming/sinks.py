@@ -166,28 +166,40 @@ def stream_wap_into_catalog(
 
 
 def append_once(catalog, batch: DataFrame, name: str, key_cols: list[str]):
-    """Idempotent append: the batch is fingerprinted by exact integer
-    aggregates over ``key_cols`` (count, sum, bit-XOR — order- and
-    partition-independent), the fingerprint rides every row as a
-    ``commit_key`` column, and the append is SKIPPED when the target
-    already contains that key. Turns at-least-once delivery into
-    exactly-once TABLE STATE without a separate transaction log: the
-    commit marker is in the data itself, so the dedup check and the
-    data share one atomic snapshot — there is no window where the log
-    says committed but the data is missing (or vice versa). Returns
-    True if the batch was appended, False if it was a duplicate."""
+    """Idempotent append: the batch is fingerprinted by order- and
+    partition-independent aggregates of PER-ROW hashes over
+    ``key_cols`` — ``xxhash64(struct(key_cols))`` combined via count,
+    bit-XOR, and exact DECIMAL(38,0) sum. Hashing each full key tuple
+    first makes distinct key sets collide only at hash-collision odds
+    (raw column sums confuse {0,5} with {1,4}); the sum term keeps
+    duplicated rows from cancelling pairwise in the XOR; DECIMAL(38,0)
+    keeps the sum exact and overflow-free under ANSI arithmetic. The
+    fingerprint rides every row as a ``commit_key`` column, and the
+    append is SKIPPED when the target already contains that key. Turns
+    at-least-once delivery into exactly-once TABLE STATE without a
+    separate transaction log: the commit marker is in the data itself,
+    so the dedup check and the data share one atomic snapshot — there
+    is no window where the log says committed but the data is missing
+    (or vice versa). Returns True if the batch was appended, False if
+    it was a duplicate."""
     from pyspark.sql import functions as F
 
     from agol_pandas_spark.operators.merge import write_table
 
-    parts = []
-    for c in key_cols:
-        parts += [
-            F.count(F.col(c)).cast("string"),
-            F.sum(F.col(c)).cast("string"),
-            F.expr(f"bit_xor({c})").cast("string"),
-        ]
-    fp = batch.agg(F.concat_ws("_", *parts).alias("fp")).first().fp
+    h = F.xxhash64(F.struct(*[F.col(c) for c in key_cols]))
+    fp = (
+        batch.select(h.alias("__h"))
+        .agg(
+            F.concat_ws(
+                "_",
+                F.count("__h").cast("string"),
+                F.expr("bit_xor(__h)").cast("string"),
+                F.sum(F.col("__h").cast("decimal(38,0)")).cast("string"),
+            ).alias("fp")
+        )
+        .first()
+        .fp
+    )
     if catalog.exists(name):
         dup = (
             catalog.table(name)

@@ -937,7 +937,7 @@ def merge_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def merge_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Write-Audit-Publish (``operators/views.write_audit_publish``):
+    """Write-Audit-Publish (``operators/views.write_audit_publish_branch``):
     upserts stage to an audit branch, the audit validates the FULL
     post-merge table (not just the incoming rows), and only a passing
     branch publishes — by rename, never a second write. Two batches run:
@@ -952,7 +952,7 @@ def merge_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from agol_pandas_spark.errors import ConstraintViolationError
-    from agol_pandas_spark.operators.views import write_audit_publish
+    from agol_pandas_spark.operators.views import write_audit_publish_branch
 
     src = Catalog(spark, sf_dir)
     cust = src.table("customer")
@@ -971,7 +971,7 @@ def merge_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rejected = False
     try:
-        write_audit_publish(cat, "c", bad, audits, mode="upsert", key="c_custkey")
+        write_audit_publish_branch(cat, "c", bad, audits, mode="upsert", key="c_custkey")
     except ConstraintViolationError:
         rejected = True
     after_fail = {
@@ -984,7 +984,7 @@ def merge_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     good = cust.filter(tenth).withColumn(
         "c_acctbal", F.col("c_acctbal") + F.lit(100.0)
     )
-    write_audit_publish(cat, "c", good, audits, mode="upsert", key="c_custkey")
+    write_audit_publish_branch(cat, "c", good, audits, mode="upsert", key="c_custkey")
     out = cat.table("c").localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)
     return out
@@ -1226,7 +1226,7 @@ def merge_wap_gated_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     the audit gate sits BETWEEN the two phases of the catalog's atomic
     commit and evaluates against the staged post-merge bytes. Acted out
     both ways: a poisoned batch (NULL market segments) stages, fails
-    the ``c_mktsegment IS NULL`` audit, and is PROVEN to leave the live
+    the ``c_mktsegment IS NOT NULL`` audit (CHECK polarity), and is PROVEN to leave the live
     table byte-untouched (raised on if contents moved); the clean batch
     then publishes through the same gate. Value-checked: the published
     contents against a SQL-derived expected upsert.
@@ -1247,8 +1247,8 @@ def merge_wap_gated_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("c_mktsegment"),
     )
     audits = {
-        "null_segment": "c_mktsegment IS NULL",
-        "unpriced": "c_acctbal IS NULL",
+        "segment_present": "c_mktsegment IS NOT NULL",
+        "priced": "c_acctbal IS NOT NULL",
     }
     before = cat.table("c").agg(
         F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
@@ -1257,7 +1257,7 @@ def merge_wap_gated_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_audit_publish(cat, poisoned, "c", "upsert", "c_custkey", audits)
         raise RuntimeError("poisoned batch must fail the WAP audit")
     except AuditFailedError as ex:
-        if "null_segment" not in ex.violations:
+        if "segment_present" not in ex.violations:
             raise RuntimeError(f"wrong audit fired: {ex.violations}")
     after = cat.table("c").agg(
         F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))

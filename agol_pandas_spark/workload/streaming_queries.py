@@ -961,7 +961,7 @@ def stream_wap_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream,
         sink,
         "published",
-        audits={"null_value": "value IS NULL"},
+        audits={"value_present": "value IS NOT NULL"},
         quarantine="dead_letter",
         mode="append",
     )

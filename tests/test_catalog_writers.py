@@ -519,7 +519,7 @@ class TestStorageStats:
 
 
 class TestWriteAuditPublish:
-    """operators/views.write_audit_publish mechanism: staging isolation,
+    """operators/views.write_audit_publish_branch mechanism: staging isolation,
     crash recovery, and publish atomicity."""
 
     def _cat(self, spark, tmp_path):
@@ -529,7 +529,7 @@ class TestWriteAuditPublish:
         return cat
 
     def test_stale_audit_branch_from_crash_is_replaced(self, spark, tmp_path):
-        from agol_pandas_spark.operators.views import write_audit_publish
+        from agol_pandas_spark.operators.views import write_audit_publish_branch
 
         cat = self._cat(spark, tmp_path)
         # simulate a crash AFTER staging, BEFORE publish: a stale branch
@@ -537,7 +537,7 @@ class TestWriteAuditPublish:
         stale = spark.createDataFrame([(99, -1.0)], "k long, v double")
         cat.write(stale, "t__audit", mode="error")
         good = spark.createDataFrame([(3, 30.0)], "k long, v double")
-        write_audit_publish(cat, "t", good, {"v_pos": "v > 0"},
+        write_audit_publish_branch(cat, "t", good, {"v_pos": "v > 0"},
                             mode="upsert", key="k")
         got = sorted(tuple(r) for r in cat.table("t").collect())
         # the stale branch's garbage row must NOT leak into the publish
@@ -550,12 +550,12 @@ class TestWriteAuditPublish:
         import pytest as _pytest
 
         from agol_pandas_spark.errors import ConstraintViolationError
-        from agol_pandas_spark.operators.views import write_audit_publish
+        from agol_pandas_spark.operators.views import write_audit_publish_branch
 
         cat = self._cat(spark, tmp_path)
         bad = spark.createDataFrame([(3, -5.0)], "k long, v double")
         with _pytest.raises(ConstraintViolationError) as ei:
-            write_audit_publish(cat, "t", bad, {"v_pos": "v > 0"},
+            write_audit_publish_branch(cat, "t", bad, {"v_pos": "v > 0"},
                                 mode="upsert", key="k")
         assert ei.value.counts == {"v_pos": 1}
         assert not cat.exists("t__audit")
@@ -564,11 +564,11 @@ class TestWriteAuditPublish:
         ]
 
     def test_publish_with_versioning_enables_rollback(self, spark, tmp_path):
-        from agol_pandas_spark.operators.views import write_audit_publish
+        from agol_pandas_spark.operators.views import write_audit_publish_branch
 
         cat = self._cat(spark, tmp_path)
         good = spark.createDataFrame([(2, 99.0)], "k long, v double")
-        write_audit_publish(cat, "t", good, {"v_pos": "v > 0"},
+        write_audit_publish_branch(cat, "t", good, {"v_pos": "v > 0"},
                             mode="upsert", key="k", keep_versions=2)
         assert cat.versions("t")
         cat.restore("t", cat.versions("t")[-1])

@@ -1104,3 +1104,15 @@ def test_append_lsh_index_uses_stored_params_and_finds_cross_batch(spark, tmp_pa
         for r in probe_lsh_index(cat, "idx", batch2, "doc_id", "text").collect()
     }
     assert after == {1, 2}  # batch1 now probe-visible, no rebuild
+
+
+def test_hits_scaled_rejects_nonpositive_iterations(spark):
+    """ADVICE r6 regression: iterations < 1 used to crash with
+    AttributeError on `auth = None`; now a clear ValueError up front."""
+    import pytest as _pytest
+
+    from agol_pandas_spark.operators.dedup import hits_scaled
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with _pytest.raises(ValueError, match="iterations >= 1"):
+        hits_scaled(edges, "src", "dst", iterations=0)

@@ -395,7 +395,8 @@ class TestCheckConstraints:
 def test_write_audit_publish_gate(spark, tmp_path):
     """WAP: failing audit discards the staged snapshot (no leftover
     staging dir, live table byte-identical); passing audit publishes
-    atomically; create-path also audited."""
+    atomically; create-path also audited. Audits are CHECK polarity:
+    a row violates only when the predicate evaluates FALSE."""
     import os
 
     from agol_pandas_spark.catalog import Catalog
@@ -409,13 +410,13 @@ def test_write_audit_publish_gate(spark, tmp_path):
     # create-path audit failure: nothing may exist afterwards
     bad = base.withColumn("s", __import__("pyspark").sql.functions.lit(None).cast("string"))
     try:
-        write_audit_publish(cat, bad, "t", "append", audits={"null_s": "s IS NULL"})
+        write_audit_publish(cat, bad, "t", "append", audits={"s_present": "s IS NOT NULL"})
         raise AssertionError("audit must fail")
     except AuditFailedError as ex:
-        assert ex.violations == {"null_s": 2}
+        assert ex.violations == {"s_present": 2}
     assert not cat.exists("t")
 
-    write_audit_publish(cat, base, "t", "append", audits={"null_s": "s IS NULL"})
+    write_audit_publish(cat, base, "t", "append", audits={"s_present": "s IS NOT NULL"})
     assert cat.table("t").count() == 2
 
     # merge-path failure leaves table + directory untouched
@@ -423,7 +424,7 @@ def test_write_audit_publish_gate(spark, tmp_path):
     delta_bad = spark.createDataFrame([(2, None, 99.0)], "k long, s string, v double")
     try:
         write_audit_publish(cat, delta_bad, "t", "upsert", key="k",
-                            audits={"null_s": "s IS NULL"})
+                            audits={"s_present": "s IS NOT NULL"})
         raise AssertionError("audit must fail")
     except AuditFailedError:
         pass
@@ -434,6 +435,42 @@ def test_write_audit_publish_gate(spark, tmp_path):
     # passing merge publishes
     delta_ok = spark.createDataFrame([(2, "B", 99.0)], "k long, s string, v double")
     write_audit_publish(cat, delta_ok, "t", "upsert", key="k",
-                        audits={"null_s": "s IS NULL"})
+                        audits={"s_present": "s IS NOT NULL"})
     got = {r.k: (r.s, r.v) for r in cat.table("t").collect()}
     assert got == {1: ("a", 10.0), 2: ("B", 99.0)}
+
+
+def test_wap_audit_polarity_is_check_semantics(spark, tmp_path):
+    """ADVICE r6 regression: both write_audit_publish (merge) and
+    write_audit_publish_branch (views) treat predicate-FALSE as the
+    violation and let NULL (unknown) pass — a rule moved between the
+    two gates keeps its meaning."""
+    from agol_pandas_spark.catalog import Catalog
+    from agol_pandas_spark.errors import AuditFailedError, ConstraintViolationError
+    from agol_pandas_spark.operators.merge import write_audit_publish
+    from agol_pandas_spark.operators.views import write_audit_publish_branch
+
+    rule = {"v_pos": "v > 0"}
+    ok_with_null = spark.createDataFrame(
+        [(1, 10.0), (2, None)], "k long, v double"
+    )
+    bad = spark.createDataFrame([(3, -1.0)], "k long, v double")
+
+    cat = Catalog(spark, str(tmp_path / "m"))
+    write_audit_publish(cat, ok_with_null, "t", "append", audits=rule)  # NULL passes
+    assert cat.table("t").count() == 2
+    try:
+        write_audit_publish(cat, bad, "t", "upsert", key="k", audits=rule)
+        raise AssertionError("FALSE row must violate")
+    except AuditFailedError as ex:
+        assert ex.violations == {"v_pos": 1}
+
+    cat2 = Catalog(spark, str(tmp_path / "v"))
+    cat2.write(spark.createDataFrame([(0, 5.0)], "k long, v double"), "t", mode="error")
+    write_audit_publish_branch(cat2, "t", ok_with_null, rule, mode="upsert", key="k")
+    assert cat2.table("t").count() == 3  # NULL passed here too
+    try:
+        write_audit_publish_branch(cat2, "t", bad, rule, mode="upsert", key="k")
+        raise AssertionError("FALSE row must violate")
+    except ConstraintViolationError as ex:
+        assert ex.counts == {"v_pos": 1}

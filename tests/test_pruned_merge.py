@@ -341,3 +341,25 @@ def test_touched_paths_grid_matches_bruteforce(spark):
     assert brute - got == set()
     # with this span set, e is a genuine match anyway, so sets are equal
     assert got == brute
+
+
+def test_grid_probe_exact_for_keys_beyond_double_precision(spark, tmp_path):
+    """ADVICE r6 regression: the grid-cell probe used double division,
+    which rounds keys >= 2^53 (snowflake-style 64-bit ids) into the
+    wrong cell — a file containing a matching key was judged clean and
+    carried by reference, silently duplicating the key on upsert. With
+    exact integer `div` the dirty file must be rewritten."""
+    ka = (1 << 62) + 1          # deliberately NOT a multiple of 512 (double ulp at 2^62)
+    kb = (1 << 62) + 1_000_001
+    cat = Catalog(spark, str(tmp_path))
+    base = spark.createDataFrame([(ka, "a"), (kb, "b")], "k long, s string")
+    cat.write(base.repartitionByRange(2, "k").sortWithinPartitions("k"), "t", mode="error")
+    assert len(cat.data_files("t")) == 2
+
+    delta = spark.createDataFrame([(ka, "UPDATED")], "k long, s string")
+    stats = merge_pruned(cat, delta, "t", "upsert", "k")
+    got = sorted((r.k, r.s) for r in cat.table("t").collect())
+    assert got == [(ka, "UPDATED"), (kb, "b")], got  # pre-fix: duplicate ka rows
+    if stats["pruned"]:
+        assert stats["files_rewritten"] >= 1
+        assert stats["files_carried"] == 1

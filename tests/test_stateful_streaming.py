@@ -332,3 +332,24 @@ def test_append_once_fingerprint_dedup(spark, tmp_path):
     b2 = spark.createDataFrame([(9, "z")], "k long, s string")
     assert append_once(cat, b2, "t", ["k"]) is True
     assert cat.table("t").count() == 4
+
+
+def test_append_once_fingerprint_collision_resistant(spark, tmp_path):
+    """ADVICE r6 regression: raw-column aggregates confused key sets
+    with equal count/sum/xor ({0,5} vs {1,4}) and XOR-cancelled
+    duplicated rows ({7,7} vs {8,8}) — both pairs must append as
+    DISTINCT batches under the per-row-hash fingerprint."""
+    from agol_pandas_spark.catalog import Catalog
+    from agol_pandas_spark.streaming.sinks import append_once
+
+    cat = Catalog(spark, str(tmp_path / "fp"))
+    mk = lambda ks: spark.createDataFrame([(k, "x") for k in ks], "k long, s string")
+    assert append_once(cat, mk([0, 5]), "t", ["k"]) is True
+    assert append_once(cat, mk([1, 4]), "t", ["k"]) is True  # was skipped pre-fix
+    assert cat.table("t").count() == 4
+    assert append_once(cat, mk([7, 7]), "u", ["k"]) is True
+    assert append_once(cat, mk([8, 8]), "u", ["k"]) is True  # xor cancels, sum differs
+    assert cat.table("u").count() == 4
+    # true redelivery still deduplicates
+    assert append_once(cat, mk([1, 4]).repartition(3), "t", ["k"]) is False
+    assert cat.table("t").count() == 4
