@@ -80,16 +80,28 @@ def create_table(
     table_name: str,
     df: DataFrame,
     key_field_name: str | None = None,
+    item_properties: dict | None = None,
     **_compat: Any,
 ) -> tuple[str, bool]:
     """Reference ``create_table`` (``src/agol_pandas.py:477-544``): create
     a new named table from a DataFrame (errors if it exists), enforcing
     key uniqueness when a key is given (fixing ``:527-529`` where the
-    constraint result was ignored)."""
+    constraint result was ignored).
+
+    The key declaration and ``item_properties`` PERSIST in the
+    catalog's properties sidecar — the reference records both
+    server-side once (key index ``:253-312``, item_properties
+    ``:477,519``); later keyed writes default their ``key=`` from the
+    declaration, and ``Catalog.properties`` reads the metadata back."""
     try:
         if key_field_name is not None:
             validate_unique_key(df, key_field_name, "source")
         path = catalog.write(df, table_name, mode="error")
+        props = dict(item_properties or {})
+        props.setdefault("title", table_name)  # reference :517
+        catalog.set_properties(table_name, props)
+        if key_field_name is not None:
+            catalog.set_declared_key(table_name, key_field_name)
         return path, True
     except Exception as e:
         return str(e), False
@@ -101,19 +113,30 @@ def create_hosted_table_from_dataframe(
     service_name: str | None = None,
     table_name: str | None = None,
     key_field_name: str | None = None,
+    item_properties: dict | None = None,
     **_compat: Any,
 ) -> tuple[list[dict] | str, bool]:
     """Reference ``create_hosted_table_from_dataframe``
     (``src/agol_pandas.py:546-680``): create-or-merge by name. Mode
     selection mirrors ``:600-604``: upsert when a key is given, append
     otherwise. Fixes the ``:581`` validation bug (reference raised when
-    an id WAS supplied)."""
+    an id WAS supplied). On the CREATE path the key declaration and
+    ``item_properties`` persist in the properties sidecar (reference
+    ``:643,662`` passes them to publish); the merge path — like the
+    reference — leaves existing metadata untouched."""
     try:
         name = service_name or table_name
         if not name:
             raise ValueError("either service_name or table_name is required")
+        created = not catalog.exists(name)
         mode = WriteMode.UPSERT if key_field_name else WriteMode.APPEND
         write_table(catalog, df, name, mode=mode, key=key_field_name)
+        if created:
+            props = dict(item_properties or {})
+            props.setdefault("title", name)
+            catalog.set_properties(name, props)
+            if key_field_name is not None:
+                catalog.set_declared_key(name, key_field_name)
         status = write_status(catalog.table(name), key_field_name)
         return [r.asDict() for r in status.collect()], True
     except Exception as e:
@@ -150,10 +173,14 @@ def set_unique_key_constraint(
     catalog: Catalog, table_name: str, key_field_name: str
 ) -> tuple[bool, bool]:
     """Reference ``set_unique_key_constraint`` (``src/agol_pandas.py:253-312``).
-    Spark has no index DDL; the engine's contract is validate-on-write, so
-    this checks the existing table and records nothing."""
+    Spark has no index DDL; the engine validates the existing table,
+    then RECORDS the declaration in the catalog's properties sidecar —
+    the analogue of the reference's one-time server-side unique index:
+    declared once, every later keyed write defaults its ``key=`` from
+    it and validates against it."""
     try:
         validate_unique_key(catalog.table(table_name), key_field_name, "target")
+        catalog.set_declared_key(table_name, key_field_name)
         return True, True
     except Exception as e:
         return str(e), False  # type: ignore[return-value]

@@ -20,6 +20,7 @@ never a single file, so the same code addresses both.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
@@ -922,6 +923,76 @@ class Catalog:
         shutil.rmtree(self._tombstone_path(name), ignore_errors=True)
         return path
 
+    def _properties_path(self, name: str) -> str:
+        return os.path.join(
+            self.root, ".properties",
+            normalize_service_name(name) + ".json",
+        )
+
+    def set_properties(
+        self, name: str, props: dict, replace: bool = False
+    ) -> dict:
+        """Persist per-table metadata in a JSON SIDECAR (same pattern as
+        the tags/tombstone sidecars) — the engine's stand-in for the
+        reference's server-held ``item_properties`` (recorded once at
+        publish, ``src/agol_pandas.py:477,519``) and its server-side
+        unique-key index (``:253-312``). Declared once, the metadata
+        outlives every data rewrite: the sidecar lives beside the data
+        directory, so overwrite / merge / compaction / restore never
+        touch it, and :meth:`drop` removes it with the table.
+
+        ``props`` MERGES into the stored properties (``replace=True``
+        starts fresh); a key mapped to ``None`` is deleted. The write is
+        atomic (temp file + rename) like every other commit here.
+        Returns the stored properties after the update.
+        """
+        if not self.exists(name):
+            raise TableNotFoundError(f"no table {name!r} under {self.root}")
+        merged = {} if replace else self.properties(name)
+        for k, v in props.items():
+            if v is None:
+                merged.pop(k, None)
+            else:
+                merged[k] = v
+        p = self._properties_path(name)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        staged = f"{p}.__tmp_{uuid.uuid4().hex}"
+        with open(staged, "w") as f:
+            json.dump(merged, f, indent=1, sort_keys=True)
+        os.replace(staged, p)
+        return merged
+
+    def properties(self, name: str) -> dict:
+        """The table's stored properties (empty dict if none declared)."""
+        p = self._properties_path(name)
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
+    def set_declared_key(self, name: str, key) -> list[str]:
+        """Record the table's unique-key declaration (the reference's
+        one-time ``addToDefinition`` unique index, ``src/agol_pandas.py:
+        253-312``). Stored under the ``unique_key`` property; keyed
+        writes (``write_table`` / ``merge_pruned``) default their
+        ``key=`` from it, so callers declare once and merge forever."""
+        ks = [key] if isinstance(key, str) else list(key)
+        if not ks:
+            raise ValueError("declared key needs at least one column")
+        cols = set(self.table(name).columns)
+        missing = [k for k in ks if k not in cols]
+        if missing:
+            raise ValueError(
+                f"declared key column(s) {missing} not in table {name!r}"
+            )
+        self.set_properties(name, {"unique_key": ks})
+        return ks
+
+    def declared_key(self, name: str) -> list[str] | None:
+        """The stored unique-key declaration, or None."""
+        ks = self.properties(name).get("unique_key")
+        return list(ks) if ks else None
+
     def drop(self, name: str) -> None:
         p = self.path(name)
         if os.path.exists(p):
@@ -932,6 +1003,8 @@ class Catalog:
             ignore_errors=True,
         )
         shutil.rmtree(self._tombstone_path(name), ignore_errors=True)
+        if os.path.exists(self._properties_path(name)):
+            os.remove(self._properties_path(name))
         self._ns_cols.pop(p, None)
 
     def _branch_name(self, name: str, branch: str) -> str:

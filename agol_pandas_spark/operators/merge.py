@@ -281,8 +281,17 @@ def write_table(
     contain a source key and carries every other file into the new
     snapshot by reference. Same result, same atomic commit; at 100 TB an
     upsert touching 0.1% of keys stops paying a full-table rewrite.
+
+    When ``key`` is omitted for a keyed mode, it defaults from the
+    table's DECLARED key (``Catalog.set_declared_key`` /
+    ``create_table(key_field_name=...)``) — the reference records its
+    unique-key index once server-side (``src/agol_pandas.py:253-312``)
+    and every later write relies on it; an explicit ``key=`` still
+    wins per call.
     """
     m = WriteMode.parse(mode) if isinstance(mode, str) else mode
+    if key is None and m in KEYED_MODES:
+        key = getattr(catalog, "declared_key", lambda _n: None)(name)
     if checks:
         from agol_pandas_spark.operators.constraints import enforce_checks
 
@@ -471,8 +480,13 @@ def merge_pruned(
 
     Returns ``{"path", "pruned", "files_total", "files_rewritten",
     "files_carried"}``.
+
+    ``key=None`` for a keyed mode defaults from the table's declared
+    key (``Catalog.set_declared_key``), same as :func:`write_table`.
     """
     m = WriteMode.parse(mode) if isinstance(mode, str) else mode
+    if key is None and m in KEYED_MODES:
+        key = getattr(catalog, "declared_key", lambda _n: None)(name)
     if source.isEmpty():
         raise EmptyInputError("source DataFrame is empty")
 

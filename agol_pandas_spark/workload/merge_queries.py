@@ -1429,3 +1429,82 @@ def merge_occ_conflict_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "meta_declared_key_upsert",
+    tags=("catalog", "metadata", "merge"),
+    oracle="""
+    WITH delta AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             c_acctbal + 250.0 AS c_acctbal,
+             'DECLARED' AS c_mktsegment
+      FROM customer WHERE c_custkey % 7 = 2)
+    SELECT COALESCE(d.c_mktsegment, c.c_mktsegment) AS c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(
+             COALESCE(d.c_acctbal, c.c_acctbal) * 100) AS BIGINT))
+             AS BIGINT) AS balance_scaled,
+           'c_custkey' AS declared_key,
+           'Customer Master' AS table_title
+    FROM customer c LEFT JOIN delta d USING (c_custkey)
+    GROUP BY 1
+    """,
+)
+def meta_declared_key_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistent table metadata (VERDICT r6 item 1): the unique key and
+    ``item_properties`` are DECLARED ONCE at create
+    (``api.create_table`` → catalog properties sidecar, the engine's
+    analogue of the reference's server-side key index
+    ``src/agol_pandas.py:253-312`` and publish-time item_properties
+    ``:477,519``) and the upsert then runs with NO ``key=`` argument —
+    ``write_table`` defaults it from the stored declaration. The output
+    carries the read-back declaration and title as literal columns, so
+    the value hash proves the metadata round-tripped AND keyed the
+    merge."""
+    from agol_pandas_spark.api import create_table
+
+    root = tempfile.mkdtemp(prefix="meta_key_")
+    cat = Catalog(spark, root)
+    cust = Catalog(spark, sf_dir).table("customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    path, ok = create_table(
+        cat, "c", cust, key_field_name="c_custkey",
+        item_properties={"title": "Customer Master", "owner": "data-eng"},
+    )
+    if not ok:
+        raise RuntimeError(f"create_table failed: {path}")
+
+    delta = cust.filter(F.col("c_custkey") % 7 == 2).select(
+        "c_custkey", "c_name", "c_nationkey",
+        (F.col("c_acctbal") + 250.0).alias("c_acctbal"),
+        F.lit("DECLARED").alias("c_mktsegment"),
+    )
+    from agol_pandas_spark.operators.merge import write_table
+
+    write_table(cat, delta, "c", mode="upsert")  # key comes from the sidecar
+
+    props = cat.properties("c")
+    declared = cat.declared_key("c")
+    if declared != ["c_custkey"] or props.get("owner") != "data-eng":
+        raise RuntimeError(f"metadata did not round-trip: {declared} {props}")
+
+    out = (
+        cat.table("c")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+            .cast("long")
+            .alias("balance_scaled"),
+        )
+        .select(
+            "c_mktsegment", "n", "balance_scaled",
+            F.lit(",".join(declared)).alias("declared_key"),
+            F.lit(props["title"]).alias("table_title"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
