@@ -52,6 +52,14 @@ class LshIndexParamError(EngineError):
     instead."""
 
 
+class VectorIndexParamError(EngineError):
+    """A probe/append against a persisted vector index (IVF-PQ) used
+    layout parameters (m_subspaces/k_codes) incompatible with the ones
+    the index was built with. A mismatched probe mis-indexes the
+    flattened ADC lookup table and silently returns garbage ranks —
+    fail fast instead."""
+
+
 class ConvergenceError(EngineError):
     """An iterative fixpoint algorithm (e.g. star-contraction connected
     components) exhausted its round budget before converging; the partial

@@ -1290,6 +1290,237 @@ def ivf_pq_topk(
     )
 
 
+def _ivfpq_meta_name(name: str) -> str:
+    return f"{name}__ivfpq_meta"
+
+
+def _ivfpq_pivots_name(name: str) -> str:
+    return f"{name}__ivfpq_pivots"
+
+
+def _ivfpq_codebook_name(name: str) -> str:
+    return f"{name}__ivfpq_codebook"
+
+
+def write_ivfpq_index(
+    catalog,
+    name: str,
+    corpus: DataFrame,
+    pivots: DataFrame,
+    codebook: DataFrame,
+    corpus_id: str,
+    pivot_id: str,
+    vec: str = "embedding",
+    m_subspaces: int = 4,
+    k_codes: int = 8,
+) -> str:
+    """Persist an IVF-PQ index as catalog tables (VERDICT r6 item 2):
+    build ONCE, probe many — the lifecycle :func:`ivf_pq_topk` lacks
+    (it re-assigns and re-encodes the corpus per query batch, fine for
+    a benchmark, wrong at 100 TB where encoding IS the expensive
+    stage). Mirrors the persisted LSH index
+    (``operators/dedup.write_lsh_index``):
+
+    - ``<name>``: the encoded corpus ``(corpus_id, cell, codes)`` —
+      M bytes + a cell id per vector, ~dim·4/M× smaller than the raw
+      vectors; the only table a probe scans.
+    - ``<name>__ivfpq_pivots`` / ``__ivfpq_codebook``: the model state
+      (broadcast-sized by construction) a probe needs to route queries.
+    - ``<name>__ivfpq_meta``: one row of layout parameters + column
+      names, written driver-side with pyarrow (three ints and three
+      strings do not justify a Spark job). Probes/appends resolve their
+      parameters from it and REFUSE contradictions
+      (:class:`~agol_pandas_spark.errors.VectorIndexParamError`) — the
+      same stored-params-or-raise discipline as
+      ``dedup._resolve_lsh_params``, because a layout drift silently
+      mis-indexes the flattened ADC LUT.
+
+    Assignment + encoding fuse into one Arrow map pass over the corpus
+    scan (zero corpus-side joins/shuffles), exactly as in
+    :func:`ivf_pq_topk`.
+    """
+    import os
+    import shutil
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    C, k_found = _collect_codebook(codebook, m_subspaces)
+    if k_found != k_codes:
+        raise ValueError(
+            f"pq codebook has {k_found} codes per subspace, caller assumed "
+            f"{k_codes} — the flattened LUT would be mis-indexed"
+        )
+    assigned = assign_to_pivots(
+        corpus.select(F.col(corpus_id), F.col(vec)),
+        pivots, corpus_id, pivot_id, vec, vec,
+    )
+    coded = _pq_encode_from_matrix(
+        assigned, C, corpus_id, vec, keep_cols=("cell",)
+    )
+    path = catalog.write(coded, name, mode="overwrite")
+    catalog.write(
+        pivots.select(F.col(pivot_id), F.col(vec)),
+        _ivfpq_pivots_name(name), mode="overwrite",
+    )
+    catalog.write(
+        codebook.select("m", "code", "cent"),
+        _ivfpq_codebook_name(name), mode="overwrite",
+    )
+    meta_path = catalog.path(_ivfpq_meta_name(name))
+    os.makedirs(catalog.root, exist_ok=True)
+    tmp = f"{meta_path}.__tmp_{uuid.uuid4().hex}"
+    papq.write_table(
+        pa.table(
+            {
+                "m_subspaces": pa.array([m_subspaces], pa.int32()),
+                "k_codes": pa.array([k_codes], pa.int32()),
+                "corpus_id": pa.array([corpus_id], pa.string()),
+                "pivot_id": pa.array([pivot_id], pa.string()),
+                "vec": pa.array([vec], pa.string()),
+            }
+        ),
+        tmp,
+    )
+    if os.path.isdir(meta_path):
+        shutil.rmtree(meta_path)
+    os.replace(tmp, meta_path)
+    return path
+
+
+def _resolve_ivfpq_params(
+    catalog,
+    name: str,
+    m_subspaces: int | None,
+    k_codes: int | None,
+) -> dict:
+    """Stored index parameters win when the caller passed None; explicit
+    values that contradict the stored ones raise
+    :class:`VectorIndexParamError` (a mismatched probe mis-indexes the
+    ADC LUT — silent garbage, never an exception downstream)."""
+    from agol_pandas_spark.errors import (
+        TableNotFoundError,
+        VectorIndexParamError,
+    )
+
+    if not catalog.exists(_ivfpq_meta_name(name)):
+        raise TableNotFoundError(
+            f"no IVF-PQ index meta for {name!r} under {catalog.root} — "
+            "build it with write_ivfpq_index"
+        )
+    import pyarrow.parquet as papq
+
+    row = papq.read_table(catalog.path(_ivfpq_meta_name(name))).to_pylist()[0]
+    for key, want in (("m_subspaces", m_subspaces), ("k_codes", k_codes)):
+        if want is not None and want != row[key]:
+            raise VectorIndexParamError(
+                f"IVF-PQ index {name!r} was built with {key}={row[key]}, "
+                f"but the caller asked for {key}={want}; a mismatched "
+                "layout silently mis-indexes the ADC LUT. Use the stored "
+                "parameters (or rebuild the index)."
+            )
+    return row
+
+
+def probe_ivfpq_index(
+    catalog,
+    name: str,
+    queries: DataFrame,
+    query_id: str,
+    query_vec: str = "embedding",
+    k: int = 10,
+    nprobe: int = 3,
+    m_subspaces: int | None = None,
+    k_codes: int | None = None,
+) -> DataFrame:
+    """ADC top-k of ``queries`` against a PERSISTED IVF-PQ index —
+    touching no corpus vectors: the probe scans only the encoded
+    ``(corpus_id, cell, codes)`` table (plan-pinned in
+    tests/test_plans.py), routes each query to its ``nprobe`` nearest
+    stored pivots, and scores codes through the flattened per-query
+    LUT exactly as :func:`ivf_pq_topk` — identical results to the
+    build-and-query path by construction, minus the build cost.
+
+    Layout parameters default from the index meta; contradictions
+    raise :class:`VectorIndexParamError`.
+    """
+    meta = _resolve_ivfpq_params(catalog, name, m_subspaces, k_codes)
+    m_sub, kc = meta["m_subspaces"], meta["k_codes"]
+    corpus_id, pivot_id, vec = meta["corpus_id"], meta["pivot_id"], meta["vec"]
+    coded = catalog.table(name)
+    pivots = catalog.table(_ivfpq_pivots_name(name))
+    codebook = catalog.table(_ivfpq_codebook_name(name))
+    q_cells = assign_to_pivots(
+        queries.select(F.col(query_id), F.col(query_vec)),
+        pivots, query_id, pivot_id, query_vec, vec, n_cells=nprobe,
+    ).select(F.col(query_id), "cell")
+    lut = _pq_lut(
+        queries.select(F.col(query_id), F.col(query_vec)),
+        codebook, query_id, query_vec, m_sub,
+    )
+    probes = q_cells.join(lut, query_id)
+    scored = F.broadcast(probes).join(coded, on="cell").select(
+        F.col(query_id),
+        F.col(corpus_id),
+        F.aggregate(
+            F.zip_with(
+                F.sequence(F.lit(0), F.lit(m_sub - 1)),
+                F.col("codes"),
+                lambda m, c: F.element_at(F.col("__lut"), m * kc + c + 1),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("__s"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("__s").desc(), F.col(corpus_id))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            query_id,
+            corpus_id,
+            (F.col("__s").cast("double") / F.lit(float(VSCALE))).alias("adc_score"),
+            "rnk",
+        )
+    )
+
+
+def append_ivfpq_index(
+    catalog,
+    name: str,
+    batch: DataFrame,
+) -> str:
+    """Append a batch of new vectors to a persisted IVF-PQ index — the
+    O(batch) maintenance half (mirror of ``dedup.append_lsh_index``):
+    the batch is assigned and PQ-encoded with the index's OWN stored
+    pivots/codebook/layout (no way to pass different ones — drift would
+    corrupt every later probe) and appended through the ordinary merge
+    path (keyed INSERT: only NEW ids land, already-indexed ids pass
+    through untouched, so re-sending a batch cannot double-index it;
+    the batch itself must be id-unique — ``DuplicateKeyError``
+    otherwise). The corpus is never re-encoded.
+    """
+    from agol_pandas_spark.operators.merge import WriteMode, write_table
+
+    meta = _resolve_ivfpq_params(catalog, name, None, None)
+    m_sub = meta["m_subspaces"]
+    corpus_id, vec, pivot_id = meta["corpus_id"], meta["vec"], meta["pivot_id"]
+    pivots = catalog.table(_ivfpq_pivots_name(name))
+    codebook = catalog.table(_ivfpq_codebook_name(name))
+    C, _ = _collect_codebook(codebook, m_sub)
+    assigned = assign_to_pivots(
+        batch.select(F.col(corpus_id), F.col(vec)),
+        pivots, corpus_id, pivot_id, vec, vec,
+    )
+    coded = _pq_encode_from_matrix(
+        assigned, C, corpus_id, vec, keep_cols=("cell",)
+    )
+    return write_table(
+        catalog, coded, name, mode=WriteMode.INSERT, key=corpus_id
+    )
+
+
 def cosine_exact_arrow() -> "callable":
     """Pair-scoring twin of :func:`cosine_exact` as an Arrow kernel:
     scaled-integer dot + exact norms + the same final float divisions,

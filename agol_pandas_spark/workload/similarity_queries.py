@@ -624,18 +624,17 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sim_ivfpq_topk",
-    headline=True,
-    tags=("similarity", "ann", "ivf", "pq"),
-    oracle=_sql_pair_cosine(
-        """
+# One oracle for BOTH the build-and-query path (sim_ivfpq_topk) and the
+# persisted-index probe (sim_ivfpq_index_probe): a probe over an index
+# built from the same corpus/pivots/codebook MUST return bit-identical
+# scores and ranks — that identity is exactly what sharing the SQL checks.
+_IVFPQ_ADC_ORACLE = _sql_pair_cosine(
+    """
     pairs AS (
       SELECT c.vec_id AS qid, c.embedding AS qv, p.vec_id AS cid, p.embedding AS cv
       FROM embeddings c JOIN embeddings p ON p.vec_id % 100 = 0)
     """
-    )
-    + """
+) + """
     , assigned AS (
       SELECT qid AS vec_id, cid AS cell,
              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rn
@@ -684,7 +683,14 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     ORDER BY s DESC, cid) AS rnk
           FROM scores)
     WHERE rnk <= 10
-    """,
+    """
+
+
+@register(
+    "sim_ivfpq_topk",
+    headline=True,
+    tags=("similarity", "ann", "ivf", "pq"),
+    oracle=_IVFPQ_ADC_ORACLE,
 )
 def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full IVF-PQ ANN (``operators/similarity.py:ivf_pq_topk``): queries
@@ -707,6 +713,52 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_id="query_id", corpus_id="vec_id", pivot_id="pivot_id",
         k=10, nprobe=3,
     )
+
+
+@register(
+    "sim_ivfpq_index_probe",
+    tags=("similarity", "ann", "ivf", "pq", "index"),
+    oracle=_IVFPQ_ADC_ORACLE,
+)
+def sim_ivfpq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVF-PQ index lifecycle (VERDICT r6 item 2,
+    ``operators/similarity.write_ivfpq_index``/``probe_ivfpq_index``):
+    the corpus is assigned + PQ-encoded ONCE into catalog tables
+    (codes + pivots + codebook + a one-row layout meta), then the
+    probe routes 5 queries through the STORED model state and scores
+    only the encoded ``(vec_id, cell, codes)`` table — no corpus
+    vector is ever read on the probe path (plan-pinned in
+    tests/test_plans.py). Shares its oracle with ``sim_ivfpq_topk``:
+    build-once/probe-many must be bit-identical to build-and-query.
+    """
+    import shutil
+    import tempfile
+
+    from agol_pandas_spark.operators.similarity import (
+        probe_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    pivots = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("pivot_id"), "embedding"
+    )
+    cb = similarity.pq_codebook_from_seeds(emb, "vec_id")
+    root = tempfile.mkdtemp(prefix="ivfpq_idx_")
+    cat = Catalog(spark, root)
+    write_ivfpq_index(
+        cat, "emb_idx", emb, pivots, cb,
+        corpus_id="vec_id", pivot_id="pivot_id",
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = probe_ivfpq_index(
+        cat, "emb_idx", queries, query_id="query_id", k=10, nprobe=3
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
 
 
 @register(

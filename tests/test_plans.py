@@ -529,3 +529,39 @@ def test_q07_star_no_cartesian(q):
     plan = formatted_plan(q("join_q07_nation_volume"))
     assert plan.count("BroadcastHashJoin") >= 6  # tree + details, >=3 dims
     assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_index_probe_reads_no_corpus_vectors(q, spark, sf_dir, tmp_path):
+    """The persisted-index probe must score from CODES alone: the scan of
+    the encoded index table reads exactly (vec_id, cell, codes) — an
+    'embedding' column there means the probe regressed into re-reading
+    corpus vectors (the build-once/probe-many contract, VERDICT r6
+    item 2). Query routing stays an equi-join on cell."""
+    from pyspark.sql import functions as F
+
+    from agol_pandas_spark.catalog import Catalog
+    from agol_pandas_spark.operators.similarity import (
+        pq_codebook_from_seeds,
+        probe_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    pivots = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("pivot_id"), "embedding"
+    )
+    cat = Catalog(spark, str(tmp_path / "vidx"))
+    write_ivfpq_index(cat, "idx", emb, pivots,
+                      pq_codebook_from_seeds(emb, "vec_id"),
+                      corpus_id="vec_id", pivot_id="pivot_id")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    probe = probe_ivfpq_index(cat, "idx", queries, query_id="query_id")
+    scans = read_schema_columns(probe)
+    coded_scans = [s for s in scans if "codes" in s]
+    assert coded_scans, scans
+    for s in coded_scans:
+        assert set(s) == {"vec_id", "cell", "codes"}, s
+    plan = formatted_plan(probe)
+    assert "CartesianProduct" not in plan

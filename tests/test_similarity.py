@@ -631,3 +631,117 @@ def test_rrf_fusion_semantics(spark):
         for r in rrf_fusion(a2, b2, "q", "id", "ra", "rb").collect()
     ]
     assert sorted(got2) == [(19, 1), (20, 2)]
+
+
+class TestIvfPqIndexLifecycle:
+    """Persisted IVF-PQ index (VERDICT r6 item 2): build once, probe
+    many, append O(batch); stored-params-or-raise like the LSH index."""
+
+    def _parts(self, spark, sf_dir):
+        from agol_pandas_spark.catalog import Catalog
+        from agol_pandas_spark.operators.similarity import (
+            pq_codebook_from_seeds,
+        )
+
+        emb = Catalog(spark, sf_dir).table("embeddings")
+        pivots = emb.filter(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("pivot_id"), "embedding"
+        )
+        cb = pq_codebook_from_seeds(emb, "vec_id")
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return emb, pivots, cb, queries
+
+    def test_probe_matches_build_and_query(self, spark, sf_dir, tmp_path):
+        from agol_pandas_spark.catalog import Catalog
+        from agol_pandas_spark.operators.similarity import (
+            ivf_pq_topk,
+            probe_ivfpq_index,
+            write_ivfpq_index,
+        )
+
+        emb, pivots, cb, queries = self._parts(spark, sf_dir)
+        cat = Catalog(spark, str(tmp_path))
+        write_ivfpq_index(cat, "idx", emb, pivots, cb,
+                          corpus_id="vec_id", pivot_id="pivot_id")
+        got = sorted(
+            tuple(r) for r in probe_ivfpq_index(
+                cat, "idx", queries, query_id="query_id", k=10, nprobe=3
+            ).collect()
+        )
+        want = sorted(
+            tuple(r) for r in ivf_pq_topk(
+                queries, emb, pivots, cb,
+                query_id="query_id", corpus_id="vec_id",
+                pivot_id="pivot_id", k=10, nprobe=3,
+            ).collect()
+        )
+        assert got == want  # bit-identical scores AND ranks
+
+    def test_append_is_incremental_and_idempotent(self, spark, sf_dir, tmp_path):
+        from agol_pandas_spark.catalog import Catalog
+        from agol_pandas_spark.operators.similarity import (
+            append_ivfpq_index,
+            probe_ivfpq_index,
+            write_ivfpq_index,
+        )
+
+        emb, pivots, cb, queries = self._parts(spark, sf_dir)
+        old = emb.filter(F.col("vec_id") % 10 != 7)
+        late = emb.filter(F.col("vec_id") % 10 == 7)
+        cat = Catalog(spark, str(tmp_path))
+        write_ivfpq_index(cat, "idx", old, pivots, cb,
+                          corpus_id="vec_id", pivot_id="pivot_id")
+        n_old = cat.table("idx").count()
+        before = {
+            r.vec_id
+            for r in probe_ivfpq_index(
+                cat, "idx", queries, query_id="query_id", k=50
+            ).collect()
+        }
+        assert not any(v % 10 == 7 for v in before)
+        append_ivfpq_index(cat, "idx", late)
+        assert cat.table("idx").count() == n_old + late.count()
+        after = {
+            r.vec_id
+            for r in probe_ivfpq_index(
+                cat, "idx", queries, query_id="query_id", k=50
+            ).collect()
+        }
+        assert any(v % 10 == 7 for v in after)
+        # re-sending the batch cannot double-index (keyed INSERT)
+        append_ivfpq_index(cat, "idx", late)
+        assert cat.table("idx").count() == n_old + late.count()
+
+    def test_param_mismatch_and_missing_meta_raise(self, spark, sf_dir, tmp_path):
+        import pytest as _pytest
+
+        from agol_pandas_spark.catalog import Catalog
+        from agol_pandas_spark.errors import (
+            TableNotFoundError,
+            VectorIndexParamError,
+        )
+        from agol_pandas_spark.operators.similarity import (
+            probe_ivfpq_index,
+            write_ivfpq_index,
+        )
+
+        emb, pivots, cb, queries = self._parts(spark, sf_dir)
+        cat = Catalog(spark, str(tmp_path))
+        with _pytest.raises(TableNotFoundError, match="write_ivfpq_index"):
+            probe_ivfpq_index(cat, "ghost", queries, query_id="query_id")
+        write_ivfpq_index(cat, "idx", emb, pivots, cb,
+                          corpus_id="vec_id", pivot_id="pivot_id",
+                          m_subspaces=4, k_codes=8)
+        with _pytest.raises(VectorIndexParamError, match="m_subspaces=4"):
+            probe_ivfpq_index(cat, "idx", queries, query_id="query_id",
+                              m_subspaces=8)
+        with _pytest.raises(VectorIndexParamError, match="k_codes=8"):
+            probe_ivfpq_index(cat, "idx", queries, query_id="query_id",
+                              k_codes=16)
+        # matching explicit params are fine
+        assert probe_ivfpq_index(
+            cat, "idx", queries, query_id="query_id",
+            m_subspaces=4, k_codes=8,
+        ).count() > 0
