@@ -713,3 +713,98 @@ class TestCsvQuarantine:
         raw = read_csv_quarantine(spark, str(p), schema).cache()
         assert raw.filter(F.col("_corrupt_record").isNotNull()).count() == 0
         raw.unpersist()
+
+
+def test_limit_pushdown_bounds_pages_fetched(spark, sf_dir, tmp_path):
+    """VERDICT r6 item 4: read_paged(limit=N) must fetch at most
+    ceil(N/page_size) pages with the final page TRIMMED to the
+    remainder — a limit(10) used to pull every page of the service."""
+    import json
+    import math
+    import os
+
+    log = str(tmp_path / "wire")
+    os.makedirs(log)
+    client = ParquetPagedClient(f"{sf_dir}/orders.parquet", log_dir=log)
+    df = read_paged(spark, client, page_size=100, policy=FAST_RETRY, limit=250)
+    rows = df.collect()
+    assert len(rows) == 250
+    # first 250 service rows, service order = file order
+    direct = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(250)
+    assert sorted(r["o_orderkey"] for r in rows) == sorted(
+        r["o_orderkey"] for r in direct.collect()
+    )
+    fetches = [json.load(open(os.path.join(log, f))) for f in os.listdir(log)]
+    assert len(fetches) == math.ceil(250 / 100) == 3
+    assert sum(x["n_rows"] for x in fetches) == 250
+    assert sorted(x["limit"] for x in fetches) == [50, 100, 100]  # trimmed tail
+    assert df.rdd.getNumPartitions() == 3
+
+
+def test_limit_pushdown_degraded_unknown_total(spark):
+    """With total_count unknown (sequential fallback) the pushed limit
+    still stops paging: the reader never issues the fetch after the one
+    that satisfies the limit, and trims the final request."""
+    rows = _rows(500)
+    client = MemoryClient(rows, known_total=False)
+    df = read_paged(spark, client, page_size=100, policy=FAST_RETRY, limit=250)
+    got = df.collect()
+    assert len(got) == 250
+    assert sorted(r["id"] for r in got) == list(range(250))
+
+
+def test_limit_larger_than_table_and_zero(spark):
+    rows = _rows(40)
+    df = read_paged(spark, MemoryClient(rows), page_size=25,
+                    policy=FAST_RETRY, limit=1000)
+    assert df.count() == 40
+    empty = read_paged(spark, MemoryClient(rows), page_size=25,
+                       policy=FAST_RETRY, limit=0)
+    assert empty.count() == 0
+    with pytest.raises(ValueError, match="limit"):
+        read_paged(spark, MemoryClient(rows), limit=-1)
+
+
+def test_limit_composes_with_server_side_where(spark, sf_dir, tmp_path):
+    """The limit addresses the FILTERED row stream (ArcGIS
+    resultRecordCount on a where-query): first N matching rows, not
+    first N raw rows."""
+    from agol_pandas_spark.sources.paged import PushedFilter
+
+    client = ParquetPagedClient(f"{sf_dir}/orders.parquet")
+    filtered, applied = client.pushdown(
+        [PushedFilter("o_orderstatus", "=", "O")]
+    )
+    assert applied
+    df = read_paged(spark, filtered, page_size=50, policy=FAST_RETRY, limit=120)
+    rows = df.collect()
+    assert len(rows) == 120
+    assert all(r["o_orderstatus"] == "O" for r in rows)
+
+
+def test_paged_count_fast_path_zero_fetches(spark, sf_dir, tmp_path):
+    """paged_count answers COUNT(*) from total_count (returnCountOnly) —
+    zero fetch_page calls, zero rows transferred; with a server-side
+    where it counts the filtered view; unknown-total clients degrade to
+    paging without materializing rows."""
+    import os
+
+    from agol_pandas_spark.sources.paged import PushedFilter, paged_count
+
+    log = str(tmp_path / "wire")
+    os.makedirs(log)
+    client = ParquetPagedClient(f"{sf_dir}/customer.parquet", log_dir=log)
+    n = paged_count(client, policy=FAST_RETRY)
+    assert n == spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    assert os.listdir(log) == []  # not one page crossed the wire
+
+    filtered, _ = client.pushdown([PushedFilter("c_mktsegment", "=", "BUILDING")])
+    n_f = paged_count(filtered, policy=FAST_RETRY)
+    expect = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_mktsegment") == "BUILDING").count()
+    )
+    assert n_f == expect < n
+
+    nototal = MemoryClient(_rows(333), known_total=False)
+    assert paged_count(nototal, policy=FAST_RETRY) == 333
