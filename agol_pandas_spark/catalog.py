@@ -394,6 +394,7 @@ class Catalog:
         name: str,
         carry_files: list[str],
         keep_versions: int = 0,
+        expected_commit: str | None = None,
     ) -> str:
         """Copy-on-write commit: materialize ``df`` as NEW files and carry
         ``carry_files`` (paths inside the current snapshot) into the new
@@ -404,19 +405,55 @@ class Catalog:
         This is what lets a key-pruned merge touch 0.1% of a 100 TB table
         without rewriting the other 99.9%: the rewrite job's input and
         output are both proportional to the dirty file set.
+
+        ``expected_commit`` gates the swap with the same optimistic
+        concurrency check as :meth:`write` — ESSENTIAL for carryover
+        commits, because ``carry_files`` were enumerated against a
+        specific snapshot: if another writer swapped the table in
+        between, those paths describe files that no longer belong to the
+        current state, and linking them forward would silently undo the
+        other writer's commit (lost update). Pass the
+        :meth:`commit_id` read alongside the file listing.
         """
+        from agol_pandas_spark.errors import ConcurrentWriteError
+
         target = self.path(name)
         if not os.path.exists(target):
             raise TableNotFoundError(f"no table {name!r} under {self.root}")
+        if expected_commit is not None:
+            # check BEFORE staging: a stale listing's files may already be
+            # gone, which would otherwise surface as FileNotFoundError
+            # mid-link (wrong error, leaked staging dir). _swap_in
+            # rechecks at the swap for the residual race window.
+            current = self.commit_id(name)
+            if current != expected_commit:
+                raise ConcurrentWriteError(
+                    f"table {name!r} moved: expected commit "
+                    f"{expected_commit!r}, found {current!r}; re-read and "
+                    "retry"
+                )
         staged = f"{target}.__tmp_{uuid.uuid4().hex}"
         df.write.mode("overwrite").parquet(staged)
-        for src in carry_files:
-            dst = os.path.join(staged, os.path.basename(src))
-            try:
-                os.link(src, dst)
-            except OSError:
-                shutil.copy2(src, dst)  # cross-device fallback
-        return self._swap_in(staged, name, keep_versions)
+        try:
+            for src in carry_files:
+                dst = os.path.join(staged, os.path.basename(src))
+                try:
+                    os.link(src, dst)
+                except FileNotFoundError as ex:
+                    # the carry listing predates a concurrent commit that
+                    # removed this file — a lost-update in the making
+                    raise ConcurrentWriteError(
+                        f"carry file vanished (table {name!r} moved since "
+                        f"the listing was taken): {src}; re-read and retry"
+                    ) from ex
+                except OSError:
+                    shutil.copy2(src, dst)  # cross-device fallback
+        except ConcurrentWriteError:
+            shutil.rmtree(staged, ignore_errors=True)
+            raise
+        return self._swap_in(
+            staged, name, keep_versions, expected_commit=expected_commit
+        )
 
     # -- versioning (time travel / rollback) --------------------------------
 
@@ -513,6 +550,9 @@ class Catalog:
         p = self.path(name)
         if not os.path.exists(p):
             raise TableNotFoundError(f"no table {name!r} under {self.root}")
+        # token read WITH the file listing: compaction housekeeping racing
+        # a writer must lose loudly, not resurrect the files it listed
+        read_commit = self.commit_id(name)
         files = [
             os.path.join(p, f)
             for f in os.listdir(p)
@@ -525,7 +565,9 @@ class Catalog:
         n_bytes = sum(os.path.getsize(f) for f in small)
         n_out = max(1, -(-n_bytes // target_file_bytes))
         df = self.spark.read.parquet(*small).coalesce(int(n_out))
-        out = self.write_with_carryover(df, name, large, keep_versions)
+        out = self.write_with_carryover(
+            df, name, large, keep_versions, expected_commit=read_commit
+        )
         return {"rewritten": len(small), "carried": len(large), "path": out}
 
     def optimize_zorder(

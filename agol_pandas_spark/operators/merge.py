@@ -503,6 +503,13 @@ def merge_pruned(
             "files_carried": 0,
         }
 
+    # OCC token captured BEFORE the footer spans / file listing are read:
+    # the clean-file carryover is only sound against the exact snapshot it
+    # was computed from — if another writer commits in between, linking
+    # those paths forward would silently undo its commit. The commit below
+    # passes this token so such a race raises ConcurrentWriteError (caller
+    # re-reads and retries) instead of losing an update.
+    read_commit = catalog.commit_id(name)
     target_df = catalog.table(name)
     tgt_fields = {f.name: f.dataType for f in target_df.schema.fields}
     ks = _keys(key) if key is not None else []
@@ -552,7 +559,8 @@ def merge_pruned(
         dirty_df = spark.createDataFrame([], target_df.schema)
     result_dirty = merge(dirty_df, source, m, ks or None, validate_keys=False)
     path = catalog.write_with_carryover(
-        result_dirty, name, clean, keep_versions=keep_versions
+        result_dirty, name, clean, keep_versions=keep_versions,
+        expected_commit=read_commit,
     )
     return {
         "path": path,

@@ -51,9 +51,14 @@ def refresh_join_view(
         raise TableNotFoundError(f"no view {name!r} to refresh")
     if delta.isEmpty():
         raise EmptyInputError("delta is empty — nothing to refresh")
+    # token read WITH the file listing (OCC): a writer racing the refresh
+    # must surface as ConcurrentWriteError, not a silently-reverted table
+    read_commit = catalog.commit_id(name)
     carry = catalog.data_files(name)
     joined = delta.join(dim, on, how)
-    path = catalog.write_with_carryover(joined, name, carry_files=carry)
+    path = catalog.write_with_carryover(
+        joined, name, carry_files=carry, expected_commit=read_commit
+    )
     return {
         "path": path,
         "files_carried": len(carry),

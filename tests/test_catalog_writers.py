@@ -746,3 +746,126 @@ def test_optimistic_concurrency_conflict(spark, tmp_path):
     cat.write(base.withColumn("v", base.v * 100), "t",
               mode="overwrite", expected_commit=fresh)
     assert {r.k: r.v for r in cat.table("t").collect()} == {1: 1000, 2: 2000}
+
+
+class TestMultiWriterOcc:
+    """VERDICT r6 item 5: the pruned-merge / compaction / carryover trio
+    under a deterministic two-writer interleave — the stale writer's
+    commit RAISES (never a silent lost update) and retries cleanly."""
+
+    def _table(self, spark, tmp_path):
+        cat = Catalog(spark, str(tmp_path))
+        base = spark.createDataFrame(
+            [(i, f"v{i}", float(i)) for i in range(100)],
+            "k long, s string, v double",
+        )
+        cat.write(
+            base.repartitionByRange(4, "k").sortWithinPartitions("k"),
+            "t", mode="error",
+        )
+        return cat
+
+    def test_stale_carryover_commit_refused_then_retries(self, spark, tmp_path):
+        import os
+
+        from agol_pandas_spark.errors import ConcurrentWriteError
+        from agol_pandas_spark.operators.merge import merge_pruned
+
+        cat = self._table(spark, tmp_path)
+        # writer B stages: reads token + file listing, builds its output
+        token_b = cat.commit_id("t")
+        files_b = cat.data_files("t")
+        b_out = spark.createDataFrame([(200, "B", 1.0)], "k long, s string, v double")
+        b_out = b_out.localCheckpoint(eager=True)  # B's read really happened pre-A
+
+        # writer A commits first (pruned upsert bumps the commit id)
+        a_delta = spark.createDataFrame([(3, "A", -3.0)], "k long, s string, v double")
+        merge_pruned(cat, a_delta, "t", "upsert", "k")
+        assert {r.s for r in cat.table("t").filter("k = 3").collect()} == {"A"}
+
+        # B's carryover commit against the stale listing must refuse
+        with pytest.raises(ConcurrentWriteError):
+            cat.write_with_carryover(b_out, "t", files_b, expected_commit=token_b)
+        # A's effect intact, no staged litter
+        assert {r.s for r in cat.table("t").filter("k = 3").collect()} == {"A"}
+        litter = [d for d in os.listdir(str(tmp_path)) if "__tmp" in d]
+        assert litter == [], litter
+
+        # B retries against fresh state through the same pruned path
+        merge_pruned(cat, b_out, "t", "upsert", "k")
+        got = {r.k: r.s for r in cat.table("t").filter("k in (3, 200)").collect()}
+        assert got == {3: "A", 200: "B"}  # both effects compose
+        assert cat.table("t").count() == 101
+
+    def test_pruned_merge_detects_mid_flight_writer(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A writer that lands BETWEEN merge_pruned's footer-span read and
+        its commit used to be silently reverted (its files dropped from
+        the snapshot B links forward). Now the commit refuses."""
+        import importlib
+
+        from agol_pandas_spark.errors import ConcurrentWriteError
+
+        merge_mod = importlib.import_module("agol_pandas_spark.operators.merge")
+
+        cat = self._table(spark, tmp_path)
+        a_delta = spark.createDataFrame([(7, "A", 0.0)], "k long, s string, v double")
+        b_delta = spark.createDataFrame([(90, "B", 0.0)], "k long, s string, v double")
+
+        orig = merge_mod._touched_paths
+        fired = {"n": 0}
+
+        def sneaky(*args, **kwargs):
+            out = orig(*args, **kwargs)
+            if fired["n"] == 0:  # writer A lands while B is mid-merge
+                fired["n"] = 1
+                merge_mod.merge_pruned(cat, a_delta, "t", "upsert", "k")
+            return out
+
+        monkeypatch.setattr(merge_mod, "_touched_paths", sneaky)
+        with pytest.raises(ConcurrentWriteError):
+            merge_mod.merge_pruned(cat, b_delta, "t", "upsert", "k")
+        monkeypatch.setattr(merge_mod, "_touched_paths", orig)
+
+        # A's mid-flight commit survived; B retries and composes
+        assert {r.s for r in cat.table("t").filter("k = 7").collect()} == {"A"}
+        merge_mod.merge_pruned(cat, b_delta, "t", "upsert", "k")
+        got = {r.k: r.s for r in cat.table("t").filter("k in (7, 90)").collect()}
+        assert got == {7: "A", 90: "B"}
+        assert cat.table("t").count() == 100
+
+    def test_compaction_racing_writer_refused(self, spark, tmp_path, monkeypatch):
+        """Selective compaction lists small files, then a writer lands
+        before the compaction commit: the compaction must refuse (its
+        carryover would resurrect the pre-writer state)."""
+        from agol_pandas_spark.errors import ConcurrentWriteError
+        from agol_pandas_spark.operators.merge import write_table
+
+        cat = self._table(spark, tmp_path)
+        raced = {"done": False}
+        orig_carry = cat.write_with_carryover
+
+        def racing_carry(df, name, carry_files, keep_versions=0,
+                         expected_commit=None):
+            if not raced["done"]:
+                raced["done"] = True
+                write_table(
+                    cat,
+                    spark.createDataFrame([(500, "W", 0.0)],
+                                          "k long, s string, v double"),
+                    "t", mode="append",
+                )
+            return orig_carry(df, name, carry_files, keep_versions,
+                              expected_commit=expected_commit)
+
+        monkeypatch.setattr(cat, "write_with_carryover", racing_carry)
+        with pytest.raises(ConcurrentWriteError):
+            cat.compact_selective("t", min_file_bytes=10**9)
+        monkeypatch.undo()
+        # the racing writer's row survived; compaction retries cleanly
+        assert cat.table("t").filter("k = 500").count() == 1
+        res = cat.compact_selective("t", min_file_bytes=10**9)
+        assert res["rewritten"] >= 2
+        assert cat.table("t").filter("k = 500").count() == 1
+        assert cat.table("t").count() == 101
