@@ -171,19 +171,21 @@ def df_to_pandas_chunks(
 
 def set_unique_key_constraint(
     catalog: Catalog, table_name: str, key_field_name: str
-) -> tuple[bool, bool]:
+) -> tuple[bool | str, bool]:
     """Reference ``set_unique_key_constraint`` (``src/agol_pandas.py:253-312``).
     Spark has no index DDL; the engine validates the existing table,
     then RECORDS the declaration in the catalog's properties sidecar —
     the analogue of the reference's one-time server-side unique index:
     declared once, every later keyed write defaults its ``key=`` from
-    it and validates against it."""
+    it and validates against it. Returns the reference's (result, ok)
+    convention: ``(True, True)`` on success, ``(error_str, False)`` on
+    failure."""
     try:
         validate_unique_key(catalog.table(table_name), key_field_name, "target")
         catalog.set_declared_key(table_name, key_field_name)
         return True, True
     except Exception as e:
-        return str(e), False  # type: ignore[return-value]
+        return str(e), False
 
 
 # -- exact-name aliases for drop-in migration --------------------------------
