@@ -622,6 +622,7 @@ def simhash_band_pairs(
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by banded SimHash: bucket-join, then exact verify.
 
@@ -631,8 +632,31 @@ def simhash_band_pairs(
     per candidate. Recall at Hamming <= SIMHASH_BANDS-1 is 1.0 by
     pigeonhole; raising ``max_hamming`` beyond that degrades recall (a
     pair may differ in every band) — raise SIMHASH_BANDS instead.
+
+    ``max_bucket_size`` is the hot-bucket guard (mirror of
+    ``lsh_candidate_pairs``): a band value shared by B docs emits B²
+    candidates, and a boilerplate-dominated corpus can concentrate
+    simhash bits until one 15-bit bucket holds a meaningful fraction of
+    the corpus (the r7 sf1 soak measured a 9.7k-doc bucket = 47M
+    candidates from one key). Buckets above the cap are dropped BEFORE
+    the self-join. Unlike MinHash banding this SACRIFICES the pigeonhole
+    recall guarantee for pairs whose every small-Hamming band is
+    oversized — use it as the scale safety valve, not the default;
+    ``None`` keeps exact recall and the checked queries use ``None``.
+    Note the r7 soak also showed the un-capped growth is OUTPUT-bound,
+    not algorithmic waste: verified pairs grew 72x alongside the 67x
+    candidates (the corpus really is that dense), so capping changes
+    the answer, not just the cost.
     """
-    sigs = simhash_bands(df, id_col, text_col).persist()
+    sigs = simhash_bands(df, id_col, text_col)
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "band_key")
+        sigs = (
+            sigs.withColumn("__bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
+    sigs = sigs.persist()
     a = sigs.select(
         F.col(id_col).alias("id_a"),
         F.col("simhash").alias("__sig_a"),

@@ -73,9 +73,28 @@ def _np_round_away(a: "np.ndarray") -> "np.ndarray":
 
 def _np_scaled_dots(V: "np.ndarray", P: "np.ndarray") -> "np.ndarray":
     """(n,dim) × (p,dim) → (n,p) int64 dot products in 10^-9 units —
-    same per-element op order as ``_dot_scaled``: (x*y)*VSCALE."""
-    prods = (V[:, None, :] * P[None, :, :]) * np.float64(VSCALE)
-    return _np_round_away(prods).astype(np.int64).sum(axis=2)
+    same per-element op order as ``_dot_scaled``: (x*y)*VSCALE.
+
+    Evaluated in ROW CHUNKS: the naive one-shot broadcast builds an
+    (n, p, dim) float64 tensor and ~6 equally-sized temporaries through
+    the rounding — at 20k vectors × 200 pivots × 64 dims that is ~1 GB
+    per temp and the kernel goes memory-bandwidth-bound (measured 84 s
+    in the r7 sf1 soak; ~3 s chunked). Chunk rows so the working set
+    stays ~tens of MB; per-element op ORDER is untouched, so results
+    remain bit-identical to the HOF path."""
+    n = V.shape[0]
+    p, dim = P.shape
+    out = np.empty((n, p), dtype=np.int64)
+    # ~2M float64 elements per (chunk, p, dim) temp ≈ 16 MB
+    chunk = max(1, 2_000_000 // max(1, p * dim))
+    Pb = P[None, :, :]
+    for i in range(0, n, chunk):
+        prods = V[i : i + chunk, None, :] * Pb
+        prods *= np.float64(VSCALE)
+        out[i : i + chunk] = (
+            _np_round_away(prods).astype(np.int64).sum(axis=2)
+        )
+    return out
 
 
 def _np_scaled_norms(V: "np.ndarray") -> "np.ndarray":

@@ -1116,3 +1116,25 @@ def test_hits_scaled_rejects_nonpositive_iterations(spark):
     edges = spark.createDataFrame([(1, 2)], "src long, dst long")
     with _pytest.raises(ValueError, match="iterations >= 1"):
         hits_scaled(edges, "src", "dst", iterations=0)
+
+
+def test_simhash_band_pairs_hot_bucket_cap(spark):
+    """max_bucket_size drops oversized band buckets BEFORE the self-join
+    (scale safety valve, r7): identical docs all share every band, so a
+    cap below the group size suppresses their pairs; None keeps exact
+    recall. Distinct docs in small buckets are unaffected."""
+    from agol_pandas_spark.operators.dedup import simhash_band_pairs
+
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(10)]
+    rows += [(100, "one two three four five six seven"),
+             (101, "one two three four five six seven")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = simhash_band_pairs(df, "doc_id", "text")
+    assert exact.filter("id_a < 100").count() == 45  # 10-doc clique
+    assert exact.filter("id_a >= 100").count() == 1
+
+    capped = simhash_band_pairs(df, "doc_id", "text", max_bucket_size=5)
+    got = capped.collect()
+    assert all(r.id_a >= 100 for r in got), got  # clique suppressed
+    assert len(got) == 1  # the small pair survives
