@@ -104,6 +104,26 @@ def _np_scaled_norms(V: "np.ndarray") -> "np.ndarray":
     return np.sqrt(sq.astype(np.float64) / np.float64(VSCALE))
 
 
+def _np_scaled_sq_dists(V: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
+    """(n,dim) × (k,dim) → (n,k) int64 squared L2 distances in 10^-9
+    units — per-element op order of ``_l2_scaled``: round((d*d)*VSCALE)
+    then int64 sum. Row-chunked like :func:`_np_scaled_dots` so the
+    (chunk, k, dim) temporaries stay cache-resident at any centroid
+    count (the one-shot broadcast is the same ~GB-temp failure mode the
+    r7 sf1 soak caught in the IVF assignment)."""
+    n = V.shape[0]
+    k, dim = C.shape
+    out = np.empty((n, k), dtype=np.int64)
+    chunk = max(1, 2_000_000 // max(1, k * dim))
+    Cb = C[None, :, :]
+    for i in range(0, n, chunk):
+        d = V[i : i + chunk, None, :] - Cb
+        d *= d
+        d *= np.float64(VSCALE)
+        out[i : i + chunk] = _np_round_away(d).astype(np.int64).sum(axis=2)
+    return out
+
+
 def _dot_scaled(a: Column, b: Column) -> Column:
     """Order-independent dot product in 10^-9 integer units (BIGINT)."""
     return F.aggregate(
@@ -539,8 +559,7 @@ def _kmeans_assign_udf(centroids: list[list[float]]):
         V = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs]).reshape(
             len(vecs), dim
         )
-        d = V[:, None, :] - C[None, :, :]
-        d2 = _np_round_away((d * d) * np.float64(VSCALE)).astype(np.int64).sum(axis=2)
+        d2 = _np_scaled_sq_dists(V, C)  # chunked, bit-identical
         cl = np.argmin(d2, axis=1)
         return pd.DataFrame(
             {
@@ -1113,13 +1132,13 @@ def _pq_encode_from_matrix(
             V = np.asarray(
                 [np.asarray(vecs.iloc[i], dtype=np.float64) for i in ok]
             ).reshape(len(ok), m_subspaces, sub)
-            # (n, m, k, sub): d = v - c; scaled = round((d*d)*VSCALE)
-            d = V[:, :, None, :] - C[None, :, :, :]
-            d2 = (
-                _np_round_away((d * d) * np.float64(VSCALE))
-                .astype(np.int64)
-                .sum(axis=3)
-            )
+            # per subspace: (n, sub) × (k, sub) → (n, k) chunked exact
+            # L2 (same op order as the old (n, m, k, sub) broadcast,
+            # without its k×-larger temporaries)
+            k_codes = C.shape[1]
+            d2 = np.empty((len(ok), m_subspaces, k_codes), dtype=np.int64)
+            for m in range(m_subspaces):
+                d2[:, m, :] = _np_scaled_sq_dists(V[:, m, :], C[m])
             codes = np.argmin(d2, axis=2).astype(np.int32)  # first min → smallest code
             for j, i in enumerate(ok):
                 out[i] = codes[j].tolist()
