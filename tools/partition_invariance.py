@@ -101,6 +101,13 @@ QUERIES = [
     "stream_watermark_late_routing",
     "merge_surrogate_keys",
     "pipeline_feature_matrix",
+    # r7 additions: declared-key upsert (merge through the metadata
+    # sidecar), persisted IVF-PQ probe (cell equi-join over stored
+    # codes), connector limit (page-partition planning must not change
+    # the first-N slice), capped simhash banding machinery
+    "meta_declared_key_upsert",
+    "sim_ivfpq_index_probe",
+    "source_paged_limit_count",
     "stats_auc_mann_whitney",
     "text_substring_dup_removal",
     "join_bloom_semi_reduction",
