@@ -94,12 +94,22 @@ def create_table(
     ``:477,519``); later keyed writes default their ``key=`` from the
     declaration, and ``Catalog.properties`` reads the metadata back."""
     try:
+        props = dict(item_properties or {})
+        props.setdefault("title", table_name)  # reference :517
+        # fail BEFORE the table exists if the metadata can't persist
+        # (non-JSON-serializable item_properties) — a post-write failure
+        # would return (error, False) while leaving the table created,
+        # so every retry dies on TableExistsError
+        import json as _json
+
+        _json.dumps(props)
         if key_field_name is not None:
             validate_unique_key(df, key_field_name, "source")
         path = catalog.write(df, table_name, mode="error")
-        props = dict(item_properties or {})
-        props.setdefault("title", table_name)  # reference :517
-        catalog.set_properties(table_name, props)
+        # replace=True: a stale sidecar orphaned by a crashed drop() of
+        # a previous same-named table must not leak its declared key /
+        # properties onto this fresh table
+        catalog.set_properties(table_name, props, replace=True)
         if key_field_name is not None:
             catalog.set_declared_key(table_name, key_field_name)
         return path, True
@@ -129,12 +139,16 @@ def create_hosted_table_from_dataframe(
         if not name:
             raise ValueError("either service_name or table_name is required")
         created = not catalog.exists(name)
+        props = dict(item_properties or {})
+        props.setdefault("title", name)
+        if created:
+            import json as _json
+
+            _json.dumps(props)  # fail before creating, not after
         mode = WriteMode.UPSERT if key_field_name else WriteMode.APPEND
         write_table(catalog, df, name, mode=mode, key=key_field_name)
         if created:
-            props = dict(item_properties or {})
-            props.setdefault("title", name)
-            catalog.set_properties(name, props)
+            catalog.set_properties(name, props, replace=True)
             if key_field_name is not None:
                 catalog.set_declared_key(name, key_field_name)
         status = write_status(catalog.table(name), key_field_name)

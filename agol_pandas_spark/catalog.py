@@ -447,7 +447,16 @@ class Catalog:
                         f"the listing was taken): {src}; re-read and retry"
                     ) from ex
                 except OSError:
-                    shutil.copy2(src, dst)  # cross-device fallback
+                    try:
+                        shutil.copy2(src, dst)  # cross-device fallback
+                    except FileNotFoundError as ex:
+                        # same vanished-file race on the copy path (e.g.
+                        # link failed with EXDEV first)
+                        raise ConcurrentWriteError(
+                            f"carry file vanished (table {name!r} moved "
+                            f"since the listing was taken): {src}; "
+                            "re-read and retry"
+                        ) from ex
         except ConcurrentWriteError:
             shutil.rmtree(staged, ignore_errors=True)
             raise
@@ -987,6 +996,13 @@ class Catalog:
         starts fresh); a key mapped to ``None`` is deleted. The write is
         atomic (temp file + rename) like every other commit here.
         Returns the stored properties after the update.
+
+        Concurrency note: metadata follows SINGLE-WRITER semantics (the
+        reference's item_properties are owner-edited, not contended) —
+        the read-modify-write here is atomic against READERS but two
+        simultaneous property writers can lose one update. Data commits
+        are the OCC-guarded path; don't use properties as a
+        coordination channel.
         """
         if not self.exists(name):
             raise TableNotFoundError(f"no table {name!r} under {self.root}")
@@ -999,8 +1015,17 @@ class Catalog:
         p = self._properties_path(name)
         os.makedirs(os.path.dirname(p), exist_ok=True)
         staged = f"{p}.__tmp_{uuid.uuid4().hex}"
-        with open(staged, "w") as f:
-            json.dump(merged, f, indent=1, sort_keys=True)
+        try:
+            with open(staged, "w") as f:
+                json.dump(merged, f, indent=1, sort_keys=True)
+        except Exception:
+            # e.g. non-JSON-serializable value: no half-written sidecar
+            # may survive the failure
+            try:
+                os.remove(staged)
+            except OSError:
+                pass
+            raise
         os.replace(staged, p)
         return merged
 
@@ -1036,6 +1061,12 @@ class Catalog:
         return list(ks) if ks else None
 
     def drop(self, name: str) -> None:
+        # metadata sidecar FIRST: a drop that crashes mid-way must leave
+        # a table without metadata (benign), never an orphaned sidecar
+        # whose stale declared key / properties would be resurrected
+        # onto the next same-named table
+        if os.path.exists(self._properties_path(name)):
+            os.remove(self._properties_path(name))
         p = self.path(name)
         if os.path.exists(p):
             shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
@@ -1045,8 +1076,6 @@ class Catalog:
             ignore_errors=True,
         )
         shutil.rmtree(self._tombstone_path(name), ignore_errors=True)
-        if os.path.exists(self._properties_path(name)):
-            os.remove(self._properties_path(name))
         self._ns_cols.pop(p, None)
 
     def _branch_name(self, name: str, branch: str) -> str:

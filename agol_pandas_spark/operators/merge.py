@@ -253,6 +253,17 @@ def merge(
     return updated.unionByName(inserts.select(*tgt.columns))
 
 
+def _default_key(catalog, name: str, key, m: WriteMode):
+    """Default ``key`` from the table's stored declaration for keyed
+    modes (``Catalog.set_declared_key`` — declare once, merge forever).
+    An explicit ``key`` always wins; calls ``catalog.declared_key``
+    DIRECTLY so an API rename fails loudly instead of silently
+    disabling the defaulting."""
+    if key is None and m in KEYED_MODES:
+        return catalog.declared_key(name)
+    return key
+
+
 def write_table(
     catalog,
     source: DataFrame,
@@ -290,8 +301,7 @@ def write_table(
     wins per call.
     """
     m = WriteMode.parse(mode) if isinstance(mode, str) else mode
-    if key is None and m in KEYED_MODES:
-        key = getattr(catalog, "declared_key", lambda _n: None)(name)
+    key = _default_key(catalog, name, key, m)
     if checks:
         from agol_pandas_spark.operators.constraints import enforce_checks
 
@@ -485,8 +495,7 @@ def merge_pruned(
     key (``Catalog.set_declared_key``), same as :func:`write_table`.
     """
     m = WriteMode.parse(mode) if isinstance(mode, str) else mode
-    if key is None and m in KEYED_MODES:
-        key = getattr(catalog, "declared_key", lambda _n: None)(name)
+    key = _default_key(catalog, name, key, m)
     if source.isEmpty():
         raise EmptyInputError("source DataFrame is empty")
 

@@ -1184,7 +1184,26 @@ def pq_adc_topk(
     """
     validate_codebook(codebook, m_subspaces, k_codes)
     lut = _pq_lut(queries, codebook, query_id, query_vec, m_subspaces)
-    scored = F.broadcast(lut).crossJoin(encoded).select(
+    joined = F.broadcast(lut).crossJoin(encoded)
+    return _adc_topk(joined, query_id, corpus_id, m_subspaces, k_codes, k)
+
+
+def _adc_topk(
+    joined: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    m_subspaces: int,
+    k_codes: int,
+    k: int,
+) -> DataFrame:
+    """Shared ADC scoring tail: ``joined`` carries (query_id, corpus_id,
+    __lut, codes); score = Σ_m lut[m*K + codes[m]], then per-query
+    top-k. One implementation for :func:`pq_adc_topk`,
+    :func:`ivf_pq_topk`, and :func:`probe_ivfpq_index` — three
+    hand-synced copies of the flattened-LUT indexing would drift
+    (the same duplicate-drift class the r6 WAP-polarity clash came
+    from)."""
+    scored = joined.select(
         F.col(query_id),
         F.col(corpus_id),
         F.aggregate(
@@ -1302,30 +1321,8 @@ def ivf_pq_topk(
     ).select(F.col(query_id), "cell")
     lut = _pq_lut(queries, codebook, query_id, vec, m_subspaces)
     probes = q_cells.join(lut, query_id)
-    scored = F.broadcast(probes).join(coded, on="cell").select(
-        F.col(query_id),
-        F.col(corpus_id),
-        F.aggregate(
-            F.zip_with(
-                F.sequence(F.lit(0), F.lit(m_subspaces - 1)),
-                F.col("codes"),
-                lambda m, c: F.element_at(F.col("__lut"), m * k_codes + c + 1),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        ).alias("__s"),
-    )
-    w = Window.partitionBy(query_id).orderBy(F.col("__s").desc(), F.col(corpus_id))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select(
-            query_id,
-            corpus_id,
-            (F.col("__s").cast("double") / F.lit(float(VSCALE))).alias("adc_score"),
-            "rnk",
-        )
-    )
+    joined = F.broadcast(probes).join(coded, on="cell")
+    return _adc_topk(joined, query_id, corpus_id, m_subspaces, k_codes, k)
 
 
 def _ivfpq_meta_name(name: str) -> str:
@@ -1376,6 +1373,13 @@ def write_ivfpq_index(
     Assignment + encoding fuse into one Arrow map pass over the corpus
     scan (zero corpus-side joins/shuffles), exactly as in
     :func:`ivf_pq_topk`.
+
+    Crash-consistency: the four tables commit independently (each
+    atomically, but not as one transaction). The meta writes LAST, and
+    :func:`probe_ivfpq_index` validates the codebook shape and the
+    codes width against the meta before scoring — an interrupted or
+    concurrent rebuild therefore surfaces as
+    :class:`VectorIndexParamError`, never as silently wrong ranks.
     """
     import os
     import shutil
@@ -1489,6 +1493,22 @@ def probe_ivfpq_index(
     coded = catalog.table(name)
     pivots = catalog.table(_ivfpq_pivots_name(name))
     codebook = catalog.table(_ivfpq_codebook_name(name))
+    # cross-table layout validation: the index is four tables committed
+    # independently, so a crashed/concurrent rebuild can leave the meta
+    # describing one layout and the codebook/codes another — which the
+    # flattened-LUT indexing would score into silent garbage. Validate
+    # the codebook shape against the meta (tiny collect) and one codes
+    # row's length before trusting either.
+    validate_codebook(codebook, m_sub, kc)
+    probe_row = coded.select(F.size("codes").alias("n")).limit(1).collect()
+    if probe_row and probe_row[0]["n"] != m_sub:
+        from agol_pandas_spark.errors import VectorIndexParamError
+
+        raise VectorIndexParamError(
+            f"IVF-PQ index {name!r} codes have {probe_row[0]['n']} "
+            f"subspaces but the meta declares {m_sub} — mixed-layout "
+            "state (interrupted rebuild?); rebuild the index."
+        )
     q_cells = assign_to_pivots(
         queries.select(F.col(query_id), F.col(query_vec)),
         pivots, query_id, pivot_id, query_vec, vec, n_cells=nprobe,
@@ -1498,30 +1518,8 @@ def probe_ivfpq_index(
         codebook, query_id, query_vec, m_sub,
     )
     probes = q_cells.join(lut, query_id)
-    scored = F.broadcast(probes).join(coded, on="cell").select(
-        F.col(query_id),
-        F.col(corpus_id),
-        F.aggregate(
-            F.zip_with(
-                F.sequence(F.lit(0), F.lit(m_sub - 1)),
-                F.col("codes"),
-                lambda m, c: F.element_at(F.col("__lut"), m * kc + c + 1),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        ).alias("__s"),
-    )
-    w = Window.partitionBy(query_id).orderBy(F.col("__s").desc(), F.col(corpus_id))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select(
-            query_id,
-            corpus_id,
-            (F.col("__s").cast("double") / F.lit(float(VSCALE))).alias("adc_score"),
-            "rnk",
-        )
-    )
+    joined = F.broadcast(probes).join(coded, on="cell")
+    return _adc_topk(joined, query_id, corpus_id, m_sub, kc, k)
 
 
 def append_ivfpq_index(

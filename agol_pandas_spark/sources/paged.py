@@ -278,10 +278,13 @@ class _PagedReader(DataSourceReader):
             )
             return
         # degraded sequential paging (unknown total): stop at the pushed
-        # limit without issuing the next fetch
+        # limit without issuing the next fetch — including the FIRST one
+        # when limit=0 (ceil(0/page_size) = 0 wire calls allowed)
         offset = 0
         remaining = self._limit
         while True:
+            if remaining is not None and remaining <= 0:
+                return
             take = (
                 self._page_size
                 if remaining is None

@@ -167,3 +167,30 @@ class DirectoryJsonSink(PagedSink):
         if batch_id is not None and self._post_failures.get(batch_id, 0) < self.fail_after_write:
             self._post_failures[batch_id] = self._post_failures.get(batch_id, 0) + 1
             raise ConnectionError(f"injected post-write ack loss for batch {batch_id}")
+
+
+class NoCountParquetClient:
+    """ParquetPagedClient whose service cannot report a count
+    (``total_count() -> None``) — exercises the degraded sequential
+    paging path with the same wire-log instrumentation. Composition
+    (not subclassing) keeps pickling trivial."""
+
+    def __init__(self, path: str, log_dir: str | None = None):
+        from agol_pandas_spark.sources.paged import ParquetPagedClient
+
+        self._inner = ParquetPagedClient(path, log_dir=log_dir)
+
+    def schema(self):
+        return self._inner.schema()
+
+    def total_count(self):
+        return None
+
+    def fetch_page(self, offset: int, limit: int):
+        return self._inner.fetch_page(offset, limit)
+
+    def pushdown(self, filters):
+        return None
+
+    def project(self, columns):
+        return None

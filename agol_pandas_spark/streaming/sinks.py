@@ -181,7 +181,16 @@ def append_once(catalog, batch: DataFrame, name: str, key_cols: list[str]):
     so the dedup check and the data share one atomic snapshot — there
     is no window where the log says committed but the data is missing
     (or vice versa). Returns True if the batch was appended, False if
-    it was a duplicate."""
+    it was a duplicate.
+
+    Fingerprint format note (v2, r7): tables whose ``commit_key``
+    values were written by the pre-r7 raw-column formula will NOT
+    dedup a redelivery of a pre-r7 batch (one-time re-append risk at
+    upgrade). This is deliberate: also matching the legacy format
+    would reintroduce its false-POSITIVE collisions ({0,5} vs {1,4}),
+    which silently DROP new batches — the worse failure. Re-key
+    long-lived tables once (rewrite commit_key from the stored rows)
+    if redelivery of pre-upgrade batches is possible."""
     from pyspark.sql import functions as F
 
     from agol_pandas_spark.operators.merge import write_table

@@ -39,6 +39,8 @@ def _sf_dir(sf, allow_soak: bool) -> str | None:
     """Resolve a bench artifact's scale factor to its data directory:
     driver testdata for the standard SFs; with ``allow_soak``, also the
     gitignored regenerable sf1 soak corpus (tools/gen_sf1.py)."""
+    if sf is None:
+        return None  # malformed artifact: skip it, don't crash the gate
     candidates = [f"/root/testdata/sf{sf}"]
     if allow_soak and float(sf) == 1.0:
         candidates.append(os.path.join(ROOT, "testdata_sf1"))

@@ -808,3 +808,18 @@ def test_paged_count_fast_path_zero_fetches(spark, sf_dir, tmp_path):
 
     nototal = MemoryClient(_rows(333), known_total=False)
     assert paged_count(nototal, policy=FAST_RETRY) == 333
+
+
+def test_degraded_limit_zero_issues_no_fetch(spark, sf_dir, tmp_path):
+    """Code-review r7 regression: unknown-total + limit=0 used to issue
+    one fetch_page(0, 0); ceil(0/page_size) = 0 wire calls allowed."""
+    import os
+
+    from agol_pandas_spark.sources.paged_mock import NoCountParquetClient
+
+    log = str(tmp_path / "wire")
+    os.makedirs(log)
+    client = NoCountParquetClient(f"{sf_dir}/orders.parquet", log_dir=log)
+    df = read_paged(spark, client, page_size=50, policy=FAST_RETRY, limit=0)
+    assert df.count() == 0
+    assert os.listdir(log) == [], "limit=0 crossed the wire"

@@ -745,3 +745,41 @@ class TestIvfPqIndexLifecycle:
             cat, "idx", queries, query_id="query_id",
             m_subspaces=4, k_codes=8,
         ).count() > 0
+
+
+def test_ivfpq_probe_rejects_mixed_layout_state(spark, sf_dir, tmp_path):
+    """Code-review r7 regression: the index is four independently
+    committed tables, so an interrupted rebuild can leave the meta
+    describing one layout and the codebook another — the probe must
+    raise, never score the flattened LUT into silent garbage."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from agol_pandas_spark.catalog import Catalog
+    from agol_pandas_spark.errors import VectorIndexParamError
+    from agol_pandas_spark.operators.similarity import (
+        pq_codebook_from_seeds,
+        probe_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    pivots = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("pivot_id"), "embedding"
+    )
+    cat = Catalog(spark, str(tmp_path))
+    write_ivfpq_index(cat, "idx", emb, pivots,
+                      pq_codebook_from_seeds(emb, "vec_id"),
+                      corpus_id="vec_id", pivot_id="pivot_id",
+                      m_subspaces=4, k_codes=8)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # simulate a crashed rebuild: codebook swapped to an 8-subspace
+    # layout while the meta still declares 4
+    cat.write(
+        pq_codebook_from_seeds(emb, "vec_id", m_subspaces=8, k_codes=8),
+        "idx__ivfpq_codebook", mode="overwrite",
+    )
+    with _pytest.raises((VectorIndexParamError, ValueError)):
+        probe_ivfpq_index(cat, "idx", queries, query_id="query_id")

@@ -189,3 +189,70 @@ class TestApiRecordsDeclarations:
         )
         assert ok
         assert cat.properties("h")["title"] == "Hosted"
+
+
+class TestMetadataCrashSafety:
+    """Code-review r7 regressions: metadata failures must not strand
+    half-created tables or resurrect stale sidecars."""
+
+    def test_unserializable_item_properties_fail_before_create(
+        self, spark, tmp_path
+    ):
+        import datetime
+
+        from agol_pandas_spark.api import create_table
+
+        cat = Catalog(spark, str(tmp_path))
+        df = spark.createDataFrame([(1,)], "k long")
+        err, ok = create_table(
+            cat, "t", df,
+            item_properties={"updated": datetime.datetime(2026, 1, 1)},
+        )
+        assert not ok
+        assert not cat.exists("t")  # table NOT stranded
+        # retry with clean properties succeeds (no TableExistsError)
+        _, ok = create_table(cat, "t", df, item_properties={"x": 1})
+        assert ok
+
+    def test_crashed_drop_sidecar_not_resurrected(self, spark, tmp_path):
+        import os
+        import shutil
+
+        from agol_pandas_spark.api import create_table
+
+        cat = Catalog(spark, str(tmp_path))
+        df = spark.createDataFrame([(1, "a")], "k long, s string")
+        create_table(cat, "t", df, key_field_name="k",
+                     item_properties={"owner": "old"})
+        # simulate a crashed drop: data gone, sidecar orphaned
+        shutil.rmtree(cat.path("t"))
+        assert os.path.exists(cat._properties_path("t"))
+        _, ok = create_table(cat, "t", spark.createDataFrame([(9,)], "z long"))
+        assert ok
+        props = cat.properties("t")
+        assert props.get("owner") is None, props  # old metadata gone
+        assert cat.declared_key("t") is None  # stale key not resurrected
+
+    def test_drop_removes_sidecar_first(self, spark, tmp_path):
+        import os
+
+        cat = Catalog(spark, str(tmp_path))
+        cat.write(spark.createDataFrame([(1,)], "k long"), "t", mode="error")
+        cat.set_properties("t", {"a": 1})
+        cat.drop("t")
+        assert not os.path.exists(cat._properties_path("t"))
+        assert not cat.exists("t")
+
+    def test_failed_set_properties_leaves_no_tmp(self, spark, tmp_path):
+        import datetime
+        import os
+
+        import pytest as _pytest
+
+        cat = Catalog(spark, str(tmp_path))
+        cat.write(spark.createDataFrame([(1,)], "k long"), "t", mode="error")
+        with _pytest.raises(TypeError):
+            cat.set_properties("t", {"bad": datetime.datetime(2026, 1, 1)})
+        pdir = os.path.dirname(cat._properties_path("t"))
+        leftovers = [f for f in os.listdir(pdir) if "__tmp" in f] if os.path.isdir(pdir) else []
+        assert leftovers == [], leftovers
