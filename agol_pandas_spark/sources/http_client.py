@@ -35,9 +35,9 @@ from collections.abc import Sequence
 
 from pyspark.sql import types as T
 
-from agol_pandas_spark.sources.paged import PagedClient, PushedFilter
+from agol_pandas_spark.sources.paged import PagedClient, PagedSink, PushedFilter
 
-__all__ = ["HttpPagedClient", "compile_where"]
+__all__ = ["EditsError", "HttpEditsSink", "HttpPagedClient", "compile_where"]
 
 # public Esri field type → Spark type (the subset the reference's CSV
 # staging could round-trip, src/agol_pandas.py:441-447, plus dates)
@@ -161,16 +161,47 @@ class HttpPagedClient(PagedClient):
         return int(self._get(returnCountOnly="true")["count"])
 
     def fetch_page(self, offset: int, limit: int) -> Sequence[tuple]:
-        payload = self._get(
-            resultOffset=offset,
-            resultRecordCount=limit,
-            outFields=self._out(),
-        )
+        """Fetch ALL rows in the logical window [offset, offset+limit).
+
+        Live services enforce a server-side ``maxRecordCount`` cap: a
+        request for ``limit`` rows may legally come back with fewer rows
+        plus ``exceededTransferLimit: true``. The page planner
+        (``sources/paged.py``) sizes its windows from ``page_size``, so
+        trusting one wire call per window would SILENTLY DROP the capped
+        remainder of every window. Loop inside the window instead:
+        re-request from the high-water mark until the window is full or
+        the service signals genuine exhaustion (a short page WITHOUT the
+        flag). The reference hit the same cap through ``arcgis``'s
+        ``return_all_records=True`` re-query loop
+        (``src/agol_pandas.py:246``); here the loop is per-window so
+        pages still fetch in parallel across tasks."""
         names = [f.name for f in self.schema().fields]
-        return [
-            tuple(feat["attributes"].get(n) for n in names)
-            for feat in payload.get("features", [])
-        ]
+        out: list[tuple] = []
+        while len(out) < limit:
+            ask = limit - len(out)
+            payload = self._get(
+                resultOffset=offset + len(out),
+                resultRecordCount=ask,
+                outFields=self._out(),
+            )
+            feats = payload.get("features", [])
+            out.extend(
+                tuple(feat["attributes"].get(n) for n in names)
+                for feat in feats
+            )
+            if len(feats) >= ask:
+                break
+            if not payload.get("exceededTransferLimit"):
+                break  # short page, no flag: window genuinely exhausted
+            if not feats:
+                # flag set but zero rows served: the service cannot make
+                # progress — fail loudly instead of spinning or, worse,
+                # returning a silently-truncated window
+                raise RuntimeError(
+                    "paged service signalled exceededTransferLimit but "
+                    f"served 0 rows at offset {offset + len(out)}"
+                )
+        return out
 
     def _out(self) -> str:
         return ",".join(self.out_fields) if self.out_fields else "*"
@@ -208,3 +239,188 @@ class HttpPagedClient(PagedClient):
         state = dict(self.__dict__)
         state["_schema_cache"] = None
         return state
+
+
+class EditsError(RuntimeError):
+    """One or more edits in an applyEdits call failed. Carries the
+    per-row result dicts the service returned so the caller can see
+    WHICH rows and WHY — the reference swallowed the whole upload into
+    an ``(str(e), False)`` tuple (SURVEY §2a bug list)."""
+
+    def __init__(self, message: str, results: list[dict]):
+        super().__init__(message)
+        self.results = results
+
+
+def _edit_value(v: object) -> object:
+    """Render one attribute value for the applyEdits JSON body. The
+    public contract sends dates as epoch milliseconds."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=_dt.timezone.utc)
+        return int(v.timestamp() * 1000)
+    if isinstance(v, _dt.date):
+        return int(
+            _dt.datetime(v.year, v.month, v.day, tzinfo=_dt.timezone.utc).timestamp()
+            * 1000
+        )
+    return v
+
+
+class HttpEditsSink(PagedSink):
+    """Write transport over a layer's synchronous ``applyEdits``
+    endpoint — the wire operation under the reference's edit path
+    (``tgt_table.append(..., rollback=True, upsert=...,
+    upsert_matching_field=...)``, ``src/agol_pandas.py:445-455``),
+    without the CSV-item staging (``content.add`` → ``analyze`` →
+    ``publishParameters``) that path needed only because it shipped
+    whole files; rows here post directly as JSON edits.
+
+    Modes
+    -----
+    - ``key_field=None``: every row is an **add** (the reference's
+      ``mode='add'``). NOT replay-idempotent — a re-delivered batch
+      inserts again. Use only under exactly-once delivery.
+    - ``key_field='k'``: **upsert** on ``k`` (the reference's
+      ``upsert_matching_field``). Each batch looks up existing keys
+      server-side (chunked ``IN`` queries projecting only the key; the
+      OID comes back via ``objectIdFieldName``) and splits the batch
+      into adds vs OID-addressed updates. Replay-idempotent: a
+      re-delivered batch updates instead of duplicating — safe under
+      the connector's at-least-once delivery (:class:`PagedSink`).
+
+    Failure semantics: ``rollbackOnFailure=true`` is sent by default
+    and ANY per-edit failure raises :class:`EditsError` with the
+    service's per-row results — fail loudly, never partially-succeed
+    silently.
+
+    Executor posture: holds only plain config (picklable); each task
+    opens its own connections; one POST per batch plus
+    ``ceil(batch/lookup_page_size)`` key-lookup GETs in upsert mode.
+    """
+
+    def __init__(
+        self,
+        layer_url: str,
+        field_names: Sequence[str],
+        key_field: str | None = None,
+        token: str | None = None,
+        timeout_sec: float = 30.0,
+        rollback_on_failure: bool = True,
+        lookup_page_size: int = 100,
+    ):
+        self.layer_url = layer_url.rstrip("/")
+        self.field_names = list(field_names)
+        self.key_field = key_field
+        if key_field is not None and key_field not in self.field_names:
+            raise ValueError(
+                f"key_field {key_field!r} not among field_names {self.field_names}"
+            )
+        self.token = token
+        self.timeout_sec = float(timeout_sec)
+        self.rollback_on_failure = bool(rollback_on_failure)
+        # a real service rejects unbounded IN lists; chunk the lookups
+        self.lookup_page_size = int(lookup_page_size)
+
+    # -- transport ----------------------------------------------------
+    def _request(self, op: str, data: dict | None, params: dict) -> dict:
+        q = {"f": "json", **params}
+        if self.token:
+            q["token"] = self.token
+        url = f"{self.layer_url}/{op}?{urllib.parse.urlencode(q)}"
+        body = None
+        if data is not None:
+            body = urllib.parse.urlencode({"f": "json", **data}).encode("utf-8")
+        with urllib.request.urlopen(url, data=body, timeout=self.timeout_sec) as r:
+            payload = json.loads(r.read().decode("utf-8"))
+        if "error" in payload:
+            raise RuntimeError(f"paged service error: {payload['error']}")
+        return payload
+
+    # -- upsert key lookup --------------------------------------------
+    def _lookup_oids(self, keys: Sequence[object]) -> tuple[str, dict]:
+        """Map existing key values -> server OIDs, in IN-list chunks of
+        ``lookup_page_size``. Returns (oid_field_name, {key: oid})."""
+        oid_field = None
+        oid_by_key: dict = {}
+        uniq = list(dict.fromkeys(keys))
+        for i in range(0, len(uniq), self.lookup_page_size):
+            chunk = uniq[i : i + self.lookup_page_size]
+            in_list = ", ".join(_sql_literal(k) for k in chunk)
+            payload = self._request(
+                "query",
+                None,
+                {
+                    "where": f"{self.key_field} IN ({in_list})",
+                    "outFields": self.key_field,
+                    "returnIdsOnly": "false",
+                },
+            )
+            oid_field = payload.get("objectIdFieldName", oid_field)
+            if oid_field is None:
+                raise RuntimeError(
+                    "service did not report objectIdFieldName; cannot "
+                    "address updates"
+                )
+            for feat in payload.get("features", []):
+                a = feat["attributes"]
+                # explicit None checks: 0 is a legal OID and must not
+                # fall through a truthiness test
+                oid = a.get(oid_field)
+                if oid is None:
+                    oid = feat.get("objectId")
+                if oid is None:
+                    raise RuntimeError(
+                        f"key lookup returned a feature without its OID "
+                        f"({oid_field}): {a!r}"
+                    )
+                oid_by_key[a[self.key_field]] = oid
+        return oid_field or "OBJECTID", oid_by_key
+
+    # -- PagedSink contract -------------------------------------------
+    def upload_batch(self, rows: Sequence[tuple], batch_id: str | None = None) -> None:
+        if not rows:
+            return
+        attrs = [
+            {n: _edit_value(v) for n, v in zip(self.field_names, r)} for r in rows
+        ]
+        adds, updates = attrs, []
+        if self.key_field is not None:
+            oid_field, oid_by_key = self._lookup_oids(
+                [a[self.key_field] for a in attrs]
+            )
+            adds = [a for a in attrs if a[self.key_field] not in oid_by_key]
+            updates = [
+                {**a, oid_field: oid_by_key[a[self.key_field]]}
+                for a in attrs
+                if a[self.key_field] in oid_by_key
+            ]
+        form: dict = {
+            "rollbackOnFailure": "true" if self.rollback_on_failure else "false",
+            "useGlobalIds": "false",
+        }
+        if adds:
+            form["adds"] = json.dumps([{"attributes": a} for a in adds])
+        if updates:
+            form["updates"] = json.dumps([{"attributes": a} for a in updates])
+        payload = self._request("applyEdits", form, {})
+        results = list(payload.get("addResults", [])) + list(
+            payload.get("updateResults", [])
+        )
+        failed = [r for r in results if not r.get("success")]
+        if failed:
+            first = failed[0].get("error", {})
+            raise EditsError(
+                f"applyEdits failed for {len(failed)}/{len(results)} edits "
+                f"(batch {batch_id!r}, rollbackOnFailure="
+                f"{self.rollback_on_failure}): first error: {first}",
+                results,
+            )
+        if len(results) != len(attrs):
+            raise EditsError(
+                f"applyEdits acknowledged {len(results)} edits for "
+                f"{len(attrs)} rows (batch {batch_id!r})",
+                results,
+            )

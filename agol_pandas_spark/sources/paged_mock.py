@@ -194,3 +194,30 @@ class NoCountParquetClient:
 
     def project(self, columns):
         return None
+
+
+class NoCountHttpClient:
+    """HTTP client wrapper that hides the service total — forces the
+    reader's degraded sequential mode over a real (loopback) wire.
+    Package-level so the pickled client resolves on the datasource's
+    Python worker."""
+
+    def __init__(self, layer_url: str):
+        from agol_pandas_spark.sources.http_client import HttpPagedClient
+
+        self._inner = HttpPagedClient(layer_url)
+
+    def schema(self):
+        return self._inner.schema()
+
+    def total_count(self):
+        return None
+
+    def fetch_page(self, offset: int, limit: int):
+        return self._inner.fetch_page(offset, limit)
+
+    def pushdown(self, filters):
+        return None
+
+    def project(self, columns):
+        return None

@@ -914,3 +914,166 @@ def source_paged_limit_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     if sum(x["n_rows"] for x in fetches) != 250:
         raise RuntimeError("limit transferred a row past the 250th")
     return out
+
+
+@register(
+    "source_paged_transfer_limit",
+    tags=("source", "paged", "connector", "http", "transfer-limit"),
+    oracle="""
+    SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           CAST(MIN(n_nationkey) AS BIGINT) AS min_key,
+           CAST(MAX(n_nationkey) AS BIGINT) AS max_key,
+           CAST(SUM(length(n_name)) AS BIGINT) AS name_chars
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def source_paged_transfer_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP connector vs the live-service transfer cap: hosted layers
+    truncate every page to ``maxRecordCount`` and flag
+    ``exceededTransferLimit`` — a client that trusts one wire call per
+    planned window silently drops the capped remainder (the reference
+    depended on ``arcgis`` re-querying under ``return_all_records=True``,
+    ``src/agol_pandas.py:246``). Here the loopback layer (the package's
+    executable service mock) caps pages at 4 rows while the reader plans
+    10-row windows; ``HttpPagedClient.fetch_page`` must loop inside each
+    window. The query raises unless the cap actually engaged (more wire
+    calls than planned windows), and the oracle proves exactly-once
+    reassembly. The mock layer is driver-hosted (25 nation rows) — the
+    transport, paging math, and JSON decoding are the real code paths."""
+    from agol_pandas_spark.sources.http_client import HttpPagedClient
+    from agol_pandas_spark.sources.http_mock import serve_layer
+    from agol_pandas_spark.sources.paged import RetryPolicy, read_paged
+
+    nation = Catalog(spark, sf_dir).table("nation").select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    rows = [
+        {
+            "n_nationkey": int(r["n_nationkey"]),
+            "n_regionkey": int(r["n_regionkey"]),
+            "n_name": r["n_name"],
+        }
+        for r in nation.collect()  # 25 rows at every SF: mock hosting only
+    ]
+    fields = [
+        {"name": "n_nationkey", "type": "esriFieldTypeOID"},
+        {"name": "n_regionkey", "type": "esriFieldTypeInteger"},
+        {"name": "n_name", "type": "esriFieldTypeString"},
+    ]
+    srv, seen = serve_layer(rows, fields, max_record_count=4)
+    try:
+        client = HttpPagedClient(f"http://127.0.0.1:{srv.server_address[1]}")
+        df = read_paged(
+            spark, client, page_size=10,
+            policy=RetryPolicy(max_attempts=3, max_backoff=0.01),
+        )
+        out = (
+            df.groupBy("n_regionkey")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_nations"),
+                F.min("n_nationkey").alias("min_key"),
+                F.max("n_nationkey").alias("max_key"),
+                F.sum(F.length("n_name")).cast("long").alias("name_chars"),
+            )
+            .localCheckpoint(eager=True)  # materialize before shutdown
+        )
+        import math
+
+        pages = [q for q in seen if "resultOffset" in q]
+        planned = math.ceil(len(rows) / 10)
+        if len(pages) <= planned:
+            raise RuntimeError(
+                f"transfer cap never engaged: {len(pages)} wire calls for "
+                f"{planned} planned windows"
+            )
+    finally:
+        srv.shutdown()
+    return out
+
+
+@register(
+    "sink_paged_applyedits_upsert",
+    tags=("sink", "paged", "connector", "http", "applyEdits", "upsert"),
+    oracle="""
+    SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS bal_scaled
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def sink_paged_applyedits_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed upsert over the service's ``applyEdits`` wire op — the
+    reference's edit path (``tgt_table.append(..., upsert=True,
+    upsert_matching_field=..., rollback=True)``,
+    ``src/agol_pandas.py:445-455``) without its CSV-item staging. The
+    loopback layer starts with a STALE copy (even-keyed suppliers, all
+    balances zeroed); ``write_paged`` streams the full supplier table
+    through :class:`HttpEditsSink` keyed on ``s_suppkey`` — each executor
+    batch looks up its existing keys (chunked IN queries), splits into
+    OID-addressed updates vs adds, and posts one ``applyEdits`` with
+    ``rollbackOnFailure`` (any per-edit failure raises, never a silent
+    partial write). The readback rides the paged reader; the oracle on
+    the ORIGINAL supplier table proves the remote copy converged exactly:
+    stale rows corrected, missing rows added, nothing duplicated. The
+    upsert split is replay-idempotent, matching the connector's
+    at-least-once delivery."""
+    from agol_pandas_spark.sources.http_client import (
+        HttpEditsSink,
+        HttpPagedClient,
+    )
+    from agol_pandas_spark.sources.http_mock import serve_layer
+    from agol_pandas_spark.sources.paged import (
+        RetryPolicy,
+        read_paged,
+        write_paged,
+    )
+
+    sup = Catalog(spark, sf_dir).table("supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    stale = [
+        {
+            "objectid": i + 1,  # server-managed OID, distinct from the key
+            "s_suppkey": int(r["s_suppkey"]),
+            "s_nationkey": int(r["s_nationkey"]),
+            "s_acctbal": 0.0,
+        }
+        for i, r in enumerate(
+            sup.where(F.col("s_suppkey") % 2 == 0).collect()
+        )
+    ]
+    fields = [
+        {"name": "objectid", "type": "esriFieldTypeOID"},
+        {"name": "s_suppkey", "type": "esriFieldTypeInteger"},
+        {"name": "s_nationkey", "type": "esriFieldTypeInteger"},
+        {"name": "s_acctbal", "type": "esriFieldTypeDouble"},
+    ]
+    srv, seen = serve_layer(stale, fields)
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        policy = RetryPolicy(max_attempts=3, max_backoff=0.01)
+        sink = HttpEditsSink(
+            url, ["s_suppkey", "s_nationkey", "s_acctbal"], key_field="s_suppkey"
+        )
+        write_paged(sup, sink, page_size=200, policy=policy)
+        posts = [q for q in seen if q.get("op") == "applyEdits"]
+        if not any("updates" in p for p in posts):
+            raise RuntimeError("upsert sent no updates for the stale rows")
+        if not any("adds" in p for p in posts):
+            raise RuntimeError("upsert sent no adds for the missing rows")
+        back = read_paged(spark, HttpPagedClient(url), page_size=500, policy=policy)
+        out = (
+            back.groupBy("s_nationkey")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+                F.sum(F.round(F.col("s_acctbal") * 100).cast("long"))
+                .cast("long")
+                .alias("bal_scaled"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        srv.shutdown()
+    return out

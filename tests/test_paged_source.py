@@ -24,6 +24,7 @@ from agol_pandas_spark.sources.paged import (
     RetryPolicy,
     read_paged,
 )
+from agol_pandas_spark.sources.http_mock import serve_layer as _fake_arcgis_server
 from agol_pandas_spark.sources.paged_mock import MemoryClient as _Mem
 from agol_pandas_spark.sources.paged_mock import NoProjectMemoryClient as _NoProj
 
@@ -492,70 +493,6 @@ def test_stream_sink_restart_recovery_no_duplicates(spark, tmp_path):
 # --- HTTP transport against an in-process fake service (r5) -----------
 
 
-def _fake_arcgis_server(rows, fields):
-    """Minimal in-process ArcGIS-style /query endpoint: where (numeric
-    SQL-92 conjunctions), returnCountOnly, resultOffset/resultRecordCount,
-    outFields. Records every received query dict for assertions."""
-    import http.server
-    import json as _json
-    import threading
-    import urllib.parse as up
-
-    seen: list[dict] = []
-
-    def matches(row: dict, where: str) -> bool:
-        if where in ("", "1=1"):
-            return True
-        # numeric-conjunction subset, enough for the pushed predicates
-        py = (
-            where.replace(" AND ", " and ")
-            .replace("<>", "!=")
-            .replace(" IS NOT NULL", " is not None")
-            .replace(" IS NULL", " is None")
-        )
-        return bool(eval(py, {"__builtins__": {}}, dict(row)))  # noqa: S307
-
-    class H(http.server.BaseHTTPRequestHandler):
-        def do_GET(self):
-            parsed = up.urlparse(self.path)
-            q = {k: v[0] for k, v in up.parse_qs(parsed.query).items()}
-            seen.append(q)
-            where = q.get("where", "1=1")
-            data = [r for r in rows if matches(r, where)]
-            out = q.get("outFields", "*")
-            names = (
-                [f["name"] for f in fields]
-                if out == "*"
-                else out.split(",")
-            )
-            flds = [f for f in fields if f["name"] in names]
-            if q.get("returnCountOnly") == "true":
-                body = {"count": len(data)}
-            else:
-                off = int(q.get("resultOffset", 0))
-                lim = int(q.get("resultRecordCount", len(data)))
-                page = data[off : off + lim]
-                body = {
-                    "fields": flds,
-                    "features": [
-                        {"attributes": {n: r[n] for n in names}} for r in page
-                    ],
-                }
-            payload = _json.dumps(body).encode()
-            self.send_response(200)
-            self.send_header("Content-Type", "application/json")
-            self.send_header("Content-Length", str(len(payload)))
-            self.end_headers()
-            self.wfile.write(payload)
-
-        def log_message(self, *a):  # quiet
-            pass
-
-    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
-    threading.Thread(target=srv.serve_forever, daemon=True).start()
-    return srv, seen
-
-
 _HTTP_FIELDS = [
     {"name": "id", "type": "esriFieldTypeOID"},
     {"name": "val", "type": "esriFieldTypeDouble"},
@@ -564,6 +501,8 @@ _HTTP_FIELDS = [
 _HTTP_ROWS = [
     {"id": i, "val": float(i) / 2, "label": f"r{i}"} for i in range(1, 51)
 ]
+
+
 
 
 def test_http_client_paged_read_roundtrip(spark):
@@ -660,6 +599,250 @@ def test_http_where_declines_like_metacharacters():
     )
     assert where == "d LIKE '%clean%'"
     assert [f.column for f in applied] == ["d"]
+
+
+def test_http_transfer_limited_read_is_exact(spark):
+    """A live service caps every page at maxRecordCount and flags
+    exceededTransferLimit — a client that trusts one wire call per
+    planned window silently drops the capped remainder. The window loop
+    must reassemble the table exactly once."""
+    from agol_pandas_spark.sources.http_client import HttpPagedClient
+    from agol_pandas_spark.sources.paged import read_paged
+
+    srv, seen = _fake_arcgis_server(_HTTP_ROWS, _HTTP_FIELDS, max_record_count=7)
+    try:
+        client = HttpPagedClient(f"http://127.0.0.1:{srv.server_address[1]}")
+        df = read_paged(spark, client, page_size=20)
+        got = sorted(r["id"] for r in df.collect())
+        assert got == list(range(1, 51))  # exactly once, nothing dropped
+        # 3 planned windows of 20 each needed ceil(20/7)=3 wire calls
+        # 3 planned windows (20/20/10) need 3+3+2 capped wire calls —
+        # more than the 3 a cap-oblivious client would issue
+        pages = [q for q in seen if "resultOffset" in q]
+        assert len(pages) >= 8
+    finally:
+        srv.shutdown()
+
+
+def test_http_transfer_limit_fetch_window_exact(spark):
+    """fetch_page(offset, limit) must return the FULL logical window even
+    when the service serves it in capped slices."""
+    from agol_pandas_spark.sources.http_client import HttpPagedClient
+
+    srv, seen = _fake_arcgis_server(_HTTP_ROWS, _HTTP_FIELDS, max_record_count=7)
+    try:
+        client = HttpPagedClient(f"http://127.0.0.1:{srv.server_address[1]}")
+        rows = client.fetch_page(5, 20)
+        assert [r[0] for r in rows] == list(range(6, 26))
+        # tail window past the end: short final slice, no flag -> stop
+        tail = client.fetch_page(45, 20)
+        assert [r[0] for r in tail] == list(range(46, 51))
+    finally:
+        srv.shutdown()
+
+
+def test_http_transfer_limit_degraded_sequential(spark):
+    """Unknown-total sequential paging composes with the cap: the reader
+    treats a short window as end-of-stream, so fetch_page's loop is what
+    keeps a capped service from truncating the tail."""
+    from agol_pandas_spark.sources.paged import read_paged
+    from agol_pandas_spark.sources.paged_mock import NoCountHttpClient
+
+    srv, _seen = _fake_arcgis_server(_HTTP_ROWS, _HTTP_FIELDS, max_record_count=7)
+    try:
+        client = NoCountHttpClient(f"http://127.0.0.1:{srv.server_address[1]}")
+        df = read_paged(spark, client, page_size=20)
+        assert sorted(r["id"] for r in df.collect()) == list(range(1, 51))
+    finally:
+        srv.shutdown()
+
+
+def test_http_transfer_limit_zero_progress_raises():
+    """exceededTransferLimit with zero rows served can't make progress —
+    fail loudly rather than spin or return a truncated window."""
+    import http.server
+    import json as _json
+    import threading
+
+    import pytest
+
+    from agol_pandas_spark.sources.http_client import HttpPagedClient
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            body = _json.dumps(
+                {
+                    "fields": _HTTP_FIELDS,
+                    "features": [],
+                    "exceededTransferLimit": True,
+                }
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        client = HttpPagedClient(f"http://127.0.0.1:{srv.server_address[1]}")
+        with pytest.raises(RuntimeError, match="exceededTransferLimit"):
+            client.fetch_page(0, 10)
+    finally:
+        srv.shutdown()
+
+
+_EDIT_FIELDS = [
+    {"name": "objectid", "type": "esriFieldTypeOID"},
+    {"name": "name", "type": "esriFieldTypeString"},
+    {"name": "score", "type": "esriFieldTypeDouble"},
+]
+
+
+def _edit_seed():
+    return [
+        {"objectid": i, "name": f"k{i}", "score": float(i)} for i in range(1, 6)
+    ]
+
+
+class TestHttpEditsSink:
+    """applyEdits write transport (sources/http_client.HttpEditsSink) —
+    the reference's edit wire path (src/agol_pandas.py:445-455) with its
+    rollback quirk contract-tested instead of swallowed."""
+
+    def test_add_only_batch_lands_with_assigned_oids(self):
+        from agol_pandas_spark.sources.http_client import HttpEditsSink
+
+        store = _edit_seed()
+        srv, seen = _fake_arcgis_server(store, _EDIT_FIELDS)
+        try:
+            url = f"http://127.0.0.1:{srv.server_address[1]}"
+            sink = HttpEditsSink(url, ["name", "score"])
+            sink.upload_batch([("new1", 1.5), ("new2", 2.5)], "b0")
+            assert len(store) == 7
+            added = {r["name"]: r for r in store if r["name"].startswith("new")}
+            assert added["new1"]["score"] == 1.5
+            assert {added["new1"]["objectid"], added["new2"]["objectid"]} == {6, 7}
+            posts = [q for q in seen if q.get("op") == "applyEdits"]
+            assert len(posts) == 1 and "updates" not in posts[0]
+        finally:
+            srv.shutdown()
+
+    def test_upsert_splits_updates_from_adds(self):
+        import json as _json
+
+        from agol_pandas_spark.sources.http_client import HttpEditsSink
+
+        store = _edit_seed()
+        srv, seen = _fake_arcgis_server(store, _EDIT_FIELDS)
+        try:
+            url = f"http://127.0.0.1:{srv.server_address[1]}"
+            sink = HttpEditsSink(url, ["name", "score"], key_field="name")
+            sink.upload_batch([("k2", 20.0), ("k4", 40.0), ("fresh", 9.0)], "b0")
+            by_name = {r["name"]: r for r in store}
+            assert len(store) == 6
+            assert by_name["k2"]["score"] == 20.0  # updated in place
+            assert by_name["k4"]["score"] == 40.0
+            assert by_name["k2"]["objectid"] == 2  # same row, not re-added
+            assert by_name["fresh"]["objectid"] == 6
+            post = next(q for q in seen if q.get("op") == "applyEdits")
+            ups = _json.loads(post["updates"])
+            assert sorted(u["attributes"]["objectid"] for u in ups) == [2, 4]
+            assert len(_json.loads(post["adds"])) == 1
+        finally:
+            srv.shutdown()
+
+    def test_upsert_replay_is_idempotent(self):
+        from agol_pandas_spark.sources.http_client import HttpEditsSink
+
+        store = _edit_seed()
+        srv, _ = _fake_arcgis_server(store, _EDIT_FIELDS)
+        try:
+            url = f"http://127.0.0.1:{srv.server_address[1]}"
+            sink = HttpEditsSink(url, ["name", "score"], key_field="name")
+            batch = [("k1", 11.0), ("fresh", 9.0)]
+            sink.upload_batch(batch, "b0")
+            snapshot = sorted((r["name"], r["score"]) for r in store)
+            sink.upload_batch(batch, "b0")  # at-least-once redelivery
+            assert sorted((r["name"], r["score"]) for r in store) == snapshot
+            assert len(store) == 6  # 'fresh' was not duplicated
+        finally:
+            srv.shutdown()
+
+    def test_upsert_addresses_oid_zero(self):
+        """0 is a legal OID — a truthiness test in the key lookup turned
+        it into a 'missing update' (found via supplier keys starting at
+        0 in the corpus). Must update in place, not fail or duplicate."""
+        from agol_pandas_spark.sources.http_client import HttpEditsSink
+
+        store = [{"objectid": 0, "name": "k0", "score": 0.0}]
+        srv, _ = _fake_arcgis_server(store, _EDIT_FIELDS)
+        try:
+            url = f"http://127.0.0.1:{srv.server_address[1]}"
+            sink = HttpEditsSink(url, ["name", "score"], key_field="name")
+            sink.upload_batch([("k0", 5.0)], "b0")
+            assert store == [{"objectid": 0, "name": "k0", "score": 5.0}]
+        finally:
+            srv.shutdown()
+
+    def test_rollback_failure_raises_and_store_unchanged(self):
+        from agol_pandas_spark.sources.http_client import (
+            EditsError,
+            HttpEditsSink,
+        )
+
+        store = _edit_seed()
+        srv, _ = _fake_arcgis_server(
+            store, _EDIT_FIELDS, poison=lambda a: a.get("name") == "bad"
+        )
+        try:
+            url = f"http://127.0.0.1:{srv.server_address[1]}"
+            sink = HttpEditsSink(url, ["name", "score"])
+            before = [dict(r) for r in store]
+            with pytest.raises(EditsError, match="applyEdits failed") as ei:
+                sink.upload_batch([("good", 1.0), ("bad", 2.0)], "b0")
+            assert store == before  # rolled back: the good add didn't land
+            # the live quirk: EVERY edit reports failed under rollback
+            assert all(not r["success"] for r in ei.value.results)
+        finally:
+            srv.shutdown()
+
+    def test_write_paged_distributes_edit_batches(self, spark):
+        from agol_pandas_spark.sources.http_client import HttpEditsSink
+        from agol_pandas_spark.sources.paged import write_paged
+
+        store = _edit_seed()
+        srv, seen = _fake_arcgis_server(store, _EDIT_FIELDS)
+        try:
+            url = f"http://127.0.0.1:{srv.server_address[1]}"
+            sink = HttpEditsSink(url, ["name", "score"], key_field="name")
+            df = spark.range(23).select(
+                F.concat(F.lit("row"), F.col("id")).alias("name"),
+                (F.col("id") * 0.5).alias("score"),
+            )
+            write_paged(df, sink, page_size=5, policy=RetryPolicy(max_attempts=2))
+            names = [r["name"] for r in store]
+            assert len(store) == 28 and len(set(names)) == 28
+            posts = [q for q in seen if q.get("op") == "applyEdits"]
+            assert len(posts) >= 5  # ceil(23/5) batches, parallel tasks
+        finally:
+            srv.shutdown()
+
+    def test_datetimes_cross_the_wire_as_epoch_millis(self):
+        import datetime as _dt
+
+        from agol_pandas_spark.sources.http_client import _edit_value
+
+        assert _edit_value(
+            _dt.datetime(2024, 5, 1, 12, 0, 0, tzinfo=_dt.timezone.utc)
+        ) == 1714564800000
+        # naive datetimes are the engine's catalog invariant: already UTC
+        assert _edit_value(_dt.datetime(2024, 5, 1, 12, 0, 0)) == 1714564800000
+        assert _edit_value(_dt.date(2024, 5, 1)) == 1714521600000
+        assert _edit_value("s") == "s" and _edit_value(3) == 3
 
 
 class TestCsvQuarantine:
