@@ -118,12 +118,19 @@ class HttpPagedClient(PagedClient):
         out_fields: Sequence[str] | None = None,
         token: str | None = None,
         timeout_sec: float = 30.0,
+        geometry: bool = False,
     ):
         self.layer_url = layer_url.rstrip("/")
         self.where = where
         self.out_fields = list(out_fields) if out_fields is not None else None
         self.token = token
         self.timeout_sec = float(timeout_sec)
+        # spatial layers: returnGeometry=true and each feature carries a
+        # point geometry OUTSIDE its attributes — surfaced as two double
+        # columns ``shape_x``/``shape_y`` (the reference read layers the
+        # same way, materializing query_results.sdf's SHAPE column,
+        # src/agol_pandas.py:246)
+        self.geometry = bool(geometry)
         self._schema_cache: T.StructType | None = None
 
     # -- transport ----------------------------------------------------
@@ -146,15 +153,17 @@ class HttpPagedClient(PagedClient):
             fields = self._get(resultRecordCount=1, outFields=self._out())[
                 "fields"
             ]
-            self._schema_cache = T.StructType(
-                [
-                    T.StructField(
-                        f["name"],
-                        _ESRI_TYPES.get(f["type"], T.StringType()),
-                    )
-                    for f in fields
-                ]
-            )
+            cols = [
+                T.StructField(
+                    f["name"],
+                    _ESRI_TYPES.get(f["type"], T.StringType()),
+                )
+                for f in fields
+            ]
+            if self.geometry:
+                cols.append(T.StructField("shape_x", T.DoubleType()))
+                cols.append(T.StructField("shape_y", T.DoubleType()))
+            self._schema_cache = T.StructType(cols)
         return self._schema_cache
 
     def total_count(self) -> int | None:
@@ -176,19 +185,34 @@ class HttpPagedClient(PagedClient):
         (``src/agol_pandas.py:246``); here the loop is per-window so
         pages still fetch in parallel across tasks."""
         names = [f.name for f in self.schema().fields]
+        if self.geometry:
+            names = names[:-2]  # shape_x/shape_y come from the geometry
         out: list[tuple] = []
         while len(out) < limit:
             ask = limit - len(out)
-            payload = self._get(
-                resultOffset=offset + len(out),
-                resultRecordCount=ask,
-                outFields=self._out(),
-            )
+            params: dict = {
+                "resultOffset": offset + len(out),
+                "resultRecordCount": ask,
+                "outFields": self._out(),
+            }
+            if self.geometry:
+                params["returnGeometry"] = "true"
+            payload = self._get(**params)
             feats = payload.get("features", [])
-            out.extend(
-                tuple(feat["attributes"].get(n) for n in names)
-                for feat in feats
-            )
+            if self.geometry:
+                out.extend(
+                    tuple(feat["attributes"].get(n) for n in names)
+                    + (
+                        (feat.get("geometry") or {}).get("x"),
+                        (feat.get("geometry") or {}).get("y"),
+                    )
+                    for feat in feats
+                )
+            else:
+                out.extend(
+                    tuple(feat["attributes"].get(n) for n in names)
+                    for feat in feats
+                )
             if len(feats) >= ask:
                 break
             if not payload.get("exceededTransferLimit"):
@@ -221,17 +245,32 @@ class HttpPagedClient(PagedClient):
                 out_fields=self.out_fields,
                 token=self.token,
                 timeout_sec=self.timeout_sec,
+                geometry=self.geometry,
             ),
             applied,
         )
 
     def project(self, columns: Sequence[str]):
+        # the shape columns are not service fields: they ride the
+        # feature geometry, always trailing the attributes in this
+        # client's schema. Accept the projection only when the request
+        # matches that shape exactly (attrs..., then both shape cols or
+        # neither) — anything else is declined and pruned Spark-side,
+        # since the contract requires the projected schema to equal
+        # ``columns`` verbatim.
+        attrs = [c for c in columns if c not in ("shape_x", "shape_y")]
+        want_geom = list(columns[len(attrs) :]) == ["shape_x", "shape_y"]
+        if not want_geom and len(attrs) != len(columns):
+            return None  # shape cols requested out of order / alone
+        if want_geom and not attrs:
+            return None  # geometry-only: outFields can't go empty
         return HttpPagedClient(
             self.layer_url,
             where=self.where,
-            out_fields=columns,
+            out_fields=attrs,
             token=self.token,
             timeout_sec=self.timeout_sec,
+            geometry=self.geometry and want_geom,
         )
 
     # pickling: drop the schema cache (executors re-fetch lazily)
@@ -310,6 +349,8 @@ class HttpEditsSink(PagedSink):
         timeout_sec: float = 30.0,
         rollback_on_failure: bool = True,
         lookup_page_size: int = 100,
+        geometry_fields: tuple[str, str] | None = None,
+        wkid: int = 4326,
     ):
         self.layer_url = layer_url.rstrip("/")
         self.field_names = list(field_names)
@@ -323,6 +364,23 @@ class HttpEditsSink(PagedSink):
         self.rollback_on_failure = bool(rollback_on_failure)
         # a real service rejects unbounded IN lists; chunk the lookups
         self.lookup_page_size = int(lookup_page_size)
+        # spatial layers: name the two row columns holding the point
+        # coordinates — they leave the attributes and post as the
+        # feature's ``geometry`` (the reference shipped geometry on
+        # append, update_geometry, src/agol_pandas.py:451)
+        if geometry_fields is not None:
+            gx, gy = geometry_fields
+            for g in (gx, gy):
+                if g not in self.field_names:
+                    raise ValueError(
+                        f"geometry field {g!r} not among field_names "
+                        f"{self.field_names}"
+                    )
+            if key_field in (gx, gy):
+                raise ValueError("key_field cannot be a geometry field")
+            geometry_fields = (gx, gy)
+        self.geometry_fields = geometry_fields
+        self.wkid = int(wkid)
 
     # -- transport ----------------------------------------------------
     def _request(self, op: str, data: dict | None, params: dict) -> dict:
@@ -386,25 +444,42 @@ class HttpEditsSink(PagedSink):
         attrs = [
             {n: _edit_value(v) for n, v in zip(self.field_names, r)} for r in rows
         ]
-        adds, updates = attrs, []
+        geoms: list[dict | None] = [None] * len(attrs)
+        if self.geometry_fields is not None:
+            gx, gy = self.geometry_fields
+            geoms = [
+                {
+                    "x": a.pop(gx),
+                    "y": a.pop(gy),
+                    "spatialReference": {"wkid": self.wkid},
+                }
+                for a in attrs
+            ]
+
+        def _feat(a: dict, g: dict | None) -> dict:
+            return {"attributes": a} if g is None else {"attributes": a, "geometry": g}
+
+        adds = [_feat(a, g) for a, g in zip(attrs, geoms)]
+        updates: list[dict] = []
         if self.key_field is not None:
             oid_field, oid_by_key = self._lookup_oids(
                 [a[self.key_field] for a in attrs]
             )
-            adds = [a for a in attrs if a[self.key_field] not in oid_by_key]
-            updates = [
-                {**a, oid_field: oid_by_key[a[self.key_field]]}
-                for a in attrs
-                if a[self.key_field] in oid_by_key
-            ]
+            adds, updates = [], []
+            for a, g in zip(attrs, geoms):
+                oid = oid_by_key.get(a[self.key_field])
+                if oid is None:
+                    adds.append(_feat(a, g))
+                else:
+                    updates.append(_feat({**a, oid_field: oid}, g))
         form: dict = {
             "rollbackOnFailure": "true" if self.rollback_on_failure else "false",
             "useGlobalIds": "false",
         }
         if adds:
-            form["adds"] = json.dumps([{"attributes": a} for a in adds])
+            form["adds"] = json.dumps(adds)
         if updates:
-            form["updates"] = json.dumps([{"attributes": a} for a in updates])
+            form["updates"] = json.dumps(updates)
         payload = self._request("applyEdits", form, {})
         results = list(payload.get("addResults", [])) + list(
             payload.get("updateResults", [])

@@ -92,10 +92,14 @@ def serve_layer(rows, fields, max_record_count=None, poison=None):
                 # real responses always name the OID field (even under
                 # outFields projection) — the upsert lookup needs it
                 feats = []
+                want_geom = q.get("returnGeometry") == "true"
                 for r in page:
-                    a = {n: r[n] for n in names}
+                    a = {n: r[n] for n in names if n != "_geometry"}
                     a.setdefault(oid_field, r.get(oid_field))
-                    feats.append({"attributes": a})
+                    feat = {"attributes": a}
+                    if want_geom and r.get("_geometry") is not None:
+                        feat["geometry"] = r["_geometry"]
+                    feats.append(feat)
                 body = {
                     "objectIdFieldName": oid_field,
                     "fields": flds,
@@ -140,6 +144,8 @@ def serve_layer(rows, fields, max_record_count=None, poison=None):
                         any_failed = True
                         continue
                     a[oid_field] = next_oid
+                    if feat.get("geometry") is not None:
+                        a["_geometry"] = feat["geometry"]
                     staged_adds.append(a)
                     add_results.append({"objectId": next_oid, "success": True})
                     next_oid += 1
@@ -159,6 +165,8 @@ def serve_layer(rows, fields, max_record_count=None, poison=None):
                         )
                         any_failed = True
                         continue
+                    if feat.get("geometry") is not None:
+                        a["_geometry"] = feat["geometry"]
                     staged_updates.append((tgt, a))
                     update_results.append(
                         {"objectId": a.get(oid_field), "success": True}

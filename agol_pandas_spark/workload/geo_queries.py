@@ -419,3 +419,119 @@ def geo_knn_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("c_custkey").orderBy(F.col("dist"), F.col("s_suppkey"))
     return cand.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 3)
+
+
+@register(
+    "geo_esri_features_roundtrip",
+    tags=("geo", "sedf", "interop", "json"),
+    oracle=f"""
+    WITH pts AS ({_SQL_XY})
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_pts,
+           CAST(SUM(CAST(round(x * 100) AS BIGINT)) AS BIGINT) AS x_scaled,
+           CAST(SUM(CAST(round(y * 100) AS BIGINT)) AS BIGINT) AS y_scaled,
+           MIN(x) AS xmin, MAX(y) AS ymax
+    FROM pts GROUP BY c_mktsegment
+    """,
+)
+def geo_esri_features_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatially-enabled-DataFrame interop (``operators/spatial.py`` —
+    the reference's ``st`` accessor boundary, ``src/agol_pandas.py:
+    198-200``): points bind to a :class:`SpatialFrame` and serialize to
+    public Esri-JSON features (``{"attributes": ..., "geometry": {x, y,
+    spatialReference}}``) entirely JVM-side via ``to_json``, then parse
+    BACK with ``from_json`` and aggregate — the oracle on the original
+    synthesis proves the feature serialization (what a spatial
+    applyEdits posts and a feature-set read returns) is lossless. Both
+    directions are distributed column expressions; nothing touches the
+    driver."""
+    from agol_pandas_spark.operators.spatial import SpatialFrame
+
+    sf = SpatialFrame.from_xy(_customer_points(spark, sf_dir))
+    feats = sf.to_esri_features()
+    schema = (
+        "attributes struct<c_custkey: bigint, c_mktsegment: string>, "
+        "geometry struct<x: double, y: double, "
+        "spatialReference: struct<wkid: int>>"
+    )
+    parsed = feats.select(F.from_json("feature_json", schema).alias("f")).select(
+        F.col("f.attributes.c_mktsegment").alias("c_mktsegment"),
+        F.col("f.geometry.x").alias("x"),
+        F.col("f.geometry.y").alias("y"),
+    )
+    return parsed.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pts"),
+        F.sum(F.round(F.col("x") * 100).cast("long")).cast("long").alias("x_scaled"),
+        F.sum(F.round(F.col("y") * 100).cast("long")).cast("long").alias("y_scaled"),
+        F.min("x").alias("xmin"),
+        F.max("y").alias("ymax"),
+    )
+
+
+@register(
+    "geo_wire_layer_envelope",
+    tags=("geo", "sink", "source", "paged", "connector", "geometry"),
+    oracle=f"""
+    WITH pts AS ({_SQL_XY})
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_pts,
+           MIN(x) AS xmin, MIN(y) AS ymin, MAX(x) AS xmax, MAX(y) AS ymax
+    FROM pts WHERE c_custkey % 20 = 0 GROUP BY c_mktsegment
+    """,
+)
+def geo_wire_layer_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial layer end-to-end over the wire: geometry rides OUTSIDE the
+    attributes in the public feature JSON, on both directions the
+    reference exercised — applyEdits posts (``update_geometry``,
+    ``src/agol_pandas.py:451``) and layer reads materializing SHAPE
+    (``:246``). Points upload through :class:`HttpEditsSink` with
+    ``geometry_fields`` (coordinates leave the attributes and post as
+    each feature's ``geometry``), then read back via
+    ``HttpPagedClient(geometry=True)`` (``returnGeometry`` surfaces
+    ``shape_x``/``shape_y`` columns), and the per-segment envelope must
+    match the original synthesis — coordinates crossed JSON twice with
+    zero loss, rows landed exactly once. The loopback layer is
+    driver-hosted; transport, JSON codecs, and paging are the real
+    code paths."""
+    from agol_pandas_spark.functions.geometry import bbox_agg as _bbox
+    from agol_pandas_spark.sources.http_client import (
+        HttpEditsSink,
+        HttpPagedClient,
+    )
+    from agol_pandas_spark.sources.http_mock import serve_layer
+    from agol_pandas_spark.sources.paged import (
+        RetryPolicy,
+        read_paged,
+        write_paged,
+    )
+
+    pts = _customer_points(spark, sf_dir).where(F.col("c_custkey") % 20 == 0)
+    fields = [
+        {"name": "objectid", "type": "esriFieldTypeOID"},
+        {"name": "c_custkey", "type": "esriFieldTypeInteger"},
+        {"name": "c_mktsegment", "type": "esriFieldTypeString"},
+    ]
+    store: list = []
+    srv, _seen = serve_layer(store, fields)
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        policy = RetryPolicy(max_attempts=3, max_backoff=0.01)
+        sink = HttpEditsSink(
+            url,
+            ["c_custkey", "c_mktsegment", "x", "y"],
+            key_field="c_custkey",
+            geometry_fields=("x", "y"),
+        )
+        write_paged(pts, sink, page_size=200, policy=policy)
+        back = read_paged(
+            spark, HttpPagedClient(url, geometry=True), page_size=400, policy=policy
+        )
+        out = (
+            back.groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_pts"),
+                *_bbox(F.col("shape_x"), F.col("shape_y")),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        srv.shutdown()
+    return out
