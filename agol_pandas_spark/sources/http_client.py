@@ -462,9 +462,22 @@ class HttpEditsSink(PagedSink):
         adds = [_feat(a, g) for a, g in zip(attrs, geoms)]
         updates: list[dict] = []
         if self.key_field is not None:
-            oid_field, oid_by_key = self._lookup_oids(
-                [a[self.key_field] for a in attrs]
-            )
+            keys = [a[self.key_field] for a in attrs]
+            if len(set(keys)) != len(keys):
+                # the unique-key contract (K1): two rows with one key in
+                # a single batch would both classify as adds against the
+                # current remote state and land as duplicates — refuse
+                # up front, exactly like the merge engine's pre-merge
+                # validation (the reference silently ignored this,
+                # SURVEY §2a bug list)
+                from agol_pandas_spark.errors import DuplicateKeyError
+
+                dupes = sorted({k for k in keys if keys.count(k) > 1})[:5]
+                raise DuplicateKeyError(
+                    f"upsert batch {batch_id!r} repeats key(s) "
+                    f"{dupes} in {self.key_field!r}"
+                )
+            oid_field, oid_by_key = self._lookup_oids(keys)
             adds, updates = [], []
             for a, g in zip(attrs, geoms):
                 oid = oid_by_key.get(a[self.key_field])

@@ -222,3 +222,67 @@ class TestHttpGeometry:
             assert got["p8"] == (12.0, 2.0, -4.0)
         finally:
             srv.shutdown()
+
+
+class TestEditsSinkProperties:
+    """Property check: any interleaving of upsert batches — including
+    at-least-once replays — converges the remote store to the last-write
+    state of each key, with no duplicates and no key ever lost. Pure
+    driver-side (no Spark): the sink transport and the mock layer are
+    exercised end to end."""
+
+    def test_random_batches_with_replays_converge(self):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from agol_pandas_spark.errors import DuplicateKeyError
+        from agol_pandas_spark.sources.http_client import HttpEditsSink
+
+        keys = st.integers(min_value=0, max_value=14)
+        batch = st.lists(
+            st.tuples(keys, st.floats(allow_nan=False, allow_infinity=False,
+                                      width=32)),
+            min_size=1,
+            max_size=8,
+        )
+        plans = st.lists(
+            st.tuples(batch, st.booleans()),  # (batch, replay it?)
+            min_size=1,
+            max_size=6,
+        )
+
+        @given(plan=plans)
+        @settings(
+            max_examples=15,
+            deadline=None,
+            suppress_health_check=[HealthCheck.too_slow],
+        )
+        def run(plan):
+            store: list = []
+            srv, _ = serve_layer(store, _GEO_FIELDS)
+            try:
+                url = f"http://127.0.0.1:{srv.server_address[1]}"
+                sink = HttpEditsSink(url, ["name", "score"], key_field="name")
+                expect: dict[str, float] = {}
+                for i, (b, replay) in enumerate(plan):
+                    rows = [(f"k{k}", float(v)) for k, v in b]
+                    if len({r[0] for r in rows}) != len(rows):
+                        # intra-batch duplicate key: the unique-key
+                        # contract refuses the whole batch up front
+                        # (found BY this property test — two same-key
+                        # rows both classified as adds and duplicated)
+                        with pytest.raises(DuplicateKeyError):
+                            sink.upload_batch(rows, f"b{i}")
+                        continue
+                    sink.upload_batch(rows, f"b{i}")
+                    if replay:  # at-least-once redelivery of the batch
+                        sink.upload_batch(rows, f"b{i}")
+                    for name, score in rows:
+                        expect[name] = score
+                got = {r["name"]: r["score"] for r in store}
+                assert got == expect          # converged, nothing lost
+                assert len(store) == len(expect)  # and nothing duplicated
+            finally:
+                srv.shutdown()
+
+        run()
