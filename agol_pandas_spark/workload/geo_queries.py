@@ -447,7 +447,11 @@ def geo_esri_features_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from agol_pandas_spark.operators.spatial import SpatialFrame
 
     sf = SpatialFrame.from_xy(_customer_points(spark, sf_dir))
-    feats = sf.to_esri_features()
+    # materialization barrier: Catalyst's OptimizeJsonExprs elides a
+    # from_json(to_json(x)) pair entirely (proven by the plan pin,
+    # tests/test_plans.py) — checkpoint the feature strings so the JSON
+    # actually exists and the parse-back reads real text
+    feats = sf.to_esri_features().localCheckpoint(eager=True)
     schema = (
         "attributes struct<c_custkey: bigint, c_mktsegment: string>, "
         "geometry struct<x: double, y: double, "

@@ -565,3 +565,35 @@ def test_ivfpq_index_probe_reads_no_corpus_vectors(q, spark, sf_dir, tmp_path):
         assert set(s) == {"vec_id", "cell", "codes"}, s
     plan = formatted_plan(probe)
     assert "CartesianProduct" not in plan
+
+
+def test_esri_feature_serialization_is_map_only(q, spark, sf_dir):
+    # the feature-build stage (SpatialFrame.to_esri_features) must be a
+    # pure projection — zero exchanges; serializing a 100 TB corpus to
+    # features costs no data movement
+    from agol_pandas_spark.operators.spatial import SpatialFrame
+    from agol_pandas_spark.workload.geo_queries import _customer_points
+
+    feats = SpatialFrame.from_xy(_customer_points(spark, sf_dir)).to_esri_features()
+    fplan = formatted_plan(feats)
+    assert "Exchange" not in fplan
+    assert "structstojson" in fplan.lower()  # the serializer is real
+    # and the registry roundtrip must parse REAL strings: without its
+    # checkpoint barrier Catalyst's OptimizeJsonExprs elides the
+    # from_json(to_json(x)) pair, making the roundtrip vacuous — prove
+    # the elision so the barrier's reason stays pinned
+    from pyspark.sql import functions as F
+
+    parsed = feats.select(
+        F.from_json(
+            "feature_json",
+            "attributes struct<c_custkey: bigint, c_mktsegment: string>, "
+            "geometry struct<x: double, y: double, "
+            "spatialReference: struct<wkid: int>>",
+        ).alias("f")
+    )
+    assert "jsontostructs" not in formatted_plan(parsed).lower()  # elided
+    # the registry query keeps its agg shuffle only
+    plan = formatted_plan(q("geo_esri_features_roundtrip"))
+    assert plan.count("Exchange") <= 2  # tree + details of the one agg exchange
+    assert "CartesianProduct" not in plan

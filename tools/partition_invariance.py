@@ -152,6 +152,11 @@ QUERIES = [
     "sample_neyman_allocation",
     "stats_theil_sen_slope",
     "join_null_safe_region_match",
+    # r7 session-2 additions: distributed wire writes — batch
+    # composition changes with input partitioning, so upsert
+    # convergence and geometry roundtrip must not depend on it
+    "sink_paged_applyedits_upsert",
+    "geo_wire_layer_envelope",
 ]
 
 PARTITIONS = (1, 7, 200)
