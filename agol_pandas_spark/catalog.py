@@ -31,6 +31,8 @@ from pyspark.sql import types as T
 
 from agol_pandas_spark.errors import (
     EmptyInputError,
+    MissingKeyError,
+    SchemaMismatchError,
     TableExistsError,
     TableNotFoundError,
 )
@@ -842,6 +844,107 @@ class Catalog:
         ]
         out.append(_stat(self.path(name), None))
         return out
+
+    def table_changes(
+        self,
+        name: str,
+        from_version: int,
+        to_version: int | None = None,
+        key=None,
+    ) -> DataFrame:
+        """Change data feed between two snapshots (the Delta-CDF row
+        shape): every column of the table plus ``_change_type`` ∈
+        {``insert``, ``delete``, ``update_preimage``,
+        ``update_postimage``} — updates emit BOTH images, unchanged rows
+        emit nothing. ``to_version=None`` diffs against the current
+        table. ``key`` defaults from the table's declared key.
+
+        Read-side recovery/backfill tool: the reference's consumers have
+        no way to ask "what changed between these loads" short of
+        re-diffing exports by hand; here it is one lazy plan. Scale
+        posture: ONE key shuffle (a null-safe full-outer join of the two
+        snapshots) and a single pass deriving per-row change arrays —
+        the join output is never re-scanned per change type. This is the
+        O(two snapshots) recovery path; for O(delta) change capture at
+        write time, produce a CDC log in the merge (see
+        ``merge_apply_cdc_log``'s apply side) instead of diffing
+        snapshots after the fact.
+        """
+        key = [key] if isinstance(key, str) else (
+            list(key) if key is not None else self.declared_key(name)
+        )
+        if not key:
+            raise MissingKeyError(
+                f"table_changes({name!r}) needs key= or a declared key "
+                "(Catalog.set_declared_key)"
+            )
+        old = self.table_at(name, from_version)
+        new = (
+            self.table_at(name, to_version)
+            if to_version is not None
+            else self.table(name)
+        )
+        if set(old.columns) != set(new.columns):
+            raise SchemaMismatchError(
+                f"snapshots of {name!r} differ in columns: "
+                f"{sorted(set(old.columns) ^ set(new.columns))} — diff "
+                "after aligning the schemas (select the shared columns)"
+            )
+        cols = new.columns
+        missing = [k for k in key if k not in cols]
+        if missing:
+            raise MissingKeyError(f"key column(s) {missing} not in {cols}")
+        vals = [c for c in cols if c not in key]
+        o = old.select(
+            *[F.col(c).alias(f"__o_{c}") for c in cols],
+            F.lit(True).alias("__o_present"),
+        )
+        n = new.select(
+            *[F.col(c).alias(f"__n_{c}") for c in cols],
+            F.lit(True).alias("__n_present"),
+        )
+        cond = None
+        for k in key:
+            c = F.col(f"__o_{k}").eqNullSafe(F.col(f"__n_{k}"))
+            cond = c if cond is None else (cond & c)
+        j = o.join(n, cond, "full_outer")
+        changed = F.lit(False)
+        for v in vals:
+            changed = changed | ~F.col(f"__o_{v}").eqNullSafe(F.col(f"__n_{v}"))
+        pre = F.struct(*[F.col(f"__o_{c}").alias(c) for c in cols])
+        post = F.struct(*[F.col(f"__n_{c}").alias(c) for c in cols])
+
+        def _tagged(img: F.Column, typ: str) -> F.Column:
+            return F.struct(
+                img.alias("row"), F.lit(typ).alias("_change_type")
+            )
+
+        events = (
+            F.when(
+                F.col("__o_present").isNull(), F.array(_tagged(post, "insert"))
+            )
+            .when(
+                F.col("__n_present").isNull(), F.array(_tagged(pre, "delete"))
+            )
+            .when(
+                changed,
+                F.array(
+                    _tagged(pre, "update_preimage"),
+                    _tagged(post, "update_postimage"),
+                ),
+            )
+            .otherwise(F.array().cast(
+                # empty array needs the element type spelled out
+                "array<struct<row: struct<"
+                + ", ".join(f"{c}: {new.schema[c].dataType.simpleString()}" for c in cols)
+                + ">, _change_type: string>>"
+            ))
+        )
+        ex = j.select(F.explode(events).alias("e"))
+        return ex.select(
+            *[F.col(f"e.row.{c}").alias(c) for c in cols],
+            F.col("e._change_type").alias("_change_type"),
+        )
 
     def vacuum(self, name: str, keep_last: int = 0) -> list[int]:
         """Drop archived versions beyond the newest ``keep_last``

@@ -1508,3 +1508,84 @@ def meta_declared_key_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "meta_table_changes_cdf",
+    tags=("meta", "catalog", "cdf", "time-travel"),
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN 0.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 5 <> 4),
+    v2 AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 5 <> 0),
+    changes AS (
+      SELECT v2.o_orderkey, v2.o_totalprice, 'insert' AS _change_type
+      FROM v2 WHERE v2.o_orderkey % 5 = 4
+      UNION ALL
+      SELECT v1.o_orderkey, v1.o_totalprice, 'delete'
+      FROM v1 WHERE v1.o_orderkey % 5 = 0
+      UNION ALL
+      SELECT v1.o_orderkey, v1.o_totalprice, 'update_preimage'
+      FROM v1 JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+      WHERE v1.o_totalprice <> v2.o_totalprice
+      UNION ALL
+      SELECT v2.o_orderkey, v2.o_totalprice, 'update_postimage'
+      FROM v1 JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+      WHERE v1.o_totalprice <> v2.o_totalprice)
+    SELECT _change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_scaled,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+    FROM changes GROUP BY _change_type
+    """,
+)
+def meta_table_changes_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed between snapshots (``Catalog.table_changes`` —
+    the Delta-CDF row shape): two table versions are materialized (v1
+    with stale prices on the ``%7`` keys and the ``%5==0`` keys still
+    present; v2 corrected, those keys dropped, the ``%5==4`` keys new),
+    then the feed from the archived v1 to current must name every
+    insert/delete and BOTH update images, and nothing for unchanged
+    rows — the oracle re-derives the exact diff relationally. One lazy
+    plan: a single null-safe full-outer key join of the two snapshots
+    plus a per-row change-array explode; no per-change-type re-scan.
+    The read-side O(two snapshots) recovery complement to the write-time
+    CDC log (`merge_apply_cdc_log`). The reference has no changefeed at
+    all — consumers re-diffed exports by hand."""
+    import shutil
+    import tempfile
+
+    base = Catalog(spark, sf_dir).table("orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    v1 = base.where(k % 5 != 4).withColumn(
+        "o_totalprice",
+        F.when(k % 7 == 0, F.lit(0.0)).otherwise(F.col("o_totalprice")),
+    )
+    v2 = base.where(k % 5 != 0)
+    root = tempfile.mkdtemp(prefix="cdf_cat_")
+    try:
+        cat = Catalog(spark, root)
+        cat.write(v1, "orders_cdf")
+        cat.write(v2, "orders_cdf", mode="overwrite", keep_versions=1)
+        ch = cat.table_changes("orders_cdf", from_version=1, key="o_orderkey")
+        out = (
+            ch.groupBy("_change_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                .cast("long")
+                .alias("total_scaled"),
+                F.min("o_orderkey").alias("min_key"),
+                F.max("o_orderkey").alias("max_key"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
