@@ -845,12 +845,42 @@ class Catalog:
         out.append(_stat(self.path(name), None))
         return out
 
+    def _snapshot_files(self, path: str) -> list[str]:
+        """Data files of a snapshot directory (or the file itself)."""
+        if os.path.isfile(path):
+            return [path]
+        return sorted(
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(path)
+            for f in fs
+            if not f.startswith(("_", "."))
+        )
+
+    def _read_snapshot(self, path: str, files: list[str] | None = None) -> DataFrame:
+        """Scan a snapshot (optionally a file subset) with ``table()``'s
+        type semantics — TIMESTAMP(NANOS) columns convert to µs — so two
+        snapshots of one table always compare type-identically."""
+        if files is not None and not files:
+            empty = self.spark.read.parquet(path).limit(0)
+            return self._convert_nanos(empty, path)
+        df = self.spark.read.parquet(*(files if files is not None else [path]))
+        return self._convert_nanos(df, path)
+
+    def _convert_nanos(self, df: DataFrame, path: str) -> DataFrame:
+        for c in self._nanos_columns(path):
+            if isinstance(df.schema[c].dataType, T.LongType):
+                df = df.withColumn(
+                    c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+                )
+        return df
+
     def table_changes(
         self,
         name: str,
         from_version: int,
         to_version: int | None = None,
         key=None,
+        prune_shared_files: bool = True,
     ) -> DataFrame:
         """Change data feed between two snapshots (the Delta-CDF row
         shape): every column of the table plus ``_change_type`` ∈
@@ -869,6 +899,19 @@ class Catalog:
         write time, produce a CDC log in the merge (see
         ``merge_apply_cdc_log``'s apply side) instead of diffing
         snapshots after the fact.
+
+        ``prune_shared_files`` (default on) exploits this catalog's
+        carryover design: pruned merges, selective compaction, and
+        clones COMMIT UNCHANGED FILES BY HARD LINK, so a data file
+        present in both snapshots as the same inode is byte-identical —
+        its rows can emit no changes and are excluded from BOTH join
+        sides before any byte is read. After a pruned upsert touching
+        0.1% of a 100 TB table, the feed scans only the rewritten files,
+        not two full snapshots. Sound under the unique-key contract the
+        keyed writes enforce (a key living in a shared file cannot have
+        a second, differing copy elsewhere); pass
+        ``prune_shared_files=False`` for tables written outside the
+        keyed paths.
         """
         key = [key] if isinstance(key, str) else (
             list(key) if key is not None else self.declared_key(name)
@@ -878,12 +921,36 @@ class Catalog:
                 f"table_changes({name!r}) needs key= or a declared key "
                 "(Catalog.set_declared_key)"
             )
-        old = self.table_at(name, from_version)
-        new = (
-            self.table_at(name, to_version)
-            if to_version is not None
-            else self.table(name)
-        )
+        old_path = self._version_path(name, from_version)
+        if not os.path.exists(old_path):
+            raise TableNotFoundError(
+                f"table {name!r} has no archived version {from_version} "
+                f"(available: {self.versions(name)})"
+            )
+        if to_version is not None:
+            new_path = self._version_path(name, to_version)
+            if not os.path.exists(new_path):
+                raise TableNotFoundError(
+                    f"table {name!r} has no archived version {to_version} "
+                    f"(available: {self.versions(name)})"
+                )
+        else:
+            new_path = self.path(name)
+            if not os.path.exists(new_path):
+                raise TableNotFoundError(f"no table {name!r} under {self.root}")
+        old_files = new_files = None
+        if prune_shared_files:
+            def _ino(f: str) -> tuple[int, int]:
+                st = os.stat(f)
+                return (st.st_dev, st.st_ino)
+
+            ofs = self._snapshot_files(old_path)
+            nfs = self._snapshot_files(new_path)
+            shared = {_ino(f) for f in ofs} & {_ino(f) for f in nfs}
+            old_files = [f for f in ofs if _ino(f) not in shared]
+            new_files = [f for f in nfs if _ino(f) not in shared]
+        old = self._read_snapshot(old_path, old_files)
+        new = self._read_snapshot(new_path, new_files)
         if set(old.columns) != set(new.columns):
             raise SchemaMismatchError(
                 f"snapshots of {name!r} differ in columns: "

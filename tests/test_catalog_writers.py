@@ -953,3 +953,66 @@ class TestTableChanges:
         )
         with pytest.raises(SchemaMismatchError, match="differ in columns"):
             cat.table_changes("t", 1, key="k")
+
+
+class TestTableChangesFilePruning:
+    """CDF shared-inode pruning: files carried by hard link between
+    snapshots are provably change-free and must be excluded from BOTH
+    join sides before any byte is read."""
+
+    def test_pruned_feed_reads_only_rewritten_files(self, spark, tmp_path):
+        from agol_pandas_spark.catalog import Catalog
+
+        cat = Catalog(spark, str(tmp_path / "cdfprune"))
+        base = spark.range(0, 40).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        )
+        cat.write(base.repartitionByRange(4, "k"), "t")
+        spans = cat.file_key_spans("t", ["k"])
+        dirty = next(s for s in spans if s["min"]["k"] <= 35 <= s["max"]["k"])
+        carry = [s["path"] for s in spans if s["path"] != dirty["path"]]
+        assert len(carry) == 3
+        touched = (
+            spark.read.parquet(dirty["path"])
+            .withColumn("v", F.col("v") + 1000.0)
+            .coalesce(1)
+        )
+        cat.write_with_carryover(touched, "t", carry, keep_versions=1)
+
+        pruned = cat.table_changes("t", 1, key="k")
+        full = cat.table_changes("t", 1, key="k", prune_shared_files=False)
+        lo, hi = dirty["min"]["k"], dirty["max"]["k"]
+        want = sorted(
+            [(k, float(k), "update_preimage") for k in range(lo, hi + 1)]
+            + [(k, float(k) + 1000.0, "update_postimage") for k in range(lo, hi + 1)]
+        )
+        assert sorted(tuple(r) for r in pruned.collect()) == want
+        assert sorted(tuple(r) for r in full.collect()) == want
+        # the pruned plan never opens the 3 carried files on either side
+        read = {os.path.basename(f) for f in pruned.inputFiles()}
+        carried_names = {os.path.basename(c) for c in carry}
+        assert not (read & carried_names)
+        # 1 archived dirty file + 1 rewritten file
+        assert len(read) == 2
+        full_read = {os.path.basename(f) for f in full.inputFiles()}
+        assert full_read & carried_names  # the unpruned feed does open them
+
+    def test_all_shared_yields_empty_feed_without_scanning(self, spark, tmp_path):
+        from agol_pandas_spark.catalog import Catalog
+
+        cat = Catalog(spark, str(tmp_path / "cdfnoop"))
+        base = spark.range(0, 10).select(
+            F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+        )
+        cat.write(base, "t")
+        carry = cat.data_files("t")
+        # a pure-carryover commit: nothing rewritten, everything linked
+        cat.write_with_carryover(
+            spark.createDataFrame([], "k long, v double"), "t", carry,
+            keep_versions=1,
+        )
+        feed = cat.table_changes("t", 1, key="k")
+        assert feed.count() == 0
+        # every data file is inode-shared: the feed reads none of them
+        carried_names = {os.path.basename(c) for c in carry}
+        assert not ({os.path.basename(f) for f in feed.inputFiles()} & carried_names)
