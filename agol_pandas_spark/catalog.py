@@ -913,14 +913,6 @@ class Catalog:
         ``prune_shared_files=False`` for tables written outside the
         keyed paths.
         """
-        key = [key] if isinstance(key, str) else (
-            list(key) if key is not None else self.declared_key(name)
-        )
-        if not key:
-            raise MissingKeyError(
-                f"table_changes({name!r}) needs key= or a declared key "
-                "(Catalog.set_declared_key)"
-            )
         old_path = self._version_path(name, from_version)
         if not os.path.exists(old_path):
             raise TableNotFoundError(
@@ -938,6 +930,61 @@ class Catalog:
             new_path = self.path(name)
             if not os.path.exists(new_path):
                 raise TableNotFoundError(f"no table {name!r} under {self.root}")
+        return self._changes_between_paths(
+            name, old_path, new_path, key, prune_shared_files
+        )
+
+    def table_changes_between_tags(
+        self,
+        name: str,
+        from_tag: str,
+        to_tag: str | None = None,
+        key=None,
+        prune_shared_files: bool = True,
+    ) -> DataFrame:
+        """:meth:`table_changes` addressed by immutable tags instead of
+        version numbers — "what changed since the snapshot that trained
+        model X". Tags pin snapshots by hard link, so the shared-inode
+        pruning is at its strongest here: only files rewritten since the
+        tag was minted are ever opened. ``to_tag=None`` diffs against
+        the current table."""
+        old_path = self._tag_path(name, from_tag)
+        if not os.path.exists(old_path):
+            raise TableNotFoundError(
+                f"table {name!r} has no tag {from_tag!r} "
+                f"(available: {self.tags(name)})"
+            )
+        if to_tag is not None:
+            new_path = self._tag_path(name, to_tag)
+            if not os.path.exists(new_path):
+                raise TableNotFoundError(
+                    f"table {name!r} has no tag {to_tag!r} "
+                    f"(available: {self.tags(name)})"
+                )
+        else:
+            new_path = self.path(name)
+            if not os.path.exists(new_path):
+                raise TableNotFoundError(f"no table {name!r} under {self.root}")
+        return self._changes_between_paths(
+            name, old_path, new_path, key, prune_shared_files
+        )
+
+    def _changes_between_paths(
+        self,
+        name: str,
+        old_path: str,
+        new_path: str,
+        key,
+        prune_shared_files: bool,
+    ) -> DataFrame:
+        key = [key] if isinstance(key, str) else (
+            list(key) if key is not None else self.declared_key(name)
+        )
+        if not key:
+            raise MissingKeyError(
+                f"table_changes({name!r}) needs key= or a declared key "
+                "(Catalog.set_declared_key)"
+            )
         old_files = new_files = None
         if prune_shared_files:
             def _ino(f: str) -> tuple[int, int]:

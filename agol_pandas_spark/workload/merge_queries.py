@@ -1513,6 +1513,7 @@ def meta_declared_key_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "meta_table_changes_cdf",
     tags=("meta", "catalog", "cdf", "time-travel"),
+    headline=True,
     oracle="""
     WITH v1 AS (
       SELECT o_orderkey, o_orderstatus,

@@ -1016,3 +1016,41 @@ class TestTableChangesFilePruning:
         # every data file is inode-shared: the feed reads none of them
         carried_names = {os.path.basename(c) for c in carry}
         assert not ({os.path.basename(f) for f in feed.inputFiles()} & carried_names)
+
+
+def test_table_changes_between_tags(spark, tmp_path):
+    """Tag-addressed CDF: 'what changed since the snapshot that trained
+    model X' — tags pin by hard link, so only files rewritten since the
+    tag was minted are opened."""
+    from agol_pandas_spark.catalog import Catalog
+    from agol_pandas_spark.errors import TableNotFoundError
+
+    cat = Catalog(spark, str(tmp_path / "tagcdf"))
+    base = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    cat.write(base.repartitionByRange(4, "k"), "t")
+    cat.tag_snapshot("t", "trained_v1")
+    spans = cat.file_key_spans("t", ["k"])
+    dirty = next(s for s in spans if s["min"]["k"] <= 35 <= s["max"]["k"])
+    carry = [s["path"] for s in spans if s["path"] != dirty["path"]]
+    touched = (
+        spark.read.parquet(dirty["path"])
+        .withColumn("v", F.col("v") + 1000.0)
+        .coalesce(1)
+    )
+    cat.write_with_carryover(touched, "t", carry)
+
+    feed = cat.table_changes_between_tags("t", "trained_v1", key="k")
+    lo, hi = dirty["min"]["k"], dirty["max"]["k"]
+    got = sorted(tuple(r) for r in feed.collect())
+    want = sorted(
+        [(k, float(k), "update_preimage") for k in range(lo, hi + 1)]
+        + [(k, float(k) + 1000.0, "update_postimage") for k in range(lo, hi + 1)]
+    )
+    assert got == want
+    # tag pin shares inodes with the carried files: neither side opens them
+    carried_names = {os.path.basename(c) for c in carry}
+    assert not ({os.path.basename(f) for f in feed.inputFiles()} & carried_names)
+    with pytest.raises(TableNotFoundError, match="no tag"):
+        cat.table_changes_between_tags("t", "nope", key="k")

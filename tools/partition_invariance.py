@@ -157,6 +157,9 @@ QUERIES = [
     # convergence and geometry roundtrip must not depend on it
     "sink_paged_applyedits_upsert",
     "geo_wire_layer_envelope",
+    # snapshot-diff CDF: full-outer key join + explode over two
+    # materialized table versions
+    "meta_table_changes_cdf",
 ]
 
 PARTITIONS = (1, 7, 200)
