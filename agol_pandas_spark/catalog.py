@@ -1047,12 +1047,12 @@ class Catalog:
                     _tagged(post, "update_postimage"),
                 ),
             )
-            .otherwise(F.array().cast(
-                # empty array needs the element type spelled out
-                "array<struct<row: struct<"
-                + ", ".join(f"{c}: {new.schema[c].dataType.simpleString()}" for c in cols)
-                + ">, _change_type: string>>"
-            ))
+            .otherwise(
+                # typed empty array without spelling out DDL (which would
+                # break on column names needing backticks): slice(_, 1, 0)
+                # keeps the element type of its input
+                F.slice(F.array(_tagged(pre, "none")), 1, 0)
+            )
         )
         ex = j.select(F.explode(events).alias("e"))
         return ex.select(

@@ -463,6 +463,16 @@ class HttpEditsSink(PagedSink):
         updates: list[dict] = []
         if self.key_field is not None:
             keys = [a[self.key_field] for a in attrs]
+            if any(k is None for k in keys):
+                # a NULL key can't address an upsert (and would render as
+                # a bogus literal in the lookup IN list) — same contract
+                # as the merge engine's key validation
+                from agol_pandas_spark.errors import MissingKeyError
+
+                raise MissingKeyError(
+                    f"upsert batch {batch_id!r} contains a NULL "
+                    f"{self.key_field!r} key"
+                )
             if len(set(keys)) != len(keys):
                 # the unique-key contract (K1): two rows with one key in
                 # a single batch would both classify as adds against the

@@ -286,3 +286,22 @@ class TestEditsSinkProperties:
                 srv.shutdown()
 
         run()
+
+
+def test_edits_sink_rejects_null_upsert_key():
+    """A NULL key can't address an upsert and would render as a bogus
+    literal in the lookup IN list — refused up front."""
+    from agol_pandas_spark.errors import MissingKeyError
+    from agol_pandas_spark.sources.http_client import HttpEditsSink
+    from agol_pandas_spark.sources.http_mock import serve_layer
+
+    store: list = []
+    srv, _ = serve_layer(store, _GEO_FIELDS)
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        sink = HttpEditsSink(url, ["name", "score"], key_field="name")
+        with pytest.raises(MissingKeyError, match="NULL"):
+            sink.upload_batch([("ok", 1.0), (None, 2.0)], "b0")
+        assert store == []  # nothing posted
+    finally:
+        srv.shutdown()
