@@ -100,6 +100,14 @@ NOTES = {
         "LeftAnti over the persisted CANDIDATE set only — the aggregated "
         "input never sees a cross join."
     ),
+    "meta_table_changes_cdf": (
+        "Snapshot-diff change feed: ONE null-safe full-outer key join of "
+        "the two snapshots (a single exchange pair) and a per-row "
+        "change-array Generate — no per-change-type re-scan of the join. "
+        "At 100 TB the shared-inode file pruning (not visible in the plan; "
+        "it shrinks the scan's file list before planning) makes both "
+        "scans proportional to the rewritten file set."
+    ),
     "text_bpe_pair_merge": (
         "BPE iteration (r6): the word histogram is the only corpus-scale "
         "shuffle (partial_count before the exchange); pair counting, the "
