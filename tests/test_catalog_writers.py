@@ -1054,3 +1054,97 @@ def test_table_changes_between_tags(spark, tmp_path):
     assert not ({os.path.basename(f) for f in feed.inputFiles()} & carried_names)
     with pytest.raises(TableNotFoundError, match="no tag"):
         cat.table_changes_between_tags("t", "nope", key="k")
+
+
+class TestApplyCdfToSummary:
+    """Algebraic incremental maintenance of a grouped count/sum summary
+    from a change feed (views.apply_cdf_to_summary)."""
+
+    def _feed(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "g string, v long, _change_type string"
+        )
+
+    def _summary(self, spark, rows):
+        return spark.createDataFrame(rows, "g string, n_rows long, v_sum long")
+
+    def test_signed_delta_algebra(self, spark):
+        from agol_pandas_spark.operators.views import apply_cdf_to_summary
+
+        summary = self._summary(spark, [("a", 2, 30), ("b", 1, 5)])
+        feed = self._feed(
+            spark,
+            [
+                ("a", 10, "insert"),             # a: count+1, sum+10
+                ("b", 5, "update_preimage"),     # b: value 5 -> 9
+                ("b", 9, "update_postimage"),
+                ("c", 7, "insert"),              # new group appears
+            ],
+        )
+        got = {
+            r["g"]: (r["n_rows"], r["v_sum"])
+            for r in apply_cdf_to_summary(
+                summary, feed, ["g"], {"v_sum": "v"}
+            ).collect()
+        }
+        assert got == {"a": (3, 40), "b": (1, 9), "c": (1, 7)}
+
+    def test_groups_vanish_at_zero_and_null_groups_merge(self, spark):
+        from agol_pandas_spark.operators.views import apply_cdf_to_summary
+
+        summary = self._summary(spark, [("a", 1, 10), (None, 2, 8)])
+        feed = self._feed(
+            spark,
+            [
+                ("a", 10, "delete"),   # last row of a: group vanishes
+                (None, 4, "delete"),   # NULL group pairs null-safely
+            ],
+        )
+        got = {
+            r["g"]: (r["n_rows"], r["v_sum"])
+            for r in apply_cdf_to_summary(
+                summary, feed, ["g"], {"v_sum": "v"}
+            ).collect()
+        }
+        assert got == {None: (1, 4)}
+
+    def test_maintained_equals_recompute_end_to_end(self, spark, tmp_path):
+        """Summary maintained from the real table_changes feed must equal
+        a from-scratch recompute of the new snapshot."""
+        from agol_pandas_spark.catalog import Catalog
+        from agol_pandas_spark.operators.views import apply_cdf_to_summary
+
+        cat = Catalog(spark, str(tmp_path / "ivm"))
+        v1 = spark.createDataFrame(
+            [(k, f"g{k % 3}", k * 10) for k in range(30)],
+            "k long, g string, v long",
+        )
+        v2 = spark.createDataFrame(
+            [(k, f"g{k % 3}", k * 10 + (7 if k % 5 == 0 else 0))
+             for k in range(3, 36)],
+            "k long, g string, v long",
+        )
+        cat.write(v1, "t")
+        cat.write(v2, "t", mode="overwrite", keep_versions=1)
+        summary_v1 = v1.groupBy("g").agg(
+            F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("v_sum")
+        )
+        maintained = apply_cdf_to_summary(
+            summary_v1, cat.table_changes("t", 1, key="k"),
+            ["g"], {"v_sum": "v"},
+        )
+        recomputed = v2.groupBy("g").agg(
+            F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("v_sum")
+        )
+        assert sorted(map(tuple, maintained.collect())) == sorted(
+            map(tuple, recomputed.collect())
+        )
+
+    def test_count_col_collision_raises(self, spark):
+        from agol_pandas_spark.operators.views import apply_cdf_to_summary
+
+        with pytest.raises(ValueError, match="collides"):
+            apply_cdf_to_summary(
+                self._summary(spark, []), self._feed(spark, []),
+                ["g"], {"n_rows": "v"},
+            )
