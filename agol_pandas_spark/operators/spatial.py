@@ -98,6 +98,47 @@ class SpatialFrame:
             wkid=wkid,
         )
 
+    @classmethod
+    def from_pandas_sdf(
+        cls,
+        spark,
+        pdf,
+        x: str = "x",
+        y: str = "y",
+        shape_col: str = "SHAPE",
+        wkid: int | None = None,
+    ) -> "SpatialFrame":
+        """Ingest a pandas spatially-enabled DataFrame — the shape the
+        reference's layer reads hand back (``query_results.sdf``,
+        ``src/agol_pandas.py:246``): a ``SHAPE`` column of Esri point
+        geometries (JSON dicts, or ``arcgis`` Point objects, which are
+        dict-like). Coordinates land as ``x``/``y`` double columns; the
+        SHAPE column does not cross into Spark (geometry is columns, not
+        objects, on the distributed side). ``wkid`` defaults from the
+        first non-null shape's spatialReference. Driver boundary by
+        definition — the inverse of :meth:`to_pandas_sdf`."""
+        import pandas as pd
+
+        if shape_col not in pdf.columns:
+            raise ValueError(f"no {shape_col!r} column in {list(pdf.columns)}")
+        for c in (x, y):
+            if c in pdf.columns:
+                raise ValueError(
+                    f"coordinate column {c!r} already exists; pick other names"
+                )
+        shapes = pdf[shape_col]
+        pdf = pdf.drop(columns=[shape_col]).copy()
+        pdf[x] = [None if s is None else float(s["x"]) for s in shapes]
+        pdf[y] = [None if s is None else float(s["y"]) for s in shapes]
+        if wkid is None:
+            first = next((s for s in shapes if s is not None), None)
+            wkid = (
+                int(first.get("spatialReference", {}).get("wkid", WGS84))
+                if first is not None
+                else WGS84
+            )
+        return cls(spark.createDataFrame(pdf), x=x, y=y, wkid=wkid)
+
     # -- distributed accessors (lazy plans) ------------------------------
     def _attr_cols(self) -> list[str]:
         return [c for c in self.df.columns if c not in (self.x, self.y)]

@@ -305,3 +305,23 @@ def test_edits_sink_rejects_null_upsert_key():
         assert store == []  # nothing posted
     finally:
         srv.shutdown()
+
+
+def test_from_pandas_sdf_roundtrip(spark):
+    """to_pandas_sdf -> from_pandas_sdf must round-trip coordinates,
+    attributes, wkid, and null shapes."""
+    df = _pts(spark).withColumn(
+        "x", F.when(F.col("id") == 4, F.lit(None)).otherwise(F.col("x"))
+    )
+    pdf = SpatialFrame.from_xy(df, wkid=3857).to_pandas_sdf()
+    back = SpatialFrame.from_pandas_sdf(
+        spark, pdf.drop(columns=["x", "y"]), wkid=None
+    )
+    assert back.wkid == 3857  # inferred from the SHAPE dicts
+    rows = {r["id"]: (r["x"], r["y"]) for r in back.df.collect()}
+    assert rows[2] == (20.0, -3.75)
+    assert rows[4] == (None, None)  # null shape -> null coordinates
+    with pytest.raises(ValueError, match="no 'SHAPE'"):
+        SpatialFrame.from_pandas_sdf(spark, pdf.drop(columns=["SHAPE"]))
+    with pytest.raises(ValueError, match="already exists"):
+        SpatialFrame.from_pandas_sdf(spark, pdf)  # x/y still present
