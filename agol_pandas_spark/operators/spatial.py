@@ -137,7 +137,16 @@ class SpatialFrame:
                 if first is not None
                 else WGS84
             )
-        return cls(spark.createDataFrame(pdf), x=x, y=y, wkid=wkid)
+        df = spark.createDataFrame(pdf)
+        for c in (x, y):
+            # pandas None floats arrive as NaN through non-Arrow
+            # conversion; the distributed side must see SQL NULL (NaN
+            # breaks null-safe joins and comparisons)
+            df = df.withColumn(
+                c,
+                F.when(F.isnan(F.col(c)), F.lit(None)).otherwise(F.col(c)),
+            )
+        return cls(df, x=x, y=y, wkid=wkid)
 
     # -- distributed accessors (lazy plans) ------------------------------
     def _attr_cols(self) -> list[str]:
