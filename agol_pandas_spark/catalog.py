@@ -969,6 +969,32 @@ class Catalog:
             name, old_path, new_path, key, prune_shared_files
         )
 
+    def branch_changes(
+        self,
+        name: str,
+        branch: str,
+        key=None,
+        prune_shared_files: bool = True,
+    ) -> DataFrame:
+        """What a branch has STAGED relative to the published table —
+        :meth:`table_changes` from the current table to the branch's
+        state (insert/delete/update images). The pre-publish review for
+        the branch workflow: audit exactly the rows a
+        :meth:`publish_branch` would land, not the whole table. The
+        branch forked by hard link, so the shared-inode pruning opens
+        only files the branch has rewritten since the fork."""
+        src_path = self.path(name)
+        if not os.path.exists(src_path):
+            raise TableNotFoundError(f"no table {name!r} under {self.root}")
+        bpath = self.path(self._branch_name(name, branch))
+        if not os.path.exists(bpath):
+            raise TableNotFoundError(
+                f"table {name!r} has no branch {branch!r}"
+            )
+        return self._changes_between_paths(
+            name, src_path, bpath, key, prune_shared_files
+        )
+
     def _changes_between_paths(
         self,
         name: str,

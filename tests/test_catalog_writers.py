@@ -1148,3 +1148,31 @@ class TestApplyCdfToSummary:
                 self._summary(spark, []), self._feed(spark, []),
                 ["g"], {"n_rows": "v"},
             )
+
+
+def test_branch_changes_pre_publish_review(spark, tmp_path):
+    """branch_changes = the rows a publish would land: diff published ->
+    branch, shared-inode pruned down to what the branch rewrote."""
+    from agol_pandas_spark.catalog import Catalog
+    from agol_pandas_spark.errors import TableNotFoundError
+    from agol_pandas_spark.operators.merge import merge
+
+    cat = Catalog(spark, str(tmp_path / "brcdf"))
+    base = spark.createDataFrame(
+        [(k, k * 1.0) for k in range(10)], "k long, v double"
+    )
+    cat.write(base, "t")
+    bname = cat.branch_table("t", "backfill")
+    fix = spark.createDataFrame([(3, 99.0), (42, 1.0)], "k long, v double")
+    cat.write(
+        merge(cat.table(bname), fix, mode="upsert", key="k"),
+        bname, mode="overwrite",
+    )
+    got = sorted(tuple(r) for r in cat.branch_changes("t", "backfill", key="k").collect())
+    assert got == [
+        (3, 3.0, "update_preimage"),
+        (3, 99.0, "update_postimage"),
+        (42, 1.0, "insert"),
+    ]
+    with pytest.raises(TableNotFoundError, match="no branch"):
+        cat.branch_changes("t", "nope", key="k")

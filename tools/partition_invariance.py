@@ -158,8 +158,10 @@ QUERIES = [
     "sink_paged_applyedits_upsert",
     "geo_wire_layer_envelope",
     # snapshot-diff CDF: full-outer key join + explode over two
-    # materialized table versions
+    # materialized table versions; the IVM query stacks a second
+    # full-outer merge on top
     "meta_table_changes_cdf",
+    "pipeline_cdf_summary_maintenance",
 ]
 
 PARTITIONS = (1, 7, 200)
