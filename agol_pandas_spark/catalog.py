@@ -36,7 +36,7 @@ from agol_pandas_spark.errors import (
     TableExistsError,
     TableNotFoundError,
 )
-from agol_pandas_spark.functions.names import normalize_service_name
+from agol_pandas_spark.functions.names import backticked, normalize_service_name
 
 TEST_TABLES = (
     "region",
@@ -900,6 +900,12 @@ class Catalog:
         ``merge_apply_cdc_log``'s apply side) instead of diffing
         snapshots after the fact.
 
+        The feed diffs RAW snapshots: soft deletes recorded in the
+        tombstone sidecar (:meth:`soft_delete_keys`) do not rewrite data
+        files and therefore emit NO events here — materialize them first
+        (:meth:`apply_tombstones`) if the feed must reflect
+        :meth:`table_live` semantics.
+
         ``prune_shared_files`` (default on) exploits this catalog's
         carryover design: pruned merges, selective compaction, and
         clones COMMIT UNCHANGED FILES BY HARD LINK, so a data file
@@ -1013,15 +1019,18 @@ class Catalog:
             )
         old_files = new_files = None
         if prune_shared_files:
-            def _ino(f: str) -> tuple[int, int]:
-                st = os.stat(f)
-                return (st.st_dev, st.st_ino)
+            def _inos(files: list[str]) -> list[tuple[tuple[int, int], str]]:
+                out = []
+                for f in files:
+                    st = os.stat(f)  # one stat per file per side
+                    out.append(((st.st_dev, st.st_ino), f))
+                return out
 
-            ofs = self._snapshot_files(old_path)
-            nfs = self._snapshot_files(new_path)
-            shared = {_ino(f) for f in ofs} & {_ino(f) for f in nfs}
-            old_files = [f for f in ofs if _ino(f) not in shared]
-            new_files = [f for f in nfs if _ino(f) not in shared]
+            ofs = _inos(self._snapshot_files(old_path))
+            nfs = _inos(self._snapshot_files(new_path))
+            shared = {i for i, _ in ofs} & {i for i, _ in nfs}
+            old_files = [f for i, f in ofs if i not in shared]
+            new_files = [f for i, f in nfs if i not in shared]
         old = self._read_snapshot(old_path, old_files)
         new = self._read_snapshot(new_path, new_files)
         if set(old.columns) != set(new.columns):
@@ -1035,24 +1044,28 @@ class Catalog:
         if missing:
             raise MissingKeyError(f"key column(s) {missing} not in {cols}")
         vals = [c for c in cols if c not in key]
+        # all parsed references go through backticked(): a column named
+        # 'a.b' must stay one column, not a struct-field path
         o = old.select(
-            *[F.col(c).alias(f"__o_{c}") for c in cols],
+            *[F.col(backticked(c)).alias(f"__o_{c}") for c in cols],
             F.lit(True).alias("__o_present"),
         )
         n = new.select(
-            *[F.col(c).alias(f"__n_{c}") for c in cols],
+            *[F.col(backticked(c)).alias(f"__n_{c}") for c in cols],
             F.lit(True).alias("__n_present"),
         )
         cond = None
         for k in key:
-            c = F.col(f"__o_{k}").eqNullSafe(F.col(f"__n_{k}"))
+            c = F.col(backticked(f"__o_{k}")).eqNullSafe(F.col(backticked(f"__n_{k}")))
             cond = c if cond is None else (cond & c)
         j = o.join(n, cond, "full_outer")
         changed = F.lit(False)
         for v in vals:
-            changed = changed | ~F.col(f"__o_{v}").eqNullSafe(F.col(f"__n_{v}"))
-        pre = F.struct(*[F.col(f"__o_{c}").alias(c) for c in cols])
-        post = F.struct(*[F.col(f"__n_{c}").alias(c) for c in cols])
+            changed = changed | ~F.col(backticked(f"__o_{v}")).eqNullSafe(
+                F.col(backticked(f"__n_{v}"))
+            )
+        pre = F.struct(*[F.col(backticked(f"__o_{c}")).alias(c) for c in cols])
+        post = F.struct(*[F.col(backticked(f"__n_{c}")).alias(c) for c in cols])
 
         def _tagged(img: F.Column, typ: str) -> F.Column:
             return F.struct(
@@ -1082,8 +1095,8 @@ class Catalog:
         )
         ex = j.select(F.explode(events).alias("e"))
         return ex.select(
-            *[F.col(f"e.row.{c}").alias(c) for c in cols],
-            F.col("e._change_type").alias("_change_type"),
+            *[F.col("e")["row"][c].alias(c) for c in cols],
+            F.col("e")["_change_type"].alias("_change_type"),
         )
 
     def vacuum(self, name: str, keep_last: int = 0) -> list[int]:

@@ -41,3 +41,11 @@ def normalize_service_name_col(col: Column | str, max_len: int = 128) -> Column:
     c = F.regexp_replace(c, r"_+", "_")
     c = F.lower(c)
     return F.substring(c, 1, max_len)
+
+
+def backticked(column_name: str) -> str:
+    """Quote a column name for parsed-name contexts (``F.col``,
+    ``groupBy(str)``): dots would otherwise resolve as struct-field
+    access and backticks terminate the quote early. Spark's escape for a
+    literal backtick is doubling it."""
+    return "`" + column_name.replace("`", "``") + "`"

@@ -126,12 +126,29 @@ class SpatialFrame:
                 raise ValueError(
                     f"coordinate column {c!r} already exists; pick other names"
                 )
-        shapes = pdf[shape_col]
+        def _missing(s) -> bool:
+            # pandas marks missing object cells as NaN after merges /
+            # reindexes, not None — a bare pd.isna on a dict is False,
+            # on a float NaN is True
+            return s is None or (not isinstance(s, dict) and pd.isna(s))
+
+        def _coord(s, axis: str):
+            if _missing(s):
+                return None
+            v = s[axis]  # Esri empty points carry explicit None coords
+            return None if v is None or pd.isna(v) else float(v)
+
+        import numpy as np
+
+        shapes = list(pdf[shape_col])
         pdf = pdf.drop(columns=[shape_col]).copy()
-        pdf[x] = [None if s is None else float(s["x"]) for s in shapes]
-        pdf[y] = [None if s is None else float(s["y"]) for s in shapes]
+        # float64-typed from the start (None -> NaN): an all-missing
+        # column must not leave Spark's schema inference with untyped
+        # None objects; NaN is rewritten to SQL NULL below
+        pdf[x] = np.array([_coord(s, "x") for s in shapes], dtype="float64")
+        pdf[y] = np.array([_coord(s, "y") for s in shapes], dtype="float64")
         if wkid is None:
-            first = next((s for s in shapes if s is not None), None)
+            first = next((s for s in shapes if not _missing(s)), None)
             wkid = (
                 int(first.get("spatialReference", {}).get("wkid", WGS84))
                 if first is not None

@@ -148,37 +148,43 @@ def apply_cdf_to_summary(
     """
     from pyspark.sql import functions as F
 
+    from agol_pandas_spark.functions.names import backticked as bq
+
     if count_col in sums:
         raise ValueError(f"count_col {count_col!r} collides with a sum column")
     sign = F.when(
         F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
     ).otherwise(F.lit(-1))
-    delta = changes.groupBy(*keys).agg(
+    # every parsed column reference is backticked: key/measure names
+    # containing dots must stay single columns, not struct-field paths
+    delta = changes.groupBy(*[F.col(bq(k)) for k in keys]).agg(
         F.sum(sign).alias(f"__d_{count_col}"),
         *[
-            F.sum(sign * F.col(src)).alias(f"__d_{out}")
+            F.sum(sign * F.col(bq(src))).alias(f"__d_{out}")
             for out, src in sums.items()
         ],
     )
     s = summary.select(
-        *[F.col(k).alias(f"__s_{k}") for k in keys],
-        *[F.col(c).alias(f"__s_{c}") for c in [count_col, *sums]],
+        *[F.col(bq(k)).alias(f"__s_{k}") for k in keys],
+        *[F.col(bq(c)).alias(f"__s_{c}") for c in [count_col, *sums]],
     )
     cond = None
     for k in keys:
-        c = F.col(f"__s_{k}").eqNullSafe(F.col(k))
+        c = F.col(bq(f"__s_{k}")).eqNullSafe(F.col(bq(k)))
         cond = c if cond is None else (cond & c)
     j = s.join(delta, cond, "full_outer")
 
     def _sum2(a: str, b: str):
-        return F.coalesce(F.col(a), F.lit(0)) + F.coalesce(F.col(b), F.lit(0))
+        return F.coalesce(F.col(bq(a)), F.lit(0)) + F.coalesce(
+            F.col(bq(b)), F.lit(0)
+        )
 
     out_keys = [
-        F.coalesce(F.col(f"__s_{k}"), F.col(k)).alias(k) for k in keys
+        F.coalesce(F.col(bq(f"__s_{k}")), F.col(bq(k))).alias(k) for k in keys
     ]
     merged = j.select(
         *out_keys,
         _sum2(f"__s_{count_col}", f"__d_{count_col}").alias(count_col),
         *[_sum2(f"__s_{c}", f"__d_{c}").alias(c) for c in sums],
     )
-    return merged.where(F.col(count_col) > 0)
+    return merged.where(F.col(bq(count_col)) > 0)

@@ -155,7 +155,15 @@ class RetryPolicy:
         while True:
             try:
                 return fn(*args)
-            except Exception:
+            except Exception as ex:
+                # typed engine errors are deterministic contract
+                # violations (duplicate/NULL upsert keys, missing
+                # tables...) — retrying replays the same failure after
+                # pointless backoff sleeps; surface them immediately
+                from agol_pandas_spark.errors import EngineError
+
+                if isinstance(ex, EngineError):
+                    raise
                 failures += 1
                 if failures >= self.max_attempts:
                     raise

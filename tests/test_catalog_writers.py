@@ -1176,3 +1176,38 @@ def test_branch_changes_pre_publish_review(spark, tmp_path):
     ]
     with pytest.raises(TableNotFoundError, match="no branch"):
         cat.branch_changes("t", "nope", key="k")
+
+
+def test_table_changes_and_ivm_handle_dotted_column_names(spark, tmp_path):
+    """Code-review finding: parsed column references (F.col, groupBy)
+    treat dots as struct-field paths — a legal column named 'grp.id'
+    must survive the change feed and the summary maintenance."""
+    from agol_pandas_spark.catalog import Catalog
+    from agol_pandas_spark.operators.views import apply_cdf_to_summary
+
+    cat = Catalog(spark, str(tmp_path / "dotted"))
+    v1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], ["k.id", "grp.name", "val.x"]
+    )
+    v2 = spark.createDataFrame(
+        [(1, "a", 11), (3, "c", 30)], ["k.id", "grp.name", "val.x"]
+    )
+    cat.write(v1, "t")
+    cat.write(v2, "t", mode="overwrite", keep_versions=1)
+    feed = cat.table_changes("t", 1, key="k.id")
+    got = sorted(tuple(r) for r in feed.collect())
+    assert got == [
+        (1, "a", 10, "update_preimage"),
+        (1, "a", 11, "update_postimage"),
+        (2, "b", 20, "delete"),
+        (3, "c", 30, "insert"),
+    ]
+    summary_v1 = spark.createDataFrame(
+        [("a", 1, 10), ("b", 1, 20)], ["grp.name", "n_rows", "vx_sum"]
+    )
+    maintained = apply_cdf_to_summary(
+        summary_v1, feed, ["grp.name"], {"vx_sum": "val.x"}
+    )
+    assert sorted(tuple(r) for r in maintained.collect()) == [
+        ("a", 1, 11), ("c", 1, 30),
+    ]

@@ -325,3 +325,63 @@ def test_from_pandas_sdf_roundtrip(spark):
         SpatialFrame.from_pandas_sdf(spark, pdf.drop(columns=["SHAPE"]))
     with pytest.raises(ValueError, match="already exists"):
         SpatialFrame.from_pandas_sdf(spark, pdf)  # x/y still present
+
+
+def test_from_pandas_sdf_real_world_missing_shapes(spark):
+    """Code-review findings: pandas marks missing object cells as NaN
+    (not None) after merges; Esri empty points carry explicit None
+    coordinates; an all-missing SHAPE column must still infer float64
+    coordinates."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "id": [1, 2, 3],
+            "SHAPE": [
+                {"x": 1.0, "y": 2.0, "spatialReference": {"wkid": 4326}},
+                np.nan,                       # pandas missing marker
+                {"x": None, "y": None},       # Esri empty point
+            ],
+        }
+    )
+    sf = SpatialFrame.from_pandas_sdf(spark, pdf)
+    rows = {r["id"]: (r["x"], r["y"]) for r in sf.df.collect()}
+    assert rows == {1: (1.0, 2.0), 2: (None, None), 3: (None, None)}
+
+    all_null = pd.DataFrame({"id": [1, 2], "SHAPE": [None, np.nan]})
+    sf2 = SpatialFrame.from_pandas_sdf(spark, all_null)
+    assert [tuple(r) for r in sf2.df.orderBy("id").collect()] == [
+        (1, None, None), (2, None, None),
+    ]
+    assert dict(sf2.df.dtypes)["x"] == "double"
+
+
+def test_retry_policy_does_not_retry_validation_errors():
+    """Deterministic engine errors (duplicate/NULL keys...) must surface
+    immediately — not replay through max_attempts backoff sleeps."""
+    from agol_pandas_spark.errors import DuplicateKeyError
+    from agol_pandas_spark.sources.paged import RetryPolicy
+
+    calls = {"n": 0}
+
+    def always_invalid():
+        calls["n"] += 1
+        raise DuplicateKeyError("dup")
+
+    policy = RetryPolicy(max_attempts=5, max_backoff=0.01)
+    with pytest.raises(DuplicateKeyError):
+        policy.run(always_invalid)
+    assert calls["n"] == 1  # no retries
+
+    # transient (non-engine) errors still retry
+    flaky = {"n": 0}
+
+    def transient_then_ok():
+        flaky["n"] += 1
+        if flaky["n"] < 3:
+            raise RuntimeError("transient")
+        return "ok"
+
+    assert policy.run(transient_then_ok) == "ok"
+    assert flaky["n"] == 3
