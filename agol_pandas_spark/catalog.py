@@ -61,13 +61,51 @@ TEST_TABLES = (
 _DF_CACHE: dict[tuple, DataFrame] = {}
 _DF_CACHE_MAX = 256
 
+# Snapshot manifest file written inside every committed snapshot directory.
+# Iceberg-style file-list identity: each data file gets a commit-assigned
+# ``file_id`` that travels with the file through carryover / tag / branch /
+# clone commits. Two snapshots sharing a (file_id, size) entry hold the
+# SAME immutable committed file (every write path commits new files via the
+# two-phase swap; nothing mutates a committed file in place), so its rows
+# can be pruned from both sides of a snapshot diff — the object-storage-
+# portable replacement for (st_dev, st_ino) hard-link identity, which does
+# not exist on S3/GCS/ABFS where a 100 TB deployment lives.
+MANIFEST_NAME = "_manifest.json"
+
+SNAPSHOT_IDENTITY_MODES = ("auto", "manifest", "inode")
+
 
 class Catalog:
-    """A named-table namespace over a directory of Parquet datasets."""
+    """A named-table namespace over a directory of Parquet datasets.
 
-    def __init__(self, spark: SparkSession, root: str):
+    ``snapshot_identity`` picks how shared-file pruning (``table_changes``
+    and friends) proves two snapshot files identical:
+
+    - ``auto`` (default): manifest identity when both snapshots carry a
+      manifest, hard-link inode identity otherwise (pre-manifest tables).
+    - ``manifest``: manifest-only — never consults inodes; snapshots
+      without manifests are diffed unpruned (correct, just unoptimized).
+      This is the object-storage posture: on S3/GCS there are no inodes.
+    - ``inode``: legacy hard-link identity only (POSIX filesystems).
+
+    Defaults from ``$AGOL_SPARK_SNAPSHOT_IDENTITY`` when unset, so a full
+    workload sweep can be flipped to manifest-only without code changes.
+    """
+
+    def __init__(
+        self, spark: SparkSession, root: str,
+        snapshot_identity: str | None = None,
+    ):
         self.spark = spark
         self.root = root
+        self.snapshot_identity = snapshot_identity or os.environ.get(
+            "AGOL_SPARK_SNAPSHOT_IDENTITY", "auto"
+        )
+        if self.snapshot_identity not in SNAPSHOT_IDENTITY_MODES:
+            raise ValueError(
+                f"snapshot_identity must be one of {SNAPSHOT_IDENTITY_MODES},"
+                f" got {self.snapshot_identity!r}"
+            )
         self._ns_cols: dict[str, list[str]] = {}
         # engine invariants, enforced even on externally-built sessions
         # (the driver hands us its own SparkSession): UTC timestamps
@@ -205,9 +243,102 @@ class Catalog:
             staged, name, keep_versions, expected_commit=expected_commit
         )
 
+    # -- snapshot manifests (object-storage-portable file identity) ---------
+
+    def _write_manifest(
+        self, staged: str, carried: dict[str, dict] | None = None
+    ) -> None:
+        """Write the snapshot manifest for a staged directory: one entry
+        per data file, ``{relpath: {"file_id", "size"}}``. Files named in
+        ``carried`` (relpath → prior manifest entry) KEEP their prior
+        ``file_id`` when the on-disk size matches — that is what lets a
+        carried file stay provably identical across commits without ever
+        re-reading or hashing its bytes; every other file gets a fresh id.
+        O(new files) driver-side metadata, no data I/O."""
+        carried = carried or {}
+        entries: dict[str, dict] = {}
+        for f in self._snapshot_files(staged):
+            rp = os.path.relpath(f, staged)
+            size = os.path.getsize(f)
+            prev = carried.get(rp)
+            if prev is not None and prev.get("size") == size:
+                entries[rp] = {"file_id": prev["file_id"], "size": size}
+            else:
+                entries[rp] = {"file_id": uuid.uuid4().hex, "size": size}
+        with open(os.path.join(staged, MANIFEST_NAME), "w") as fh:
+            json.dump({"files": entries}, fh, sort_keys=True)
+
+    def snapshot_manifest(self, path: str) -> dict[str, dict] | None:
+        """The snapshot's manifest (relpath → {file_id, size}), or None
+        for single-file tables / snapshots committed before manifests."""
+        if not os.path.isdir(path):
+            return None
+        try:
+            with open(os.path.join(path, MANIFEST_NAME)) as fh:
+                return json.load(fh)["files"]
+        except (OSError, KeyError, ValueError):
+            return None
+
+    def _manifest_identities(
+        self, path: str
+    ) -> list[tuple[tuple | None, str]] | None:
+        """(identity, file) per on-disk data file, identity from the
+        manifest — or None when the snapshot has no manifest. Disk is the
+        source of truth: a file absent from the manifest or whose size
+        disagrees gets identity None (never pruned), so external appends
+        can cost performance but never rows."""
+        man = self.snapshot_manifest(path)
+        if man is None:
+            return None
+        out: list[tuple[tuple | None, str]] = []
+        for f in self._snapshot_files(path):
+            rp = os.path.relpath(f, path)
+            e = man.get(rp)
+            if e is not None and e.get("size") == os.path.getsize(f):
+                out.append(((e["file_id"], e["size"]), f))
+            else:
+                out.append((None, f))
+        return out
+
+    def _unshared_snapshot_files(
+        self, old_path: str, new_path: str
+    ) -> tuple[list[str] | None, list[str] | None]:
+        """The two snapshots' file lists with provably-shared files
+        removed from BOTH sides — the shared-file pruning behind
+        ``table_changes``. Identity per ``snapshot_identity``: manifest
+        (file_id, size) pairs, falling back to (st_dev, st_ino) hard-link
+        identity in ``auto`` mode when either side predates manifests.
+        ``(None, None)`` means no pruning evidence — read both snapshots
+        in full (correct, unpruned)."""
+        ofs = nfs = None
+        if self.snapshot_identity in ("auto", "manifest"):
+            ofs = self._manifest_identities(old_path)
+            nfs = self._manifest_identities(new_path)
+        if ofs is None or nfs is None:
+            if self.snapshot_identity == "manifest":
+                return None, None
+
+            def _inos(files: list[str]) -> list[tuple[tuple, str]]:
+                out = []
+                for f in files:
+                    st = os.stat(f)  # one stat per file per side
+                    out.append(((st.st_dev, st.st_ino), f))
+                return out
+
+            ofs = _inos(self._snapshot_files(old_path))
+            nfs = _inos(self._snapshot_files(new_path))
+        shared = {i for i, _ in ofs if i is not None} & {
+            i for i, _ in nfs if i is not None
+        }
+        return (
+            [f for i, f in ofs if i not in shared],
+            [f for i, f in nfs if i not in shared],
+        )
+
     def _swap_in(
         self, staged: str, name: str, keep_versions: int,
         expected_commit: str | None = None,
+        carried: dict[str, dict] | None = None,
     ) -> str:
         """Atomic tail of the two-phase commit: rename ``staged`` over the
         current table, archiving or discarding the displaced snapshot.
@@ -235,6 +366,10 @@ class Catalog:
                     f"{expected_commit!r}, found {current!r}; re-read and "
                     "retry"
                 )
+        # a staged dir that already carries a manifest (a branch promoted
+        # wholesale) keeps its file identities; anything else gets one now
+        if not os.path.exists(os.path.join(staged, MANIFEST_NAME)):
+            self._write_manifest(staged, carried)
         with open(os.path.join(staged, "_commit_id"), "w") as f:
             f.write(uuid.uuid4().hex)
         target = self.path(name)
@@ -434,10 +569,21 @@ class Catalog:
                     f"{expected_commit!r}, found {current!r}; re-read and "
                     "retry"
                 )
+        # manifest identities carried WITH the files: a carried file keeps
+        # its file_id, so snapshot diffs can prune it without inodes
+        src_manifest = self.snapshot_manifest(target) or {}
+        carried: dict[str, dict] = {}
         staged = f"{target}.__tmp_{uuid.uuid4().hex}"
         df.write.mode("overwrite").parquet(staged)
         try:
             for src in carry_files:
+                rp = (
+                    os.path.relpath(src, target)
+                    if src.startswith(target + os.sep)
+                    else os.path.basename(src)
+                )
+                if rp in src_manifest:
+                    carried[os.path.basename(src)] = src_manifest[rp]
                 dst = os.path.join(staged, os.path.basename(src))
                 try:
                     os.link(src, dst)
@@ -463,7 +609,8 @@ class Catalog:
             shutil.rmtree(staged, ignore_errors=True)
             raise
         return self._swap_in(
-            staged, name, keep_versions, expected_commit=expected_commit
+            staged, name, keep_versions, expected_commit=expected_commit,
+            carried=carried,
         )
 
     # -- versioning (time travel / rollback) --------------------------------
@@ -809,6 +956,8 @@ class Catalog:
                 os.link(f, os.path.join(staged, os.path.basename(f)))
             except OSError:
                 shutil.copy2(f, os.path.join(staged, os.path.basename(f)))
+        # clone shares every file: carry the source's identities verbatim
+        self._write_manifest(staged, self.snapshot_manifest(sp) or {})
         os.rename(staged, dp)
         return dp
 
@@ -908,16 +1057,19 @@ class Catalog:
 
         ``prune_shared_files`` (default on) exploits this catalog's
         carryover design: pruned merges, selective compaction, and
-        clones COMMIT UNCHANGED FILES BY HARD LINK, so a data file
-        present in both snapshots as the same inode is byte-identical —
-        its rows can emit no changes and are excluded from BOTH join
-        sides before any byte is read. After a pruned upsert touching
-        0.1% of a 100 TB table, the feed scans only the rewritten files,
-        not two full snapshots. Sound under the unique-key contract the
-        keyed writes enforce (a key living in a shared file cannot have
-        a second, differing copy elsewhere); pass
-        ``prune_shared_files=False`` for tables written outside the
-        keyed paths.
+        clones COMMIT UNCHANGED FILES BY REFERENCE, carrying each file's
+        manifest ``file_id`` forward — a file present in both snapshots
+        under the same (file_id, size) is the same immutable committed
+        file, so its rows can emit no changes and are excluded from BOTH
+        join sides before any byte is read (``snapshot_identity`` picks
+        manifest vs legacy hard-link-inode evidence; manifests are the
+        object-storage-portable path — no inodes on S3/GCS). After a
+        pruned upsert touching 0.1% of a 100 TB table, the feed scans
+        only the rewritten files, not two full snapshots. Sound under
+        the unique-key contract the keyed writes enforce (a key living
+        in a shared file cannot have a second, differing copy
+        elsewhere); pass ``prune_shared_files=False`` for tables written
+        outside the keyed paths.
         """
         old_path = self._version_path(name, from_version)
         if not os.path.exists(old_path):
@@ -1019,18 +1171,9 @@ class Catalog:
             )
         old_files = new_files = None
         if prune_shared_files:
-            def _inos(files: list[str]) -> list[tuple[tuple[int, int], str]]:
-                out = []
-                for f in files:
-                    st = os.stat(f)  # one stat per file per side
-                    out.append(((st.st_dev, st.st_ino), f))
-                return out
-
-            ofs = _inos(self._snapshot_files(old_path))
-            nfs = _inos(self._snapshot_files(new_path))
-            shared = {i for i, _ in ofs} & {i for i, _ in nfs}
-            old_files = [f for i, f in ofs if i not in shared]
-            new_files = [f for i, f in nfs if i not in shared]
+            old_files, new_files = self._unshared_snapshot_files(
+                old_path, new_path
+            )
         old = self._read_snapshot(old_path, old_files)
         new = self._read_snapshot(new_path, new_files)
         if set(old.columns) != set(new.columns):
@@ -1143,6 +1286,8 @@ class Catalog:
                 os.link(os.path.join(src, f), os.path.join(staged, f))
             except OSError:
                 shutil.copy2(os.path.join(src, f), os.path.join(staged, f))
+        # the tag pins the exact snapshot: same files, same identities
+        self._write_manifest(staged, self.snapshot_manifest(src) or {})
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         os.replace(staged, dst)
         return dst
@@ -1368,6 +1513,9 @@ class Catalog:
                 os.link(os.path.join(src, f), os.path.join(staged, f))
             except OSError:
                 shutil.copy2(os.path.join(src, f), os.path.join(staged, f))
+        # the fork shares every file with the parent: same identities, so
+        # branch_changes prunes to the files the branch later rewrites
+        self._write_manifest(staged, self.snapshot_manifest(src) or {})
         os.replace(staged, self.path(bname))
         return bname
 
@@ -1397,6 +1545,8 @@ class Catalog:
                 os.link(os.path.join(src, f), os.path.join(staged, f))
             except OSError:
                 shutil.copy2(os.path.join(src, f), os.path.join(staged, f))
+        # publish promotes the branch's exact files: keep their identities
+        self._write_manifest(staged, self.snapshot_manifest(src) or {})
         out = self._swap_in(staged, name, keep_versions)
         if drop:
             shutil.rmtree(src, ignore_errors=True)

@@ -1,0 +1,212 @@
+"""Snapshot-manifest identity (object-storage portability).
+
+The catalog's shared-file pruning (``table_changes`` & friends)
+historically proved two snapshot files identical by hard-link inode —
+meaningless on S3/GCS/ABFS. Every commit now writes an Iceberg-style
+manifest (``_manifest.json``: relpath → {file_id, size}); carryover /
+tag / branch / clone commits carry each file's ``file_id`` forward, so
+identity survives without a filesystem that has inodes. These tests pin:
+
+- every commit path produces a complete manifest;
+- carried files keep their id, rewritten files get a fresh one;
+- diffs are IDENTICAL under ``snapshot_identity`` ∈ {auto, manifest,
+  inode} and under ``prune_shared_files=False`` (the unpruned oracle);
+- manifest mode prunes exactly the files inode mode prunes;
+- missing manifests / externally-added files degrade to unpruned reads,
+  never to dropped rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from agol_pandas_spark.catalog import MANIFEST_NAME, Catalog
+from agol_pandas_spark.operators.merge import merge_pruned
+
+
+def _mk_table(spark, cat, name="t", n=400, files=4, keep_versions=5):
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("v"),
+    ).repartition(files, "k")
+    cat.write(df, name, mode="error", keep_versions=keep_versions)
+    return df
+
+
+def _manifest(cat, path):
+    with open(os.path.join(path, MANIFEST_NAME)) as fh:
+        return json.load(fh)["files"]
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_write_produces_complete_manifest(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path))
+    _mk_table(spark, cat, "t")
+    p = cat.path("t")
+    man = _manifest(cat, p)
+    disk = {os.path.relpath(f, p) for f in cat.data_files("t")}
+    assert set(man) == disk
+    for rp, e in man.items():
+        assert e["size"] == os.path.getsize(os.path.join(p, rp))
+        assert isinstance(e["file_id"], str) and len(e["file_id"]) == 32
+
+
+def test_carryover_preserves_file_ids(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path))
+    _mk_table(spark, cat, "t")
+    before = _manifest(cat, cat.path("t"))
+    src = spark.createDataFrame([(0, 99)], "k long, v long")
+    res = merge_pruned(cat, src, "t", mode="upsert", key="k", keep_versions=5)
+    assert res["pruned"] and res["files_carried"] >= 1
+    after = _manifest(cat, cat.path("t"))
+    before_ids = {e["file_id"]: rp for rp, e in before.items()}
+    carried = [rp for rp, e in after.items() if e["file_id"] in before_ids]
+    fresh = [rp for rp, e in after.items() if e["file_id"] not in before_ids]
+    assert len(carried) == res["files_carried"]
+    assert len(fresh) >= 1  # the rewritten dirty slice
+
+
+@pytest.mark.parametrize("mode", ["auto", "manifest", "inode"])
+def test_table_changes_identical_across_identity_modes(spark, tmp_path, mode):
+    cat = Catalog(spark, str(tmp_path), snapshot_identity=mode)
+    _mk_table(spark, cat, "t")
+    src = spark.createDataFrame(
+        [(0, 99), (1000, 1)], "k long, v long"
+    )
+    merge_pruned(cat, src, "t", mode="upsert", key="k", keep_versions=5)
+    pruned = cat.table_changes("t", 1, key="k")
+    oracle = cat.table_changes("t", 1, key="k", prune_shared_files=False)
+    assert _rows(pruned) == _rows(oracle)
+    got = {
+        (r["k"], r["_change_type"]) for r in pruned.collect()
+    }
+    assert (1000, "insert") in got
+    assert (0, "update_postimage") in got and (0, "update_preimage") in got
+
+
+def test_manifest_prunes_same_files_as_inode(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path), snapshot_identity="manifest")
+    _mk_table(spark, cat, "t")
+    src = spark.createDataFrame([(0, 99)], "k long, v long")
+    merge_pruned(cat, src, "t", mode="upsert", key="k", keep_versions=5)
+    old_path = cat._version_path("t", 1)
+    new_path = cat.path("t")
+    m_old, m_new = cat._unshared_snapshot_files(old_path, new_path)
+    ino = Catalog(spark, str(tmp_path), snapshot_identity="inode")
+    i_old, i_new = ino._unshared_snapshot_files(old_path, new_path)
+    assert sorted(os.path.basename(f) for f in m_old) == sorted(
+        os.path.basename(f) for f in i_old
+    )
+    assert sorted(os.path.basename(f) for f in m_new) == sorted(
+        os.path.basename(f) for f in i_new
+    )
+    # and pruning actually engaged: fewer files than the full snapshots
+    assert len(m_old) < len(cat._snapshot_files(old_path))
+    assert len(m_new) < len(cat._snapshot_files(new_path))
+
+
+def test_tag_branch_clone_carry_identities(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path), snapshot_identity="manifest")
+    _mk_table(spark, cat, "t")
+    base = _manifest(cat, cat.path("t"))
+    ids = {e["file_id"] for e in base.values()}
+
+    cat.tag_snapshot("t", "r1")
+    assert {e["file_id"] for e in _manifest(cat, cat._tag_path("t", "r1")).values()} == ids
+
+    bname = cat.branch_table("t", "dev")
+    assert {e["file_id"] for e in _manifest(cat, cat.path(bname)).values()} == ids
+
+    cat.clone("t", "t2")
+    assert {e["file_id"] for e in _manifest(cat, cat.path("t2")).values()} == ids
+
+    # tag diff in manifest-only mode: mutate the table, diff against the tag
+    src = spark.createDataFrame([(3, 42)], "k long, v long")
+    merge_pruned(cat, src, "t", mode="upsert", key="k", keep_versions=5)
+    feed = cat.table_changes_between_tags("t", "r1", key="k")
+    oracle = cat.table_changes_between_tags(
+        "t", "r1", key="k", prune_shared_files=False
+    )
+    assert _rows(feed) == _rows(oracle)
+    # the branch forked BEFORE the merge: branch_changes sees t's new rows
+    # as staged-away deltas, identically with and without pruning
+    bfeed = cat.branch_changes("t", "dev", key="k")
+    boracle = cat.branch_changes("t", "dev", key="k", prune_shared_files=False)
+    assert _rows(bfeed) == _rows(boracle)
+
+
+def test_publish_branch_keeps_identities(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path), snapshot_identity="manifest")
+    _mk_table(spark, cat, "t")
+    bname = cat.branch_table("t", "dev")
+    src = spark.createDataFrame([(0, 123)], "k long, v long")
+    merge_pruned(cat, src, bname, mode="upsert", key="k")
+    branch_ids = {
+        e["file_id"] for e in _manifest(cat, cat.path(bname)).values()
+    }
+    cat.publish_branch("t", "dev", keep_versions=5)
+    pub_ids = {e["file_id"] for e in _manifest(cat, cat.path("t")).values()}
+    assert pub_ids == branch_ids
+    # diff published vs archived pre-publish state, manifest-only
+    feed = cat.table_changes("t", 1, key="k")
+    oracle = cat.table_changes("t", 1, key="k", prune_shared_files=False)
+    assert _rows(feed) == _rows(oracle)
+
+
+def test_missing_manifest_degrades_to_unpruned_not_wrong(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path), snapshot_identity="manifest")
+    _mk_table(spark, cat, "t")
+    src = spark.createDataFrame([(0, 99)], "k long, v long")
+    merge_pruned(cat, src, "t", mode="upsert", key="k", keep_versions=5)
+    # simulate a pre-manifest snapshot: strip the archived manifest
+    os.remove(os.path.join(cat._version_path("t", 1), MANIFEST_NAME))
+    old, new = cat._unshared_snapshot_files(
+        cat._version_path("t", 1), cat.path("t")
+    )
+    assert old is None and new is None  # manifest-only: no evidence, no pruning
+    feed = cat.table_changes("t", 1, key="k")
+    oracle = cat.table_changes("t", 1, key="k", prune_shared_files=False)
+    assert _rows(feed) == _rows(oracle)
+    # auto mode falls back to inode evidence and still prunes
+    auto = Catalog(spark, str(tmp_path), snapshot_identity="auto")
+    a_old, a_new = auto._unshared_snapshot_files(
+        cat._version_path("t", 1), cat.path("t")
+    )
+    assert a_old is not None and len(a_old) < len(
+        cat._snapshot_files(cat._version_path("t", 1))
+    )
+
+
+def test_external_file_never_pruned(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path), snapshot_identity="manifest")
+    _mk_table(spark, cat, "t", keep_versions=5)
+    cat.write(cat.table("t"), "t", mode="overwrite", keep_versions=5)
+    # drop a rogue data file (outside any commit) into the new snapshot
+    rogue_src = cat.data_files("t")[0]
+    rogue = os.path.join(cat.path("t"), "zz_rogue.parquet")
+    import shutil
+
+    shutil.copy2(rogue_src, rogue)
+    idents = dict(
+        (os.path.basename(f), i)
+        for i, f in cat._manifest_identities(cat.path("t"))
+    )
+    assert idents["zz_rogue.parquet"] is None  # unidentified: always read
+
+
+def test_identity_mode_validation(spark, tmp_path):
+    with pytest.raises(ValueError):
+        Catalog(spark, str(tmp_path), snapshot_identity="etag")
+    os.environ["AGOL_SPARK_SNAPSHOT_IDENTITY"] = "manifest"
+    try:
+        assert Catalog(spark, str(tmp_path)).snapshot_identity == "manifest"
+    finally:
+        del os.environ["AGOL_SPARK_SNAPSHOT_IDENTITY"]
+    assert Catalog(spark, str(tmp_path)).snapshot_identity == "auto"
