@@ -108,3 +108,12 @@ class ConcurrentWriteError(EngineError):
     """Optimistic-concurrency conflict: the table's commit id moved
     between the caller's read and its write. The staged snapshot was
     discarded; re-read the table and retry the transformation."""
+
+
+class UnsupportedMeasureError(EngineError):
+    """An incrementally-maintained aggregate cannot be updated from the
+    change feed alone: min/max are not self-maintainable under
+    retractions (a delete or update may remove the current extreme, and
+    the feed does not say what the runner-up was). Pass the new snapshot
+    as ``rescan=`` for a targeted per-group recompute of the retracted
+    groups, or drop the min/max measures."""

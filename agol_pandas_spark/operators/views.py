@@ -122,6 +122,9 @@ def apply_cdf_to_summary(
     keys: list[str],
     sums: dict[str, str],
     count_col: str = "n_rows",
+    maxs: dict[str, str] | None = None,
+    mins: dict[str, str] | None = None,
+    rescan: DataFrame | None = None,
 ) -> DataFrame:
     """Incrementally maintain a grouped count/sum summary from a change
     feed (``Catalog.table_changes`` output) instead of recomputing it.
@@ -140,6 +143,28 @@ def apply_cdf_to_summary(
     discipline) so maintenance is exact — float sums would drift from a
     recompute by accumulation order.
 
+    ``maxs`` / ``mins`` (output column -> source value column) maintain
+    extreme aggregates — with a CONTRACT the additive measures don't
+    need: min/max are only self-maintainable from INSERTS (new value →
+    ``greatest``/``least`` with the stored extreme). A retraction
+    (``delete`` or ``update_preimage``) may remove the current extreme,
+    and the feed cannot say what the runner-up was. So for every group
+    the feed retracts from:
+
+    - with ``rescan`` (the NEW snapshot as a DataFrame): the group's
+      extremes are recomputed by a TARGETED scan — the snapshot is
+      semi-joined to the retracted-group set (group-cardinality, small,
+      broadcastable) before aggregating, so the rescan cost is the
+      retracted groups' rows, never the full snapshot;
+    - without ``rescan``: raises
+      :class:`~agol_pandas_spark.errors.UnsupportedMeasureError`,
+      naming the contract — refusal over a silently-stale extreme.
+      (Detecting retractions costs one pass over the feed, which the
+      delta aggregation was already paying.)
+
+    Groups the feed only inserts into are maintained without touching
+    ``rescan`` even when it is provided.
+
     Scale posture: one aggregation over the feed (which, via the CDF's
     shared-inode pruning, is proportional to the CHANGED file set) plus
     one key-join against the summary — the summary is group-cardinality
@@ -148,13 +173,35 @@ def apply_cdf_to_summary(
     """
     from pyspark.sql import functions as F
 
+    from agol_pandas_spark.errors import UnsupportedMeasureError
     from agol_pandas_spark.functions.names import backticked as bq
 
-    if count_col in sums:
-        raise ValueError(f"count_col {count_col!r} collides with a sum column")
-    sign = F.when(
-        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
-    ).otherwise(F.lit(-1))
+    maxs = dict(maxs or {})
+    mins = dict(mins or {})
+    outs = [count_col, *sums, *maxs, *mins]
+    if len(set(outs)) != len(outs):
+        raise ValueError(
+            f"an output measure column collides with another: {sorted(outs)}"
+        )
+    inserting = F.col("_change_type").isin("insert", "update_postimage")
+    sign = F.when(inserting, F.lit(1)).otherwise(F.lit(-1))
+    extreme_aggs = []
+    if maxs or mins:
+        extreme_aggs = (
+            [
+                F.max(F.when(inserting, F.col(bq(src)))).alias(f"__i_{out}")
+                for out, src in maxs.items()
+            ]
+            + [
+                F.min(F.when(inserting, F.col(bq(src)))).alias(f"__i_{out}")
+                for out, src in mins.items()
+            ]
+            + [
+                F.max(F.when(~inserting, 1).otherwise(0)).alias(
+                    "__cdf_retracted"
+                )
+            ]
+        )
     # every parsed column reference is backticked: key/measure names
     # containing dots must stay single columns, not struct-field paths
     delta = changes.groupBy(*[F.col(bq(k)) for k in keys]).agg(
@@ -163,10 +210,56 @@ def apply_cdf_to_summary(
             F.sum(sign * F.col(bq(src))).alias(f"__d_{out}")
             for out, src in sums.items()
         ],
+        *extreme_aggs,
     )
+    if maxs or mins:
+        if rescan is None:
+            # refusal over a silently-stale extreme: one small action over
+            # the group-cardinality delta decides
+            if delta.where(F.col("__cdf_retracted") == 1).limit(1).count():
+                raise UnsupportedMeasureError(
+                    "the change feed retracts rows (delete/update_preimage) "
+                    "from groups with maintained min/max measures — pass "
+                    "rescan=<new snapshot> for a targeted per-group "
+                    "recompute, or drop the min/max measures"
+                )
+        else:
+            # targeted recompute: ONLY the retracted groups' rows are
+            # aggregated from the snapshot (semi-join on the retracted
+            # group set — group-cardinality, broadcast)
+            rg = delta.where(F.col("__cdf_retracted") == 1).select(
+                *[F.col(bq(k)).alias(f"__r_{k}") for k in keys]
+            )
+            cond_r = None
+            for k in keys:
+                c = F.col(bq(k)).eqNullSafe(F.col(bq(f"__r_{k}")))
+                cond_r = c if cond_r is None else (cond_r & c)
+            scoped = rescan.join(F.broadcast(rg), cond_r, "left_semi")
+            rescanned = scoped.groupBy(
+                *[F.col(bq(k)).alias(f"__x_{k}") for k in keys]
+            ).agg(
+                *[
+                    F.max(F.col(bq(src))).alias(f"__x_{out}")
+                    for out, src in maxs.items()
+                ],
+                *[
+                    F.min(F.col(bq(src))).alias(f"__x_{out}")
+                    for out, src in mins.items()
+                ],
+            )
+            cond_d = None
+            for k in keys:
+                c = F.col(bq(k)).eqNullSafe(F.col(bq(f"__x_{k}")))
+                cond_d = c if cond_d is None else (cond_d & c)
+            delta = delta.join(rescanned, cond_d, "left").drop(
+                *[f"__x_{k}" for k in keys]
+            )
     s = summary.select(
         *[F.col(bq(k)).alias(f"__s_{k}") for k in keys],
-        *[F.col(bq(c)).alias(f"__s_{c}") for c in [count_col, *sums]],
+        *[
+            F.col(bq(c)).alias(f"__s_{c}")
+            for c in [count_col, *sums, *maxs, *mins]
+        ],
     )
     cond = None
     for k in keys:
@@ -182,9 +275,23 @@ def apply_cdf_to_summary(
     out_keys = [
         F.coalesce(F.col(bq(f"__s_{k}")), F.col(bq(k))).alias(k) for k in keys
     ]
+
+    def _extreme(out: str, fn) -> F.Column:
+        # insert-only maintenance: fold the feed's inserted extreme into
+        # the stored one (greatest/least skip NULLs — an untouched group
+        # keeps its stored value, a brand-new group takes the feed's)
+        maintained = fn(F.col(bq(f"__s_{out}")), F.col(bq(f"__i_{out}")))
+        if rescan is not None:
+            return F.when(
+                F.col("__cdf_retracted") == 1, F.col(bq(f"__x_{out}"))
+            ).otherwise(maintained).alias(out)
+        return maintained.alias(out)
+
     merged = j.select(
         *out_keys,
         _sum2(f"__s_{count_col}", f"__d_{count_col}").alias(count_col),
         *[_sum2(f"__s_{c}", f"__d_{c}").alias(c) for c in sums],
+        *[_extreme(c, F.greatest) for c in maxs],
+        *[_extreme(c, F.least) for c in mins],
     )
     return merged.where(F.col(bq(count_col)) > 0)

@@ -1,0 +1,190 @@
+"""Change-data-feed streaming source: tail a catalog table's versions.
+
+``Catalog.table_changes`` answers "what changed between two snapshots" as
+one lazy batch plan. :class:`CdfTail` turns that into a STREAM: every
+landed version transition (v → v+1, finishing with last-archive →
+current) is spooled once — as the CDF rows plus a ``_commit_version``
+column — into a landing directory that a standard file-source stream
+consumes. Downstream, each micro-batch is a change feed, so
+``operators.views.apply_cdf_to_summary`` maintains a grouped summary
+continuously: the streaming IVM loop.
+
+Design properties:
+
+- **Spool cost is O(changed files) per transition**, not O(snapshot):
+  the spooled plan is ``table_changes(v, v+1)``, which prunes files
+  shared between the two snapshots through the manifest identities the
+  catalog commits carry (``catalog.py``).
+- **Exactly-once per transition**: each transition writes to a staging
+  directory and its data files move into the landing directory with an
+  atomic rename; the file stream source processes a file exactly once,
+  and ``advance()`` records the spooled watermark so re-invocation never
+  re-spools a transition.
+- **Batch boundaries are safe for additive maintenance**: the CDF rows
+  are SIGNED deltas, so summing them is associative and commutative —
+  a micro-batch may split or coalesce transitions and a count/sum
+  summary still converges to the recompute. (Min/max maintenance needs
+  the retraction contract of ``apply_cdf_to_summary``; feed it
+  ``rescan=`` per batch or keep extremes out of streaming summaries.)
+
+No counterpart in the reference (consumers re-diffed exports by hand,
+SURVEY §2a); Delta's ``readChangeFeed`` is the public analogue.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class CdfTail:
+    """Tails table ``name``'s version history as spooled CDF batches.
+
+    Usage::
+
+        tail = CdfTail(catalog, "orders", key="o_orderkey")
+        stream = tail.stream(spark)            # readStream over the spool
+        ... commits land on the table ...
+        tail.advance()                          # spool new transitions
+        tail.advance(include_current=True)      # final catch-up to HEAD
+
+    ``advance`` is idempotent and cheap to call on a schedule (the
+    per-commit hook in a live deployment); ``include_current=True``
+    spools the last-archive → current-table transition and is meant for
+    drain/backfill runs (a later commit archives that same state under
+    the next version number, which would re-emit the rows — so only
+    catch up to HEAD when no further commit precedes the drain).
+    """
+
+    def __init__(
+        self,
+        catalog,
+        name: str,
+        key=None,
+        spool_dir: str | None = None,
+    ):
+        self.catalog = catalog
+        self.name = name
+        self.key = key
+        self.spool_dir = spool_dir or tempfile.mkdtemp(prefix="cdf_tail_")
+        os.makedirs(self.spool_dir, exist_ok=True)
+        # transitions INTO versions <= this are spooled; start just below
+        # the earliest archive so the first advance emits (v1 -> v2)
+        versions = self.catalog.versions(name)
+        self._spooled_through = versions[0] if versions else 0
+        self._spooled_head = False
+
+    def schema(self) -> T.StructType:
+        """CDF row schema: the table's columns + _change_type +
+        _commit_version (file-source streams need an explicit schema)."""
+        base = self.catalog.table(self.name).schema
+        return T.StructType(
+            list(base.fields)
+            + [
+                T.StructField("_change_type", T.StringType()),
+                T.StructField("_commit_version", T.LongType()),
+            ]
+        )
+
+    def stream(
+        self, spark: SparkSession, max_files_per_trigger: int = 1
+    ) -> DataFrame:
+        """The file-source stream over the spool directory. Each spooled
+        transition lands as new files; ``maxFilesPerTrigger`` paces how
+        many feed each micro-batch."""
+        return (
+            spark.readStream.format("parquet")
+            .schema(self.schema())
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .load(self.spool_dir)
+        )
+
+    def _spool_one(self, changes: DataFrame, version: int) -> None:
+        """Stage one transition's CDF rows, then move its data files into
+        the spool atomically (the file stream source must never list a
+        half-written file)."""
+        staged = os.path.join(
+            self.spool_dir, f".__stage_{uuid.uuid4().hex}"
+        )
+        changes.withColumn(
+            "_commit_version", F.lit(version).cast("long")
+        ).write.mode("overwrite").parquet(staged)
+        for f in os.listdir(staged):
+            if f.startswith(("_", ".")):
+                continue
+            os.rename(
+                os.path.join(staged, f),
+                os.path.join(self.spool_dir, f"v{version:06d}_{f}"),
+            )
+        shutil.rmtree(staged, ignore_errors=True)
+
+    def advance(self, include_current: bool = False) -> int:
+        """Spool every landed-but-unspooled version transition; returns
+        how many were spooled. ``include_current=True`` additionally
+        spools the newest-archive → current-table delta (once)."""
+        spooled = 0
+        versions = self.catalog.versions(self.name)
+        # archived pairs (prev, prev+1): emit transitions whose TARGET
+        # version is archived and newer than the watermark
+        for prev, nxt in zip(versions, versions[1:]):
+            if nxt <= self._spooled_through or nxt != prev + 1:
+                continue
+            ch = self.catalog.table_changes(
+                self.name, prev, to_version=nxt, key=self.key
+            )
+            self._spool_one(ch, nxt)
+            self._spooled_through = nxt
+            spooled += 1
+        if include_current and not self._spooled_head and versions:
+            last = max(versions)
+            if last >= self._spooled_through:
+                ch = self.catalog.table_changes(
+                    self.name, last, to_version=None, key=self.key
+                )
+                self._spool_one(ch, last + 1)
+                self._spooled_through = last
+                self._spooled_head = True
+                spooled += 1
+        return spooled
+
+    def close(self) -> None:
+        shutil.rmtree(self.spool_dir, ignore_errors=True)
+
+
+def stream_cdf_into_summary(
+    tail: CdfTail,
+    spark: SparkSession,
+    summary_catalog,
+    summary_name: str,
+    keys: list[str],
+    sums: dict[str, str],
+    count_col: str = "n_rows",
+    query_name: str | None = None,
+):
+    """The streaming IVM loop: consume a :class:`CdfTail` stream and
+    maintain a grouped count/sum summary table per micro-batch through
+    ``apply_cdf_to_summary`` — each trigger costs the batch's deltas
+    plus a group-cardinality join, never a snapshot rescan. Additive
+    measures only (the batch-boundary-safe set; see module docstring).
+    Returns the started ``StreamingQuery`` (availableNow trigger)."""
+    from agol_pandas_spark.operators.views import apply_cdf_to_summary
+
+    def maintain(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        current = summary_catalog.table(summary_name)
+        updated = apply_cdf_to_summary(
+            current, batch_df, keys, sums, count_col=count_col
+        )
+        summary_catalog.write(updated, summary_name, mode="overwrite")
+
+    writer = tail.stream(spark).writeStream.foreachBatch(maintain)
+    if query_name:
+        writer = writer.queryName(query_name)
+    return writer.trigger(availableNow=True).start()

@@ -1149,6 +1149,121 @@ class TestApplyCdfToSummary:
                 ["g"], {"n_rows": "v"},
             )
 
+    def _summary_mm(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "g string, n_rows long, v_sum long, v_max long, v_min long"
+        )
+
+    def test_minmax_insert_only_maintained_without_rescan(self, spark):
+        """Insert-only feeds maintain min/max exactly — no rescan, no
+        refusal: new values fold in via greatest/least, untouched groups
+        keep their stored extremes, new groups take the feed's."""
+        from agol_pandas_spark.operators.views import apply_cdf_to_summary
+
+        summary = self._summary_mm(
+            spark, [("a", 2, 30, 20, 10), ("b", 1, 5, 5, 5)]
+        )
+        feed = self._feed(
+            spark, [("a", 25, "insert"), ("c", 7, "insert")]
+        )
+        got = {
+            r["g"]: (r["n_rows"], r["v_sum"], r["v_max"], r["v_min"])
+            for r in apply_cdf_to_summary(
+                summary, feed, ["g"], {"v_sum": "v"},
+                maxs={"v_max": "v"}, mins={"v_min": "v"},
+            ).collect()
+        }
+        assert got == {
+            "a": (3, 55, 25, 10),
+            "b": (1, 5, 5, 5),
+            "c": (1, 7, 7, 7),
+        }
+
+    def test_minmax_retraction_without_rescan_refuses(self, spark):
+        """A delete may remove the current extreme; without the new
+        snapshot the runner-up is unknowable — typed refusal, never a
+        silently-stale extreme (VERDICT r7 item 4)."""
+        from agol_pandas_spark.errors import UnsupportedMeasureError
+        from agol_pandas_spark.operators.views import apply_cdf_to_summary
+
+        summary = self._summary_mm(spark, [("a", 2, 30, 20, 10)])
+        feed = self._feed(spark, [("a", 20, "delete")])
+        with pytest.raises(UnsupportedMeasureError, match="retracts"):
+            apply_cdf_to_summary(
+                summary, feed, ["g"], {"v_sum": "v"},
+                maxs={"v_max": "v"},
+            ).collect()
+
+    def test_minmax_with_rescan_targets_retracted_groups_only(self, spark):
+        """With rescan=<new snapshot>, retracted groups recompute their
+        extremes from a TARGETED semi-joined scan; insert-only groups
+        never touch the rescan (proven by feeding a rescan frame that is
+        WRONG for the insert-only group — its maintained value wins)."""
+        from agol_pandas_spark.operators.views import apply_cdf_to_summary
+
+        summary = self._summary_mm(
+            spark, [("a", 3, 60, 30, 10), ("b", 1, 5, 5, 5)]
+        )
+        feed = self._feed(
+            spark,
+            [
+                ("a", 30, "delete"),   # retracts a's max: rescan decides
+                ("b", 9, "insert"),    # insert-only: maintained, no rescan
+            ],
+        )
+        # new snapshot: a = {10, 20}; b's rows are deliberately poisoned —
+        # a correct implementation must not read them for group b
+        rescan = spark.createDataFrame(
+            [("a", 10), ("a", 20), ("b", -999), ("b", 999)], "g string, v long"
+        )
+        got = {
+            r["g"]: (r["n_rows"], r["v_sum"], r["v_max"], r["v_min"])
+            for r in apply_cdf_to_summary(
+                summary, feed, ["g"], {"v_sum": "v"},
+                maxs={"v_max": "v"}, mins={"v_min": "v"}, rescan=rescan,
+            ).collect()
+        }
+        assert got == {"a": (2, 30, 20, 10), "b": (2, 14, 9, 5)}
+
+    def test_minmax_maintained_equals_recompute_via_table_changes(
+        self, spark, tmp_path
+    ):
+        """End-to-end: min/max maintained from the real CDF with rescan
+        equals a from-scratch recompute of the new snapshot."""
+        from agol_pandas_spark.catalog import Catalog
+        from agol_pandas_spark.operators.views import apply_cdf_to_summary
+
+        cat = Catalog(spark, str(tmp_path / "ivm_mm"))
+        v1 = spark.createDataFrame(
+            [(k, f"g{k % 3}", (k * 37) % 101) for k in range(40)],
+            "k long, g string, v long",
+        )
+        v2 = spark.createDataFrame(
+            [(k, f"g{k % 3}", ((k * 37) % 101) + (50 if k % 7 == 0 else 0))
+             for k in range(5, 45)],
+            "k long, g string, v long",
+        )
+        cat.write(v1, "t")
+        cat.write(v2, "t", mode="overwrite", keep_versions=1)
+
+        def summarize(df):
+            return df.groupBy("g").agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("v").alias("v_sum"),
+                F.max("v").alias("v_max"),
+                F.min("v").alias("v_min"),
+            )
+
+        maintained = apply_cdf_to_summary(
+            summarize(v1), cat.table_changes("t", 1, key="k"),
+            ["g"], {"v_sum": "v"},
+            maxs={"v_max": "v"}, mins={"v_min": "v"},
+            rescan=cat.table("t"),
+        )
+        assert sorted(map(tuple, maintained.collect())) == sorted(
+            map(tuple, summarize(v2).collect())
+        )
+
 
 def test_branch_changes_pre_publish_review(spark, tmp_path):
     """branch_changes = the rows a publish would land: diff published ->

@@ -353,3 +353,49 @@ def test_append_once_fingerprint_collision_resistant(spark, tmp_path):
     # true redelivery still deduplicates
     assert append_once(cat, mk([1, 4]).repartition(3), "t", ["k"]) is False
     assert cat.table("t").count() == 4
+
+
+def test_cdf_tail_spools_exactly_once_and_maintains(spark, tmp_path):
+    """CdfTail bookkeeping: each version transition spools exactly once
+    (idempotent re-advance), the spool carries _commit_version, and a
+    batch read of the spool replayed through apply_cdf_to_summary equals
+    the recompute — the streaming IVM loop's invariants."""
+    from pyspark.sql import functions as F
+
+    from agol_pandas_spark.catalog import Catalog
+    from agol_pandas_spark.operators.views import apply_cdf_to_summary
+    from agol_pandas_spark.streaming.cdf_source import CdfTail
+
+    cat = Catalog(spark, str(tmp_path / "cdftail"))
+    mk = lambda hi, bump: spark.createDataFrame(
+        [(k, f"g{k % 3}", k * 10 + bump) for k in range(hi)],
+        "k long, g string, v long",
+    )
+    cat.write(mk(20, 0), "t")
+    cat.write(mk(25, 0), "t", mode="overwrite", keep_versions=8)
+    tail = CdfTail(cat, "t", key="k", spool_dir=str(tmp_path / "spool"))
+    assert tail.advance() == 0          # single archive: no pair yet
+    cat.write(mk(25, 7), "t", mode="overwrite", keep_versions=8)
+    assert tail.advance() == 1          # v1 -> v2
+    assert tail.advance() == 0          # idempotent
+    assert tail.advance(include_current=True) == 1   # v2 -> HEAD
+    assert tail.advance(include_current=True) == 0   # head spooled once
+
+    spooled = spark.read.schema(tail.schema()).parquet(tail.spool_dir)
+    assert set(
+        r["_commit_version"] for r in spooled.select("_commit_version").distinct().collect()
+    ) == {2, 3}
+
+    def summarize(df):
+        return df.groupBy("g").agg(
+            F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("v_sum")
+        )
+
+    maintained = apply_cdf_to_summary(
+        summarize(cat.table_at("t", 1)), spooled, ["g"], {"v_sum": "v"}
+    )
+    assert sorted(map(tuple, maintained.collect())) == sorted(
+        map(tuple, summarize(cat.table("t")).collect())
+    )
+    tail.close()
+    assert not os.path.exists(tail.spool_dir)

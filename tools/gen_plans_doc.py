@@ -104,9 +104,13 @@ NOTES = {
         "Snapshot-diff change feed: ONE null-safe full-outer key join of "
         "the two snapshots (a single exchange pair) and a per-row "
         "change-array Generate — no per-change-type re-scan of the join. "
-        "At 100 TB the shared-inode file pruning (not visible in the plan; "
-        "it shrinks the scan's file list before planning) makes both "
-        "scans proportional to the rewritten file set."
+        "Plan built over a PERSISTED catalog (the registry fixture "
+        "checkpoints over a deleted tmpdir, which would collapse this to "
+        "Scan ExistingRDD); pinned by tests/test_plans.py::"
+        "test_table_changes_single_join_single_generate. At 100 TB the "
+        "manifest shared-file pruning (not visible in the plan; it "
+        "shrinks the scan's file list before planning) makes both scans "
+        "proportional to the rewritten file set."
     ),
     "text_bpe_pair_merge": (
         "BPE iteration (r6): the word histogram is the only corpus-scale "
@@ -115,6 +119,39 @@ NOTES = {
         "the vocabulary — the best pair re-enters as a 1-row "
         "BroadcastNestedLoopJoin, which is model state, not data."
     ),
+}
+
+
+def _cdf_over_persisted_catalog(spark, sf: str):
+    """meta_table_changes_cdf's exact fixture over a catalog that is NOT
+    deleted before explain, so the documented plan shows the engine's
+    real change-feed path (one full-outer join + one Generate) instead
+    of the registry variant's checkpoint-collapsed Scan ExistingRDD."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from agol_pandas_spark.catalog import Catalog
+
+    base = Catalog(spark, sf).table("orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    v1 = base.where(k % 5 != 4).withColumn(
+        "o_totalprice",
+        F.when(k % 7 == 0, F.lit(0.0)).otherwise(F.col("o_totalprice")),
+    )
+    v2 = base.where(k % 5 != 0)
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="plans_cdf_"))
+    cat.write(v1, "orders_cdf")
+    cat.write(v2, "orders_cdf", mode="overwrite", keep_versions=1)
+    return cat.table_changes("orders_cdf", from_version=1, key="o_orderkey")
+
+
+# plan built from an override instead of the registry fn (fixture-lifetime
+# reasons documented on each builder)
+BUILDERS = {
+    "meta_table_changes_cdf": _cdf_over_persisted_catalog,
 }
 
 
@@ -140,7 +177,8 @@ def main() -> None:
         "elided; ids vary run to run.",
     ]
     for name, note in NOTES.items():
-        plan = tree_only(formatted_plan(reg[name].fn(spark, sf)))
+        build = BUILDERS.get(name) or (lambda s, d, _n=name: reg[_n].fn(s, d))
+        plan = tree_only(formatted_plan(build(spark, sf)))
         out += ["", f"## {name}", "", note, "", "```", plan, "```"]
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"
