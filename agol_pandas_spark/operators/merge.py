@@ -795,7 +795,10 @@ def write_audit_publish(
     the same direction as ``write_table(checks=...)``/``enforce_checks``
     and :func:`agol_pandas_spark.operators.views.write_audit_publish_branch`.
     Write rules as invariants that must HOLD ("x IS NOT NULL"), never
-    as violation matchers ("x IS NULL").
+    as violation matchers ("x IS NULL"). BREAKING since round 7 — a
+    legacy violation-matcher rule passes exactly the poisoned batches
+    it existed to stop; negate such rules (see CHANGELOG.md,
+    "audit polarity").
 
     Unlike ``write_table(checks=...)`` — which validates the SOURCE
     batch before merging — WAP audits the POST-MERGE STATE: the merge

@@ -29,6 +29,7 @@ shipped to executors).
 from __future__ import annotations
 
 import json
+import time
 import urllib.parse
 import urllib.request
 from collections.abc import Sequence
@@ -37,7 +38,134 @@ from pyspark.sql import types as T
 
 from agol_pandas_spark.sources.paged import PagedClient, PagedSink, PushedFilter
 
-__all__ = ["EditsError", "HttpEditsSink", "HttpPagedClient", "compile_where"]
+__all__ = [
+    "AuthError",
+    "EditsError",
+    "HttpEditsSink",
+    "HttpPagedClient",
+    "TokenProvider",
+    "compile_where",
+]
+
+# token-rejection codes the public REST contract documents: 498 invalid
+# token, 499 token required, 401 unauthorized
+_AUTH_ERROR_CODES = frozenset({401, 498, 499})
+
+
+class AuthError(RuntimeError):
+    """Authentication failed terminally: the token endpoint rejected the
+    credentials, or the service rejected a token that was just refreshed
+    (one refresh-and-retry is attempted before giving up)."""
+
+
+class TokenProvider:
+    """Credential-backed token lifecycle for the HTTP transports — the
+    slot the reference's ``gis`` handle encapsulated
+    (``src/agol_pandas.py:237``: ``arcgis.GIS`` holds the credentials
+    and silently re-tokens).
+
+    Speaks the public ``generateToken`` contract: POST
+    ``{username, password, client: requestip, f: json}`` →
+    ``{"token", "expires": epoch_ms}``. ``get()`` returns the cached
+    token while it has more than ``margin_sec`` of life left and
+    re-acquires otherwise; ``get(force_refresh=True)`` is the 498-retry
+    path (the service is the authority on validity — a token can die
+    before its advertised expiry).
+
+    Executor posture: plain picklable config; the cached token ships in
+    the pickle when still valid, and each task refreshes independently
+    when it is not — tokens are bearer state, not coordination state,
+    so N executors holding N distinct live tokens is correct.
+    """
+
+    def __init__(
+        self,
+        token_url: str,
+        username: str,
+        password: str,
+        expiration_minutes: int = 60,
+        margin_sec: float = 30.0,
+        timeout_sec: float = 30.0,
+    ):
+        self.token_url = token_url
+        self.username = username
+        self.password = password
+        self.expiration_minutes = int(expiration_minutes)
+        self.margin_sec = float(margin_sec)
+        self.timeout_sec = float(timeout_sec)
+        self._token: str | None = None
+        self._expires_at: float = 0.0
+
+    def get(self, force_refresh: bool = False) -> str:
+        if (
+            not force_refresh
+            and self._token is not None
+            and time.time() < self._expires_at - self.margin_sec
+        ):
+            return self._token
+        body = urllib.parse.urlencode(
+            {
+                "f": "json",
+                "username": self.username,
+                "password": self.password,
+                "client": "requestip",
+                "expiration": self.expiration_minutes,
+            }
+        ).encode("utf-8")
+        with urllib.request.urlopen(
+            self.token_url, data=body, timeout=self.timeout_sec
+        ) as r:
+            payload = json.loads(r.read().decode("utf-8"))
+        if "error" in payload or "token" not in payload:
+            raise AuthError(
+                f"token acquisition failed: {payload.get('error', payload)}"
+            )
+        self._token = payload["token"]
+        # expires is epoch ms; absent -> trust only the forced-refresh path
+        self._expires_at = float(payload.get("expires", 0)) / 1000.0
+        return self._token
+
+
+def _resolve_token(token, force_refresh: bool = False) -> str | None:
+    """A transport's ``token`` slot is either a static string (the
+    pre-r8 surface, unchanged) or a :class:`TokenProvider`."""
+    if token is None or isinstance(token, str):
+        return token
+    return token.get(force_refresh=force_refresh)
+
+
+def _authed_request(
+    token, url_base: str, params: dict, data: dict | None, timeout_sec: float
+) -> dict:
+    """One JSON request with the token lifecycle applied: attach the
+    current token, and on a 498/499/401 rejection refresh ONCE and
+    retry — a second rejection (or any rejection with a static token)
+    raises :class:`AuthError`. Non-auth service errors raise loudly as
+    before (the reference swallowed them into ``(str(e), False)``)."""
+    can_refresh = token is not None and not isinstance(token, str)
+    for attempt in (0, 1):
+        q = dict(params)
+        tok = _resolve_token(token, force_refresh=attempt == 1)
+        if tok:
+            q["token"] = tok
+        url = f"{url_base}?{urllib.parse.urlencode(q)}"
+        body = None
+        if data is not None:
+            body = urllib.parse.urlencode({"f": "json", **data}).encode("utf-8")
+        with urllib.request.urlopen(url, data=body, timeout=timeout_sec) as r:
+            payload = json.loads(r.read().decode("utf-8"))
+        if "error" in payload:
+            code = payload["error"].get("code")
+            if code in _AUTH_ERROR_CODES:
+                if can_refresh and attempt == 0:
+                    continue  # refresh-and-retry exactly once
+                raise AuthError(
+                    f"service rejected the token (code {code}): "
+                    f"{payload['error']}"
+                )
+            raise RuntimeError(f"paged service error: {payload['error']}")
+        return payload
+    raise AssertionError("unreachable")  # pragma: no cover
 
 # public Esri field type → Spark type (the subset the reference's CSV
 # staging could round-trip, src/agol_pandas.py:441-447, plus dates)
@@ -109,6 +237,12 @@ class HttpPagedClient(PagedClient):
     Parameters mirror the public query API: every request is
     ``GET <layer_url>/query?f=json&...``. Holds only plain config so it
     pickles to executors; each task opens its own connections.
+
+    ``token`` is either a static token string or a
+    :class:`TokenProvider` (credential-backed lifecycle: lazy
+    acquisition, expiry-margin refresh, one forced refresh-and-retry on
+    a 498/499/401 rejection — including mid-pagination, since every
+    window request goes through the same authed transport).
     """
 
     def __init__(
@@ -136,16 +270,9 @@ class HttpPagedClient(PagedClient):
     # -- transport ----------------------------------------------------
     def _get(self, **params: object) -> dict:
         q = {"f": "json", "where": self.where, **params}
-        if self.token:
-            q["token"] = self.token
-        url = f"{self.layer_url}/query?{urllib.parse.urlencode(q)}"
-        with urllib.request.urlopen(url, timeout=self.timeout_sec) as r:
-            payload = json.loads(r.read().decode("utf-8"))
-        if "error" in payload:
-            # fail loudly (the reference swallowed errors into
-            # ``(str(e), False)`` tuples — SURVEY §2a bug list)
-            raise RuntimeError(f"paged service error: {payload['error']}")
-        return payload
+        return _authed_request(
+            self.token, f"{self.layer_url}/query", q, None, self.timeout_sec
+        )
 
     # -- PagedClient contract -----------------------------------------
     def schema(self) -> T.StructType:
@@ -153,6 +280,21 @@ class HttpPagedClient(PagedClient):
             fields = self._get(resultRecordCount=1, outFields=self._out())[
                 "fields"
             ]
+            if self.out_fields is not None:
+                # services answer outFields in LAYER-DEFINITION order, not
+                # request order — but the projection contract requires the
+                # schema to equal the requested columns VERBATIM (ADVICE
+                # r7). Reorder to the request, and fail loudly on a field
+                # the service does not know rather than serving a narrower
+                # frame than the plan promised.
+                by_name = {f["name"]: f for f in fields}
+                missing = [n for n in self.out_fields if n not in by_name]
+                if missing:
+                    raise RuntimeError(
+                        f"service did not return requested field(s) "
+                        f"{missing}; it knows {sorted(by_name)}"
+                    )
+                fields = [by_name[n] for n in self.out_fields]
             cols = [
                 T.StructField(
                     f["name"],
@@ -198,7 +340,10 @@ class HttpPagedClient(PagedClient):
             if self.geometry:
                 params["returnGeometry"] = "true"
             payload = self._get(**params)
-            feats = payload.get("features", [])
+            # defensive truncation (ADVICE r7): a misbehaving service that
+            # over-serves a window must never push rows past it — those
+            # rows belong to the NEXT planned partition and would duplicate
+            feats = list(payload.get("features", []))[:ask]
             if self.geometry:
                 out.extend(
                     tuple(feat["attributes"].get(n) for n in names)
@@ -335,6 +480,18 @@ class HttpEditsSink(PagedSink):
     service's per-row results — fail loudly, never partially-succeed
     silently.
 
+    Timestamp contract: dates post as epoch MILLISECONDS, and a NAIVE
+    datetime is interpreted as UTC — this engine pins
+    ``spark.sql.session.timeZone=UTC`` (``Catalog.__init__``), so rows
+    coming off engine DataFrames are UTC instants by construction. Rows
+    built outside the engine carrying session-local naive timestamps
+    must be localized by the caller first (ADVICE r7: the assumption is
+    now the documented contract, not an accident).
+
+    ``token`` accepts a static string or a :class:`TokenProvider`
+    (refresh-and-retry on 498/499/401, including between the upsert key
+    lookups and the applyEdits POST of one batch).
+
     Executor posture: holds only plain config (picklable); each task
     opens its own connections; one POST per batch plus
     ``ceil(batch/lookup_page_size)`` key-lookup GETs in upsert mode.
@@ -385,17 +542,9 @@ class HttpEditsSink(PagedSink):
     # -- transport ----------------------------------------------------
     def _request(self, op: str, data: dict | None, params: dict) -> dict:
         q = {"f": "json", **params}
-        if self.token:
-            q["token"] = self.token
-        url = f"{self.layer_url}/{op}?{urllib.parse.urlencode(q)}"
-        body = None
-        if data is not None:
-            body = urllib.parse.urlencode({"f": "json", **data}).encode("utf-8")
-        with urllib.request.urlopen(url, data=body, timeout=self.timeout_sec) as r:
-            payload = json.loads(r.read().decode("utf-8"))
-        if "error" in payload:
-            raise RuntimeError(f"paged service error: {payload['error']}")
-        return payload
+        return _authed_request(
+            self.token, f"{self.layer_url}/{op}", q, data, self.timeout_sec
+        )
 
     # -- upsert key lookup --------------------------------------------
     def _lookup_oids(self, keys: Sequence[object]) -> tuple[str, dict]:

@@ -13,13 +13,112 @@ from __future__ import annotations
 __all__ = ["serve_layer"]
 
 
-def serve_layer(rows, fields, max_record_count=None, poison=None):
+def _parse_literal(tok: str):
+    """One SQL-92 literal: ``'str'`` ('' escapes), int, or float."""
+    tok = tok.strip()
+    if tok.startswith("'") and tok.endswith("'") and len(tok) >= 2:
+        return tok[1:-1].replace("''", "'")
+    try:
+        return int(tok)
+    except ValueError:
+        return float(tok)
+
+
+def _split_top_level(s: str, sep: str) -> list[str]:
+    """Split on ``sep`` outside single-quoted strings."""
+    out, buf, i, in_str = [], [], 0, False
+    while i < len(s):
+        ch = s[i]
+        if ch == "'":
+            in_str = not in_str
+            buf.append(ch)
+            i += 1
+        elif not in_str and s[i : i + len(sep)] == sep:
+            out.append("".join(buf))
+            buf = []
+            i += len(sep)
+        else:
+            buf.append(ch)
+            i += 1
+    out.append("".join(buf))
+    return out
+
+
+def _match_where(row: dict, where: str) -> bool:
+    """Evaluate the conjunction subset compile_where can emit — =, <>,
+    <, <=, >, >=, IN, IS [NOT] NULL, LIKE (%-wildcards) — with a real
+    parser. Replaces the mock's previous eval() (ADVICE r7: even with
+    empty __builtins__, evaluating attacker-supplied expressions from a
+    loopback socket is the wrong primitive). Unknown syntax raises, so a
+    contract drift fails tests loudly instead of matching wrongly."""
+    import fnmatch
+    import re as _re
+
+    if where.strip() in ("", "1=1"):
+        return True
+    for clause in _split_top_level(where, " AND "):
+        clause = clause.strip()
+        if clause.startswith("(") and clause.endswith(")"):
+            # compile_where parenthesizes the combined pre-existing where
+            if not _match_where(row, clause[1:-1]):
+                return False
+            continue
+        if clause == "1=1":
+            continue
+        m = _re.fullmatch(r"(\w+) IN \((.*)\)", clause, _re.DOTALL)
+        if m:
+            col, lst = m.groups()
+            vals = [_parse_literal(t) for t in _split_top_level(lst, ",")]
+            if row.get(col) not in vals:
+                return False
+            continue
+        m = _re.fullmatch(r"(\w+) IS (NOT )?NULL", clause)
+        if m:
+            col, neg = m.groups()
+            if (row.get(col) is None) == bool(neg):
+                return False
+            continue
+        m = _re.fullmatch(r"(\w+) LIKE ('(?:[^']|'')*')", clause, _re.DOTALL)
+        if m:
+            col, pat = m.groups()
+            want = _parse_literal(pat).replace("%", "*")
+            v = row.get(col)
+            if v is None or not fnmatch.fnmatchcase(str(v), want):
+                return False
+            continue
+        m = _re.fullmatch(
+            r"(\w+) (=|<>|<=|>=|<|>) ('(?:[^']|'')*'|[-\d.eE+]+)",
+            clause,
+            _re.DOTALL,
+        )
+        if m:
+            col, op, lit = m.groups()
+            v, w = row.get(col), _parse_literal(lit)
+            if v is None:
+                return False  # SQL three-valued: NULL compares to nothing
+            ok = {
+                "=": v == w,
+                "<>": v != w,
+                "<": v < w,
+                "<=": v <= w,
+                ">": v > w,
+                ">=": v >= w,
+            }[op]
+            if not ok:
+                return False
+            continue
+        raise ValueError(f"mock where parser: unsupported clause {clause!r}")
+    return True
+
+
+def serve_layer(rows, fields, max_record_count=None, poison=None, auth=None):
     """Minimal in-process ArcGIS-style layer: /query GET (where —
-    numeric SQL-92 conjunctions plus single IN lists, returnCountOnly,
-    resultOffset/resultRecordCount, outFields) and /applyEdits POST
-    (adds with server-assigned OIDs, OID-addressed updates,
-    rollbackOnFailure). Records every received query dict for
-    assertions; ``rows`` is the mutable store.
+    the compile_where conjunction subset via a real parser,
+    returnCountOnly, resultOffset/resultRecordCount, outFields) and
+    /applyEdits POST (adds with server-assigned OIDs, OID-addressed
+    updates, rollbackOnFailure). Records every received query dict for
+    assertions; ``rows`` is the mutable store. Binds 127.0.0.1 on an
+    OS-assigned port; test-only, never a production listener.
 
     ``max_record_count`` emulates the live-service transfer cap: pages
     are truncated to it and, when matching rows remain past the served
@@ -29,11 +128,20 @@ def serve_layer(rows, fields, max_record_count=None, poison=None):
     ``poison``: optional predicate over an edit's attribute dict; a
     matching edit fails server-side. With rollbackOnFailure the whole
     call is rolled back and EVERY edit reports success=false (the live
-    rollback quirk the reference leaned on via ``rollback=True``)."""
+    rollback quirk the reference leaned on via ``rollback=True``).
+
+    ``auth``: optional ``{"username", "password", "ttl_requests": N}``
+    dict enabling the token lifecycle: layer operations then require a
+    token minted by POST ``/generateToken`` (correct credentials →
+    ``{"token", "expires"}``; wrong → error 400), and every token dies
+    after serving N layer requests, after which the service answers
+    error 498 ``Invalid token`` — DETERMINISTIC expiry (request-counted,
+    not clocked) so tests can force mid-pagination and mid-applyEdits
+    refresh exactly."""
     import http.server
     import json as _json
-    import re as _re
     import threading
+    import time as _time
     import urllib.parse as up
 
     seen: list[dict] = []
@@ -42,22 +150,10 @@ def serve_layer(rows, fields, max_record_count=None, poison=None):
         "OBJECTID",
     )
     edit_lock = threading.Lock()
+    token_budget: dict[str, int] = {}  # token -> remaining layer requests
+    token_seq = [0]
 
-    def matches(row: dict, where: str) -> bool:
-        if where in ("", "1=1"):
-            return True
-        m = _re.fullmatch(r"(\w+) IN \((.*)\)", where)
-        if m:  # upsert key lookups: exact membership, not substring
-            col, lst = m.groups()
-            return row.get(col) in list(eval(f"[{lst}]", {"__builtins__": {}}))
-        # numeric-conjunction subset, enough for the pushed predicates
-        py = (
-            where.replace(" AND ", " and ")
-            .replace("<>", "!=")
-            .replace(" IS NOT NULL", " is not None")
-            .replace(" IS NULL", " is None")
-        )
-        return bool(eval(py, {"__builtins__": {}}, dict(row)))  # noqa: S307
+    matches = _match_where
 
     class H(http.server.BaseHTTPRequestHandler):
         def _send(self, body: dict) -> None:
@@ -68,17 +164,41 @@ def serve_layer(rows, fields, max_record_count=None, poison=None):
             self.end_headers()
             self.wfile.write(payload)
 
+        def _token_rejection(self, q: dict) -> dict | None:
+            """The auth gate for layer operations: None = authorized;
+            otherwise the error body to send. Decrements the token's
+            request budget — the deterministic expiry clock."""
+            if auth is None:
+                return None
+            tok = q.get("token")
+            if tok is None:
+                return {"error": {"code": 499, "message": "Token required"}}
+            remaining = token_budget.get(tok, 0)
+            if remaining <= 0:
+                return {"error": {"code": 498, "message": "Invalid token"}}
+            token_budget[tok] = remaining - 1
+            return None
+
         def do_GET(self):
             parsed = up.urlparse(self.path)
             q = {k: v[0] for k, v in up.parse_qs(parsed.query).items()}
             seen.append(q)
+            rejection = self._token_rejection(q)
+            if rejection is not None:
+                self._send(rejection)
+                return
             where = q.get("where", "1=1")
             data = [r for r in rows if matches(r, where)]
             out = q.get("outFields", "*")
+            known = [f["name"] for f in fields]
             names = (
-                [f["name"] for f in fields]
+                known
                 if out == "*"
-                else out.split(",")
+                # real services answer with the fields they KNOW (and in
+                # layer-definition order); an unknown outFields entry is
+                # simply absent from the response — the client's schema()
+                # contract check is what surfaces it
+                else [n for n in known if n in out.split(",")]
             )
             flds = [f for f in fields if f["name"] in names]
             if q.get("returnCountOnly") == "true":
@@ -115,15 +235,46 @@ def serve_layer(rows, fields, max_record_count=None, poison=None):
 
         def do_POST(self):
             parsed = up.urlparse(self.path)
-            if not parsed.path.endswith("/applyEdits"):
-                self._send({"error": {"code": 400, "description": "bad op"}})
-                return
             n = int(self.headers.get("Content-Length", 0))
             form = {
                 k: v[0]
                 for k, v in up.parse_qs(self.rfile.read(n).decode()).items()
             }
+            if parsed.path.endswith("/generateToken"):
+                seen.append({"op": "generateToken", "username": form.get("username")})
+                if auth is None or (
+                    form.get("username"),
+                    form.get("password"),
+                ) != (auth["username"], auth["password"]):
+                    self._send(
+                        {
+                            "error": {
+                                "code": 400,
+                                "message": "Unable to generate token",
+                                "details": ["Invalid username or password."],
+                            }
+                        }
+                    )
+                    return
+                token_seq[0] += 1
+                tok = f"tok_{token_seq[0]}"
+                token_budget[tok] = int(auth.get("ttl_requests", 1 << 30))
+                self._send(
+                    {
+                        "token": tok,
+                        "expires": int((_time.time() + 3600) * 1000),
+                    }
+                )
+                return
+            if not parsed.path.endswith("/applyEdits"):
+                self._send({"error": {"code": 400, "description": "bad op"}})
+                return
+            q = {k: v[0] for k, v in up.parse_qs(parsed.query).items()}
             seen.append({"op": "applyEdits", **form})
+            rejection = self._token_rejection(q)
+            if rejection is not None:
+                self._send(rejection)
+                return
             adds = _json.loads(form.get("adds", "[]"))
             updates = _json.loads(form.get("updates", "[]"))
             rollback = form.get("rollbackOnFailure", "true") == "true"

@@ -537,7 +537,11 @@ _SQL_EMB_NORMS = """
 
 @register(
     "dedup_semantic_prune",
-    headline=True,
+    # off-headline since r8 (VERDICT r7 item 7): the IVF BUILD here is the
+    # textbook N^1.5 one-time cost (sqrt-N pivots) that the persisted-index
+    # path amortizes — the headline slot now grades the probe-side number
+    # users pay at scale (sim_ivfpq_index_probe); this build variant stays
+    # registry-tracked and sf1-soaked off-headline.
     tags=("dedup", "semantic", "similarity", "ann"),
     oracle=f"""
     WITH apairs AS (

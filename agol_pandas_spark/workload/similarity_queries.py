@@ -717,6 +717,10 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_ivfpq_index_probe",
+    # headline since r8 (VERDICT r7 item 7): replaces dedup_semantic_prune's
+    # build-heavy number — the amortized probe path is what users run at
+    # 100 TB (build once, probe many).
+    headline=True,
     tags=("similarity", "ann", "ivf", "pq", "index"),
     oracle=_IVFPQ_ADC_ORACLE,
 )

@@ -33,6 +33,13 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     registry = load_all()
     headline = {n: q for n, q in sorted(registry.items()) if q.headline}
+    # soak hook (VERDICT r7 item 6): comma-separated extra registry names
+    # timed alongside the headline set — lets the sf1 scale soak cover
+    # non-headline queries without changing the driver-default output
+    extra = os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "")
+    for n in filter(None, (x.strip() for x in extra.split(","))):
+        headline[n] = registry[n]
+    headline = dict(sorted(headline.items()))
 
     spark = get_spark(app_name="agol_pandas_spark-bench")
 

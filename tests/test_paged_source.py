@@ -1006,3 +1006,162 @@ def test_degraded_limit_zero_issues_no_fetch(spark, sf_dir, tmp_path):
     df = read_paged(spark, client, page_size=50, policy=FAST_RETRY, limit=0)
     assert df.count() == 0
     assert os.listdir(log) == [], "limit=0 crossed the wire"
+
+
+# -- auth lifecycle (TokenProvider, VERDICT r7 item 5) ----------------------
+
+
+def _auth_provider(srv, ttl=None, user="alice", pw="s3cret"):
+    from agol_pandas_spark.sources.http_client import TokenProvider
+
+    return TokenProvider(
+        f"http://127.0.0.1:{srv.server_address[1]}/generateToken", user, pw
+    )
+
+
+def test_http_auth_token_acquired_lazily_and_reused(spark):
+    from agol_pandas_spark.sources.http_client import HttpPagedClient
+    from agol_pandas_spark.sources.paged import read_paged
+
+    srv, seen = _fake_arcgis_server(
+        list(_HTTP_ROWS), _HTTP_FIELDS,
+        auth={"username": "alice", "password": "s3cret", "ttl_requests": 1000},
+    )
+    try:
+        client = HttpPagedClient(
+            f"http://127.0.0.1:{srv.server_address[1]}",
+            token=_auth_provider(srv),
+        )
+        df = read_paged(spark, client, page_size=25)
+        assert df.count() == 50
+        mints = [q for q in seen if q.get("op") == "generateToken"]
+        # driver + each executor task mints at most once; far fewer
+        # mints than layer requests proves reuse, not per-request auth
+        layer_reqs = [q for q in seen if "where" in q]
+        assert 1 <= len(mints) < len(layer_reqs)
+    finally:
+        srv.shutdown()
+
+
+def test_http_auth_bad_credentials_raise_typed(spark):
+    from agol_pandas_spark.sources.http_client import AuthError, HttpPagedClient
+
+    srv, seen = _fake_arcgis_server(
+        list(_HTTP_ROWS), _HTTP_FIELDS,
+        auth={"username": "alice", "password": "s3cret"},
+    )
+    try:
+        client = HttpPagedClient(
+            f"http://127.0.0.1:{srv.server_address[1]}",
+            token=_auth_provider(srv, pw="wrong"),
+        )
+        with pytest.raises(AuthError, match="token acquisition failed"):
+            client.total_count()
+        # and a missing token is rejected by the service, not served
+        bare = HttpPagedClient(f"http://127.0.0.1:{srv.server_address[1]}")
+        with pytest.raises(AuthError, match="code 499"):
+            bare.total_count()
+    finally:
+        srv.shutdown()
+
+
+def test_http_auth_mid_pagination_expiry_refreshes(spark):
+    """Tokens die every 3 layer requests; a full paged read needs many
+    more — the transport must refresh mid-pagination and the result must
+    be complete and exact (never a silently-truncated window)."""
+    from agol_pandas_spark.sources.http_client import HttpPagedClient
+    from agol_pandas_spark.sources.paged import read_paged
+
+    srv, seen = _fake_arcgis_server(
+        list(_HTTP_ROWS), _HTTP_FIELDS, max_record_count=4,
+        auth={"username": "alice", "password": "s3cret", "ttl_requests": 3},
+    )
+    try:
+        client = HttpPagedClient(
+            f"http://127.0.0.1:{srv.server_address[1]}",
+            token=_auth_provider(srv),
+        )
+        df = read_paged(spark, client, page_size=10)
+        got = {(r["id"], r["val"], r["label"]) for r in df.collect()}
+        assert got == {(r["id"], r["val"], r["label"]) for r in _HTTP_ROWS}
+        mints = [q for q in seen if q.get("op") == "generateToken"]
+        assert len(mints) >= 2  # at least one forced mid-read refresh
+    finally:
+        srv.shutdown()
+
+
+def test_http_auth_mid_applyedits_refresh(spark):
+    """Upsert batches do key-lookup GETs then the applyEdits POST; with
+    a 2-request token TTL the token dies inside a batch — the sink must
+    refresh and land every edit exactly once."""
+    from agol_pandas_spark.sources.http_client import HttpEditsSink
+
+    store = [{"id": 1, "val": 1.0, "label": "old"}]
+    srv, seen = _fake_arcgis_server(
+        store, _HTTP_FIELDS,
+        auth={"username": "alice", "password": "s3cret", "ttl_requests": 2},
+    )
+    try:
+        sink = HttpEditsSink(
+            f"http://127.0.0.1:{srv.server_address[1]}",
+            field_names=["id", "val", "label"],
+            key_field="id",
+            token=_auth_provider(srv),
+            lookup_page_size=2,
+        )
+        sink.upload_batch(
+            [(1, 9.0, "upd"), (2, 2.0, "new-a"), (3, 3.0, "new-b"),
+             (4, 4.0, "new-c"), (5, 5.0, "new-d")],
+            batch_id="b0",
+        )
+        assert {(r["id"], r["val"], r["label"]) for r in store} == {
+            (1, 9.0, "upd"), (2, 2.0, "new-a"), (3, 3.0, "new-b"),
+            (4, 4.0, "new-c"), (5, 5.0, "new-d"),
+        }
+        mints = [q for q in seen if q.get("op") == "generateToken"]
+        assert len(mints) >= 2  # refreshed inside the batch
+    finally:
+        srv.shutdown()
+
+
+def test_http_fetch_page_truncates_overserving_service():
+    """ADVICE r7: a service that over-serves a window (more rows than
+    resultRecordCount asked) must not leak rows owned by the next
+    planned partition — fetch_page truncates defensively."""
+    from agol_pandas_spark.sources.http_client import HttpPagedClient
+
+    class OverServe(HttpPagedClient):
+        def _get(self, **params):
+            if "resultOffset" in params:
+                n = int(params["resultRecordCount"])
+                off = int(params["resultOffset"])
+                return {
+                    "features": [
+                        {"attributes": {"id": off + i, "val": 0.0, "label": "x"}}
+                        for i in range(n + 5)  # over-serve by 5
+                    ]
+                }
+            return {"fields": _HTTP_FIELDS}
+
+    c = OverServe("http://invalid.example")
+    page = c.fetch_page(10, 7)
+    assert [r[0] for r in page] == list(range(10, 17))
+
+
+def test_http_projection_schema_order_matches_request():
+    """ADVICE r7: services answer outFields in layer-definition order;
+    the projected schema must equal the REQUESTED columns verbatim."""
+    from agol_pandas_spark.sources.http_client import HttpPagedClient
+
+    srv, seen = _fake_arcgis_server(list(_HTTP_ROWS), _HTTP_FIELDS)
+    try:
+        base = HttpPagedClient(f"http://127.0.0.1:{srv.server_address[1]}")
+        proj = base.project(["label", "id"])  # reversed vs layer order
+        assert [f.name for f in proj.schema().fields] == ["label", "id"]
+        page = proj.fetch_page(0, 3)
+        assert page == [("r1", 1), ("r2", 2), ("r3", 3)]
+        missing = base.project(["label", "nope"])
+        with pytest.raises(RuntimeError, match="nope"):
+            missing.schema()
+    finally:
+        srv.shutdown()

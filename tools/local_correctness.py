@@ -119,7 +119,8 @@ def main() -> None:
         out[name] = rec
         _release_blocks(spark)
 
-    path = f"CORRECTNESS_local_r{rnd:02d}.json"
+    suffix = os.environ.get("SPARK_GRAFT_ARTIFACT_SUFFIX", "")
+    path = f"CORRECTNESS_local_r{rnd:02d}{suffix}.json"
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     bad = [
