@@ -44,47 +44,53 @@ def _split_top_level(s: str, sep: str) -> list[str]:
     return out
 
 
-def _match_where(row: dict, where: str) -> bool:
-    """Evaluate the conjunction subset compile_where can emit — =, <>,
-    <, <=, >, >=, IN, IS [NOT] NULL, LIKE (%-wildcards) — with a real
-    parser. Replaces the mock's previous eval() (ADVICE r7: even with
-    empty __builtins__, evaluating attacker-supplied expressions from a
-    loopback socket is the wrong primitive). Unknown syntax raises, so a
-    contract drift fails tests loudly instead of matching wrongly."""
+def _compile_where(where: str):
+    """Compile the conjunction subset compile_where can emit — =, <>,
+    <, <=, >, >=, IN, IS [NOT] NULL, LIKE (%-wildcards) — into a
+    row-predicate closure with a real parser. Replaces the mock's
+    previous eval() (ADVICE r7: even with empty __builtins__,
+    evaluating attacker-supplied expressions from a loopback socket is
+    the wrong primitive). Parsing happens ONCE per request, never per
+    row, and IN lists become hash sets — the mock's per-request cost is
+    O(rows), so a scale soak through it measures the ENGINE, not the
+    parser. Unknown syntax raises, so a contract drift fails tests
+    loudly instead of matching wrongly."""
     import fnmatch
     import re as _re
 
     if where.strip() in ("", "1=1"):
-        return True
+        return lambda row: True
+    preds = []
     for clause in _split_top_level(where, " AND "):
         clause = clause.strip()
         if clause.startswith("(") and clause.endswith(")"):
             # compile_where parenthesizes the combined pre-existing where
-            if not _match_where(row, clause[1:-1]):
-                return False
+            preds.append(_compile_where(clause[1:-1]))
             continue
         if clause == "1=1":
             continue
         m = _re.fullmatch(r"(\w+) IN \((.*)\)", clause, _re.DOTALL)
         if m:
             col, lst = m.groups()
-            vals = [_parse_literal(t) for t in _split_top_level(lst, ",")]
-            if row.get(col) not in vals:
-                return False
+            vals = {_parse_literal(t) for t in _split_top_level(lst, ",")}
+            preds.append(lambda row, c=col, v=vals: row.get(c) in v)
             continue
         m = _re.fullmatch(r"(\w+) IS (NOT )?NULL", clause)
         if m:
             col, neg = m.groups()
-            if (row.get(col) is None) == bool(neg):
-                return False
+            want_null = not neg
+            preds.append(
+                lambda row, c=col, wn=want_null: (row.get(c) is None) == wn
+            )
             continue
         m = _re.fullmatch(r"(\w+) LIKE ('(?:[^']|'')*')", clause, _re.DOTALL)
         if m:
             col, pat = m.groups()
             want = _parse_literal(pat).replace("%", "*")
-            v = row.get(col)
-            if v is None or not fnmatch.fnmatchcase(str(v), want):
-                return False
+            preds.append(
+                lambda row, c=col, w=want: row.get(c) is not None
+                and fnmatch.fnmatchcase(str(row.get(c)), w)
+            )
             continue
         m = _re.fullmatch(
             r"(\w+) (=|<>|<=|>=|<|>) ('(?:[^']|'')*'|[-\d.eE+]+)",
@@ -93,22 +99,21 @@ def _match_where(row: dict, where: str) -> bool:
         )
         if m:
             col, op, lit = m.groups()
-            v, w = row.get(col), _parse_literal(lit)
-            if v is None:
-                return False  # SQL three-valued: NULL compares to nothing
-            ok = {
-                "=": v == w,
-                "<>": v != w,
-                "<": v < w,
-                "<=": v <= w,
-                ">": v > w,
-                ">=": v >= w,
+            w = _parse_literal(lit)
+            import operator as _op
+
+            fn = {
+                "=": _op.eq, "<>": _op.ne, "<": _op.lt,
+                "<=": _op.le, ">": _op.gt, ">=": _op.ge,
             }[op]
-            if not ok:
-                return False
+            # SQL three-valued logic: NULL compares to nothing
+            preds.append(
+                lambda row, c=col, f=fn, w=w: row.get(c) is not None
+                and f(row.get(c), w)
+            )
             continue
         raise ValueError(f"mock where parser: unsupported clause {clause!r}")
-    return True
+    return lambda row: all(p(row) for p in preds)
 
 
 def serve_layer(rows, fields, max_record_count=None, poison=None, auth=None):
@@ -153,7 +158,6 @@ def serve_layer(rows, fields, max_record_count=None, poison=None, auth=None):
     token_budget: dict[str, int] = {}  # token -> remaining layer requests
     token_seq = [0]
 
-    matches = _match_where
 
     class H(http.server.BaseHTTPRequestHandler):
         def _send(self, body: dict) -> None:
@@ -188,7 +192,8 @@ def serve_layer(rows, fields, max_record_count=None, poison=None, auth=None):
                 self._send(rejection)
                 return
             where = q.get("where", "1=1")
-            data = [r for r in rows if matches(r, where)]
+            pred = _compile_where(where)  # parse once per request
+            data = [r for r in rows if pred(r)]
             out = q.get("outFields", "*")
             known = [f["name"] for f in fields]
             names = (

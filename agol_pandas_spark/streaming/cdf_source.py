@@ -56,10 +56,11 @@ class CdfTail:
 
     ``advance`` is idempotent and cheap to call on a schedule (the
     per-commit hook in a live deployment); ``include_current=True``
-    spools the last-archive → current-table transition and is meant for
-    drain/backfill runs (a later commit archives that same state under
-    the next version number, which would re-emit the rows — so only
-    catch up to HEAD when no further commit precedes the drain).
+    spools the last-archive → current-table transition (the drain /
+    backfill catch-up). When a LATER commit archives that same state
+    under the next version number, the tail recognizes it by commit id
+    and advances its watermark without re-emitting — the stream stays
+    exactly-once per transition even across head spools.
     """
 
     def __init__(
@@ -79,6 +80,11 @@ class CdfTail:
         versions = self.catalog.versions(name)
         self._spooled_through = versions[0] if versions else 0
         self._spooled_head = False
+        # commit id of the table state spooled as head (if any): when a
+        # later commit archives that exact state under the next version
+        # number, the pairs loop must NOT re-emit its delta — additive
+        # consumers would double-count
+        self._head_commit_id: str | None = None
 
     def schema(self) -> T.StructType:
         """CDF row schema: the table's columns + _change_type +
@@ -130,10 +136,24 @@ class CdfTail:
         spools the newest-archive → current-table delta (once)."""
         spooled = 0
         versions = self.catalog.versions(self.name)
-        # archived pairs (prev, prev+1): emit transitions whose TARGET
-        # version is archived and newer than the watermark
+        # consecutive archive pairs: emit every transition whose TARGET
+        # version is archived and newer than the watermark. A numeric gap
+        # (an intermediate version vacuumed away) emits the SQUASHED diff
+        # table_changes(prev, nxt) — the composition of the missing
+        # deltas, still an exact change feed, never a silent hole.
         for prev, nxt in zip(versions, versions[1:]):
-            if nxt <= self._spooled_through or nxt != prev + 1:
+            if nxt <= self._spooled_through:
+                continue
+            if (
+                self._head_commit_id is not None
+                and self._archived_commit_id(nxt) == self._head_commit_id
+            ):
+                # this archive IS the state already spooled as head —
+                # advancing the watermark without re-emitting keeps the
+                # stream exactly-once for additive consumers
+                self._spooled_through = nxt
+                self._spooled_head = False
+                self._head_commit_id = None
                 continue
             ch = self.catalog.table_changes(
                 self.name, prev, to_version=nxt, key=self.key
@@ -150,8 +170,19 @@ class CdfTail:
                 self._spool_one(ch, last + 1)
                 self._spooled_through = last
                 self._spooled_head = True
+                self._head_commit_id = self.catalog.commit_id(self.name)
                 spooled += 1
         return spooled
+
+    def _archived_commit_id(self, version: int) -> str | None:
+        marker = os.path.join(
+            self.catalog._version_path(self.name, version), "_commit_id"
+        )
+        try:
+            with open(marker) as f:
+                return f.read().strip()
+        except OSError:
+            return None
 
     def close(self) -> None:
         shutil.rmtree(self.spool_dir, ignore_errors=True)

@@ -1571,7 +1571,10 @@ def meta_table_changes_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     v2 = base.where(k % 5 != 0)
     root = tempfile.mkdtemp(prefix="cdf_cat_")
     try:
-        cat = Catalog(spark, root)
+        # manifest-only identity (r8): the CDF's shared-file pruning must
+        # prove itself WITHOUT inodes under the driver gate — the
+        # object-storage posture, where hard links do not exist
+        cat = Catalog(spark, root, snapshot_identity="manifest")
         cat.write(v1, "orders_cdf")
         cat.write(v2, "orders_cdf", mode="overwrite", keep_versions=1)
         ch = cat.table_changes("orders_cdf", from_version=1, key="o_orderkey")

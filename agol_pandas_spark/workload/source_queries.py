@@ -1077,3 +1077,80 @@ def sink_paged_applyedits_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         srv.shutdown()
     return out
+
+
+@register(
+    "source_paged_token_refresh",
+    tags=("source", "paged", "connector", "http", "auth"),
+    oracle="""
+    SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_checksum
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def source_paged_token_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP connector under the full auth lifecycle (VERDICT r7 item 5):
+    the loopback layer requires tokens minted from credentials via the
+    public ``generateToken`` contract, and every token DIES after three
+    layer requests (deterministic request-counted expiry). A paged read
+    with 5-row windows plus a transfer cap issues far more wire calls
+    than one token survives, so ``TokenProvider`` must acquire lazily,
+    ship to executor tasks, and refresh mid-pagination on 498 — the
+    lifecycle the reference delegated to its ``gis`` credential handle
+    (``src/agol_pandas.py:237``). The query raises unless at least one
+    forced refresh happened; the oracle proves rows neither dropped nor
+    duplicated across token deaths."""
+    from agol_pandas_spark.sources.http_client import (
+        HttpPagedClient,
+        TokenProvider,
+    )
+    from agol_pandas_spark.sources.http_mock import serve_layer
+    from agol_pandas_spark.sources.paged import RetryPolicy, read_paged
+
+    nation = Catalog(spark, sf_dir).table("nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    rows = [
+        {
+            "n_nationkey": int(r["n_nationkey"]),
+            "n_regionkey": int(r["n_regionkey"]),
+        }
+        for r in nation.collect()  # 25 rows at every SF: mock hosting only
+    ]
+    fields = [
+        {"name": "n_nationkey", "type": "esriFieldTypeOID"},
+        {"name": "n_regionkey", "type": "esriFieldTypeInteger"},
+    ]
+    srv, seen = serve_layer(
+        rows, fields, max_record_count=2,
+        auth={"username": "svc", "password": "pw", "ttl_requests": 3},
+    )
+    try:
+        provider = TokenProvider(
+            f"http://127.0.0.1:{srv.server_address[1]}/generateToken",
+            "svc", "pw",
+        )
+        client = HttpPagedClient(
+            f"http://127.0.0.1:{srv.server_address[1]}", token=provider
+        )
+        df = read_paged(
+            spark, client, page_size=5,
+            policy=RetryPolicy(max_attempts=3, max_backoff=0.01),
+        )
+        out = (
+            df.groupBy("n_regionkey")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_nations"),
+                F.sum("n_nationkey").cast("long").alias("key_checksum"),
+            )
+            .localCheckpoint(eager=True)  # materialize before shutdown
+        )
+        mints = [q for q in seen if q.get("op") == "generateToken"]
+        if len(mints) < 2:
+            raise RuntimeError(
+                f"token expiry never forced a refresh ({len(mints)} mints)"
+            )
+    finally:
+        srv.shutdown()
+    return out

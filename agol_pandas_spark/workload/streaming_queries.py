@@ -1135,7 +1135,9 @@ def stream_cdf_tail_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = tempfile.mkdtemp(prefix="cdf_tail_cat_")
     try:
-        cat = Catalog(spark, root)
+        # manifest-only identity: the spooled transitions' pruning runs
+        # on manifest evidence alone (object-storage posture)
+        cat = Catalog(spark, root, snapshot_identity="manifest")
         cat.write(v1, "t")
         cat.write(v2, "t", mode="overwrite", keep_versions=4)
         # summary seeded from v1 — maintenance must carry it to v3

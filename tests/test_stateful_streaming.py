@@ -399,3 +399,103 @@ def test_cdf_tail_spools_exactly_once_and_maintains(spark, tmp_path):
     )
     tail.close()
     assert not os.path.exists(tail.spool_dir)
+
+
+def test_cdf_tail_head_spool_not_reemitted_after_next_commit(spark, tmp_path):
+    """After a head catch-up, the next commit archives that same state
+    under the next version number — the tail must recognize it by commit
+    id and advance WITHOUT re-emitting the delta (double-counted sums
+    otherwise), then emit only the genuinely-new transition."""
+    from pyspark.sql import functions as F
+
+    from agol_pandas_spark.catalog import Catalog
+    from agol_pandas_spark.operators.views import apply_cdf_to_summary
+    from agol_pandas_spark.streaming.cdf_source import CdfTail
+
+    cat = Catalog(spark, str(tmp_path / "cdfho"))
+    mk = lambda hi, bump: spark.createDataFrame(
+        [(k, f"g{k % 3}", k * 10 + bump) for k in range(hi)],
+        "k long, g string, v long",
+    )
+    cat.write(mk(20, 0), "t")
+    cat.write(mk(24, 0), "t", mode="overwrite", keep_versions=8)
+    tail = CdfTail(cat, "t", key="k", spool_dir=str(tmp_path / "spool_ho"))
+    assert tail.advance(include_current=True) == 1   # v1 -> HEAD(v2 state)
+    cat.write(mk(24, 5), "t", mode="overwrite", keep_versions=8)
+    # archives now [1, 2]; v2 IS the state spooled as head: no re-emit,
+    # and the new head (v2 -> v3 state) spools once
+    assert tail.advance(include_current=True) == 1
+    spooled = spark.read.schema(tail.schema()).parquet(tail.spool_dir)
+
+    def summarize(df):
+        return df.groupBy("g").agg(
+            F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("v_sum")
+        )
+
+    maintained = apply_cdf_to_summary(
+        summarize(cat.table_at("t", 1)), spooled, ["g"], {"v_sum": "v"}
+    )
+    assert sorted(map(tuple, maintained.collect())) == sorted(
+        map(tuple, summarize(cat.table("t")).collect())
+    )
+    tail.close()
+
+
+def test_cdf_tail_vacuumed_gap_emits_squashed_delta(spark, tmp_path):
+    """A vacuumed intermediate version must not open a silent hole in
+    the stream: the tail emits the SQUASHED table_changes(prev, next)
+    across the gap, and the maintained summary still converges."""
+    from pyspark.sql import functions as F
+
+    from agol_pandas_spark.catalog import Catalog
+    from agol_pandas_spark.operators.views import apply_cdf_to_summary
+    from agol_pandas_spark.streaming.cdf_source import CdfTail
+
+    cat = Catalog(spark, str(tmp_path / "cdfgap"))
+    mk = lambda hi, bump: spark.createDataFrame(
+        [(k, f"g{k % 3}", k * 10 + bump) for k in range(hi)],
+        "k long, g string, v long",
+    )
+    cat.write(mk(20, 0), "t")
+    cat.write(mk(22, 0), "t", mode="overwrite", keep_versions=8)
+    cat.write(mk(22, 3), "t", mode="overwrite", keep_versions=8)
+    cat.write(mk(26, 3), "t", mode="overwrite", keep_versions=8)
+    # archives [1,2,3]; vacuum keeps the newest 2 -> [2,3]: the v1->v2
+    # delta is gone as a pair, but a tail starting at the earliest
+    # SURVIVING archive streams v2->v3 and v3->HEAD
+    cat.vacuum("t", keep_last=2)
+    tail = CdfTail(cat, "t", key="k", spool_dir=str(tmp_path / "spool_gap"))
+    assert tail.advance(include_current=True) == 2
+    spooled = spark.read.schema(tail.schema()).parquet(tail.spool_dir)
+
+    def summarize(df):
+        return df.groupBy("g").agg(
+            F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("v_sum")
+        )
+
+    maintained = apply_cdf_to_summary(
+        summarize(cat.table_at("t", 2)), spooled, ["g"], {"v_sum": "v"}
+    )
+    assert sorted(map(tuple, maintained.collect())) == sorted(
+        map(tuple, summarize(cat.table("t")).collect())
+    )
+    # and a mid-history vacuum between two surviving archives squashes:
+    cat2 = Catalog(spark, str(tmp_path / "cdfgap2"))
+    cat2.write(mk(20, 0), "u")
+    cat2.write(mk(22, 0), "u", mode="overwrite", keep_versions=8)
+    t2 = CdfTail(cat2, "u", key="k", spool_dir=str(tmp_path / "spool_gap2"))
+    cat2.write(mk(22, 3), "u", mode="overwrite", keep_versions=8)
+    cat2.write(mk(26, 3), "u", mode="overwrite", keep_versions=8)
+    import shutil as _sh
+
+    _sh.rmtree(cat2._version_path("u", 2))  # drop v2: gap [1, 3]
+    assert t2.advance() == 1  # squashed v1 -> v3, one transition
+    sp2 = spark.read.schema(t2.schema()).parquet(t2.spool_dir)
+    m2 = apply_cdf_to_summary(
+        summarize(cat2.table_at("u", 1)), sp2, ["g"], {"v_sum": "v"}
+    )
+    assert sorted(map(tuple, m2.collect())) == sorted(
+        map(tuple, summarize(cat2.table_at("u", 3)).collect())
+    )
+    tail.close()
+    t2.close()

@@ -108,6 +108,11 @@ QUERIES = [
     "meta_declared_key_upsert",
     "sim_ivfpq_index_probe",
     "source_paged_limit_count",
+    # r8 additions: CDF tail (spool file layout and micro-batch split
+    # must not change the maintained summary), auth'd paged read (token
+    # deaths interleave differently per partitioning)
+    "stream_cdf_tail_summary",
+    "source_paged_token_refresh",
     "stats_auc_mann_whitney",
     "text_substring_dup_removal",
     "join_bloom_semi_reduction",
