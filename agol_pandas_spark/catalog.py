@@ -1242,6 +1242,44 @@ class Catalog:
             F.col("e")["_change_type"].alias("_change_type"),
         )
 
+    def cleanup_staging(self, max_age_sec: float = 24 * 3600.0) -> list[str]:
+        """Reclaim orphaned staging directories (``*.__tmp_*`` /
+        ``*.__old_*``) older than ``max_age_sec``.
+
+        Every commit stages under a uuid'd temp directory and swaps
+        atomically; a crash between stage and swap leaks the staged
+        bytes forever (they are invisible to readers — correctness is
+        untouched — but at 100 TB leaked stages are real money). The
+        age guard keeps IN-FLIGHT commits safe: a writer that has been
+        staging for less than the threshold is never touched, so run
+        this with an age comfortably above the longest expected write
+        (the housekeeping twin of :meth:`vacuum`). Returns the removed
+        paths."""
+        import time as _time
+
+        if not os.path.isdir(self.root):
+            return []
+        now = _time.time()
+        removed: list[str] = []
+        for dirpath in [self.root] + [
+            os.path.join(self.root, d)
+            for d in (".versions", ".tags", ".indexes")
+            if os.path.isdir(os.path.join(self.root, d))
+        ]:
+            for dp, dirs, _files in os.walk(dirpath):
+                for d in list(dirs):
+                    if ".__tmp_" in d or ".__old_" in d:
+                        p = os.path.join(dp, d)
+                        try:
+                            age = now - os.path.getmtime(p)
+                        except OSError:
+                            continue  # raced with a finishing commit
+                        if age > max_age_sec:
+                            shutil.rmtree(p, ignore_errors=True)
+                            removed.append(p)
+                        dirs.remove(d)  # never descend into staging
+        return removed
+
     def vacuum(self, name: str, keep_last: int = 0) -> list[int]:
         """Drop archived versions beyond the newest ``keep_last``
         (``0`` = drop all archives). Returns the dropped version numbers.

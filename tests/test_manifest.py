@@ -210,3 +210,25 @@ def test_identity_mode_validation(spark, tmp_path):
     finally:
         del os.environ["AGOL_SPARK_SNAPSHOT_IDENTITY"]
     assert Catalog(spark, str(tmp_path)).snapshot_identity == "auto"
+
+
+def test_cleanup_staging_reclaims_only_old_orphans(spark, tmp_path):
+    """Crash-leaked staging dirs are reclaimed past the age threshold;
+    younger (possibly in-flight) stages and live data are never touched."""
+    import time
+
+    cat = Catalog(spark, str(tmp_path))
+    _mk_table(spark, cat, "t")
+    old = os.path.join(str(tmp_path), "t.parquet.__tmp_deadbeef")
+    os.makedirs(old)
+    os.utime(old, (time.time() - 7200, time.time() - 7200))
+    young = os.path.join(str(tmp_path), "t.parquet.__tmp_cafebabe")
+    os.makedirs(young)
+    removed = cat.cleanup_staging(max_age_sec=3600)
+    assert removed == [old]
+    assert not os.path.exists(old)
+    assert os.path.exists(young)          # in-flight commit untouched
+    assert cat.table("t").count() == 400  # live data untouched
+    # idempotent; and the young one goes once it ages out
+    os.utime(young, (time.time() - 7200, time.time() - 7200))
+    assert cat.cleanup_staging(max_age_sec=3600) == [young]
