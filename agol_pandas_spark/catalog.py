@@ -1243,41 +1243,54 @@ class Catalog:
         )
 
     def cleanup_staging(self, max_age_sec: float = 24 * 3600.0) -> list[str]:
-        """Reclaim orphaned staging directories (``*.__tmp_*`` /
-        ``*.__old_*``) older than ``max_age_sec``.
+        """Reclaim orphaned ``*.__tmp_*`` staging entries (directories
+        AND single files — the property/meta sidecars stage plain files)
+        older than ``max_age_sec``.
 
-        Every commit stages under a uuid'd temp directory and swaps
+        Every commit stages under a uuid'd temp path and swaps
         atomically; a crash between stage and swap leaks the staged
         bytes forever (they are invisible to readers — correctness is
         untouched — but at 100 TB leaked stages are real money). The
         age guard keeps IN-FLIGHT commits safe: a writer that has been
         staging for less than the threshold is never touched, so run
         this with an age comfortably above the longest expected write
-        (the housekeeping twin of :meth:`vacuum`). Returns the removed
-        paths."""
+        (the housekeeping twin of :meth:`vacuum`).
+
+        ``*.__old_*`` displaced-snapshot backups are NEVER touched:
+        after a crash inside :meth:`_swap_in`'s rename window that
+        backup can be the ONLY surviving copy of the table's committed
+        data (and rename preserves its old mtime, so no age guard could
+        protect it) — recovering one is a deliberate operator action,
+        not housekeeping. Returns the paths actually removed."""
         import time as _time
 
         if not os.path.isdir(self.root):
             return []
         now = _time.time()
         removed: list[str] = []
-        for dirpath in [self.root] + [
-            os.path.join(self.root, d)
-            for d in (".versions", ".tags", ".indexes")
-            if os.path.isdir(os.path.join(self.root, d))
-        ]:
-            for dp, dirs, _files in os.walk(dirpath):
-                for d in list(dirs):
-                    if ".__tmp_" in d or ".__old_" in d:
-                        p = os.path.join(dp, d)
-                        try:
-                            age = now - os.path.getmtime(p)
-                        except OSError:
-                            continue  # raced with a finishing commit
-                        if age > max_age_sec:
-                            shutil.rmtree(p, ignore_errors=True)
-                            removed.append(p)
-                        dirs.remove(d)  # never descend into staging
+
+        def _reclaim(p: str, is_dir: bool) -> None:
+            try:
+                if now - os.path.getmtime(p) <= max_age_sec:
+                    return
+                if is_dir:
+                    shutil.rmtree(p)
+                else:
+                    os.remove(p)
+            except OSError:
+                return  # raced with a finishing commit, or undeletable
+            removed.append(p)
+
+        for dp, dirs, files in os.walk(self.root):
+            for d in list(dirs):
+                if ".__old_" in d:
+                    dirs.remove(d)  # recovery copy: never descend, never touch
+                elif ".__tmp_" in d:
+                    _reclaim(os.path.join(dp, d), is_dir=True)
+                    dirs.remove(d)  # never descend into staging
+            for f in files:
+                if ".__tmp_" in f:
+                    _reclaim(os.path.join(dp, f), is_dir=False)
         return removed
 
     def vacuum(self, name: str, keep_last: int = 0) -> list[int]:

@@ -117,3 +117,11 @@ class UnsupportedMeasureError(EngineError):
     the feed does not say what the runner-up was). Pass the new snapshot
     as ``rescan=`` for a targeted per-group recompute of the retracted
     groups, or drop the min/max measures."""
+
+
+class CdfGapError(EngineError):
+    """A change-feed tail cannot make progress without losing data: the
+    snapshot at its watermark was vacuumed before the transition out of
+    it was spooled, so the missing delta is unrecoverable from surviving
+    archives. Re-seed the consumer from a full snapshot (and retain
+    archives at least as long as the tail's advance cadence)."""

@@ -213,6 +213,11 @@ def apply_cdf_to_summary(
         *extreme_aggs,
     )
     if maxs or mins:
+        # the grouped delta is group-cardinality sized but derives from
+        # the full feed scan; the retraction probe (and, on the rescan
+        # path, three plan subtrees) would otherwise recompute that scan
+        # — checkpoint once, every consumer below reads the small result
+        delta = delta.localCheckpoint(eager=True)
         if rescan is None:
             # refusal over a silently-stale extreme: one small action over
             # the group-cardinality delta decides

@@ -36,6 +36,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import types as T
 
+from agol_pandas_spark.errors import EngineError
 from agol_pandas_spark.sources.paged import PagedClient, PagedSink, PushedFilter
 
 __all__ = [
@@ -52,10 +53,17 @@ __all__ = [
 _AUTH_ERROR_CODES = frozenset({401, 498, 499})
 
 
-class AuthError(RuntimeError):
+class AuthError(EngineError, RuntimeError):
     """Authentication failed terminally: the token endpoint rejected the
     credentials, or the service rejected a token that was just refreshed
-    (one refresh-and-retry is attempted before giving up)."""
+    (one refresh-and-retry is attempted before giving up).
+
+    Derives from :class:`~agol_pandas_spark.errors.EngineError` so the
+    connector's :class:`~agol_pandas_spark.sources.paged.RetryPolicy`
+    surfaces it immediately instead of replaying bad credentials through
+    ratcheting backoff sleeps (on a live service, enough re-POSTs to
+    trip an account lockout); RuntimeError is kept for callers matching
+    the transport's generic error class."""
 
 
 class TokenProvider:

@@ -25,15 +25,25 @@ def _parse_literal(tok: str):
 
 
 def _split_top_level(s: str, sep: str) -> list[str]:
-    """Split on ``sep`` outside single-quoted strings."""
-    out, buf, i, in_str = [], [], 0, False
+    """Split on ``sep`` outside single-quoted strings AND outside
+    parentheses — compile_where parenthesizes a combined pre-existing
+    where (``(a AND b) AND c``), which must stay one clause here."""
+    out, buf, i, in_str, depth = [], [], 0, False, 0
     while i < len(s):
         ch = s[i]
         if ch == "'":
             in_str = not in_str
             buf.append(ch)
             i += 1
-        elif not in_str and s[i : i + len(sep)] == sep:
+        elif not in_str and ch == "(":
+            depth += 1
+            buf.append(ch)
+            i += 1
+        elif not in_str and ch == ")":
+            depth -= 1
+            buf.append(ch)
+            i += 1
+        elif not in_str and depth == 0 and s[i : i + len(sep)] == sep:
             out.append("".join(buf))
             buf = []
             i += len(sep)
@@ -42,6 +52,24 @@ def _split_top_level(s: str, sep: str) -> list[str]:
             i += 1
     out.append("".join(buf))
     return out
+
+
+def _like_to_fnmatch(raw: str) -> str:
+    """SQL LIKE pattern → fnmatch pattern: ONLY ``%`` is a wildcard;
+    fnmatch's own metacharacters (``? * [``) in the literal are escaped
+    so e.g. ``LIKE '%a?b%'`` matches the literal ``a?b``, never ``aXb``
+    (pushed filters are REMOVED from the Spark plan — a lax match here
+    would silently return wrong rows). ``_`` needs no handling: the
+    client declines pushdown for values containing it."""
+    out = []
+    for ch in raw:
+        if ch == "%":
+            out.append("*")
+        elif ch in "?*[":
+            out.append(f"[{ch}]")
+        else:
+            out.append(ch)
+    return "".join(out)
 
 
 def _compile_where(where: str):
@@ -86,7 +114,7 @@ def _compile_where(where: str):
         m = _re.fullmatch(r"(\w+) LIKE ('(?:[^']|'')*')", clause, _re.DOTALL)
         if m:
             col, pat = m.groups()
-            want = _parse_literal(pat).replace("%", "*")
+            want = _like_to_fnmatch(_parse_literal(pat))
             preds.append(
                 lambda row, c=col, w=want: row.get(c) is not None
                 and fnmatch.fnmatchcase(str(row.get(c)), w)
@@ -177,10 +205,16 @@ def serve_layer(rows, fields, max_record_count=None, poison=None, auth=None):
             tok = q.get("token")
             if tok is None:
                 return {"error": {"code": 499, "message": "Token required"}}
-            remaining = token_budget.get(tok, 0)
-            if remaining <= 0:
-                return {"error": {"code": 498, "message": "Invalid token"}}
-            token_budget[tok] = remaining - 1
+            # locked read-modify-write: the server is threaded, and the
+            # request-counted expiry is only deterministic if concurrent
+            # handlers cannot both spend the same budget unit
+            with edit_lock:
+                remaining = token_budget.get(tok, 0)
+                if remaining <= 0:
+                    return {
+                        "error": {"code": 498, "message": "Invalid token"}
+                    }
+                token_budget[tok] = remaining - 1
             return None
 
         def do_GET(self):
@@ -261,9 +295,10 @@ def serve_layer(rows, fields, max_record_count=None, poison=None, auth=None):
                         }
                     )
                     return
-                token_seq[0] += 1
-                tok = f"tok_{token_seq[0]}"
-                token_budget[tok] = int(auth.get("ttl_requests", 1 << 30))
+                with edit_lock:
+                    token_seq[0] += 1
+                    tok = f"tok_{token_seq[0]}"
+                    token_budget[tok] = int(auth.get("ttl_requests", 1 << 30))
                 self._send(
                     {
                         "token": tok,

@@ -134,26 +134,44 @@ class CdfTail:
         """Spool every landed-but-unspooled version transition; returns
         how many were spooled. ``include_current=True`` additionally
         spools the newest-archive → current-table delta (once)."""
+        from agol_pandas_spark.errors import CdfGapError
+
         spooled = 0
         versions = self.catalog.versions(self.name)
+        if self._head_commit_id is not None:
+            # the state spooled as head may since have been ARCHIVED (the
+            # next commit displaces it): recognize it by commit id at ANY
+            # surviving version — advancing the watermark there without
+            # re-emitting keeps the stream exactly-once for additive
+            # consumers, and works even when keep_versions=1 leaves a
+            # single-element archive list (no pair iteration).
+            for v in versions:
+                if (
+                    v > self._spooled_through
+                    and self._archived_commit_id(v) == self._head_commit_id
+                ):
+                    self._spooled_through = v
+                    self._spooled_head = False
+                    self._head_commit_id = None
+                    break
+        if versions and versions[0] > self._spooled_through:
+            # the watermark's snapshot was vacuumed before its outgoing
+            # transition spooled: the delta is unrecoverable — fail
+            # loudly, a silently-holed stream would diverge forever
+            raise CdfGapError(
+                f"tail of {self.name!r} is wedged: watermark version "
+                f"{self._spooled_through} was vacuumed (earliest "
+                f"surviving archive: {versions[0]}); re-seed the "
+                "consumer from a full snapshot"
+            )
         # consecutive archive pairs: emit every transition whose TARGET
         # version is archived and newer than the watermark. A numeric gap
-        # (an intermediate version vacuumed away) emits the SQUASHED diff
-        # table_changes(prev, nxt) — the composition of the missing
-        # deltas, still an exact change feed, never a silent hole.
+        # BETWEEN surviving archives (an intermediate version vacuumed
+        # away) emits the SQUASHED diff table_changes(prev, nxt) — the
+        # composition of the missing deltas, still an exact change feed,
+        # never a silent hole.
         for prev, nxt in zip(versions, versions[1:]):
             if nxt <= self._spooled_through:
-                continue
-            if (
-                self._head_commit_id is not None
-                and self._archived_commit_id(nxt) == self._head_commit_id
-            ):
-                # this archive IS the state already spooled as head —
-                # advancing the watermark without re-emitting keeps the
-                # stream exactly-once for additive consumers
-                self._spooled_through = nxt
-                self._spooled_head = False
-                self._head_commit_id = None
                 continue
             ch = self.catalog.table_changes(
                 self.name, prev, to_version=nxt, key=self.key

@@ -224,10 +224,22 @@ def test_cleanup_staging_reclaims_only_old_orphans(spark, tmp_path):
     os.utime(old, (time.time() - 7200, time.time() - 7200))
     young = os.path.join(str(tmp_path), "t.parquet.__tmp_cafebabe")
     os.makedirs(young)
+    # crash-leaked staged FILE (the property-sidecar staging shape)
+    stale_file = os.path.join(str(tmp_path), ".properties", "t.json.__tmp_1234")
+    os.makedirs(os.path.dirname(stale_file), exist_ok=True)
+    open(stale_file, "w").write("{}")
+    os.utime(stale_file, (time.time() - 7200, time.time() - 7200))
+    # a displaced-snapshot BACKUP is the crash-recovery copy: even aged,
+    # cleanup must NEVER touch it (rename preserves the old mtime, so it
+    # always LOOKS old)
+    backup = os.path.join(str(tmp_path), "t.parquet.__old_feedface")
+    os.makedirs(backup)
+    os.utime(backup, (time.time() - 7200, time.time() - 7200))
     removed = cat.cleanup_staging(max_age_sec=3600)
-    assert removed == [old]
-    assert not os.path.exists(old)
+    assert sorted(removed) == sorted([old, stale_file])
+    assert not os.path.exists(old) and not os.path.exists(stale_file)
     assert os.path.exists(young)          # in-flight commit untouched
+    assert os.path.exists(backup)         # recovery copy untouched
     assert cat.table("t").count() == 400  # live data untouched
     # idempotent; and the young one goes once it ages out
     os.utime(young, (time.time() - 7200, time.time() - 7200))

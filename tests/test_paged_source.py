@@ -1165,3 +1165,45 @@ def test_http_projection_schema_order_matches_request():
             missing.schema()
     finally:
         srv.shutdown()
+
+
+def test_mock_where_parser_like_metachars_and_parens():
+    """Code-review r8: (a) fnmatch metacharacters in a pushed LIKE
+    literal must match LITERALLY (pushed filters are removed from the
+    Spark plan — a lax mock match silently returns wrong rows); (b) the
+    parenthesized combined where compile_where emits for a pre-existing
+    base where must parse as one clause."""
+    from agol_pandas_spark.sources.http_mock import _compile_where
+
+    like = _compile_where("name LIKE '%a?b%'")
+    assert not like({"name": "aXb"})      # '?' is literal in SQL LIKE
+    assert like({"name": "xa?by"})
+    cls = _compile_where("name LIKE '%a[xy]b%'")
+    assert not cls({"name": "axb"})
+    assert cls({"name": "a[xy]b"})
+    p = _compile_where("(k > 5 AND g = 1) AND x = 2")
+    assert p({"k": 6, "g": 1, "x": 2})
+    assert not p({"k": 6, "g": 2, "x": 2})
+    assert not p({"k": 4, "g": 1, "x": 2})
+    with pytest.raises(ValueError, match="unsupported"):
+        _compile_where("k BETWEEN 1 AND 2")({"k": 1})
+
+
+def test_auth_error_is_engine_error_no_retry_replay():
+    """Code-review r8: AuthError must surface through RetryPolicy
+    immediately (EngineError exemption) — replaying bad credentials
+    through ratcheting backoff would hammer a live token endpoint."""
+    from agol_pandas_spark.errors import EngineError
+    from agol_pandas_spark.sources.http_client import AuthError
+    from agol_pandas_spark.sources.paged import RetryPolicy
+
+    assert issubclass(AuthError, EngineError)
+    calls = []
+
+    def bad():
+        calls.append(1)
+        raise AuthError("credentials rejected")
+
+    with pytest.raises(AuthError):
+        RetryPolicy(max_attempts=5, max_backoff=0.01).run(bad)
+    assert len(calls) == 1  # no replay

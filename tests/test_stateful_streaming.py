@@ -499,3 +499,50 @@ def test_cdf_tail_vacuumed_gap_emits_squashed_delta(spark, tmp_path):
     )
     tail.close()
     t2.close()
+
+
+def test_cdf_tail_raises_on_vacuumed_watermark(spark, tmp_path):
+    """Code-review r8: when the watermark version itself is vacuumed
+    before its outgoing transition spooled, the delta is unrecoverable —
+    the tail must raise CdfGapError, never stream past a silent hole.
+    And a head spool archived under keep_versions=1 must NOT wedge the
+    tail (commit-id recognition works without a pair iteration)."""
+    from pyspark.sql import functions as F
+
+    from agol_pandas_spark.catalog import Catalog
+    from agol_pandas_spark.errors import CdfGapError
+    from agol_pandas_spark.streaming.cdf_source import CdfTail
+
+    mk = lambda cat, hi, bump, name: cat.write(
+        spark.createDataFrame(
+            [(k, f"g{k % 3}", k * 10 + bump) for k in range(hi)],
+            "k long, g string, v long",
+        ),
+        name,
+        mode="overwrite" if cat.exists(name) else "error",
+        keep_versions=1,
+    )
+    # wedge-free head recognition with a single-element archive list
+    cat = Catalog(spark, str(tmp_path / "cdfk1"))
+    mk(cat, 20, 0, "t")
+    mk(cat, 22, 0, "t")
+    tail = CdfTail(cat, "t", key="k", spool_dir=str(tmp_path / "sp1"))
+    assert tail.advance(include_current=True) == 1   # v1 -> HEAD
+    mk(cat, 22, 5, "t")  # archives now ONLY [2] (v1 vacuumed), state C at 2
+    assert tail.advance(include_current=True) == 1   # v2 -> new HEAD, no wedge
+
+    # unrecoverable hole: two commits land, keep_versions=1 drops the
+    # archive holding the spooled head state -> CdfGapError
+    cat2 = Catalog(spark, str(tmp_path / "cdfk2"))
+    mk(cat2, 20, 0, "u")
+    mk(cat2, 22, 0, "u")
+    t2 = CdfTail(cat2, "u", key="k", spool_dir=str(tmp_path / "sp2"))
+    assert t2.advance(include_current=True) == 1
+    mk(cat2, 22, 5, "u")
+    mk(cat2, 24, 5, "u")  # archive of the spooled state vacuumed
+    import pytest as _pytest
+
+    with _pytest.raises(CdfGapError, match="vacuumed"):
+        t2.advance(include_current=True)
+    tail.close()
+    t2.close()

@@ -142,11 +142,16 @@ def _cdf_over_persisted_catalog(spark, sf: str):
         F.when(k % 7 == 0, F.lit(0.0)).otherwise(F.col("o_totalprice")),
     )
     v2 = base.where(k % 5 != 0)
-    cat = Catalog(spark, tempfile.mkdtemp(prefix="plans_cdf_"))
+    root = tempfile.mkdtemp(prefix="plans_cdf_")
+    _TEMP_DIRS.append(root)  # removed by main() after the plan is printed
+    cat = Catalog(spark, root)
     cat.write(v1, "orders_cdf")
     cat.write(v2, "orders_cdf", mode="overwrite", keep_versions=1)
     return cat.table_changes("orders_cdf", from_version=1, key="o_orderkey")
 
+
+# fixture dirs the builders stage; cleaned by main() after writing the doc
+_TEMP_DIRS: list[str] = []
 
 # plan built from an override instead of the registry fn (fixture-lifetime
 # reasons documented on each builder)
@@ -185,6 +190,10 @@ def main() -> None:
     )
     with open(path, "w") as f:
         f.write("\n".join(out) + "\n")
+    import shutil
+
+    for d in _TEMP_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
     print(f"wrote {path}")
 
 
