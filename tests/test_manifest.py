@@ -244,3 +244,106 @@ def test_cleanup_staging_reclaims_only_old_orphans(spark, tmp_path):
     # idempotent; and the young one goes once it ages out
     os.utime(young, (time.time() - 7200, time.time() - 7200))
     assert cat.cleanup_staging(max_age_sec=3600) == [young]
+
+
+def test_manifest_invariants_under_random_commit_sequences(spark, tmp_path):
+    """Property test: under ARBITRARY sequences of commit operations
+    (overwrite / pruned upsert / append / selective compaction / tag /
+    branch+publish), two invariants must hold at every step in
+    manifest-only mode:
+
+    1. the live manifest is COMPLETE and size-consistent with disk;
+    2. the change feed from every surviving archived version equals the
+       unpruned diff (pruning by manifest identity never changes rows).
+
+    Hypothesis drives the op sequence; the Spark work per step is tiny
+    (hundreds of rows)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from agol_pandas_spark.operators.merge import merge_pruned
+
+    ops = st.lists(
+        st.sampled_from(
+            ["overwrite", "upsert", "append", "compact", "tag", "publish"]
+        ),
+        min_size=2,
+        max_size=5,
+    )
+    counter = [0]
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(seq=ops)
+    def run(seq):
+        counter[0] += 1
+        cat = Catalog(
+            spark,
+            str(tmp_path / f"prop{counter[0]}"),
+            snapshot_identity="manifest",
+        )
+        base = spark.range(300).select(
+            F.col("id").alias("k"), (F.col("id") % 5).alias("v")
+        ).repartition(3, "k")
+        cat.write(base, "t", keep_versions=9)
+        salt = 0
+        for op in seq:
+            salt += 1
+            if op == "overwrite":
+                cat.write(
+                    base.withColumn("v", F.col("v") + salt),
+                    "t", mode="overwrite", keep_versions=9,
+                )
+            elif op == "upsert":
+                src = spark.createDataFrame(
+                    [(salt, 100 + salt), (1000 + salt, salt)],
+                    "k long, v long",
+                )
+                merge_pruned(cat, src, "t", mode="upsert", key="k",
+                             keep_versions=9)
+            elif op == "append":
+                src = spark.createDataFrame(
+                    [(2000 + salt, salt)], "k long, v long"
+                )
+                merge_pruned(cat, src, "t", mode="append", key="k",
+                             keep_versions=9)
+            elif op == "compact":
+                cat.compact_selective(
+                    "t", min_file_bytes=1 << 30, keep_versions=9
+                )
+            elif op == "tag":
+                tag = f"tag{salt}"
+                if tag not in cat.tags("t"):
+                    cat.tag_snapshot("t", tag)
+            elif op == "publish":
+                bname = cat.branch_table("t", f"b{salt}")
+                src = spark.createDataFrame(
+                    [(0, 999 + salt)], "k long, v long"
+                )
+                merge_pruned(cat, src, bname, mode="upsert", key="k")
+                cat.publish_branch("t", f"b{salt}", keep_versions=9)
+            # invariant 1: live manifest complete + size-consistent
+            p = cat.path("t")
+            man = cat.snapshot_manifest(p)
+            disk = {os.path.relpath(f, p) for f in cat.data_files("t")}
+            assert man is not None and set(man) == disk
+            for rp, e in man.items():
+                assert e["size"] == os.path.getsize(os.path.join(p, rp))
+        # invariant 2: pruned feed == unpruned feed from every archive
+        for ver in cat.versions("t"):
+            pruned = cat.table_changes("t", ver, key="k")
+            oracle = cat.table_changes(
+                "t", ver, key="k", prune_shared_files=False
+            )
+            assert _rows(pruned) == _rows(oracle)
+        for tag in cat.tags("t"):
+            pruned = cat.table_changes_between_tags("t", tag, key="k")
+            oracle = cat.table_changes_between_tags(
+                "t", tag, key="k", prune_shared_files=False
+            )
+            assert _rows(pruned) == _rows(oracle)
+
+    run()
