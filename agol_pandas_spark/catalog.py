@@ -1256,12 +1256,18 @@ class Catalog:
         this with an age comfortably above the longest expected write
         (the housekeeping twin of :meth:`vacuum`).
 
-        ``*.__old_*`` displaced-snapshot backups are NEVER touched:
-        after a crash inside :meth:`_swap_in`'s rename window that
-        backup can be the ONLY surviving copy of the table's committed
-        data (and rename preserves its old mtime, so no age guard could
-        protect it) — recovering one is a deliberate operator action,
-        not housekeeping. Returns the paths actually removed."""
+        ``*.__old_*`` displaced-snapshot backups are reclaimed ONLY when
+        their sibling live table exists (a crash AFTER the successful
+        staged→target rename left pure garbage — at 100 TB a leaked
+        full-snapshot copy per crash is real money); when the sibling
+        target is MISSING, the backup can be the ONLY surviving copy of
+        the table's committed data (a crash inside :meth:`_swap_in`'s
+        rename window), and recovering it is a deliberate operator
+        action, not housekeeping — those are never touched. Backup age
+        uses ctime (rename PRESERVES mtime — a just-created backup
+        inherits the old table's days-old mtime; ctime updates on the
+        rename itself), so an in-flight commit's backup always reads
+        young. Returns the paths actually removed."""
         import time as _time
 
         if not os.path.isdir(self.root):
@@ -1269,9 +1275,11 @@ class Catalog:
         now = _time.time()
         removed: list[str] = []
 
-        def _reclaim(p: str, is_dir: bool) -> None:
+        def _reclaim(p: str, is_dir: bool, use_ctime: bool = False) -> None:
             try:
-                if now - os.path.getmtime(p) <= max_age_sec:
+                st = os.stat(p)
+                age = now - (st.st_ctime if use_ctime else st.st_mtime)
+                if age <= max_age_sec:
                     return
                 if is_dir:
                     shutil.rmtree(p)
@@ -1284,7 +1292,13 @@ class Catalog:
         for dp, dirs, files in os.walk(self.root):
             for d in list(dirs):
                 if ".__old_" in d:
-                    dirs.remove(d)  # recovery copy: never descend, never touch
+                    sibling = os.path.join(dp, d.split(".__old_")[0])
+                    if os.path.exists(sibling):
+                        # swap completed: the backup is garbage
+                        _reclaim(os.path.join(dp, d), is_dir=True,
+                                 use_ctime=True)
+                    # else: possibly the sole surviving copy — never touch
+                    dirs.remove(d)  # never descend either way
                 elif ".__tmp_" in d:
                     _reclaim(os.path.join(dp, d), is_dir=True)
                     dirs.remove(d)  # never descend into staging

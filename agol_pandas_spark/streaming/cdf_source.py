@@ -138,6 +138,15 @@ class CdfTail:
 
         spooled = 0
         versions = self.catalog.versions(self.name)
+        if self._spooled_through == 0 and not self._spooled_head and versions:
+            # fresh tail attached before the table's first archive
+            # existed (the 0 sentinel — real versions start at 1): adopt
+            # the earliest surviving archive as the starting base.
+            # Nothing has been spooled yet, so there is no hole to
+            # protect — the consumer seeds from whatever snapshot it
+            # chooses (code-review r8: the sentinel must never read as a
+            # vacuumed version).
+            self._spooled_through = versions[0]
         if self._head_commit_id is not None:
             # the state spooled as head may since have been ARCHIVED (the
             # next commit displaces it): recognize it by commit id at ANY
@@ -154,6 +163,23 @@ class CdfTail:
                     self._spooled_head = False
                     self._head_commit_id = None
                     break
+        if self._head_commit_id is not None:
+            current = self.catalog.commit_id(self.name)
+            if current != self._head_commit_id:
+                # the table moved past the spooled head state and no
+                # surviving archive carries it (the recognition loop
+                # above would have cleared the flag): the state was
+                # displaced UNARCHIVED (keep_versions=0), so the
+                # head->current delta is unrecoverable — fail loudly,
+                # a silently-stale consumer would diverge forever
+                raise CdfGapError(
+                    f"tail of {self.name!r} is wedged: the state spooled "
+                    f"as head (commit {self._head_commit_id!r}) was "
+                    "displaced and no surviving archive carries it (an "
+                    "unarchived keep_versions=0 commit, or its archive "
+                    "was vacuumed); re-seed the consumer from a full "
+                    "snapshot"
+                )
         if versions and versions[0] > self._spooled_through:
             # the watermark's snapshot was vacuumed before its outgoing
             # transition spooled: the delta is unrecoverable — fail

@@ -229,21 +229,34 @@ def test_cleanup_staging_reclaims_only_old_orphans(spark, tmp_path):
     os.makedirs(os.path.dirname(stale_file), exist_ok=True)
     open(stale_file, "w").write("{}")
     os.utime(stale_file, (time.time() - 7200, time.time() - 7200))
-    # a displaced-snapshot BACKUP is the crash-recovery copy: even aged,
-    # cleanup must NEVER touch it (rename preserves the old mtime, so it
-    # always LOOKS old)
+    # a displaced-snapshot BACKUP whose sibling live table exists is
+    # post-swap garbage, but its age is judged by CTIME (rename
+    # preserves mtime — an in-flight backup inherits the old table's
+    # days-old mtime): a young-ctime backup survives even with an
+    # ancient mtime
     backup = os.path.join(str(tmp_path), "t.parquet.__old_feedface")
     os.makedirs(backup)
-    os.utime(backup, (time.time() - 7200, time.time() - 7200))
+    os.utime(backup, (time.time() - 7200, time.time() - 7200))  # mtime only
     removed = cat.cleanup_staging(max_age_sec=3600)
     assert sorted(removed) == sorted([old, stale_file])
     assert not os.path.exists(old) and not os.path.exists(stale_file)
     assert os.path.exists(young)          # in-flight commit untouched
-    assert os.path.exists(backup)         # recovery copy untouched
+    assert os.path.exists(backup)         # young ctime: in-flight window
     assert cat.table("t").count() == 400  # live data untouched
     # idempotent; and the young one goes once it ages out
     os.utime(young, (time.time() - 7200, time.time() - 7200))
     assert cat.cleanup_staging(max_age_sec=3600) == [young]
+    # code-review r8: with the sibling LIVE table present, an aged
+    # backup is definitively garbage and IS reclaimed...
+    assert cat.cleanup_staging(max_age_sec=-1) == [backup]
+    assert not os.path.exists(backup)
+    # ...but when the sibling target is MISSING (crash inside the swap
+    # window), the backup can be the SOLE surviving copy of committed
+    # data: never reclaimed, at any age
+    orphan = os.path.join(str(tmp_path), "gone.parquet.__old_cafef00d")
+    os.makedirs(orphan)
+    assert cat.cleanup_staging(max_age_sec=-1) == []
+    assert os.path.exists(orphan)
 
 
 def test_manifest_invariants_under_random_commit_sequences(spark, tmp_path):

@@ -546,3 +546,33 @@ def test_cdf_tail_raises_on_vacuumed_watermark(spark, tmp_path):
         t2.advance(include_current=True)
     tail.close()
     t2.close()
+
+
+def test_cdf_tail_fresh_attach_and_unarchived_displacement(spark, tmp_path):
+    """Code-review r8 round 2: (a) a tail attached BEFORE the table's
+    first archive exists must stream normally once archives appear (the
+    0 sentinel is not a vacuumed version); (b) a keep_versions=0 commit
+    that displaces the spooled head state UNARCHIVED must raise
+    CdfGapError, not silently freeze the consumer."""
+    from agol_pandas_spark.catalog import Catalog
+    from agol_pandas_spark.errors import CdfGapError
+    from agol_pandas_spark.streaming.cdf_source import CdfTail
+
+    mk = lambda hi, bump: spark.createDataFrame(
+        [(k, f"g{k % 3}", k * 10 + bump) for k in range(hi)],
+        "k long, g string, v long",
+    )
+    # (a) fresh attach: no archives yet
+    cat = Catalog(spark, str(tmp_path / "fresh"))
+    cat.write(mk(20, 0), "t")
+    tail = CdfTail(cat, "t", key="k", spool_dir=str(tmp_path / "spf"))
+    assert tail.advance() == 0  # nothing to stream, nothing to raise
+    cat.write(mk(22, 0), "t", mode="overwrite", keep_versions=8)
+    assert tail.advance(include_current=True) == 1  # v1 -> HEAD flows
+    # (b) unarchived displacement of the spooled head
+    cat.write(mk(24, 0), "t", mode="overwrite")  # keep_versions=0!
+    import pytest as _pytest
+
+    with _pytest.raises(CdfGapError, match="no surviving archive"):
+        tail.advance(include_current=True)
+    tail.close()
