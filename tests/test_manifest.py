@@ -360,3 +360,32 @@ def test_manifest_invariants_under_random_commit_sequences(spark, tmp_path):
             assert _rows(pruned) == _rows(oracle)
 
     run()
+
+
+def test_manifest_pruning_shrinks_cdf_input_files(spark, tmp_path):
+    """The point of manifest identity is that the CDF feed's SCAN (not
+    just its rows) stays proportional to the rewritten file set on
+    storage without inodes: in manifest-only mode, the feed's input
+    files must exclude every carried file."""
+    cat = Catalog(spark, str(tmp_path), snapshot_identity="manifest")
+    _mk_table(spark, cat, "t", n=400, files=4)
+    before = {os.path.basename(f) for f in cat.data_files("t")}
+    src = spark.createDataFrame([(0, 99)], "k long, v long")
+    res = merge_pruned(cat, src, "t", mode="upsert", key="k", keep_versions=5)
+    assert res["pruned"] and res["files_carried"] >= 2
+    after_manifest = _manifest(cat, cat.path("t"))
+    v1_manifest = _manifest(cat, cat._version_path("t", 1))
+    v1_ids = {e["file_id"] for e in v1_manifest.values()}
+    carried_names = {
+        rp for rp, e in after_manifest.items() if e["file_id"] in v1_ids
+    }
+    assert len(carried_names) == res["files_carried"]
+    feed = cat.table_changes("t", 1, key="k")
+    scanned = {os.path.basename(f) for f in feed.inputFiles()}
+    # no carried file is opened on either side of the diff
+    assert not (scanned & carried_names)
+    # and the unpruned oracle WOULD scan them (the pruning is real)
+    full = cat.table_changes("t", 1, key="k", prune_shared_files=False)
+    full_scanned = {os.path.basename(f) for f in full.inputFiles()}
+    assert carried_names <= full_scanned
+    assert before  # fixture sanity

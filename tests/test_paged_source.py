@@ -1207,3 +1207,53 @@ def test_auth_error_is_engine_error_no_retry_replay():
     with pytest.raises(AuthError):
         RetryPolicy(max_attempts=5, max_backoff=0.01).run(bad)
     assert len(calls) == 1  # no replay
+
+
+def test_http_auth_survives_streaming_restarts(spark, tmp_path):
+    """Token lifecycle under the STREAMING paged source: tokens die
+    every 4 layer requests while a checkpointed availableNow drain
+    restarts the query several times — the provider (pickled into each
+    restart's reader) must keep re-acquiring, and exactly-once landing
+    must hold across both token deaths and query restarts."""
+    import tempfile
+
+    from agol_pandas_spark.sources.http_client import HttpPagedClient
+    from agol_pandas_spark.sources.paged import RetryPolicy, read_paged_stream
+
+    srv, seen = _fake_arcgis_server(
+        list(_HTTP_ROWS), _HTTP_FIELDS, max_record_count=6,
+        auth={"username": "alice", "password": "s3cret", "ttl_requests": 4},
+    )
+    try:
+        client = HttpPagedClient(
+            f"http://127.0.0.1:{srv.server_address[1]}",
+            token=_auth_provider(srv),
+        )
+        ckpt = tempfile.mkdtemp(prefix="auth_tail_ckpt_")
+        out = tempfile.mkdtemp(prefix="auth_tail_out_")
+        for _ in range(16):
+            stream = read_paged_stream(
+                spark, client, page_size=15,
+                policy=RetryPolicy(max_attempts=3, max_backoff=0.01),
+            )
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            if not q.lastProgress or q.lastProgress["numInputRows"] == 0:
+                break
+        landed = spark.read.parquet(out)
+        got = sorted(
+            (r["id"], r["val"], r["label"]) for r in landed.collect()
+        )
+        assert got == sorted(
+            (r["id"], r["val"], r["label"]) for r in _HTTP_ROWS
+        )
+        mints = [q_ for q_ in seen if q_.get("op") == "generateToken"]
+        assert len(mints) >= 2  # token death forced refreshes mid-drain
+    finally:
+        srv.shutdown()
