@@ -1030,6 +1030,7 @@ class Catalog:
         to_version: int | None = None,
         key=None,
         prune_shared_files: bool = True,
+        align_schemas: bool = False,
     ) -> DataFrame:
         """Change data feed between two snapshots (the Delta-CDF row
         shape): every column of the table plus ``_change_type`` ∈
@@ -1048,6 +1049,15 @@ class Catalog:
         write time, produce a CDC log in the merge (see
         ``merge_apply_cdc_log``'s apply side) instead of diffing
         snapshots after the fact.
+
+        ``align_schemas=True`` diffs SCHEMA-EVOLVED snapshots on their
+        shared column projection (new snapshot's column order): added
+        and dropped columns are invisible to the feed, so a row
+        differing only in them emits nothing — the
+        Delta-CDF-with-column-mapping shape. Default False: a column
+        mismatch raises ``SchemaMismatchError``, because silently
+        ignoring columns is the wrong default for an exact recovery
+        tool.
 
         The feed diffs RAW snapshots: soft deletes recorded in the
         tombstone sidecar (:meth:`soft_delete_keys`) do not rewrite data
@@ -1089,7 +1099,8 @@ class Catalog:
             if not os.path.exists(new_path):
                 raise TableNotFoundError(f"no table {name!r} under {self.root}")
         return self._changes_between_paths(
-            name, old_path, new_path, key, prune_shared_files
+            name, old_path, new_path, key, prune_shared_files,
+            align_schemas=align_schemas,
         )
 
     def table_changes_between_tags(
@@ -1160,6 +1171,7 @@ class Catalog:
         new_path: str,
         key,
         prune_shared_files: bool,
+        align_schemas: bool = False,
     ) -> DataFrame:
         key = [key] if isinstance(key, str) else (
             list(key) if key is not None else self.declared_key(name)
@@ -1177,11 +1189,27 @@ class Catalog:
         old = self._read_snapshot(old_path, old_files)
         new = self._read_snapshot(new_path, new_files)
         if set(old.columns) != set(new.columns):
-            raise SchemaMismatchError(
-                f"snapshots of {name!r} differ in columns: "
-                f"{sorted(set(old.columns) ^ set(new.columns))} — diff "
-                "after aligning the schemas (select the shared columns)"
-            )
+            if not align_schemas:
+                raise SchemaMismatchError(
+                    f"snapshots of {name!r} differ in columns: "
+                    f"{sorted(set(old.columns) ^ set(new.columns))} — pass "
+                    "align_schemas=True to diff the shared projection, or "
+                    "select the shared columns yourself"
+                )
+            # schema-evolved diff: compare the SHARED projection, in the
+            # new snapshot's column order. Semantics (documented, the
+            # Delta-CDF-with-column-mapping shape): added and dropped
+            # columns are invisible to the feed — a row differing ONLY in
+            # them emits nothing; shared-file pruning above is unaffected
+            # (identity is per-file, not per-column).
+            shared = [c for c in new.columns if c in set(old.columns)]
+            if not shared:
+                raise SchemaMismatchError(
+                    f"snapshots of {name!r} share no columns — nothing "
+                    "to diff"
+                )
+            old = old.select(*[backticked(c) for c in shared])
+            new = new.select(*[backticked(c) for c in shared])
         cols = new.columns
         missing = [k for k in key if k not in cols]
         if missing:

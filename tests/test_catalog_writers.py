@@ -1326,3 +1326,53 @@ def test_table_changes_and_ivm_handle_dotted_column_names(spark, tmp_path):
     assert sorted(tuple(r) for r in maintained.collect()) == [
         ("a", 1, 11), ("c", 1, 30),
     ]
+
+
+def test_table_changes_align_schemas_evolved_snapshots(spark, tmp_path):
+    """Schema-evolved CDF (r8): align_schemas=True diffs the shared
+    projection — added/dropped columns are invisible, rows differing
+    only in them emit nothing; default stays the loud refusal."""
+    from agol_pandas_spark.catalog import Catalog
+    from agol_pandas_spark.errors import MissingKeyError, SchemaMismatchError
+
+    cat = Catalog(spark, str(tmp_path / "cdfse"))
+    v1 = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")],
+        "k long, v long, dropped string",
+    )
+    # evolution: 'dropped' removed, 'added' appears, k=2's v changes,
+    # k=4 inserted, k=3 removed
+    v2 = spark.createDataFrame(
+        [(1, 10, 1.5), (2, 99, 2.5), (4, 40, 4.5)],
+        "k long, v long, added double",
+    )
+    cat.write(v1, "t")
+    cat.write(v2, "t", mode="overwrite", keep_versions=1)
+    with pytest.raises(SchemaMismatchError, match="align_schemas"):
+        cat.table_changes("t", 1, key="k").collect()
+    feed = cat.table_changes("t", 1, key="k", align_schemas=True)
+    assert set(feed.columns) == {"k", "v", "_change_type"}
+    got = sorted((r["k"], r["v"], r["_change_type"]) for r in feed.collect())
+    assert got == [
+        (2, 20, "update_preimage"),
+        (2, 99, "update_postimage"),
+        (3, 30, "delete"),
+        (4, 40, "insert"),
+    ]  # k=1 differs only in dropped/added columns: emits nothing
+    # a key dropped by the evolution still fails loudly
+    cat2 = Catalog(spark, str(tmp_path / "cdfse2"))
+    cat2.write(v1, "u")
+    cat2.write(
+        v2.withColumnRenamed("k", "k2"), "u", mode="overwrite", keep_versions=1
+    )
+    with pytest.raises(MissingKeyError):
+        cat2.table_changes("u", 1, key="k", align_schemas=True).collect()
+    # zero shared columns: nothing to diff
+    cat3 = Catalog(spark, str(tmp_path / "cdfse3"))
+    cat3.write(spark.createDataFrame([(1,)], "a long"), "w")
+    cat3.write(
+        spark.createDataFrame([(1,)], "b long"), "w",
+        mode="overwrite", keep_versions=1,
+    )
+    with pytest.raises(SchemaMismatchError, match="share no columns"):
+        cat3.table_changes("w", 1, key="a", align_schemas=True).collect()
