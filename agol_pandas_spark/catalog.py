@@ -71,6 +71,7 @@ _DF_CACHE_MAX = 256
 # portable replacement for (st_dev, st_ino) hard-link identity, which does
 # not exist on S3/GCS/ABFS where a 100 TB deployment lives.
 MANIFEST_NAME = "_manifest.json"
+SNAPSHOT_PROPS_NAME = "_snapshot_props.json"
 
 SNAPSHOT_IDENTITY_MODES = ("auto", "manifest", "inode")
 
@@ -217,6 +218,7 @@ class Catalog:
     def write(
         self, df: DataFrame, name: str, mode: str = "error",
         keep_versions: int = 0, expected_commit: str | None = None,
+        snapshot_props: dict | None = None,
     ) -> str:
         """Atomically materialize ``df`` as catalog table ``name``.
 
@@ -239,45 +241,233 @@ class Catalog:
         os.makedirs(self.root, exist_ok=True)
         staged = f"{target}.__tmp_{uuid.uuid4().hex}"
         df.write.mode("overwrite").parquet(staged)
+        self._stage_snapshot_props(staged, snapshot_props)
         return self._swap_in(
             staged, name, keep_versions, expected_commit=expected_commit
         )
 
+    def _stage_snapshot_props(
+        self, staged: str, snapshot_props: dict | None
+    ) -> None:
+        """Drop per-SNAPSHOT properties into the staged directory so they
+        commit in the SAME atomic rename as the data — the marker channel
+        an exactly-once consumer needs (e.g. the streaming IVM sink
+        records the last applied micro-batch id here; a foreachBatch
+        re-execution after a committed batch sees its own marker and
+        skips). Unlike the table-properties sidecar, these live inside
+        the snapshot: archived with it, restored with it, and replaced
+        wholesale by the next commit."""
+        if snapshot_props:
+            with open(os.path.join(staged, SNAPSHOT_PROPS_NAME), "w") as f:
+                json.dump(snapshot_props, f, sort_keys=True)
+
+    def snapshot_props(self, name: str) -> dict:
+        """The per-snapshot properties committed with the table's current
+        snapshot (empty dict when the commit carried none)."""
+        try:
+            with open(
+                os.path.join(self.path(name), SNAPSHOT_PROPS_NAME)
+            ) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {}
+
     # -- snapshot manifests (object-storage-portable file identity) ---------
+    #
+    # Two on-disk formats, one reader:
+    #
+    # * format 1 (legacy, pre-r9): ``_manifest.json`` = {"files": {...}} —
+    #   ONE monolithic JSON naming every data file, rewritten in full on
+    #   every commit. Fine to O(10^4) files; at the O(10^5-10^6) files a
+    #   real 100 TB table carries, an O(total) driver-side rewrite per
+    #   commit is the metadata bottleneck (the data-file work is already
+    #   O(changed files) via carryover).
+    # * format 2 (r9+): ``_manifest.json`` = a MANIFEST LIST
+    #   {"format": 2, "manifests": [{"name", "count"}, ...]} pointing at
+    #   CHUNK manifests ``_manifest-<id>.json`` ({"files": {...}},
+    #   <= _manifest_chunk_size() entries each, relpath-sorted). Chunks
+    #   are immutable once written; a commit that carries a chunk's whole
+    #   entry set forward unchanged REUSES the chunk by hard link (O(1))
+    #   and writes fresh chunks only for new/changed entries — the
+    #   Iceberg manifest-list shape, making manifest bytes written per
+    #   commit O(delta + dirty chunks), not O(table).
+    #
+    # All manifest files are "_"-prefixed siblings of the data, so every
+    # data-file walk/listdir filter in this module excludes them for free.
+
+    @staticmethod
+    def _manifest_chunk_size() -> int:
+        """Entries per chunk manifest (env-tunable so tests can exercise
+        multi-chunk layouts at small file counts)."""
+        return max(1, int(os.environ.get("AGOL_SPARK_MANIFEST_CHUNK", "4096")))
+
+    def _list_with_sizes(self, path: str) -> list[tuple[str, int]]:
+        """``(relpath, size)`` per data file of a snapshot directory.
+
+        Listing (name discovery) is a driver-side ``scandir`` stream —
+        one getdents pass, no per-file stat (``is_dir`` rides d_type).
+        The per-file ``stat`` fan-outs to EXECUTORS above
+        ``AGOL_SPARK_DIST_LIST_THRESHOLD`` files (default 100k): on
+        object storage each stat is a round-trip, and 10^6 serial
+        driver-side round-trips per commit is exactly the bottleneck the
+        manifest list exists to remove. Below the threshold the driver
+        loop wins (task overhead > syscall cost on a local FS)."""
+        names: list[str] = []
+
+        def _walk(d: str, prefix: str) -> None:
+            with os.scandir(d) as it:
+                for e in it:
+                    if e.name.startswith(("_", ".")):
+                        continue
+                    if e.is_dir(follow_symlinks=False):
+                        _walk(e.path, f"{prefix}{e.name}/")
+                    else:
+                        names.append(f"{prefix}{e.name}")
+
+        _walk(path, "")
+        names.sort()
+        threshold = int(
+            os.environ.get("AGOL_SPARK_DIST_LIST_THRESHOLD", "100000")
+        )
+        if len(names) >= threshold and self.spark is not None:
+            sc = self.spark.sparkContext
+            chunks = [
+                names[i : i + 4096] for i in range(0, len(names), 4096)
+            ]
+
+            def _stat_chunk(batch):
+                return [
+                    (rp, os.path.getsize(os.path.join(path, rp)))
+                    for rp in batch
+                ]
+
+            out = sc.parallelize(
+                chunks, max(1, len(chunks))
+            ).flatMap(_stat_chunk).collect()
+            return sorted(out)
+        return [
+            (rp, os.path.getsize(os.path.join(path, rp))) for rp in names
+        ]
 
     def _write_manifest(
-        self, staged: str, carried: dict[str, dict] | None = None
+        self,
+        staged: str,
+        carried: dict[str, dict] | None = None,
+        reuse_from: str | None = None,
     ) -> None:
-        """Write the snapshot manifest for a staged directory: one entry
-        per data file, ``{relpath: {"file_id", "size"}}``. Files named in
-        ``carried`` (relpath → prior manifest entry) KEEP their prior
+        """Write the snapshot manifest (format 2) for a staged directory:
+        one entry per data file, ``{relpath: {"file_id", "size"}}``,
+        split across chunk manifests behind a manifest list. Files named
+        in ``carried`` (relpath → prior manifest entry) KEEP their prior
         ``file_id`` when the on-disk size matches — that is what lets a
         carried file stay provably identical across commits without ever
-        re-reading or hashing its bytes; every other file gets a fresh id.
-        O(new files) driver-side metadata, no data I/O."""
+        re-reading or hashing its bytes; every other file gets a fresh
+        id.
+
+        ``reuse_from``: a prior snapshot directory whose chunk manifests
+        may be carried forward BY REFERENCE — a chunk whose every entry
+        reappears in this snapshot unchanged is hard-linked instead of
+        rewritten, so a pruned merge that dirties 10 of 10^6 files
+        rewrites ~1 chunk, not the table's metadata. Reuse is an
+        optimization only: a non-reusable chunk's surviving entries land
+        in freshly written chunks, bit-identical content either way."""
         carried = carried or {}
         entries: dict[str, dict] = {}
-        for f in self._snapshot_files(staged):
-            rp = os.path.relpath(f, staged)
-            size = os.path.getsize(f)
+        for rp, size in self._list_with_sizes(staged):
             prev = carried.get(rp)
             if prev is not None and prev.get("size") == size:
                 entries[rp] = {"file_id": prev["file_id"], "size": size}
             else:
                 entries[rp] = {"file_id": uuid.uuid4().hex, "size": size}
+        manifests: list[dict] = []
+        remaining = dict(entries)
+        if reuse_from is not None and reuse_from != staged:
+            for chunk_path, chunk_entries in self._manifest_chunks(
+                reuse_from
+            ) or []:
+                if not chunk_entries or any(
+                    remaining.get(rp) != e for rp, e in chunk_entries.items()
+                ):
+                    continue  # dirty/partial chunk: rewrite its survivors
+                base = os.path.basename(chunk_path)
+                dst = os.path.join(staged, base)
+                try:
+                    os.link(chunk_path, dst)
+                except OSError:
+                    shutil.copy2(chunk_path, dst)  # cross-device fallback
+                manifests.append(
+                    {"name": base, "count": len(chunk_entries)}
+                )
+                for rp in chunk_entries:
+                    del remaining[rp]
+        chunk_size = self._manifest_chunk_size()
+        ordered = sorted(remaining.items())
+        for i in range(0, len(ordered), chunk_size):
+            part = dict(ordered[i : i + chunk_size])
+            base = f"_manifest-{uuid.uuid4().hex}.json"
+            with open(os.path.join(staged, base), "w") as fh:
+                json.dump({"files": part}, fh, sort_keys=True)
+            manifests.append({"name": base, "count": len(part)})
         with open(os.path.join(staged, MANIFEST_NAME), "w") as fh:
-            json.dump({"files": entries}, fh, sort_keys=True)
+            json.dump(
+                {
+                    "format": 2,
+                    "manifests": sorted(manifests, key=lambda m: m["name"]),
+                },
+                fh,
+                sort_keys=True,
+            )
 
-    def snapshot_manifest(self, path: str) -> dict[str, dict] | None:
-        """The snapshot's manifest (relpath → {file_id, size}), or None
-        for single-file tables / snapshots committed before manifests."""
+    def _manifest_chunks(
+        self, path: str
+    ) -> list[tuple[str, dict[str, dict]]] | None:
+        """``(absolute chunk path, entries)`` per chunk manifest of a
+        format-2 snapshot — the unit of commit-to-commit reuse. None for
+        legacy format-1 / unmanifested snapshots (nothing reusable: a
+        monolithic manifest is rewritten, upgrading it to format 2)."""
         if not os.path.isdir(path):
             return None
         try:
             with open(os.path.join(path, MANIFEST_NAME)) as fh:
-                return json.load(fh)["files"]
-        except (OSError, KeyError, ValueError):
+                head = json.load(fh)
+        except (OSError, ValueError):
             return None
+        if head.get("format") != 2:
+            return None
+        out: list[tuple[str, dict[str, dict]]] = []
+        try:
+            for m in head["manifests"]:
+                cp = os.path.join(path, m["name"])
+                with open(cp) as fh:
+                    out.append((cp, json.load(fh)["files"]))
+        except (OSError, KeyError, ValueError, TypeError):
+            return None  # torn manifest: no reuse, disk truth prevails
+        return out
+
+    def snapshot_manifest(self, path: str) -> dict[str, dict] | None:
+        """The snapshot's manifest (relpath → {file_id, size}), or None
+        for single-file tables / snapshots committed before manifests.
+        Reads both formats: legacy monolithic and the r9 manifest list
+        (chunks merged). A torn format-2 layout (list without a chunk)
+        reads as None — callers fall back to unpruned reads, which costs
+        performance but never rows."""
+        if not os.path.isdir(path):
+            return None
+        try:
+            with open(os.path.join(path, MANIFEST_NAME)) as fh:
+                head = json.load(fh)
+        except (OSError, ValueError):
+            return None
+        if "files" in head:  # format 1 (legacy monolith)
+            files = head["files"]
+            return files if isinstance(files, dict) else None
+        chunks = self._manifest_chunks(path)
+        if chunks is None:
+            return None
+        merged: dict[str, dict] = {}
+        for _, part in chunks:
+            merged.update(part)
+        return merged
 
     def _manifest_identities(
         self, path: str
@@ -291,13 +481,12 @@ class Catalog:
         if man is None:
             return None
         out: list[tuple[tuple | None, str]] = []
-        for f in self._snapshot_files(path):
-            rp = os.path.relpath(f, path)
+        for rp, size in self._list_with_sizes(path):
             e = man.get(rp)
-            if e is not None and e.get("size") == os.path.getsize(f):
-                out.append(((e["file_id"], e["size"]), f))
+            if e is not None and e.get("size") == size:
+                out.append(((e["file_id"], e["size"]), os.path.join(path, rp)))
             else:
-                out.append((None, f))
+                out.append((None, os.path.join(path, rp)))
         return out
 
     def _unshared_snapshot_files(
@@ -367,12 +556,19 @@ class Catalog:
                     "retry"
                 )
         # a staged dir that already carries a manifest (a branch promoted
-        # wholesale) keeps its file identities; anything else gets one now
+        # wholesale) keeps its file identities; anything else gets one now.
+        # A carryover commit reuses the displaced snapshot's chunk
+        # manifests by reference — O(delta) metadata, see _write_manifest.
+        target = self.path(name)
         if not os.path.exists(os.path.join(staged, MANIFEST_NAME)):
-            self._write_manifest(staged, carried)
+            reuse = (
+                target
+                if carried is not None and os.path.isdir(target)
+                else None
+            )
+            self._write_manifest(staged, carried, reuse_from=reuse)
         with open(os.path.join(staged, "_commit_id"), "w") as f:
             f.write(uuid.uuid4().hex)
-        target = self.path(name)
         backup = None
         if os.path.exists(target):
             backup = f"{target}.__old_{uuid.uuid4().hex}"
@@ -532,6 +728,7 @@ class Catalog:
         carry_files: list[str],
         keep_versions: int = 0,
         expected_commit: str | None = None,
+        snapshot_props: dict | None = None,
     ) -> str:
         """Copy-on-write commit: materialize ``df`` as NEW files and carry
         ``carry_files`` (paths inside the current snapshot) into the new
@@ -608,6 +805,7 @@ class Catalog:
         except ConcurrentWriteError:
             shutil.rmtree(staged, ignore_errors=True)
             raise
+        self._stage_snapshot_props(staged, snapshot_props)
         return self._swap_in(
             staged, name, keep_versions, expected_commit=expected_commit,
             carried=carried,
@@ -957,7 +1155,7 @@ class Catalog:
             except OSError:
                 shutil.copy2(f, os.path.join(staged, os.path.basename(f)))
         # clone shares every file: carry the source's identities verbatim
-        self._write_manifest(staged, self.snapshot_manifest(sp) or {})
+        self._write_manifest(staged, self.snapshot_manifest(sp) or {}, reuse_from=sp)
         os.rename(staged, dp)
         return dp
 
@@ -1380,7 +1578,9 @@ class Catalog:
             except OSError:
                 shutil.copy2(os.path.join(src, f), os.path.join(staged, f))
         # the tag pins the exact snapshot: same files, same identities
-        self._write_manifest(staged, self.snapshot_manifest(src) or {})
+        self._write_manifest(
+            staged, self.snapshot_manifest(src) or {}, reuse_from=src
+        )
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         os.replace(staged, dst)
         return dst
@@ -1608,7 +1808,9 @@ class Catalog:
                 shutil.copy2(os.path.join(src, f), os.path.join(staged, f))
         # the fork shares every file with the parent: same identities, so
         # branch_changes prunes to the files the branch later rewrites
-        self._write_manifest(staged, self.snapshot_manifest(src) or {})
+        self._write_manifest(
+            staged, self.snapshot_manifest(src) or {}, reuse_from=src
+        )
         os.replace(staged, self.path(bname))
         return bname
 
@@ -1639,7 +1841,9 @@ class Catalog:
             except OSError:
                 shutil.copy2(os.path.join(src, f), os.path.join(staged, f))
         # publish promotes the branch's exact files: keep their identities
-        self._write_manifest(staged, self.snapshot_manifest(src) or {})
+        self._write_manifest(
+            staged, self.snapshot_manifest(src) or {}, reuse_from=src
+        )
         out = self._swap_in(staged, name, keep_versions)
         if drop:
             shutil.rmtree(src, ignore_errors=True)

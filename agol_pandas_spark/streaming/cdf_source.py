@@ -205,6 +205,21 @@ class CdfTail:
             self._spool_one(ch, nxt)
             self._spooled_through = nxt
             spooled += 1
+        if include_current and not self._spooled_head and not versions:
+            # explicit catch-up requested but the table has never been
+            # overwritten: there is no archived base to diff from, so
+            # nothing can spool — make the no-op visible (ADVICE r8), a
+            # consumer attaching to a single-commit table must seed from
+            # the current snapshot itself and tail from the NEXT commit
+            import warnings
+
+            warnings.warn(
+                f"CdfTail.advance(include_current=True) on {self.name!r}: "
+                "no archived versions exist, so there is no base to diff "
+                "from and nothing was spooled; seed the consumer from "
+                "catalog.table(name) and advance after the next commit",
+                stacklevel=2,
+            )
         if include_current and not self._spooled_head and versions:
             last = max(versions)
             if last >= self._spooled_through:
@@ -241,25 +256,65 @@ def stream_cdf_into_summary(
     sums: dict[str, str],
     count_col: str = "n_rows",
     query_name: str | None = None,
+    stream_id: str | None = None,
+    checkpoint_dir: str | None = None,
+    processing_time: str | None = None,
 ):
     """The streaming IVM loop: consume a :class:`CdfTail` stream and
     maintain a grouped count/sum summary table per micro-batch through
     ``apply_cdf_to_summary`` — each trigger costs the batch's deltas
     plus a group-cardinality join, never a snapshot rescan. Additive
     measures only (the batch-boundary-safe set; see module docstring).
-    Returns the started ``StreamingQuery`` (availableNow trigger)."""
+
+    **Exactly-once, including foreachBatch re-execution** (ADVICE r8):
+    Spark documents that a micro-batch may re-run after a failure that
+    landed AFTER the sink's write committed but BEFORE the epoch
+    commit. Each summary commit therefore records ``(stream_id,
+    batch_id)`` in the snapshot's own properties — written inside the
+    staged directory, so the marker and the summary land in ONE atomic
+    rename — and ``maintain`` skips any batch at or below the marker.
+    ``stream_id`` names the checkpoint lineage (batch ids restart at 0
+    for a fresh checkpoint): pass the same value when restarting from
+    ``checkpoint_dir``, leave it None for a one-shot run (a fresh
+    random id, so stale markers from other lineages never suppress).
+
+    ``processing_time`` (e.g. ``"1 second"``) runs a CONTINUOUS tail —
+    the query keeps draining as ``tail.advance()`` spools new
+    transitions — instead of the one-shot availableNow drain. Returns
+    the started ``StreamingQuery``."""
     from agol_pandas_spark.operators.views import apply_cdf_to_summary
+
+    stream_id = stream_id or uuid.uuid4().hex
 
     def maintain(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        marker = summary_catalog.snapshot_props(summary_name)
+        if (
+            marker.get("cdf_stream_id") == stream_id
+            and marker.get("cdf_last_batch_id") is not None
+            and batch_id <= marker["cdf_last_batch_id"]
+        ):
+            return  # re-executed micro-batch: its commit already landed
         current = summary_catalog.table(summary_name)
         updated = apply_cdf_to_summary(
             current, batch_df, keys, sums, count_col=count_col
         )
-        summary_catalog.write(updated, summary_name, mode="overwrite")
+        summary_catalog.write(
+            updated,
+            summary_name,
+            mode="overwrite",
+            snapshot_props={
+                "cdf_stream_id": stream_id,
+                "cdf_last_batch_id": batch_id,
+            },
+        )
 
     writer = tail.stream(spark).writeStream.foreachBatch(maintain)
     if query_name:
         writer = writer.queryName(query_name)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if processing_time:
+        return writer.trigger(processingTime=processing_time).start()
     return writer.trigger(availableNow=True).start()

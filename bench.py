@@ -38,6 +38,14 @@ def main() -> None:
     # non-headline queries without changing the driver-default output
     extra = os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "")
     for n in filter(None, (x.strip() for x in extra.split(","))):
+        if n not in registry:  # fail with the name, not a bare KeyError
+            import difflib
+
+            close = difflib.get_close_matches(n, registry, n=3)
+            hint = f" (did you mean: {', '.join(close)}?)" if close else ""
+            raise SystemExit(
+                f"SPARK_GRAFT_BENCH_EXTRA names unknown query {n!r}{hint}"
+            )
         headline[n] = registry[n]
     headline = dict(sorted(headline.items()))
 

@@ -38,8 +38,9 @@ def _mk_table(spark, cat, name="t", n=400, files=4, keep_versions=5):
 
 
 def _manifest(cat, path):
-    with open(os.path.join(path, MANIFEST_NAME)) as fh:
-        return json.load(fh)["files"]
+    man = cat.snapshot_manifest(path)
+    assert man is not None, f"no readable manifest under {path}"
+    return man
 
 
 def _rows(df):
