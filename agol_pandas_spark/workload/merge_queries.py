@@ -1596,6 +1596,113 @@ def meta_table_changes_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "meta_table_changes_aligned",
+    tags=("meta", "catalog", "cdf", "schema-evolution"),
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 3 = 0 THEN 0.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 5 <> 4),
+    v2 AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 5 <> 0),
+    changes AS (
+      SELECT v2.o_orderkey, v2.o_totalprice, 'insert' AS _change_type
+      FROM v2 WHERE v2.o_orderkey % 5 = 4
+      UNION ALL
+      SELECT v1.o_orderkey, v1.o_totalprice, 'delete'
+      FROM v1 WHERE v1.o_orderkey % 5 = 0
+      UNION ALL
+      SELECT v1.o_orderkey, v1.o_totalprice, 'update_preimage'
+      FROM v1 JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+      WHERE v1.o_totalprice <> v2.o_totalprice
+      UNION ALL
+      SELECT v2.o_orderkey, v2.o_totalprice, 'update_postimage'
+      FROM v1 JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+      WHERE v1.o_totalprice <> v2.o_totalprice)
+    SELECT _change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_scaled,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+    FROM changes GROUP BY _change_type
+    """,
+)
+def meta_table_changes_aligned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed across a SCHEMA EVOLUTION
+    (``Catalog.table_changes(align_schemas=True)``, catalog.py): v1
+    carries a ``legacy_flag`` column that v2 DROPS, v2 ADDS a
+    ``priority_rank`` column v1 never had — the most common evolution, a
+    column add + drop across commits — and the feed diffs the SHARED
+    projection (the Delta-CDF-with-column-mapping shape). Rows whose
+    shared columns are identical emit NOTHING even though their
+    added/dropped column values differ on every row (``legacy_flag`` is
+    populated everywhere in v1, ``priority_rank`` everywhere in v2), so
+    the oracle — which recomputes the diff relationally over the shared
+    projection only — proves the evolved columns are invisible to the
+    feed, not merely absent from the output schema. The default
+    (align_schemas=False) must REFUSE the mismatch loudly; the query
+    asserts that contract first. The reference has no changefeed and no
+    schema evolution at all (re-published CSVs replace the table,
+    ``src/agol_pandas.py:396``)."""
+    import shutil
+    import tempfile
+
+    from agol_pandas_spark.errors import SchemaMismatchError
+
+    base = Catalog(spark, sf_dir).table("orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    v1 = base.where(k % 5 != 4).select(
+        "o_orderkey", "o_orderstatus",
+        F.when(k % 3 == 0, F.lit(0.0)).otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        (k % 2).cast("int").alias("legacy_flag"),  # dropped by v2
+    )
+    v2 = base.where(k % 5 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.length("o_orderstatus").cast("int")
+        .alias("priority_rank"),  # added by v2
+    )
+    root = tempfile.mkdtemp(prefix="cdf_aligned_")
+    try:
+        # manifest-only identity: pruning is per-FILE, so it must keep
+        # working across the schema change (identity ignores columns)
+        cat = Catalog(spark, root, snapshot_identity="manifest")
+        cat.write(v1, "t")
+        cat.write(v2, "t", mode="overwrite", keep_versions=1)
+        try:
+            cat.table_changes("t", from_version=1, key="o_orderkey")
+            raise RuntimeError(
+                "schema mismatch must refuse without align_schemas=True"
+            )
+        except SchemaMismatchError:
+            pass
+        ch = cat.table_changes(
+            "t", from_version=1, key="o_orderkey", align_schemas=True
+        )
+        evolved = {"legacy_flag", "priority_rank"} & set(ch.columns)
+        if evolved:
+            raise RuntimeError(f"evolved columns leaked into feed: {evolved}")
+        out = (
+            ch.groupBy("_change_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                .cast("long")
+                .alias("total_scaled"),
+                F.min("o_orderkey").alias("min_key"),
+                F.max("o_orderkey").alias("max_key"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@register(
     "pipeline_cdf_summary_maintenance",
     tags=("pipeline", "cdf", "ivm", "catalog"),
     oracle="""

@@ -748,13 +748,19 @@ def test_optimistic_concurrency_conflict(spark, tmp_path):
     assert {r.k: r.v for r in cat.table("t").collect()} == {1: 1000, 2: 2000}
 
 
+@pytest.mark.parametrize("identity", ["auto", "manifest"])
 class TestMultiWriterOcc:
     """VERDICT r6 item 5: the pruned-merge / compaction / carryover trio
     under a deterministic two-writer interleave — the stale writer's
-    commit RAISES (never a silent lost update) and retries cleanly."""
+    commit RAISES (never a silent lost update) and retries cleanly.
 
-    def _table(self, spark, tmp_path):
-        cat = Catalog(spark, str(tmp_path))
+    Parametrized over snapshot identity (VERDICT r9 item 7): the
+    object-storage-portable manifest mode must carry the SAME
+    concurrency guarantees as the legacy inode path — OCC is enforced
+    by the commit-id token, not by how file identity is evidenced."""
+
+    def _table(self, spark, tmp_path, identity):
+        cat = Catalog(spark, str(tmp_path), snapshot_identity=identity)
         base = spark.createDataFrame(
             [(i, f"v{i}", float(i)) for i in range(100)],
             "k long, s string, v double",
@@ -765,13 +771,15 @@ class TestMultiWriterOcc:
         )
         return cat
 
-    def test_stale_carryover_commit_refused_then_retries(self, spark, tmp_path):
+    def test_stale_carryover_commit_refused_then_retries(
+        self, spark, tmp_path, identity
+    ):
         import os
 
         from agol_pandas_spark.errors import ConcurrentWriteError
         from agol_pandas_spark.operators.merge import merge_pruned
 
-        cat = self._table(spark, tmp_path)
+        cat = self._table(spark, tmp_path, identity)
         # writer B stages: reads token + file listing, builds its output
         token_b = cat.commit_id("t")
         files_b = cat.data_files("t")
@@ -798,7 +806,7 @@ class TestMultiWriterOcc:
         assert cat.table("t").count() == 101
 
     def test_pruned_merge_detects_mid_flight_writer(
-        self, spark, tmp_path, monkeypatch
+        self, spark, tmp_path, monkeypatch, identity
     ):
         """A writer that lands BETWEEN merge_pruned's footer-span read and
         its commit used to be silently reverted (its files dropped from
@@ -809,7 +817,7 @@ class TestMultiWriterOcc:
 
         merge_mod = importlib.import_module("agol_pandas_spark.operators.merge")
 
-        cat = self._table(spark, tmp_path)
+        cat = self._table(spark, tmp_path, identity)
         a_delta = spark.createDataFrame([(7, "A", 0.0)], "k long, s string, v double")
         b_delta = spark.createDataFrame([(90, "B", 0.0)], "k long, s string, v double")
 
@@ -835,19 +843,21 @@ class TestMultiWriterOcc:
         assert got == {7: "A", 90: "B"}
         assert cat.table("t").count() == 100
 
-    def test_compaction_racing_writer_refused(self, spark, tmp_path, monkeypatch):
+    def test_compaction_racing_writer_refused(
+        self, spark, tmp_path, monkeypatch, identity
+    ):
         """Selective compaction lists small files, then a writer lands
         before the compaction commit: the compaction must refuse (its
         carryover would resurrect the pre-writer state)."""
         from agol_pandas_spark.errors import ConcurrentWriteError
         from agol_pandas_spark.operators.merge import write_table
 
-        cat = self._table(spark, tmp_path)
+        cat = self._table(spark, tmp_path, identity)
         raced = {"done": False}
         orig_carry = cat.write_with_carryover
 
         def racing_carry(df, name, carry_files, keep_versions=0,
-                         expected_commit=None):
+                         expected_commit=None, **kw):
             if not raced["done"]:
                 raced["done"] = True
                 write_table(
@@ -857,7 +867,7 @@ class TestMultiWriterOcc:
                     "t", mode="append",
                 )
             return orig_carry(df, name, carry_files, keep_versions,
-                              expected_commit=expected_commit)
+                              expected_commit=expected_commit, **kw)
 
         monkeypatch.setattr(cat, "write_with_carryover", racing_carry)
         with pytest.raises(ConcurrentWriteError):
