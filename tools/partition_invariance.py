@@ -113,6 +113,13 @@ QUERIES = [
     # deaths interleave differently per partitioning)
     "stream_cdf_tail_summary",
     "source_paged_token_refresh",
+    # r9 additions: the composed paged-CDC → pruned-merge → CDF-tail →
+    # IVM pipeline (page windows, dirty-file sets, spool batching, and
+    # delta application all shift with partitioning; the dashboard must
+    # not), and the schema-evolved aligned diff (shared-projection
+    # comparison across differently-partitioned snapshots)
+    "pipeline_paged_cdc_ivm",
+    "meta_table_changes_aligned",
     "stats_auc_mann_whitney",
     "text_substring_dup_removal",
     "join_bloom_semi_reduction",
