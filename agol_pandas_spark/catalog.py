@@ -263,14 +263,24 @@ class Catalog:
 
     def snapshot_props(self, name: str) -> dict:
         """The per-snapshot properties committed with the table's current
-        snapshot (empty dict when the commit carried none)."""
+        snapshot (empty dict when the commit carried none). A marker
+        that EXISTS but cannot be parsed raises ``CorruptMarkerError``
+        rather than reading as absent — these markers guard
+        exactly-once consumers, where corruption-as-absence would
+        silently re-apply a committed batch (unlike a torn manifest,
+        which only costs pruning performance)."""
+        p = os.path.join(self.path(name), SNAPSHOT_PROPS_NAME)
         try:
-            with open(
-                os.path.join(self.path(name), SNAPSHOT_PROPS_NAME)
-            ) as f:
+            with open(p) as f:
                 return json.load(f)
-        except (OSError, ValueError):
+        except FileNotFoundError:
             return {}
+        except (OSError, ValueError) as ex:
+            from agol_pandas_spark.errors import CorruptMarkerError
+
+            raise CorruptMarkerError(
+                f"unreadable snapshot-props marker {p}: {ex}"
+            ) from ex
 
     # -- snapshot manifests (object-storage-portable file identity) ---------
     #
@@ -349,11 +359,28 @@ class Catalog:
             (rp, os.path.getsize(os.path.join(path, rp))) for rp in names
         ]
 
+    def _manifest_with_chunks(
+        self, path: str
+    ) -> tuple[dict[str, dict], list[tuple[str, dict]] | None]:
+        """(merged manifest, chunk list) reading the snapshot's manifest
+        layout ONCE — the commit paths need both (carried ids + chunk
+        reuse) and must not parse O(table) JSON twice per commit. The
+        chunk list is None for legacy format-1 / unmanifested snapshots
+        (nothing reusable)."""
+        chunks = self._manifest_chunks(path)
+        if chunks is not None:
+            merged: dict[str, dict] = {}
+            for _, part in chunks:
+                merged.update(part)
+            return merged, chunks
+        return self.snapshot_manifest(path) or {}, None
+
     def _write_manifest(
         self,
         staged: str,
         carried: dict[str, dict] | None = None,
         reuse_from: str | None = None,
+        reuse_chunks: list[tuple[str, dict]] | None = None,
     ) -> None:
         """Write the snapshot manifest (format 2) for a staged directory:
         one entry per data file, ``{relpath: {"file_id", "size"}}``,
@@ -381,10 +408,11 @@ class Catalog:
                 entries[rp] = {"file_id": uuid.uuid4().hex, "size": size}
         manifests: list[dict] = []
         remaining = dict(entries)
-        if reuse_from is not None and reuse_from != staged:
-            for chunk_path, chunk_entries in self._manifest_chunks(
-                reuse_from
-            ) or []:
+        if reuse_chunks is None and reuse_from is not None \
+                and reuse_from != staged:
+            reuse_chunks = self._manifest_chunks(reuse_from)
+        if reuse_chunks:
+            for chunk_path, chunk_entries in reuse_chunks:
                 if not chunk_entries or any(
                     remaining.get(rp) != e for rp, e in chunk_entries.items()
                 ):
@@ -392,9 +420,18 @@ class Catalog:
                 base = os.path.basename(chunk_path)
                 dst = os.path.join(staged, base)
                 try:
-                    os.link(chunk_path, dst)
-                except OSError:
-                    shutil.copy2(chunk_path, dst)  # cross-device fallback
+                    try:
+                        os.link(chunk_path, dst)
+                    except FileNotFoundError:
+                        # reuse_from swapped away mid-commit (a racing
+                        # writer): reuse is an optimization only — fall
+                        # through to writing these entries fresh; OCC
+                        # decides the commit's fate at the swap
+                        continue
+                    except OSError:
+                        shutil.copy2(chunk_path, dst)  # cross-device
+                except FileNotFoundError:
+                    continue  # same race on the copy path
                 manifests.append(
                     {"name": base, "count": len(chunk_entries)}
                 )
@@ -528,6 +565,7 @@ class Catalog:
         self, staged: str, name: str, keep_versions: int,
         expected_commit: str | None = None,
         carried: dict[str, dict] | None = None,
+        reuse_chunks: list[tuple[str, dict]] | None = None,
     ) -> str:
         """Atomic tail of the two-phase commit: rename ``staged`` over the
         current table, archiving or discarding the displaced snapshot.
@@ -560,15 +598,25 @@ class Catalog:
         # A carryover commit reuses the displaced snapshot's chunk
         # manifests by reference — O(delta) metadata, see _write_manifest.
         target = self.path(name)
-        if not os.path.exists(os.path.join(staged, MANIFEST_NAME)):
-            reuse = (
-                target
-                if carried is not None and os.path.isdir(target)
-                else None
-            )
-            self._write_manifest(staged, carried, reuse_from=reuse)
-        with open(os.path.join(staged, "_commit_id"), "w") as f:
-            f.write(uuid.uuid4().hex)
+        try:
+            if not os.path.exists(os.path.join(staged, MANIFEST_NAME)):
+                reuse = (
+                    target
+                    if carried is not None and reuse_chunks is None
+                    and os.path.isdir(target)
+                    else None
+                )
+                self._write_manifest(
+                    staged, carried, reuse_from=reuse,
+                    reuse_chunks=reuse_chunks,
+                )
+            with open(os.path.join(staged, "_commit_id"), "w") as f:
+                f.write(uuid.uuid4().hex)
+        except Exception:
+            # never leak a staged __tmp dir on a pre-swap failure — the
+            # same guarantee the OCC refusal path gives
+            shutil.rmtree(staged, ignore_errors=True)
+            raise
         backup = None
         if os.path.exists(target):
             backup = f"{target}.__old_{uuid.uuid4().hex}"
@@ -767,8 +815,9 @@ class Catalog:
                     "retry"
                 )
         # manifest identities carried WITH the files: a carried file keeps
-        # its file_id, so snapshot diffs can prune it without inodes
-        src_manifest = self.snapshot_manifest(target) or {}
+        # its file_id, so snapshot diffs can prune it without inodes —
+        # read the manifest layout ONCE (ids here, chunk reuse at the swap)
+        src_manifest, src_chunks = self._manifest_with_chunks(target)
         carried: dict[str, dict] = {}
         staged = f"{target}.__tmp_{uuid.uuid4().hex}"
         df.write.mode("overwrite").parquet(staged)
@@ -808,7 +857,7 @@ class Catalog:
         self._stage_snapshot_props(staged, snapshot_props)
         return self._swap_in(
             staged, name, keep_versions, expected_commit=expected_commit,
-            carried=carried,
+            carried=carried, reuse_chunks=src_chunks,
         )
 
     # -- versioning (time travel / rollback) --------------------------------
@@ -1155,7 +1204,8 @@ class Catalog:
             except OSError:
                 shutil.copy2(f, os.path.join(staged, os.path.basename(f)))
         # clone shares every file: carry the source's identities verbatim
-        self._write_manifest(staged, self.snapshot_manifest(sp) or {}, reuse_from=sp)
+        man, chunks = self._manifest_with_chunks(sp)
+        self._write_manifest(staged, man, reuse_chunks=chunks)
         os.rename(staged, dp)
         return dp
 
@@ -1193,15 +1243,13 @@ class Catalog:
         return out
 
     def _snapshot_files(self, path: str) -> list[str]:
-        """Data files of a snapshot directory (or the file itself)."""
+        """Data files of a snapshot directory (or the file itself) —
+        one walk implementation (``_list_with_sizes``), not several."""
         if os.path.isfile(path):
             return [path]
-        return sorted(
-            os.path.join(dp, f)
-            for dp, _, fs in os.walk(path)
-            for f in fs
-            if not f.startswith(("_", "."))
-        )
+        return [
+            os.path.join(path, rp) for rp, _ in self._list_with_sizes(path)
+        ]
 
     def _read_snapshot(self, path: str, files: list[str] | None = None) -> DataFrame:
         """Scan a snapshot (optionally a file subset) with ``table()``'s
@@ -1578,9 +1626,8 @@ class Catalog:
             except OSError:
                 shutil.copy2(os.path.join(src, f), os.path.join(staged, f))
         # the tag pins the exact snapshot: same files, same identities
-        self._write_manifest(
-            staged, self.snapshot_manifest(src) or {}, reuse_from=src
-        )
+        man, chunks = self._manifest_with_chunks(src)
+        self._write_manifest(staged, man, reuse_chunks=chunks)
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         os.replace(staged, dst)
         return dst
@@ -1808,9 +1855,8 @@ class Catalog:
                 shutil.copy2(os.path.join(src, f), os.path.join(staged, f))
         # the fork shares every file with the parent: same identities, so
         # branch_changes prunes to the files the branch later rewrites
-        self._write_manifest(
-            staged, self.snapshot_manifest(src) or {}, reuse_from=src
-        )
+        man, chunks = self._manifest_with_chunks(src)
+        self._write_manifest(staged, man, reuse_chunks=chunks)
         os.replace(staged, self.path(bname))
         return bname
 
@@ -1841,9 +1887,8 @@ class Catalog:
             except OSError:
                 shutil.copy2(os.path.join(src, f), os.path.join(staged, f))
         # publish promotes the branch's exact files: keep their identities
-        self._write_manifest(
-            staged, self.snapshot_manifest(src) or {}, reuse_from=src
-        )
+        man, chunks = self._manifest_with_chunks(src)
+        self._write_manifest(staged, man, reuse_chunks=chunks)
         out = self._swap_in(staged, name, keep_versions)
         if drop:
             shutil.rmtree(src, ignore_errors=True)

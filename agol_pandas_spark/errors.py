@@ -125,3 +125,12 @@ class CdfGapError(EngineError):
     it was spooled, so the missing delta is unrecoverable from surviving
     archives. Re-seed the consumer from a full snapshot (and retain
     archives at least as long as the tail's advance cadence)."""
+
+
+class CorruptMarkerError(EngineError):
+    """A per-snapshot properties marker (``_snapshot_props.json``) exists
+    but cannot be parsed. Never treated as "no marker": the marker is an
+    exactly-once guard (e.g. the streaming IVM sink's last-applied batch
+    id), and reading corruption as absence would silently re-apply a
+    committed batch. Restore the snapshot (or re-seed the consumer)
+    instead."""

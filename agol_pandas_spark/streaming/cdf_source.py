@@ -15,11 +15,16 @@ Design properties:
   the spooled plan is ``table_changes(v, v+1)``, which prunes files
   shared between the two snapshots through the manifest identities the
   catalog commits carry (``catalog.py``).
-- **Exactly-once per transition**: each transition writes to a staging
-  directory and its data files move into the landing directory with an
-  atomic rename; the file stream source processes a file exactly once,
-  and ``advance()`` records the spooled watermark so re-invocation never
-  re-spools a transition.
+- **Exactly-once per transition, across PROCESS restarts**: each
+  transition writes to a staging directory and lands in the spool as
+  ONE atomically-renamed subdirectory (``v<version>_<id>/``); the file
+  stream source (``recursiveFileLookup``) processes each file exactly
+  once. The tail's watermark persists in ``_state.json`` inside the
+  spool, and ``advance()`` treats an already-present transition
+  directory as spooled — so a tail re-created over the same spool after
+  a crash (even one that died between the spool rename and the state
+  write) never re-emits a transition under new file names, which a
+  file-source checkpoint could not dedup.
 - **Batch boundaries are safe for additive maintenance**: the CDF rows
   are SIGNED deltas, so summing them is associative and commutative —
   a micro-batch may split or coalesce transitions and a count/sum
@@ -33,6 +38,7 @@ SURVEY §2a); Delta's ``readChangeFeed`` is the public analogue.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import tempfile
@@ -63,6 +69,8 @@ class CdfTail:
     exactly-once per transition even across head spools.
     """
 
+    STATE_NAME = "_state.json"
+
     def __init__(
         self,
         catalog,
@@ -75,6 +83,16 @@ class CdfTail:
         self.key = key
         self.spool_dir = spool_dir or tempfile.mkdtemp(prefix="cdf_tail_")
         os.makedirs(self.spool_dir, exist_ok=True)
+        self._state_path = os.path.join(self.spool_dir, self.STATE_NAME)
+        state = self._load_state()
+        if state is not None:
+            # a tail RE-CREATED over an existing spool (process restart)
+            # resumes its persisted watermark — never the fresh-attach
+            # default, which would re-spool already-applied transitions
+            self._spooled_through = state["spooled_through"]
+            self._spooled_head = state["spooled_head"]
+            self._head_commit_id = state["head_commit_id"]
+            return
         # transitions INTO versions <= this are spooled; start just below
         # the earliest archive so the first advance emits (v1 -> v2)
         versions = self.catalog.versions(name)
@@ -85,6 +103,49 @@ class CdfTail:
         # number, the pairs loop must NOT re-emit its delta — additive
         # consumers would double-count
         self._head_commit_id: str | None = None
+
+    # -- durable watermark (crash/restart safety) -----------------------
+
+    def _load_state(self) -> dict | None:
+        try:
+            with open(self._state_path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+        except (OSError, ValueError) as ex:
+            # a torn state file guards exactly-once: reading it as
+            # absent would re-spool and double-apply — fail loudly
+            from agol_pandas_spark.errors import CorruptMarkerError
+
+            raise CorruptMarkerError(
+                f"unreadable CdfTail state {self._state_path}: {ex}"
+            ) from ex
+
+    def _save_state(self) -> None:
+        tmp = f"{self._state_path}.__tmp_{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "spooled_through": self._spooled_through,
+                    "spooled_head": self._spooled_head,
+                    "head_commit_id": self._head_commit_id,
+                },
+                f,
+            )
+        os.replace(tmp, self._state_path)
+
+    def _spooled_dirs(self) -> dict[int, str]:
+        """version -> existing transition directory in the spool. The
+        spool itself is the crash-safe record of what was EMITTED: a
+        directory present here must never be emitted again (its content
+        is deterministic from immutable archives, so skipping is exact)."""
+        out: dict[int, str] = {}
+        for e in os.listdir(self.spool_dir):
+            if e.startswith("v") and "_" in e:
+                head = e[1 : e.index("_")]
+                if head.isdigit():
+                    out[int(head)] = os.path.join(self.spool_dir, e)
+        return out
 
     def schema(self) -> T.StructType:
         """CDF row schema: the table's columns + _change_type +
@@ -102,33 +163,51 @@ class CdfTail:
         self, spark: SparkSession, max_files_per_trigger: int = 1
     ) -> DataFrame:
         """The file-source stream over the spool directory. Each spooled
-        transition lands as new files; ``maxFilesPerTrigger`` paces how
-        many feed each micro-batch."""
+        transition lands as one new subdirectory (atomic rename);
+        ``maxFilesPerTrigger`` paces how many files feed each
+        micro-batch."""
         return (
             spark.readStream.format("parquet")
             .schema(self.schema())
             .option("maxFilesPerTrigger", max_files_per_trigger)
+            .option("recursiveFileLookup", "true")
             .load(self.spool_dir)
         )
 
-    def _spool_one(self, changes: DataFrame, version: int) -> None:
-        """Stage one transition's CDF rows, then move its data files into
-        the spool atomically (the file stream source must never list a
-        half-written file)."""
+    def read_spool(self, spark: SparkSession) -> DataFrame:
+        """Batch read of everything spooled so far (backfills, tests)."""
+        return (
+            spark.read.schema(self.schema())
+            .option("recursiveFileLookup", "true")
+            .parquet(self.spool_dir)
+        )
+
+    def _spool_one(
+        self, changes: DataFrame, version: int,
+        head_commit: str | None = None,
+    ) -> None:
+        """Stage one transition's CDF rows, then land them in the spool
+        as ONE atomically-renamed directory — the stream source never
+        lists a half-written file AND a crash can never leave a partial
+        transition (the recovery guard in ``advance`` keys on the
+        directory's existence, which must therefore be all-or-nothing).
+        Head spools record the commit id they captured inside the
+        directory, so recovery can restore the head bookkeeping."""
         staged = os.path.join(
             self.spool_dir, f".__stage_{uuid.uuid4().hex}"
         )
         changes.withColumn(
             "_commit_version", F.lit(version).cast("long")
         ).write.mode("overwrite").parquet(staged)
-        for f in os.listdir(staged):
-            if f.startswith(("_", ".")):
-                continue
-            os.rename(
-                os.path.join(staged, f),
-                os.path.join(self.spool_dir, f"v{version:06d}_{f}"),
-            )
-        shutil.rmtree(staged, ignore_errors=True)
+        if head_commit is not None:
+            with open(os.path.join(staged, "_head_commit"), "w") as f:
+                f.write(head_commit)
+        os.rename(
+            staged,
+            os.path.join(
+                self.spool_dir, f"v{version:06d}_{uuid.uuid4().hex}"
+            ),
+        )
 
     def advance(self, include_current: bool = False) -> int:
         """Spool every landed-but-unspooled version transition; returns
@@ -196,8 +275,16 @@ class CdfTail:
         # away) emits the SQUASHED diff table_changes(prev, nxt) — the
         # composition of the missing deltas, still an exact change feed,
         # never a silent hole.
+        existing = self._spooled_dirs()
         for prev, nxt in zip(versions, versions[1:]):
             if nxt <= self._spooled_through:
+                continue
+            if nxt in existing:
+                # crash recovery: the transition directory landed but the
+                # state write didn't — the emit already happened (archive
+                # content is immutable, so the spooled rows are exact);
+                # advance the watermark WITHOUT re-emitting
+                self._spooled_through = nxt
                 continue
             ch = self.catalog.table_changes(
                 self.name, prev, to_version=nxt, key=self.key
@@ -223,15 +310,36 @@ class CdfTail:
         if include_current and not self._spooled_head and versions:
             last = max(versions)
             if last >= self._spooled_through:
-                ch = self.catalog.table_changes(
-                    self.name, last, to_version=None, key=self.key
-                )
-                self._spool_one(ch, last + 1)
-                self._spooled_through = last
-                self._spooled_head = True
-                self._head_commit_id = self.catalog.commit_id(self.name)
-                spooled += 1
+                if last + 1 in existing:
+                    # crash recovery for a head spool: the directory
+                    # recorded the commit id it captured — restore the
+                    # head bookkeeping from it so displacement detection
+                    # (archive recognition vs CdfGapError) still works
+                    self._spooled_through = last
+                    self._spooled_head = True
+                    self._head_commit_id = self._recorded_head_commit(
+                        existing[last + 1]
+                    ) or self.catalog.commit_id(self.name)
+                else:
+                    head_commit = self.catalog.commit_id(self.name)
+                    ch = self.catalog.table_changes(
+                        self.name, last, to_version=None, key=self.key
+                    )
+                    self._spool_one(ch, last + 1, head_commit=head_commit)
+                    self._spooled_through = last
+                    self._spooled_head = True
+                    self._head_commit_id = head_commit
+                    spooled += 1
+        self._save_state()
         return spooled
+
+    @staticmethod
+    def _recorded_head_commit(spool_dir: str) -> str | None:
+        try:
+            with open(os.path.join(spool_dir, "_head_commit")) as f:
+                return f.read().strip()
+        except OSError:
+            return None
 
     def _archived_commit_id(self, version: int) -> str | None:
         marker = os.path.join(

@@ -1276,6 +1276,7 @@ def pipeline_paged_cdc_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         auth={"username": "svc", "password": "pw", "ttl_requests": 3},
     )
     root = tempfile.mkdtemp(prefix="cdc_ivm_")
+    tail = q = None
     try:
         url = f"http://127.0.0.1:{srv.server_address[1]}"
         delta = read_paged(
@@ -1327,8 +1328,13 @@ def pipeline_paged_cdc_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("c_mktsegment", "n_rows", "bal_sum")
             .localCheckpoint(eager=True)
         )
-        tail.close()
     finally:
+        # failure-path hygiene: the spool dir is a tempdir OUTSIDE root
+        # and the query keeps running unless stopped — leak neither
+        if q is not None and q.isActive:
+            q.stop()
+        if tail is not None:
+            tail.close()
         srv.shutdown()
         shutil.rmtree(root, ignore_errors=True)
     return out

@@ -248,3 +248,120 @@ def test_vacuumed_watermark_during_downtime_raises_gap_error(
     # for an explicit re-seed rather than a silent divergence
     assert _rows(cat.table("summary")) == last_consistent
     tail.close()
+
+
+def test_tail_recreated_over_same_spool_never_reemits(spark, tmp_path):
+    """PROCESS restart (review r9): the tail object dies, a new CdfTail
+    over the same spool resumes the persisted watermark — already-
+    spooled transitions are not re-emitted under new file names (a
+    file-source checkpoint could not dedup those)."""
+    cat = Catalog(
+        spark, str(tmp_path / "cat"), snapshot_identity="manifest"
+    )
+    cat.write(_mk(spark, 12, 0), "t")
+    spool = str(tmp_path / "spool")
+    tail = CdfTail(cat, "t", key="k", spool_dir=spool)
+    cat.write(_mk(spark, 16, 0), "t", mode="overwrite", keep_versions=8)
+    cat.write(_mk(spark, 16, 4), "t", mode="overwrite", keep_versions=8)
+    assert tail.advance() == 1
+    n_rows_before = tail.read_spool(spark).count()
+    del tail
+
+    tail2 = CdfTail(cat, "t", key="k", spool_dir=spool)  # "new process"
+    assert tail2.advance() == 0  # nothing new landed: nothing re-spooled
+    assert tail2.read_spool(spark).count() == n_rows_before
+    # and it keeps tailing from where the dead process left off
+    cat.write(_mk(spark, 16, 9), "t", mode="overwrite", keep_versions=8)
+    assert tail2.advance() == 1
+    tail2.close()
+
+
+def test_crash_between_spool_and_state_write_recovers_exactly_once(
+    spark, tmp_path
+):
+    """The narrowest crash window: the transition directory landed but
+    the state write didn't. Recovery must advance the watermark WITHOUT
+    re-emitting (the spool directory itself is the emit record)."""
+    import os
+
+    cat = Catalog(
+        spark, str(tmp_path / "cat"), snapshot_identity="manifest"
+    )
+    cat.write(_mk(spark, 10, 0), "t")
+    spool = str(tmp_path / "spool")
+    tail = CdfTail(cat, "t", key="k", spool_dir=spool)
+    cat.write(_mk(spark, 14, 0), "t", mode="overwrite", keep_versions=8)
+    cat.write(_mk(spark, 14, 2), "t", mode="overwrite", keep_versions=8)
+    assert tail.advance() == 1
+    n_before = tail.read_spool(spark).count()
+    os.remove(os.path.join(spool, CdfTail.STATE_NAME))  # "crash" here
+
+    tail2 = CdfTail(cat, "t", key="k", spool_dir=spool)
+    assert tail2.advance() == 0  # dir-existence guard, not the state
+    assert tail2.read_spool(spark).count() == n_before
+
+    # same window for a HEAD spool: the recorded _head_commit restores
+    # the head bookkeeping, so a later archive of that state is
+    # recognized rather than re-emitted
+    assert tail2.advance(include_current=True) == 1
+    n_head = tail2.read_spool(spark).count()
+    os.remove(os.path.join(spool, CdfTail.STATE_NAME))
+    tail3 = CdfTail(cat, "t", key="k", spool_dir=spool)
+    assert tail3.advance(include_current=True) == 0
+    assert tail3.read_spool(spark).count() == n_head
+    cat.write(_mk(spark, 14, 6), "t", mode="overwrite", keep_versions=8)
+    assert tail3.advance(include_current=True) == 1  # only the NEW delta
+    assert sorted(
+        r._commit_version
+        for r in tail3.read_spool(spark)
+        .select("_commit_version").distinct().collect()
+    ) == [2, 3, 4]
+    tail3.close()
+
+
+def test_full_process_restart_ivm_converges(spark, tmp_path):
+    """The deployment story end-to-end: query AND tail both die; a new
+    process re-creates the tail over the same spool and the query over
+    the same checkpoint + stream_id; the summary converges without
+    double-counting."""
+    cat = Catalog(
+        spark, str(tmp_path / "cat"), snapshot_identity="manifest"
+    )
+    cat.write(_mk(spark, 12, 0), "t")
+    cat.write(_summarize(_mk(spark, 12, 0)), "summary")
+    spool, cp = str(tmp_path / "spool"), str(tmp_path / "cp")
+
+    def boot():
+        tail = CdfTail(cat, "t", key="k", spool_dir=spool)
+        q = stream_cdf_into_summary(
+            tail, spark, cat, "summary",
+            keys=["g"], sums={"v_sum": "v"},
+            stream_id="proc-1", checkpoint_dir=cp,
+            processing_time="500 milliseconds",
+        )
+        return tail, q
+
+    tail, q = boot()
+    try:
+        cat.write(_mk(spark, 18, 0), "t", mode="overwrite", keep_versions=8)
+        cat.write(_mk(spark, 18, 3), "t", mode="overwrite", keep_versions=8)
+        tail.advance()
+        assert _wait_until(
+            lambda: _rows(cat.table("summary"))
+            == _rows(_summarize(cat.table_at("t", 2)))
+        )
+    finally:
+        q.stop()
+    del tail  # the whole process dies
+
+    tail, q = boot()  # new process: same spool, checkpoint, stream_id
+    try:
+        cat.write(_mk(spark, 22, 5), "t", mode="overwrite", keep_versions=8)
+        tail.advance()
+        tail.advance(include_current=True)
+        assert _wait_until(lambda: _summary_matches(cat)), (
+            "post-restart IVM never converged (double-count or hole)"
+        )
+    finally:
+        q.stop()
+    tail.close()

@@ -381,7 +381,7 @@ def test_cdf_tail_spools_exactly_once_and_maintains(spark, tmp_path):
     assert tail.advance(include_current=True) == 1   # v2 -> HEAD
     assert tail.advance(include_current=True) == 0   # head spooled once
 
-    spooled = spark.read.schema(tail.schema()).parquet(tail.spool_dir)
+    spooled = tail.read_spool(spark)
     assert set(
         r["_commit_version"] for r in spooled.select("_commit_version").distinct().collect()
     ) == {2, 3}
@@ -425,7 +425,7 @@ def test_cdf_tail_head_spool_not_reemitted_after_next_commit(spark, tmp_path):
     # archives now [1, 2]; v2 IS the state spooled as head: no re-emit,
     # and the new head (v2 -> v3 state) spools once
     assert tail.advance(include_current=True) == 1
-    spooled = spark.read.schema(tail.schema()).parquet(tail.spool_dir)
+    spooled = tail.read_spool(spark)
 
     def summarize(df):
         return df.groupBy("g").agg(
@@ -466,7 +466,7 @@ def test_cdf_tail_vacuumed_gap_emits_squashed_delta(spark, tmp_path):
     cat.vacuum("t", keep_last=2)
     tail = CdfTail(cat, "t", key="k", spool_dir=str(tmp_path / "spool_gap"))
     assert tail.advance(include_current=True) == 2
-    spooled = spark.read.schema(tail.schema()).parquet(tail.spool_dir)
+    spooled = tail.read_spool(spark)
 
     def summarize(df):
         return df.groupBy("g").agg(
@@ -490,7 +490,7 @@ def test_cdf_tail_vacuumed_gap_emits_squashed_delta(spark, tmp_path):
 
     _sh.rmtree(cat2._version_path("u", 2))  # drop v2: gap [1, 3]
     assert t2.advance() == 1  # squashed v1 -> v3, one transition
-    sp2 = spark.read.schema(t2.schema()).parquet(t2.spool_dir)
+    sp2 = t2.read_spool(spark)
     m2 = apply_cdf_to_summary(
         summarize(cat2.table_at("u", 1)), sp2, ["g"], {"v_sum": "v"}
     )
