@@ -273,7 +273,9 @@ class Catalog:
         try:
             with open(p) as f:
                 return json.load(f)
-        except FileNotFoundError:
+        except (FileNotFoundError, NotADirectoryError):
+            # no marker: never written, or a single-file external table
+            # (which cannot carry one) — absence, not corruption
             return {}
         except (OSError, ValueError) as ex:
             from agol_pandas_spark.errors import CorruptMarkerError
@@ -311,17 +313,12 @@ class Catalog:
         multi-chunk layouts at small file counts)."""
         return max(1, int(os.environ.get("AGOL_SPARK_MANIFEST_CHUNK", "4096")))
 
-    def _list_with_sizes(self, path: str) -> list[tuple[str, int]]:
-        """``(relpath, size)`` per data file of a snapshot directory.
-
-        Listing (name discovery) is a driver-side ``scandir`` stream —
-        one getdents pass, no per-file stat (``is_dir`` rides d_type).
-        The per-file ``stat`` fan-outs to EXECUTORS above
-        ``AGOL_SPARK_DIST_LIST_THRESHOLD`` files (default 100k): on
-        object storage each stat is a round-trip, and 10^6 serial
-        driver-side round-trips per commit is exactly the bottleneck the
-        manifest list exists to remove. Below the threshold the driver
-        loop wins (task overhead > syscall cost on a local FS)."""
+    @staticmethod
+    def _list_names(path: str) -> list[str]:
+        """Sorted data-file relpaths of a snapshot directory — the one
+        walk implementation (scandir stream, no per-file stat; ``is_dir``
+        rides d_type). "_"/"."-prefixed files AND directories are
+        metadata, never data."""
         names: list[str] = []
 
         def _walk(d: str, prefix: str) -> None:
@@ -336,6 +333,20 @@ class Catalog:
 
         _walk(path, "")
         names.sort()
+        return names
+
+    def _list_with_sizes(self, path: str) -> list[tuple[str, int]]:
+        """``(relpath, size)`` per data file of a snapshot directory.
+
+        Listing (name discovery) is a driver-side ``scandir`` stream —
+        one getdents pass, no per-file stat (``is_dir`` rides d_type).
+        The per-file ``stat`` fan-outs to EXECUTORS above
+        ``AGOL_SPARK_DIST_LIST_THRESHOLD`` files (default 100k): on
+        object storage each stat is a round-trip, and 10^6 serial
+        driver-side round-trips per commit is exactly the bottleneck the
+        manifest list exists to remove. Below the threshold the driver
+        loop wins (task overhead > syscall cost on a local FS)."""
+        names = self._list_names(path)
         threshold = int(
             os.environ.get("AGOL_SPARK_DIST_LIST_THRESHOLD", "100000")
         )
@@ -614,8 +625,12 @@ class Catalog:
                 f.write(uuid.uuid4().hex)
         except Exception:
             # never leak a staged __tmp dir on a pre-swap failure — the
-            # same guarantee the OCC refusal path gives
-            shutil.rmtree(staged, ignore_errors=True)
+            # same guarantee the OCC refusal path gives. ONLY staging
+            # paths: write_audit_publish_branch passes a live, queryable
+            # branch table as `staged`, which a transient IO failure
+            # must leave intact for inspection/retry (review r9 pass 2)
+            if ".__tmp_" in os.path.basename(staged):
+                shutil.rmtree(staged, ignore_errors=True)
             raise
         backup = None
         if os.path.exists(target):
@@ -1244,12 +1259,10 @@ class Catalog:
 
     def _snapshot_files(self, path: str) -> list[str]:
         """Data files of a snapshot directory (or the file itself) —
-        one walk implementation (``_list_with_sizes``), not several."""
+        names only, no stats (the inode fallback stats them itself)."""
         if os.path.isfile(path):
             return [path]
-        return [
-            os.path.join(path, rp) for rp, _ in self._list_with_sizes(path)
-        ]
+        return [os.path.join(path, rp) for rp in self._list_names(path)]
 
     def _read_snapshot(self, path: str, files: list[str] | None = None) -> DataFrame:
         """Scan a snapshot (optionally a file subset) with ``table()``'s

@@ -143,8 +143,13 @@ class CdfTail:
         for e in os.listdir(self.spool_dir):
             if e.startswith("v") and "_" in e:
                 head = e[1 : e.index("_")]
-                if head.isdigit():
-                    out[int(head)] = os.path.join(self.spool_dir, e)
+                p = os.path.join(self.spool_dir, e)
+                # directories only: legacy (r8) spools landed FLAT files
+                # under the same naming, but those lack the atomicity and
+                # head-commit record recovery relies on — a flat layout
+                # never drives recovery decisions (review r9 pass 2)
+                if head.isdigit() and os.path.isdir(p):
+                    out[int(head)] = p
         return out
 
     def schema(self) -> T.StructType:
@@ -283,7 +288,22 @@ class CdfTail:
                 # crash recovery: the transition directory landed but the
                 # state write didn't — the emit already happened (archive
                 # content is immutable, so the spooled rows are exact);
-                # advance the watermark WITHOUT re-emitting
+                # advance the watermark WITHOUT re-emitting. A dir that
+                # was spooled as a HEAD (it records the commit it
+                # captured) only covers this transition if the archived
+                # state at nxt IS that commit — otherwise the spooled
+                # rows diff to a state that was displaced unarchived,
+                # and the delta to the archived state is unrecoverable
+                rec = self._recorded_head_commit(existing[nxt])
+                if rec is not None and rec != self._archived_commit_id(nxt):
+                    raise CdfGapError(
+                        f"tail of {self.name!r} is wedged: the spool "
+                        f"holds a head capture of commit {rec!r} at "
+                        f"version {nxt}, but the archive at {nxt} is a "
+                        "different state — the delta between them was "
+                        "displaced unarchived; re-seed the consumer "
+                        "from a full snapshot"
+                    )
                 self._spooled_through = nxt
                 continue
             ch = self.catalog.table_changes(
@@ -314,12 +334,22 @@ class CdfTail:
                     # crash recovery for a head spool: the directory
                     # recorded the commit id it captured — restore the
                     # head bookkeeping from it so displacement detection
-                    # (archive recognition vs CdfGapError) still works
+                    # (archive recognition vs CdfGapError) still works.
+                    # NEVER fall back to the current commit id: commits
+                    # may have landed since the capture, and adopting
+                    # the new head would silently swallow their deltas
+                    rec = self._recorded_head_commit(existing[last + 1])
+                    if rec is None:
+                        raise CdfGapError(
+                            f"tail of {self.name!r} cannot recover: the "
+                            f"spooled head at version {last + 1} carries "
+                            "no commit record, so what it captured is "
+                            "unverifiable; re-seed the consumer from a "
+                            "full snapshot"
+                        )
                     self._spooled_through = last
                     self._spooled_head = True
-                    self._head_commit_id = self._recorded_head_commit(
-                        existing[last + 1]
-                    ) or self.catalog.commit_id(self.name)
+                    self._head_commit_id = rec
                 else:
                     head_commit = self.catalog.commit_id(self.name)
                     ch = self.catalog.table_changes(

@@ -55,8 +55,14 @@ def _rows(df):
 def _wait_until(pred, timeout=120.0, step=0.5) -> bool:
     deadline = time.time() + timeout
     while time.time() < deadline:
-        if pred():
-            return True
+        try:
+            if pred():
+                return True
+        except Exception:
+            # the poller races the sink's atomic overwrite: a snapshot
+            # listed just before the swap can vanish mid-read — that is
+            # "not converged YET", not a failure; re-read next tick
+            pass
         time.sleep(step)
     return False
 
@@ -364,4 +370,58 @@ def test_full_process_restart_ivm_converges(spark, tmp_path):
         )
     finally:
         q.stop()
+    tail.close()
+
+
+def test_crashed_head_spool_for_displaced_state_raises_not_skips(
+    spark, tmp_path
+):
+    """Review r9 pass 2: a crashed head-spool directory at version N must
+    NOT satisfy a later pair transition into N when the archive at N is
+    a DIFFERENT state (the captured head was displaced unarchived) —
+    that would silently swallow the displaced delta. The recorded
+    head-commit makes the mismatch detectable: CdfGapError."""
+    import os
+
+    from agol_pandas_spark.errors import CdfGapError
+
+    cat = Catalog(
+        spark, str(tmp_path / "cat"), snapshot_identity="manifest"
+    )
+    cat.write(_mk(spark, 10, 0), "t")
+    cat.write(_mk(spark, 12, 0), "t", mode="overwrite", keep_versions=8)
+    spool = str(tmp_path / "spool")
+    tail = CdfTail(cat, "t", key="k", spool_dir=spool)
+    assert tail.advance(include_current=True) == 1  # head capture (X)
+    os.remove(os.path.join(spool, CdfTail.STATE_NAME))  # crash
+
+    # X is displaced UNARCHIVED, then the new state Y archives as v2
+    cat.write(_mk(spark, 12, 5), "t", mode="overwrite", keep_versions=0)
+    cat.write(_mk(spark, 12, 9), "t", mode="overwrite", keep_versions=8)
+    assert cat.versions("t") == [1, 2]
+
+    tail2 = CdfTail(cat, "t", key="k", spool_dir=spool)
+    with pytest.raises(CdfGapError):
+        tail2.advance()
+    tail2.close()
+
+
+def test_legacy_flat_spool_files_never_drive_recovery(spark, tmp_path):
+    """Pre-r9 spools landed FLAT v-prefixed files; they lack the
+    atomicity and head-commit record recovery relies on, so a restarted
+    tail must ignore them when deciding what was emitted."""
+    import os
+
+    cat = Catalog(
+        spark, str(tmp_path / "cat"), snapshot_identity="manifest"
+    )
+    cat.write(_mk(spark, 10, 0), "t")
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    with open(os.path.join(spool, "v000002_part-0.parquet"), "wb") as f:
+        f.write(b"legacy")  # flat r8-style spool file
+    tail = CdfTail(cat, "t", key="k", spool_dir=spool)
+    cat.write(_mk(spark, 12, 0), "t", mode="overwrite", keep_versions=8)
+    cat.write(_mk(spark, 12, 3), "t", mode="overwrite", keep_versions=8)
+    assert tail.advance() == 1  # the flat file did not mask v2
     tail.close()
