@@ -577,6 +577,7 @@ class Catalog:
         expected_commit: str | None = None,
         carried: dict[str, dict] | None = None,
         reuse_chunks: list[tuple[str, dict]] | None = None,
+        owns_staged: bool = True,
     ) -> str:
         """Atomic tail of the two-phase commit: rename ``staged`` over the
         current table, archiving or discarding the displaced snapshot.
@@ -596,7 +597,8 @@ class Catalog:
         if expected_commit is not None:
             current = self.commit_id(name)
             if current != expected_commit:
-                shutil.rmtree(staged, ignore_errors=True)
+                if owns_staged:
+                    shutil.rmtree(staged, ignore_errors=True)
                 from agol_pandas_spark.errors import ConcurrentWriteError
 
                 raise ConcurrentWriteError(
@@ -625,11 +627,12 @@ class Catalog:
                 f.write(uuid.uuid4().hex)
         except Exception:
             # never leak a staged __tmp dir on a pre-swap failure — the
-            # same guarantee the OCC refusal path gives. ONLY staging
-            # paths: write_audit_publish_branch passes a live, queryable
-            # branch table as `staged`, which a transient IO failure
-            # must leave intact for inspection/retry (review r9 pass 2)
-            if ".__tmp_" in os.path.basename(staged):
+            # same guarantee the OCC refusal path gives. Ownership is
+            # EXPLICIT (not name-sniffed): write_audit_publish_branch
+            # passes a live, queryable branch table as `staged`, which a
+            # transient IO failure must leave intact for inspection /
+            # retry (review r9 passes 2+3)
+            if owns_staged:
                 shutil.rmtree(staged, ignore_errors=True)
             raise
         backup = None
@@ -674,12 +677,7 @@ class Catalog:
             raise TableNotFoundError(f"no table {name!r} under {self.root}")
         if os.path.isfile(p):
             return [p]
-        return sorted(
-            os.path.join(dp, f)
-            for dp, _, fs in os.walk(p)
-            for f in fs
-            if not f.startswith(("_", "."))
-        )
+        return [os.path.join(p, rp) for rp in self._list_names(p)]
 
     def file_key_spans(
         self, name: str, cols: list[str]

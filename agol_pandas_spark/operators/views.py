@@ -113,7 +113,10 @@ def write_audit_publish_branch(
     except Exception:
         catalog.drop(branch)
         raise
-    return catalog._swap_in(catalog.path(branch), name, keep_versions)
+    # the branch is a LIVE table, not a staging dir the swap may delete
+    return catalog._swap_in(
+        catalog.path(branch), name, keep_versions, owns_staged=False
+    )
 
 
 def apply_cdf_to_summary(

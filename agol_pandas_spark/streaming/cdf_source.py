@@ -85,6 +85,21 @@ class CdfTail:
         os.makedirs(self.spool_dir, exist_ok=True)
         self._state_path = os.path.join(self.spool_dir, self.STATE_NAME)
         state = self._load_state()
+        if state is None and self._flat_legacy_entries():
+            # a pre-r9 spool: flat v-prefixed FILES, no durable state.
+            # Resuming here would re-spool every transition as new
+            # directories while the stream still reads the flat files —
+            # guaranteed double emission. Refuse; the consumer drains or
+            # discards the old spool and re-seeds (review r9 pass 3).
+            from agol_pandas_spark.errors import CdfGapError
+
+            raise CdfGapError(
+                f"spool {self.spool_dir!r} uses the legacy flat layout "
+                "and carries no durable tail state; reattaching would "
+                "double-emit its transitions. Drain and discard the old "
+                "spool (or start a fresh spool_dir) and re-seed the "
+                "consumer."
+            )
         if state is not None:
             # a tail RE-CREATED over an existing spool (process restart)
             # resumes its persisted watermark — never the fresh-attach
@@ -133,6 +148,15 @@ class CdfTail:
                 f,
             )
         os.replace(tmp, self._state_path)
+
+    def _flat_legacy_entries(self) -> list[str]:
+        """Flat v-prefixed FILES in the spool — the pre-r9 layout."""
+        out = []
+        for e in os.listdir(self.spool_dir):
+            if e.startswith("v") and "_" in e and e[1 : e.index("_")].isdigit():
+                if os.path.isfile(os.path.join(self.spool_dir, e)):
+                    out.append(e)
+        return out
 
     def _spooled_dirs(self) -> dict[int, str]:
         """version -> existing transition directory in the spool. The
@@ -295,7 +319,9 @@ class CdfTail:
                 # rows diff to a state that was displaced unarchived,
                 # and the delta to the archived state is unrecoverable
                 rec = self._recorded_head_commit(existing[nxt])
-                if rec is not None and rec != self._archived_commit_id(nxt):
+                if rec is not None and (
+                    (rec or None) != self._archived_commit_id(nxt)
+                ):
                     raise CdfGapError(
                         f"tail of {self.name!r} is wedged: the spool "
                         f"holds a head capture of commit {rec!r} at "
@@ -349,13 +375,21 @@ class CdfTail:
                         )
                     self._spooled_through = last
                     self._spooled_head = True
-                    self._head_commit_id = rec
+                    # "" records a capture of a table WITHOUT a commit
+                    # id: same bookkeeping as the non-crash path (None)
+                    self._head_commit_id = rec or None
                 else:
                     head_commit = self.catalog.commit_id(self.name)
                     ch = self.catalog.table_changes(
                         self.name, last, to_version=None, key=self.key
                     )
-                    self._spool_one(ch, last + 1, head_commit=head_commit)
+                    # record "" when the table has no commit id (pre-OCC
+                    # / external) so crash recovery can distinguish "the
+                    # captured state legitimately had no id" from "the
+                    # record is missing" (which is unverifiable)
+                    self._spool_one(
+                        ch, last + 1, head_commit=head_commit or ""
+                    )
                     self._spooled_through = last
                     self._spooled_head = True
                     self._head_commit_id = head_commit

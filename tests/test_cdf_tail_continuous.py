@@ -54,16 +54,24 @@ def _rows(df):
 
 def _wait_until(pred, timeout=120.0, step=0.5) -> bool:
     deadline = time.time() + timeout
+    last_err = None
     while time.time() < deadline:
         try:
             if pred():
                 return True
-        except Exception:
+        except Exception as ex:
             # the poller races the sink's atomic overwrite: a snapshot
             # listed just before the swap can vanish mid-read — that is
-            # "not converged YET", not a failure; re-read next tick
-            pass
+            # "not converged YET", not a failure; re-read next tick.
+            # Keep the last error so a timeout caused by a genuinely
+            # broken predicate is diagnosable, not a silent 120 s burn
+            last_err = ex
         time.sleep(step)
+    if last_err is not None:
+        raise AssertionError(
+            f"never converged within {timeout}s; last predicate error: "
+            f"{last_err!r}"
+        ) from last_err
     return False
 
 
@@ -406,11 +414,15 @@ def test_crashed_head_spool_for_displaced_state_raises_not_skips(
     tail2.close()
 
 
-def test_legacy_flat_spool_files_never_drive_recovery(spark, tmp_path):
-    """Pre-r9 spools landed FLAT v-prefixed files; they lack the
-    atomicity and head-commit record recovery relies on, so a restarted
-    tail must ignore them when deciding what was emitted."""
+def test_legacy_flat_spool_refuses_reattach(spark, tmp_path):
+    """Pre-r9 spools landed FLAT v-prefixed files with no durable tail
+    state. Reattaching would re-spool every transition as directories
+    while the stream still reads the flat files — double emission — so
+    the tail must REFUSE (review r9 pass 3), and a fresh spool must
+    work as usual."""
     import os
+
+    from agol_pandas_spark.errors import CdfGapError
 
     cat = Catalog(
         spark, str(tmp_path / "cat"), snapshot_identity="manifest"
@@ -420,8 +432,10 @@ def test_legacy_flat_spool_files_never_drive_recovery(spark, tmp_path):
     os.makedirs(spool)
     with open(os.path.join(spool, "v000002_part-0.parquet"), "wb") as f:
         f.write(b"legacy")  # flat r8-style spool file
-    tail = CdfTail(cat, "t", key="k", spool_dir=spool)
+    with pytest.raises(CdfGapError):
+        CdfTail(cat, "t", key="k", spool_dir=spool)
+    tail = CdfTail(cat, "t", key="k", spool_dir=str(tmp_path / "fresh"))
     cat.write(_mk(spark, 12, 0), "t", mode="overwrite", keep_versions=8)
     cat.write(_mk(spark, 12, 3), "t", mode="overwrite", keep_versions=8)
-    assert tail.advance() == 1  # the flat file did not mask v2
+    assert tail.advance() == 1
     tail.close()
