@@ -362,10 +362,19 @@ class Catalog:
                     for rp in batch
                 ]
 
-            out = sc.parallelize(
-                chunks, max(1, len(chunks))
-            ).flatMap(_stat_chunk).collect()
-            return sorted(out)
+            try:
+                out = sc.parallelize(
+                    chunks, max(1, len(chunks))
+                ).flatMap(_stat_chunk).collect()
+                return sorted(out)
+            except Exception:
+                # executors could not stat the driver-local path — a real
+                # cluster whose workers don't mount the catalog root at
+                # the same path (ADVICE r9). Fall back to the driver
+                # loop: slower (serial round-trips), never wrong. A file
+                # genuinely vanishing mid-stat re-raises from the driver
+                # loop below, which is the honest error either way.
+                pass
         return [
             (rp, os.path.getsize(os.path.join(path, rp))) for rp in names
         ]

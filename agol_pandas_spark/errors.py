@@ -127,6 +127,18 @@ class CdfGapError(EngineError):
     archives at least as long as the tail's advance cadence)."""
 
 
+class TailLockError(EngineError):
+    """Another live :class:`~agol_pandas_spark.streaming.cdf_source.
+    CdfTail` holds this spool directory. Two concurrent tails over one
+    spool can each miss the other's atomically-renamed transition
+    directory and double-spool the same transition (ADVICE r9) — the
+    spool therefore admits ONE live tail at a time, enforced by a
+    pid-stamped lock file taken at attach. Stop (``close()``) the other
+    tail, or point this one at its own ``spool_dir``. A lock whose
+    recorded process is no longer alive is stale and is reclaimed
+    automatically."""
+
+
 class CorruptMarkerError(EngineError):
     """A per-snapshot properties marker (``_snapshot_props.json``) exists
     but cannot be parsed. Never treated as "no marker": the marker is an

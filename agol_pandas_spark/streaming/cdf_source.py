@@ -67,9 +67,20 @@ class CdfTail:
     under the next version number, the tail recognizes it by commit id
     and advances its watermark without re-emitting — the stream stays
     exactly-once per transition even across head spools.
+
+    **One live tail per spool** (enforced): attach takes a pid-stamped
+    lock file in the spool — a second live *process* attaching raises
+    :class:`~agol_pandas_spark.errors.TailLockError` (two concurrent
+    tails could each miss the other's just-renamed transition directory
+    and double-spool it; the durable state protects restarts, not
+    races). A dead holder's lock is reclaimed automatically; release
+    with ``close()`` (deletes the spool) or ``detach()`` (keeps it for
+    a successor). Two live tail OBJECTS in one process are likewise
+    unsupported — don't share a spool between them.
     """
 
     STATE_NAME = "_state.json"
+    LOCK_NAME = "_tail_lock"
 
     def __init__(
         self,
@@ -84,6 +95,24 @@ class CdfTail:
         self.spool_dir = spool_dir or tempfile.mkdtemp(prefix="cdf_tail_")
         os.makedirs(self.spool_dir, exist_ok=True)
         self._state_path = os.path.join(self.spool_dir, self.STATE_NAME)
+        self._lock_path = os.path.join(self.spool_dir, self.LOCK_NAME)
+        # single-live-tail-per-spool (ADVICE r9): two concurrent tails
+        # can each snapshot _spooled_dirs() before the other's rename
+        # lands and double-spool one transition. The lock is taken
+        # BEFORE any state read or sweep, so everything below runs
+        # exclusively.
+        self._acquire_lock()
+        try:
+            self._attach(name)
+        except Exception:
+            # a refused attach (legacy spool, corrupt state) must not
+            # leave the lock behind: the caller never got a live tail,
+            # so there is nothing close() would ever release
+            self._release_lock()
+            raise
+
+    def _attach(self, name: str) -> None:
+        self._sweep_orphans()
         state = self._load_state()
         if state is None and self._flat_legacy_entries():
             # a pre-r9 spool: flat v-prefixed FILES, no durable state.
@@ -118,6 +147,85 @@ class CdfTail:
         # number, the pairs loop must NOT re-emit its delta — additive
         # consumers would double-count
         self._head_commit_id: str | None = None
+
+    # -- spool exclusivity + hygiene ------------------------------------
+
+    def _acquire_lock(self) -> None:
+        """Take the spool's single-live-tail lock (pid-stamped O_EXCL
+        file). A lock held by a DEAD process is stale — a crashed tail
+        cannot release it — and is reclaimed; a lock held by THIS
+        process is re-taken (a tail re-created over the same spool in
+        one process is the crash-restart pattern the recovery guards
+        exist for, and the lock protects against concurrent *processes*
+        — two live tail objects in one process remain the caller's
+        responsibility, as documented on the class). A lock held by a
+        live other process raises :class:`TailLockError`."""
+        from agol_pandas_spark.errors import TailLockError
+
+        for attempt in (0, 1):
+            try:
+                fd = os.open(
+                    self._lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                )
+                with os.fdopen(fd, "w") as f:
+                    f.write(str(os.getpid()))
+                return
+            except FileExistsError:
+                try:
+                    with open(self._lock_path) as f:
+                        holder = int(f.read().strip() or "0")
+                except (OSError, ValueError):
+                    holder = 0  # torn lock: treat as stale
+                alive = False
+                if holder > 0 and holder != os.getpid():
+                    try:
+                        os.kill(holder, 0)  # signal 0: existence probe
+                        alive = True
+                    except ProcessLookupError:
+                        alive = False
+                    except PermissionError:
+                        alive = True  # exists, owned by another user
+                if alive:
+                    raise TailLockError(
+                        f"spool {self.spool_dir!r} is locked by live "
+                        f"tail process {holder}; one live tail per "
+                        "spool — close() it or use a separate spool_dir"
+                    ) from None
+                # stale (dead holder / torn file) or our own pid: reclaim
+                try:
+                    os.remove(self._lock_path)
+                except FileNotFoundError:
+                    pass
+                if attempt == 1:  # pragma: no cover - pathological race
+                    raise TailLockError(
+                        f"could not acquire spool lock {self._lock_path!r}"
+                    ) from None
+
+    def _release_lock(self) -> None:
+        try:
+            os.remove(self._lock_path)
+        except OSError:
+            pass
+
+    def _sweep_orphans(self) -> None:
+        """Reclaim staging debris a crashed tail left behind (ADVICE
+        r9): ``.__stage_*`` directories (a crash between the parquet
+        staging write and the rename in ``_spool_one``) and
+        ``_state.json.__tmp_*`` files (a crash inside ``_save_state``).
+        Both are invisible to the stream — a transition only becomes
+        visible through the atomic rename that never happened — so
+        deletion is safe; without it they accumulate unboundedly across
+        crash loops. Runs under the attach lock, so a LIVE tail's
+        in-flight stage is never touched."""
+        for e in os.listdir(self.spool_dir):
+            p = os.path.join(self.spool_dir, e)
+            if e.startswith(".__stage_"):
+                shutil.rmtree(p, ignore_errors=True)
+            elif e.startswith(f"{self.STATE_NAME}.__tmp_"):
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
 
     # -- durable watermark (crash/restart safety) -----------------------
 
@@ -416,7 +524,50 @@ class CdfTail:
             return None
 
     def close(self) -> None:
+        self._release_lock()
         shutil.rmtree(self.spool_dir, ignore_errors=True)
+
+    def detach(self) -> None:
+        """Release the spool WITHOUT deleting it — the clean handoff for
+        a tail that another process (or a later run) will resume via the
+        durable ``_state.json``. ``close()`` deletes the spool outright."""
+        self._release_lock()
+
+
+def _persistent_stream_id(checkpoint_dir: str, stream_id: str | None) -> str:
+    """The checkpoint lineage's stream id, persisted WITH the checkpoint
+    (``<checkpoint_dir>/_cdf_stream_id``): batch ids are only meaningful
+    within one checkpoint lineage, so the exactly-once marker's scope
+    must restart exactly when the checkpoint does — never sooner (a
+    fresh id on restart would let a re-executed post-commit micro-batch
+    double-apply, ADVICE r9) and never later (a reused id over a WIPED
+    checkpoint would suppress legitimate batch 0). First call writes the
+    id atomically; later calls read it back; an explicit contradictory
+    ``stream_id`` raises instead of silently forking the lineage."""
+    marker = os.path.join(checkpoint_dir, "_cdf_stream_id")
+    stored: str | None = None
+    try:
+        with open(marker) as f:
+            stored = f.read().strip() or None
+    except FileNotFoundError:
+        pass
+    if stored is not None:
+        if stream_id is not None and stream_id != stored:
+            raise ValueError(
+                f"checkpoint {checkpoint_dir!r} belongs to stream lineage "
+                f"{stored!r} but stream_id={stream_id!r} was passed — a "
+                "mixed lineage mis-scopes every exactly-once marker; omit "
+                "stream_id (it persists with the checkpoint) or use a "
+                "fresh checkpoint_dir"
+            )
+        return stored
+    stream_id = stream_id or uuid.uuid4().hex
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    tmp = f"{marker}.__tmp_{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(stream_id)
+    os.replace(tmp, marker)
+    return stream_id
 
 
 def stream_cdf_into_summary(
@@ -446,9 +597,16 @@ def stream_cdf_into_summary(
     staged directory, so the marker and the summary land in ONE atomic
     rename — and ``maintain`` skips any batch at or below the marker.
     ``stream_id`` names the checkpoint lineage (batch ids restart at 0
-    for a fresh checkpoint): pass the same value when restarting from
-    ``checkpoint_dir``, leave it None for a one-shot run (a fresh
-    random id, so stale markers from other lineages never suppress).
+    for a fresh checkpoint): with ``checkpoint_dir`` set it PERSISTS in
+    the checkpoint directory itself (``_cdf_stream_id``, written once,
+    reused on every restart) — so a restart that omits ``stream_id``
+    keeps the original lineage instead of silently minting a fresh id,
+    which would disable the re-execution guard for the first resumed
+    batch (ADVICE r9). An explicit ``stream_id`` that CONTRADICTS the
+    persisted one raises — mixing lineages under one checkpoint would
+    mis-scope every marker. Without a checkpoint, None means a one-shot
+    run (fresh random id, so stale markers from other lineages never
+    suppress).
 
     ``processing_time`` (e.g. ``"1 second"``) runs a CONTINUOUS tail —
     the query keeps draining as ``tail.advance()`` spools new
@@ -456,6 +614,8 @@ def stream_cdf_into_summary(
     the started ``StreamingQuery``."""
     from agol_pandas_spark.operators.views import apply_cdf_to_summary
 
+    if checkpoint_dir is not None:
+        stream_id = _persistent_stream_id(checkpoint_dir, stream_id)
     stream_id = stream_id or uuid.uuid4().hex
 
     def maintain(batch_df: DataFrame, batch_id: int) -> None:

@@ -414,6 +414,154 @@ def test_crashed_head_spool_for_displaced_state_raises_not_skips(
     tail2.close()
 
 
+def test_spool_lock_refuses_concurrent_live_process(spark, tmp_path):
+    """ADVICE r10: two live tails over one spool can each miss the
+    other's just-renamed transition and double-spool it. The spool lock
+    refuses a second live PROCESS; a dead holder's lock is stale and
+    reclaimed; detach() hands the spool off cleanly."""
+    import os
+    import subprocess
+
+    from agol_pandas_spark.errors import TailLockError
+
+    cat = Catalog(
+        spark, str(tmp_path / "cat"), snapshot_identity="manifest"
+    )
+    cat.write(_mk(spark, 10, 0), "t")
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+
+    # a LIVE foreign process holds the lock
+    other = subprocess.Popen(["sleep", "60"])
+    try:
+        with open(os.path.join(spool, CdfTail.LOCK_NAME), "w") as f:
+            f.write(str(other.pid))
+        with pytest.raises(TailLockError):
+            CdfTail(cat, "t", key="k", spool_dir=spool)
+    finally:
+        other.kill()
+        other.wait()
+    # the holder is now DEAD: the lock is stale, attach reclaims it
+    tail = CdfTail(cat, "t", key="k", spool_dir=spool)
+    assert os.path.exists(os.path.join(spool, CdfTail.LOCK_NAME))
+    # detach releases the lock but keeps the spool (handoff)
+    tail.detach()
+    assert not os.path.exists(os.path.join(spool, CdfTail.LOCK_NAME))
+    tail2 = CdfTail(cat, "t", key="k", spool_dir=spool)
+    tail2.close()
+    assert not os.path.exists(spool)
+
+
+def test_refused_attach_releases_lock(spark, tmp_path):
+    """A refused attach (legacy flat spool) must not leave the lock
+    behind — the caller never got a tail, so nothing would release it."""
+    import os
+
+    from agol_pandas_spark.errors import CdfGapError
+
+    cat = Catalog(
+        spark, str(tmp_path / "cat"), snapshot_identity="manifest"
+    )
+    cat.write(_mk(spark, 10, 0), "t")
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    with open(os.path.join(spool, "v000002_part-0.parquet"), "wb") as f:
+        f.write(b"legacy")
+    with pytest.raises(CdfGapError):
+        CdfTail(cat, "t", key="k", spool_dir=spool)
+    assert not os.path.exists(os.path.join(spool, CdfTail.LOCK_NAME))
+
+
+def test_attach_sweeps_orphaned_stage_dirs_and_tmp_state(spark, tmp_path):
+    """ADVICE r10: a crash between the staging write and the rename in
+    _spool_one leaves .__stage_* dirs (and _save_state leaves
+    _state.json.__tmp_* files). They were never visible to the stream,
+    so attach deletes them — unbounded crash-loop debris otherwise."""
+    import os
+
+    cat = Catalog(
+        spark, str(tmp_path / "cat"), snapshot_identity="manifest"
+    )
+    cat.write(_mk(spark, 10, 0), "t")
+    spool = str(tmp_path / "spool")
+    tail = CdfTail(cat, "t", key="k", spool_dir=spool)
+    cat.write(_mk(spark, 12, 0), "t", mode="overwrite", keep_versions=8)
+    cat.write(_mk(spark, 12, 3), "t", mode="overwrite", keep_versions=8)
+    assert tail.advance() == 1
+    n_before = tail.read_spool(spark).count()
+    del tail  # crash
+
+    # debris from two crash loops
+    stage = os.path.join(spool, ".__stage_deadbeef")
+    os.makedirs(os.path.join(stage, "sub"))
+    with open(os.path.join(stage, "part-0.parquet"), "wb") as f:
+        f.write(b"partial")
+    tmp_state = os.path.join(spool, "_state.json.__tmp_cafe")
+    with open(tmp_state, "w") as f:
+        f.write("{")
+
+    tail2 = CdfTail(cat, "t", key="k", spool_dir=spool)
+    assert not os.path.exists(stage)
+    assert not os.path.exists(tmp_state)
+    # the real spool content and watermark are untouched
+    assert tail2.advance() == 0
+    assert tail2.read_spool(spark).count() == n_before
+    tail2.close()
+
+
+def test_restart_without_stream_id_keeps_checkpoint_lineage(
+    spark, tmp_path
+):
+    """ADVICE r9 (medium): a restart from checkpoint_dir that OMITS
+    stream_id must resume the original lineage — the persisted
+    _cdf_stream_id marker — so the exactly-once marker still suppresses
+    a re-executed post-commit micro-batch. A contradictory explicit id
+    raises instead of silently forking the lineage."""
+    import os
+
+    cat = Catalog(
+        spark, str(tmp_path / "cat"), snapshot_identity="manifest"
+    )
+    cat.write(_mk(spark, 12, 0), "t")
+    cat.write(_summarize(_mk(spark, 12, 0)), "summary")
+    spool, cp = str(tmp_path / "spool"), str(tmp_path / "cp")
+
+    tail = CdfTail(cat, "t", key="k", spool_dir=spool)
+    cat.write(_mk(spark, 16, 0), "t", mode="overwrite", keep_versions=8)
+    cat.write(_mk(spark, 16, 4), "t", mode="overwrite", keep_versions=8)
+    tail.advance()
+    q = stream_cdf_into_summary(
+        tail, spark, cat, "summary",
+        keys=["g"], sums={"v_sum": "v"}, checkpoint_dir=cp,
+    )
+    q.awaitTermination()
+    lineage = cat.snapshot_props("summary")["cdf_stream_id"]
+    assert os.path.exists(os.path.join(cp, "_cdf_stream_id"))
+    marker = cat.snapshot_props("summary")["cdf_last_batch_id"]
+
+    # restart WITHOUT stream_id: same lineage resumes, and a re-executed
+    # batch at/below the marker is a no-op (summary rows unchanged even
+    # though the spool still holds the processed transition)
+    tail.advance(include_current=True)
+    q = stream_cdf_into_summary(
+        tail, spark, cat, "summary",
+        keys=["g"], sums={"v_sum": "v"}, checkpoint_dir=cp,
+    )
+    q.awaitTermination()
+    props = cat.snapshot_props("summary")
+    assert props["cdf_stream_id"] == lineage  # not a fresh random id
+    assert props["cdf_last_batch_id"] > marker
+    assert _summary_matches(cat)
+
+    with pytest.raises(ValueError, match="lineage"):
+        stream_cdf_into_summary(
+            tail, spark, cat, "summary",
+            keys=["g"], sums={"v_sum": "v"},
+            stream_id="some-other-lineage", checkpoint_dir=cp,
+        )
+    tail.close()
+
+
 def test_legacy_flat_spool_refuses_reattach(spark, tmp_path):
     """Pre-r9 spools landed FLAT v-prefixed files with no durable tail
     state. Reattaching would re-spool every transition as directories

@@ -151,6 +151,31 @@ def test_distributed_stat_path_matches_driver_path(
     assert ("sub/g-0.parquet", 1) in dict(driver).items()
 
 
+def test_distributed_stat_falls_back_to_driver_on_executor_failure(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r9: on a real cluster without the catalog root mounted at
+    the same path, the executor-side stat job fails inside Spark — the
+    listing must fall back to the driver loop (slower, never wrong)
+    instead of surfacing FileNotFoundError from a metadata read."""
+    cat = Catalog(spark, str(tmp_path), snapshot_identity="manifest")
+    d = str(tmp_path / "snap")
+    _mk_files(d, [f"f-{i:04d}.parquet" for i in range(150)])
+    driver = cat._list_with_sizes(d)
+    monkeypatch.setenv("AGOL_SPARK_DIST_LIST_THRESHOLD", "100")
+
+    class _Boom:
+        def parallelize(self, *a, **k):
+            raise RuntimeError("no shared filesystem on executors")
+
+    class _SparkShim:
+        sparkContext = _Boom()
+
+    shim = Catalog(spark, str(tmp_path), snapshot_identity="manifest")
+    shim.spark = _SparkShim()  # plain attribute: swap in the failing SC
+    assert shim._list_with_sizes(d) == driver
+
+
 def test_legacy_monolithic_manifest_upgrades_with_ids_carried(
     spark, tmp_path
 ):
