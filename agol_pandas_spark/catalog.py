@@ -73,6 +73,15 @@ _DF_CACHE_MAX = 256
 MANIFEST_NAME = "_manifest.json"
 SNAPSHOT_PROPS_NAME = "_snapshot_props.json"
 
+# Snapshot-props key stamped FALSE by row-preserving housekeeping commits
+# (compact / compact_selective / optimize_zorder): the commit rewrote the
+# physical layout but provably carried every row unchanged — Delta's
+# ``dataChange=false`` idea at snapshot granularity. Change-feed readers
+# (``CdfTail``) skip diffing such transitions outright: zero data files
+# read, zero spool bytes, for every compaction a busy table's tail would
+# otherwise pay a pruned-but-nonzero diff on.
+DATA_CHANGE_PROP = "data_change"
+
 SNAPSHOT_IDENTITY_MODES = ("auto", "manifest", "inode")
 
 
@@ -269,7 +278,13 @@ class Catalog:
         exactly-once consumers, where corruption-as-absence would
         silently re-apply a committed batch (unlike a torn manifest,
         which only costs pruning performance)."""
-        p = os.path.join(self.path(name), SNAPSHOT_PROPS_NAME)
+        return self._props_at(self.path(name))
+
+    def _props_at(self, snapshot_path: str) -> dict:
+        """:meth:`snapshot_props` addressed by snapshot directory — the
+        shared reader for current tables, archived versions, and tags
+        (same corruption-is-not-absence contract)."""
+        p = os.path.join(snapshot_path, SNAPSHOT_PROPS_NAME)
         try:
             with open(p) as f:
                 return json.load(f)
@@ -632,6 +647,23 @@ class Catalog:
                     staged, carried, reuse_from=reuse,
                     reuse_chunks=reuse_chunks,
                 )
+            # parent pointer: the commit id this snapshot DISPLACES. What
+            # lets a change-feed reader prove "the archive at version N is
+            # this snapshot's immediate predecessor" (and therefore that a
+            # data_change=False declaration covers the N -> this
+            # transition) without trusting archive numbering.
+            prev_commit = self.commit_id(name)
+            if prev_commit is not None:
+                with open(os.path.join(staged, "_parent_commit"), "w") as f:
+                    f.write(prev_commit)
+            else:
+                # a pre-OCC target (no commit id) — and a staged dir that
+                # is a LIVE table (branch publish) may carry a stale
+                # pointer from its own history; no pointer beats a wrong one
+                try:
+                    os.remove(os.path.join(staged, "_parent_commit"))
+                except OSError:
+                    pass
             with open(os.path.join(staged, "_commit_id"), "w") as f:
                 f.write(uuid.uuid4().hex)
         except Exception:
@@ -675,6 +707,20 @@ class Catalog:
         try:
             with open(marker) as f:
                 return f.read().strip()
+        except OSError:
+            return None
+
+    def parent_commit_id_at(self, snapshot_path: str) -> str | None:
+        """The commit id the snapshot at ``snapshot_path`` DISPLACED (its
+        immediate predecessor), or None for first commits / pre-pointer
+        snapshots. With :meth:`_props_at`'s ``data_change`` declaration
+        this is what proves a transition row-empty without reading data:
+        archive(prev).commit == snapshot(next).parent and next declares
+        ``data_change=False`` ⟹ next carries exactly prev's rows."""
+        marker = os.path.join(snapshot_path, "_parent_commit")
+        try:
+            with open(marker) as f:
+                return f.read().strip() or None
         except OSError:
             return None
 
@@ -923,14 +969,35 @@ class Catalog:
     def restore(self, name: str, version: int) -> str:
         """Rollback: make archived ``version`` the current table through
         the same atomic commit (the displaced current state is archived in
-        turn, so a restore is itself undoable)."""
+        turn, so a restore is itself undoable). The archived snapshot's
+        own properties come back WITH it — a restored IVM summary keeps
+        the exactly-once batch marker it carried when archived, so a
+        resumed stream's re-executed batch is still suppressed."""
         df = self.table_at(name, version)
         return self.write(
             df, name, mode="overwrite",
             keep_versions=len(self.versions(name)) + 1,
+            snapshot_props=self._props_at(self._version_path(name, version))
+            or None,
         )
 
-    def compact(self, name: str, target_file_bytes: int = 128 * 1024 * 1024) -> str:
+    def _housekeeping_props(self, name: str) -> dict:
+        """Snapshot props for a ROW-PRESERVING housekeeping commit: the
+        current snapshot's props carried forward (a compaction must not
+        wipe an exactly-once batch marker — the summary state it guards
+        is exactly what the rewrite preserves) plus
+        ``data_change: False`` so change-feed readers can skip the
+        transition without diffing it."""
+        props = dict(self.snapshot_props(name))
+        props[DATA_CHANGE_PROP] = False
+        return props
+
+    def compact(
+        self,
+        name: str,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        keep_versions: int = 0,
+    ) -> str:
         """Rewrite a table into ~``target_file_bytes`` files (small-files
         compaction).
 
@@ -938,11 +1005,14 @@ class Catalog:
         file-listing and per-file open costs dominate reads long before the
         data does. Row-identical rewrite via the same atomic two-phase
         commit as :meth:`write`; file count = ceil(bytes/target), coalesced
-        without a shuffle.
-        """
+        without a shuffle. The commit is OCC-guarded (a writer racing the
+        housekeeping must surface as ``ConcurrentWriteError``, never be
+        silently reverted to the pre-race rows this job read), carries the
+        snapshot props forward, and stamps ``data_change: False``."""
         p = self.path(name)
         if not os.path.exists(p):
             raise TableNotFoundError(f"no table {name!r} under {self.root}")
+        read_commit = self.commit_id(name)
         n_bytes = sum(
             os.path.getsize(os.path.join(dp, f))
             for dp, _, fs in os.walk(p)
@@ -951,7 +1021,11 @@ class Catalog:
         ) if os.path.isdir(p) else os.path.getsize(p)
         n_files = max(1, -(-n_bytes // target_file_bytes))
         df = self.spark.read.parquet(p).coalesce(int(n_files))
-        return self.write(df, name, mode="overwrite")
+        return self.write(
+            df, name, mode="overwrite", keep_versions=keep_versions,
+            expected_commit=read_commit,
+            snapshot_props=self._housekeeping_props(name),
+        )
 
     def compact_selective(
         self,
@@ -993,7 +1067,8 @@ class Catalog:
         n_out = max(1, -(-n_bytes // target_file_bytes))
         df = self.spark.read.parquet(*small).coalesce(int(n_out))
         out = self.write_with_carryover(
-            df, name, large, keep_versions, expected_commit=read_commit
+            df, name, large, keep_versions, expected_commit=read_commit,
+            snapshot_props=self._housekeeping_props(name),
         )
         return {"rewritten": len(small), "carried": len(large), "path": out}
 
@@ -1004,6 +1079,7 @@ class Catalog:
         bits: int = 12,
         num_files: int | None = None,
         rank_cells: bool = False,
+        keep_versions: int = 0,
     ) -> str:
         """Z-ORDER OPTIMIZE: rewrite the table clustered by the Morton
         interleave of its ``cols`` (lakehouse `OPTIMIZE ... ZORDER BY`
@@ -1036,6 +1112,7 @@ class Catalog:
         p = self.path(name)
         if not os.path.exists(p):
             raise TableNotFoundError(f"no table {name!r} under {self.root}")
+        read_commit = self.commit_id(name)
         df = self.spark.read.parquet(p)
         k = (1 << bits) - 1
         if num_files is None:
@@ -1088,7 +1165,13 @@ class Catalog:
             .sortWithinPartitions("__z")
             .drop("__z", *[f"__zc_{i}" for i in range(len(cols))])
         )
-        return self.write(clustered, name, mode="overwrite")
+        # row-preserving housekeeping like compact: props carried,
+        # data_change stamped False, OCC-guarded against racing writers
+        return self.write(
+            clustered, name, mode="overwrite",
+            keep_versions=keep_versions, expected_commit=read_commit,
+            snapshot_props=self._housekeeping_props(name),
+        )
 
     # -- file-skipping index (point-lookup data skipping) -------------------
 

@@ -272,6 +272,7 @@ def write_table(
     key: str | Sequence[str] | None = None,
     prune: bool = False,
     checks: dict[str, str] | None = None,
+    snapshot_props: dict | None = None,
 ) -> str:
     """Materialize a merge into a catalog table, create-if-absent.
 
@@ -299,6 +300,14 @@ def write_table(
     unique-key index once server-side (``src/agol_pandas.py:253-312``)
     and every later write relies on it; an explicit ``key=`` still
     wins per call.
+
+    ``snapshot_props`` commits per-snapshot properties in the SAME
+    atomic rename as the merged data (``Catalog.write`` semantics) —
+    the marker channel exactly-once consumers need. A foreachBatch sink
+    landing its summary through this merge path (rather than a plain
+    ``Catalog.write``) can therefore carry its ``(stream_id, batch_id)``
+    marker too (VERDICT r9 item 2: the IVM story was exactly-once only
+    on the plain-write path before).
     """
     m = WriteMode.parse(mode) if isinstance(mode, str) else mode
     key = _default_key(catalog, name, key, m)
@@ -311,13 +320,19 @@ def write_table(
             raise EmptyInputError("source DataFrame is empty")
         if key is not None and m in KEYED_MODES:
             validate_unique_key(source, key, "source")
-        return catalog.write(source, name, mode="error")
+        return catalog.write(
+            source, name, mode="error", snapshot_props=snapshot_props
+        )
     if prune:
-        return merge_pruned(catalog, source, name, m, key)["path"]
+        return merge_pruned(
+            catalog, source, name, m, key, snapshot_props=snapshot_props
+        )["path"]
     result = merge(catalog.table(name), source, m, key)
     # self-referential overwrite: the plan reads the files it will replace,
     # so stage to a new directory first (catalog.write is atomic).
-    return catalog.write(result, name, mode="overwrite")
+    return catalog.write(
+        result, name, mode="overwrite", snapshot_props=snapshot_props
+    )
 
 
 #: key-column Spark types whose parquet footer min/max bounds are safe to
@@ -457,6 +472,7 @@ def merge_pruned(
     mode: str | WriteMode = WriteMode.UPSERT,
     key: str | Sequence[str] | None = None,
     keep_versions: int = 0,
+    snapshot_props: dict | None = None,
 ) -> dict:
     """Key-pruned copy-on-write merge (VERDICT r5 item 2).
 
@@ -493,6 +509,13 @@ def merge_pruned(
 
     ``key=None`` for a keyed mode defaults from the table's declared
     key (``Catalog.set_declared_key``), same as :func:`write_table`.
+
+    ``snapshot_props`` ride the commit (full or carryover) in the same
+    atomic rename — the exactly-once marker channel, as on
+    :func:`write_table`. One carve-out: the UPDATE/DELETE fast path
+    that proves NO file can match returns without committing anything,
+    so props do not land there — harmless for re-execution markers
+    (re-running a provably-matchless batch is itself a no-op).
     """
     m = WriteMode.parse(mode) if isinstance(mode, str) else mode
     key = _default_key(catalog, name, key, m)
@@ -502,7 +525,8 @@ def merge_pruned(
     def _full() -> dict:
         result = merge(catalog.table(name), source, m, key)
         path = catalog.write(
-            result, name, mode="overwrite", keep_versions=keep_versions
+            result, name, mode="overwrite", keep_versions=keep_versions,
+            snapshot_props=snapshot_props,
         )
         return {
             "path": path,
@@ -569,7 +593,7 @@ def merge_pruned(
     result_dirty = merge(dirty_df, source, m, ks or None, validate_keys=False)
     path = catalog.write_with_carryover(
         result_dirty, name, clean, keep_versions=keep_versions,
-        expected_commit=read_commit,
+        expected_commit=read_commit, snapshot_props=snapshot_props,
     )
     return {
         "path": path,
@@ -787,6 +811,7 @@ def write_audit_publish(
     key: str | Sequence[str] | None = None,
     audits: dict[str, str] | None = None,
     keep_versions: int = 0,
+    snapshot_props: dict | None = None,
 ) -> str:
     """Write-Audit-Publish: the Iceberg-pattern gated commit.
 
@@ -831,6 +856,9 @@ def write_audit_publish(
     os.makedirs(catalog.root, exist_ok=True)
     staged = f"{target}.__tmp_{_uuid.uuid4().hex}"
     merged.write.mode("overwrite").parquet(staged)
+    # props stage WITH the data: audited and published in one rename —
+    # a failed audit discards the marker along with the snapshot
+    catalog._stage_snapshot_props(staged, snapshot_props)
     if audits:
         spark = source.sparkSession
         staged_df = spark.read.parquet(staged)

@@ -440,6 +440,17 @@ class CdfTail:
                     )
                 self._spooled_through = nxt
                 continue
+            if self._declared_noop(
+                self.catalog._version_path(self.name, nxt),
+                self._archived_commit_id(prev),
+            ):
+                # row-preserving housekeeping commit (compaction,
+                # z-order): provably empty transition — advance the
+                # watermark with ZERO data reads and ZERO spool bytes.
+                # Idempotent across crashes: a restart re-evaluates the
+                # same two tiny marker files and re-skips.
+                self._spooled_through = nxt
+                continue
             ch = self.catalog.table_changes(
                 self.name, prev, to_version=nxt, key=self.key
             )
@@ -486,6 +497,18 @@ class CdfTail:
                     # "" records a capture of a table WITHOUT a commit
                     # id: same bookkeeping as the non-crash path (None)
                     self._head_commit_id = rec or None
+                elif self._declared_noop(
+                    self.catalog.path(self.name),
+                    self._archived_commit_id(last),
+                ):
+                    # the CURRENT table is a declared row-preserving
+                    # rewrite of the newest archive: the catch-up delta
+                    # is provably empty — spool nothing, leave the head
+                    # bookkeeping unset (there is nothing to recognize
+                    # later; when a data commit archives this state, the
+                    # pairs loop skips the same transition by the same
+                    # declaration)
+                    pass
                 else:
                     head_commit = self.catalog.commit_id(self.name)
                     ch = self.catalog.table_changes(
@@ -504,6 +527,30 @@ class CdfTail:
                     spooled += 1
         self._save_state()
         return spooled
+
+    def _declared_noop(self, snap_path: str, prev_commit: str | None) -> bool:
+        """True when the snapshot at ``snap_path`` provably carries
+        EXACTLY the rows of the state committed as ``prev_commit``: it
+        declares ``data_change=False`` (a row-preserving housekeeping
+        rewrite — compact / compact_selective / optimize_zorder stamp
+        it) AND its parent pointer names ``prev_commit`` as the state it
+        displaced (so the declaration covers precisely this transition —
+        never a squashed multi-commit gap). Two tiny marker reads, no
+        manifest parse, no data. An unreadable props marker means
+        "declaration unknown": fall back to diffing, which is always
+        row-correct."""
+        from agol_pandas_spark.catalog import DATA_CHANGE_PROP
+        from agol_pandas_spark.errors import CorruptMarkerError
+
+        if prev_commit is None:
+            return False
+        if self.catalog.parent_commit_id_at(snap_path) != prev_commit:
+            return False
+        try:
+            props = self.catalog._props_at(snap_path)
+        except CorruptMarkerError:
+            return False
+        return props.get(DATA_CHANGE_PROP) is False
 
     @staticmethod
     def _recorded_head_commit(spool_dir: str) -> str | None:

@@ -562,6 +562,78 @@ def test_restart_without_stream_id_keeps_checkpoint_lineage(
     tail.close()
 
 
+def test_compaction_midstream_emits_zero_deltas_and_zero_reads(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r9 item 3: a row-preserving housekeeping commit
+    (compact_selective / optimize_zorder) declares data_change=False
+    with a parent pointer; the tail must skip its transition with ZERO
+    deltas spooled and ZERO data-file reads — not even a pruned diff
+    plan — while the IVM summary stays converged."""
+    import os
+
+    cat = Catalog(
+        spark, str(tmp_path / "cat"), snapshot_identity="manifest"
+    )
+    # many small files so selective compaction genuinely rewrites some
+    cat.write(_mk(spark, 40, 0).repartition(8), "t")
+    cat.write(_summarize(_mk(spark, 40, 0)), "summary")
+    spool = str(tmp_path / "spool")
+    tail = CdfTail(cat, "t", key="k", spool_dir=spool)
+
+    cat.write(
+        _mk(spark, 48, 0).repartition(8), "t",
+        mode="overwrite", keep_versions=9,
+    )
+    cat.write(
+        _mk(spark, 48, 5).repartition(8), "t",
+        mode="overwrite", keep_versions=9,
+    )
+    # drain fully: v1->v2 plus a head capture of the current state, so
+    # every pre-housekeeping data delta is already spooled
+    assert tail.advance(include_current=True) == 2
+
+    # mid-stream housekeeping: selective compaction (rewrites the small
+    # files, carries none/all by size) and a z-order rewrite
+    stats = cat.compact_selective(
+        "t", min_file_bytes=1 << 30, keep_versions=9
+    )
+    assert stats["rewritten"] > 0
+    zpath = cat.optimize_zorder("t", ["k"], num_files=2, keep_versions=9)
+    assert zpath
+    # both commits archived their predecessors
+    assert cat.versions("t") == [1, 2, 3, 4]
+    assert cat.snapshot_props("t")["data_change"] is False
+
+    def _boom(*a, **k):
+        raise AssertionError(
+            "table_changes was invoked for a declared no-op transition"
+        )
+
+    spooled_before = sorted(os.listdir(spool))
+    monkeypatch.setattr(cat, "table_changes", _boom)
+    # v2->v3 (compaction) and v3->v4 (z-order) + head (z-order output is
+    # the current table): all declared no-ops — zero spools, zero diffs
+    assert tail.advance(include_current=True) == 0
+    assert sorted(os.listdir(spool)) == spooled_before
+    monkeypatch.undo()
+
+    # the feed still works for the NEXT real commit, diffed against the
+    # compacted+reordered state
+    cat.write(
+        _mk(spark, 52, 7).repartition(4), "t",
+        mode="overwrite", keep_versions=9,
+    )
+    assert tail.advance(include_current=True) == 1
+    q = stream_cdf_into_summary(
+        tail, spark, cat, "summary",
+        keys=["g"], sums={"v_sum": "v"},
+    )
+    q.awaitTermination()
+    assert _summary_matches(cat)
+    tail.close()
+
+
 def test_legacy_flat_spool_refuses_reattach(spark, tmp_path):
     """Pre-r9 spools landed FLAT v-prefixed files with no durable tail
     state. Reattaching would re-spool every transition as directories
