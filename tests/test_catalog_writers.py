@@ -296,6 +296,37 @@ def test_skipping_index_prunes_files_exactly(spark, tmp_path):
     assert out2.count() == 0 and stats2["files_read"] == 0
 
 
+def test_skipping_index_spark_path_matches_driver_path(
+    spark, tmp_path, monkeypatch
+):
+    """Above AGOL_SPARK_INDEX_SPARK_THRESHOLD the sidecar decodes and
+    filters on executors (VERDICT r9 watch item: the pyarrow path holds
+    the whole index in driver memory — O(files x cap) rows at 10^6+
+    files); results and stats must be identical either way."""
+    from pyspark.sql import functions as F
+
+    cat = Catalog(spark, str(tmp_path))
+    df = spark.range(400).select(
+        F.col("id").alias("k"),
+        F.format_string("name_%06d", F.col("id")).alias("nm"),
+    )
+    cat.write(
+        df.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        "t", mode="error",
+    )
+    cat.build_skipping_index("t", "nm")
+    probe = ["name_000007", "name_000205", "no_such_name"]
+    out_d, stats_d = cat.scan_skipping("t", "nm", probe)
+    rows_d = sorted(map(tuple, out_d.collect()))
+    monkeypatch.setenv("AGOL_SPARK_INDEX_SPARK_THRESHOLD", "1")
+    out_s, stats_s = cat.scan_skipping("t", "nm", probe)
+    assert sorted(map(tuple, out_s.collect())) == rows_d
+    assert stats_s == stats_d
+    # miss-everything probe through the Spark path reads nothing
+    out2, stats2 = cat.scan_skipping("t", "nm", ["zzz"])
+    assert out2.count() == 0 and stats2["files_read"] == 0
+
+
 def test_skipping_index_cap_marks_unskippable(spark, tmp_path):
     from pyspark.sql import functions as F
 
