@@ -403,6 +403,68 @@ class HttpPagedClient(PagedClient):
             applied,
         )
 
+    def aggregate(
+        self,
+        group_by: Sequence[str],
+        stats: Sequence[tuple],
+    ):
+        """Server-side grouped statistics via the public
+        ``outStatistics`` / ``groupByFieldsForStatistics`` query
+        parameters — evaluated against this client's ``where`` view, so
+        a pushed-down filter composes with the aggregation on the
+        service. Declines (returns None → Spark-side fallback) when a
+        stat type has no outStatistics rendering, and when the SERVICE
+        rejects the request (layers advertise ``supportsStatistics:
+        false``; the live error code is the capability signal) — a
+        declined aggregate costs transfer, never correctness. Auth
+        rejections still raise :class:`AuthError` (they would fail the
+        fallback identically)."""
+        import json as _json
+
+        supported = {"count", "sum", "min", "max", "avg"}
+        if not stats or any(t not in supported for t, _, _ in stats):
+            return None
+        out_stats = [
+            {
+                "statisticType": t,
+                # ArcGIS requires onStatisticField even for count; any
+                # known field is legal there (count counts rows)
+                "onStatisticField": c,
+                "outStatisticFieldName": alias,
+            }
+            for t, c, alias in stats
+        ]
+        params: dict = {"outStatistics": _json.dumps(out_stats)}
+        if group_by:
+            params["groupByFieldsForStatistics"] = ",".join(group_by)
+        try:
+            payload = self._get(**params)
+        except AuthError:
+            raise
+        except RuntimeError:
+            return None  # service can't do statistics: decline, not fail
+        by_name = {f["name"]: f for f in payload.get("fields", [])}
+        names = list(group_by) + [alias for _, _, alias in stats]
+        missing = [n for n in names if n not in by_name]
+        if missing:
+            raise RuntimeError(
+                f"outStatistics response lacks field(s) {missing}; "
+                f"it carries {sorted(by_name)}"
+            )
+        schema = T.StructType(
+            [
+                T.StructField(
+                    n, _ESRI_TYPES.get(by_name[n]["type"], T.StringType())
+                )
+                for n in names
+            ]
+        )
+        rows = [
+            tuple(feat["attributes"].get(n) for n in names)
+            for feat in payload.get("features", [])
+        ]
+        return schema, rows
+
     def project(self, columns: Sequence[str]):
         # the shape columns are not service fields: they ride the
         # feature geometry, always trailing the attributes in this

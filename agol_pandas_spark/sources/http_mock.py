@@ -144,6 +144,96 @@ def _compile_where(where: str):
     return lambda row: all(p(row) for p in preds)
 
 
+def _run_statistics(q: dict, data: list[dict]) -> dict:
+    """Evaluate an ``outStatistics`` request (the public ArcGIS grouped-
+    statistics contract) over the where-filtered rows: ``outStatistics``
+    is a JSON list of {statisticType, onStatisticField,
+    outStatisticFieldName}; ``groupByFieldsForStatistics`` is a comma-
+    separated group key (absent = one global group). Returns the
+    response body: one feature per group, fields typed Integer for
+    count and all-integer sum/min/max, Double otherwise. Unknown
+    statistic types answer error 400 like a live service — the client
+    must DECLINE those client-side, never silently mis-aggregate."""
+    import json as _json
+
+    specs = _json.loads(q["outStatistics"])
+    group_cols = [
+        g for g in q.get("groupByFieldsForStatistics", "").split(",") if g
+    ]
+    supported = {"count", "sum", "min", "max", "avg"}
+    for s in specs:
+        if s.get("statisticType") not in supported:
+            return {
+                "error": {
+                    "code": 400,
+                    "message": "Unable to complete operation",
+                    "details": [
+                        f"unsupported statisticType "
+                        f"{s.get('statisticType')!r}"
+                    ],
+                }
+            }
+    groups: dict[tuple, list[dict]] = {}
+    for r in data:
+        groups.setdefault(tuple(r.get(g) for g in group_cols), []).append(r)
+
+    def _gtype(g: str) -> str:
+        for r in data:
+            v = r.get(g)
+            if isinstance(v, bool) or v is None:
+                continue
+            if isinstance(v, int):
+                return "esriFieldTypeInteger"
+            if isinstance(v, float):
+                return "esriFieldTypeDouble"
+            break
+        return "esriFieldTypeString"
+
+    feats, out_fields = [], [
+        {"name": g, "type": _gtype(g)} for g in group_cols
+    ]
+    field_types: dict[str, str] = {}
+    for key, members in sorted(
+        groups.items(), key=lambda kv: tuple(str(x) for x in kv[0])
+    ):
+        attrs = dict(zip(group_cols, key))
+        for s in specs:
+            typ, col = s["statisticType"], s.get("onStatisticField")
+            alias = s["outStatisticFieldName"]
+            vals = [
+                r.get(col) for r in members if r.get(col) is not None
+            ]
+            if typ == "count":
+                v = len(members)
+            elif not vals:
+                v = None  # SQL aggregate over all-NULL group
+            elif typ == "sum":
+                v = sum(vals)
+            elif typ == "min":
+                v = min(vals)
+            elif typ == "max":
+                v = max(vals)
+            else:  # avg
+                v = sum(vals) / len(vals)
+            attrs[alias] = v
+            is_int = typ == "count" or (
+                typ in ("sum", "min", "max")
+                and isinstance(v, int)
+                and field_types.get(alias) != "esriFieldTypeDouble"
+            )
+            field_types[alias] = (
+                "esriFieldTypeInteger" if is_int else "esriFieldTypeDouble"
+            )
+        feats.append({"attributes": attrs})
+    out_fields += [
+        {"name": s["outStatisticFieldName"],
+         "type": field_types.get(
+             s["outStatisticFieldName"], "esriFieldTypeDouble")}
+        for s in specs
+    ]
+    return {"fields": out_fields, "features": feats}
+
+
 def serve_layer(rows, fields, max_record_count=None, poison=None, auth=None):
     """Minimal in-process ArcGIS-style layer: /query GET (where —
     the compile_where conjunction subset via a real parser,
@@ -228,6 +318,12 @@ def serve_layer(rows, fields, max_record_count=None, poison=None, auth=None):
             where = q.get("where", "1=1")
             pred = _compile_where(where)  # parse once per request
             data = [r for r in rows if pred(r)]
+            if "outStatistics" in q:
+                # server-side statistics (the public outStatistics
+                # contract): grouped count/sum/min/max/avg over the
+                # where-filtered rows — one response, zero data pages
+                self._send(_run_statistics(q, data))
+                return
             out = q.get("outFields", "*")
             known = [f["name"] for f in fields]
             names = (

@@ -1338,3 +1338,97 @@ def pipeline_paged_cdc_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         srv.shutdown()
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "pipeline_join_view_ivm",
+    tags=("pipeline", "cdf", "ivm", "join", "views"),
+    oracle="""
+    WITH fact1 AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_scaled
+      FROM orders WHERE o_orderkey % 15 = 0
+    ),
+    fact2 AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 45 = 15 THEN price_scaled + 500
+                  ELSE price_scaled END AS price_scaled
+      FROM fact1 WHERE o_orderkey % 45 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, 'NEW', price_scaled + 77
+      FROM fact1 WHERE o_orderkey % 45 = 30
+    )
+    SELECT f.o_orderkey, f.o_custkey, f.o_orderstatus, f.price_scaled,
+           c.c_mktsegment
+    FROM fact2 f JOIN customer c ON f.o_custkey = c.c_custkey
+    """,
+)
+def pipeline_join_view_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain a materialized FACT ⋈ DIM join view from the fact
+    table's change feed (VERDICT r9 item 4) — the retraction-capable
+    sibling of the summary IVM: the fact commit UPSERTS and DELETES
+    rows, ``table_changes`` recovers the signed feed (O(changed files)
+    through the manifest pruning), and ``apply_cdf_to_join_view`` folds
+    it into the stored view with one broadcast anti-join on the touched
+    keys plus one delta-sized dimension join — no fact-history rejoin,
+    no view rescan. The oracle recomputes the post-commit join from
+    scratch; the maintained view must equal it row-for-row (the driver
+    value-hashes the full view). ``refresh_join_view`` covers only
+    append-only deltas; deletes/updates are exactly what it could not
+    express. Delta Lake CDF + MERGE-maintained gold tables are the
+    public analogue; the reference re-uploads full result sets
+    (src/agol_pandas.py:396)."""
+    import shutil
+
+    from agol_pandas_spark.operators.views import apply_cdf_to_join_view
+
+    k = F.col("o_orderkey")
+    fact1 = Catalog(spark, sf_dir).table("orders").where(k % 15 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long")
+        .alias("price_scaled"),
+    )
+    dim = Catalog(spark, sf_dir).table("customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    # v2: delete the %45==0 class, bump the %45==15 class, insert fresh
+    # high keys derived from the %45==30 class — all three CDF shapes
+    fact2 = fact1.where(k % 45 != 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.when(k % 45 == 15, F.col("price_scaled") + 500)
+        .otherwise(F.col("price_scaled")).alias("price_scaled"),
+    ).unionByName(
+        fact1.where(k % 45 == 30).select(
+            (k + 10_000_000).alias("o_orderkey"),
+            "o_custkey",
+            F.lit("NEW").alias("o_orderstatus"),
+            (F.col("price_scaled") + 77).alias("price_scaled"),
+        )
+    )
+
+    root = tempfile.mkdtemp(prefix="join_ivm_")
+    try:
+        cat = Catalog(spark, root, snapshot_identity="manifest")
+        cat.write(fact1, "f")
+        cat.write(
+            fact1.join(dim, fact1["o_custkey"] == dim["c_custkey"], "inner")
+            .select(
+                "o_orderkey", "o_custkey", "o_orderstatus",
+                "price_scaled", "c_mktsegment",
+            ),
+            "v",
+        )
+        cat.write(fact2, "f", mode="overwrite", keep_versions=2)
+        feed = cat.table_changes("f", from_version=1, key="o_orderkey")
+        maintained = apply_cdf_to_join_view(
+            cat.table("v"), feed, dim,
+            on=F.col("o_custkey") == F.col("c_custkey"),
+            fact_key="o_orderkey",
+        )
+        cat.write(maintained, "v", mode="overwrite")
+        out = cat.table("v").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

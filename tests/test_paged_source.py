@@ -1257,3 +1257,131 @@ def test_http_auth_survives_streaming_restarts(spark, tmp_path):
         assert len(mints) >= 2  # token death forced refreshes mid-drain
     finally:
         srv.shutdown()
+
+
+def test_http_stats_pushdown_zero_data_pages(spark):
+    """VERDICT r9 item 7: a grouped count/sum/min/max through
+    read_paged_aggregate must be answered by ONE outStatistics request —
+    zero data pages on the wire — composed with the client's where, and
+    must equal the Spark-side fallback exactly (integer measures)."""
+    from agol_pandas_spark.sources.http_client import HttpPagedClient
+    from agol_pandas_spark.sources.paged import read_paged_aggregate
+
+    rows = [
+        {"id": i, "grp": f"g{i % 3}", "v": i * 10} for i in range(1, 31)
+    ]
+    fields = [
+        {"name": "id", "type": "esriFieldTypeOID"},
+        {"name": "grp", "type": "esriFieldTypeString"},
+        {"name": "v", "type": "esriFieldTypeInteger"},
+    ]
+    stats = [
+        ("count", "id", "n"),
+        ("sum", "v", "v_sum"),
+        ("min", "v", "v_min"),
+        ("max", "v", "v_max"),
+    ]
+    srv, seen = _fake_arcgis_server(rows, fields)
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        client = HttpPagedClient(url, where="id > 5")
+        out = read_paged_aggregate(spark, client, ["grp"], stats)
+        got = sorted(map(tuple, out.collect()))
+        data_pages = [q for q in seen if "outStatistics" not in q]
+        assert not data_pages, data_pages
+        assert len(seen) == 1
+
+        # Spark-side fallback (client declines) gives the same rows —
+        # a decline costs transfer, never correctness
+        class _Declining(HttpPagedClient):
+            def aggregate(self, group_by, stats):
+                return None
+
+        fb = read_paged_aggregate(
+            spark, _Declining(url, where="id > 5"), ["grp"], stats,
+            page_size=7,
+        )
+        assert sorted(map(tuple, fb.collect())) == got
+        assert [f.name for f in fb.schema.fields] == [
+            f.name for f in out.schema.fields
+        ]
+        assert any("resultOffset" in q for q in seen)  # fallback paged
+    finally:
+        srv.shutdown()
+
+
+def test_http_stats_unsupported_stat_declines_client_side(spark):
+    """A stat type outside the outStatistics vocabulary must DECLINE
+    (Spark-side fallback), not reach the wire — a service 400 for a
+    whole batch of stats would be indistinguishable from a bad where."""
+    from agol_pandas_spark.sources.http_client import HttpPagedClient
+    from agol_pandas_spark.sources.paged import read_paged_aggregate
+
+    rows = [{"id": i, "grp": f"g{i % 2}", "v": i} for i in range(1, 21)]
+    fields = [
+        {"name": "id", "type": "esriFieldTypeOID"},
+        {"name": "grp", "type": "esriFieldTypeString"},
+        {"name": "v", "type": "esriFieldTypeInteger"},
+    ]
+    srv, seen = _fake_arcgis_server(rows, fields)
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        client = HttpPagedClient(url)
+        assert client.aggregate(["grp"], [("stddev", "v", "s")]) is None
+        out = read_paged_aggregate(
+            spark, client, ["grp"],
+            [("count", "id", "n"), ("avg", "v", "v_avg")],
+        )
+        got = {tuple(r) for r in out.collect()}
+        # exact: averages of consecutive ints over .0/.5 fractions
+        assert got == {("g0", 10, 11.0), ("g1", 10, 10.0)}
+        # and a stddev batch falls back to paging without erroring
+        import pyspark.sql.functions as F  # noqa: N812
+
+        fb = read_paged_aggregate(
+            spark, client, ["grp"], [("count", "id", "n")], page_size=9
+        )
+        assert {tuple(r) for r in fb.collect()} == {("g0", 10), ("g1", 10)}
+    finally:
+        srv.shutdown()
+
+
+def test_http_stats_pushdown_respects_auth_lifecycle(spark):
+    """outStatistics goes through the same authed transport: token
+    required, minted via generateToken, and an auth failure raises
+    AuthError (never silently declines to the fallback — the fallback
+    would fail identically)."""
+    import pytest as _pytest
+
+    from agol_pandas_spark.sources.http_client import (
+        AuthError,
+        HttpPagedClient,
+        TokenProvider,
+    )
+    from agol_pandas_spark.sources.paged import read_paged_aggregate
+
+    rows = [{"id": i, "grp": "g", "v": i} for i in range(1, 11)]
+    fields = [
+        {"name": "id", "type": "esriFieldTypeOID"},
+        {"name": "grp", "type": "esriFieldTypeString"},
+        {"name": "v", "type": "esriFieldTypeInteger"},
+    ]
+    srv, seen = _fake_arcgis_server(
+        rows, fields, auth={"username": "svc", "password": "pw",
+                            "ttl_requests": 5},
+    )
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        ok = HttpPagedClient(url, token=TokenProvider(
+            f"{url}/generateToken", "svc", "pw"))
+        out = read_paged_aggregate(
+            spark, ok, ["grp"], [("sum", "v", "v_sum")]
+        )
+        assert [tuple(r) for r in out.collect()] == [("g", 55)]
+        bad = HttpPagedClient(url, token=TokenProvider(
+            f"{url}/generateToken", "svc", "WRONG"))
+        with _pytest.raises(AuthError):
+            read_paged_aggregate(spark, bad, ["grp"],
+                                 [("sum", "v", "v_sum")])
+    finally:
+        srv.shutdown()

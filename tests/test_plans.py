@@ -567,6 +567,48 @@ def test_ivfpq_index_probe_reads_no_corpus_vectors(q, spark, sf_dir, tmp_path):
     assert "CartesianProduct" not in plan
 
 
+def test_budgeted_hard_negatives_score_codes_not_vectors(
+    q, spark, sf_dir, tmp_path
+):
+    """The budgeted hard-negative path (VERDICT r9 item 6) must generate
+    candidates from the persisted index's CODES with the other-label
+    filter on the coded scan: the scan of the encoded table reads
+    exactly (vec_id, cell, codes, label) — an 'embedding' column there
+    means candidate generation regressed into vector math; corpus
+    vectors may appear only in the pool-pruned exact rerank."""
+    from pyspark.sql import functions as F
+
+    from agol_pandas_spark.catalog import Catalog
+    from agol_pandas_spark.operators.similarity import (
+        hard_negative_topk_indexed,
+        pq_codebook_from_seeds,
+        write_ivfpq_index,
+    )
+
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    pivots = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("pivot_id"), "embedding"
+    )
+    cat = Catalog(spark, str(tmp_path / "hnidx"))
+    write_ivfpq_index(
+        cat, "idx", emb, pivots, pq_codebook_from_seeds(emb, "vec_id"),
+        corpus_id="vec_id", pivot_id="pivot_id", payload_cols=("label",),
+    )
+    probes = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    out = hard_negative_topk_indexed(
+        cat, "idx", probes, query_id="query_id", rerank_with=emb
+    )
+    scans = read_schema_columns(out)
+    coded_scans = [s for s in scans if "codes" in s]
+    assert coded_scans, scans
+    for s in coded_scans:
+        assert set(s) == {"vec_id", "cell", "codes", "label"}, s
+    plan = formatted_plan(out)
+    assert "CartesianProduct" not in plan
+
+
 def test_esri_feature_serialization_is_map_only(q, spark, sf_dir):
     # the feature-build stage (SpatialFrame.to_esri_features) must be a
     # pure projection — zero exchanges; serializing a 100 TB corpus to
