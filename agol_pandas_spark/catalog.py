@@ -1110,13 +1110,23 @@ class Catalog:
         turn, so a restore is itself undoable). The archived snapshot's
         own properties come back WITH it — a restored IVM summary keeps
         the exactly-once batch marker it carried when archived, so a
-        resumed stream's re-executed batch is still suppressed."""
+        resumed stream's re-executed batch is still suppressed. The
+        ``data_change`` declaration does NOT come back: it described the
+        archived commit's relation to ITS predecessor, while a restore
+        changes rows relative to the state it displaces — carrying it
+        would let a change-feed tail silently skip the restore."""
         df = self.table_at(name, version)
+        props = {
+            k: v
+            for k, v in self._props_at(
+                self._version_path(name, version)
+            ).items()
+            if k != DATA_CHANGE_PROP
+        }
         return self.write(
             df, name, mode="overwrite",
             keep_versions=len(self.versions(name)) + 1,
-            snapshot_props=self._props_at(self._version_path(name, version))
-            or None,
+            snapshot_props=props or None,
         )
 
     def _housekeeping_props(self, name: str) -> dict:

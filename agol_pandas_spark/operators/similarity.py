@@ -1934,9 +1934,11 @@ def hard_negative_topk_indexed(
         F.col(vec).alias("__qvec"),
         _norm_exact(F.col(vec)).alias("__qnorm"),
     )
-    # exact rerank of the pool only: |Q|·pool_k rows join the vectors
+    # exact rerank of the pool only: the |Q|·pool_k candidate set is
+    # broadcast, so the corpus-vector side streams map-side (one scan,
+    # no shuffle) and only pool rows ever score
     scored = (
-        cand.join(cvecs, "__cid")
+        F.broadcast(cand).join(cvecs, "__cid")
         .join(F.broadcast(qvecs), query_id)
         .select(
             F.col(query_id),

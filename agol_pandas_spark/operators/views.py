@@ -197,7 +197,10 @@ def apply_cdf_to_join_view(
     )
     kept = view.join(F.broadcast(touched), on=keys, how="left_anti")
     added = post.join(dim, on, how)
-    return kept.unionByName(added.select(*view.columns))
+    # backticked: a view column named 'a.b' must stay one column
+    return kept.unionByName(
+        added.select(*[F.col(bq(c)) for c in view.columns])
+    )
 
 
 def apply_cdf_to_summary(

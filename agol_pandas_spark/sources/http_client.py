@@ -459,8 +459,19 @@ class HttpPagedClient(PagedClient):
                 for n in names
             ]
         )
+
+        def _coerce(v, dt):
+            # JSON numbers arrive as int when whole (a Double field
+            # holding 5, not 5.0) — createDataFrame is type-strict
+            if v is not None and isinstance(dt, (T.DoubleType, T.FloatType)):
+                return float(v)
+            return v
+
         rows = [
-            tuple(feat["attributes"].get(n) for n in names)
+            tuple(
+                _coerce(feat["attributes"].get(n), f.dataType)
+                for n, f in zip(names, schema.fields)
+            )
             for feat in payload.get("features", [])
         ]
         return schema, rows

@@ -536,8 +536,10 @@ def read_paged_aggregate(
             list(group_by) + [c for t, c, _ in stats if t != "count"]
         )
     )
+    # a count-only global aggregate needs no columns at all: pass None
+    # (full width) rather than asking the backend for an empty outFields
     df = read_paged(spark, client, page_size=page_size, policy=policy,
-                    columns=cols)
+                    columns=cols or None)
     fns = {"sum": F.sum, "min": F.min, "max": F.max, "avg": F.avg}
     aggs = []
     for typ, c, alias in stats:

@@ -237,3 +237,31 @@ def test_restore_brings_archived_props_back(spark, tmp_path):
     # the restored snapshot carries the props it was archived with
     assert cat.snapshot_props("t") == {"batch": 7}
     assert cat.table("t").count() == 10
+
+
+def test_restore_of_housekeeping_snapshot_never_declares_noop(
+    spark, tmp_path
+):
+    """Review r10: an archived HOUSEKEEPING snapshot carries
+    data_change=False — describing its relation to ITS predecessor. A
+    restore of it changes rows relative to the state it displaces, so
+    the declaration must NOT come back: a change-feed tail trusting it
+    would silently skip the restore and diverge forever."""
+    from agol_pandas_spark.streaming.cdf_source import CdfTail
+
+    cat = Catalog(spark, str(tmp_path / "cat"), snapshot_identity="manifest")
+    cat.write(_mk(spark, 20), "t")
+    cat.compact_selective("t", min_file_bytes=1 << 30, keep_versions=9)
+    assert cat.snapshot_props("t")["data_change"] is False
+    # a data commit, then restore back to the compacted state
+    cat.write(_mk(spark, 30, 5), "t", mode="overwrite", keep_versions=9)
+    compacted_version = cat.versions("t")[-1]
+    tail = CdfTail(cat, "t", key="k", spool_dir=str(tmp_path / "spool"))
+    assert tail.advance(include_current=True) >= 1  # drain to HEAD(30 rows)
+    n_before = tail.read_spool(spark).count()
+
+    cat.restore("t", compacted_version)  # back to 20 rows: a DATA change
+    assert "data_change" not in cat.snapshot_props("t")
+    assert tail.advance(include_current=True) >= 1  # restore delta spooled
+    assert tail.read_spool(spark).count() > n_before
+    tail.close()
