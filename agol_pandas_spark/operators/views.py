@@ -197,10 +197,124 @@ def apply_cdf_to_join_view(
     )
     kept = view.join(F.broadcast(touched), on=keys, how="left_anti")
     added = post.join(dim, on, how)
-    # backticked: a view column named 'a.b' must stay one column
-    return kept.unionByName(
-        added.select(*[F.col(bq(c)) for c in view.columns])
-    )
+    # re-select BOTH sides to the view's column order (a name-list join
+    # moves its keys to the front) — backticked, so a column named 'a.b'
+    # stays one column
+    cols = [F.col(bq(c)) for c in view.columns]
+    return kept.select(*cols).unionByName(added.select(*cols))
+
+
+def apply_cdf_to_join_view_bilateral(
+    view: DataFrame,
+    fact_changes: DataFrame | None,
+    dim_changes: DataFrame | None,
+    fact: DataFrame,
+    dim: DataFrame,
+    join_key,
+    fact_key,
+    how: str = "inner",
+) -> DataFrame:
+    """Maintain a fact ⋈ dim view when BOTH sides change — the bilateral
+    completion of :func:`apply_cdf_to_join_view` (which holds the
+    dimension static). The classical delta algebra
+    ``ΔV = ΔF⋈D ∪ F⋈ΔD ∪ ΔF⋈ΔD`` needs signed multiset arithmetic; for
+    a KEYED view (every row owned by exactly one fact row) it collapses
+    to key attribution:
+
+    - TF = fact keys touched by the fact feed (latest event per key);
+    - TD = dim join keys touched by the dim feed;
+    - drop from V every row owned by TF **or** joining through TD;
+    - re-derive exactly the affected fact rows against the NEW dim:
+      the fact feed's post-images, plus the CURRENT fact rows that join
+      through TD (a TD-semi-joined scan of ``fact`` — the same targeted
+      ``rescan`` shape as ``apply_cdf_to_summary``'s min/max recompute:
+      cost proportional to the affected rows, never the fact history).
+
+    ``fact``/``dim`` are the POST-commit snapshots (lazy scans — only
+    the TD-semi-joined slice of ``fact`` is ever read; ``dim`` joins
+    |affected|-sized deltas). Passing ``None`` for either feed degrades
+    to the unilateral algebra. Same inner/left contract, same
+    idempotence under replay (re-dropping and re-deriving identical
+    rows is a fixpoint), same latest-event resolution for
+    multi-transition batches.
+
+    Dim-key updates are handled by TD containing BOTH images' keys: a
+    dim row re-keyed from d1 to d2 retracts the d1-joined view rows and
+    re-derives the d2-joined fact rows. A dim delete under ``inner``
+    drops its fact rows from the view; under ``left`` they re-enter
+    NULL-padded.
+
+    Scale posture: TF/TD are batch-sized broadcasts; the view streams
+    through one map-side anti-filter; ``fact`` contributes one
+    semi-joined scan (partition-prunable when fact is clustered by the
+    join key); nothing rescans history. Delta Lake has no bilateral
+    CDF-join maintenance — dashboards there re-derive; DBSP/differential
+    dataflow are the public analogues of the delta algebra."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from agol_pandas_spark.functions.names import backticked as bq
+
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"CDF join-view maintenance needs inner/left, got {how!r}"
+        )
+    fkeys = [fact_key] if isinstance(fact_key, str) else list(fact_key)
+    jkeys = [join_key] if isinstance(join_key, str) else list(join_key)
+
+    def _latest(changes: DataFrame, keys: list[str]) -> DataFrame:
+        ev = changes.where(F.col("_change_type") != "update_preimage")
+        order = (
+            [F.col("_commit_version").desc()]
+            if "_commit_version" in changes.columns
+            else [F.lit(1)]
+        )
+        w = Window.partitionBy(*[F.col(bq(k)) for k in keys]).orderBy(*order)
+        return ev.withColumn("__rn", F.row_number().over(w)).where(
+            F.col("__rn") == 1
+        )
+
+    meta = ("_change_type", "_commit_version", "__rn")
+
+    # --- fact side: touched keys + post-images --------------------------
+    if fact_changes is not None:
+        f_latest = _latest(fact_changes, fkeys)
+        tf = f_latest.select(*[F.col(bq(k)) for k in fkeys]).distinct()
+        f_post = f_latest.where(F.col("_change_type") != "delete").drop(
+            *[c for c in meta if c in f_latest.columns]
+        )
+    else:
+        tf = None
+        f_post = fact.limit(0)
+
+    # --- dim side: touched join keys (BOTH update images — a re-keyed
+    # dim row must retract its old-key rows AND attract its new-key's) --
+    if dim_changes is not None:
+        td = dim_changes.select(*[F.col(bq(k)) for k in jkeys]).distinct()
+    else:
+        td = None
+
+    # --- drop affected view rows (broadcast anti-joins, map-side) ------
+    kept = view
+    if tf is not None:
+        kept = kept.join(F.broadcast(tf), on=fkeys, how="left_anti")
+    if td is not None:
+        kept = kept.join(F.broadcast(td), on=jkeys, how="left_anti")
+
+    # --- re-derive affected fact rows against the NEW dim --------------
+    affected = f_post
+    if td is not None:
+        # current fact rows joining through a touched dim key, excluding
+        # those already re-derived via the fact feed (no double rows)
+        via_dim = fact.join(F.broadcast(td), on=jkeys, how="left_semi")
+        if tf is not None:
+            via_dim = via_dim.join(F.broadcast(tf), on=fkeys, how="left_anti")
+        affected = affected.unionByName(via_dim.select(*f_post.columns))
+    added = affected.join(dim, on=jkeys, how=how)
+    # re-select BOTH sides to the view's column order: a name-list join
+    # moves its keys to the front, so `kept` comes out reordered
+    cols = [F.col(bq(c)) for c in view.columns]
+    return kept.select(*cols).unionByName(added.select(*cols))
 
 
 def apply_cdf_to_summary(

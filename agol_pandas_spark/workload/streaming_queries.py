@@ -1432,3 +1432,113 @@ def pipeline_join_view_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "pipeline_join_view_bilateral_ivm",
+    tags=("pipeline", "cdf", "ivm", "join", "views"),
+    oracle="""
+    WITH fact1 AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_scaled
+      FROM orders WHERE o_orderkey % 15 = 0
+    ),
+    fact2 AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 45 = 15 THEN price_scaled + 500
+                  ELSE price_scaled END AS price_scaled
+      FROM fact1 WHERE o_orderkey % 45 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, 'NEW', price_scaled + 77
+      FROM fact1 WHERE o_orderkey % 45 = 30
+    ),
+    dim2 AS (
+      SELECT c_custkey AS o_custkey,
+             CASE WHEN c_custkey % 10 = 1 THEN 'MOVED'
+                  ELSE c_mktsegment END AS c_mktsegment
+      FROM customer WHERE c_custkey % 10 <> 2
+    )
+    SELECT f.o_orderkey, f.o_custkey, f.o_orderstatus, f.price_scaled,
+           d.c_mktsegment
+    FROM fact2 f JOIN dim2 d ON f.o_custkey = d.o_custkey
+    """,
+)
+def pipeline_join_view_bilateral_ivm(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BILATERAL join-view IVM — fact AND dimension change feeds folded
+    into one materialized fact ⋈ dim view
+    (``views.apply_cdf_to_join_view_bilateral``): the fact commit
+    upserts/deletes/inserts orders while the dim commit re-segments
+    customers ('MOVED'), deletes a key class, and INSERTS a class the
+    view had never matched (its fact rows must now appear). The keyed
+    delta algebra attributes every affected view row to touched fact
+    keys or touched dim join keys, re-deriving exactly those rows: the
+    fact snapshot contributes one TD-semi-joined slice (the targeted
+    ``rescan`` shape), never a history rejoin. Oracle recomputes the
+    post-commit join from scratch; the driver value-hashes the full
+    maintained view. DBSP/differential dataflow are the public analogues
+    — Delta dashboards re-derive instead."""
+    import shutil
+
+    from agol_pandas_spark.operators.views import (
+        apply_cdf_to_join_view_bilateral,
+    )
+
+    k = F.col("o_orderkey")
+    fact1 = Catalog(spark, sf_dir).table("orders").where(k % 15 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long")
+        .alias("price_scaled"),
+    )
+    fact2 = fact1.where(k % 45 != 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.when(k % 45 == 15, F.col("price_scaled") + 500)
+        .otherwise(F.col("price_scaled")).alias("price_scaled"),
+    ).unionByName(
+        fact1.where(k % 45 == 30).select(
+            (k + 10_000_000).alias("o_orderkey"),
+            "o_custkey",
+            F.lit("NEW").alias("o_orderstatus"),
+            (F.col("price_scaled") + 77).alias("price_scaled"),
+        )
+    )
+    cust = Catalog(spark, sf_dir).table("customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    ck = F.col("o_custkey")
+    dim1 = cust.where(ck % 10 != 3)  # one key class starts UNMATCHED
+    dim2 = cust.where(ck % 10 != 2).select(
+        "o_custkey",
+        F.when(ck % 10 == 1, F.lit("MOVED"))
+        .otherwise(F.col("c_mktsegment")).alias("c_mktsegment"),
+    )
+
+    root = tempfile.mkdtemp(prefix="join_ivm2_")
+    try:
+        cat = Catalog(spark, root, snapshot_identity="manifest")
+        cat.write(fact1, "f")
+        cat.write(dim1, "d")
+        cat.write(
+            fact1.join(dim1, "o_custkey", "inner").select(
+                "o_orderkey", "o_custkey", "o_orderstatus",
+                "price_scaled", "c_mktsegment",
+            ),
+            "v",
+        )
+        cat.write(fact2, "f", mode="overwrite", keep_versions=2)
+        cat.write(dim2, "d", mode="overwrite", keep_versions=2)
+        f_feed = cat.table_changes("f", from_version=1, key="o_orderkey")
+        d_feed = cat.table_changes("d", from_version=1, key="o_custkey")
+        maintained = apply_cdf_to_join_view_bilateral(
+            cat.table("v"), f_feed, d_feed,
+            fact=cat.table("f"), dim=cat.table("d"),
+            join_key="o_custkey", fact_key="o_orderkey",
+        )
+        cat.write(maintained, "v", mode="overwrite")
+        out = cat.table("v").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

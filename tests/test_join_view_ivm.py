@@ -133,3 +133,99 @@ def test_unsupported_join_types_raise(spark):
     )
     with pytest.raises(ValueError, match="inner/left"):
         apply_cdf_to_join_view(view, feed, dim, "dk", "fk", how="full")
+
+
+def _bfact(spark, rows):
+    return spark.createDataFrame(rows, "fk long, dk long, v long")
+
+
+def _bdim(spark, rows):
+    return spark.createDataFrame(rows, "dk long, label string")
+
+
+def _bview(fact, dim, how="inner"):
+    return fact.join(dim, "dk", how).select("fk", "dk", "v", "label")
+
+
+def test_bilateral_both_sides_change_matches_scratch_join(spark, tmp_path):
+    """Fact upsert/delete/insert + dim update/delete/insert in one
+    maintenance pass must equal the from-scratch join of the two new
+    snapshots — including fact rows ATTRACTED by a dim insert they had
+    never matched."""
+    from agol_pandas_spark.operators.views import (
+        apply_cdf_to_join_view_bilateral,
+    )
+
+    cat = Catalog(spark, str(tmp_path), snapshot_identity="manifest")
+    f1 = _bfact(spark, [(1, 1, 10), (2, 2, 20), (3, 3, 30), (4, 9, 40)])
+    d1 = _bdim(spark, [(1, "alpha"), (2, "beta"), (3, "gamma")])
+    # fact: update fk=1's value, DELETE fk=3, insert fk=5
+    f2 = _bfact(spark, [(1, 1, 99), (2, 2, 20), (4, 9, 40), (5, 2, 50)])
+    # dim: re-label dk=1, DELETE dk=2, INSERT dk=9 (attracts fk=4)
+    d2 = _bdim(spark, [(1, "ALPHA2"), (3, "gamma"), (9, "nine")])
+    cat.write(f1, "f")
+    cat.write(d1, "d")
+    cat.write(f2, "f", mode="overwrite", keep_versions=2)
+    cat.write(d2, "d", mode="overwrite", keep_versions=2)
+    ff = cat.table_changes("f", from_version=1, key="fk")
+    df_ = cat.table_changes("d", from_version=1, key="dk")
+    maintained = apply_cdf_to_join_view_bilateral(
+        _bview(f1, d1), ff, df_, fact=cat.table("f"), dim=cat.table("d"),
+        join_key="dk", fact_key="fk",
+    )
+    assert _rows(maintained) == _rows(_bview(f2, d2))
+    # idempotent under replay
+    again = apply_cdf_to_join_view_bilateral(
+        maintained, ff, df_, fact=cat.table("f"), dim=cat.table("d"),
+        join_key="dk", fact_key="fk",
+    )
+    assert _rows(again) == _rows(_bview(f2, d2))
+
+
+def test_bilateral_dim_rekey_retracts_and_attracts(spark, tmp_path):
+    """A dim UPDATE that changes nothing but the label must rewrite
+    exactly its fact rows; deletes under inner drop them; under left
+    they re-enter NULL-padded."""
+    from agol_pandas_spark.operators.views import (
+        apply_cdf_to_join_view_bilateral,
+    )
+
+    cat = Catalog(spark, str(tmp_path), snapshot_identity="manifest")
+    f1 = _bfact(spark, [(1, 1, 10), (2, 2, 20)])
+    d1 = _bdim(spark, [(1, "alpha"), (2, "beta")])
+    d2 = _bdim(spark, [(1, "alpha9")])  # dk=1 relabeled, dk=2 deleted
+    cat.write(d1, "d")
+    cat.write(d2, "d", mode="overwrite", keep_versions=2)
+    feed = cat.table_changes("d", from_version=1, key="dk")
+
+    inner = apply_cdf_to_join_view_bilateral(
+        _bview(f1, d1), None, feed, fact=f1, dim=d2,
+        join_key="dk", fact_key="fk",
+    )
+    assert _rows(inner) == [(1, 1, 10, "alpha9")]
+    left = apply_cdf_to_join_view_bilateral(
+        _bview(f1, d1, "left"), None, feed, fact=f1, dim=d2,
+        join_key="dk", fact_key="fk", how="left",
+    )
+    assert _rows(left) == [(1, 1, 10, "alpha9"), (2, 2, 20, None)]
+
+
+def test_bilateral_fact_only_degrades_to_unilateral(spark, tmp_path):
+    from agol_pandas_spark.operators.views import (
+        apply_cdf_to_join_view,
+        apply_cdf_to_join_view_bilateral,
+    )
+
+    cat = Catalog(spark, str(tmp_path), snapshot_identity="manifest")
+    f1 = _bfact(spark, [(1, 1, 10), (2, 2, 20)])
+    d1 = _bdim(spark, [(1, "alpha"), (2, "beta")])
+    f2 = _bfact(spark, [(1, 1, 11), (3, 2, 30)])
+    cat.write(f1, "f")
+    cat.write(f2, "f", mode="overwrite", keep_versions=2)
+    feed = cat.table_changes("f", from_version=1, key="fk")
+    bi = apply_cdf_to_join_view_bilateral(
+        _bview(f1, d1), feed, None, fact=cat.table("f"), dim=d1,
+        join_key="dk", fact_key="fk",
+    )
+    uni = apply_cdf_to_join_view(_bview(f1, d1), feed, d1, "dk", "fk")
+    assert _rows(bi) == _rows(uni) == _rows(_bview(f2, d1))
