@@ -120,6 +120,16 @@ QUERIES = [
     # comparison across differently-partitioned snapshots)
     "pipeline_paged_cdc_ivm",
     "meta_table_changes_aligned",
+    # r10 additions: both join-view IVM maintainers (touched-key
+    # anti-joins, semi-joined fact slices, and CDF feeds all shift with
+    # partitioning; the maintained view must not), the budgeted
+    # hard-negative path (cell routing + ADC pool + exact rerank), and
+    # the server-side statistics pushdown (grouped response vs Spark
+    # fallback must agree under any layout)
+    "pipeline_join_view_ivm",
+    "pipeline_join_view_bilateral_ivm",
+    "sim_hard_negative_budgeted",
+    "source_paged_stats_pushdown",
     "stats_auc_mann_whitney",
     "text_substring_dup_removal",
     "join_bloom_semi_reduction",
