@@ -872,48 +872,80 @@ class Catalog:
             return [p]
         return [os.path.join(p, rp) for rp in self._list_names(p)]
 
+    @staticmethod
+    def _file_span(f: str, cols: list[str]) -> dict:
+        """One file's key span from its parquet footer (the per-file unit
+        of :meth:`file_key_spans`, shared by the driver loop and the
+        executor fan-out — two copies of the stats-missing logic would
+        drift, and a drifted 'ok' bit silently mis-prunes)."""
+        import pyarrow.parquet as pq
+
+        meta = pq.ParquetFile(f).metadata
+        idx = {
+            meta.schema.column(i).name: i for i in range(meta.num_columns)
+        }
+        entry: dict = {"path": f, "ok": True, "min": {}, "max": {}}
+        for c in cols:
+            if c not in idx or meta.num_row_groups == 0:
+                entry["ok"] = False
+                break
+            mins, maxs = [], []
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(idx[c]).statistics
+                if st is None or not st.has_min_max:
+                    entry["ok"] = False
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+            if not entry["ok"]:
+                break
+            entry["min"][c] = min(mins)
+            entry["max"][c] = max(maxs)
+        return entry
+
     def file_key_spans(
         self, name: str, cols: list[str]
     ) -> list[dict]:
-        """Per-data-file min/max spans of ``cols`` from parquet footers.
+        """Per-data-file min/max spans of ``cols`` from parquet footers —
+        no data scan. Each entry is ``{"path": file, "ok": bool,
+        "min": {col: v}, "max": {col: v}}``; ``ok=False`` means at least
+        one row group lacks statistics for one of the columns, so the
+        file cannot be pruned and a key-pruned rewrite must treat it as
+        dirty (conservative). This is the same footer machinery
+        :meth:`optimize_zorder` exists to sharpen: a z-ordered or
+        range-partitioned layout gives each file a compact span, which
+        is what makes key pruning bite at 100 TB.
 
-        Driver-side O(files) metadata read — no data scan. Each entry is
-        ``{"path": file, "ok": bool, "min": {col: v}, "max": {col: v}}``;
-        ``ok=False`` means at least one row group lacks statistics for one
-        of the columns, so the file cannot be pruned and a key-pruned
-        rewrite must treat it as dirty (conservative). This is the same
-        footer machinery :meth:`optimize_zorder` exists to sharpen: a
-        z-ordered or range-partitioned layout gives each file a compact
-        span, which is what makes key pruning bite at 100 TB.
+        Above ``AGOL_SPARK_DIST_LIST_THRESHOLD`` files the footer reads
+        fan out to EXECUTORS (same threshold and fallback discipline as
+        ``_list_with_sizes``): on object storage each footer is a
+        round-trip, and a pruned merge paying 10^6 serial driver
+        round-trips per commit would hand back the bottleneck the
+        manifest layer removed. Values round-trip through pickle (plain
+        Python scalars from pyarrow stats), and the executor failure
+        mode (no shared filesystem) falls back to the driver loop —
+        slower, never wrong.
         """
-        import pyarrow.parquet as pq
+        files = self.data_files(name)
+        threshold = int(
+            os.environ.get("AGOL_SPARK_DIST_LIST_THRESHOLD", "100000")
+        )
+        if len(files) >= threshold and self.spark is not None:
+            sc = self.spark.sparkContext
+            chunks = [files[i : i + 1024] for i in range(0, len(files), 1024)]
+            span = self._file_span
 
-        out: list[dict] = []
-        for f in self.data_files(name):
-            meta = pq.ParquetFile(f).metadata
-            idx = {
-                meta.schema.column(i).name: i
-                for i in range(meta.num_columns)
-            }
-            entry = {"path": f, "ok": True, "min": {}, "max": {}}
-            for c in cols:
-                if c not in idx or meta.num_row_groups == 0:
-                    entry["ok"] = False
-                    break
-                mins, maxs = [], []
-                for rg in range(meta.num_row_groups):
-                    st = meta.row_group(rg).column(idx[c]).statistics
-                    if st is None or not st.has_min_max:
-                        entry["ok"] = False
-                        break
-                    mins.append(st.min)
-                    maxs.append(st.max)
-                if not entry["ok"]:
-                    break
-                entry["min"][c] = min(mins)
-                entry["max"][c] = max(maxs)
-            out.append(entry)
-        return out
+            def _spans_chunk(batch):
+                return [span(f, cols) for f in batch]
+
+            try:
+                out = sc.parallelize(
+                    chunks, max(1, len(chunks))
+                ).flatMap(_spans_chunk).collect()
+                return sorted(out, key=lambda e: e["path"])
+            except Exception:
+                pass  # executors can't see the path: driver loop below
+        return [self._file_span(f, cols) for f in files]
 
     def storage_stats(self, name: str) -> "DataFrame":
         """Distributed per-column storage profile from parquet footers:

@@ -515,7 +515,10 @@ def read_paged_aggregate(
     ``stats``: ``(statistic_type, column, alias)`` triples; types from
     {count, sum, min, max, avg} — ``count`` counts group ROWS (the
     column is nominal, ArcGIS requires one), the rest skip NULLs (SQL
-    semantics on both paths). When the client DECLINES (returns None —
+    semantics on both paths). Integer measures agree bit-for-bit across
+    the two paths; FLOAT sums/avgs follow each engine's accumulation
+    order (the repo-wide discipline applies: pre-quantize to integers
+    when exactness matters). When the client DECLINES (returns None —
     unsupported stat type, no statistics support), the same answer
     computes Spark-side over the paged scan, projected to exactly the
     needed columns — correct, just full-transfer, and visible as such

@@ -151,6 +151,51 @@ def test_distributed_stat_path_matches_driver_path(
     assert ("sub/g-0.parquet", 1) in dict(driver).items()
 
 
+def test_distributed_key_spans_match_driver_path(
+    spark, tmp_path, monkeypatch
+):
+    """file_key_spans above the threshold reads footers on executors
+    (a pruned merge at 10^6 files must not pay serial driver
+    round-trips); spans must be identical either way, including the
+    conservative ok=False rows, and the executor-failure fallback must
+    land on the driver loop."""
+    from pyspark.sql import functions as F
+
+    cat = Catalog(spark, str(tmp_path), snapshot_identity="manifest")
+    df = spark.range(600).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v"),
+        F.format_string("s%04d", F.col("id")).alias("s"),
+    )
+    cat.write(
+        df.repartitionByRange(6, "k").sortWithinPartitions("k"), "t"
+    )
+    driver = cat.file_key_spans("t", ["k", "s"])
+    assert len(driver) == 6 and all(e["ok"] for e in driver)
+    monkeypatch.setenv("AGOL_SPARK_DIST_LIST_THRESHOLD", "2")
+    dist = cat.file_key_spans("t", ["k", "s"])
+    assert dist == driver
+    # missing column: conservative ok=False on both paths
+    assert all(
+        not e["ok"] for e in cat.file_key_spans("t", ["nope"])
+    )
+    monkeypatch.delenv("AGOL_SPARK_DIST_LIST_THRESHOLD")
+    assert all(
+        not e["ok"] for e in cat.file_key_spans("t", ["nope"])
+    )
+
+    class _Boom:
+        def parallelize(self, *a, **k):
+            raise RuntimeError("no shared filesystem on executors")
+
+    class _SparkShim:
+        sparkContext = _Boom()
+
+    monkeypatch.setenv("AGOL_SPARK_DIST_LIST_THRESHOLD", "2")
+    shim = Catalog(spark, str(tmp_path), snapshot_identity="manifest")
+    shim.spark = _SparkShim()
+    assert shim.file_key_spans("t", ["k", "s"]) == driver
+
+
 def test_distributed_stat_falls_back_to_driver_on_executor_failure(
     spark, tmp_path, monkeypatch
 ):
