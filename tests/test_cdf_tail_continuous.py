@@ -659,3 +659,202 @@ def test_legacy_flat_spool_refuses_reattach(spark, tmp_path):
     cat.write(_mk(spark, 12, 3), "t", mode="overwrite", keep_versions=8)
     assert tail.advance() == 1
     tail.close()
+
+
+def _jv_seed(spark, cat):
+    fact = spark.createDataFrame(
+        [(1, 1, 10), (2, 2, 20), (3, 3, 30)], "fk long, dk long, v long"
+    )
+    dim = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "dk long, label string"
+    )
+    cat.write(fact, "f")
+    cat.write(dim, "d")
+    cat.write(
+        fact.join(dim, "dk", "inner").select("fk", "dk", "v", "label"),
+        "v",
+    )
+    return fact, dim
+
+
+def _scratch_view(cat):
+    return sorted(
+        map(tuple, cat.table("f").join(cat.table("d"), "dk", "inner")
+            .select("fk", "dk", "v", "label").collect())
+    )
+
+
+def test_tailed_refresh_converges_and_suppresses_rework(spark, tmp_path):
+    from agol_pandas_spark.streaming.cdf_source import (
+        refresh_join_view_from_tails,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "cat"), snapshot_identity="manifest")
+    _jv_seed(spark, cat)
+    ft = CdfTail(cat, "f", key="fk", spool_dir=str(tmp_path / "fs"))
+    dt = CdfTail(cat, "d", key="dk", spool_dir=str(tmp_path / "ds"))
+
+    def refresh():
+        return refresh_join_view_from_tails(
+            spark, cat, "v", ft, dt, join_key="dk", fact_key="fk"
+        )
+
+    # fact and dim batches across separate refreshes
+    cat.write(
+        spark.createDataFrame(
+            [(1, 1, 99), (4, 2, 40)], "fk long, dk long, v long"
+        ),
+        "f", mode="overwrite", keep_versions=4,
+    )
+    s1 = refresh()
+    assert s1["committed"] and s1["applied_fact"] >= 1
+    assert sorted(map(tuple, cat.table("v").collect())) == _scratch_view(cat)
+
+    cat.write(
+        spark.createDataFrame(
+            [(1, "A2"), (3, "c"), (9, "nine")], "dk long, label string"
+        ),
+        "d", mode="overwrite", keep_versions=4,
+    )
+    s2 = refresh()
+    assert s2["committed"] and s2["applied_dim"] >= 1
+    assert sorted(map(tuple, cat.table("v").collect())) == _scratch_view(cat)
+
+    # quiescent round: watermarks suppress rework entirely
+    s3 = refresh()
+    assert not s3["committed"]
+    ft.close()
+    dt.close()
+
+
+def test_tailed_refresh_replays_safely_after_marker_loss(spark, tmp_path):
+    """Crash between the view commit and anything downstream, or a
+    re-executed refresh with a stale marker: re-applying already-applied
+    spool batches must land the SAME view (the bilateral algebra is a
+    fixpoint) — the watermark marker is a rework optimization, not a
+    correctness guard."""
+    from agol_pandas_spark.streaming.cdf_source import (
+        refresh_join_view_from_tails,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "cat"), snapshot_identity="manifest")
+    _jv_seed(spark, cat)
+    ft = CdfTail(cat, "f", key="fk", spool_dir=str(tmp_path / "fs"))
+    dt = CdfTail(cat, "d", key="dk", spool_dir=str(tmp_path / "ds"))
+    cat.write(
+        spark.createDataFrame(
+            [(1, 1, 99), (2, 2, 20)], "fk long, dk long, v long"
+        ),
+        "f", mode="overwrite", keep_versions=4,
+    )
+    s1 = refresh_join_view_from_tails(
+        spark, cat, "v", ft, dt, join_key="dk", fact_key="fk"
+    )
+    assert s1["committed"]
+    rows = sorted(map(tuple, cat.table("v").collect()))
+    # simulate the marker being lost: rewrite the view WITHOUT props
+    cat.write(cat.table("v"), "v", mode="overwrite")
+    s2 = refresh_join_view_from_tails(
+        spark, cat, "v", ft, dt, join_key="dk", fact_key="fk"
+    )
+    assert s2["committed"]  # replayed the whole spool...
+    assert sorted(map(tuple, cat.table("v").collect())) == rows  # ...same view
+    ft.close()
+    dt.close()
+
+
+def test_tailed_refresh_uses_feed_aligned_snapshots(spark, tmp_path):
+    """A commit racing BETWEEN advance() and the view commit must not
+    leak into the re-derived rows (mixed view): re-derivation joins the
+    tails' spooled_snapshot — the state their feeds have reached — so
+    the racer lands whole on the NEXT refresh."""
+    from agol_pandas_spark.streaming.cdf_source import (
+        CdfTail as _T,
+        refresh_join_view_from_tails,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "cat"), snapshot_identity="manifest")
+    _jv_seed(spark, cat)
+    ft = CdfTail(cat, "f", key="fk", spool_dir=str(tmp_path / "fs"))
+    dt = CdfTail(cat, "d", key="dk", spool_dir=str(tmp_path / "ds"))
+    cat.write(
+        spark.createDataFrame(
+            [(1, 1, 99), (2, 2, 20), (3, 3, 30)], "fk long, dk long, v long"
+        ),
+        "f", mode="overwrite", keep_versions=4,
+    )
+    # the racer: a dim commit lands AFTER the tails advance — inject by
+    # wrapping advance so the dim write happens post-advance, pre-read
+    orig_advance = _T.advance
+    raced = {"done": False}
+
+    def racing_advance(self, include_current=False):
+        n = orig_advance(self, include_current=include_current)
+        if self.name == "d" and not raced["done"]:
+            raced["done"] = True
+            cat.write(
+                spark.createDataFrame(
+                    [(1, "RACED"), (2, "b"), (3, "c")],
+                    "dk long, label string",
+                ),
+                "d", mode="overwrite", keep_versions=4,
+            )
+        return n
+
+    try:
+        _T.advance = racing_advance
+        s1 = refresh_join_view_from_tails(
+            spark, cat, "v", ft, dt, join_key="dk", fact_key="fk"
+        )
+    finally:
+        _T.advance = orig_advance
+    assert s1["committed"]
+    # the racer's label must NOT appear yet (feed-aligned snapshots)
+    labels = {r["label"] for r in cat.table("v").collect()}
+    assert "RACED" not in labels
+    # the next refresh picks the racer up whole and converges
+    s2 = refresh_join_view_from_tails(
+        spark, cat, "v", ft, dt, join_key="dk", fact_key="fk"
+    )
+    assert s2["committed"] and s2["applied_dim"] >= 1
+    assert sorted(map(tuple, cat.table("v").collect())) == _scratch_view(cat)
+    ft.close()
+    dt.close()
+
+
+def test_spooled_snapshot_serves_captured_head_despite_racer(
+    spark, tmp_path
+):
+    """spooled_snapshot after a HEAD capture must serve the CAPTURED
+    state even when a commit raced in afterwards (served from the
+    archive carrying the captured commit id), and must raise CdfGapError
+    when the captured state was displaced unarchived."""
+    from agol_pandas_spark.errors import CdfGapError
+
+    cat = Catalog(spark, str(tmp_path / "cat"), snapshot_identity="manifest")
+    cat.write(_mk(spark, 10, 0), "t")
+    cat.write(_mk(spark, 12, 0), "t", mode="overwrite", keep_versions=8)
+    tail = CdfTail(cat, "t", key="k", spool_dir=str(tmp_path / "spool"))
+    assert tail.advance(include_current=True) == 1  # head = 12-row state
+    captured = _rows(cat.table("t"))
+
+    # racer displaces the captured head (archived)
+    cat.write(_mk(spark, 20, 5), "t", mode="overwrite", keep_versions=8)
+    snap = tail.spooled_snapshot(spark)
+    assert _rows(snap) == captured  # NOT the racer's 20 rows
+
+    # next advance recognizes the archived head and catches up whole
+    assert tail.advance(include_current=True) >= 1
+    assert _rows(tail.spooled_snapshot(spark)) == _rows(cat.table("t"))
+    tail.close()
+
+    # unarchived displacement: captured state unrecoverable -> gap
+    cat2 = Catalog(spark, str(tmp_path / "cat2"), snapshot_identity="manifest")
+    cat2.write(_mk(spark, 8, 0), "t")
+    cat2.write(_mk(spark, 9, 0), "t", mode="overwrite", keep_versions=8)
+    tail2 = CdfTail(cat2, "t", key="k", spool_dir=str(tmp_path / "spool2"))
+    assert tail2.advance(include_current=True) == 1
+    cat2.write(_mk(spark, 30, 1), "t", mode="overwrite", keep_versions=0)
+    with pytest.raises(CdfGapError):
+        tail2.spooled_snapshot(spark)
+    tail2.close()

@@ -130,6 +130,7 @@ QUERIES = [
     "pipeline_join_view_bilateral_ivm",
     "sim_hard_negative_budgeted",
     "source_paged_stats_pushdown",
+    "pipeline_join_view_tailed",
     "stats_auc_mann_whitney",
     "text_substring_dup_removal",
     "join_bloom_semi_reduction",
