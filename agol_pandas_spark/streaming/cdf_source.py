@@ -622,6 +622,31 @@ class CdfTail:
         except OSError:
             return None
 
+    def vacuum_spool(self, through: int) -> list[str]:
+        """Reclaim spooled transition directories every consumer has
+        PROCESSED: versions ≤ ``through`` — which must be the
+        consumer's applied position (a file-stream's completed drain, a
+        refresh loop's props watermark), because the spool itself
+        cannot know what downstream has read; vacuuming past a lagging
+        consumer loses its unread deltas exactly like vacuuming table
+        archives past the tail does.
+
+        Bounded additionally by the tail's own durable watermark: the
+        crash-recovery guards key on directories ABOVE it (an unspooled
+        transition's dir-existence, the head capture's commit record),
+        so those are never eligible regardless of ``through`` — a head
+        spool at ``watermark+1`` stays until its state is archived and
+        the watermark moves past it. Without this housekeeping a
+        continuous tail accumulates one directory per commit forever.
+        Returns the removed paths."""
+        limit = min(int(through), self._spooled_through)
+        removed: list[str] = []
+        for version, path in sorted(self._spooled_dirs().items()):
+            if version <= limit:
+                shutil.rmtree(path, ignore_errors=True)
+                removed.append(path)
+        return removed
+
     def close(self) -> None:
         self._release_lock()
         shutil.rmtree(self.spool_dir, ignore_errors=True)
@@ -643,6 +668,7 @@ def refresh_join_view_from_tails(
     fact_key,
     how: str = "inner",
     include_current: bool = True,
+    vacuum_spools: bool = False,
 ) -> dict:
     """MULTI-TABLE incremental refresh: drive a materialized fact ⋈ dim
     view from TWO change-feed tails — the dashboards-join-dimensions
@@ -672,7 +698,13 @@ def refresh_join_view_from_tails(
     no-op by the watermark check. Returns ``{"applied_fact",
     "applied_dim", "fact_through", "dim_through", "committed"}`` where
     the ``applied_*`` counts are spooled-transition versions consumed
-    this call."""
+    this call.
+
+    ``vacuum_spools=True`` reclaims the spool directories this refresh
+    just applied (``CdfTail.vacuum_spool`` at the committed
+    watermarks) AFTER the view commit — the continuous-deployment
+    housekeeping; leave False when another consumer (a file stream)
+    also reads these spools."""
     from agol_pandas_spark.operators.views import (
         apply_cdf_to_join_view_bilateral,
     )
@@ -734,6 +766,11 @@ def refresh_join_view_from_tails(
             "jv_dim_through": d_new,
         },
     )
+    if vacuum_spools:
+        # AFTER the commit: the props watermark now covers these
+        # batches, so a crash right here costs nothing but disk
+        fact_tail.vacuum_spool(f_new)
+        dim_tail.vacuum_spool(d_new)
     return {
         "applied_fact": f_n, "applied_dim": d_n,
         "fact_through": f_new, "dim_through": d_new,

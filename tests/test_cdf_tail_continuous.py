@@ -858,3 +858,78 @@ def test_spooled_snapshot_serves_captured_head_despite_racer(
     with pytest.raises(CdfGapError):
         tail2.spooled_snapshot(spark)
     tail2.close()
+
+
+def test_vacuum_spool_reclaims_only_consumed_transitions(spark, tmp_path):
+    """Spool housekeeping: directories at or below the consumer's
+    applied watermark reclaim; anything above the tail's durable
+    watermark (incl. a live head capture) is never touched; recovery
+    and later tailing survive the vacuum."""
+    import os
+
+    from agol_pandas_spark.streaming.cdf_source import (
+        refresh_join_view_from_tails,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "cat"), snapshot_identity="manifest")
+    cat.write(_mk(spark, 10, 0), "t")
+    spool = str(tmp_path / "spool")
+    tail = CdfTail(cat, "t", key="k", spool_dir=spool)
+    cat.write(_mk(spark, 12, 0), "t", mode="overwrite", keep_versions=8)
+    cat.write(_mk(spark, 14, 1), "t", mode="overwrite", keep_versions=8)
+    assert tail.advance(include_current=True) == 2  # v2 pair + head(v3)
+    dirs = sorted(tail._spooled_dirs())
+    assert dirs == [2, 3]
+
+    # consumer processed only v2; the head capture (above the durable
+    # watermark) must survive ANY through value
+    assert len(tail.vacuum_spool(99)) == 1
+    assert sorted(tail._spooled_dirs()) == [3]
+    # the stream/batch surface still serves the surviving content
+    assert tail.read_spool(spark).count() > 0
+
+    # restart over the vacuumed spool: durable watermark, no re-emission
+    tail.detach()
+    tail2 = CdfTail(cat, "t", key="k", spool_dir=spool)
+    assert tail2.advance() == 0
+    cat.write(_mk(spark, 16, 2), "t", mode="overwrite", keep_versions=8)
+    assert tail2.advance(include_current=True) >= 1
+    tail2.close()
+
+    # refresh-loop integration: vacuum_spools=True reclaims applied dirs
+    cat2 = Catalog(spark, str(tmp_path / "cat2"), snapshot_identity="manifest")
+    fact = spark.createDataFrame([(1, 1, 10)], "fk long, dk long, v long")
+    dim = spark.createDataFrame([(1, "a")], "dk long, label string")
+    cat2.write(fact, "f")
+    cat2.write(dim, "d")
+    cat2.write(
+        fact.join(dim, "dk").select("fk", "dk", "v", "label"), "v"
+    )
+    ft = CdfTail(cat2, "f", key="fk", spool_dir=str(tmp_path / "fs"))
+    dt = CdfTail(cat2, "d", key="dk", spool_dir=str(tmp_path / "ds"))
+    cat2.write(
+        spark.createDataFrame([(1, 1, 99)], "fk long, dk long, v long"),
+        "f", mode="overwrite", keep_versions=4,
+    )
+    s = refresh_join_view_from_tails(
+        spark, cat2, "v", ft, dt, join_key="dk", fact_key="fk",
+        vacuum_spools=True,
+    )
+    assert s["committed"]
+    # the applied head capture stays (above the durable watermark) but
+    # once archived + applied, a later refresh's vacuum reclaims it
+    cat2.write(
+        spark.createDataFrame([(2, 1, 20)], "fk long, dk long, v long"),
+        "f", mode="overwrite", keep_versions=4,
+    )
+    s2 = refresh_join_view_from_tails(
+        spark, cat2, "v", ft, dt, join_key="dk", fact_key="fk",
+        vacuum_spools=True,
+    )
+    assert s2["committed"]
+    assert sorted(map(tuple, cat2.table("v").collect())) == sorted(
+        map(tuple, cat2.table("f").join(cat2.table("d"), "dk")
+            .select("fk", "dk", "v", "label").collect())
+    )
+    ft.close()
+    dt.close()
