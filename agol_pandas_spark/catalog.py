@@ -121,6 +121,10 @@ class Catalog:
         # {"mode": "chunk"|"full", "chunks_total", "chunks_parsed"} —
         # how scale tests pin the O(dirty chunks) metadata-read claim
         self.last_diff_stats: dict = {}
+        # last executor-fan-out failure that fell back to the serial
+        # driver loop (ADVICE r10): {"op", "path", "error"} — None on a
+        # healthy catalog; also surfaced as a warnings.warn at the event
+        self.last_fanout_error: dict | None = None
         # engine invariants, enforced even on externally-built sessions
         # (the driver hands us its own SparkSession): UTC timestamps
         # (reference semantics, src/agol_pandas.py:86-119) and ns-parquet
@@ -386,14 +390,14 @@ class Catalog:
                     chunks, max(1, len(chunks))
                 ).flatMap(_stat_chunk).collect()
                 return sorted(out)
-            except Exception:
+            except Exception as ex:
                 # executors could not stat the driver-local path — a real
                 # cluster whose workers don't mount the catalog root at
                 # the same path (ADVICE r9). Fall back to the driver
                 # loop: slower (serial round-trips), never wrong. A file
                 # genuinely vanishing mid-stat re-raises from the driver
                 # loop below, which is the honest error either way.
-                pass
+                self._warn_fanout_fallback("_list_with_sizes", path, ex)
         return [
             (rp, os.path.getsize(os.path.join(path, rp))) for rp in names
         ]
@@ -926,7 +930,24 @@ class Catalog:
         mode (no shared filesystem) falls back to the driver loop —
         slower, never wrong.
         """
-        files = self.data_files(name)
+        return self._spans_for_files(self.data_files(name), cols)
+
+    def path_key_spans(self, snapshot_path: str, cols: list[str]) -> list[dict]:
+        """:meth:`file_key_spans` addressed by snapshot DIRECTORY — the
+        form archived versions, tags, and other-catalog snapshots need
+        (e.g. the join-view maintainer pruning a feed-aligned fact
+        snapshot's TD-rescan by footer spans, VERDICT r10 item 2). Same
+        entry shape, same executor fan-out + driver-loop fallback."""
+        if os.path.isfile(snapshot_path):
+            files = [snapshot_path]
+        else:
+            files = [
+                os.path.join(snapshot_path, rp)
+                for rp in self._list_names(snapshot_path)
+            ]
+        return self._spans_for_files(files, cols)
+
+    def _spans_for_files(self, files: list[str], cols: list[str]) -> list[dict]:
         threshold = int(
             os.environ.get("AGOL_SPARK_DIST_LIST_THRESHOLD", "100000")
         )
@@ -943,9 +964,30 @@ class Catalog:
                     chunks, max(1, len(chunks))
                 ).flatMap(_spans_chunk).collect()
                 return sorted(out, key=lambda e: e["path"])
-            except Exception:
-                pass  # executors can't see the path: driver loop below
+            except Exception as ex:
+                # executors can't see the path: driver loop below
+                self._warn_fanout_fallback("file_key_spans", files[0], ex)
         return [self._file_span(f, cols) for f in files]
+
+    def _warn_fanout_fallback(self, op: str, path: str, ex: Exception) -> None:
+        """Make the executor-fan-out → serial-driver-loop fallback LOUD
+        (ADVICE r10): the distributed path only engages at >=100k files,
+        so a silent fallback at exactly that scale means 10^5-10^7
+        serial stat/footer round-trips that look like a hang on object
+        storage, with the triggering error (workers can't see the
+        path, executor import failure) discarded. One warning per event
+        plus ``last_fanout_error`` so operators can distinguish
+        "workers cannot see the catalog root" from a healthy run."""
+        import warnings
+
+        self.last_fanout_error = {"op": op, "path": path, "error": repr(ex)}
+        warnings.warn(
+            f"{op}: executor fan-out failed ({ex!r}); falling back to a "
+            f"SERIAL driver loop over {path!r} — at >=100k files this is "
+            "orders of magnitude slower (often a cluster whose workers "
+            "do not mount the catalog root at the driver's path)",
+            stacklevel=3,
+        )
 
     def storage_stats(self, name: str) -> "DataFrame":
         """Distributed per-column storage profile from parquet footers:
@@ -1903,12 +1945,79 @@ class Catalog:
         (``0`` = drop all archives). Returns the dropped version numbers.
         Bytes shared with the current snapshot through carried hard links
         survive — only the archive's exclusive files are reclaimed, so
-        vacuuming after pruned merges is safe by construction."""
+        vacuuming after pruned merges is safe by construction.
+
+        Versions at or above any PROTECTED WATERMARK (:meth:`pin_version`
+        — a live :class:`~agol_pandas_spark.streaming.cdf_source.CdfTail`
+        registers its watermark so its un-spooled transitions survive
+        retention) are never dropped, regardless of ``keep_last``:
+        without the pin, a routine vacuum racing a slow tail destroys
+        the tail's watermark snapshot and the tail can only fail loudly
+        (``CdfGapError``) after the data is gone — the pin turns that
+        loud loss into prevention (VERDICT r10 item 5)."""
         vs = self.versions(name)
         drop = vs[: max(0, len(vs) - keep_last)] if keep_last >= 0 else []
+        pins = self.pinned_versions(name)
+        if pins:
+            protect = min(pins.values())
+            # a tail at watermark W still needs the W archive (its next
+            # outgoing diff's base) and everything after it (the pairs)
+            drop = [v for v in drop if v < protect]
         for v in drop:
             shutil.rmtree(self._version_path(name, v), ignore_errors=True)
         return drop
+
+    # -- protected watermarks (retention coordination with live tails) ------
+
+    def _pin_dir(self, name: str) -> str:
+        return os.path.join(
+            self.root, ".tail_pins", normalize_service_name(name)
+        )
+
+    def pin_version(self, name: str, pin_id: str, version: int) -> None:
+        """Register (or advance) a protected watermark: :meth:`vacuum`
+        will never drop archived versions >= ``version`` while the pin
+        exists. ``pin_id`` names the consumer (a tail persists its own
+        in its spool state, so a restart re-asserts the same pin).
+        Written atomically; re-pinning simply replaces the value."""
+        d = self._pin_dir(name)
+        os.makedirs(d, exist_ok=True)
+        p = os.path.join(d, normalize_service_name(pin_id))
+        tmp = f"{p}.__tmp_{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(int(version)))
+        os.replace(tmp, p)
+
+    def unpin_version(self, name: str, pin_id: str) -> None:
+        """Drop a protected watermark (idempotent). A tail unpins on
+        ``close()``/``detach()``; an abandoned pin blocks vacuum
+        forever, which is the conservative failure mode — remove it
+        here once the consumer is known dead."""
+        try:
+            os.remove(
+                os.path.join(self._pin_dir(name), normalize_service_name(pin_id))
+            )
+        except OSError:
+            pass
+
+    def pinned_versions(self, name: str) -> dict[str, int]:
+        """pin_id -> protected watermark version for ``name`` (empty when
+        no live consumer registered one). An unreadable pin file reads
+        as watermark 0 — protect everything rather than silently
+        dropping what a torn pin may still guard."""
+        d = self._pin_dir(name)
+        if not os.path.isdir(d):
+            return {}
+        out: dict[str, int] = {}
+        for e in os.listdir(d):
+            if e.startswith(".") or ".__tmp_" in e:
+                continue
+            try:
+                with open(os.path.join(d, e)) as f:
+                    out[e] = int(f.read().strip() or "0")
+            except (OSError, ValueError):
+                out[e] = 0
+        return out
 
     def _tag_path(self, name: str, tag: str) -> str:
         return os.path.join(
@@ -2134,6 +2243,8 @@ class Catalog:
             ignore_errors=True,
         )
         shutil.rmtree(self._tombstone_path(name), ignore_errors=True)
+        # stale pins would block vacuum on the NEXT same-named table
+        shutil.rmtree(self._pin_dir(name), ignore_errors=True)
         self._ns_cols.pop(p, None)
 
     def _branch_name(self, name: str, branch: str) -> str:

@@ -20,6 +20,8 @@ sets, ``src/agol_pandas.py:396``); north-star scope per SURVEY §2b.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 
 from agol_pandas_spark.errors import EmptyInputError, TableNotFoundError
@@ -204,6 +206,223 @@ def apply_cdf_to_join_view(
     return kept.select(*cols).unionByName(added.select(*cols))
 
 
+def _keys_of(key) -> list[str]:
+    return [key] if isinstance(key, str) else list(key)
+
+
+def _td_pruned_scan(
+    fact: DataFrame,
+    fact_path: str | None,
+    td: DataFrame,
+    jkeys: list[str],
+    catalog,
+) -> DataFrame | None:
+    """A scan of ONLY the fact-snapshot files whose footer spans on
+    ``jkeys`` can contain a touched dim key — or ``None`` when pruning
+    cannot be proven sound (caller falls back to the full ``fact``
+    scan, correct but O(fact) I/O). This is ``merge_pruned``'s
+    span-pruning applied to the bilateral TD-rescan (VERDICT r10 item
+    2): a batch touching 1% of dim keys should read the intersecting
+    fact files, never stream the whole snapshot through the semi-join
+    filter. Same soundness rules as the pruned merge: prune-safe key
+    types only, footer-complete files only (stat-less files stay in
+    the scan, conservative), no raw-ns timestamp columns (the catalog
+    read normalizes those — a direct file read would not)."""
+    from agol_pandas_spark.operators.merge import (
+        _PRUNE_SAFE_TYPES,
+        _touched_paths,
+    )
+
+    if fact_path is None or catalog is None:
+        return None
+    if not os.path.isdir(fact_path):
+        return None
+    fields = {f.name: f.dataType for f in fact.schema.fields}
+    if not all(isinstance(fields.get(k), _PRUNE_SAFE_TYPES) for k in jkeys):
+        return None
+    if catalog._nanos_columns(fact_path):
+        return None
+    spans = catalog.path_key_spans(fact_path, jkeys)
+    forced = [s["path"] for s in spans if not s["ok"]]
+    stat_spans = [s for s in spans if s["ok"]]
+    touched = (
+        _touched_paths(td, stat_spans, jkeys, fields) if stat_spans else set()
+    )
+    dirty = sorted(set(forced) | touched)
+    spark = fact.sparkSession
+    if not dirty:
+        return spark.createDataFrame([], fact.schema)
+    return spark.read.schema(fact.schema).parquet(*dirty)
+
+
+def star_view_delta(
+    fact_changes: DataFrame | None,
+    dims,
+    fact: DataFrame,
+    fact_key,
+    how: str = "inner",
+    fact_path: str | None = None,
+    catalog=None,
+):
+    """The DELTA of a maintained fact ⋈ dim₁ ⋈ … ⋈ dimₙ view under fact
+    and dimension change feeds — the algebra of
+    :func:`apply_cdf_to_join_view_star` WITHOUT applying it to the
+    view, so a caller can commit it copy-on-write (only the view files
+    whose key spans intersect the touched sets rewrite;
+    :func:`commit_join_view_delta`).
+
+    ``dims``: sequence of ``(dim_changes | None, dim, join_key)`` —
+    every dimension the view joins, in join order, whether or not its
+    feed changed this batch. Returns ``(tf, tds, added)``:
+
+    - ``tf`` — DataFrame of touched fact keys (None: no fact feed);
+    - ``tds`` — list of ``(jkeys, td | None)`` per dimension, ``td`` the
+      touched join keys of that dim's feed (BOTH update images — a
+      re-keyed dim row retracts its old-key rows and attracts its
+      new-key's);
+    - ``added`` — the re-derived view rows: fact-feed post-images plus
+      the CURRENT fact rows joining through any touched dim key, joined
+      against every NEW dim.
+
+    The view delta is exactly: delete every view row owned by ``tf`` or
+    joining through any ``td``, insert ``added``.
+
+    ``fact_path``+``catalog`` enable the span-pruned TD-rescan
+    (:func:`_td_pruned_scan`): without them the rescan streams the full
+    ``fact`` through a broadcast semi-join (correct; O(fact) I/O). With
+    several touched dims a fact row can be reached through more than
+    one — the rescan union dedups on the fact key before re-deriving."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from agol_pandas_spark.functions.names import backticked as bq
+
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"CDF join-view maintenance needs inner/left, got {how!r}"
+        )
+    fkeys = _keys_of(fact_key)
+
+    def _latest(changes: DataFrame, keys: list[str]) -> DataFrame:
+        ev = changes.where(F.col("_change_type") != "update_preimage")
+        order = (
+            [F.col("_commit_version").desc()]
+            if "_commit_version" in changes.columns
+            else [F.lit(1)]
+        )
+        w = Window.partitionBy(*[F.col(bq(k)) for k in keys]).orderBy(*order)
+        return ev.withColumn("__rn", F.row_number().over(w)).where(
+            F.col("__rn") == 1
+        )
+
+    meta = ("_change_type", "_commit_version", "__rn")
+
+    # --- fact side: touched keys + post-images --------------------------
+    if fact_changes is not None:
+        f_latest = _latest(fact_changes, fkeys)
+        tf = f_latest.select(*[F.col(bq(k)) for k in fkeys]).distinct()
+        f_post = f_latest.where(F.col("_change_type") != "delete").drop(
+            *[c for c in meta if c in f_latest.columns]
+        )
+    else:
+        tf = None
+        f_post = fact.limit(0)
+
+    # --- dim sides: touched join keys per feed --------------------------
+    tds: list[tuple[list[str], DataFrame | None]] = []
+    for dim_changes, _dim, join_key in dims:
+        jkeys = _keys_of(join_key)
+        if dim_changes is not None:
+            td = dim_changes.select(
+                *[F.col(bq(k)) for k in jkeys]
+            ).distinct()
+        else:
+            td = None
+        tds.append((jkeys, td))
+
+    # --- re-derive affected fact rows against the NEW dims --------------
+    # current fact rows joining through a touched key of ANY dim,
+    # excluding those already re-derived via the fact feed (no doubles);
+    # a row reachable through two touched dims enters once (key dedup)
+    via_all: DataFrame | None = None
+    n_touched_dims = sum(1 for _, td in tds if td is not None)
+    for jkeys, td in tds:
+        if td is None:
+            continue
+        scan = _td_pruned_scan(fact, fact_path, td, jkeys, catalog)
+        base = scan if scan is not None else fact
+        via = base.join(F.broadcast(td), on=jkeys, how="left_semi")
+        via_all = via if via_all is None else via_all.unionByName(via)
+    affected = f_post
+    if via_all is not None:
+        if n_touched_dims > 1:
+            via_all = via_all.dropDuplicates(fkeys)
+        if tf is not None:
+            via_all = via_all.join(
+                F.broadcast(tf), on=fkeys, how="left_anti"
+            )
+        affected = affected.unionByName(via_all.select(*f_post.columns))
+    added = affected
+    for _dim_changes, dim, join_key in dims:
+        added = added.join(dim, on=_keys_of(join_key), how=how)
+    return tf, tds, added
+
+
+def apply_cdf_to_join_view_star(
+    view: DataFrame,
+    fact_changes: DataFrame | None,
+    dims,
+    fact: DataFrame,
+    fact_key,
+    how: str = "inner",
+    fact_path: str | None = None,
+    catalog=None,
+) -> DataFrame:
+    """Maintain a STAR-SCHEMA join view — one fact joined to N
+    dimensions, any subset of whose feeds changed — by key attribution
+    (VERDICT r10 item 3): drop every view row owned by a touched fact
+    key or joining through a touched key of ANY dimension, re-derive
+    exactly the affected fact rows against all NEW dims. ``dims`` is a
+    sequence of ``(dim_changes | None, dim, join_key)`` in join order.
+    Same inner/left contract, idempotence under replay, and
+    latest-event resolution as the bilateral form (which is now the
+    N=1 case). ``fact_path``+``catalog`` span-prune the TD-rescan."""
+    from pyspark.sql import functions as F
+
+    from agol_pandas_spark.functions.names import backticked as bq
+
+    fkeys = _keys_of(fact_key)
+    tf, tds, added = star_view_delta(
+        fact_changes, dims, fact, fact_key, how,
+        fact_path=fact_path, catalog=catalog,
+    )
+    # --- drop affected view rows (broadcast anti-joins, map-side) ------
+    kept = _drop_touched(view, tf, tds, fkeys)
+    # re-select BOTH sides to the view's column order: a name-list join
+    # moves its keys to the front, so `kept` comes out reordered
+    cols = [F.col(bq(c)) for c in view.columns]
+    return kept.select(*cols).unionByName(added.select(*cols))
+
+
+def _drop_touched(
+    df: DataFrame,
+    tf: DataFrame | None,
+    tds,
+    fkeys: list[str],
+) -> DataFrame:
+    """Anti-join out every row owned by a touched fact key or joining
+    through a touched dim key — the retraction half of the delta."""
+    from pyspark.sql import functions as F
+
+    kept = df
+    if tf is not None:
+        kept = kept.join(F.broadcast(tf), on=fkeys, how="left_anti")
+    for jkeys, td in tds:
+        if td is not None:
+            kept = kept.join(F.broadcast(td), on=jkeys, how="left_anti")
+    return kept
+
+
 def apply_cdf_to_join_view_bilateral(
     view: DataFrame,
     fact_changes: DataFrame | None,
@@ -213,10 +432,13 @@ def apply_cdf_to_join_view_bilateral(
     join_key,
     fact_key,
     how: str = "inner",
+    fact_path: str | None = None,
+    catalog=None,
 ) -> DataFrame:
     """Maintain a fact ⋈ dim view when BOTH sides change — the bilateral
     completion of :func:`apply_cdf_to_join_view` (which holds the
-    dimension static). The classical delta algebra
+    dimension static), now the N=1 case of
+    :func:`apply_cdf_to_join_view_star`. The classical delta algebra
     ``ΔV = ΔF⋈D ∪ F⋈ΔD ∪ ΔF⋈ΔD`` needs signed multiset arithmetic; for
     a KEYED view (every row owned by exactly one fact row) it collapses
     to key attribution:
@@ -246,75 +468,147 @@ def apply_cdf_to_join_view_bilateral(
 
     Scale posture: TF/TD are batch-sized broadcasts; the view streams
     through one map-side anti-filter; ``fact`` contributes one
-    semi-joined scan (partition-prunable when fact is clustered by the
-    join key); nothing rescans history. Delta Lake has no bilateral
+    semi-joined scan — and with ``fact_path``+``catalog`` provided, the
+    scan is SPAN-PRUNED to the files whose footer key spans intersect
+    TD (VERDICT r10 item 2: before, the whole snapshot streamed through
+    the filter); nothing rescans history. Delta Lake has no bilateral
     CDF-join maintenance — dashboards there re-derive; DBSP/differential
     dataflow are the public analogues of the delta algebra."""
-    from pyspark.sql import Window
+    return apply_cdf_to_join_view_star(
+        view,
+        fact_changes,
+        [(dim_changes, dim, join_key)],
+        fact,
+        fact_key,
+        how,
+        fact_path=fact_path,
+        catalog=catalog,
+    )
+
+
+def commit_join_view_delta(
+    view_catalog,
+    view_name: str,
+    tf: DataFrame | None,
+    tds,
+    added: DataFrame,
+    fact_key,
+    keep_versions: int = 0,
+    snapshot_props: dict | None = None,
+) -> dict:
+    """Commit a maintained join view's delta COPY-ON-WRITE (VERDICT r10
+    item 1): the IVM algebra is delta-sized, so the physical commit
+    must be too — a 100 TB view refreshed every minute must not rewrite
+    100 TB per minute. The delta (from :func:`star_view_delta`) is a
+    keyed retract-and-insert, exactly ``merge_pruned``'s contract
+    applied to the view table:
+
+    1. footer key spans mark a view file DIRTY iff it can contain a row
+       owned by ``tf`` (on the fact key) or joining through some ``td``
+       (on that dim's join key) — a clean file provably holds no row to
+       retract, and inserted rows land as fresh files, so clean files
+       carry into the new snapshot BY REFERENCE
+       (``write_with_carryover``: hard link, zero copy);
+    2. only the dirty slice streams through the anti-join drops, unioned
+       with ``added``, and materializes as new files;
+    3. one atomic OCC-guarded swap (the commit token is read BEFORE the
+       spans — a racing writer raises ``ConcurrentWriteError`` instead
+       of losing its update).
+
+    Falls back to the full overwrite (``pruned=False``) when pruning
+    cannot be proven sound — key types outside the prune-safe set,
+    raw-ns timestamp columns, or ``added`` carrying columns the view
+    lacks. Returns ``{"path", "pruned", "files_total",
+    "files_rewritten", "files_carried", "bytes_rewritten"}`` —
+    ``bytes_rewritten`` is the new snapshot's non-carried byte count,
+    the O(Δ) figure BASELINE.md records."""
     from pyspark.sql import functions as F
 
     from agol_pandas_spark.functions.names import backticked as bq
+    from agol_pandas_spark.operators.merge import (
+        _PRUNE_SAFE_TYPES,
+        _touched_paths,
+    )
 
-    if how not in ("inner", "left"):
-        raise ValueError(
-            f"CDF join-view maintenance needs inner/left, got {how!r}"
-        )
-    fkeys = [fact_key] if isinstance(fact_key, str) else list(fact_key)
-    jkeys = [join_key] if isinstance(join_key, str) else list(join_key)
-
-    def _latest(changes: DataFrame, keys: list[str]) -> DataFrame:
-        ev = changes.where(F.col("_change_type") != "update_preimage")
-        order = (
-            [F.col("_commit_version").desc()]
-            if "_commit_version" in changes.columns
-            else [F.lit(1)]
-        )
-        w = Window.partitionBy(*[F.col(bq(k)) for k in keys]).orderBy(*order)
-        return ev.withColumn("__rn", F.row_number().over(w)).where(
-            F.col("__rn") == 1
-        )
-
-    meta = ("_change_type", "_commit_version", "__rn")
-
-    # --- fact side: touched keys + post-images --------------------------
-    if fact_changes is not None:
-        f_latest = _latest(fact_changes, fkeys)
-        tf = f_latest.select(*[F.col(bq(k)) for k in fkeys]).distinct()
-        f_post = f_latest.where(F.col("_change_type") != "delete").drop(
-            *[c for c in meta if c in f_latest.columns]
-        )
-    else:
-        tf = None
-        f_post = fact.limit(0)
-
-    # --- dim side: touched join keys (BOTH update images — a re-keyed
-    # dim row must retract its old-key rows AND attract its new-key's) --
-    if dim_changes is not None:
-        td = dim_changes.select(*[F.col(bq(k)) for k in jkeys]).distinct()
-    else:
-        td = None
-
-    # --- drop affected view rows (broadcast anti-joins, map-side) ------
-    kept = view
-    if tf is not None:
-        kept = kept.join(F.broadcast(tf), on=fkeys, how="left_anti")
-    if td is not None:
-        kept = kept.join(F.broadcast(td), on=jkeys, how="left_anti")
-
-    # --- re-derive affected fact rows against the NEW dim --------------
-    affected = f_post
-    if td is not None:
-        # current fact rows joining through a touched dim key, excluding
-        # those already re-derived via the fact feed (no double rows)
-        via_dim = fact.join(F.broadcast(td), on=jkeys, how="left_semi")
-        if tf is not None:
-            via_dim = via_dim.join(F.broadcast(tf), on=fkeys, how="left_anti")
-        affected = affected.unionByName(via_dim.select(*f_post.columns))
-    added = affected.join(dim, on=jkeys, how=how)
-    # re-select BOTH sides to the view's column order: a name-list join
-    # moves its keys to the front, so `kept` comes out reordered
+    fkeys = _keys_of(fact_key)
+    read_commit = view_catalog.commit_id(view_name)
+    view = view_catalog.table(view_name)
+    view_path = view_catalog.path(view_name)
+    fields = {f.name: f.dataType for f in view.schema.fields}
     cols = [F.col(bq(c)) for c in view.columns]
-    return kept.select(*cols).unionByName(added.select(*cols))
+
+    keysets: list[tuple[list[str], DataFrame]] = []
+    if tf is not None:
+        keysets.append((fkeys, tf))
+    for jkeys, td in tds:
+        if td is not None:
+            keysets.append((jkeys, td))
+
+    prunable = (
+        os.path.isdir(view_path)
+        and all(
+            isinstance(fields.get(k), _PRUNE_SAFE_TYPES)
+            for ks, _ in keysets
+            for k in ks
+        )
+        and not (set(added.columns) - set(fields))
+        and not view_catalog._nanos_columns(view_path)
+    )
+
+    def _full() -> dict:
+        kept = _drop_touched(view, tf, tds, fkeys)
+        maintained = kept.select(*cols).unionByName(added.select(*cols))
+        path = view_catalog.write(
+            maintained, view_name, mode="overwrite",
+            keep_versions=keep_versions, snapshot_props=snapshot_props,
+        )
+        total = sum(
+            os.path.getsize(f) for f in view_catalog.data_files(view_name)
+        )
+        return {
+            "path": path, "pruned": False, "files_total": None,
+            "files_rewritten": None, "files_carried": 0,
+            "bytes_rewritten": total,
+        }
+
+    if not prunable:
+        return _full()
+
+    spark = added.sparkSession
+    all_files = view_catalog.data_files(view_name)
+    dirty: set[str] = set()
+    for ks, kdf in keysets:
+        spans = view_catalog.path_key_spans(view_path, ks)
+        dirty |= {s["path"] for s in spans if not s["ok"]}
+        stat_spans = [s for s in spans if s["ok"] and s["path"] not in dirty]
+        if stat_spans:
+            dirty |= _touched_paths(kdf, stat_spans, ks, fields)
+    clean = [f for f in all_files if f not in dirty]
+
+    if dirty:
+        dirty_df = spark.read.schema(view.schema).parquet(*sorted(dirty))
+    else:
+        dirty_df = spark.createDataFrame([], view.schema)
+    kept_dirty = _drop_touched(dirty_df, tf, tds, fkeys)
+    result = kept_dirty.select(*cols).unionByName(added.select(*cols))
+    path = view_catalog.write_with_carryover(
+        result, view_name, clean, keep_versions=keep_versions,
+        expected_commit=read_commit, snapshot_props=snapshot_props,
+    )
+    carried_names = {os.path.basename(f) for f in clean}
+    bytes_rewritten = sum(
+        os.path.getsize(f)
+        for f in view_catalog.data_files(view_name)
+        if os.path.basename(f) not in carried_names
+    )
+    return {
+        "path": path,
+        "pruned": True,
+        "files_total": len(all_files),
+        "files_rewritten": len(dirty),
+        "files_carried": len(clean),
+        "bytes_rewritten": bytes_rewritten,
+    }
 
 
 def apply_cdf_to_summary(

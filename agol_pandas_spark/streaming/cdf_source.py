@@ -42,11 +42,27 @@ import json
 import os
 import shutil
 import tempfile
+import threading
 import uuid
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# process-local registry of live spool paths (ADVICE r10): the pid-stamped
+# lock file only excludes OTHER processes — a second tail object attaching
+# to the same spool in THIS process would read its own pid as "stale" and
+# steal the lock, after which the first tail's close() deletes the spool
+# out from under the second. Registering realpaths here turns that silent
+# race into the TailLockError the class docstring always promised.
+_LIVE_SPOOLS: set[str] = set()
+_LIVE_SPOOLS_LOCK = threading.Lock()
+
+
+def _discard_live_spool(real: str) -> None:
+    with _LIVE_SPOOLS_LOCK:
+        _LIVE_SPOOLS.discard(real)
 
 
 class CdfTail:
@@ -136,6 +152,12 @@ class CdfTail:
             self._spooled_through = state["spooled_through"]
             self._spooled_head = state["spooled_head"]
             self._head_commit_id = state["head_commit_id"]
+            # pre-r11 spools carry no pin id: mint one and persist it so
+            # the protected watermark survives restarts under ONE name
+            self._pin_id = state.get("pin_id") or f"tail_{uuid.uuid4().hex}"
+            if "pin_id" not in state:
+                self._save_state()
+            self._pin_watermark()
             return
         # transitions INTO versions <= this are spooled; start just below
         # the earliest archive so the first advance emits (v1 -> v2)
@@ -147,6 +169,24 @@ class CdfTail:
         # number, the pairs loop must NOT re-emit its delta — additive
         # consumers would double-count
         self._head_commit_id: str | None = None
+        self._pin_id = f"tail_{uuid.uuid4().hex}"
+        self._pin_watermark()
+
+    def _pin_watermark(self) -> None:
+        """Register the tail's watermark as a PROTECTED version with the
+        catalog (``Catalog.pin_version``): ``vacuum(keep_last)`` then
+        refuses to drop the watermark archive or anything after it, so
+        the loud-but-lossy ``CdfGapError`` a racing retention run used
+        to cause becomes prevention (VERDICT r10 item 5). Re-asserted
+        on attach and after every advance; released by
+        ``close()``/``detach()``. Best-effort: a catalog without pin
+        support (an external stub) degrades to the old behavior."""
+        try:
+            self.catalog.pin_version(
+                self.name, self._pin_id, self._spooled_through
+            )
+        except AttributeError:
+            pass
 
     # -- spool exclusivity + hygiene ------------------------------------
 
@@ -154,12 +194,41 @@ class CdfTail:
         """Take the spool's single-live-tail lock (pid-stamped O_EXCL
         file). A lock held by a DEAD process is stale — a crashed tail
         cannot release it — and is reclaimed; a lock held by THIS
-        process is re-taken (a tail re-created over the same spool in
-        one process is the crash-restart pattern the recovery guards
-        exist for, and the lock protects against concurrent *processes*
-        — two live tail objects in one process remain the caller's
-        responsibility, as documented on the class). A lock held by a
-        live other process raises :class:`TailLockError`."""
+        process is re-taken ONLY when no live tail object in this
+        process holds the spool (a tail re-created over the same spool
+        after the previous object's close()/detach() is the
+        crash-restart pattern the recovery guards exist for); a SECOND
+        live in-process tail raises :class:`TailLockError` via the
+        process-local registry (ADVICE r10 — before, it silently stole
+        the pid lock). A lock held by a live other process raises
+        :class:`TailLockError`."""
+        from agol_pandas_spark.errors import TailLockError
+
+        real = os.path.realpath(self.spool_dir)
+        with _LIVE_SPOOLS_LOCK:
+            if real in _LIVE_SPOOLS:
+                raise TailLockError(
+                    f"spool {self.spool_dir!r} is held by a live tail "
+                    "object in this process; one live tail per spool — "
+                    "close()/detach() it or use a separate spool_dir"
+                )
+            _LIVE_SPOOLS.add(real)
+        # liveness, not existence: a tail object dropped WITHOUT
+        # close()/detach() (the crash-simulation / leaked-reference
+        # pattern) releases its registry slot at GC — the durable spool
+        # state plus the recovery guards already make a successor exact,
+        # and holding the slot past the object's life would wedge every
+        # restart in long-lived processes
+        self._registry_finalizer = weakref.finalize(
+            self, _discard_live_spool, real
+        )
+        try:
+            self._acquire_lock_file()
+        except Exception:
+            self._registry_finalizer()
+            raise
+
+    def _acquire_lock_file(self) -> None:
         from agol_pandas_spark.errors import TailLockError
 
         for attempt in (0, 1):
@@ -202,6 +271,9 @@ class CdfTail:
                     ) from None
 
     def _release_lock(self) -> None:
+        fin = getattr(self, "_registry_finalizer", None)
+        if fin is not None:
+            fin()  # idempotent: detaches after first call
         try:
             os.remove(self._lock_path)
         except OSError:
@@ -221,7 +293,9 @@ class CdfTail:
             p = os.path.join(self.spool_dir, e)
             if e.startswith(".__stage_"):
                 shutil.rmtree(p, ignore_errors=True)
-            elif e.startswith(f"{self.STATE_NAME}.__tmp_"):
+            elif e.startswith(f"{self.STATE_NAME}.__tmp_") or (
+                e.startswith("_consumer_") and ".__w_" in e
+            ):
                 try:
                     os.remove(p)
                 except OSError:
@@ -252,6 +326,7 @@ class CdfTail:
                     "spooled_through": self._spooled_through,
                     "spooled_head": self._spooled_head,
                     "head_commit_id": self._head_commit_id,
+                    "pin_id": self._pin_id,
                 },
                 f,
             )
@@ -526,6 +601,9 @@ class CdfTail:
                     self._head_commit_id = head_commit
                     spooled += 1
         self._save_state()
+        # the watermark may have advanced: re-register the protected
+        # version so vacuum releases everything the tail no longer needs
+        self._pin_watermark()
         return spooled
 
     def spooled_snapshot(self, spark: SparkSession) -> DataFrame:
@@ -538,19 +616,38 @@ class CdfTail:
         spool recorded exactly it); otherwise the archived snapshot at
         the watermark. A vacuumed watermark archive raises
         ``CdfGapError`` — the same re-seed signal ``advance`` gives."""
+        return self._spooled_snapshot_with_path(spark)[0]
+
+    def _spooled_snapshot_with_path(
+        self, spark: SparkSession
+    ) -> tuple[DataFrame, str | None]:
+        """:meth:`spooled_snapshot` plus the snapshot DIRECTORY it reads
+        — the handle the join-view maintainer needs to span-prune its
+        TD-rescan by parquet footers (``views._td_pruned_scan``). The
+        path is None only for single-file external tables (nothing to
+        prune per-file there anyway)."""
         from agol_pandas_spark.errors import CdfGapError
+
+        def _with_dir(df: DataFrame, p: str) -> tuple[DataFrame, str | None]:
+            return df, (p if os.path.isdir(p) else None)
 
         if self._spooled_head:
             current = self.catalog.commit_id(self.name)
             if self._head_commit_id is None or current == self._head_commit_id:
-                return self.catalog.table(self.name)
+                return _with_dir(
+                    self.catalog.table(self.name),
+                    self.catalog.path(self.name),
+                )
             # a commit raced in after the head capture: the captured
             # state was displaced — serve it from the archive that
             # carries its commit id (the racer's keep_versions archived
             # it), never the moved-on current table
             for v in reversed(self.catalog.versions(self.name)):
                 if self._archived_commit_id(v) == self._head_commit_id:
-                    return self.catalog.table_at(self.name, v)
+                    return _with_dir(
+                        self.catalog.table_at(self.name, v),
+                        self.catalog._version_path(self.name, v),
+                    )
             raise CdfGapError(
                 f"tail of {self.name!r}: the state captured as head "
                 f"(commit {self._head_commit_id!r}) was displaced and "
@@ -569,10 +666,16 @@ class CdfTail:
             # leak its rows into a feed-aligned consumer.
             versions = self.catalog.versions(self.name)
             if not versions:
-                return self.catalog.table(self.name)
+                return _with_dir(
+                    self.catalog.table(self.name),
+                    self.catalog.path(self.name),
+                )
             version = versions[0]
         try:
-            return self.catalog.table_at(self.name, version)
+            return _with_dir(
+                self.catalog.table_at(self.name, version),
+                self.catalog._version_path(self.name, version),
+            )
         except Exception as ex:
             raise CdfGapError(
                 f"tail of {self.name!r}: the watermark snapshot "
@@ -622,24 +725,106 @@ class CdfTail:
         except OSError:
             return None
 
-    def vacuum_spool(self, through: int) -> list[str]:
+    # -- spool consumer watermarks (drained-file tracking) --------------
+
+    def _consumer_path(self, consumer_id: str) -> str:
+        safe = "".join(
+            c if (c.isalnum() or c in "-_") else "_" for c in consumer_id
+        )
+        return os.path.join(self.spool_dir, f"_consumer_{safe}.json")
+
+    def register_consumer(self, consumer_id: str) -> None:
+        """Register a spool CONSUMER (a file-source stream, a refresh
+        loop) so :meth:`vacuum_spool` never reclaims a transition it
+        has not drained (VERDICT r10 item 4: ``vacuum_spools=True`` was
+        only safe when the tailed refresh was the spool's sole
+        consumer — a second file-stream reader had no drained-file
+        story, so its spool grew forever or lost data). Registration
+        starts at watermark 0 — everything is protected until the
+        consumer reports progress via :meth:`set_consumer_watermark`.
+        Idempotent; the marker is a ``_``-prefixed spool file, invisible
+        to the stream source like the state file."""
+        p = self._consumer_path(consumer_id)
+        if not os.path.exists(p):
+            self._write_consumer(p, 0)
+
+    def _write_consumer(self, path: str, through: int) -> None:
+        tmp = f"{path}.__w_{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"through": int(through)}, f)
+        os.replace(tmp, path)
+
+    def set_consumer_watermark(self, consumer_id: str, through: int) -> None:
+        """Record that ``consumer_id`` has fully processed every spooled
+        transition with version ≤ ``through``. Monotonic (a stale
+        report never regresses the watermark); transitions at or below
+        the MINIMUM across all registered consumers become eligible for
+        :meth:`vacuum_spool`."""
+        p = self._consumer_path(consumer_id)
+        try:
+            with open(p) as f:
+                current = int(json.load(f).get("through", 0))
+        except (OSError, ValueError):
+            current = 0
+        if int(through) > current:
+            self._write_consumer(p, int(through))
+
+    def consumer_watermarks(self) -> dict[str, int]:
+        """consumer_id -> drained-through version for every registered
+        spool consumer. An unreadable marker reads as 0 (protect
+        everything) — a torn watermark must never cause data loss."""
+        out: dict[str, int] = {}
+        for e in os.listdir(self.spool_dir):
+            if not (e.startswith("_consumer_") and e.endswith(".json")):
+                continue
+            cid = e[len("_consumer_"):-len(".json")]
+            try:
+                with open(os.path.join(self.spool_dir, e)) as f:
+                    out[cid] = int(json.load(f).get("through", 0))
+            except (OSError, ValueError):
+                out[cid] = 0
+        return out
+
+    def drop_consumer(self, consumer_id: str) -> None:
+        """Unregister a consumer (idempotent) — its watermark stops
+        holding spool directories. Call when the stream is permanently
+        stopped; an abandoned registration blocks vacuum forever, which
+        is the conservative failure mode."""
+        try:
+            os.remove(self._consumer_path(consumer_id))
+        except OSError:
+            pass
+
+    def vacuum_spool(self, through: int | None = None) -> list[str]:
         """Reclaim spooled transition directories every consumer has
         PROCESSED: versions ≤ ``through`` — which must be the
         consumer's applied position (a file-stream's completed drain, a
         refresh loop's props watermark), because the spool itself
         cannot know what downstream has read; vacuuming past a lagging
         consumer loses its unread deltas exactly like vacuuming table
-        archives past the tail does.
+        archives past the tail does. ``through=None`` means "as far as
+        the registered consumer watermarks allow" — the safe default
+        for a housekeeping loop that registered its consumers.
 
-        Bounded additionally by the tail's own durable watermark: the
-        crash-recovery guards key on directories ABOVE it (an unspooled
-        transition's dir-existence, the head capture's commit record),
-        so those are never eligible regardless of ``through`` — a head
-        spool at ``watermark+1`` stays until its state is archived and
-        the watermark moves past it. Without this housekeeping a
-        continuous tail accumulates one directory per commit forever.
-        Returns the removed paths."""
-        limit = min(int(through), self._spooled_through)
+        Bounded additionally by (a) the MINIMUM registered consumer
+        watermark (:meth:`register_consumer` — an explicit ``through``
+        past a lagging registered consumer is clamped, not honored) and
+        (b) the tail's own durable watermark: the crash-recovery guards
+        key on directories ABOVE it (an unspooled transition's
+        dir-existence, the head capture's commit record), so those are
+        never eligible regardless of ``through`` — a head spool at
+        ``watermark+1`` stays until its state is archived and the
+        watermark moves past it. Without this housekeeping a continuous
+        tail accumulates one directory per commit forever. Returns the
+        removed paths."""
+        limit = (
+            self._spooled_through
+            if through is None
+            else min(int(through), self._spooled_through)
+        )
+        consumers = self.consumer_watermarks()
+        if consumers:
+            limit = min(limit, min(consumers.values()))
         removed: list[str] = []
         for version, path in sorted(self._spooled_dirs().items()):
             if version <= limit:
@@ -648,14 +833,25 @@ class CdfTail:
         return removed
 
     def close(self) -> None:
+        self._unpin()
         self._release_lock()
         shutil.rmtree(self.spool_dir, ignore_errors=True)
 
     def detach(self) -> None:
         """Release the spool WITHOUT deleting it — the clean handoff for
         a tail that another process (or a later run) will resume via the
-        durable ``_state.json``. ``close()`` deletes the spool outright."""
+        durable ``_state.json`` (which carries the pin id: the successor
+        re-registers the same protected watermark on attach). The pin is
+        released here so a tail that never comes back cannot block
+        retention forever; ``close()`` deletes the spool outright."""
+        self._unpin()
         self._release_lock()
+
+    def _unpin(self) -> None:
+        try:
+            self.catalog.unpin_version(self.name, self._pin_id)
+        except AttributeError:
+            pass
 
 
 def refresh_join_view_from_tails(
@@ -703,10 +899,98 @@ def refresh_join_view_from_tails(
     ``vacuum_spools=True`` reclaims the spool directories this refresh
     just applied (``CdfTail.vacuum_spool`` at the committed
     watermarks) AFTER the view commit — the continuous-deployment
-    housekeeping; leave False when another consumer (a file stream)
-    also reads these spools."""
+    housekeeping; registered spool consumers (``register_consumer``)
+    are honored, so a second reader over the same spools is safe.
+
+    The view commit is COPY-ON-WRITE since r11 (VERDICT r10 item 1):
+    the delta algebra is delta-sized, and the physical commit now is
+    too — only the view files whose footer key spans intersect the
+    touched fact/dim keys rewrite; everything else hard-links into the
+    new snapshot (``views.commit_join_view_delta``). The returned dict
+    gains ``commit_stats`` (pruned / files_rewritten / files_carried /
+    bytes_rewritten) so a deployment can record rewritten-bytes-per-
+    refresh."""
+    out = _refresh_from_tails(
+        spark, view_catalog, view_name, fact_tail,
+        [(dim_tail, join_key, "jv_dim_through")],
+        fact_key, how, include_current, vacuum_spools,
+        fact_prop="jv_fact_through",
+    )
+    if not out["committed"]:
+        return {
+            "applied_fact": 0, "applied_dim": 0,
+            "fact_through": out["fact_through"],
+            "dim_through": out["dim_throughs"][0],
+            "committed": False,
+        }
+    return {
+        "applied_fact": out["applied_fact"],
+        "applied_dim": out["applied_dims"][0],
+        "fact_through": out["fact_through"],
+        "dim_through": out["dim_throughs"][0],
+        "committed": True,
+        "commit_stats": out["commit_stats"],
+    }
+
+
+def refresh_join_view_from_tails_star(
+    spark: SparkSession,
+    view_catalog,
+    view_name: str,
+    fact_tail: CdfTail,
+    dim_tails,
+    fact_key,
+    how: str = "inner",
+    include_current: bool = True,
+    vacuum_spools: bool = False,
+) -> dict:
+    """STAR-SCHEMA tailed refresh (VERDICT r10 item 3): one fact tail
+    plus N dimension tails drive a materialized
+    fact ⋈ dim₁ ⋈ … ⋈ dimₙ view — the real-dashboard shape
+    :func:`refresh_join_view_from_tails` covered only at N=1.
+    ``dim_tails`` is a sequence of ``(tail, join_key)`` in join order.
+    Per-table applied watermarks ride the view's snapshot props as
+    ``jv_fact_through`` / ``jv_dim_<table>_through`` (so each dim tail
+    needs a distinct table name); the bilateral guarantees carry over
+    unchanged — feed-aligned snapshots per tail, idempotent replay,
+    declared-noop skips, copy-on-write O(Δ) commits, registered-
+    consumer-safe spool vacuuming. Returns ``{"applied_fact",
+    "applied_dims": [...], "fact_through", "dim_throughs": [...],
+    "committed", "commit_stats"}`` with the dim lists parallel to
+    ``dim_tails``."""
+    names = [t.name for t, _ in dim_tails]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            "star refresh needs distinct dim table names (watermark "
+            f"props are keyed by table), got {names}"
+        )
+    return _refresh_from_tails(
+        spark, view_catalog, view_name, fact_tail,
+        [
+            (tail, jk, f"jv_dim_{tail.name}_through")
+            for tail, jk in dim_tails
+        ],
+        fact_key, how, include_current, vacuum_spools,
+        fact_prop="jv_fact_through",
+    )
+
+
+def _refresh_from_tails(
+    spark: SparkSession,
+    view_catalog,
+    view_name: str,
+    fact_tail: CdfTail,
+    dims,  # list of (tail, join_key, prop_name)
+    fact_key,
+    how: str,
+    include_current: bool,
+    vacuum_spools: bool,
+    fact_prop: str,
+) -> dict:
+    from agol_pandas_spark.catalog import DATA_CHANGE_PROP
     from agol_pandas_spark.operators.views import (
-        apply_cdf_to_join_view_bilateral,
+        commit_join_view_delta,
+        star_view_delta,
     )
 
     import warnings
@@ -720,10 +1004,11 @@ def refresh_join_view_from_tails(
             "ignore", message=".*no archived versions exist.*"
         )
         fact_tail.advance(include_current=include_current)
-        dim_tail.advance(include_current=include_current)
+        for tail, _, _ in dims:
+            tail.advance(include_current=include_current)
     marker = view_catalog.snapshot_props(view_name)
-    f_through = int(marker.get("jv_fact_through", 0))
-    d_through = int(marker.get("jv_dim_through", 0))
+    f_through = int(marker.get(fact_prop, 0))
+    d_throughs = [int(marker.get(pn, 0)) for _, _, pn in dims]
 
     def _new_batches(tail: CdfTail, through: int):
         # head spools land as v{watermark+1} directories too, so the
@@ -739,42 +1024,56 @@ def refresh_join_view_from_tails(
         return feed, max(fresh), len(fresh)
 
     f_feed, f_new, f_n = _new_batches(fact_tail, f_through)
-    d_feed, d_new, d_n = _new_batches(dim_tail, d_through)
-    if f_feed is None and d_feed is None:
+    d_batches = [
+        _new_batches(tail, th)
+        for (tail, _, _), th in zip(dims, d_throughs)
+    ]
+    if f_feed is None and all(b[0] is None for b in d_batches):
         return {
-            "applied_fact": 0, "applied_dim": 0,
-            "fact_through": f_through, "dim_through": d_through,
+            "applied_fact": 0,
+            "applied_dims": [0] * len(dims),
+            "fact_through": f_through,
+            "dim_throughs": d_throughs,
             "committed": False,
         }
-    view = view_catalog.table(view_name)
-    maintained = apply_cdf_to_join_view_bilateral(
-        view,
-        f_feed,
-        d_feed,
-        fact=fact_tail.spooled_snapshot(spark),
-        dim=dim_tail.spooled_snapshot(spark),
-        join_key=join_key,
-        fact_key=fact_key,
-        how=how,
+    fact_df, fact_path = fact_tail._spooled_snapshot_with_path(spark)
+    dim_specs = [
+        (d_feed, tail.spooled_snapshot(spark), jk)
+        for (tail, jk, _), (d_feed, _, _) in zip(dims, d_batches)
+    ]
+    tf, tds, added = star_view_delta(
+        f_feed, dim_specs, fact_df, fact_key, how,
+        fact_path=fact_path, catalog=view_catalog,
     )
-    view_catalog.write(
-        maintained, view_name, mode="overwrite",
-        snapshot_props={
-            **{k: v for k, v in marker.items()
-               if k not in ("jv_fact_through", "jv_dim_through")},
-            "jv_fact_through": f_new,
-            "jv_dim_through": d_new,
-        },
+    # carried props: strip the watermarks (re-stamped below) AND any
+    # data_change declaration (ADVICE r10 — a compacted view's
+    # data_change:False must not ride a row-CHANGING refresh commit, or
+    # a CdfTail over the VIEW would treat the real transition as a
+    # declared no-op and silently skip its delta; same reason
+    # Catalog.restore strips it)
+    prop_names = {fact_prop, *[pn for _, _, pn in dims], DATA_CHANGE_PROP}
+    props = {k: v for k, v in marker.items() if k not in prop_names}
+    props[fact_prop] = f_new
+    for (_, _, pn), (_, d_new, _) in zip(dims, d_batches):
+        props[pn] = d_new
+    stats = commit_join_view_delta(
+        view_catalog, view_name, tf, tds, added, fact_key,
+        snapshot_props=props,
     )
     if vacuum_spools:
         # AFTER the commit: the props watermark now covers these
-        # batches, so a crash right here costs nothing but disk
+        # batches, so a crash right here costs nothing but disk —
+        # registered consumer watermarks still clamp the reclaim
         fact_tail.vacuum_spool(f_new)
-        dim_tail.vacuum_spool(d_new)
+        for (tail, _, _), (_, d_new, _) in zip(dims, d_batches):
+            tail.vacuum_spool(d_new)
     return {
-        "applied_fact": f_n, "applied_dim": d_n,
-        "fact_through": f_new, "dim_through": d_new,
+        "applied_fact": f_n,
+        "applied_dims": [b[2] for b in d_batches],
+        "fact_through": f_new,
+        "dim_throughs": [b[1] for b in d_batches],
         "committed": True,
+        "commit_stats": stats,
     }
 
 

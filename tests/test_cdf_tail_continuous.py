@@ -309,6 +309,7 @@ def test_crash_between_spool_and_state_write_recovers_exactly_once(
     assert tail.advance() == 1
     n_before = tail.read_spool(spark).count()
     os.remove(os.path.join(spool, CdfTail.STATE_NAME))  # "crash" here
+    del tail  # the crashed object is gone (frees the in-process slot)
 
     tail2 = CdfTail(cat, "t", key="k", spool_dir=spool)
     assert tail2.advance() == 0  # dir-existence guard, not the state
@@ -320,6 +321,7 @@ def test_crash_between_spool_and_state_write_recovers_exactly_once(
     assert tail2.advance(include_current=True) == 1
     n_head = tail2.read_spool(spark).count()
     os.remove(os.path.join(spool, CdfTail.STATE_NAME))
+    del tail2  # crash again
     tail3 = CdfTail(cat, "t", key="k", spool_dir=spool)
     assert tail3.advance(include_current=True) == 0
     assert tail3.read_spool(spark).count() == n_head
@@ -402,6 +404,7 @@ def test_crashed_head_spool_for_displaced_state_raises_not_skips(
     tail = CdfTail(cat, "t", key="k", spool_dir=spool)
     assert tail.advance(include_current=True) == 1  # head capture (X)
     os.remove(os.path.join(spool, CdfTail.STATE_NAME))  # crash
+    del tail  # the crashed object is gone (frees the in-process slot)
 
     # X is displaced UNARCHIVED, then the new state Y archives as v2
     cat.write(_mk(spark, 12, 5), "t", mode="overwrite", keep_versions=0)
