@@ -170,6 +170,12 @@ class CdfTail:
         # consumers would double-count
         self._head_commit_id: str | None = None
         self._pin_id = f"tail_{uuid.uuid4().hex}"
+        # persist the fresh attach: the pin id must survive a restart
+        # under ONE name (a successor re-asserting a different pin would
+        # leak the old one), and a durable attach watermark is strictly
+        # more deterministic than recomputing it from whatever archives
+        # exist at re-attach time
+        self._save_state()
         self._pin_watermark()
 
     def _pin_watermark(self) -> None:
@@ -411,6 +417,19 @@ class CdfTail:
         changes.withColumn(
             "_commit_version", F.lit(version).cast("long")
         ).write.mode("overwrite").parquet(staged)
+        # drop ZERO-ROW part files before the rename: a rowless file is
+        # invisible to row-level consumer tracking (input_file_name —
+        # it never produces a row), so it would pin the consumer
+        # watermark below this version forever; footer reads on a
+        # delta-sized staging dir are cheap
+        import pyarrow.parquet as _pq
+
+        for e in os.listdir(staged):
+            if e.startswith(("_", ".")):
+                continue
+            p = os.path.join(staged, e)
+            if _pq.ParquetFile(p).metadata.num_rows == 0:
+                os.remove(p)
         if head_commit is not None:
             with open(os.path.join(staged, "_head_commit"), "w") as f:
                 f.write(head_commit)
@@ -746,28 +765,106 @@ class CdfTail:
         to the stream source like the state file."""
         p = self._consumer_path(consumer_id)
         if not os.path.exists(p):
-            self._write_consumer(p, 0)
-
-    def _write_consumer(self, path: str, through: int) -> None:
-        tmp = f"{path}.__w_{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump({"through": int(through)}, f)
-        os.replace(tmp, path)
+            self._write_consumer_state(p, {"through": 0, "partial": {}})
 
     def set_consumer_watermark(self, consumer_id: str, through: int) -> None:
         """Record that ``consumer_id`` has fully processed every spooled
         transition with version ≤ ``through``. Monotonic (a stale
         report never regresses the watermark); transitions at or below
         the MINIMUM across all registered consumers become eligible for
-        :meth:`vacuum_spool`."""
+        :meth:`vacuum_spool`. For consumers that read the spool in
+        whole transitions (a refresh loop) — a FILE-AT-A-TIME consumer
+        (a ``maxFilesPerTrigger`` stream) must use
+        :meth:`record_consumer_files` instead, because its micro-batch
+        may cover only part of a transition directory and a
+        version-level claim would let vacuum destroy the undrained
+        remainder."""
         p = self._consumer_path(consumer_id)
+        state = self._read_consumer(p)
+        if int(through) > state["through"]:
+            state["through"] = int(through)
+            # version-level claim subsumes any partial file bookkeeping
+            state["partial"] = {
+                v: fs
+                for v, fs in state.get("partial", {}).items()
+                if int(v) > int(through)
+            }
+            self._write_consumer_state(p, state)
+
+    def _read_consumer(self, path: str) -> dict:
         try:
-            with open(p) as f:
-                current = int(json.load(f).get("through", 0))
+            with open(path) as f:
+                state = json.load(f)
         except (OSError, ValueError):
-            current = 0
-        if int(through) > current:
-            self._write_consumer(p, int(through))
+            return {"through": 0, "partial": {}}
+        state.setdefault("through", 0)
+        state.setdefault("partial", {})
+        return state
+
+    def _write_consumer_state(self, path: str, state: dict) -> None:
+        tmp = f"{path}.__w_{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, path)
+
+    def record_consumer_files(self, consumer_id: str, files) -> int:
+        """Drained-FILE tracking for a file-at-a-time spool consumer
+        (the ``maxFilesPerTrigger`` stream shape): record the data
+        files a micro-batch fully processed (the distinct
+        ``input_file_name()`` values of the batch — ``inputFiles()`` is
+        empty inside ``foreachBatch``; sound because the spool writer
+        never lands zero-row part files, so every spool data file
+        surfaces rows) and advance the consumer's drained-through
+        watermark to the
+        highest version whose transition directory's ENTIRE data-file
+        set has been recorded — with every earlier spooled version
+        complete too, in order. A half-drained transition never
+        advances the watermark, so :meth:`vacuum_spool` can never
+        reclaim a directory whose remaining files the stream still
+        needs. Returns the (possibly advanced) watermark."""
+        p = self._consumer_path(consumer_id)
+        state = self._read_consumer(p)
+        through = int(state["through"])
+        partial: dict[str, list] = state["partial"]
+        changed = False
+        for f in files:
+            path = f[len("file:"):] if str(f).startswith("file:") else str(f)
+            path = os.path.abspath(path)
+            try:
+                rel = os.path.relpath(path, self.spool_dir)
+            except ValueError:
+                continue
+            top = rel.split(os.sep)[0]
+            if not (top.startswith("v") and "_" in top):
+                continue
+            head = top[1 : top.index("_")]
+            if not head.isdigit():
+                continue
+            v = int(head)
+            if v <= through:
+                continue
+            seen = partial.setdefault(str(v), [])
+            name = os.path.basename(path)
+            if name not in seen:
+                seen.append(name)
+                changed = True
+        dirs = self._spooled_dirs()
+        for v in sorted(x for x in dirs if x > through):
+            expected = {
+                e
+                for e in os.listdir(dirs[v])
+                if not e.startswith(("_", "."))
+            }
+            if expected <= set(partial.get(str(v), [])):
+                through = v
+                partial.pop(str(v), None)
+                changed = True
+            else:
+                break
+        if changed:
+            state["through"] = through
+            self._write_consumer_state(p, state)
+        return through
 
     def consumer_watermarks(self) -> dict[str, int]:
         """consumer_id -> drained-through version for every registered
@@ -865,6 +962,7 @@ def refresh_join_view_from_tails(
     how: str = "inner",
     include_current: bool = True,
     vacuum_spools: bool = False,
+    keep_versions: int = 0,
 ) -> dict:
     """MULTI-TABLE incremental refresh: drive a materialized fact ⋈ dim
     view from TWO change-feed tails — the dashboards-join-dimensions
@@ -909,12 +1007,15 @@ def refresh_join_view_from_tails(
     new snapshot (``views.commit_join_view_delta``). The returned dict
     gains ``commit_stats`` (pruned / files_rewritten / files_carried /
     bytes_rewritten) so a deployment can record rewritten-bytes-per-
-    refresh."""
+    refresh. ``keep_versions`` archives the displaced view snapshot on
+    each refresh — set it when the VIEW itself has change-feed
+    consumers (a ``CdfTail`` over the view needs archives to diff, and
+    the carried-forward hard links make archiving O(metadata))."""
     out = _refresh_from_tails(
         spark, view_catalog, view_name, fact_tail,
         [(dim_tail, join_key, "jv_dim_through")],
         fact_key, how, include_current, vacuum_spools,
-        fact_prop="jv_fact_through",
+        fact_prop="jv_fact_through", keep_versions=keep_versions,
     )
     if not out["committed"]:
         return {
@@ -943,6 +1044,7 @@ def refresh_join_view_from_tails_star(
     how: str = "inner",
     include_current: bool = True,
     vacuum_spools: bool = False,
+    keep_versions: int = 0,
 ) -> dict:
     """STAR-SCHEMA tailed refresh (VERDICT r10 item 3): one fact tail
     plus N dimension tails drive a materialized
@@ -971,7 +1073,7 @@ def refresh_join_view_from_tails_star(
             for tail, jk in dim_tails
         ],
         fact_key, how, include_current, vacuum_spools,
-        fact_prop="jv_fact_through",
+        fact_prop="jv_fact_through", keep_versions=keep_versions,
     )
 
 
@@ -986,6 +1088,7 @@ def _refresh_from_tails(
     include_current: bool,
     vacuum_spools: bool,
     fact_prop: str,
+    keep_versions: int = 0,
 ) -> dict:
     from agol_pandas_spark.catalog import DATA_CHANGE_PROP
     from agol_pandas_spark.operators.views import (
@@ -1058,7 +1161,7 @@ def _refresh_from_tails(
         props[pn] = d_new
     stats = commit_join_view_delta(
         view_catalog, view_name, tf, tds, added, fact_key,
-        snapshot_props=props,
+        keep_versions=keep_versions, snapshot_props=props,
     )
     if vacuum_spools:
         # AFTER the commit: the props watermark now covers these
@@ -1125,6 +1228,7 @@ def stream_cdf_into_summary(
     stream_id: str | None = None,
     checkpoint_dir: str | None = None,
     processing_time: str | None = None,
+    consumer_id: str | None = None,
 ):
     """The streaming IVM loop: consume a :class:`CdfTail` stream and
     maintain a grouped count/sum summary table per micro-batch through
@@ -1154,36 +1258,76 @@ def stream_cdf_into_summary(
     ``processing_time`` (e.g. ``"1 second"``) runs a CONTINUOUS tail —
     the query keeps draining as ``tail.advance()`` spools new
     transitions — instead of the one-shot availableNow drain. Returns
-    the started ``StreamingQuery``."""
+    the started ``StreamingQuery``.
+
+    ``consumer_id`` registers this stream as a SPOOL CONSUMER
+    (``CdfTail.register_consumer``, VERDICT r10 item 4): after each
+    applied (or marker-suppressed) micro-batch the stream records the
+    highest ``_commit_version`` it has fully drained, and
+    ``vacuum_spool`` never reclaims past the minimum registered
+    watermark — so a housekeeping loop can vacuum the spool while this
+    stream (and a tailed view refresh, and any other registered
+    reader) lags arbitrarily, with bounded spool growth and zero data
+    loss. Without it, vacuuming a spool a file stream reads is only
+    safe when that stream is the sole consumer and is known drained."""
     from agol_pandas_spark.operators.views import apply_cdf_to_summary
 
     if checkpoint_dir is not None:
         stream_id = _persistent_stream_id(checkpoint_dir, stream_id)
     stream_id = stream_id or uuid.uuid4().hex
+    # captured as a pair (or None) so the foreachBatch closure holds NO
+    # reference to the tail in the default case: a stopped query object
+    # outlives the loop, and a captured tail would keep the spool's
+    # in-process liveness slot held past `del tail` (the crash-restart
+    # pattern the liveness registry must allow)
+    tracker = None
+    if consumer_id is not None:
+        tail.register_consumer(consumer_id)
+        tracker = (consumer_id, tail)
 
     def maintain(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         marker = summary_catalog.snapshot_props(summary_name)
-        if (
+        suppressed = (
             marker.get("cdf_stream_id") == stream_id
             and marker.get("cdf_last_batch_id") is not None
             and batch_id <= marker["cdf_last_batch_id"]
-        ):
-            return  # re-executed micro-batch: its commit already landed
-        current = summary_catalog.table(summary_name)
-        updated = apply_cdf_to_summary(
-            current, batch_df, keys, sums, count_col=count_col
         )
-        summary_catalog.write(
-            updated,
-            summary_name,
-            mode="overwrite",
-            snapshot_props={
-                "cdf_stream_id": stream_id,
-                "cdf_last_batch_id": batch_id,
-            },
-        )
+        if not suppressed:
+            current = summary_catalog.table(summary_name)
+            updated = apply_cdf_to_summary(
+                current, batch_df, keys, sums, count_col=count_col
+            )
+            summary_catalog.write(
+                updated,
+                summary_name,
+                mode="overwrite",
+                snapshot_props={
+                    "cdf_stream_id": stream_id,
+                    "cdf_last_batch_id": batch_id,
+                },
+            )
+        if tracker is not None:
+            # AFTER the summary commit (a crash in between leaves the
+            # watermark behind — spool kept, conservative, never ahead).
+            # File-level tracking: this batch may hold only PART of a
+            # transition directory (maxFilesPerTrigger), so the
+            # watermark advances only once a version's whole file set
+            # has been drained. Runs for marker-suppressed re-executions
+            # too — their transitions are applied either way, and a
+            # suppressed batch that never reported would pin the spool.
+            # (inputFiles() is empty on a foreachBatch frame; the
+            # per-row input_file_name over the batch-sized frame is the
+            # reliable source.)
+            cid, t = tracker
+            drained_files = [
+                r["f"]
+                for r in batch_df.select(
+                    F.input_file_name().alias("f")
+                ).distinct().collect()
+            ]
+            t.record_consumer_files(cid, drained_files)
 
     writer = tail.stream(spark).writeStream.foreachBatch(maintain)
     if query_name:

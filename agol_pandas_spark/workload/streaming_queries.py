@@ -1683,3 +1683,161 @@ def pipeline_join_view_tailed(spark: SparkSession, sf_dir: str) -> DataFrame:
             d_tail.close()
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "pipeline_join_view_star",
+    tags=("pipeline", "cdf", "ivm", "join", "views", "streaming"),
+    oracle="""
+    WITH fact1 AS (
+      SELECT o_orderkey, o_custkey, o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_scaled
+      FROM orders WHERE o_orderkey % 15 = 0
+    ),
+    fact2 AS (
+      SELECT o_orderkey, o_custkey, o_orderpriority,
+             CASE WHEN o_orderkey % 45 = 15 THEN price_scaled + 500
+                  ELSE price_scaled END AS price_scaled
+      FROM fact1 WHERE o_orderkey % 45 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, o_orderpriority,
+             price_scaled + 77
+      FROM fact1 WHERE o_orderkey % 45 = 30
+    ),
+    dim1 AS (
+      SELECT c_custkey AS o_custkey,
+             CASE WHEN c_custkey % 10 = 1 THEN 'MOVED'
+                  ELSE c_mktsegment END AS c_mktsegment
+      FROM customer WHERE c_custkey % 10 <> 2
+    ),
+    dim2 AS (
+      SELECT DISTINCT o_orderpriority,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 'U'
+                  ELSE substr(o_orderpriority, 1, 1) END AS prio_label
+      FROM orders WHERE o_orderpriority <> '3-MEDIUM'
+    )
+    SELECT f.o_orderkey, f.o_custkey, f.o_orderpriority, f.price_scaled,
+           d1.c_mktsegment, d2.prio_label
+    FROM fact2 f
+    JOIN dim1 d1 ON f.o_custkey = d1.o_custkey
+    JOIN dim2 d2 ON f.o_orderpriority = d2.o_orderpriority
+    """,
+)
+def pipeline_join_view_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAR-SCHEMA tailed refresh (VERDICT r10 item 3): THREE
+    ``CdfTail``\\ s — one fact, two dimensions — drive a materialized
+    fact ⋈ dim1 ⋈ dim2 view through
+    ``refresh_join_view_from_tails_star`` across three rounds:
+    (1) a fact upsert/delete/insert batch; (2) BOTH dim batches in one
+    round — a customer-segment relabel + key-class delete + attract-
+    insert on dim1, and a priority-class delete + relabel on dim2 —
+    each re-deriving through per-dim touched-key sets with ONE combined
+    drop; (3) a quiescent round that must not commit (per-table
+    watermarks ride the view's snapshot props as
+    ``jv_dim_<table>_through``). Commits are COPY-ON-WRITE
+    (``views.commit_join_view_delta``): only view files whose footer
+    spans intersect the touched keys rewrite, the rest hard-link
+    forward. Oracle recomputes the final 3-way join from scratch; the
+    driver value-hashes the full maintained view. The bilateral form is
+    the N=1 case (``pipeline_join_view_tailed``); the reference
+    re-uploads full result sets instead (src/agol_pandas.py:396)."""
+    import shutil
+
+    from agol_pandas_spark.streaming.cdf_source import (
+        CdfTail,
+        refresh_join_view_from_tails_star,
+    )
+
+    k = F.col("o_orderkey")
+    fact1 = Catalog(spark, sf_dir).table("orders").where(k % 15 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long")
+        .alias("price_scaled"),
+    )
+    fact2 = fact1.where(k % 45 != 0).select(
+        "o_orderkey", "o_custkey", "o_orderpriority",
+        F.when(k % 45 == 15, F.col("price_scaled") + 500)
+        .otherwise(F.col("price_scaled")).alias("price_scaled"),
+    ).unionByName(
+        fact1.where(k % 45 == 30).select(
+            (k + 10_000_000).alias("o_orderkey"),
+            "o_custkey",
+            "o_orderpriority",
+            (F.col("price_scaled") + 77).alias("price_scaled"),
+        )
+    )
+    cust = Catalog(spark, sf_dir).table("customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    ck = F.col("o_custkey")
+    dim1a = cust.where(ck % 10 != 3)
+    dim1b = cust.where(ck % 10 != 2).select(
+        "o_custkey",
+        F.when(ck % 10 == 1, F.lit("MOVED"))
+        .otherwise(F.col("c_mktsegment")).alias("c_mktsegment"),
+    )
+    prio = Catalog(spark, sf_dir).table("orders").select(
+        "o_orderpriority"
+    ).distinct()
+    dim2a = prio.select(
+        "o_orderpriority",
+        F.substring("o_orderpriority", 1, 1).alias("prio_label"),
+    )
+    dim2b = prio.where(F.col("o_orderpriority") != "3-MEDIUM").select(
+        "o_orderpriority",
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit("U"))
+        .otherwise(F.substring("o_orderpriority", 1, 1))
+        .alias("prio_label"),
+    )
+
+    cols = ["o_orderkey", "o_custkey", "o_orderpriority",
+            "price_scaled", "c_mktsegment", "prio_label"]
+    root = tempfile.mkdtemp(prefix="join_star_")
+    f_tail = d1_tail = d2_tail = None
+    try:
+        cat = Catalog(spark, root, snapshot_identity="manifest")
+        cat.write(fact1.repartition(4), "f")
+        cat.write(dim1a, "d1")
+        cat.write(dim2a, "d2")
+        cat.write(
+            fact1.join(dim1a, "o_custkey", "inner")
+            .join(dim2a, "o_orderpriority", "inner").select(*cols),
+            "v",
+        )
+        f_tail = CdfTail(cat, "f", key="o_orderkey")
+        d1_tail = CdfTail(cat, "d1", key="o_custkey")
+        d2_tail = CdfTail(cat, "d2", key="o_orderpriority")
+
+        def refresh():
+            return refresh_join_view_from_tails_star(
+                spark, cat, "v", f_tail,
+                [(d1_tail, "o_custkey"), (d2_tail, "o_orderpriority")],
+                fact_key="o_orderkey",
+            )
+
+        # round 1: the fact batch
+        cat.write(fact2.repartition(4), "f", mode="overwrite",
+                  keep_versions=4)
+        s1 = refresh()
+        if not (s1["committed"] and s1["applied_fact"] >= 1):
+            raise RuntimeError(f"round-1 refresh misbehaved: {s1}")
+        # round 2: both dim batches in one round
+        cat.write(dim1b, "d1", mode="overwrite", keep_versions=4)
+        cat.write(dim2b, "d2", mode="overwrite", keep_versions=4)
+        s2 = refresh()
+        if not (s2["committed"] and all(n >= 1 for n in s2["applied_dims"])
+                and s2["applied_fact"] == 0):
+            raise RuntimeError(f"round-2 refresh misbehaved: {s2}")
+        # round 3: quiescent — per-table watermarks suppress any rework
+        s3 = refresh()
+        if s3["committed"]:
+            raise RuntimeError(f"quiescent refresh committed: {s3}")
+        out = cat.table("v").select(*cols).localCheckpoint(eager=True)
+    finally:
+        for t in (f_tail, d1_tail, d2_tail):
+            if t is not None:
+                t.close()
+        shutil.rmtree(root, ignore_errors=True)
+    return out

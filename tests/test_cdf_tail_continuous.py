@@ -936,3 +936,178 @@ def test_vacuum_spool_reclaims_only_consumed_transitions(spark, tmp_path):
     )
     ft.close()
     dt.close()
+
+
+def test_vacuum_honors_live_tail_pin(spark, tmp_path):
+    """VERDICT r10 item 5: a live tail registers its watermark as a
+    PROTECTED version, so routine ``Catalog.vacuum`` keeps the archives
+    the tail still needs (its watermark snapshot + everything after)
+    instead of creating the hole ``CdfGapError`` can only report after
+    the fact. close()/detach() unpin — an unregistered spool reclaims
+    as before."""
+    cat = Catalog(
+        spark, str(tmp_path / "cat"), snapshot_identity="manifest"
+    )
+    cat.write(_mk(spark, 10, 0), "t")
+    cat.write(_mk(spark, 12, 0), "t", mode="overwrite", keep_versions=8)
+    tail = CdfTail(cat, "t", key="k", spool_dir=str(tmp_path / "spool"))
+    cat.write(_mk(spark, 14, 0), "t", mode="overwrite", keep_versions=8)
+    cat.write(_mk(spark, 16, 0), "t", mode="overwrite", keep_versions=8)
+    assert cat.versions("t") == [1, 2, 3]
+    assert cat.pinned_versions("t")  # the live tail registered itself
+
+    # the tail sits at watermark 1 (nothing advanced): vacuum must keep
+    # EVERYTHING it still needs — versions >= 1
+    assert cat.vacuum("t", keep_last=0) == []
+    assert cat.versions("t") == [1, 2, 3]
+
+    # advancing moves the pin: everything below the new watermark frees
+    assert tail.advance() == 2  # spooled 1->2, 2->3; watermark 3
+    assert cat.vacuum("t", keep_last=0) == [1, 2]
+    assert cat.versions("t") == [3]
+    # and the tail keeps working from its protected base
+    cat.write(_mk(spark, 18, 0), "t", mode="overwrite", keep_versions=8)
+    assert tail.advance() == 1
+
+    # close() unpins: the next vacuum reclaims everything
+    tail.close()
+    assert cat.pinned_versions("t") == {}
+    assert cat.vacuum("t", keep_last=0) != []
+    assert cat.versions("t") == []
+
+
+def test_tail_pin_survives_process_restart(spark, tmp_path):
+    """The pin id persists in the spool state: a tail re-created over
+    the same spool re-asserts ONE pin (not a leak of stale ones), and
+    detach() releases it for a successor."""
+    cat = Catalog(
+        spark, str(tmp_path / "cat"), snapshot_identity="manifest"
+    )
+    cat.write(_mk(spark, 10, 0), "t")
+    cat.write(_mk(spark, 12, 0), "t", mode="overwrite", keep_versions=8)
+    spool = str(tmp_path / "spool")
+    tail = CdfTail(cat, "t", key="k", spool_dir=spool)
+    pins1 = cat.pinned_versions("t")
+    assert len(pins1) == 1
+    tail.detach()
+    assert cat.pinned_versions("t") == {}
+
+    tail2 = CdfTail(cat, "t", key="k", spool_dir=spool)
+    pins2 = cat.pinned_versions("t")
+    assert list(pins2) == list(pins1)  # same durable pin id, no leak
+    tail2.close()
+    assert cat.pinned_versions("t") == {}
+
+
+def test_spool_consumer_watermarks_clamp_vacuum(spark, tmp_path):
+    """VERDICT r10 item 4 (unit): vacuum_spool never reclaims past the
+    minimum registered consumer watermark, and version-level claims via
+    set_consumer_watermark release exactly the drained prefix."""
+    cat = Catalog(
+        spark, str(tmp_path / "cat"), snapshot_identity="manifest"
+    )
+    cat.write(_mk(spark, 10, 0), "t")
+    tail = CdfTail(cat, "t", key="k", spool_dir=str(tmp_path / "spool"))
+    for i in range(3):
+        cat.write(
+            _mk(spark, 12 + i, 0), "t", mode="overwrite", keep_versions=8
+        )
+    assert tail.advance() == 2  # dirs v2, v3 (watermark 3)
+    tail.register_consumer("dash")
+    # a registered-but-idle consumer protects everything
+    assert tail.vacuum_spool() == []
+    tail.set_consumer_watermark("dash", 2)
+    removed = tail.vacuum_spool()
+    assert len(removed) == 1 and "v000002" in removed[0]
+    # dropping the consumer releases the rest up to the tail watermark
+    tail.drop_consumer("dash")
+    removed = tail.vacuum_spool()
+    assert len(removed) == 1 and "v000003" in removed[0]
+    tail.close()
+
+
+def test_file_level_consumer_tracking_requires_complete_transitions(
+    spark, tmp_path
+):
+    """record_consumer_files must NOT advance past a half-drained
+    transition: a maxFilesPerTrigger stream sees one file per batch,
+    and a version-level claim from its first file would let vacuum
+    destroy the directory's remaining files."""
+    import os as _os
+
+    cat = Catalog(
+        spark, str(tmp_path / "cat"), snapshot_identity="manifest"
+    )
+    cat.write(_mk(spark, 10, 0), "t")
+    cat.write(
+        _mk(spark, 12, 0), "t", mode="overwrite", keep_versions=8
+    )
+    tail = CdfTail(cat, "t", key="k", spool_dir=str(tmp_path / "spool"))
+    cat.write(
+        _mk(spark, 40, 1).repartition(3), "t", mode="overwrite",
+        keep_versions=8,
+    )
+    assert tail.advance() == 1
+    (v, d), = tail._spooled_dirs().items()
+    files = sorted(
+        _os.path.join(d, e) for e in _os.listdir(d)
+        if not e.startswith(("_", "."))
+    )
+    if len(files) < 2:
+        # AQE may coalesce the diff to one file; the tracking logic
+        # compares file NAMES against the directory listing, so a
+        # second data file makes the multi-file shape without touching
+        # semantics the test cares about
+        import shutil as _sh
+
+        extra = _os.path.join(d, "part-00001-extra.snappy.parquet")
+        _sh.copy2(files[0], extra)
+        files.append(extra)
+    assert len(files) >= 2  # the multi-file transition the test needs
+    tail.register_consumer("s1")
+    # first file only: watermark must stay put, spool must survive
+    assert tail.record_consumer_files("s1", files[:1]) < v
+    assert tail.vacuum_spool() == []
+    # remaining files: transition complete, watermark advances
+    assert tail.record_consumer_files("s1", files[1:]) == v
+    removed = tail.vacuum_spool()
+    assert len(removed) == 1
+    tail.close()
+
+
+def test_streamed_consumer_vacuum_is_lossless_and_bounded(spark, tmp_path):
+    """VERDICT r10 item 4 end-to-end: a file-source IVM stream registered
+    as a spool consumer + periodic vacuum_spool — the summary stays
+    exact across every commit and the spool directory count stays
+    bounded (old transitions reclaimed only after the stream drained
+    them)."""
+    cat = Catalog(
+        spark, str(tmp_path / "cat"), snapshot_identity="manifest"
+    )
+    cat.write(_mk(spark, 20, 0), "t")
+    cat.write(_summarize(_mk(spark, 20, 0)), "summary")
+    tail = CdfTail(cat, "t", key="k", spool_dir=str(tmp_path / "spool"))
+    q = stream_cdf_into_summary(
+        tail, spark, cat, "summary",
+        keys=["g"], sums={"v_sum": "v"},
+        stream_id="consumer-e2e",
+        checkpoint_dir=str(tmp_path / "cp"),
+        processing_time="300 milliseconds",
+        consumer_id="s1",
+    )
+    try:
+        for i in (1, 2, 3, 4):
+            cat.write(
+                _mk(spark, 20 + i * 3, i), "t", mode="overwrite",
+                keep_versions=8,
+            )
+            tail.advance(include_current=True)
+            assert _wait_until(lambda: _summary_matches(cat))
+            tail.vacuum_spool()
+        # every drained transition was reclaimed: at most the newest
+        # could still be in flight between drain and vacuum
+        assert len(tail._spooled_dirs()) <= 1
+        assert _summary_matches(cat)
+    finally:
+        q.stop()
+        tail.close()
