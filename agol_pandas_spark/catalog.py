@@ -569,10 +569,11 @@ class Catalog:
                 out.append((None, os.path.join(path, rp)))
         return out
 
-    def _chunk_manifest_names(self, path: str) -> list[str] | None:
-        """The format-2 manifest LIST (chunk file names, no chunk
-        parsing): one tiny JSON read. None for legacy/unmanifested/torn
-        snapshots."""
+    def _chunk_manifest_list(self, path: str) -> list[dict] | None:
+        """The raw format-2 manifest-list entries (``{"name", "count"}``
+        per chunk — counts let the diff verify that a snapshot's
+        unknown-file population is fully accounted by its shared chunks
+        without parsing them). None for legacy/unmanifested/torn."""
         if not os.path.isdir(path):
             return None
         try:
@@ -580,7 +581,10 @@ class Catalog:
                 head = json.load(fh)
             if head.get("format") != 2:
                 return None
-            return [m["name"] for m in head["manifests"]]
+            out = list(head["manifests"])
+            if any("name" not in m for m in out):
+                return None
+            return out
         except (OSError, KeyError, TypeError, ValueError):
             return None
 
@@ -625,10 +629,17 @@ class Catalog:
         Per-file disk reconciliation (disk stays the source of truth):
         parsed entries prune on matching (file_id, size) across sides,
         exactly like the full path; unknown files prune only when
-        present on BOTH sides with EQUAL sizes — under engine operation
-        those are the same immutable committed file (carried by hard
-        link); externally-tampered snapshots get the same size-based
-        protection as the full path, except the pathological corner of
+        present on BOTH sides with EQUAL sizes AND accounted by the
+        shared chunks — accounting verified for free through the
+        manifest-list per-chunk counts (each side's unknown population
+        must exactly fill its shared chunks), with an exact shared-chunk
+        membership parse on any mismatch (ADVICE r10: an injected file
+        then reads instead of pruning — the tamper-suspected path pays
+        the parse, the steady state never does); the residual
+        divergence from the full path is the equal-count SWAP corner
+        (one injected file impersonating one vanished shared member,
+        same names and sizes on both sides), i.e. strictly narrower
+        than the previous corner of
         same-named equal-size different-content files injected into
         BOTH snapshot directories (the full path would read those; see
         the module-level external-modification caveat).
@@ -637,11 +648,25 @@ class Catalog:
         mode) so scale tests can pin the O(dirty chunks) claim. Returns
         None when either side lacks a clean format-2 layout.
         """
-        old_names = self._chunk_manifest_names(old_path)
-        new_names = self._chunk_manifest_names(new_path)
-        if old_names is None or new_names is None:
+        old_list = self._chunk_manifest_list(old_path)
+        new_list = self._chunk_manifest_list(new_path)
+        if old_list is None or new_list is None:
             return None
+        old_names = [m["name"] for m in old_list]
+        new_names = [m["name"] for m in new_list]
         shared_chunks = set(old_names) & set(new_names)
+        # how many entries the shared chunks account for WITHOUT parsing
+        # them (the manifest list carries per-chunk counts); None when a
+        # pre-count list can't say — membership must then be verified
+        shared_counts = [
+            m.get("count")
+            for m in old_list
+            if m["name"] in shared_chunks
+        ]
+        shared_expected = (
+            None if any(c is None for c in shared_counts)
+            else sum(shared_counts)
+        )
         e_old = self._parse_chunks(
             old_path, [n for n in old_names if n not in shared_chunks]
         )
@@ -679,6 +704,33 @@ class Catalog:
             for rp, size in o_unknown.items()
             if n_unknown.get(rp) == size
         }
+        # ADVICE r10: pruning an "unknown" file leans on it being a
+        # shared-chunk member. Normally every unknown IS one (chunks
+        # partition the entries), and the manifest-list counts verify
+        # that for free: each side's unknown population must exactly
+        # fill its shared chunks. A count mismatch means externally-
+        # injected (or vanished) files are in play — resolve EXACTLY by
+        # parsing the shared chunks once (the tamper-rate path, never
+        # the steady-state one): an unknown file then prunes only when
+        # a shared-chunk entry proves it, with the entry's size.
+        if shared_unknown and (
+            shared_expected is None
+            or len(o_unknown) != shared_expected
+            or len(n_unknown) != shared_expected
+        ):
+            shared_entries = self._parse_chunks(
+                old_path, sorted(shared_chunks)
+            )
+            if shared_entries is None:
+                return None
+            self.last_diff_stats["chunks_parsed"] += len(shared_chunks)
+            self.last_diff_stats["shared_resolved"] = True
+            shared_unknown = {
+                rp
+                for rp in shared_unknown
+                if (e := shared_entries.get(rp)) is not None
+                and e.get("size") == o_unknown[rp]
+            }
         old_files = [
             os.path.join(old_path, rp)
             for rp in sorted(o_ids.keys() | o_unknown.keys() | set(o_bad))
@@ -1685,6 +1737,21 @@ class Catalog:
         in a shared file cannot have a second, differing copy
         elsewhere); pass ``prune_shared_files=False`` for tables written
         outside the keyed paths.
+
+        External-modification boundary (documented per ADVICE r10): the
+        pruning evidence covers files the ENGINE committed. Files
+        planted in a snapshot directory by an outside writer are read
+        (never pruned) — including, since r11, a file injected into
+        both snapshots whose presence makes the manifest bookkeeping
+        disagree with the directory (the diff detects the mismatch
+        through the manifest-list counts and verifies membership
+        exactly). The one undetectable corner is a same-name equal-size
+        SWAP in both snapshots (an injected file impersonating a
+        vanished engine file, counts unchanged): its rows are treated
+        as unchanged. Snapshots mutated outside the engine are outside
+        the feed's exactness contract — use
+        ``prune_shared_files=False`` to force full reads over such
+        tables.
         """
         old_path = self._version_path(name, from_version)
         if not os.path.exists(old_path):

@@ -44,6 +44,7 @@ __all__ = [
     "EditsError",
     "HttpEditsSink",
     "HttpPagedClient",
+    "ServiceError",
     "TokenProvider",
     "compile_where",
 ]
@@ -64,6 +65,22 @@ class AuthError(EngineError, RuntimeError):
     ratcheting backoff sleeps (on a live service, enough re-POSTs to
     trip an account lockout); RuntimeError is kept for callers matching
     the transport's generic error class."""
+
+
+class ServiceError(RuntimeError):
+    """A non-auth error REPORTED BY the service as a JSON error body.
+    ``code`` carries the documented ArcGIS error code so callers can
+    tell a CAPABILITY rejection (400 — invalid/unsupported parameters,
+    the code a layer answers for ``outStatistics`` it cannot evaluate)
+    from a TRANSIENT server failure (5xx, timeouts surfacing as JSON) —
+    the distinction ADVICE r10 flagged: only the former should decline
+    a pushdown to the Spark-side fallback; the latter must propagate so
+    ``RetryPolicy`` retries it. Derives from RuntimeError, so existing
+    ``except RuntimeError`` transport handling is unchanged."""
+
+    def __init__(self, message: str, code: int | None = None):
+        super().__init__(message)
+        self.code = code
 
 
 class TokenProvider:
@@ -171,7 +188,9 @@ def _authed_request(
                     f"service rejected the token (code {code}): "
                     f"{payload['error']}"
                 )
-            raise RuntimeError(f"paged service error: {payload['error']}")
+            raise ServiceError(
+                f"paged service error: {payload['error']}", code=code
+            )
         return payload
     raise AssertionError("unreachable")  # pragma: no cover
 
@@ -407,22 +426,41 @@ class HttpPagedClient(PagedClient):
         self,
         group_by: Sequence[str],
         stats: Sequence[tuple],
+        having: str | None = None,
     ):
         """Server-side grouped statistics via the public
-        ``outStatistics`` / ``groupByFieldsForStatistics`` query
-        parameters — evaluated against this client's ``where`` view, so
-        a pushed-down filter composes with the aggregation on the
-        service. Declines (returns None → Spark-side fallback) when a
-        stat type has no outStatistics rendering, and when the SERVICE
-        rejects the request (layers advertise ``supportsStatistics:
-        false``; the live error code is the capability signal) — a
-        declined aggregate costs transfer, never correctness. Auth
+        ``outStatistics`` / ``groupByFieldsForStatistics`` / ``having``
+        query parameters — evaluated against this client's ``where``
+        view, so a pushed-down filter composes with the aggregation on
+        the service. Declines (returns None → Spark-side fallback) when
+        a stat type has no outStatistics rendering, when ``having`` is
+        requested without a group (ArcGIS defines ``having`` only with
+        ``groupByFieldsForStatistics``), and when the service answers a
+        CAPABILITY rejection (error code 400 — the code a layer with
+        ``supportsStatistics: false`` or without having-support
+        returns) — a declined aggregate costs transfer, never
+        correctness. A TRANSIENT service failure (5xx-class JSON error,
+        network error) PROPAGATES instead of declining (ADVICE r10):
+        swallowing it would skip the caller's ``RetryPolicy`` and
+        silently force a full transfer for a one-off blip. Auth
         rejections still raise :class:`AuthError` (they would fail the
-        fallback identically)."""
+        fallback identically).
+
+        ``stats`` types: count/sum/min/max/avg plus ``stddev``/``var``
+        (SAMPLE forms, n-1 denominator — what both the ArcGIS
+        ``outStatistics`` contract and Spark's ``stddev``/``variance``
+        compute; NULL for single-row groups). Float caveat: stddev/var
+        (and avg) are float results — the service's accumulation order
+        is its own, so cross-path parity is approximate in the last
+        decimals; the repo-wide quantize-first discipline applies when
+        exactness matters (pre-quantize the measure and push sum/count,
+        deriving moments client-side)."""
         import json as _json
 
-        supported = {"count", "sum", "min", "max", "avg"}
+        supported = {"count", "sum", "min", "max", "avg", "stddev", "var"}
         if not stats or any(t not in supported for t, _, _ in stats):
+            return None
+        if having and not group_by:
             return None
         out_stats = [
             {
@@ -437,12 +475,19 @@ class HttpPagedClient(PagedClient):
         params: dict = {"outStatistics": _json.dumps(out_stats)}
         if group_by:
             params["groupByFieldsForStatistics"] = ",".join(group_by)
+        if having:
+            params["having"] = having
         try:
             payload = self._get(**params)
         except AuthError:
             raise
-        except RuntimeError:
-            return None  # service can't do statistics: decline, not fail
+        except ServiceError as ex:
+            if ex.code == 400:
+                # capability rejection: decline → Spark-side fallback
+                return None
+            # transient: let RetryPolicy retry — never silently pay a
+            # full transfer for a blip
+            raise
         by_name = {f["name"]: f for f in payload.get("fields", [])}
         names = list(group_by) + [alias for _, _, alias in stats]
         missing = [n for n in names if n not in by_name]

@@ -149,18 +149,22 @@ def _run_statistics(q: dict, data: list[dict]) -> dict:
     statistics contract) over the where-filtered rows: ``outStatistics``
     is a JSON list of {statisticType, onStatisticField,
     outStatisticFieldName}; ``groupByFieldsForStatistics`` is a comma-
-    separated group key (absent = one global group). Returns the
-    response body: one feature per group, fields typed Integer for
-    count and all-integer sum/min/max, Double otherwise. Unknown
-    statistic types answer error 400 like a live service — the client
-    must DECLINE those client-side, never silently mis-aggregate."""
+    separated group key (absent = one global group); ``having`` is a
+    post-aggregation predicate over the stat aliases (legal only WITH a
+    group, per the public contract). Returns the response body: one
+    feature per group, fields typed Integer for count and all-integer
+    sum/min/max, Double otherwise (stddev/var — SAMPLE forms, NULL for
+    single-value groups — are always Double). Unknown statistic types
+    and a groupless ``having`` answer error 400 like a live service —
+    the client must DECLINE those client-side, never silently
+    mis-aggregate."""
     import json as _json
 
     specs = _json.loads(q["outStatistics"])
     group_cols = [
         g for g in q.get("groupByFieldsForStatistics", "").split(",") if g
     ]
-    supported = {"count", "sum", "min", "max", "avg"}
+    supported = {"count", "sum", "min", "max", "avg", "stddev", "var"}
     for s in specs:
         if s.get("statisticType") not in supported:
             return {
@@ -173,6 +177,16 @@ def _run_statistics(q: dict, data: list[dict]) -> dict:
                     ],
                 }
             }
+    if q.get("having") and not group_cols:
+        return {
+            "error": {
+                "code": 400,
+                "message": "Unable to complete operation",
+                "details": [
+                    "'having' requires groupByFieldsForStatistics"
+                ],
+            }
+        }
     groups: dict[tuple, list[dict]] = {}
     for r in data:
         groups.setdefault(tuple(r.get(g) for g in group_cols), []).append(r)
@@ -213,6 +227,17 @@ def _run_statistics(q: dict, data: list[dict]) -> dict:
                 v = min(vals)
             elif typ == "max":
                 v = max(vals)
+            elif typ in ("stddev", "var"):
+                # SAMPLE forms (n-1), NULL for single-value groups —
+                # the public contract and SQL STDDEV_SAMP/VAR_SAMP
+                if len(vals) < 2:
+                    v = None
+                else:
+                    mean = sum(vals) / len(vals)
+                    var = sum((x - mean) ** 2 for x in vals) / (
+                        len(vals) - 1
+                    )
+                    v = var if typ == "var" else var ** 0.5
             else:  # avg
                 v = sum(vals) / len(vals)
             attrs[alias] = v
@@ -225,6 +250,9 @@ def _run_statistics(q: dict, data: list[dict]) -> dict:
                 "esriFieldTypeInteger" if is_int else "esriFieldTypeDouble"
             )
         feats.append({"attributes": attrs})
+    if q.get("having"):
+        having_pred = _compile_where(q["having"])
+        feats = [f for f in feats if having_pred(f["attributes"])]
     out_fields += [
         {"name": s["outStatisticFieldName"],
          "type": field_types.get(

@@ -216,17 +216,23 @@ class PagedClient(abc.ABC):
         self,
         group_by: Sequence[str],
         stats: "Sequence[tuple[str, str, str]]",
+        having: "str | None" = None,
     ) -> "tuple[StructType, Sequence[tuple]] | None":
         """Server-side grouped aggregation (ArcGIS ``outStatistics``):
         evaluate ``stats`` — ``(statistic_type, column, alias)`` triples,
-        types from {count, sum, min, max, avg} — grouped by ``group_by``
-        over the client's filtered view, entirely on the service.
-        Returns ``(result schema, result rows)`` — group-cardinality
-        data, never pages — or ``None`` to DECLINE (unsupported stat,
-        service without statistics support): the caller then pages the
-        rows and aggregates Spark-side, same answer, full transfer
-        (:func:`read_paged_aggregate`). Correctness never depends on a
-        backend implementing this — like ``pushdown``/``project``."""
+        types from {count, sum, min, max, avg, stddev, var} — grouped by
+        ``group_by`` over the client's filtered view, entirely on the
+        service; ``having`` is a post-aggregation SQL predicate over the
+        stat ALIASES (the ArcGIS ``having`` parameter — defined only
+        with a group). Returns ``(result schema, result rows)`` —
+        group-cardinality data, never pages — or ``None`` to DECLINE
+        (unsupported stat, service without statistics support): the
+        caller then pages the rows and aggregates Spark-side, same
+        answer, full transfer (:func:`read_paged_aggregate`).
+        Correctness never depends on a backend implementing this — like
+        ``pushdown``/``project``. Transient service failures should
+        PROPAGATE (the caller's retry policy handles them); only genuine
+        capability rejections decline."""
         return None
 
 
@@ -501,6 +507,7 @@ def read_paged_aggregate(
     stats: "Sequence[tuple[str, str, str]]",
     policy: RetryPolicy | None = None,
     page_size: int = DEFAULT_PAGE_SIZE,
+    having: "str | None" = None,
 ) -> DataFrame:
     """Grouped aggregation over a paged service, SERVER-SIDE when the
     backend can (``PagedClient.aggregate`` — ArcGIS ``outStatistics``):
@@ -524,11 +531,23 @@ def read_paged_aggregate(
     needed columns — correct, just full-transfer, and visible as such
     in the wire log rather than silently wrong.
 
+    ``having`` (a SQL predicate over the stat ALIASES, e.g.
+    ``"v_sum > 100"``) filters the aggregated groups: pushed as the
+    public ``having`` parameter when the service accepts it, applied as
+    the identical post-aggregation filter on the Spark fallback.
+    ``stddev``/``var`` are the SAMPLE forms on both paths (service
+    contract = Spark ``stddev``/``variance``); they are float results —
+    cross-path bit-parity is NOT guaranteed for them (accumulation
+    order), the same caveat as ``avg``; quantize-first when exactness
+    matters. Transient statistics-request failures are retried by
+    ``policy`` and then RAISED (ADVICE r10) — only a genuine capability
+    rejection falls back to paging.
+
     The server-side result is group-cardinality — it enters Spark as a
     local DataFrame the way any aggregate RESULT would, not a data
     scan."""
     policy = policy or RetryPolicy()
-    res = policy.run(client.aggregate, list(group_by), list(stats))
+    res = policy.run(client.aggregate, list(group_by), list(stats), having)
     if res is not None:
         schema, rows = res
         return spark.createDataFrame(list(rows), schema)
@@ -543,7 +562,11 @@ def read_paged_aggregate(
     # (full width) rather than asking the backend for an empty outFields
     df = read_paged(spark, client, page_size=page_size, policy=policy,
                     columns=cols or None)
-    fns = {"sum": F.sum, "min": F.min, "max": F.max, "avg": F.avg}
+    fns = {
+        "sum": F.sum, "min": F.min, "max": F.max, "avg": F.avg,
+        # SAMPLE forms, matching the outStatistics contract
+        "stddev": F.stddev, "var": F.variance,
+    }
     aggs = []
     for typ, c, alias in stats:
         if typ == "count":
@@ -552,9 +575,13 @@ def read_paged_aggregate(
             aggs.append(fns[typ](F.col(c)).alias(alias))
         else:
             raise ValueError(
-                f"unsupported statistic type {typ!r} (count/sum/min/max/avg)"
+                f"unsupported statistic type {typ!r} "
+                "(count/sum/min/max/avg/stddev/var)"
             )
-    return df.groupBy(*group_by).agg(*aggs)
+    out = df.groupBy(*group_by).agg(*aggs)
+    if having:
+        out = out.where(F.expr(having))
+    return out
 
 
 def paged_count(client: PagedClient, policy: RetryPolicy | None = None) -> int:

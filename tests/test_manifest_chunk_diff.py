@@ -228,3 +228,51 @@ def test_table_changes_rides_the_chunk_diff(spark, tmp_path, small_chunks):
     assert cat.last_diff_stats["mode"] == "chunk"
     total = cat.last_diff_stats["chunks_total"]
     assert cat.last_diff_stats["chunks_parsed"] < total / 2
+
+
+def test_double_injection_is_read_not_pruned(spark, tmp_path, small_chunks):
+    """ADVICE r10: a same-name equal-size file injected into BOTH
+    snapshot directories used to prune on the fast path while the full
+    parse would read it (identity None). The manifest-list counts now
+    expose the mismatch (unknown files exceed what the shared chunks
+    account for), the shared chunks are parsed ONCE to verify
+    membership, and the injected pair is read on both sides — matching
+    the full path."""
+    cat = Catalog(spark, str(tmp_path), snapshot_identity="manifest")
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    os.makedirs(a)
+    names = [f"p-{i:03d}.parquet" for i in range(12)]
+    for n in names:
+        with open(os.path.join(a, n), "wb") as f:
+            f.write(b"zz")
+    cat._write_manifest(a)
+    os.makedirs(b)
+    for n in names:
+        os.link(os.path.join(a, n), os.path.join(b, n))
+    man = cat.snapshot_manifest(a)
+    cat._write_manifest(b, dict(man), reuse_from=a)
+
+    # inject DIFFERENT content, equal size, same name, into BOTH sides
+    with open(os.path.join(a, "ghost.parquet"), "wb") as f:
+        f.write(b"AAAA")
+    with open(os.path.join(b, "ghost.parquet"), "wb") as f:
+        f.write(b"BBBB")
+    of, nf = cat._chunk_pruned_diff(a, b)
+    assert [os.path.basename(p) for p in of] == ["ghost.parquet"]
+    assert [os.path.basename(p) for p in nf] == ["ghost.parquet"]
+    assert cat.last_diff_stats.get("shared_resolved") is True
+    # and it agrees with the full-parse oracle
+    full = _full_path_diff(cat, a, b)
+    assert sorted(of) == sorted(full[0]) and sorted(nf) == sorted(full[1])
+
+    # the engine files stayed pruned through the membership resolve
+    assert len(of) == 1 and len(nf) == 1
+
+    # steady state (no injection): no shared chunks parsed, no resolve
+    os.remove(os.path.join(a, "ghost.parquet"))
+    os.remove(os.path.join(b, "ghost.parquet"))
+    of, nf = cat._chunk_pruned_diff(a, b)
+    assert of == [] and nf == []
+    assert cat.last_diff_stats.get("shared_resolved") is None
+    assert cat.last_diff_stats["chunks_parsed"] == 0

@@ -193,7 +193,12 @@ def test_distributed_key_spans_match_driver_path(
     monkeypatch.setenv("AGOL_SPARK_DIST_LIST_THRESHOLD", "2")
     shim = Catalog(spark, str(tmp_path), snapshot_identity="manifest")
     shim.spark = _SparkShim()
-    assert shim.file_key_spans("t", ["k", "s"]) == driver
+    # ADVICE r10: the silent fallback is now LOUD — a serial loop at
+    # >=100k files looks like a hang, and the triggering error matters
+    with pytest.warns(UserWarning, match="executor fan-out failed"):
+        assert shim.file_key_spans("t", ["k", "s"]) == driver
+    assert shim.last_fanout_error["op"] == "file_key_spans"
+    assert "no shared filesystem" in shim.last_fanout_error["error"]
 
 
 def test_distributed_stat_falls_back_to_driver_on_executor_failure(
@@ -218,7 +223,9 @@ def test_distributed_stat_falls_back_to_driver_on_executor_failure(
 
     shim = Catalog(spark, str(tmp_path), snapshot_identity="manifest")
     shim.spark = _SparkShim()  # plain attribute: swap in the failing SC
-    assert shim._list_with_sizes(d) == driver
+    with pytest.warns(UserWarning, match="executor fan-out failed"):
+        assert shim._list_with_sizes(d) == driver
+    assert shim.last_fanout_error["op"] == "_list_with_sizes"
 
 
 def test_legacy_monolithic_manifest_upgrades_with_ids_carried(

@@ -1294,7 +1294,7 @@ def test_http_stats_pushdown_zero_data_pages(spark):
         # Spark-side fallback (client declines) gives the same rows —
         # a decline costs transfer, never correctness
         class _Declining(HttpPagedClient):
-            def aggregate(self, group_by, stats):
+            def aggregate(self, group_by, stats, having=None):
                 return None
 
         fb = read_paged_aggregate(
@@ -1327,7 +1327,9 @@ def test_http_stats_unsupported_stat_declines_client_side(spark):
     try:
         url = f"http://127.0.0.1:{srv.server_address[1]}"
         client = HttpPagedClient(url)
-        assert client.aggregate(["grp"], [("stddev", "v", "s")]) is None
+        # median has no outStatistics rendering (stddev/var do since
+        # r11) — it must decline without touching the wire
+        assert client.aggregate(["grp"], [("median", "v", "m")]) is None
         out = read_paged_aggregate(
             spark, client, ["grp"],
             [("count", "id", "n"), ("avg", "v", "v_avg")],
@@ -1335,13 +1337,188 @@ def test_http_stats_unsupported_stat_declines_client_side(spark):
         got = {tuple(r) for r in out.collect()}
         # exact: averages of consecutive ints over .0/.5 fractions
         assert got == {("g0", 10, 11.0), ("g1", 10, 10.0)}
-        # and a stddev batch falls back to paging without erroring
-        import pyspark.sql.functions as F  # noqa: N812
-
         fb = read_paged_aggregate(
             spark, client, ["grp"], [("count", "id", "n")], page_size=9
         )
         assert {tuple(r) for r in fb.collect()} == {("g0", 10), ("g1", 10)}
+    finally:
+        srv.shutdown()
+
+
+def test_http_stats_stddev_var_pushdown_matches_fallback(spark):
+    """VERDICT r10 item 7: stddev/var push through outStatistics (SAMPLE
+    forms on both paths). Floats follow each engine's accumulation
+    order, so the comparison is approximate — the documented caveat."""
+    from agol_pandas_spark.sources.http_client import HttpPagedClient
+    from agol_pandas_spark.sources.paged import read_paged_aggregate
+
+    rows = [{"id": i, "grp": f"g{i % 2}", "v": i * 3} for i in range(1, 21)]
+    fields = [
+        {"name": "id", "type": "esriFieldTypeOID"},
+        {"name": "grp", "type": "esriFieldTypeString"},
+        {"name": "v", "type": "esriFieldTypeInteger"},
+    ]
+    stats = [("stddev", "v", "v_sd"), ("var", "v", "v_var")]
+    srv, seen = _fake_arcgis_server(rows, fields)
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        out = read_paged_aggregate(
+            spark, HttpPagedClient(url), ["grp"], stats
+        )
+        pushed = {r["grp"]: (r["v_sd"], r["v_var"]) for r in out.collect()}
+        assert not [q for q in seen if "outStatistics" not in q]
+
+        class _Declining(HttpPagedClient):
+            def aggregate(self, group_by, stats, having=None):
+                return None
+
+        fb = read_paged_aggregate(
+            spark, _Declining(url), ["grp"], stats, page_size=7
+        )
+        local = {r["grp"]: (r["v_sd"], r["v_var"]) for r in fb.collect()}
+        assert set(pushed) == set(local) == {"g0", "g1"}
+        for g in pushed:
+            assert pushed[g][0] == pytest.approx(local[g][0], rel=1e-9)
+            assert pushed[g][1] == pytest.approx(local[g][1], rel=1e-9)
+    finally:
+        srv.shutdown()
+
+
+def test_http_stats_having_pushdown_and_groupless_decline(spark):
+    """VERDICT r10 item 7: ``having`` rides the statistics request (the
+    public parameter — groups filtered ON the service, zero data
+    pages); the Spark fallback applies the identical post-aggregation
+    predicate; a groupless having declines client-side (ArcGIS defines
+    having only with groupByFieldsForStatistics)."""
+    from agol_pandas_spark.sources.http_client import HttpPagedClient
+    from agol_pandas_spark.sources.paged import read_paged_aggregate
+
+    rows = [{"id": i, "grp": f"g{i % 3}", "v": i} for i in range(1, 31)]
+    fields = [
+        {"name": "id", "type": "esriFieldTypeOID"},
+        {"name": "grp", "type": "esriFieldTypeString"},
+        {"name": "v", "type": "esriFieldTypeInteger"},
+    ]
+    stats = [("count", "id", "n"), ("sum", "v", "v_sum")]
+    srv, seen = _fake_arcgis_server(rows, fields)
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        client = HttpPagedClient(url)
+        out = read_paged_aggregate(
+            spark, client, ["grp"], stats, having="v_sum > 150"
+        )
+        got = sorted(map(tuple, out.collect()))
+        # g0: 3+...+30 over %3==0 -> 165; g1 -> 145; g2 -> 155
+        assert got == [("g0", 10, 165), ("g2", 10, 155)]
+        assert not [q for q in seen if "outStatistics" not in q]
+        assert any(q.get("having") == "v_sum > 150" for q in seen)
+
+        class _Declining(HttpPagedClient):
+            def aggregate(self, group_by, stats, having=None):
+                return None
+
+        fb = read_paged_aggregate(
+            spark, _Declining(url), ["grp"], stats,
+            having="v_sum > 150", page_size=9,
+        )
+        assert sorted(map(tuple, fb.collect())) == got
+
+        # groupless having: decline before the wire, fallback computes
+        n0 = len(seen)
+        assert client.aggregate([], stats, having="v_sum > 1") is None
+        assert len(seen) == n0
+        glob = read_paged_aggregate(
+            spark, client, [], [("sum", "v", "v_sum")],
+            having="v_sum > 10",
+        )
+        assert [tuple(r) for r in glob.collect()] == [(465,)]
+    finally:
+        srv.shutdown()
+
+
+def test_http_stats_transient_error_retries_capability_declines(spark):
+    """ADVICE r10: a TRANSIENT failure of the single statistics request
+    must reach RetryPolicy (retried, then raised) — never silently
+    decline to a full transfer; only a genuine capability rejection
+    (ArcGIS error 400) declines to the Spark fallback."""
+    import pytest as _pytest
+
+    from agol_pandas_spark.sources.http_client import (
+        HttpPagedClient,
+        ServiceError,
+    )
+    from agol_pandas_spark.sources.paged import (
+        RetryPolicy,
+        read_paged_aggregate,
+    )
+
+    rows = [{"id": i, "grp": "g", "v": i} for i in range(1, 11)]
+    fields = [
+        {"name": "id", "type": "esriFieldTypeOID"},
+        {"name": "grp", "type": "esriFieldTypeString"},
+        {"name": "v", "type": "esriFieldTypeInteger"},
+    ]
+    srv, seen = _fake_arcgis_server(rows, fields)
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+
+        class _Flaky(HttpPagedClient):
+            failures_left = 2
+            attempts = 0
+
+            def _get(self, **params):
+                if "outStatistics" in params:
+                    type(self).attempts += 1
+                    if type(self).failures_left > 0:
+                        type(self).failures_left -= 1
+                        raise ServiceError("server choked", code=500)
+                return super()._get(**params)
+
+        fast = RetryPolicy(backoff_interval=0.0, max_backoff=0.0)
+        out = read_paged_aggregate(
+            spark, _Flaky(url), ["grp"], [("sum", "v", "v_sum")],
+            policy=fast,
+        )
+        assert [tuple(r) for r in out.collect()] == [("g", 55)]
+        assert _Flaky.attempts == 3  # two 500s retried, third answered
+        assert not [q for q in seen if "outStatistics" not in q]
+
+        class _Broken(HttpPagedClient):
+            def _get(self, **params):
+                if "outStatistics" in params:
+                    raise ServiceError("server down", code=503)
+                return super()._get(**params)
+
+        with _pytest.raises(ServiceError):
+            read_paged_aggregate(
+                spark, _Broken(url), ["grp"], [("sum", "v", "v_sum")],
+                policy=RetryPolicy(
+                    max_attempts=2, backoff_interval=0.0, max_backoff=0.0
+                ),
+            )
+
+        # capability rejection: the mock 400s an unsupported type when
+        # it reaches the wire — force it past the client-side screen
+        class _Pushy(HttpPagedClient):
+            def aggregate(self, group_by, stats, having=None):
+                import json as _json
+
+                out_stats = [
+                    {"statisticType": "median", "onStatisticField": c,
+                     "outStatisticFieldName": a}
+                    for _, c, a in stats
+                ]
+                try:
+                    self._get(outStatistics=_json.dumps(out_stats))
+                except ServiceError as ex:
+                    assert ex.code == 400
+                    return None
+                raise AssertionError("mock accepted median")
+
+        fb = read_paged_aggregate(
+            spark, _Pushy(url), ["grp"], [("sum", "v", "v_sum")],
+        )
+        assert [tuple(r) for r in fb.collect()] == [("g", 55)]
     finally:
         srv.shutdown()
 
