@@ -38,6 +38,7 @@ from enum import Enum
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.storagelevel import StorageLevel
 
 from agol_pandas_spark.errors import (
     DuplicateKeyError,
@@ -519,6 +520,34 @@ def merge_pruned(
     """
     m = WriteMode.parse(mode) if isinstance(mode, str) else mode
     key = _default_key(catalog, name, key, m)
+    # The source (delta) plan is consumed by up to five separate actions
+    # on this path: the empty guard, the unique-key validation, the
+    # touched-file join, and the final merge job (which references it
+    # twice — matched-update join + unmatched-insert anti-join). Without
+    # a persist each action re-executes the caller's full delta plan —
+    # for a CDC delta derived from a table scan, five scans instead of
+    # one (guide §1.2: don't recompute what you already have). The delta
+    # is batch-sized by this operator's contract (that is the point of
+    # pruning), so MEMORY_AND_DISK is safe at scale; released in the
+    # finally below, never leaked past the commit.
+    source = source.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        return _merge_pruned_impl(
+            catalog, source, name, m, key, keep_versions, snapshot_props
+        )
+    finally:
+        source.unpersist()
+
+
+def _merge_pruned_impl(
+    catalog,
+    source: DataFrame,
+    name: str,
+    m: WriteMode,
+    key,
+    keep_versions: int,
+    snapshot_props: dict | None,
+) -> dict:
     if source.isEmpty():
         raise EmptyInputError("source DataFrame is empty")
 

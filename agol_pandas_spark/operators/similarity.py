@@ -367,12 +367,22 @@ def _assign_cells_arrow(
         # which is index 0 of the sorted pivot list (already zeros)
         return pd.Series(out)
 
+    # Nondeterministic marking (it IS deterministic) stops the optimizer
+    # duplicating the kernel: a downstream join on `cell` makes Catalyst
+    # infer the probe side's cell predicate onto this side and push it
+    # BELOW the projection, yielding TWO ArrowEvalPython nodes that each
+    # run the full |corpus|×|pivots| assignment (observed in
+    # sim_ivfpq_topk's plan: nodes 38+41, the corpus scored twice). The
+    # inferred filter never prunes anything here — every assigned cell is
+    # a pivot id by construction — so blocking the copy halves the
+    # dominant Python-boundary cost (optimization guide §4.4).
+    best_idx = _best_pivot_idx.asNondeterministic()
     cell_lookup = F.array(*[F.lit(p) for p in pids])
     ptype = pivots.schema[pivot_id].dataType
     return corpus.withColumn(
         "cell",
         F.element_at(
-            cell_lookup, _best_pivot_idx(F.col(corpus_vec)) + F.lit(1)
+            cell_lookup, best_idx(F.col(corpus_vec)) + F.lit(1)
         ).cast(ptype),
     )
 
@@ -1151,6 +1161,102 @@ def _pq_encode_from_matrix(
     )
 
 
+def _assign_encode_arrow(
+    corpus: DataFrame,
+    pivots: DataFrame,
+    C: "np.ndarray",
+    corpus_id: str,
+    pivot_id: str,
+    vec: str,
+    keep_cols: tuple = (),
+) -> DataFrame:
+    """Fused IVF assignment + PQ encoding: ONE Arrow map stage computes
+    both the nearest-pivot index and the subspace codes per batch, so the
+    vector column crosses the JVM↔Python boundary exactly once (vs the
+    chained ``assign_to_pivots`` → ``_pq_encode_from_matrix`` pair, which
+    pays two ArrowEvalPython transfers of the embeddings — guide §4.1).
+    Bit-identical to running the two kernels separately; output columns
+    ``(corpus_id, cell, *keep_cols, codes)`` match the chained shape.
+
+    The fused UDF is marked nondeterministic (it is not) purely to stop
+    Catalyst duplicating it: a downstream equi-join on ``cell`` can infer
+    the probe side's cell predicate onto this side and push it below the
+    projection, re-evaluating the full kernel once for the filter and
+    once for the output (observed as two ArrowEvalPython nodes each
+    scoring the whole corpus — guide §4.4)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    rows = pivots.select(F.col(pivot_id), F.col(vec)).collect()
+    if not rows:
+        raise ValueError("assign_to_pivots: empty pivot set")
+    rows.sort(key=lambda r: r[0])  # argmin-first == smallest pivot id
+    pids = [r[0] for r in rows]
+    P = np.asarray([np.asarray(r[1], dtype=np.float64) for r in rows])
+    pnorm = _np_scaled_norms(P)
+    m_subspaces, _, sub = C.shape
+    dim = m_subspaces * sub
+    if P.shape[1] != dim:
+        raise ValueError(
+            f"pivots are {P.shape[1]}-dim; codebook implies {dim}"
+        )
+
+    out_type = T.StructType(
+        [
+            T.StructField("idx", T.IntegerType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    @pandas_udf(out_type)
+    def _cell_and_codes(vecs: pd.Series) -> pd.DataFrame:
+        n = len(vecs)
+        idx = np.zeros(n, dtype=np.int32)
+        codes_out: list = [None] * n
+        ok_mask = np.array(
+            [v is not None and len(v) == dim for v in vecs], dtype=bool
+        )
+        if ok_mask.any():
+            V = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in vecs[ok_mask]]
+            )
+            # assignment (same op order as _assign_cells_arrow)
+            dots = _np_scaled_dots(V, P)
+            vnorm = _np_scaled_norms(V)
+            denom = vnorm[:, None] * pnorm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (dots.astype(np.float64) / np.float64(VSCALE)) / denom
+            key = -cos
+            key[np.isnan(key)] = -np.inf  # NaN cosine wins (desc sort order)
+            key[denom == 0.0] = np.inf  # Spark x/0 → NULL → loses
+            idx[ok_mask] = np.argmin(key, axis=1)  # first min → smallest id
+            # encoding (same op order as _pq_encode_from_matrix)
+            Vs = V.reshape(len(V), m_subspaces, sub)
+            k_codes = C.shape[1]
+            d2 = np.empty((len(V), m_subspaces, k_codes), dtype=np.int64)
+            for m in range(m_subspaces):
+                d2[:, m, :] = _np_scaled_sq_dists(Vs[:, m, :], C[m])
+            codes = np.argmin(d2, axis=2).astype(np.int32)
+            for j, i in enumerate(np.flatnonzero(ok_mask)):
+                codes_out[i] = codes[j].tolist()
+        return pd.DataFrame({"idx": idx, "codes": codes_out})
+
+    fused = _cell_and_codes.asNondeterministic()
+    cell_lookup = F.array(*[F.lit(p) for p in pids])
+    ptype = pivots.schema[pivot_id].dataType
+    s = fused(F.col(vec)).alias("__ac")
+    return corpus.select(
+        F.col(corpus_id), *[F.col(c) for c in keep_cols], s
+    ).select(
+        F.col(corpus_id),
+        F.element_at(cell_lookup, F.col("__ac.idx") + F.lit(1))
+        .cast(ptype)
+        .alias("cell"),
+        *[F.col(c) for c in keep_cols],
+        F.col("__ac.codes").alias("codes"),
+    )
+
+
 def pq_adc_topk(
     queries: DataFrame,
     encoded: DataFrame,
@@ -1307,20 +1413,21 @@ def ivf_pq_topk(
             f"{k_codes} — the flattened LUT would be mis-indexed"
         )
     # assignment + encoding FUSE into one map pass over the corpus scan
-    # (both are Arrow kernels over the same vector column): zero joins,
-    # zero shuffles on the corpus side until the probe equi-join
-    assigned = assign_to_pivots(
+    # (one Arrow kernel, one boundary crossing of the vector column):
+    # zero joins, zero shuffles on the corpus side until the probe
+    # equi-join
+    coded = _assign_encode_arrow(
         corpus.select(F.col(corpus_id), F.col(vec)),
-        pivots, corpus_id, pivot_id, vec, vec,
-    )
-    coded = _pq_encode_from_matrix(
-        assigned, C, corpus_id, vec, keep_cols=("cell",)
+        pivots, C, corpus_id, pivot_id, vec,
     )
     q_cells = assign_to_pivots(
         queries, pivots, query_id, pivot_id, vec, vec, n_cells=nprobe
     ).select(F.col(query_id), "cell")
     lut = _pq_lut(queries, codebook, query_id, vec, m_subspaces)
-    probes = q_cells.join(lut, query_id)
+    # the LUT is |queries| rows (model state by contract): broadcast it so
+    # the probes join is a hash join instead of the SortMergeJoin + extra
+    # sorts the planner picks from its size estimates (guide §3.1)
+    probes = q_cells.join(F.broadcast(lut), query_id)
     joined = F.broadcast(probes).join(coded, on="cell")
     return _adc_topk(joined, query_id, corpus_id, m_subspaces, k_codes, k)
 
@@ -1409,12 +1516,9 @@ def write_ivfpq_index(
             f"{k_codes} — the flattened LUT would be mis-indexed"
         )
     payload = tuple(payload_cols)
-    assigned = assign_to_pivots(
+    coded = _assign_encode_arrow(
         corpus.select(F.col(corpus_id), F.col(vec), *payload),
-        pivots, corpus_id, pivot_id, vec, vec,
-    )
-    coded = _pq_encode_from_matrix(
-        assigned, C, corpus_id, vec, keep_cols=("cell", *payload)
+        pivots, C, corpus_id, pivot_id, vec, keep_cols=payload,
     )
     path = catalog.write(coded, name, mode="overwrite")
     catalog.write(
@@ -1533,7 +1637,9 @@ def probe_ivfpq_index(
         queries.select(F.col(query_id), F.col(query_vec)),
         codebook, query_id, query_vec, m_sub,
     )
-    probes = q_cells.join(lut, query_id)
+    # the LUT is |queries| rows (model state): broadcast-join it so the
+    # planner never picks a SortMergeJoin of two tiny inputs (guide §3.1)
+    probes = q_cells.join(F.broadcast(lut), query_id)
     joined = F.broadcast(probes).join(coded, on="cell")
     return _adc_topk(joined, query_id, corpus_id, m_sub, kc, k)
 
@@ -1562,12 +1668,9 @@ def append_ivfpq_index(
     pivots = catalog.table(_ivfpq_pivots_name(name))
     codebook = catalog.table(_ivfpq_codebook_name(name))
     C, _ = _collect_codebook(codebook, m_sub)
-    assigned = assign_to_pivots(
+    coded = _assign_encode_arrow(
         batch.select(F.col(corpus_id), F.col(vec), *payload),
-        pivots, corpus_id, pivot_id, vec, vec,
-    )
-    coded = _pq_encode_from_matrix(
-        assigned, C, corpus_id, vec, keep_cols=("cell", *payload)
+        pivots, C, corpus_id, pivot_id, vec, keep_cols=payload,
     )
     return write_table(
         catalog, coded, name, mode=WriteMode.INSERT, key=corpus_id
@@ -1906,8 +2009,10 @@ def hard_negative_topk_indexed(
     lut = _pq_lut(
         q.select(F.col(query_id), F.col(vec)), codebook, query_id, vec, m_sub
     )
-    qside = q_cells.join(lut, query_id).join(
-        q.select(F.col(query_id), "__qlabel"), query_id
+    # both join inputs are |queries|-sized model state: broadcast them so
+    # the planner never sorts/shuffles tiny inputs (guide §3.1)
+    qside = q_cells.join(F.broadcast(lut), query_id).join(
+        F.broadcast(q.select(F.col(query_id), "__qlabel")), query_id
     )
     joined = (
         F.broadcast(qside)

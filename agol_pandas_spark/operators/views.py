@@ -576,10 +576,16 @@ def commit_join_view_delta(
 
     spark = added.sparkSession
     all_files = view_catalog.data_files(view_name)
-    dirty: set[str] = set()
+    # ONE footer pass over the union of every keyset's columns (r11: the
+    # per-keyset loop re-read every view file's footer once per feed —
+    # N+1 metadata passes over the same files; on object storage each
+    # footer is a round-trip). A file missing stats for ANY key column
+    # was forced dirty by its keyset's pass before and still is now, so
+    # the dirty set is identical.
+    union_cols = sorted({k for ks, _ in keysets for k in ks})
+    spans = view_catalog.path_key_spans(view_path, union_cols)
+    dirty: set[str] = {s["path"] for s in spans if not s["ok"]}
     for ks, kdf in keysets:
-        spans = view_catalog.path_key_spans(view_path, ks)
-        dirty |= {s["path"] for s in spans if not s["ok"]}
         stat_spans = [s for s in spans if s["ok"] and s["path"] not in dirty]
         if stat_spans:
             dirty |= _touched_paths(kdf, stat_spans, ks, fields)

@@ -984,20 +984,21 @@ def pipeline_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = textops.chunk_token_windows(
         kept, "doc_id", "text", window_tokens=40, stride=20
     )
+    # ONE pass over the tokenize→gate→chunk pipeline (r11: the previous
+    # three-branch crossJoin re-ran the Gopher gate and the chunker once
+    # per output scalar — three full document scans for one row). Every
+    # kept doc has >= 50 tokens (the word-count rule), so it emits at
+    # least one chunk and n_docs_kept == distinct doc_ids among chunks;
+    # the survivor flag folds into the same aggregate as conditional
+    # counts. Oracle unchanged — values are identical by construction.
     w = Window.partitionBy("chunk_hash").orderBy("doc_id", "start_token")
-    unique = (
-        chunks.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-    )
-    return (
-        kept.agg(F.count(F.lit(1)).alias("n_docs_kept"))
-        .crossJoin(chunks.agg(F.count(F.lit(1)).alias("n_chunks")))
-        .crossJoin(
-            unique.agg(
-                F.count(F.lit(1)).alias("n_unique_chunks"),
-                F.sum(F.col("n_tokens").cast("long")).alias("unique_chunk_tokens"),
-            )
-        )
+    return chunks.withColumn("rn", F.row_number().over(w)).agg(
+        F.countDistinct("doc_id").alias("n_docs_kept"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count(F.when(F.col("rn") == 1, F.lit(1))).alias("n_unique_chunks"),
+        F.sum(
+            F.when(F.col("rn") == 1, F.col("n_tokens").cast("long"))
+        ).alias("unique_chunk_tokens"),
     )
 
 
