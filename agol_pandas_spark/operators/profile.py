@@ -118,30 +118,30 @@ def ks_drift(
         F.sum("c1").over(w_all).alias("n1"),
         F.sum("c2").over(w_all).alias("n2"),
     )
-    mx = diffs.groupBy(group_col).agg(
-        F.max("dnum").alias("ks_num"),
-        F.max("n1").alias("n1"),
-        F.max("n2").alias("n2"),
-    )
-    mxb = F.broadcast(
-        mx.select(F.col(group_col).alias("__g"), F.col("ks_num").alias("__kmax"))
-    )
-    at = (
-        diffs.join(
-            mxb,
-            (F.col(group_col) == F.col("__g"))
-            & (F.col("dnum") == F.col("__kmax")),
-        )
+    # argmax in the SAME pass (r11): attaching max(dnum) as one more
+    # group-partitioned window reuses the exchange/sort the cumulative
+    # windows already established, so the histogram pipeline runs ONCE —
+    # the previous max-then-broadcast-join-back shape duplicated the
+    # whole hist+windows subtree (two scans of the input in the plan)
+    # to locate the argmax row.
+    mx = diffs.withColumn("__kmax", F.max("dnum").over(w_all))
+    return (
+        mx.filter(F.col("dnum") == F.col("__kmax"))
         .groupBy(group_col)
-        .agg(F.min("__v").alias("at_value"))
-    )
-    return mx.join(at, group_col).select(
-        group_col,
-        "n1",
-        "n2",
-        "ks_num",
-        F.expr("ks_num * 1000000L div (n1 * n2)").alias("ks_ppm"),
-        "at_value",
+        .agg(
+            F.max("n1").alias("n1"),
+            F.max("n2").alias("n2"),
+            F.max("dnum").alias("ks_num"),
+            F.min("__v").alias("at_value"),
+        )
+        .select(
+            group_col,
+            "n1",
+            "n2",
+            "ks_num",
+            F.expr("ks_num * 1000000L div (n1 * n2)").alias("ks_ppm"),
+            "at_value",
+        )
     )
 
 

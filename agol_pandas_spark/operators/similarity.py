@@ -1033,15 +1033,19 @@ def _collect_codebook(
 
 def validate_codebook(
     codebook: DataFrame, m_subspaces: int, k_codes: int
-) -> None:
+) -> "np.ndarray":
     """Assert the codebook is dense: every subspace 0..M-1 present with
-    contiguous codes 0..K-1 (see :func:`_collect_codebook`)."""
+    contiguous codes 0..K-1 (see :func:`_collect_codebook`). Returns the
+    collected (m, k, sub) centroid matrix so callers that validate can
+    reuse the collect (Arrow LUT/encode kernels) instead of paying it
+    twice."""
     C, k_found = _collect_codebook(codebook, m_subspaces)
     if k_found != k_codes:
         raise ValueError(
             f"pq codebook has {k_found} codes per subspace, caller assumed "
             f"{k_codes} — the flattened LUT would be mis-indexed"
         )
+    return C
 
 
 def pq_encode(
@@ -1288,8 +1292,8 @@ def pq_adc_topk(
     ``0..k_codes-1`` in every subspace, and a sparse/offset codebook
     would silently score NULLs into garbage ranks.
     """
-    validate_codebook(codebook, m_subspaces, k_codes)
-    lut = _pq_lut(queries, codebook, query_id, query_vec, m_subspaces)
+    C = validate_codebook(codebook, m_subspaces, k_codes)
+    lut = _pq_lut_from_matrix(queries, C, query_id, query_vec)
     joined = F.broadcast(lut).crossJoin(encoded)
     return _adc_topk(joined, query_id, corpus_id, m_subspaces, k_codes, k)
 
@@ -1376,6 +1380,49 @@ def _pq_lut(
     )
 
 
+def _pq_lut_from_matrix(
+    queries: DataFrame,
+    C: "np.ndarray",
+    query_id: str,
+    query_vec: str,
+) -> DataFrame:
+    """:func:`_pq_lut` with the codebook already collected as a
+    (m, k, sub) matrix: the per-query flattened ADC LUT computed in ONE
+    Arrow map over the query rows — no explode, no codebook join, no
+    collect_list aggregation, no exchange (the SQL shape paid two
+    ObjectHashAggregate exchanges per plan; guide §2.4/§4.2). Scaled
+    dots run through ``_np_scaled_dots`` — bit-identical to
+    ``_dot_scaled``. A missing/short subvector yields NULL entries for
+    that subspace's codes, matching the HOF path's null propagation."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    m_subspaces, k_codes, sub = C.shape
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _lut(vecs: pd.Series) -> pd.Series:
+        out: list = []
+        for v in vecs:
+            if v is None:
+                out.append([None] * (m_subspaces * k_codes))
+                continue
+            a = np.asarray(v, dtype=np.float64)
+            row: list = []
+            for m in range(m_subspaces):
+                seg = a[m * sub : (m + 1) * sub]
+                if seg.shape[0] == sub:
+                    dots = _np_scaled_dots(seg[None, :], C[m])[0]
+                    row.extend(int(x) for x in dots)
+                else:
+                    row.extend([None] * k_codes)
+            out.append(row)
+        return pd.Series(out)
+
+    return queries.select(
+        F.col(query_id), _lut(F.col(query_vec)).alias("__lut")
+    )
+
+
 def ivf_pq_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -1423,7 +1470,7 @@ def ivf_pq_topk(
     q_cells = assign_to_pivots(
         queries, pivots, query_id, pivot_id, vec, vec, n_cells=nprobe
     ).select(F.col(query_id), "cell")
-    lut = _pq_lut(queries, codebook, query_id, vec, m_subspaces)
+    lut = _pq_lut_from_matrix(queries, C, query_id, vec)
     # the LUT is |queries| rows (model state by contract): broadcast it so
     # the probes join is a hash join instead of the SortMergeJoin + extra
     # sorts the planner picks from its size estimates (guide §3.1)
@@ -1619,7 +1666,7 @@ def probe_ivfpq_index(
     # flattened-LUT indexing would score into silent garbage. Validate
     # the codebook shape against the meta (tiny collect) and one codes
     # row's length before trusting either.
-    validate_codebook(codebook, m_sub, kc)
+    C = validate_codebook(codebook, m_sub, kc)
     probe_row = coded.select(F.size("codes").alias("n")).limit(1).collect()
     if probe_row and probe_row[0]["n"] != m_sub:
         from agol_pandas_spark.errors import VectorIndexParamError
@@ -1633,9 +1680,9 @@ def probe_ivfpq_index(
         queries.select(F.col(query_id), F.col(query_vec)),
         pivots, query_id, pivot_id, query_vec, vec, n_cells=nprobe,
     ).select(F.col(query_id), "cell")
-    lut = _pq_lut(
+    lut = _pq_lut_from_matrix(
         queries.select(F.col(query_id), F.col(query_vec)),
-        codebook, query_id, query_vec, m_sub,
+        C, query_id, query_vec,
     )
     # the LUT is |queries| rows (model state): broadcast-join it so the
     # planner never picks a SortMergeJoin of two tiny inputs (guide §3.1)
@@ -1996,7 +2043,7 @@ def hard_negative_topk_indexed(
     coded = catalog.table(name)
     pivots = catalog.table(_ivfpq_pivots_name(name))
     codebook = catalog.table(_ivfpq_codebook_name(name))
-    validate_codebook(codebook, m_sub, kc)
+    C = validate_codebook(codebook, m_sub, kc)
     q = probes.select(
         F.col(query_id),
         F.col(label_col).alias("__qlabel"),
@@ -2006,8 +2053,8 @@ def hard_negative_topk_indexed(
         q.select(F.col(query_id), F.col(vec)),
         pivots, query_id, pivot_id, vec, vec, n_cells=nprobe,
     ).select(F.col(query_id), "cell")
-    lut = _pq_lut(
-        q.select(F.col(query_id), F.col(vec)), codebook, query_id, vec, m_sub
+    lut = _pq_lut_from_matrix(
+        q.select(F.col(query_id), F.col(vec)), C, query_id, vec
     )
     # both join inputs are |queries|-sized model state: broadcast them so
     # the planner never sorts/shuffles tiny inputs (guide §3.1)

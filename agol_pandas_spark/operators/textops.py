@@ -469,6 +469,7 @@ def gopher_quality_flags(
     min_stopword_hits: int = 2,
     max_symbol_ratio: float = 0.1,
     max_dup_2gram_frac: float = 0.5,
+    carry_cols: tuple = (),
 ) -> DataFrame:
     """Gopher-style rule-based document quality filter (Rae et al. 2021,
     "Scaling Language Models" §A1.1 shape): per-document boolean rule
@@ -486,6 +487,12 @@ def gopher_quality_flags(
     - at least ``min_stopword_hits`` English stopword occurrences
     - '#'/'…' symbols per word <= 0.1
     - duplicate 2-gram fraction <= 0.5 (the repetition rule)
+
+    ``carry_cols`` threads extra input columns (e.g. the text itself)
+    through to the output row, so a gate-then-process pipeline filters
+    in the SAME scan instead of computing flags on one scan and joining
+    them back onto a second scan of the input (r11: the join shape read
+    the corpus twice per gated pipeline).
     """
 
     def _ratio_ge(num, den, frac):  # num/den >= p/q as q*num >= p*den
@@ -503,6 +510,7 @@ def gopher_quality_flags(
     toks = tokens(F.col(text_col))
     base = df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols],
         F.size(toks).alias("__n"),
         F.aggregate(
             toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
@@ -533,6 +541,7 @@ def gopher_quality_flags(
     }
     out = base.select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols],
         F.col("__n").alias("n_words"),
         *[c.alias(name) for name, c in rules.items()],
     )

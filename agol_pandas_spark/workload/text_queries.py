@@ -977,10 +977,12 @@ def pipeline_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = Catalog(spark, sf_dir).table("documents")
-    flags = textops.gopher_quality_flags(docs, "doc_id", "text")
-    kept = docs.join(
-        flags.filter(F.col("pass_gopher")).select("doc_id"), "doc_id"
-    )
+    # carry_cols threads text through the gate, so kept docs come from
+    # the SAME scan that computed the flags (r11: the previous
+    # flags-then-join-back shape scanned documents twice)
+    kept = textops.gopher_quality_flags(
+        docs.select("doc_id", "text"), "doc_id", "text", carry_cols=("text",)
+    ).filter(F.col("pass_gopher"))
     chunks = textops.chunk_token_windows(
         kept, "doc_id", "text", window_tokens=40, stride=20
     )

@@ -783,3 +783,98 @@ def test_ivfpq_probe_rejects_mixed_layout_state(spark, sf_dir, tmp_path):
     )
     with _pytest.raises((VectorIndexParamError, ValueError)):
         probe_ivfpq_index(cat, "idx", queries, query_id="query_id")
+
+
+def test_arrow_lut_bit_identical_to_sql_lut(emb, spark):
+    """r11 optimization guard: the Arrow LUT kernel
+    (``_pq_lut_from_matrix``, one map — the path every ADC scorer now
+    uses) must be BIT-identical to the relational reference shape
+    (``_pq_lut``: explode → codebook join → collect_list), including on
+    null and short query vectors."""
+    from pyspark.sql import types as T
+
+    from agol_pandas_spark.operators.similarity import (
+        _collect_codebook,
+        _pq_lut,
+        _pq_lut_from_matrix,
+        pq_codebook_from_seeds,
+    )
+
+    cb = pq_codebook_from_seeds(emb, "vec_id")
+    C, _ = _collect_codebook(cb, 4)
+    queries = emb.filter(F.col("vec_id") < 7).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    # adversarial rows: null vector, short vector (one valid subspace)
+    extra = spark.createDataFrame(
+        [(1000, None), (1001, [0.5] * 16)],
+        T.StructType(
+            [
+                T.StructField("qid", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+            ]
+        ),
+    )
+    queries = queries.unionByName(extra)
+    sql_rows = {
+        r["qid"]: r["__lut"]
+        for r in _pq_lut(queries, cb, "qid", "embedding", 4).collect()
+    }
+    arrow_rows = {
+        r["qid"]: r["__lut"]
+        for r in _pq_lut_from_matrix(queries, C, "qid", "embedding").collect()
+    }
+    assert set(sql_rows) == set(arrow_rows)
+    for qid, arrow_lut in arrow_rows.items():
+        sql_lut = sql_rows[qid]
+        assert arrow_lut == sql_lut, f"LUT mismatch for qid={qid}"
+
+
+def test_fused_assign_encode_matches_chained(emb, spark):
+    """r11 optimization guard: the fused assignment+encoding kernel
+    (``_assign_encode_arrow``, one boundary crossing) must reproduce the
+    chained ``assign_to_pivots`` → ``_pq_encode_from_matrix`` pair
+    bit-for-bit, including null/short vectors (idx 0 → smallest pivot
+    id; codes NULL)."""
+    from pyspark.sql import types as T
+
+    from agol_pandas_spark.operators.similarity import (
+        _assign_encode_arrow,
+        _collect_codebook,
+        _pq_encode_from_matrix,
+        assign_to_pivots,
+        pq_codebook_from_seeds,
+    )
+
+    cb = pq_codebook_from_seeds(emb, "vec_id")
+    C, _ = _collect_codebook(cb, 4)
+    pivots = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("pivot_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") < 300).select("vec_id", "embedding")
+    extra = spark.createDataFrame(
+        [(9000, None), (9001, [0.25] * 16)],
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+            ]
+        ),
+    )
+    corpus = corpus.unionByName(extra)
+    chained = _pq_encode_from_matrix(
+        assign_to_pivots(
+            corpus, pivots, "vec_id", "pivot_id", "embedding", "embedding"
+        ),
+        C,
+        "vec_id",
+        "embedding",
+        keep_cols=("cell",),
+    )
+    fused = _assign_encode_arrow(
+        corpus, pivots, C, "vec_id", "pivot_id", "embedding"
+    )
+    assert fused.columns == chained.columns
+    c_rows = {r["vec_id"]: (r["cell"], r["codes"]) for r in chained.collect()}
+    f_rows = {r["vec_id"]: (r["cell"], r["codes"]) for r in fused.collect()}
+    assert c_rows == f_rows
