@@ -70,3 +70,49 @@ def count_tokens_in(toks: Column | str, vocab: tuple[str, ...]) -> Column:
     """How many tokens fall in a fixed vocabulary (stopword-hit counter)."""
     arr = F.array(*[F.lit(v) for v in vocab])
     return F.size(F.filter(_c(toks), lambda x: F.array_contains(arr, x)))
+
+
+# --- Python twins of the SQL primitives (Arrow signature kernels, r11) ---
+#
+# The md5 signature operators (MinHash / SimHash / winnowing / ExactSubstr
+# grams) moved their per-row hashing into Arrow pandas UDFs (guide §4.2:
+# batch the rows, do the per-row work in native/stdlib code). These twins
+# MUST stay bit-identical to the SQL expressions above — the operators'
+# oracles pin the hash values. Every twin is module-level (importable, so
+# reused Python workers cache the module and the compiled regex).
+
+import hashlib as _hashlib  # noqa: E402
+import re as _re  # noqa: E402
+
+#: Java's default ``\s`` charset — ``F.split(col, r"\s+")`` runs Java
+#: regex WITHOUT UNICODE_CHARACTER_CLASS, so ``\s`` is exactly these five
+#: ASCII separators + space. Python's ``\s`` would additionally match
+#: Unicode whitespace (NBSP etc.) and silently drift the token stream.
+_JAVA_WS = _re.compile("[ \t\n\x0b\f\r]+")
+
+
+def py_tokens(text: str) -> list:
+    """Python twin of :func:`tokens` (whitespace split, empties dropped)."""
+    return [t for t in _JAVA_WS.split(text) if t]
+
+
+def py_hash60(s: str) -> int:
+    """Python twin of :func:`portable_hash60` (md5 hex → first 15 nibbles
+    as a 60-bit non-negative int — both engines implement md5 identically
+    over the UTF-8 bytes)."""
+    return int(_hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def py_shingle_hash60s(toks: list, n: int) -> list:
+    """60-bit hashes of word ``n``-gram shingles — the Python twin of
+    ``transform(word_shingles(toks, n), portable_hash60)``: shingle i is
+    ``" ".join(toks[i:i+n])``, empty when the doc has < n tokens."""
+    m = len(toks) - (n - 1)
+    if m <= 0:
+        return []
+    md5 = _hashlib.md5
+    join = " ".join
+    return [
+        int(md5(join(toks[i : i + n]).encode("utf-8")).hexdigest()[:15], 16)
+        for i in range(m)
+    ]

@@ -30,6 +30,8 @@ from __future__ import annotations
 from collections.abc import Sequence
 from functools import lru_cache
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -118,12 +120,93 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document MinHash signature columns ``mh_0..mh_{k-1}``.
 
-    Pure map stage: no shuffle, no UDF. Output carries only id + signature
-    (text is dropped as early as possible — at 100 TB the signature table
-    is ~1/1000th the corpus size and everything downstream touches only it).
-    Shingles are md5-hashed once per row (see :func:`_hashed_barrier`);
-    each of the k permutations is ``array_min`` over pure integer math.
+    Pure map stage: no shuffle. The tokenize→shingle→md5→k-min kernel
+    runs in ONE Arrow pandas UDF per batch (r11, guide §4.2): hashlib md5
+    + numpy permutation mins replace the interpreted higher-order-function
+    chain, which paid UTF8String/hex/conv allocation per shingle — the
+    measured dominant cost of every MinHash query. Bit-identical to the
+    SQL shape (kept as :func:`_minhash_signatures_sql`, pinned by
+    ``tests/test_dedup.py::test_arrow_minhash_bit_identical``). Output
+    carries only id + signature — at 100 TB the signature table is
+    ~1/1000th the corpus and everything downstream touches only it.
     """
+    sig = _minhash_sigs_arrow(shingle_size, num_hashes, MINHASH_PARAMS, MINHASH_P)
+    base = df.select(F.col(id_col), sig(F.col(text_col)).alias("__sig"))
+    return base.select(
+        F.col(id_col),
+        *[
+            F.element_at("__sig", i + 1).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ],
+    )
+
+
+@lru_cache(maxsize=16)
+def _minhash_sigs_arrow(
+    shingle_size: int, num_hashes: int, params: tuple, p_mod: int
+):
+    """Arrow MinHash kernel factory: text → array of the k permutation
+    minima. Parameters are baked into the closure (NOT read from module
+    globals at worker time — workers re-import the module, so call-time
+    globals would not propagate). Nondeterministic marking stops the
+    optimizer duplicating the expensive kernel below inferred filters
+    (guide §4.4); memoized per parameters because each ``pandas_udf``
+    call costs a py4j registration round-trip.
+
+    Semantics twins (pinned bit-identical to the SQL path):
+
+    - NULL text / < shingle_size tokens → every ``mh_i`` is the sentinel
+      ``p_mod`` (SQL: ``coalesce(array_min(...), P)`` over an empty or
+      NULL shingle set).
+    - ``h = md5_60(shingle) % P``; ``mh_i = min((a_i*h + b_i) % P)`` —
+      all values < 2^47, so int64 never overflows in either engine.
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from agol_pandas_spark.functions.text import (
+        py_shingle_hash60s,
+        py_tokens,
+    )
+
+    A = np.asarray([a for a, _ in params[:num_hashes]], dtype=np.int64)
+    B = np.asarray([b for _, b in params[:num_hashes]], dtype=np.int64)
+    sentinel = [p_mod] * num_hashes
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _sigs(texts: pd.Series) -> pd.Series:
+        out: list = []
+        for tx in texts:
+            if tx is None:
+                out.append(sentinel)
+                continue
+            hs = py_shingle_hash60s(py_tokens(tx), shingle_size)
+            if not hs:
+                out.append(sentinel)
+                continue
+            h = np.asarray(hs, dtype=np.int64) % p_mod
+            # (k, m) permutation table → per-permutation min; values stay
+            # < 2^47 so the int64 math is exact (same as the SQL path)
+            mins = ((A[:, None] * h[None, :] + B[:, None]) % p_mod).min(
+                axis=1
+            )
+            out.append(mins.tolist())
+        return pd.Series(out)
+
+    return _sigs.asNondeterministic()
+
+
+def _minhash_signatures_sql(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 3,
+    num_hashes: int = len(MINHASH_PARAMS),
+) -> DataFrame:
+    """The original all-SQL signature kernel (tokenize → shingle → md5
+    behind a :func:`_hashed_barrier` → per-permutation ``array_min``),
+    kept as the cross-checked relational reference for the Arrow kernel
+    — the DuckDB oracles were derived from THIS shape."""
     base = _hashed_barrier(df, id_col, _minhash_hashed_expr(text_col, shingle_size))
     sig_cols = [
         c.alias(f"mh_{i}") for i, c in enumerate(_minhash_sig_exprs(num_hashes))
@@ -326,7 +409,15 @@ def write_lsh_index(
     batch's bands back to the index (plain ``merge_append``) so the index
     tracks the corpus without rebuilds.
     """
-    sig = minhash_signatures(corpus, id_col, text_col, shingle_size, num_hashes)
+    from agol_pandas_spark.operators.chunking import spread_small_scan
+
+    # spread the corpus scan before the Arrow signature kernel: a small
+    # single-file corpus plans as ONE task, serializing the md5 kernel on
+    # one core; at real scale the scan already splits and this is a no-op
+    # decision (r11, guide §2.5/§4.2)
+    sig = minhash_signatures(
+        spread_small_scan(corpus), id_col, text_col, shingle_size, num_hashes
+    )
     banded = banded_signatures(sig, id_col, num_hashes, band_size)
     path = catalog.write(banded, name, mode="overwrite")
     # Persist the banding parameters NEXT TO the index: a probe with a
@@ -507,6 +598,64 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS)
     For each bit b: vote = Σ_tokens (bit_b(h(tok)) ? +1 : -1); fingerprint
     sets bit b iff vote > 0 — equivalently iff 2·ones_b > n_tokens.
 
+    Shape (r11): ONE Arrow pandas UDF computes the whole fingerprint per
+    row — tokenize, distinct, md5 (hashlib), and the per-bit majority
+    vote as one numpy bit-matrix reduction (guide §4.2). This removed
+    the previous explode → 21-lane packed aggregation → join-back
+    pipeline: its groupBy SHUFFLE and the join disappear outright (the
+    operator is now a pure map, guide §2.4), and the measured kernel
+    time dropped ~3× at sf0.1. Bit-identical to the SQL shape — kept
+    below as :func:`_simhash_sql`, pinned by
+    ``tests/test_dedup.py::test_arrow_simhash_bit_identical``. Docs with
+    zero tokens (or NULL text) keep fingerprint 0.
+    """
+    fp = _simhash_arrow(bits)
+    return df.select(
+        F.col(id_col), fp(F.col(text_col)).alias("simhash")
+    )
+
+
+@lru_cache(maxsize=16)
+def _simhash_arrow(bits: int):
+    """Arrow SimHash kernel factory: text → 60-bit fingerprint long.
+    Parameters baked into the closure (workers re-import the module;
+    call-time globals would not propagate). Nondeterministic marking
+    stops optimizer duplication below inferred filters (guide §4.4)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from agol_pandas_spark.functions.text import py_hash60, py_tokens
+
+    shifts = np.arange(bits, dtype=np.int64)
+    weights = (np.int64(1) << shifts).astype(np.int64)
+
+    @pandas_udf(T.LongType())
+    def _fp(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, tx in enumerate(texts):
+            if tx is None:
+                continue
+            toks = set(py_tokens(tx))
+            n = len(toks)
+            if n == 0:
+                continue
+            hs = np.fromiter(
+                (py_hash60(s) for s in toks), dtype=np.int64, count=n
+            )
+            ones = ((hs[:, None] >> shifts) & 1).sum(axis=0)
+            out[i] = int(((ones * 2 > n) * weights).sum())
+        return pd.Series(out)
+
+    return _fp.asNondeterministic()
+
+
+def _simhash_sql(
+    df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """The original all-SQL SimHash (the relational reference the DuckDB
+    oracles were derived from; the Arrow kernel is pinned bit-identical
+    to it).
+
     Shape: explode distinct tokens → hash once per token (codegen
     projection) → ONE hash aggregation computing the per-bit ones-counts
     as ``sum`` of PACKED 20-bit lanes: 3 bit-counters per 64-bit sum, so
@@ -519,13 +668,6 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS)
     ``aggregate`` lambda per bit) ~6× slower. Everything stays inside
     whole-stage codegen. Docs with zero tokens keep fingerprint 0 via the
     left join back to the id set.
-
-    Deliberately NOT wrapped in ``spread_small_scan``: the wide hash
-    aggregation amplifies across input partitions (each partition emits
-    its own partial-group buffers into the merge shuffle), and the
-    measured A/B at sf0.1 showed no win over the single-task tokenize it
-    saves. At real scale the scan splits on its own and the partial-agg
-    width (21 longs/doc) is still shuffle-cheap.
 
     The wide bit expressions are emitted as SQL strings through ONE
     ``F.expr`` each (not per-bit Column composition): building the
@@ -648,6 +790,10 @@ def simhash_band_pairs(
     candidates (the corpus really is that dense), so capping changes
     the answer, not just the cost.
     """
+    # NOT spread: the Arrow simhash kernel's numpy bit-matrix vote is
+    # fast enough that the extra round-robin exchange costs more than the
+    # single-task kernel saves (interleaved A/B at sf0.1: 0.50 s bare vs
+    # 0.55 s spread); at real scale the scan splits on its own
     sigs = simhash_bands(df, id_col, text_col)
     if max_bucket_size is not None:
         w = Window.partitionBy("band", "band_key")
@@ -1173,7 +1319,102 @@ def winnow_fingerprints(
 
     Reference has no near-dup surface at all (full-scan client,
     src/agol_pandas.py:246); this extends §2b ★ dedup.
+
+    r11: the tokenize → shingle → md5 → packed window-min selection runs
+    in ONE Arrow pandas UDF (guide §4.2) returning the distinct packed
+    minima per doc; only the tiny explode + integer decode stay in SQL.
+    The SQL kernel (interpreted ``transform(sequence, i ->
+    array_min(slice(...)))`` — O(shingles × window) interpreted-HOF
+    element evaluations per row) is kept as
+    :func:`_winnow_fingerprints_sql`, pinned row-identical by
+    ``tests/test_dedup.py::test_arrow_winnow_bit_identical``.
     """
+    w = int(window)
+    if w < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    packed_mins = _winnow_packed_arrow(
+        shingle_size, w, WINNOW_HASH_MOD, WINNOW_POS_MOD
+    )
+    fps = df.select(
+        F.col(id_col),
+        F.explode(
+            packed_mins(F.col(id_col).cast("string"), F.col(text_col))
+        ).alias("__p"),
+    )
+    return fps.select(
+        F.col(id_col),
+        F.expr(f"__p DIV {WINNOW_POS_MOD}").alias("fp_hash"),
+        (F.lit(WINNOW_POS_MOD - 1) - F.col("__p") % WINNOW_POS_MOD)
+        .cast("int")
+        .alias("fp_pos"),
+    )
+
+
+@lru_cache(maxsize=16)
+def _winnow_packed_arrow(
+    shingle_size: int, window: int, hash_mod: int, pos_mod: int
+):
+    """Arrow winnowing kernel factory: (id, text) → distinct packed
+    window minima ``(h % hash_mod) * pos_mod + (pos_mod-1-i)``. The id
+    rides along only so the > ``pos_mod`` shingle-envelope violation can
+    fail the job NAMING the doc (the SQL path's in-plan ``raise_error``
+    guard — same message shape). Parameters are baked into the closure
+    (workers re-import the module, so the monkeypatchable module
+    constants are read by the CALLER and passed in). NULL text → empty
+    array → the explode above emits no rows, exactly like the SQL
+    path's NULL propagation."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from agol_pandas_spark.functions.text import (
+        py_shingle_hash60s,
+        py_tokens,
+    )
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _mins(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        out: list = []
+        for doc_id, tx in zip(ids, texts):
+            if tx is None:
+                out.append([])
+                continue
+            hs = py_shingle_hash60s(py_tokens(tx), shingle_size)
+            n = len(hs)
+            if n == 0:
+                out.append([])
+                continue
+            if n > pos_mod:
+                raise ValueError(
+                    f"winnow_fingerprints: document {doc_id} has more "
+                    f"than {pos_mod} shingles — split it upstream "
+                    "(operators/chunking.py) before fingerprinting"
+                )
+            packed = np.asarray(hs, dtype=np.int64) % hash_mod
+            packed = packed * pos_mod + (
+                pos_mod - 1 - np.arange(n, dtype=np.int64)
+            )
+            if n < window:
+                mins = packed.min(keepdims=True)
+            else:
+                mins = np.lib.stride_tricks.sliding_window_view(
+                    packed, window
+                ).min(axis=1)
+            out.append(np.unique(mins).tolist())
+        return pd.Series(out)
+
+    return _mins.asNondeterministic()
+
+
+def _winnow_fingerprints_sql(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """The original all-SQL winnowing kernel (packed-key window minima via
+    interpreted array HOFs) — the relational reference the DuckDB oracle
+    was derived from; the Arrow kernel is pinned row-identical to it."""
     w = int(window)
     if w < 1:
         raise ValueError(f"window must be >= 1, got {window}")
@@ -1509,6 +1750,46 @@ def ngram_containment_pairs(
     )
 
 
+@lru_cache(maxsize=16)
+def _gram_hash60s_arrow(k: int):
+    """Arrow gram-hash kernel factory: text → array of 60-bit md5 hashes
+    of its word ``k``-grams, position-ordered (index i = gram starting at
+    token i). Twin of ``transform(word_shingles(tokens(text), k),
+    portable_hash60)`` — NULL text returns NULL (the posexplode consumer
+    drops the row, exactly like the SQL NULL propagation); empty/short
+    docs return an empty array. Pinned bit-identical by
+    ``tests/test_dedup.py::test_arrow_gram_hashes_bit_identical``."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from agol_pandas_spark.functions.text import (
+        py_shingle_hash60s,
+        py_tokens,
+    )
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _grams(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None
+                if tx is None
+                else py_shingle_hash60s(py_tokens(tx), k)
+                for tx in texts
+            ]
+        )
+
+    return _grams
+
+
+def _gram_hash60s_sql(text_col: str, k: int) -> Column:
+    """The original all-SQL gram-hash expression — the relational
+    reference the DuckDB oracles were derived from; the Arrow kernel is
+    pinned bit-identical to it."""
+    return F.transform(
+        word_shingles(tokens(F.col(text_col)), k), portable_hash60
+    )
+
+
 def substring_dup_spans(
     df: DataFrame,
     id_col: str,
@@ -1554,14 +1835,21 @@ def substring_dup_spans(
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
     toks = tokens(F.col(text_col))
-    grams = F.transform(word_shingles(toks, k), portable_hash60)
+    # r11: gram hashing runs in one Arrow pandas UDF (guide §4.2) —
+    # hashlib md5 per k-gram replaces the interpreted HOF chain; pinned
+    # bit-identical to the SQL expression (kept as _gram_hash60s_sql) by
+    # tests/test_dedup.py::test_arrow_gram_hashes_bit_identical.
+    grams = _gram_hash60s_arrow(k)(F.col(text_col))
     # the per-doc census base is a PURE MAP over the corpus — carrying
     # n_tokens through the exploded gram table and re-aggregating it back
     # (the first cut of this operator) paid a full gram-table shuffle for
     # information the un-exploded row already has
     base = df.select(F.col(id_col), F.size(toks).alias("n_tokens"))
-    # posexplode is the CollapseProject barrier for the hash array
-    # (hashing runs once per row); zero-gram docs live on in `base`.
+    # zero-gram docs (empty array / NULL text) live on in `base`.
+    # NOT spread (unlike the LSH/winnow kernels): the A/B at sf0.1
+    # measured the extra round-robin exchange costing more than the
+    # single-task gram kernel saves — the census tail (hash agg + join +
+    # per-doc window) dominates this operator, not the map
     occ = df.select(
         F.col(id_col),
         F.posexplode(grams).alias("__p0", "__h"),
@@ -1651,7 +1939,8 @@ def substring_dup_removal(
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
     toks = tokens(F.col(text_col))
-    grams = F.transform(word_shingles(toks, k), portable_hash60)
+    # same Arrow gram-hash kernel as substring_dup_spans (r11)
+    grams = _gram_hash60s_arrow(k)(F.col(text_col))
     occ = df.select(
         F.col(id_col),
         F.posexplode(grams).alias("__p0", "__h"),

@@ -662,8 +662,12 @@ def dedup_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_winnow_shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidates from shared winnowing fingerprints (>= 2
     shared hashes): fingerprint-hash equi-join, never all-pairs."""
+    from agol_pandas_spark.operators.chunking import spread_small_scan
+
     docs = Catalog(spark, sf_dir).table("documents")
-    fps = dedup.winnow_fingerprints(docs, "doc_id", "text")
+    # spread the one-file corpus scan so the Arrow winnowing kernel
+    # parallelizes (no-op decision at real scale — r11, guide §2.5)
+    fps = dedup.winnow_fingerprints(spread_small_scan(docs), "doc_id", "text")
     return dedup.winnow_shared_pairs(fps, "doc_id", min_shared=2)
 
 

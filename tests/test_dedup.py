@@ -1138,3 +1138,95 @@ def test_simhash_band_pairs_hot_bucket_cap(spark):
     got = capped.collect()
     assert all(r.id_a >= 100 for r in got), got  # clique suppressed
     assert len(got) == 1  # the small pair survives
+
+
+def _adversarial_docs(spark, sf_dir):
+    """sf corpus + the md5-kernel edge rows: NULL text, empty, whitespace-
+    only, fewer tokens than a shingle, NBSP inside a token (Java ``\\s``
+    must NOT split it), and a highly repetitive doc."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from agol_pandas_spark.catalog import Catalog
+
+    docs = Catalog(spark, sf_dir).table("documents").select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [
+            (9001, None),
+            (9002, ""),
+            (9003, "   \t\n  "),
+            (9004, "one"),
+            (9005, "one two"),
+            (9006, "a\xa0b c d e f"),
+            (9007, "x y z x y z x y z"),
+        ],
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        ),
+    )
+    return docs.unionByName(extra)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_arrow_minhash_bit_identical(spark, sf_dir):
+    """r11 optimization guard: the Arrow MinHash kernel (hashlib md5 +
+    numpy permutation mins) must reproduce the SQL reference shape
+    bit-for-bit, including NULL/empty/short/NBSP texts (sentinel P)."""
+    from agol_pandas_spark.operators import dedup
+
+    docs = _adversarial_docs(spark, sf_dir)
+    assert _rows(dedup.minhash_signatures(docs, "doc_id", "text")) == _rows(
+        dedup._minhash_signatures_sql(docs, "doc_id", "text")
+    )
+
+
+def test_arrow_simhash_bit_identical(spark, sf_dir):
+    """r11 optimization guard: the Arrow SimHash kernel (one numpy
+    bit-matrix majority vote per doc, no shuffle) must reproduce the
+    packed-lane SQL aggregation bit-for-bit (zero-token docs → 0)."""
+    from agol_pandas_spark.operators import dedup
+
+    docs = _adversarial_docs(spark, sf_dir)
+    assert _rows(dedup.simhash(docs, "doc_id", "text")) == _rows(
+        dedup._simhash_sql(docs, "doc_id", "text")
+    )
+
+
+def test_arrow_winnow_bit_identical(spark, sf_dir):
+    """r11 optimization guard: the Arrow winnowing kernel (numpy sliding
+    window minima over the packed hash/position keys) must emit exactly
+    the SQL reference's fingerprint rows (NULL text → no rows; n <
+    window → single global min; rightmost tie-break via the packed
+    complement)."""
+    from agol_pandas_spark.operators import dedup
+
+    docs = _adversarial_docs(spark, sf_dir)
+    assert _rows(dedup.winnow_fingerprints(docs, "doc_id", "text")) == _rows(
+        dedup._winnow_fingerprints_sql(docs, "doc_id", "text")
+    )
+
+
+def test_arrow_gram_hashes_bit_identical(spark, sf_dir):
+    """r11 optimization guard: the Arrow gram-hash kernel behind the
+    ExactSubstr census must yield the SQL expression's exact
+    (position, hash) stream after posexplode (NULL text drops the row
+    on both paths)."""
+    from pyspark.sql import functions as F
+
+    from agol_pandas_spark.operators import dedup
+
+    docs = _adversarial_docs(spark, sf_dir)
+    arrow = docs.select(
+        "doc_id",
+        F.posexplode(dedup._gram_hash60s_arrow(5)(F.col("text"))),
+    )
+    sql = docs.select(
+        "doc_id", F.posexplode(dedup._gram_hash60s_sql("text", 5))
+    )
+    assert _rows(arrow) == _rows(sql)

@@ -332,7 +332,11 @@ def test_label_centroids_partial_aggregation(q):
     assert plan.count("HashAggregate") >= 4  # partial + final, tree+details
 
 
-def test_ks_drift_pushdown_and_broadcast_argmax(q):
+def test_ks_drift_pushdown_and_single_pass(q):
+    """r11: the KS argmax is one more window over the SAME group
+    partition the cumulative ECDF windows use — the histogram pipeline
+    runs ONCE (the old shape broadcast-joined a per-group max back onto
+    the diffs, duplicating the whole subtree: 3 scans)."""
     df = q("stats_ks_drift")
     plan = formatted_plan(df)
     # the year predicate reaches the parquet scan
@@ -340,8 +344,9 @@ def test_ks_drift_pushdown_and_broadcast_argmax(q):
     # lineitem scan reads only the 3 needed of 11 columns
     li = next(s for s in read_schema_columns(df) if "l_extendedprice" in s)
     assert set(li) == {"l_discount", "l_extendedprice", "l_shipdate"}
-    # the 11-row per-group max joins back as a broadcast, never SMJ
-    assert "BroadcastHashJoin" in plan
+    # single linear pass: one scan, no join of any kind
+    assert len(read_schema_columns(df)) == 1
+    assert "Join" not in plan
     assert "CartesianProduct" not in plan
 
 
