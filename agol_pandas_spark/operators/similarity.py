@@ -1567,15 +1567,29 @@ def write_ivfpq_index(
         corpus.select(F.col(corpus_id), F.col(vec), *payload),
         pivots, C, corpus_id, pivot_id, vec, keep_cols=payload,
     )
-    path = catalog.write(coded, name, mode="overwrite")
-    catalog.write(
-        pivots.select(F.col(pivot_id), F.col(vec)),
-        _ivfpq_pivots_name(name), mode="overwrite",
-    )
-    catalog.write(
-        codebook.select("m", "code", "cent"),
-        _ivfpq_codebook_name(name), mode="overwrite",
-    )
+    # The three data/model tables are independent commits to distinct
+    # paths — submit them from a small thread pool so the tiny
+    # pivots/codebook writes back-fill executors while the corpus encode
+    # runs, instead of serializing three job latencies (guide §2.6).
+    # The meta still writes strictly LAST (the crash-consistency
+    # contract above), after ALL three have committed.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_coded = pool.submit(catalog.write, coded, name, "overwrite")
+        f_piv = pool.submit(
+            catalog.write,
+            pivots.select(F.col(pivot_id), F.col(vec)),
+            _ivfpq_pivots_name(name), "overwrite",
+        )
+        f_cb = pool.submit(
+            catalog.write,
+            codebook.select("m", "code", "cent"),
+            _ivfpq_codebook_name(name), "overwrite",
+        )
+        path = f_coded.result()
+        f_piv.result()
+        f_cb.result()
     meta_path = catalog.path(_ivfpq_meta_name(name))
     os.makedirs(catalog.root, exist_ok=True)
     tmp = f"{meta_path}.__tmp_{uuid.uuid4().hex}"
