@@ -240,9 +240,14 @@ def assign_to_pivots(
     (wins, as in a descending sort), a NULL cosine — zero-norm vector or
     pivot, Spark's divide-by-zero — sorts LAST (loses); if every cosine
     is NULL the smallest pivot id wins."""
-    if n_cells == 1 and method == "arrow":
-        return _assign_cells_arrow(
-            corpus, pivots, corpus_id, pivot_id, corpus_vec, pivot_vec
+    if method == "arrow":
+        if n_cells == 1:
+            return _assign_cells_arrow(
+                corpus, pivots, corpus_id, pivot_id, corpus_vec, pivot_vec
+            )
+        return _assign_topn_cells_arrow(
+            corpus, pivots, corpus_id, pivot_id, corpus_vec, pivot_vec,
+            n_cells,
         )
     p = pivots.select(
         F.col(pivot_id).alias("__pid"),
@@ -385,6 +390,82 @@ def _assign_cells_arrow(
             cell_lookup, best_idx(F.col(corpus_vec)) + F.lit(1)
         ).cast(ptype),
     )
+
+
+def _assign_topn_cells_arrow(
+    corpus: DataFrame,
+    pivots: DataFrame,
+    corpus_id: str,
+    pivot_id: str,
+    corpus_vec: str,
+    pivot_vec: str,
+    n_cells: int,
+    pivot_rows: list | None = None,
+) -> DataFrame:
+    """Multi-probe IVF assignment (``n_cells`` nearest pivots per vector)
+    as one Arrow map + explode — the query-side twin of
+    :func:`_assign_cells_arrow`, replacing the |corpus|×|pivots|
+    crossJoin + per-vector window of the SQL path (no row expansion
+    before the top-n selection, no window shuffle, and none of the
+    interpreted-HOF cosine chains). Bit-identical ordering contract:
+    cosine desc with NaN first (wins) and NULL (zero-norm / ragged)
+    last, ties → smallest pivot id; a vector whose every cosine is NULL
+    gets the ``n_cells`` smallest pivot ids. One row per (vector, cell),
+    cells emitted in rank order exactly as the window path does."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    rows = pivot_rows
+    if rows is None:
+        rows = pivots.select(F.col(pivot_id), F.col(pivot_vec)).collect()
+    if not rows:
+        raise ValueError("assign_to_pivots: empty pivot set")
+    rows = sorted(rows, key=lambda r: r[0])  # tie order == smallest id first
+    pids = [r[0] for r in rows]
+    P = np.asarray([np.asarray(r[1], dtype=np.float64) for r in rows])
+    pnorm = _np_scaled_norms(P)
+    dim = P.shape[1]
+    top = min(n_cells, len(pids))
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def _topn_pivot_idx(vecs: pd.Series) -> pd.Series:
+        n = len(vecs)
+        # null/ragged vectors: every cosine is NULL → the `top` smallest
+        # pivot ids, i.e. indices 0..top-1 of the sorted pivot list
+        base = np.tile(np.arange(top, dtype=np.int32), (n, 1))
+        ok = np.array(
+            [v is not None and len(v) == dim for v in vecs], dtype=bool
+        )
+        if ok.any():
+            V = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in vecs[ok]]
+            )
+            dots = _np_scaled_dots(V, P)
+            vnorm = _np_scaled_norms(V)
+            denom = vnorm[:, None] * pnorm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (dots.astype(np.float64) / np.float64(VSCALE)) / denom
+            key = -cos
+            key[np.isnan(key)] = -np.inf  # NaN cosine wins (desc order)
+            key[denom == 0.0] = np.inf  # Spark x/0 → NULL → loses
+            # stable sort: equal keys keep column order = pivot-id order
+            order = np.argsort(key, axis=1, kind="stable")[:, :top]
+            base[ok] = order.astype(np.int32)
+        return pd.Series(list(base))
+
+    # Same nondeterministic marking as _assign_cells_arrow: stops the
+    # optimizer cloning the kernel below an inferred `cell` predicate or
+    # into the Generate (guide §4.4); the kernel IS deterministic.
+    topn_idx = _topn_pivot_idx.asNondeterministic()
+    cell_lookup = F.array(*[F.lit(p) for p in pids])
+    ptype = pivots.schema[pivot_id].dataType
+    exploded = corpus.withColumn(
+        "__cell_idx", topn_idx(F.col(corpus_vec))
+    ).select(*corpus.columns, F.explode("__cell_idx").alias("__ci"))
+    return exploded.withColumn(
+        "cell",
+        F.element_at(cell_lookup, F.col("__ci") + F.lit(1)).cast(ptype),
+    ).drop("__ci")
 
 
 def ivf_topk(
@@ -1173,6 +1254,7 @@ def _assign_encode_arrow(
     pivot_id: str,
     vec: str,
     keep_cols: tuple = (),
+    pivot_rows: list | None = None,
 ) -> DataFrame:
     """Fused IVF assignment + PQ encoding: ONE Arrow map stage computes
     both the nearest-pivot index and the subspace codes per batch, so the
@@ -1191,10 +1273,12 @@ def _assign_encode_arrow(
     from pyspark.sql import types as T
     from pyspark.sql.functions import pandas_udf
 
-    rows = pivots.select(F.col(pivot_id), F.col(vec)).collect()
+    rows = pivot_rows
+    if rows is None:
+        rows = pivots.select(F.col(pivot_id), F.col(vec)).collect()
     if not rows:
         raise ValueError("assign_to_pivots: empty pivot set")
-    rows.sort(key=lambda r: r[0])  # argmin-first == smallest pivot id
+    rows = sorted(rows, key=lambda r: r[0])  # argmin-first == smallest id
     pids = [r[0] for r in rows]
     P = np.asarray([np.asarray(r[1], dtype=np.float64) for r in rows])
     pnorm = _np_scaled_norms(P)
@@ -1463,12 +1547,17 @@ def ivf_pq_topk(
     # (one Arrow kernel, one boundary crossing of the vector column):
     # zero joins, zero shuffles on the corpus side until the probe
     # equi-join
+    # pivots are model state: collect them ONCE and feed both the fused
+    # build-side kernel and the probe-side multi-probe kernel (two Spark
+    # jobs otherwise — each kernel would re-collect the same tiny table)
+    pivot_rows = pivots.select(F.col(pivot_id), F.col(vec)).collect()
     coded = _assign_encode_arrow(
         corpus.select(F.col(corpus_id), F.col(vec)),
-        pivots, C, corpus_id, pivot_id, vec,
+        pivots, C, corpus_id, pivot_id, vec, pivot_rows=pivot_rows,
     )
-    q_cells = assign_to_pivots(
-        queries, pivots, query_id, pivot_id, vec, vec, n_cells=nprobe
+    q_cells = _assign_topn_cells_arrow(
+        queries, pivots, query_id, pivot_id, vec, vec, nprobe,
+        pivot_rows=pivot_rows,
     ).select(F.col(query_id), "cell")
     lut = _pq_lut_from_matrix(queries, C, query_id, vec)
     # the LUT is |queries| rows (model state by contract): broadcast it so
@@ -1680,8 +1769,24 @@ def probe_ivfpq_index(
     # flattened-LUT indexing would score into silent garbage. Validate
     # the codebook shape against the meta (tiny collect) and one codes
     # row's length before trusting either.
-    C = validate_codebook(codebook, m_sub, kc)
-    probe_row = coded.select(F.size("codes").alias("n")).limit(1).collect()
+    # three independent validation/model-state collects (codebook shape,
+    # one codes row's length, the pivot matrix) are each a tiny Spark
+    # job — overlap them so the probe pays ONE job latency, not three
+    # serial ones (guide §2.6); every error still surfaces before any
+    # scoring plan is built.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_cb = pool.submit(validate_codebook, codebook, m_sub, kc)
+        f_probe = pool.submit(
+            coded.select(F.size("codes").alias("n")).limit(1).collect
+        )
+        f_piv = pool.submit(
+            pivots.select(F.col(pivot_id), F.col(vec)).collect
+        )
+        C = f_cb.result()
+        probe_row = f_probe.result()
+        pivot_rows = f_piv.result()
     if probe_row and probe_row[0]["n"] != m_sub:
         from agol_pandas_spark.errors import VectorIndexParamError
 
@@ -1690,9 +1795,10 @@ def probe_ivfpq_index(
             f"subspaces but the meta declares {m_sub} — mixed-layout "
             "state (interrupted rebuild?); rebuild the index."
         )
-    q_cells = assign_to_pivots(
+    q_cells = _assign_topn_cells_arrow(
         queries.select(F.col(query_id), F.col(query_vec)),
-        pivots, query_id, pivot_id, query_vec, vec, n_cells=nprobe,
+        pivots, query_id, pivot_id, query_vec, vec, nprobe,
+        pivot_rows=pivot_rows,
     ).select(F.col(query_id), "cell")
     lut = _pq_lut_from_matrix(
         queries.select(F.col(query_id), F.col(query_vec)),

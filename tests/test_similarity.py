@@ -355,6 +355,52 @@ def test_assign_arrow_matches_sql_path(emb, spark):
     assert (99999, 0) in a  # NULL cosines lose; smallest pivot id wins
 
 
+def test_assign_topn_arrow_matches_sql_path(emb, spark):
+    """The Arrow multi-probe assignment (n_cells > 1) is bit-identical
+    to the crossJoin+window SQL path — same scaled-integer cosine, same
+    tie order (smallest pivot id), NaN-first / NULL-last ordering — for
+    zero-norm, NULL, and ragged (wrong-dim) vectors, and when n_cells
+    exceeds the pivot count (all cells emitted)."""
+    from agol_pandas_spark.operators.similarity import assign_to_pivots
+
+    pivots = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("pivot_id"), "embedding"
+    )
+    dim = len(emb.first()["embedding"])
+    adv = spark.createDataFrame(
+        [
+            (99999, [0.0] * dim, 0),  # zero-norm: every cosine NULL
+            (99998, None, 0),  # NULL vector
+            (99997, [1.0] * (dim - 3), 0),  # ragged: wrong dimension
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    corpus = emb.unionByName(adv)
+    results = {}
+    for n in (3, 1000):
+        a = {
+            (r["vec_id"], r["cell"])
+            for r in assign_to_pivots(
+                corpus, pivots, "vec_id", "pivot_id",
+                n_cells=n, method="arrow",
+            ).collect()
+        }
+        s = {
+            (r["vec_id"], r["cell"])
+            for r in assign_to_pivots(
+                corpus, pivots, "vec_id", "pivot_id",
+                n_cells=n, method="sql",
+            ).collect()
+        }
+        assert a == s, f"n_cells={n}"
+        results[n] = a
+    # NULL-cosine vectors (zero-norm / NULL / ragged) take the n
+    # smallest pivot ids
+    pid3 = sorted(r["pivot_id"] for r in pivots.collect())[:3]
+    for vid in (99999, 99998, 99997):
+        assert {(vid, p) for p in pid3} <= results[3]
+
+
 def test_assign_sql_path_allows_map_payload(emb, spark):
     """min_by keys the argmin on (cosine, pivot id) only, so unorderable
     payload columns (MapType) pass through the SQL path."""
