@@ -3133,15 +3133,27 @@ def pivot_status_multi_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def math_try_overflow_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANSI overflow-safety surface: ``try_multiply`` yields NULL
-    exactly where the int64 product would overflow (the session runs
-    ANSI mode, so unguarded arithmetic would ERROR mid-job — at 100 TB
-    that's a dead 6-hour run; the try_* family is the per-expression
-    escape). Price cents cubed overflows for pc > ~2.1M and the oracle
-    reproduces the exact overflow boundary in 128-bit arithmetic; the
-    surviving cubes sum in DECIMAL(38,0) on both engines and ship as a
-    plain-digit VARCHAR (the sum itself exceeds int64; no 128-bit
-    numeric crosses the harness fetch boundary — r4 red-row rule).
+    """ANSI overflow-safety surface: NULL exactly where the int64 cube
+    would overflow (the session runs ANSI mode, so unguarded arithmetic
+    would ERROR mid-job — at 100 TB that's a dead 6-hour run; the try_*
+    family is the per-expression escape). Price cents cubed overflows
+    for pc > ~2.1M and the oracle reproduces the exact overflow boundary
+    in 128-bit arithmetic; the surviving cubes sum in DECIMAL(38,0) on
+    both engines and ship as a plain-digit VARCHAR (the sum itself
+    exceeds int64; no 128-bit numeric crosses the harness fetch boundary
+    — r4 red-row rule).
+
+    r11 (guide §4.2 by analogy, §1.2): the original
+    ``try_multiply(try_multiply(pc, pc), pc)`` chain is semantically
+    right but ``TryEval`` is a codegen-fallback expression — the whole
+    projection dropped out of WholeStageCodegen and evaluated the
+    nested expression tree interpreted per row (measured 7.7 s vs
+    0.4 s on this scan). The cube is now guarded by the EXACT int64
+    boundary (cube representable iff −2097152 ≤ pc ≤ 2097151;
+    (−2097152)³ = −2⁶³ is exactly int64 min) with a plain codegen
+    multiply inside the guard — bit-identical to the try_multiply
+    chain, pinned on the boundary values by
+    ``tests/test_relational_model.py::test_overflow_guard_matches_try_multiply``.
     """
     li = Catalog(spark, sf_dir).table("lineitem").select(
         "l_returnflag",
@@ -3149,7 +3161,10 @@ def math_try_overflow_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cubed = li.select(
         "l_returnflag",
-        F.expr("try_multiply(try_multiply(pc, pc), pc)").alias("cube"),
+        F.when(
+            F.col("pc").between(-2097152, 2097151),
+            F.col("pc") * F.col("pc") * F.col("pc"),
+        ).alias("cube"),
     )
     return cubed.groupBy("l_returnflag").agg(
         F.count(F.when(F.col("cube").isNull(), 1)).alias("n_overflow"),
