@@ -316,24 +316,41 @@ def write_table(
         from agol_pandas_spark.operators.constraints import enforce_checks
 
         enforce_checks(source, checks)
-    if not catalog.exists(name):
-        if source.isEmpty():
-            raise EmptyInputError("source DataFrame is empty")
-        if key is not None and m in KEYED_MODES:
-            validate_unique_key(source, key, "source")
+    # Keyed modes re-evaluate the source plan up to four times inside
+    # this call (empty guard, unique-key validation, matched-join +
+    # anti-join in the merge plan) and a keyed source is batch/delta-
+    # sized by contract, so persist it for the operator's lifetime —
+    # the same bounded-lifetime persist merge_pruned does (guide §1.2,
+    # §5). APPEND/OVERWRITE sources can be TABLE-sized and are read
+    # once past the empty guard, so they are deliberately NOT persisted.
+    persisted = key is not None and m in KEYED_MODES
+    if persisted:
+        from pyspark import StorageLevel
+
+        source = source.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        if not catalog.exists(name):
+            if source.isEmpty():
+                raise EmptyInputError("source DataFrame is empty")
+            if key is not None and m in KEYED_MODES:
+                validate_unique_key(source, key, "source")
+            return catalog.write(
+                source, name, mode="error", snapshot_props=snapshot_props
+            )
+        if prune:
+            return merge_pruned(
+                catalog, source, name, m, key, snapshot_props=snapshot_props
+            )["path"]
+        result = merge(catalog.table(name), source, m, key)
+        # self-referential overwrite: the plan reads the files it will
+        # replace, so stage to a new directory first (catalog.write is
+        # atomic).
         return catalog.write(
-            source, name, mode="error", snapshot_props=snapshot_props
+            result, name, mode="overwrite", snapshot_props=snapshot_props
         )
-    if prune:
-        return merge_pruned(
-            catalog, source, name, m, key, snapshot_props=snapshot_props
-        )["path"]
-    result = merge(catalog.table(name), source, m, key)
-    # self-referential overwrite: the plan reads the files it will replace,
-    # so stage to a new directory first (catalog.write is atomic).
-    return catalog.write(
-        result, name, mode="overwrite", snapshot_props=snapshot_props
-    )
+    finally:
+        if persisted:
+            source.unpersist()
 
 
 #: key-column Spark types whose parquet footer min/max bounds are safe to
