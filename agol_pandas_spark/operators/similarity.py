@@ -2163,15 +2163,27 @@ def hard_negative_topk_indexed(
     coded = catalog.table(name)
     pivots = catalog.table(_ivfpq_pivots_name(name))
     codebook = catalog.table(_ivfpq_codebook_name(name))
-    C = validate_codebook(codebook, m_sub, kc)
+    # two independent model-state collects (codebook, pivot matrix) —
+    # overlap them so the probe pays one job latency (guide §2.6), same
+    # as probe_ivfpq_index
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        f_cb = _pool.submit(validate_codebook, codebook, m_sub, kc)
+        f_piv = _pool.submit(
+            pivots.select(F.col(pivot_id), F.col(vec)).collect
+        )
+        C = f_cb.result()
+        pivot_rows = f_piv.result()
     q = probes.select(
         F.col(query_id),
         F.col(label_col).alias("__qlabel"),
         F.col(vec),
     )
-    q_cells = assign_to_pivots(
+    q_cells = _assign_topn_cells_arrow(
         q.select(F.col(query_id), F.col(vec)),
-        pivots, query_id, pivot_id, vec, vec, n_cells=nprobe,
+        pivots, query_id, pivot_id, vec, vec, nprobe,
+        pivot_rows=pivot_rows,
     ).select(F.col(query_id), "cell")
     lut = _pq_lut_from_matrix(
         q.select(F.col(query_id), F.col(vec)), C, query_id, vec
