@@ -9,9 +9,73 @@ backfill pattern).
 
 from __future__ import annotations
 
+import contextlib
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def adaptive_state_partitions(spark: SparkSession, *paths: str) -> int:
+    """Shuffle/state partition count for a BOUNDED stream drain, derived
+    from the input bytes under ``paths`` — the streaming analogue of AQE
+    partition coalescing (optimization guide §2.2: AQE does not apply to
+    streaming plans, so a stateful drain otherwise inherits the session's
+    batch default and pays one state-store instance per partition —
+    4 stores per partition for a stream-stream join — each with
+    per-micro-batch commit latency, for state the size of a few files).
+
+    partitions = clamp(input_bytes / advisoryPartitionSizeInBytes,
+                       1, session ``spark.sql.shuffle.partitions``)
+
+    The session value stays the ceiling, so at real scale (landing dirs
+    of many GB) this resolves to the configured production partitioning;
+    only provably-small drains shrink. Restart safety: Spark pins a
+    stateful query's partition count in its checkpoint metadata, so an
+    EXISTING checkpoint keeps its original layout regardless of this
+    value — the derivation only shapes fresh checkpoints.
+    """
+    advisory = 64 * 1024 * 1024  # Spark's advisoryPartitionSizeInBytes default
+    try:
+        raw = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        units = {"k": 1024, "m": 1024**2, "g": 1024**3}
+        s = raw.strip().lower().removesuffix("b")
+        advisory = (
+            int(s[:-1]) * units[s[-1]] if s and s[-1] in units else int(s)
+        )
+    except Exception:
+        pass  # keep the 64 MB default when the conf is unset/odd
+    total = 0
+    for p in paths:
+        if os.path.isfile(p):
+            total += os.path.getsize(p)
+            continue
+        for root, _, files in os.walk(p, followlinks=True):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    ceiling = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(1, min(ceiling, (total + advisory - 1) // advisory))
+
+
+@contextlib.contextmanager
+def scoped_shuffle_partitions(spark: SparkSession, n: int):
+    """Set ``spark.sql.shuffle.partitions`` around a stream ``start()``.
+
+    Structured Streaming CLONES the session when a query starts and
+    plans every micro-batch against the clone's conf snapshot, so the
+    scope only needs to cover ``start()`` — restoring immediately after
+    cannot race the (asynchronous) micro-batch planning."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(int(n)))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 def stream_from_directory(

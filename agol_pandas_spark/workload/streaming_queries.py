@@ -20,6 +20,8 @@ from pyspark.sql import types as T
 
 from agol_pandas_spark.catalog import Catalog
 from agol_pandas_spark.streaming.windows import (
+    adaptive_state_partitions,
+    scoped_shuffle_partitions,
     stream_from_directory,
     windowed_counts,
     write_stream_to_memory,
@@ -71,7 +73,10 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_value",
     )
     name = f"stream_wc_{uuid.uuid4().hex[:8]}"
-    q = write_stream_to_memory(out, name, output_mode="complete")
+    with scoped_shuffle_partitions(
+        spark, adaptive_state_partitions(spark, landing)
+    ):
+        q = write_stream_to_memory(out, name, output_mode="complete")
     q.awaitTermination()
     return spark.table(name)
 
@@ -150,6 +155,13 @@ def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = ev.select("user_id", ts_us.alias("ts_us"))
     sessions = sessionize_stateful(stream.groupBy("user_id"))
     name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    # deliberately NOT byte-sized down like the other drains
+    # (adaptive_state_partitions): this drain's cost is per-GROUP Python
+    # compute in applyInPandasWithState, which parallelizes across
+    # partitions — shrinking to input-byte-derived partitions serializes
+    # the Python workers and measured 65-150% SLOWER (2.42 s at session
+    # default vs 4.0-6.0 s at 1 partition); its state-store count is not
+    # the bottleneck the byte-derivation exists to cut
     q = write_stream_to_memory(sessions, name, output_mode="update")
     q.awaitTermination()
     return spark.table(name).select(
@@ -192,10 +204,15 @@ def stream_interval_join_click_purchase(spark: SparkSession, sf_dir: str) -> Dat
     os.makedirs(landing)
     os.symlink(os.path.abspath(path), os.path.join(landing, "events.parquet"))
 
+    # ONE stream source feeds both join sides (a supported stream-stream
+    # self-join): the two-source formulation read and decoded the landing
+    # files twice per micro-batch — 2x source input for identical rows
+    # (guide §1.2: don't compute things twice)
+    ev = stream_from_directory(spark, landing, schema)
+    if isinstance(schema["ts"].dataType, T.LongType):
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
     def side(event_type: str, prefix: str) -> DataFrame:
-        ev = stream_from_directory(spark, landing, schema)
-        if isinstance(schema["ts"].dataType, T.LongType):
-            ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return ev.filter(F.col("event_type") == event_type).select(
             F.col("user_id").alias(f"{prefix}_user"),
             F.col("ts").alias(f"{prefix}_ts"),
@@ -219,7 +236,13 @@ def stream_interval_join_click_purchase(spark: SparkSession, sf_dir: str) -> Dat
         F.col("p_id").alias("purchase_id"),
     )
     name = f"stream_ssj_{uuid.uuid4().hex[:8]}"
-    q = write_stream_to_memory(out, name, output_mode="append")
+    # state partitions sized to the bounded landing dir (4 state stores
+    # per partition for a stream-stream join, each with per-batch commit
+    # latency); the session setting stays the ceiling at scale
+    with scoped_shuffle_partitions(
+        spark, adaptive_state_partitions(spark, landing)
+    ):
+        q = write_stream_to_memory(out, name, output_mode="append")
     q.awaitTermination()
     return spark.table(name)
 
@@ -266,7 +289,10 @@ def stream_dedup_at_least_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, keys=["event_id"], ts_col="ts", watermark="2 hours"
     ).select("event_id", "event_type", "value")
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    q = write_stream_to_memory(deduped, name, output_mode="append")
+    with scoped_shuffle_partitions(
+        spark, adaptive_state_partitions(spark, landing)
+    ):
+        q = write_stream_to_memory(deduped, name, output_mode="append")
     q.awaitTermination()
     sunk = spark.table(name)
     return sunk.groupBy("event_type").agg(
@@ -327,16 +353,19 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from agol_pandas_spark.streaming.sinks import stream_merge_into_catalog
 
-    q = stream_merge_into_catalog(
-        ev,
-        sink_cat,
-        "latest_events",
-        key="user_id",
-        prepare=lambda batch: latest_wins_dedup(
-            batch, keys=["user_id"], ts_col="ts",
-            tie_breakers=[F.col("event_id").desc()],
-        ),
-    )
+    with scoped_shuffle_partitions(
+        spark, adaptive_state_partitions(spark, landing)
+    ):
+        q = stream_merge_into_catalog(
+            ev,
+            sink_cat,
+            "latest_events",
+            key="user_id",
+            prepare=lambda batch: latest_wins_dedup(
+                batch, keys=["user_id"], ts_col="ts",
+                tie_breakers=[F.col("event_id").desc()],
+            ),
+        )
     q.awaitTermination()
     out = sink_cat.table("latest_events").select(
         "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
@@ -392,7 +421,10 @@ def stream_static_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("value") * 10000).cast("long")).alias("value_scaled"),
     )
     name = f"stream_dim_{uuid.uuid4().hex[:8]}"
-    q = write_stream_to_memory(agg, name, output_mode="complete")
+    with scoped_shuffle_partitions(
+        spark, adaptive_state_partitions(spark, landing)
+    ):
+        q = write_stream_to_memory(agg, name, output_mode="complete")
     q.awaitTermination()
     return spark.table(name)
 
@@ -437,13 +469,16 @@ def stream_paged_sink_upload(spark: SparkSession, sf_dir: str) -> DataFrame:
     svc_root = tempfile.mkdtemp(prefix="paged_svc_")
     # checkpoint is scoped to this drain-once run (the sink dir is also
     # temporary); a durable pipeline points both at stable storage
-    q = stream_to_paged_sink(
-        ev,
-        DirectoryJsonSink(svc_root),
-        checkpoint_dir=os.path.join(svc_root, "_ckpt"),
-        page_size=1000,
-        policy=RetryPolicy(max_attempts=3, max_backoff=0.01),
-    )
+    with scoped_shuffle_partitions(
+        spark, adaptive_state_partitions(spark, landing)
+    ):
+        q = stream_to_paged_sink(
+            ev,
+            DirectoryJsonSink(svc_root),
+            checkpoint_dir=os.path.join(svc_root, "_ckpt"),
+            page_size=1000,
+            policy=RetryPolicy(max_attempts=3, max_backoff=0.01),
+        )
     q.awaitTermination()
     rows = []
     for f in glob.glob(f"{svc_root}/batch_*.jsonl"):
@@ -546,14 +581,17 @@ def stream_drift_token_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(state_root, "tok_counts")
         )
 
-    q = (
-        docs.writeStream.foreachBatch(accumulate)
-        .option(
-            "checkpointLocation", os.path.join(state_root, "_checkpoint")
+    with scoped_shuffle_partitions(
+        spark, adaptive_state_partitions(spark, landing)
+    ):
+        q = (
+            docs.writeStream.foreachBatch(accumulate)
+            .option(
+                "checkpointLocation", os.path.join(state_root, "_checkpoint")
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
     q.awaitTermination()
 
     compacted = (
@@ -646,17 +684,20 @@ def stream_pruned_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id") <= F.lit(thr)
     )
 
-    q = stream_merge_into_catalog(
-        sev,
-        sink_cat,
-        "cdc_target",
-        key="user_id",
-        prepare=lambda batch: latest_wins_dedup(
-            batch, keys=["user_id"], ts_col="ts",
-            tie_breakers=[F.col("event_id").desc()],
-        ),
-        prune=True,
-    )
+    with scoped_shuffle_partitions(
+        spark, adaptive_state_partitions(spark, landing)
+    ):
+        q = stream_merge_into_catalog(
+            sev,
+            sink_cat,
+            "cdc_target",
+            key="user_id",
+            prepare=lambda batch: latest_wins_dedup(
+                batch, keys=["user_id"], ts_col="ts",
+                tie_breakers=[F.col("event_id").desc()],
+            ),
+            prune=True,
+        )
     q.awaitTermination()
 
     inodes_after = {
@@ -780,12 +821,17 @@ def stream_watermark_late_routing(spark: SparkSession, sf_dir: str) -> DataFrame
             with open(os.path.join(wm_dir, f"{batch_id}.txt"), "w") as fh:
                 fh.write(str(new_max))
 
-    q = (
-        stream.writeStream.foreachBatch(route)
-        .option("checkpointLocation", os.path.join(state_root, "_checkpoint"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    with scoped_shuffle_partitions(
+        spark, adaptive_state_partitions(spark, landing)
+    ):
+        q = (
+            stream.writeStream.foreachBatch(route)
+            .option(
+                "checkpointLocation", os.path.join(state_root, "_checkpoint")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination()
 
     out = (
@@ -851,12 +897,17 @@ def stream_hll_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFra
             .parquet(sketch_dir)
         )
 
-    q = (
-        ev.writeStream.foreachBatch(accumulate)
-        .option("checkpointLocation", os.path.join(state_root, "_checkpoint"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    with scoped_shuffle_partitions(
+        spark, adaptive_state_partitions(spark, landing)
+    ):
+        q = (
+            ev.writeStream.foreachBatch(accumulate)
+            .option(
+                "checkpointLocation", os.path.join(state_root, "_checkpoint")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination()
 
     est = (
@@ -957,14 +1008,17 @@ def stream_wap_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sink_root = tempfile.mkdtemp(prefix="stream_wap_cat_")
     sink = Catalog(spark, sink_root)
-    q = stream_wap_into_catalog(
-        stream,
-        sink,
-        "published",
-        audits={"value_present": "value IS NOT NULL"},
-        quarantine="dead_letter",
-        mode="append",
-    )
+    with scoped_shuffle_partitions(
+        spark, adaptive_state_partitions(spark, landing)
+    ):
+        q = stream_wap_into_catalog(
+            stream,
+            sink,
+            "published",
+            audits={"value_present": "value IS NOT NULL"},
+            quarantine="dead_letter",
+            mode="append",
+        )
     q.awaitTermination()
 
     def summarize(df: DataFrame, status: str) -> DataFrame:
@@ -1041,14 +1095,17 @@ def stream_idempotent_redelivery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def drain() -> None:
         stream = stream_from_directory(spark, landing, schema)
-        q = (
-            stream.writeStream.foreachBatch(
-                lambda b, _id: b.isEmpty()
-                or append_once(sink, b, "t", ["event_id"])
+        with scoped_shuffle_partitions(
+            spark, adaptive_state_partitions(spark, landing)
+        ):
+            q = (
+                stream.writeStream.foreachBatch(
+                    lambda b, _id: b.isEmpty()
+                    or append_once(sink, b, "t", ["event_id"])
+                )
+                .trigger(availableNow=True)
+                .start()
             )
-            .trigger(availableNow=True)
-            .start()
-        )
         q.awaitTermination()
 
     drain()
@@ -1156,10 +1213,14 @@ def stream_cdf_tail_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise RuntimeError("tail missed the v1->v2 transition")
         if tail.advance(include_current=True) != 1:  # v2 -> current (v3)
             raise RuntimeError("tail missed the catch-up to HEAD")
-        q = stream_cdf_into_summary(
-            tail, spark, cat, "summary",
-            keys=["o_orderstatus"], sums={"price_scaled_sum": "price_scaled"},
-        )
+        with scoped_shuffle_partitions(
+            spark, adaptive_state_partitions(spark, tail.spool_dir)
+        ):
+            q = stream_cdf_into_summary(
+                tail, spark, cat, "summary",
+                keys=["o_orderstatus"],
+                sums={"price_scaled_sum": "price_scaled"},
+            )
         q.awaitTermination()
         out = cat.table("summary").localCheckpoint(eager=True)
         tail.close()
