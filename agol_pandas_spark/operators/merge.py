@@ -102,6 +102,33 @@ def validate_unique_key(df: DataFrame, key, side: str = "source") -> None:
         )
 
 
+def _check_keyed_source(df: DataFrame, ks: list[str], side: str = "source") -> None:
+    """Empty guard + unique-key validation in ONE job (optimization
+    guide §1.2: each was a separate action over the caller's source
+    plan — ``isEmpty`` + the duplicate-stream ``isEmpty`` — so every
+    keyed merge paid two source evaluations before any real work).
+    One hash aggregation yields both facts: zero key groups == empty
+    source; a group with count > 1 == duplicate key. The failure path
+    re-runs :func:`validate_unique_key` to build the 5-row sample — a
+    second scan only when the merge is about to be rejected anyway."""
+    stats = (
+        df.groupBy(*ks)
+        .count()
+        .agg(
+            F.count(F.lit(1)).alias("__n_groups"),
+            F.max("count").alias("__max_n"),
+        )
+        .first()
+    )
+    if stats["__n_groups"] == 0:
+        raise EmptyInputError("source DataFrame is empty")
+    if stats["__max_n"] > 1:
+        validate_unique_key(df, ks, side)
+        raise DuplicateKeyError(  # unreachable guard: validate raises
+            f"{side} has duplicate values for key {ks}"
+        )
+
+
 def _lossy_vs_float(exact, flt) -> bool:
     """True when Spark's union coercion of ``exact`` (integral/decimal)
     with the float type ``flt`` can silently round values: doubles carry
@@ -172,16 +199,26 @@ def merge(
     mode: str | WriteMode = WriteMode.APPEND,
     key: str | Sequence[str] | None = None,
     validate_keys: bool = True,
+    _source_checked: bool = False,
 ) -> DataFrame:
     """Return the post-merge contents of ``target`` (lazy plan).
 
     Mirrors ``df_to_agol_hosted_table`` (``src/agol_pandas.py:314-475``)
     semantics; raises instead of returning ``(str(e), False)``.
+
+    ``_source_checked=True`` (internal): the caller already proved the
+    source non-empty and, for keyed modes, key-unique — skip both guards
+    instead of re-running their jobs (the copy-on-write path checks once
+    up front and fans the source into several plans).
     """
     m = WriteMode.parse(mode) if isinstance(mode, str) else mode
-    if source.isEmpty():
-        # reference raises on empty input at every entry point (:366-373)
-        raise EmptyInputError("source DataFrame is empty")
+    if not _source_checked:
+        if validate_keys and key is not None and m in KEYED_MODES:
+            # one job for both guards instead of two source evaluations
+            _check_keyed_source(source, _keys(key))
+        elif source.isEmpty():
+            # reference raises on empty input at every entry point (:366-373)
+            raise EmptyInputError("source DataFrame is empty")
 
     if m is WriteMode.OVERWRITE:
         return source
@@ -196,8 +233,8 @@ def merge(
                 "mode 'delete' requires a key column (:398-401)"
             )
         ks = _keys(key)
-        if validate_keys:
-            validate_unique_key(source, ks, "source")
+        # uniqueness already checked in the fused top guard (or by the
+        # caller when _source_checked)
         return target.join(source.select(*ks), on=ks, how="left_anti")
 
     # columns the source actually carries: only these may overwrite target
@@ -214,8 +251,8 @@ def merge(
     if key is None:
         raise MissingKeyError(f"mode {m.value!r} requires a key column (:398-401)")
     ks = _keys(key)
-    if validate_keys:
-        validate_unique_key(src, ks, "source")
+    # key columns are untouched by alignment, so the fused top guard's
+    # uniqueness check on ``source`` covers ``src`` here
 
     if m is WriteMode.INSERT:
         # skip_updates=True (:404-405): keep target intact, add only new keys
@@ -330,10 +367,11 @@ def write_table(
         source = source.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         if not catalog.exists(name):
-            if source.isEmpty():
-                raise EmptyInputError("source DataFrame is empty")
             if key is not None and m in KEYED_MODES:
-                validate_unique_key(source, key, "source")
+                # fused empty + uniqueness guard: one job, not two
+                _check_keyed_source(source, _keys(key))
+            elif source.isEmpty():
+                raise EmptyInputError("source DataFrame is empty")
             return catalog.write(
                 source, name, mode="error", snapshot_props=snapshot_props
             )
@@ -565,11 +603,53 @@ def _merge_pruned_impl(
     keep_versions: int,
     snapshot_props: dict | None,
 ) -> dict:
-    if source.isEmpty():
+    # Fused empty + uniqueness guard: one job over the persisted source
+    # instead of the former two (isEmpty here + an explicit validate
+    # later); every downstream merge() gets _source_checked=True so
+    # nothing re-checks. For keyed modes the guard job is SUBMITTED to a
+    # single worker thread and joined before any return or commit — it
+    # shares no state with the touch-test join, so the two independent
+    # jobs overlap and the guard's latency hides under the touch test
+    # (guide §2.6; both scan the same persisted source, and Spark's
+    # block-level cache locking makes the concurrent materialization
+    # compute each partition once).
+    guard_pool = guard = None
+    if m in KEYED_MODES and key is not None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        guard_pool = ThreadPoolExecutor(max_workers=1)
+        guard = guard_pool.submit(_check_keyed_source, source, _keys(key))
+    elif source.isEmpty():
         raise EmptyInputError("source DataFrame is empty")
+    try:
+        return _merge_pruned_body(
+            catalog, source, name, m, key, keep_versions, snapshot_props,
+            guard,
+        )
+    finally:
+        if guard_pool is not None:
+            guard_pool.shutdown(wait=True)
+
+
+def _merge_pruned_body(
+    catalog,
+    source: DataFrame,
+    name: str,
+    m: WriteMode,
+    key,
+    keep_versions: int,
+    snapshot_props: dict | None,
+    guard,
+) -> dict:
+    def _join_guard() -> None:
+        # propagate EmptyInputError/DuplicateKeyError before any side
+        # effect or return; None when the mode needed no keyed guard
+        if guard is not None:
+            guard.result()
 
     def _full() -> dict:
-        result = merge(catalog.table(name), source, m, key)
+        _join_guard()
+        result = merge(catalog.table(name), source, m, key, _source_checked=True)
         path = catalog.write(
             result, name, mode="overwrite", keep_versions=keep_versions,
             snapshot_props=snapshot_props,
@@ -602,9 +682,6 @@ def _merge_pruned_impl(
     if not prunable:
         return _full()
 
-    if m in KEYED_MODES:
-        validate_unique_key(source, ks, "source")
-
     spark = source.sparkSession
     if m is WriteMode.APPEND:
         # append matches nothing: every existing file is clean by
@@ -622,6 +699,7 @@ def _merge_pruned_impl(
         dirty = sorted(set(forced) | touched)
         clean = [s["path"] for s in spans if s["path"] not in set(dirty)]
 
+    _join_guard()  # before the no-op return and before any commit
     if m in (WriteMode.UPDATE, WriteMode.DELETE) and not dirty:
         # no file can contain a matching key: both modes are no-ops
         return {
@@ -636,7 +714,9 @@ def _merge_pruned_impl(
         dirty_df = spark.read.option("mergeSchema", "true").parquet(*dirty)
     else:
         dirty_df = spark.createDataFrame([], target_df.schema)
-    result_dirty = merge(dirty_df, source, m, ks or None, validate_keys=False)
+    result_dirty = merge(
+        dirty_df, source, m, ks or None, _source_checked=True
+    )
     path = catalog.write_with_carryover(
         result_dirty, name, clean, keep_versions=keep_versions,
         expected_commit=read_commit, snapshot_props=snapshot_props,
