@@ -374,6 +374,7 @@ class PagedDataSource(DataSource):
             self._client(),
             int(self.options.get("page_size", DEFAULT_PAGE_SIZE)),
             self._policy(),
+            pages_per_batch=int(self.options.get("pages_per_batch", 1)),
         )
 
     def writer(self, schema: StructType, overwrite: bool) -> "_PagedWriter":
@@ -391,31 +392,70 @@ class _PagedStreamReader(SimpleDataSourceStreamReader):
     The stream offset IS the service row offset (append-only contract:
     rows at offsets below the high-water mark never change — the shape of
     object-id-ordered feature services). Each micro-batch reads at most
-    one ``page_size`` page of new rows; ``readBetweenOffsets`` replays an
-    exact committed range after recovery, which the offset/limit page
-    contract makes deterministic — checkpoint-restart lands on the same
-    rows the failed run saw. An empty page leaves the offset unchanged
-    (stream is caught up; ``availableNow`` drains terminate there).
+    ``pages_per_batch`` pages of new rows, each page request bounded by
+    ``page_size`` (the service transfer-cap contract is per REQUEST, so
+    batching more pages never asks the service for a bigger page);
+    ``readBetweenOffsets`` replays an exact committed range after
+    recovery in page-sized requests, advancing by however many rows the
+    service actually returned — deterministic under the offset/limit
+    contract AND robust to a service whose transfer cap silently
+    truncates a request below the asked limit. An empty page leaves the
+    offset unchanged (stream is caught up; ``availableNow`` drains
+    terminate there).
+
+    ``pages_per_batch`` (default 1) is the admission-control knob — the
+    paged analogue of ``maxFilesPerTrigger`` in reverse: a catch-up
+    drain of a deep backlog pays one micro-batch commit per
+    ``pages_per_batch`` pages instead of per page (optimization guide
+    §1.2 — at one page per batch, a 10⁶-page backlog is 10⁶ checkpoint
+    commits).
     """
 
-    def __init__(self, client: PagedClient, page_size: int, policy: RetryPolicy):
+    def __init__(
+        self,
+        client: PagedClient,
+        page_size: int,
+        policy: RetryPolicy,
+        pages_per_batch: int = 1,
+    ):
         self._client = client
         self._page_size = page_size
         self._policy = policy
+        self._pages_per_batch = max(1, int(pages_per_batch))
 
     def initialOffset(self) -> dict:
         return {"offset": 0}
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         off = int(start["offset"])
-        rows = self._policy.run(self._client.fetch_page, off, self._page_size)
-        return iter(rows), {"offset": off + len(rows)}
+        out: list[tuple] = []
+        for _ in range(self._pages_per_batch):
+            rows = self._policy.run(
+                self._client.fetch_page, off + len(out), self._page_size
+            )
+            out.extend(rows)
+            if len(rows) < self._page_size:
+                break  # tail (or transfer-capped short page): batch ends
+        return iter(out), {"offset": off + len(out)}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
         lo, hi = int(start["offset"]), int(end["offset"])
-        if hi <= lo:
-            return iter(())
-        return iter(self._policy.run(self._client.fetch_page, lo, hi - lo))
+
+        def gen() -> Iterator[tuple]:
+            off = lo
+            while off < hi:
+                rows = self._policy.run(
+                    self._client.fetch_page, off, min(self._page_size, hi - off)
+                )
+                if not rows:
+                    # append-only contract violated (range vanished):
+                    # stop rather than spin; the caller sees fewer rows
+                    # and exactly-once accounting will surface it
+                    break
+                yield from rows
+                off += len(rows)
+
+        return gen()
 
 
 def read_paged_stream(
@@ -423,17 +463,21 @@ def read_paged_stream(
     client: PagedClient,
     page_size: int = DEFAULT_PAGE_SIZE,
     policy: RetryPolicy | None = None,
+    pages_per_batch: int = 1,
 ) -> DataFrame:
     """Streaming tail of a paged service:
-    ``spark.readStream.format("agol_paged")``. One page per micro-batch;
-    pair with ``trigger(availableNow=True)`` for a deterministic drain of
-    the current table state."""
+    ``spark.readStream.format("agol_paged")``. ``pages_per_batch`` pages
+    per micro-batch (default one — the tailing steady state; raise it for
+    catch-up drains so a deep backlog does not pay one checkpoint commit
+    per page); pair with ``trigger(availableNow=True)`` for a
+    deterministic drain of the current table state."""
     spark.dataSource.register(PagedDataSource)
     policy = policy or RetryPolicy()
     return (
         spark.readStream.format("agol_paged")
         .option("client_pkl", base64.b64encode(pickle.dumps(client)).decode())
         .option("page_size", str(page_size))
+        .option("pages_per_batch", str(pages_per_batch))
         .option("max_attempts", str(policy.max_attempts))
         .option("max_backoff", str(policy.max_backoff))
         .option("min_backoff", str(policy.min_backoff))

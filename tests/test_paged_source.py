@@ -397,6 +397,60 @@ def test_paged_stream_tail_exactly_once_across_restarts(spark, sf_dir, tmp_path)
     assert got.count() == table.num_rows
     assert got.select("event_id").distinct().count() == table.num_rows
 
+def test_paged_stream_pages_per_batch_drains_backlog_in_one_run(
+    spark, sf_dir, tmp_path
+):
+    """``pages_per_batch`` is pure admission control: a catch-up drain
+    with a large value lands the identical row set as the one-page
+    default, in far fewer micro-batch commits, and a checkpoint written
+    at one setting resumes correctly at another (offsets are row
+    offsets, independent of batching). Replay after an offset is
+    committed must chunk by page_size (the service transfer cap is per
+    request), which ParquetPagedClient's offset/limit contract checks
+    implicitly via exactly-once accounting."""
+    import pyarrow.parquet as pq
+
+    from agol_pandas_spark.sources.paged import (
+        ParquetPagedClient,
+        RetryPolicy,
+        read_paged_stream,
+    )
+
+    src = str(tmp_path / "svc.parquet")
+    table = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type"]
+    )
+    pq.write_table(table.slice(0, 900), src)
+
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    policy = RetryPolicy(max_attempts=2, max_backoff=0.01)
+
+    def run(ppb):
+        stream = read_paged_stream(
+            spark, ParquetPagedClient(src), page_size=100,
+            policy=policy, pages_per_batch=ppb,
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q.lastProgress["numInputRows"] if q.lastProgress else 0
+
+    # one single-page run commits a mid-stream offset...
+    assert run(1) == 100
+    # ...then one catch-up run at pages_per_batch=64 drains the rest of
+    # the 900-row backlog in a single micro-batch from that offset
+    assert run(64) == 800
+    assert run(64) == 0  # caught up
+    got = spark.read.parquet(out)
+    assert got.count() == 900
+    assert got.select("event_id").distinct().count() == 900  # exactly-once
+
+
 def _land_file(spark, rows, landing, name):
     """Write one flat parquet FILE into the landing dir (the file stream
     source lists plain files, not nested dataset dirs)."""
