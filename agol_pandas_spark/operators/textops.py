@@ -14,6 +14,9 @@ DuckDB oracle — see ``workload/text_queries.py`` for the SQL twins.
 from __future__ import annotations
 
 from collections.abc import Sequence
+from functools import lru_cache as _lru_cache
+
+import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -470,9 +473,177 @@ def gopher_quality_flags(
     max_symbol_ratio: float = 0.1,
     max_dup_2gram_frac: float = 0.5,
     carry_cols: tuple = (),
+    method: str = "arrow",
 ) -> DataFrame:
     """Gopher-style rule-based document quality filter (Rae et al. 2021,
     "Scaling Language Models" §A1.1 shape): per-document boolean rule
+    flags + the conjunction, one map stage, no shuffle.
+
+    ``method="arrow"`` (default, r11): ONE Arrow pandas UDF computes all
+    six rules per batch — the text crosses the JVM↔Python boundary once
+    and is tokenized ONCE per document (guide §4.1/§4.2). The SQL shape
+    (``method="sql"``, kept as the cross-checked relational reference the
+    DuckDB oracles were derived from) re-evaluates the ``split`` token
+    subtree in every interpreted higher-order-function chain that
+    references it — five-plus tokenizations per document per pass.
+    Bit-identical by construction (integer rule arithmetic, Java-``\\s``
+    tokenizer twin), pinned by
+    ``tests/test_textops_curation.py::test_arrow_gopher_bit_identical``.
+    """
+    if method == "arrow":
+        fl = _gopher_flags_arrow(
+            min_words, max_words, min_mean_word_len, max_mean_word_len,
+            min_alpha_word_frac, min_stopword_hits, max_symbol_ratio,
+            max_dup_2gram_frac,
+        )
+        names = (
+            "n_words", "ok_word_count", "ok_mean_word_len", "ok_alpha_frac",
+            "ok_stopwords", "ok_symbol_ratio", "ok_repetition", "pass_gopher",
+        )
+        return df.select(
+            F.col(id_col),
+            *[F.col(c) for c in carry_cols],
+            fl(F.col(text_col)).alias("__g"),
+        ).select(
+            F.col(id_col),
+            *[F.col(c) for c in carry_cols],
+            *[F.col(f"__g.{n}").alias(n) for n in names],
+        )
+    return _gopher_quality_flags_sql(
+        df, id_col, text_col, min_words, max_words, min_mean_word_len,
+        max_mean_word_len, min_alpha_word_frac, min_stopword_hits,
+        max_symbol_ratio, max_dup_2gram_frac, carry_cols,
+    )
+
+
+def _gopher_flags_arrow(
+    min_words: int,
+    max_words: int,
+    min_mean_word_len: int,
+    max_mean_word_len: int,
+    min_alpha_word_frac: float,
+    min_stopword_hits: int,
+    max_symbol_ratio: float,
+    max_dup_2gram_frac: float,
+):
+    """Arrow Gopher-gate kernel factory (cached per threshold set).
+
+    NULL semantics mirror the SQL shape exactly: NULL text yields NULL
+    for every token-derived flag, ``ok_repetition`` TRUE (the SQL
+    shingle let-bind turns a NULL token array into an EMPTY shingle
+    array, so ``n2 = 0`` and the ``n2 == 0`` escape fires), and a NULL
+    conjunction. Ratio thresholds go through the same
+    ``Fraction.limit_denominator(1000)`` cross-multiplication as the SQL
+    rules, so every comparison is integer-exact on both paths.
+    Nondeterministic marking stops optimizer duplication below inferred
+    filters (guide §4.4) and blocks CollapseProject from inlining the
+    struct field extractions into eight kernel copies."""
+    from fractions import Fraction
+
+    return _gopher_flags_arrow_cached(
+        int(min_words), int(max_words), int(min_mean_word_len),
+        int(max_mean_word_len),
+        Fraction(min_alpha_word_frac).limit_denominator(1000),
+        int(min_stopword_hits),
+        Fraction(max_symbol_ratio).limit_denominator(1000),
+        Fraction(max_dup_2gram_frac).limit_denominator(1000),
+    )
+
+
+@_lru_cache(maxsize=16)
+def _gopher_flags_arrow_cached(
+    min_words, max_words, min_mwl, max_mwl, alpha_frac, min_stop,
+    sym_frac, dup_frac,
+):
+    import re
+
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from agol_pandas_spark.functions.text import py_tokens
+
+    alpha_re = re.compile("[A-Za-z]")
+    stopset = frozenset(LANG_PROFILES["en"])
+    ap, aq = alpha_frac.numerator, alpha_frac.denominator
+    sp, sq = sym_frac.numerator, sym_frac.denominator
+    dp, dq = dup_frac.numerator, dup_frac.denominator
+
+    out_type = T.StructType(
+        [
+            T.StructField("n_words", T.IntegerType()),
+            T.StructField("ok_word_count", T.BooleanType()),
+            T.StructField("ok_mean_word_len", T.BooleanType()),
+            T.StructField("ok_alpha_frac", T.BooleanType()),
+            T.StructField("ok_stopwords", T.BooleanType()),
+            T.StructField("ok_symbol_ratio", T.BooleanType()),
+            T.StructField("ok_repetition", T.BooleanType()),
+            T.StructField("pass_gopher", T.BooleanType()),
+        ]
+    )
+
+    @pandas_udf(out_type)
+    def _flags(texts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for tx in texts:
+            if tx is None:
+                # SQL: every token-derived column is NULL, EXCEPT the
+                # shingle counts (let-bound through array(NULL) -> empty)
+                # so ok_repetition is TRUE and the conjunction NULL.
+                rows.append((None,) * 6 + (True, None))
+                continue
+            toks = py_tokens(tx)
+            n = len(toks)
+            chars = sum(map(len, toks))
+            alpha = sum(1 for t in toks if alpha_re.search(t))
+            stop = sum(1 for t in py_tokens(tx.lower()) if t in stopset)
+            sym = tx.count("#") + tx.count("…")
+            m = n - 1
+            if m <= 0:
+                n2 = d2 = 0
+            else:
+                n2 = m
+                d2 = len({f"{toks[i]} {toks[i + 1]}" for i in range(m)})
+            okwc = min_words <= n <= max_words
+            okml = n * min_mwl <= chars <= n * max_mwl
+            okaf = alpha * aq >= n * ap
+            oksw = stop >= min_stop
+            oksr = sym * sq <= n * sp
+            okrep = (n2 - d2) * dq <= n2 * dp or n2 == 0
+            rows.append(
+                (
+                    n, okwc, okml, okaf, oksw, oksr, okrep,
+                    okwc and okml and okaf and oksw and oksr and okrep,
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "n_words", "ok_word_count", "ok_mean_word_len",
+                "ok_alpha_frac", "ok_stopwords", "ok_symbol_ratio",
+                "ok_repetition", "pass_gopher",
+            ],
+        )
+
+    return _flags.asNondeterministic()
+
+
+def _gopher_quality_flags_sql(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+    max_symbol_ratio: float = 0.1,
+    max_dup_2gram_frac: float = 0.5,
+    carry_cols: tuple = (),
+) -> DataFrame:
+    """The original all-SQL Gopher gate (the relational reference the
+    DuckDB oracles were derived from; the Arrow kernel is pinned
+    bit-identical to it): per-document boolean rule
     flags + the conjunction, one codegen map stage, no shuffle.
 
     Every ratio rule is evaluated in INTEGER arithmetic (cross-multiplied:

@@ -233,6 +233,65 @@ def test_gopher_flags_rules(spark):
     assert not got[6]["ok_repetition"]
 
 
+def test_arrow_gopher_bit_identical(spark, sf_dir):
+    """r11 optimization guard: the Arrow Gopher-gate kernel (one
+    tokenization per doc, one boundary crossing) must reproduce the SQL
+    rule shape flag-for-flag, including the NULL-text semantics (every
+    token-derived flag NULL, ok_repetition TRUE via the empty shingle
+    array, conjunction NULL) and carry_cols threading."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from agol_pandas_spark.catalog import Catalog
+    from agol_pandas_spark.operators.textops import (
+        _gopher_quality_flags_sql,
+        gopher_quality_flags,
+    )
+
+    docs = Catalog(spark, sf_dir).table("documents").select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [
+            (9001, None),                     # NULL text
+            (9002, ""),                       # empty
+            (9003, "   \t\n  "),              # whitespace-only
+            (9004, "one"),                    # single token, no 2-gram
+            (9005, "a\xa0b c d e f"),         # NBSP inside a token
+            (9006, "# the of and to " * 40),  # symbol-heavy but passing wc
+        ],
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        ),
+    )
+    both = docs.unionByName(extra)
+
+    def rows(df):
+        return sorted(
+            (tuple(r) for r in df.collect()),
+            key=lambda t: (t[0] is None, t[0]),
+        )
+
+    arrow = gopher_quality_flags(both, "doc_id", "text", carry_cols=("text",))
+    sql = _gopher_quality_flags_sql(both, "doc_id", "text", carry_cols=("text",))
+    assert arrow.columns == sql.columns
+    assert rows(arrow) == rows(sql)
+
+    # non-default thresholds exercise the Fraction cross-multiplication
+    a2 = gopher_quality_flags(
+        both, "doc_id", "text",
+        min_words=5, min_alpha_word_frac=0.6, max_symbol_ratio=0.25,
+        max_dup_2gram_frac=0.75,
+    )
+    s2 = _gopher_quality_flags_sql(
+        both, "doc_id", "text",
+        min_words=5, min_alpha_word_frac=0.6, max_symbol_ratio=0.25,
+        max_dup_2gram_frac=0.75,
+    )
+    assert rows(a2) == rows(s2)
+
+
 def test_chunk_token_windows_reconstruct(spark):
     """Chunks tile the document: starts advance by the stride, each chunk
     holds window_tokens tokens (final chunk short), ids are dense, and an
