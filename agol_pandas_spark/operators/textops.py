@@ -779,6 +779,122 @@ def chunk_token_windows(
     )
 
 
+def gated_chunk_token_windows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window_tokens: int = 40,
+    stride: int = 20,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+    max_symbol_ratio: float = 0.1,
+    max_dup_2gram_frac: float = 0.5,
+) -> DataFrame:
+    """Gopher gate → token-window chunking → chunk hashing as ONE fused
+    Arrow kernel (``mapInPandas``) — the curation-pipeline composition of
+    :func:`gopher_quality_flags` + ``filter(pass_gopher)`` +
+    :func:`chunk_token_windows`, row-identical to that composition
+    (pinned by ``tests/test_textops_curation.py::
+    test_gated_chunk_windows_matches_composition``).
+
+    Why fused (guide §4.1/§4.2): the composition tokenizes each document
+    three times (gate kernel: original + lowered; JVM chunker: ``split``
+    again) and ships the full text through the Python boundary only to
+    re-derive the same token array in interpreted JVM HOFs afterwards.
+    Here the text crosses the boundary once, is tokenized once (the
+    lowered stream only for documents that survive the cheaper rules —
+    the gate rules short-circuit in ascending cost order, which the
+    all-columns flag kernel cannot), and chunk hashes come out as small
+    integer rows. Gate semantics are the SQL shape's exactly: NULL text
+    → NULL conjunction → dropped; ratio thresholds cross-multiplied via
+    ``Fraction.limit_denominator(1000)`` so every rule is integer-exact.
+
+    Output schema matches ``chunk_token_windows`` (id, chunk_id,
+    start_token, n_tokens, chunk_hash); only gate-surviving documents
+    emit chunks, and a surviving document emits exactly its
+    ``ceil(n_tokens/stride)`` windows (n_tokens >= 1 whenever
+    ``min_words >= 1``; empty/failing documents emit nothing).
+    """
+    import re
+
+    from pyspark.sql import types as T
+
+    from agol_pandas_spark.functions.text import py_hash60, py_tokens
+
+    from fractions import Fraction
+
+    af = Fraction(min_alpha_word_frac).limit_denominator(1000)
+    sf = Fraction(max_symbol_ratio).limit_denominator(1000)
+    dfr = Fraction(max_dup_2gram_frac).limit_denominator(1000)
+    ap, aq = af.numerator, af.denominator
+    sp, sq = sf.numerator, sf.denominator
+    dp, dq = dfr.numerator, dfr.denominator
+    alpha_re = re.compile("[A-Za-z]")
+    stopset = frozenset(LANG_PROFILES["en"])
+    lo, hi, mwl_lo, mwl_hi = min_words, max_words, min_mean_word_len, max_mean_word_len
+    min_stop, win, step = min_stopword_hits, window_tokens, stride
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("chunk_id", T.IntegerType()),
+            T.StructField("start_token", T.IntegerType()),
+            T.StructField("n_tokens", T.IntegerType()),
+            T.StructField("chunk_hash", T.LongType()),
+        ]
+    )
+
+    def _kernel(batches):
+        for pdf in batches:
+            id_dtype = pdf[id_col].dtype
+            ids, cids, sts, nts, hs = [], [], [], [], []
+            for rid, tx in zip(pdf[id_col], pdf[text_col]):
+                if tx is None:
+                    continue  # NULL conjunction -> filtered out
+                toks = py_tokens(tx)
+                n = len(toks)
+                if not (lo <= n <= hi):
+                    continue
+                sym = tx.count("#") + tx.count("…")
+                if sym * sq > n * sp:
+                    continue
+                chars = sum(map(len, toks))
+                if not (n * mwl_lo <= chars <= n * mwl_hi):
+                    continue
+                alpha = sum(1 for t in toks if alpha_re.search(t))
+                if alpha * aq < n * ap:
+                    continue
+                m = n - 1
+                if m > 0:
+                    d2 = len({f"{toks[i]} {toks[i + 1]}" for i in range(m)})
+                    if (m - d2) * dq > m * dp:
+                        continue
+                if sum(1 for t in py_tokens(tx.lower()) if t in stopset) < min_stop:
+                    continue
+                for s in range(1, n + 1, step):
+                    chunk = toks[s - 1 : s - 1 + win]
+                    ids.append(rid)
+                    cids.append((s - 1) // step)
+                    sts.append(s)
+                    nts.append(len(chunk))
+                    hs.append(py_hash60(" ".join(chunk)))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype=id_dtype),
+                    "chunk_id": pd.Series(cids, dtype="int32"),
+                    "start_token": pd.Series(sts, dtype="int32"),
+                    "n_tokens": pd.Series(nts, dtype="int32"),
+                    "chunk_hash": pd.Series(hs, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(_kernel, out_schema)
+
+
 def weighted_row_sample(
     df: DataFrame,
     id_col: str,

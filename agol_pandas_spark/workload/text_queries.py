@@ -977,14 +977,14 @@ def pipeline_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = Catalog(spark, sf_dir).table("documents")
-    # carry_cols threads text through the gate, so kept docs come from
-    # the SAME scan that computed the flags (r11: the previous
-    # flags-then-join-back shape scanned documents twice)
-    kept = textops.gopher_quality_flags(
-        docs.select("doc_id", "text"), "doc_id", "text", carry_cols=("text",)
-    ).filter(F.col("pass_gopher"))
-    chunks = textops.chunk_token_windows(
-        kept, "doc_id", "text", window_tokens=40, stride=20
+    # gate → chunk → hash fused into ONE Arrow kernel: the text crosses
+    # the Python boundary once and is tokenized once (the two-kernel
+    # shape tokenized three times: gate original + lowered, then the JVM
+    # chunker split again); pinned row-identical to the unfused
+    # composition by test_gated_chunk_windows_matches_composition
+    chunks = textops.gated_chunk_token_windows(
+        docs.select("doc_id", "text"), "doc_id", "text",
+        window_tokens=40, stride=20,
     )
     # ONE pass over the tokenize→gate→chunk pipeline (r11: the previous
     # three-branch crossJoin re-ran the Gopher gate and the chunker once

@@ -317,6 +317,76 @@ def test_chunk_token_windows_reconstruct(spark):
     assert not [r for r in rows if r["doc_id"] in (3, 4)]
 
 
+def test_gated_chunk_windows_matches_composition(spark, sf_dir):
+    """r11 optimization guard: the fused gate→chunk→hash kernel
+    (gated_chunk_token_windows, one tokenization, one boundary crossing)
+    must reproduce the unfused composition gopher_quality_flags →
+    filter(pass_gopher) → chunk_token_windows row-for-row — same ids,
+    chunk positions, token counts, and 60-bit chunk hashes — including
+    NULL text (NULL conjunction → dropped), sub-min_words docs, and
+    non-default Fraction-cross-multiplied thresholds."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from agol_pandas_spark.catalog import Catalog
+    from agol_pandas_spark.operators.textops import (
+        chunk_token_windows,
+        gated_chunk_token_windows,
+        gopher_quality_flags,
+    )
+
+    docs = Catalog(spark, sf_dir).table("documents").select("doc_id", "text")
+    passing = "the of and to " + " ".join(f"word{i}" for i in range(60))
+    extra = spark.createDataFrame(
+        [
+            (9001, None),                      # NULL text -> dropped
+            (9002, ""),                        # empty -> dropped (wc)
+            (9003, "the of and to but short"), # < min_words -> dropped
+            (9004, passing),                   # passes, 64 tokens
+            (9005, "a\xa0b " + passing),       # NBSP glues one token
+            (9006, ("# " * 30) + passing),     # symbol-heavy -> dropped
+        ],
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        ),
+    )
+    both = docs.unionByName(extra)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    fused = gated_chunk_token_windows(both, "doc_id", "text")
+    kept = gopher_quality_flags(
+        both, "doc_id", "text", carry_cols=("text",)
+    ).filter(F.col("pass_gopher"))
+    unfused = chunk_token_windows(kept, "doc_id", "text")
+    assert fused.columns == unfused.columns
+    fused_rows = rows(fused)
+    assert fused_rows == rows(unfused)
+    assert any(r[0] == 9004 for r in fused_rows)  # the gate passes docs
+    assert not any(r[0] in (9001, 9002, 9003, 9006) for r in fused_rows)
+
+    # non-default thresholds + window geometry (exercises the Fraction
+    # cross-multiplication and the short/strided chunk tail)
+    kw = dict(
+        window_tokens=25, stride=10, min_words=5, min_alpha_word_frac=0.6,
+        max_symbol_ratio=0.25, max_dup_2gram_frac=0.75, min_stopword_hits=1,
+    )
+    fused2 = gated_chunk_token_windows(both, "doc_id", "text", **kw)
+    kept2 = gopher_quality_flags(
+        both, "doc_id", "text", carry_cols=("text",),
+        min_words=5, min_alpha_word_frac=0.6, max_symbol_ratio=0.25,
+        max_dup_2gram_frac=0.75, min_stopword_hits=1,
+    ).filter(F.col("pass_gopher"))
+    unfused2 = chunk_token_windows(
+        kept2, "doc_id", "text", window_tokens=25, stride=10
+    )
+    assert rows(fused2) == rows(unfused2)
+
+
 def test_semantic_prune_greedy_rule(spark):
     """Within a cell, a vector is dropped iff a LOWER-id neighbor sits at
     cosine >= threshold; near-dups of a dropped vector still survive when
