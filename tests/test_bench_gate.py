@@ -129,10 +129,17 @@ def test_headline_total_within_regression_gate(spark):
         # extra reps tighten floors, they cannot flatter a regression:
         # a genuinely regressed query stays slow on every rep (the
         # 21x math_try_overflow_guard shape), a stall does not recur.
-        over = [
-            n for n in shared
-            if best[n] > shared[n] * REGRESSION_FACTOR + ABS_SLACK_SEC / 5
-        ]
+        # Cap the re-timing to the worst offenders by absolute excess so
+        # a uniformly loaded host cannot turn the gate into an unbounded
+        # bench marathon (VERDICT r11: the loop pushed the suite past the
+        # verify budget).
+        over = sorted(
+            (
+                n for n in shared
+                if best[n] > shared[n] * REGRESSION_FACTOR + ABS_SLACK_SEC / 5
+            ),
+            key=lambda n: shared[n] - best[n],
+        )[:8]
         for name in over:
             best[name] = timed_floor(name, 2, best[name])
             spark.catalog.clearCache()

@@ -266,6 +266,7 @@ def test_lsh_index_probe_matches_self_join(docs, spark, tmp_path):
     assert hits == {(30, 3)}
 
 
+@pytest.mark.slow
 def test_star_components_match_union_find(spark):
     """Large-star/small-star CC equals union-find ground truth on
     adversarial topologies — including a 200-diameter chain, where
@@ -680,6 +681,7 @@ def test_winnow_rejects_docs_over_position_envelope(spark, monkeypatch):
     assert "winnow_fingerprints" in str(ei.value)
 
 
+@pytest.mark.slow
 def test_star_components_reliable_checkpoint_identical(spark, tmp_path):
     """VERDICT r5 item 4: star-CC with a reliable checkpoint_dir (blocks
     on storage that survives executor loss) must produce labels identical
@@ -803,6 +805,7 @@ class TestSubstringDupSpans:
             substring_dup_spans(df, "doc_id", "text", min_count=1)
 
 
+@pytest.mark.slow
 def test_substring_dup_spans_fuzz_vs_python(spark):
     """Span census equals a brute-force Python reference on random
     small-alphabet corpora (small alphabet maximizes within- and

@@ -193,6 +193,7 @@ def test_point_in_time_join_left_keeps_unmatched(spark):
     assert [c for c in rows[0].asDict() if c == "k"] == ["k"]
 
 
+@pytest.mark.slow
 def test_interval_overlap_join_fuzz_vs_bruteforce(spark):
     """Grid-binned overlap join equals the brute-force O(n^2) reference
     for random intervals — including intervals spanning many grid cells

@@ -260,6 +260,7 @@ def test_cleanup_staging_reclaims_only_old_orphans(spark, tmp_path):
     assert os.path.exists(orphan)
 
 
+@pytest.mark.slow
 def test_manifest_invariants_under_random_commit_sequences(spark, tmp_path):
     """Property test: under ARBITRARY sequences of commit operations
     (overwrite / pruned upsert / append / selective compaction / tag /

@@ -13,6 +13,10 @@ from hypothesis import strategies as st
 
 from agol_pandas_spark.operators.merge import merge
 
+# Randomized property sweeps: slow tier (deterministic unit tests in
+# test_merge.py / test_pruned_merge.py pin the same operators).
+pytestmark = pytest.mark.slow
+
 KEYS = st.integers(min_value=0, max_value=9)
 VALS = st.integers(min_value=-100, max_value=100)
 

@@ -20,6 +20,11 @@ REGISTRY = load_all()
 ORACLE_QUERIES = sorted(n for n, q in REGISTRY.items() if q.oracle)
 ROWS_ONLY_QUERIES = sorted(n for n, q in REGISTRY.items() if not q.oracle)
 
+# Full-registry sweeps are the slow tier (minutes of wall time); the
+# driver's own oracle check covers every declared query, so the plain
+# suite keeps only the unit/operator tests. Run with -m slow.
+pytestmark = pytest.mark.slow
+
 
 def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()

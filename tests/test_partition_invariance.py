@@ -59,6 +59,7 @@ def _rowset(df):
     return sorted(tuple(repr(r[c]) for c in cols) for r in df.collect())
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", QUERIES)
 def test_result_invariant_to_shuffle_partitions(spark, sf_dir, name):
     fn = REGISTRY[name].fn

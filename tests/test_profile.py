@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from agol_pandas_spark.operators.profile import profile_columns
 
 
@@ -62,6 +64,7 @@ def _ks_reference(s1: list[int], s2: list[int]):
     return n1, n2, best, best * 10**6 // (n1 * n2), at
 
 
+@pytest.mark.slow
 def test_ks_drift_fuzz_against_python_reference(spark):
     """Integer-KS over random samples equals the direct walk, per group;
     includes the identical-samples (D=0) and disjoint-support (D=max)

@@ -187,6 +187,7 @@ def test_partitioned_prefix_sum_validates_keys(spark):
         add_partitioned_prefix_sum(df, ["g"], [], "w", "ps")
 
 
+@pytest.mark.slow
 def test_ranks_fuzz_vs_python_reference(spark):
     """Property fuzz: for random multisets and partition counts, the
     distributed rank/dense_rank/prefix-sum equal a trivial sorted-list
