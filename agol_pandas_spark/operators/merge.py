@@ -210,8 +210,35 @@ def merge(
     source non-empty and, for keyed modes, key-unique — skip both guards
     instead of re-running their jobs (the copy-on-write path checks once
     up front and fans the source into several plans).
+
+    Keyed-mode sources are materialized once via a lazy
+    ``localCheckpoint`` (they are delta-sized by contract; the guard job
+    computes the blocks, the returned plan's references read them, and
+    the blocks free when the plan is garbage-collected). Consequence:
+    the returned plan is valid for the session's current cache
+    generation — re-executing it after ``spark.catalog.clearCache()``
+    raises instead of silently recomputing (rebuild the merge in that
+    case, as every engine-internal caller does).
     """
     m = WriteMode.parse(mode) if isinstance(mode, str) else mode
+    if key is not None and m in KEYED_MODES and not _source_checked:
+        # Bare merge() with a caller-held lazy source otherwise evaluates
+        # that source plan up to three times: once in the fused guard job
+        # below and twice inside the returned plan (matched-join +
+        # anti-join for upsert/insert). A keyed source is batch/delta-
+        # sized by contract, so materialize it ONCE with a lazy local
+        # checkpoint: the guard job computes and caches the blocks, every
+        # later reference reads them, and the ContextCleaner frees the
+        # blocks when the returned plan is garbage-collected — the
+        # lifecycle hook a lazy return value allows, where an explicit
+        # persist/unpersist pair cannot outlive this call (guide §1.2,
+        # §5; VERDICT r11 item 3). Internal callers (_source_checked)
+        # arrive already persisted by write_table/merge_pruned.
+        # DELETE only ever reads the key columns — narrow before
+        # materializing so a wide delete-delta caches keys, not payloads.
+        if m is WriteMode.DELETE:
+            source = source.select(*_keys(key))
+        source = source.localCheckpoint(eager=False)
     if not _source_checked:
         if validate_keys and key is not None and m in KEYED_MODES:
             # one job for both guards instead of two source evaluations

@@ -474,3 +474,52 @@ def test_wap_audit_polarity_is_check_semantics(spark, tmp_path):
         raise AssertionError("FALSE row must violate")
     except ConstraintViolationError as ex:
         assert ex.counts == {"v_pos": 1}
+
+
+def test_bare_merge_evaluates_source_once(spark):
+    """VERDICT r11 item 3: a bare merge() with a caller-held lazy source
+    must materialize that source exactly ONCE (lazy localCheckpoint) —
+    previously the fused guard plus the upsert plan's matched-join and
+    anti-join re-evaluated the caller's plan per reference. Counted with
+    an accumulator inside a UDF column of the source plan."""
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf("long")
+    def counted(v):
+        acc.add(1)
+        return v
+
+    n = 100
+    target = spark.range(50).select(
+        F.col("id").alias("k"), F.lit(0).cast("long").alias("v")
+    )
+    source = spark.range(n).select(
+        F.col("id").alias("k"), counted(F.col("id") * 2).alias("v")
+    )
+    out = merge(target, source, "upsert", key="k")
+    out.write.format("noop").mode("overwrite").save()
+    # one evaluation per source row: the guard job materializes the
+    # checkpoint, the merge plan's two source references read its blocks
+    assert acc.value == n, f"source evaluated {acc.value / n:.1f}x"
+
+
+def test_bare_merge_delete_caches_keys_only(spark):
+    """DELETE narrows the source to its key columns before the
+    checkpoint, so a wide delete-delta never computes (or caches) its
+    payload columns."""
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf("long")
+    def payload(v):
+        acc.add(1)
+        return v
+
+    target = spark.range(50).select(
+        F.col("id").alias("k"), F.lit(1).cast("long").alias("v")
+    )
+    source = spark.range(10).select(
+        F.col("id").alias("k"), payload(F.col("id")).alias("v")
+    )
+    out = merge(target, source, "delete", key="k")
+    assert out.count() == 40
+    assert acc.value == 0, "delete evaluated payload columns"

@@ -514,6 +514,37 @@ def test_whitelisted_global_windows_still_exist(spark, sf_dir):
         assert _global_windows(df), f"{name} no longer has a global window"
 
 
+def test_nondeterministic_kernels_evaluate_once(q):
+    """Pin the §4.4 anti-duplication invariant (VERDICT r11 item 9): the
+    expensive Arrow kernels are marked nondeterministic ONLY so Catalyst
+    cannot clone them below inferred filters — each must appear exactly
+    once in its consumer's physical plan. A Spark upgrade that changes
+    the optimizer could silently reintroduce the double-eval (two
+    ArrowEvalPython nodes scoring the whole corpus) or a refactor could
+    drop the marking; either shows up here as a count change."""
+    import re
+
+    def nodes(plan, node_name):
+        return len(re.findall(rf"\(\d+\) {node_name}\b", plan))
+
+    # sim_ivfpq_topk: corpus assign+encode kernel once (named), and
+    # exactly 3 ArrowEvalPython nodes total (corpus kernel, probe
+    # multi-probe kernel, per-query LUT kernel)
+    plan = formatted_plan(q("sim_ivfpq_topk"))
+    assert plan.count("_cell_and_codes(") == 1, plan.count("_cell_and_codes(")
+    assert nodes(plan, "ArrowEvalPython") == 3
+    # gopher gate kernel: one ArrowEvalPython over the documents scan
+    plan = formatted_plan(q("text_gopher_rules_filter"))
+    assert nodes(plan, "ArrowEvalPython") == 1
+    # fused gate+chunk+hash kernel: one MapInPandas, no ArrowEvalPython
+    plan = formatted_plan(q("pipeline_chunk_dedup_stats"))
+    assert nodes(plan, "MapInPandas") == 1
+    assert nodes(plan, "ArrowEvalPython") == 0
+    # simhash signature kernel: a pure map — one ArrowEvalPython
+    plan = formatted_plan(q("dedup_simhash_band_pairs"))
+    assert nodes(plan, "ArrowEvalPython") == 1
+
+
 def test_q19_disjunctive_pushdown(q):
     """Q19's OR-of-ANDs must split per side and reach both scans: the
     quantity disjunction pushes to lineitem, the brand/size disjunction

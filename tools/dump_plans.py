@@ -1,4 +1,4 @@
-"""Dump ``explain("formatted")`` for registry queries to ``plans/r11/``.
+"""Dump ``explain("formatted")`` for registry queries to ``plans/r12/``.
 
 Usage::
 
@@ -6,7 +6,7 @@ Usage::
     python tools/dump_plans.py after  [name ...]
 
 With no names, dumps every headline query. The files are the
-optimization round's evidence trail: ``plans/r11/<query>_<tag>.txt``.
+optimization round's evidence trail: ``plans/r12/<query>_<tag>.txt``.
 Building a query's DataFrame may execute its preparatory actions (index
 builds, merges) exactly as the bench does; the captured plan is the plan
 of the returned (timed) DataFrame.
@@ -33,7 +33,7 @@ def main() -> None:
         raise SystemExit(f"unknown queries: {unknown}")
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("AGOL_PLANS_ROUND", "r12"))
     os.makedirs(out_dir, exist_ok=True)
 
     spark = get_spark(app_name="dump-plans")
