@@ -576,3 +576,28 @@ def test_cdf_tail_fresh_attach_and_unarchived_displacement(spark, tmp_path):
     with _pytest.raises(CdfGapError, match="no surviving archive"):
         tail.advance(include_current=True)
     tail.close()
+
+
+def test_adaptive_state_partitions_local_and_remote(spark, tmp_path):
+    """Byte-derived drain sizing (r11 change 14) must be SCHEME-safe
+    (VERDICT r11 item 4): a local landing dir sizes by bytes, but a
+    non-local URI (s3a://, hdfs://) without a reachable filesystem must
+    resolve to the session ceiling — never silently to 1 partition (a
+    serial drain at exactly the scale where partitioning matters)."""
+    from agol_pandas_spark.streaming.windows import adaptive_state_partitions
+
+    ceiling = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # tiny local dir -> 1 partition (provably-small drain shrinks)
+    d = tmp_path / "landing"
+    d.mkdir()
+    (d / "part-0.parquet").write_bytes(b"x" * 1024)
+    assert adaptive_state_partitions(spark, str(d)) == 1
+
+    # unreachable object-store URI -> session ceiling, not 1
+    assert (
+        adaptive_state_partitions(spark, "s3a://bucket/landing")
+        == ceiling
+    )
+    # file:// URIs still size locally
+    assert adaptive_state_partitions(spark, f"file://{d}") == 1
