@@ -263,6 +263,39 @@ class Catalog:
             staged, name, keep_versions, expected_commit=expected_commit
         )
 
+    def write_local(self, table, name: str, mode: str = "error") -> str:
+        """Atomically materialize a DRIVER-RESIDENT ``pyarrow.Table`` as
+        catalog table ``name`` — a single parquet file committed with the
+        same tmp-write + ``os.replace`` discipline as the index meta
+        sidecars, and zero Spark jobs.
+
+        For broadcast-sized model/metadata state the driver already
+        holds (IVF pivots, PQ codebooks: ≤ k×M rows): a ``Catalog.write``
+        of such state pays a full Spark job + task-commit latency to
+        write a few KB that just made the round trip driver → executors
+        → parquet (guide §1.2 — don't compute things you throw away;
+        §6 metadata costs). Reads are unchanged: ``Catalog.table`` and
+        pyarrow's dataset reader both handle single-file tables, exactly
+        like the existing ``__lsh_meta``/``__ivfpq_meta`` sidecars.
+
+        NOT for data-sized tables: no manifest, no commit id, no
+        carryover — anything that needs snapshot machinery goes through
+        :meth:`write`.
+        """
+        import pyarrow.parquet as papq
+
+        target = self.path(name)
+        if mode == "error" and os.path.exists(target):
+            raise TableExistsError(f"table {name!r} already exists")
+        os.makedirs(self.root, exist_ok=True)
+        tmp = f"{target}.__tmp_{uuid.uuid4().hex}"
+        papq.write_table(table, tmp)
+        if os.path.isdir(target):  # replace a directory-shaped predecessor
+            shutil.rmtree(target)
+        os.replace(tmp, target)
+        self._ns_cols.pop(target, None)
+        return target
+
     def _stage_snapshot_props(
         self, staged: str, snapshot_props: dict | None
     ) -> None:

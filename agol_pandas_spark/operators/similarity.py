@@ -1083,6 +1083,17 @@ def _collect_codebook(
     mapping here both silently produce garbage on a non-dense layout, so
     density is a hard precondition, not a convention."""
     rows = codebook.select("m", "code", "cent").collect()
+    return _codebook_matrix_from_rows(rows, m_subspaces)
+
+
+def _codebook_matrix_from_rows(
+    rows, m_subspaces: int
+) -> tuple["np.ndarray", int]:
+    """:func:`_collect_codebook`'s validation + densification over rows
+    already on the driver (Spark ``Row``s or ``{"m","code","cent"}``
+    dicts from a pyarrow read) — shared so a probe against a PERSISTED
+    index can read its broadcast-sized codebook driver-side (no Spark
+    job) with identical validation semantics."""
     if not rows:
         raise ValueError("pq codebook is empty")
     by_m: dict[int, dict[int, list]] = {}
@@ -1127,6 +1138,70 @@ def validate_codebook(
             f"{k_codes} — the flattened LUT would be mis-indexed"
         )
     return C
+
+
+def _read_model_rows(catalog, name: str, columns: list[str]) -> list[tuple]:
+    """Read a broadcast-sized model table (pivots/codebook) DRIVER-SIDE
+    with pyarrow — no Spark job, no py4j plan round-trips. Handles both
+    the single-file layout :meth:`Catalog.write_local` produces and
+    directory-shaped tables from older builds (pyarrow's dataset reader
+    skips the "_"-prefixed manifest/commit metadata). Returns positional
+    tuples in ``columns`` order, the shape the Arrow kernels index."""
+    from agol_pandas_spark.errors import TableNotFoundError
+
+    if not catalog.exists(name):
+        raise TableNotFoundError(
+            f"no table {name!r} under {catalog.root}"
+        )
+    import pyarrow.dataset as ds
+
+    tbl = (
+        ds.dataset(catalog.path(name), format="parquet")
+        .to_table(columns=columns)
+    )
+    return list(zip(*(tbl.column(c).to_pylist() for c in columns)))
+
+
+def _first_codes_width(catalog, name: str) -> int | None:
+    """Length of one stored ``codes`` row, from the first fragment's
+    first row — the cross-table layout check, as a driver-side footer+
+    page read instead of a ``limit(1).collect()`` Spark job. ``None``
+    for an empty index (nothing to contradict)."""
+    import pyarrow.dataset as ds
+
+    head = (
+        ds.dataset(catalog.path(name), format="parquet")
+        .head(1, columns=["codes"])
+    )
+    if head.num_rows == 0:
+        return None
+    row = head.column("codes")[0].as_py()
+    return None if row is None else len(row)
+
+
+def _pa_type(spark_type):
+    """pyarrow type for the Spark column types model tables carry
+    (ids: integral/string; vectors: arrays of float/double). Returns
+    ``None`` for anything else — callers fall back to a Spark write."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    simple = {
+        T.ByteType: pa.int8(),
+        T.ShortType: pa.int16(),
+        T.IntegerType: pa.int32(),
+        T.LongType: pa.int64(),
+        T.FloatType: pa.float32(),
+        T.DoubleType: pa.float64(),
+        T.StringType: pa.string(),
+    }
+    t = simple.get(type(spark_type))
+    if t is not None:
+        return t
+    if isinstance(spark_type, T.ArrayType):
+        inner = simple.get(type(spark_type.elementType))
+        return pa.list_(inner) if inner is not None else None
+    return None
 
 
 def pq_encode(
@@ -1645,7 +1720,23 @@ def write_ivfpq_index(
     import pyarrow as pa
     import pyarrow.parquet as papq
 
-    C, k_found = _collect_codebook(codebook, m_subspaces)
+    # The two model inputs are broadcast-sized by contract and BOTH get
+    # collected to the driver anyway (the codebook for validation + the
+    # LUT matrix, the pivots for the fused assign+encode kernel) — so
+    # collect each ONCE, overlapped (guide §2.6), and never re-run their
+    # derivation plans for the model-table writes.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_cb = pool.submit(
+            lambda: codebook.select("m", "code", "cent").collect()
+        )
+        f_piv = pool.submit(
+            lambda: pivots.select(F.col(pivot_id), F.col(vec)).collect()
+        )
+        cb_rows = f_cb.result()
+        pivot_rows = f_piv.result()
+    C, k_found = _codebook_matrix_from_rows(cb_rows, m_subspaces)
     if k_found != k_codes:
         raise ValueError(
             f"pq codebook has {k_found} codes per subspace, caller assumed "
@@ -1655,30 +1746,51 @@ def write_ivfpq_index(
     coded = _assign_encode_arrow(
         corpus.select(F.col(corpus_id), F.col(vec), *payload),
         pivots, C, corpus_id, pivot_id, vec, keep_cols=payload,
+        pivot_rows=pivot_rows,
     )
-    # The three data/model tables are independent commits to distinct
-    # paths — submit them from a small thread pool so the tiny
-    # pivots/codebook writes back-fill executors while the corpus encode
-    # runs, instead of serializing three job latencies (guide §2.6).
-    # The meta still writes strictly LAST (the crash-consistency
-    # contract above), after ALL three have committed.
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        f_coded = pool.submit(catalog.write, coded, name, "overwrite")
-        f_piv = pool.submit(
-            catalog.write,
+    # ONE Spark write: the corpus-sized coded table. The pivots/codebook
+    # model tables are written DRIVER-SIDE from the rows just collected
+    # (Catalog.write_local: atomic single-file commit, zero Spark jobs —
+    # previously each paid a full job + task-commit latency AND re-ran
+    # its derivation plan to write a few KB; guide §1.2, §6). The meta
+    # still writes strictly LAST (the crash-consistency contract above),
+    # after all three data/model tables have committed.
+    path = catalog.write(coded, name, "overwrite")
+    pid_t = _pa_type(pivots.schema[pivot_id].dataType)
+    vec_t = _pa_type(pivots.schema[vec].dataType)
+    if pid_t is not None and vec_t is not None:
+        catalog.write_local(
+            pa.table(
+                {
+                    pivot_id: pa.array([r[0] for r in pivot_rows], pid_t),
+                    vec: pa.array([r[1] for r in pivot_rows], vec_t),
+                }
+            ),
+            _ivfpq_pivots_name(name), mode="overwrite",
+        )
+    else:  # exotic id/vector type: keep the Spark write path
+        catalog.write(
             pivots.select(F.col(pivot_id), F.col(vec)),
             _ivfpq_pivots_name(name), "overwrite",
         )
-        f_cb = pool.submit(
-            catalog.write,
+    cb_types = [
+        _pa_type(codebook.schema[c].dataType) for c in ("m", "code", "cent")
+    ]
+    if all(t is not None for t in cb_types):
+        catalog.write_local(
+            pa.table(
+                {
+                    c: pa.array([r[c] for r in cb_rows], t)
+                    for c, t in zip(("m", "code", "cent"), cb_types)
+                }
+            ),
+            _ivfpq_codebook_name(name), mode="overwrite",
+        )
+    else:
+        catalog.write(
             codebook.select("m", "code", "cent"),
             _ivfpq_codebook_name(name), "overwrite",
         )
-        path = f_coded.result()
-        f_piv.result()
-        f_cb.result()
     meta_path = catalog.path(_ivfpq_meta_name(name))
     os.makedirs(catalog.root, exist_ok=True)
     tmp = f"{meta_path}.__tmp_{uuid.uuid4().hex}"
@@ -1762,36 +1874,37 @@ def probe_ivfpq_index(
     corpus_id, pivot_id, vec = meta["corpus_id"], meta["pivot_id"], meta["vec"]
     coded = catalog.table(name)
     pivots = catalog.table(_ivfpq_pivots_name(name))
-    codebook = catalog.table(_ivfpq_codebook_name(name))
     # cross-table layout validation: the index is four tables committed
     # independently, so a crashed/concurrent rebuild can leave the meta
     # describing one layout and the codebook/codes another — which the
     # flattened-LUT indexing would score into silent garbage. Validate
-    # the codebook shape against the meta (tiny collect) and one codes
-    # row's length before trusting either.
-    # three independent validation/model-state collects (codebook shape,
-    # one codes row's length, the pivot matrix) are each a tiny Spark
-    # job — overlap them so the probe pays ONE job latency, not three
-    # serial ones (guide §2.6); every error still surfaces before any
+    # the codebook shape against the meta and one codes row's length
+    # before trusting either. All three reads are broadcast-sized model
+    # state: read them DRIVER-SIDE with pyarrow (footer + a few KB of
+    # pages) instead of three Spark jobs — r11 overlapped the jobs
+    # (§2.6); r12 removes them (§1.2: the cheapest shuffle/job is the
+    # one that doesn't run). Every error still surfaces before any
     # scoring plan is built.
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        f_cb = pool.submit(validate_codebook, codebook, m_sub, kc)
-        f_probe = pool.submit(
-            coded.select(F.size("codes").alias("n")).limit(1).collect
+    cb_rows = _read_model_rows(
+        catalog, _ivfpq_codebook_name(name), ["m", "code", "cent"]
+    )
+    C, k_found = _codebook_matrix_from_rows(
+        [{"m": m, "code": c, "cent": v} for m, c, v in cb_rows], m_sub
+    )
+    if k_found != kc:
+        raise ValueError(
+            f"pq codebook has {k_found} codes per subspace, caller "
+            f"assumed {kc} — the flattened LUT would be mis-indexed"
         )
-        f_piv = pool.submit(
-            pivots.select(F.col(pivot_id), F.col(vec)).collect
-        )
-        C = f_cb.result()
-        probe_row = f_probe.result()
-        pivot_rows = f_piv.result()
-    if probe_row and probe_row[0]["n"] != m_sub:
+    pivot_rows = _read_model_rows(
+        catalog, _ivfpq_pivots_name(name), [pivot_id, vec]
+    )
+    codes_width = _first_codes_width(catalog, name)
+    if codes_width is not None and codes_width != m_sub:
         from agol_pandas_spark.errors import VectorIndexParamError
 
         raise VectorIndexParamError(
-            f"IVF-PQ index {name!r} codes have {probe_row[0]['n']} "
+            f"IVF-PQ index {name!r} codes have {codes_width} "
             f"subspaces but the meta declares {m_sub} — mixed-layout "
             "state (interrupted rebuild?); rebuild the index."
         )
@@ -1833,11 +1946,20 @@ def append_ivfpq_index(
     corpus_id, vec, pivot_id = meta["corpus_id"], meta["vec"], meta["pivot_id"]
     payload = _ivfpq_payload_cols(meta)
     pivots = catalog.table(_ivfpq_pivots_name(name))
-    codebook = catalog.table(_ivfpq_codebook_name(name))
-    C, _ = _collect_codebook(codebook, m_sub)
+    # stored model state reads driver-side (pyarrow) — no Spark jobs
+    cb_rows = _read_model_rows(
+        catalog, _ivfpq_codebook_name(name), ["m", "code", "cent"]
+    )
+    C, _ = _codebook_matrix_from_rows(
+        [{"m": m, "code": c, "cent": v} for m, c, v in cb_rows], m_sub
+    )
+    pivot_rows = _read_model_rows(
+        catalog, _ivfpq_pivots_name(name), [pivot_id, vec]
+    )
     coded = _assign_encode_arrow(
         batch.select(F.col(corpus_id), F.col(vec), *payload),
         pivots, C, corpus_id, pivot_id, vec, keep_cols=payload,
+        pivot_rows=pivot_rows,
     )
     return write_table(
         catalog, coded, name, mode=WriteMode.INSERT, key=corpus_id
@@ -2162,19 +2284,23 @@ def hard_negative_topk_indexed(
         )
     coded = catalog.table(name)
     pivots = catalog.table(_ivfpq_pivots_name(name))
-    codebook = catalog.table(_ivfpq_codebook_name(name))
-    # two independent model-state collects (codebook, pivot matrix) —
-    # overlap them so the probe pays one job latency (guide §2.6), same
-    # as probe_ivfpq_index
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=2) as _pool:
-        f_cb = _pool.submit(validate_codebook, codebook, m_sub, kc)
-        f_piv = _pool.submit(
-            pivots.select(F.col(pivot_id), F.col(vec)).collect
+    # model state (codebook, pivot matrix) read DRIVER-SIDE with pyarrow
+    # — zero Spark jobs, same validation as probe_ivfpq_index (r11
+    # overlapped these collects per §2.6; r12 removes them, §1.2)
+    cb_rows = _read_model_rows(
+        catalog, _ivfpq_codebook_name(name), ["m", "code", "cent"]
+    )
+    C, k_found = _codebook_matrix_from_rows(
+        [{"m": m, "code": c, "cent": v} for m, c, v in cb_rows], m_sub
+    )
+    if k_found != kc:
+        raise ValueError(
+            f"pq codebook has {k_found} codes per subspace, caller "
+            f"assumed {kc} — the flattened LUT would be mis-indexed"
         )
-        C = f_cb.result()
-        pivot_rows = f_piv.result()
+    pivot_rows = _read_model_rows(
+        catalog, _ivfpq_pivots_name(name), [pivot_id, vec]
+    )
     q = probes.select(
         F.col(query_id),
         F.col(label_col).alias("__qlabel"),

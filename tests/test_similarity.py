@@ -924,3 +924,52 @@ def test_fused_assign_encode_matches_chained(emb, spark):
     c_rows = {r["vec_id"]: (r["cell"], r["codes"]) for r in chained.collect()}
     f_rows = {r["vec_id"]: (r["cell"], r["codes"]) for r in fused.collect()}
     assert c_rows == f_rows
+
+
+def test_model_tables_driver_write_roundtrip(spark, sf_dir, tmp_path):
+    """r12: write_ivfpq_index commits the broadcast-sized pivots/codebook
+    model tables DRIVER-SIDE (Catalog.write_local — zero Spark jobs).
+    The stored tables must read back bit-identically to the source
+    DataFrames through BOTH readers that consume them: Spark
+    (catalog.table — append path) and pyarrow (_read_model_rows — probe
+    path)."""
+    from agol_pandas_spark.catalog import Catalog
+    from agol_pandas_spark.operators.similarity import (
+        _read_model_rows,
+        pq_codebook_from_seeds,
+        write_ivfpq_index,
+    )
+
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    pivots = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("pivot_id"), "embedding"
+    )
+    cb = pq_codebook_from_seeds(emb, "vec_id")
+    cat = Catalog(spark, str(tmp_path))
+    write_ivfpq_index(cat, "idx", emb, pivots, cb,
+                      corpus_id="vec_id", pivot_id="pivot_id")
+
+    want_piv = sorted((r[0], tuple(r[1])) for r in pivots.collect())
+    got_spark = sorted(
+        (r[0], tuple(r[1]))
+        for r in cat.table("idx__ivfpq_pivots").collect()
+    )
+    got_pa = sorted(
+        (r[0], tuple(r[1]))
+        for r in _read_model_rows(
+            cat, "idx__ivfpq_pivots", ["pivot_id", "embedding"]
+        )
+    )
+    assert got_spark == want_piv  # exact float64 bits, exact ids
+    assert got_pa == want_piv
+
+    want_cb = sorted(
+        (r["m"], r["code"], tuple(r["cent"])) for r in cb.collect()
+    )
+    got_cb = sorted(
+        (m, c, tuple(v))
+        for m, c, v in _read_model_rows(
+            cat, "idx__ivfpq_codebook", ["m", "code", "cent"]
+        )
+    )
+    assert got_cb == want_cb
