@@ -252,6 +252,24 @@ class Catalog:
         (``:396``) destroys the previous state irrecoverably — this is
         the lakehouse-standard fix, built on the same two-phase commit.
         """
+        staged = self.stage(df, name, mode=mode, snapshot_props=snapshot_props)
+        return self.commit_staged(
+            staged, name, mode=mode, keep_versions=keep_versions,
+            expected_commit=expected_commit,
+        )
+
+    def stage(
+        self, df: DataFrame, name: str, mode: str = "error",
+        snapshot_props: dict | None = None,
+    ) -> str:
+        """First half of :meth:`write`: materialize ``df`` into a staged
+        ``__tmp`` sibling of the target and return its path — no commit.
+        Exposed so INDEPENDENT snapshot writes can overlap their Spark
+        jobs (guide §2.6) while their commits stay strictly ordered via
+        :meth:`commit_staged` (e.g. staging v2 of a scenario while v1
+        writes+commits: v2's data does not depend on v1's commit, only
+        its swap does). A staged dir left behind by a crash is an inert
+        ``__tmp`` sibling, exactly like an interrupted :meth:`write`."""
         target = self.path(name)
         if mode == "error" and os.path.exists(target):
             raise TableExistsError(f"table {name!r} already exists")
@@ -259,6 +277,18 @@ class Catalog:
         staged = f"{target}.__tmp_{uuid.uuid4().hex}"
         df.write.mode("overwrite").parquet(staged)
         self._stage_snapshot_props(staged, snapshot_props)
+        return staged
+
+    def commit_staged(
+        self, staged: str, name: str, mode: str = "error",
+        keep_versions: int = 0, expected_commit: str | None = None,
+    ) -> str:
+        """Second half of :meth:`write`: atomically swap a staged
+        snapshot in (same archive/manifest/OCC semantics)."""
+        target = self.path(name)
+        if mode == "error" and os.path.exists(target):
+            shutil.rmtree(staged, ignore_errors=True)
+            raise TableExistsError(f"table {name!r} already exists")
         return self._swap_in(
             staged, name, keep_versions, expected_commit=expected_commit
         )
