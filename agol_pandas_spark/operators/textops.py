@@ -849,10 +849,20 @@ def gated_chunk_token_windows(
     )
 
     def _kernel(batches):
-        for pdf in batches:
-            id_dtype = pdf[id_col].dtype
+        # Arrow record batches, not pandas: pandas coerces an int64 id
+        # column to float64 whenever a batch contains a NULL id, so
+        # surviving ids would round-trip through float (silent precision
+        # loss above 2^53) and a NULL id would come back NaN (ADVICE
+        # r11). Arrow keeps ids exact and NULLs NULL; the unfused
+        # composition passes ids through unchanged, and so does this.
+        import pyarrow as pa
+
+        for batch in batches:
+            id_arr = batch.column(0)
             ids, cids, sts, nts, hs = [], [], [], [], []
-            for rid, tx in zip(pdf[id_col], pdf[text_col]):
+            for rid, tx in zip(
+                id_arr.to_pylist(), batch.column(1).to_pylist()
+            ):
                 if tx is None:
                     continue  # NULL conjunction -> filtered out
                 toks = py_tokens(tx)
@@ -882,17 +892,18 @@ def gated_chunk_token_windows(
                     sts.append(s)
                     nts.append(len(chunk))
                     hs.append(py_hash60(" ".join(chunk)))
-            yield pd.DataFrame(
-                {
-                    id_col: pd.Series(ids, dtype=id_dtype),
-                    "chunk_id": pd.Series(cids, dtype="int32"),
-                    "start_token": pd.Series(sts, dtype="int32"),
-                    "n_tokens": pd.Series(nts, dtype="int32"),
-                    "chunk_hash": pd.Series(hs, dtype="int64"),
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, id_arr.type),
+                    pa.array(cids, pa.int32()),
+                    pa.array(sts, pa.int32()),
+                    pa.array(nts, pa.int32()),
+                    pa.array(hs, pa.int64()),
+                ],
+                names=[id_col, "chunk_id", "start_token", "n_tokens", "chunk_hash"],
             )
 
-    return df.select(id_col, text_col).mapInPandas(_kernel, out_schema)
+    return df.select(id_col, text_col).mapInArrow(_kernel, out_schema)
 
 
 def weighted_row_sample(

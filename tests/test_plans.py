@@ -536,9 +536,9 @@ def test_nondeterministic_kernels_evaluate_once(q):
     # gopher gate kernel: one ArrowEvalPython over the documents scan
     plan = formatted_plan(q("text_gopher_rules_filter"))
     assert nodes(plan, "ArrowEvalPython") == 1
-    # fused gate+chunk+hash kernel: one MapInPandas, no ArrowEvalPython
+    # fused gate+chunk+hash kernel: one MapInArrow, no ArrowEvalPython
     plan = formatted_plan(q("pipeline_chunk_dedup_stats"))
-    assert nodes(plan, "MapInPandas") == 1
+    assert nodes(plan, "MapInArrow") == 1
     assert nodes(plan, "ArrowEvalPython") == 0
     # simhash signature kernel: a pure map — one ArrowEvalPython
     plan = formatted_plan(q("dedup_simhash_band_pairs"))

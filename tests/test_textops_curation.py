@@ -345,6 +345,12 @@ def test_gated_chunk_windows_matches_composition(spark, sf_dir):
             (9004, passing),                   # passes, 64 tokens
             (9005, "a\xa0b " + passing),       # NBSP glues one token
             (9006, ("# " * 30) + passing),     # symbol-heavy -> dropped
+            # NULL id with passing text: ids must pass through UNCHANGED
+            # (ADVICE r11: pandas would coerce this batch's id column to
+            # float64 — NaN ids, float-rounded big ids; Arrow must not)
+            (None, passing),
+            # id above 2^53: survives only if ids never touch float64
+            (9007199254740993, passing),
         ],
         T.StructType(
             [
@@ -356,7 +362,10 @@ def test_gated_chunk_windows_matches_composition(spark, sf_dir):
     both = docs.unionByName(extra)
 
     def rows(df):
-        return sorted(tuple(r) for r in df.collect())
+        return sorted(
+            (tuple(r) for r in df.collect()),
+            key=lambda t: tuple((v is None, v) for v in t),
+        )
 
     fused = gated_chunk_token_windows(both, "doc_id", "text")
     kept = gopher_quality_flags(
